@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.Column
+
+/** Loaders for the driver-generated testdata star schema (TESTDATA.md) and
+  * the denormalized flat fact table the engine's cube layer is built on.
+  *
+  * Mirrors the reference's test fixtures — base star tables plus the
+  * `orderLineItemPartSupplier`-style flat table (reference:
+  * `src/test/scala/.../BaseTest.scala:143-216`) — re-expressed as plain
+  * Spark DataFrame joins. The small dimension tables are broadcast; at
+  * production scale the flat table is materialized once as a
+  * time-partitioned cube (see [[graft.cube.CubeCatalog]]).
+  */
+object Tables {
+
+  val starTables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val extraTables: Seq[String] = Seq("events", "documents", "embeddings")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(path(sfDir, name))
+
+  /** Exact, order-independent sum of a double column: route through a wide
+    * decimal so Spark and any ANSI-SQL oracle (DuckDB) produce bit-identical
+    * doubles regardless of partitioning / summation order.
+    *
+    * Scale 6 on purpose: the testdata money columns are 2-decimal values, so
+    * products of up to three of them are exact at ≤6 decimals and the double
+    * representations sit within ~1e-9 of those exact values — rounding at
+    * scale 6 is therefore unambiguous in every engine. (A larger scale would
+    * round inside the doubles' binary noise, where engines' double→decimal
+    * conversions can legitimately disagree by one ulp.)
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+
+  /** SQL fragment equivalent of [[dsum]] for oracle queries. */
+  def dsumSql(expr: String): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
+
+  /** Denormalized flat fact table: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    * region (customer role) ⋈ supplier ⋈ nation ⋈ region (supplier role) ⋈
+    * part. Column names follow the reference fixture (`c_nation`,
+    * `s_region`, ... — FIXTURES.md §1); names are unique across the star
+    * schema, matching the reference's star-schema constraint
+    * (`StarSchemaInfo.scala:380-388`).
+    */
+  def flat(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val o  = t(spark, sfDir, "orders")
+    val c  = t(spark, sfDir, "customer")
+    val s  = t(spark, sfDir, "supplier")
+    val p  = t(spark, sfDir, "part")
+    val n  = t(spark, sfDir, "nation")
+    val r  = t(spark, sfDir, "region")
+
+    val cn = n.select(col("n_nationkey").as("cn_nationkey"),
+                      col("n_name").as("c_nation"),
+                      col("n_regionkey").as("cn_regionkey"))
+    val cr = r.select(col("r_regionkey").as("cr_regionkey"),
+                      col("r_name").as("c_region"))
+    val sn = n.select(col("n_nationkey").as("sn_nationkey"),
+                      col("n_name").as("s_nation"),
+                      col("n_regionkey").as("sn_regionkey"))
+    val sr = r.select(col("r_regionkey").as("sr_regionkey"),
+                      col("r_name").as("s_region"))
+
+    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(cn), c("c_nationkey") === cn("cn_nationkey"))
+      .join(broadcast(cr), cn("cn_regionkey") === cr("cr_regionkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(sn), s("s_nationkey") === sn("sn_nationkey"))
+      .join(broadcast(sr), sn("sn_regionkey") === sr("sr_regionkey"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .drop("cn_nationkey", "cn_regionkey", "cr_regionkey",
+            "sn_nationkey", "sn_regionkey", "sr_regionkey")
+  }
+
+  /** DuckDB-SQL equivalent of [[flat]], usable as a WITH-clause body so
+    * oracle queries can reference the flat table as `olps`.
+    */
+  val flatSql: String =
+    """SELECT lineitem.*,
+      |       o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      |       o_orderpriority,
+      |       c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |       cn.n_name AS c_nation, cr.r_name AS c_region,
+      |       s_suppkey, s_name, s_nationkey, s_acctbal,
+      |       sn.n_name AS s_nation, sr.r_name AS s_region,
+      |       p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+      |JOIN part     ON l_partkey = p_partkey""".stripMargin
+
+  /** Prefix an oracle query with the flat-table CTE. */
+  def withFlat(sql: String): String = s"WITH olps AS ($flatSql)\n$sql"
+}
