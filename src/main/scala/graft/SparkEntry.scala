@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
 import Tables.{dsum, dsumSql, withFlat}
+import graft.cube.TpchCube
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,8 +14,117 @@ import Tables.{dsum, dsumSql, withFlat}
   * aliases match on both sides (the driver hashes columns by name).
   * Double aggregates go through DECIMAL(28,6) (see [[Tables.dsum]]) so
   * results are bit-identical regardless of summation order.
+  *
+  * Star-join queries are written once in portable ANSI SQL ([[StarQueries]])
+  * and executed by Spark *through the engine* — `Graft.install` +
+  * `TpchCube.ensure` — so the driver's correctness gate also gates the
+  * star-join-elimination and time-bucket-pruning rewrites; the identical
+  * text is handed to DuckDB as the oracle.
   */
 object SparkEntry {
+
+  /** Install the engine into the session and register base tables + cube.
+    * (`events` is excluded: its nanosecond timestamps need the dedicated
+    * reader in the streaming layer, not a plain view.)
+    */
+  private def engine(s: SparkSession, dir: String): Unit = {
+    Graft.install(s)
+    for (t <- Tables.starTables ++ Seq("documents", "embeddings"))
+      Tables.t(s, dir, t).createOrReplaceTempView(t)
+    TpchCube.ensure(s, dir)
+  }
+
+  /** Portable SQL (runs verbatim on Spark and DuckDB). */
+  object StarQueries {
+    private def dec(expr: String) = s"CAST(sum(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
+
+    val q03_shipping_priority: String =
+      s"""SELECT l_orderkey,
+         |  ${dec("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS orderdate
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1996-03-15'
+         |  AND l_shipdate > TIMESTAMP '1996-03-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin
+
+    val q05_local_supplier: String =
+      s"""SELECT n_name AS nation,
+         |  ${dec("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, nation""".stripMargin
+
+    val q06_forecast_revenue: String =
+      s"""SELECT ${dec("l_extendedprice * l_discount")} AS revenue,
+         |  count(*) AS cnt
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24.0""".stripMargin
+
+    val q08_market_share: String =
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  ${dec("CASE WHEN sn.n_name = 'NATION_20' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+         |  / ${dec("l_extendedprice * (1.0 - l_discount)")} AS mkt_share
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE cr.r_name = 'AMERICA' AND p_type = 'ECONOMY'
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin
+
+    val q10_returned_items: String =
+      s"""SELECT c_custkey, c_name,
+         |  ${dec("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  n_name AS nation
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-07-01'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin
+
+    val ship_date_range: String =
+      s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |  count(*) AS cnt,
+         |  ${dec("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1996-07-01'
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin
+
+    val all: Map[String, String] = Map(
+      "q03_shipping_priority" -> q03_shipping_priority,
+      "q05_local_supplier"    -> q05_local_supplier,
+      "q06_forecast_revenue"  -> q06_forecast_revenue,
+      "q08_market_share"      -> q08_market_share,
+      "q10_returned_items"    -> q10_returned_items,
+      "q_ship_date_range"     -> ship_date_range)
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q7-shape on the flat cube — the reference's flagship win
@@ -22,48 +133,75 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q07_nation_volume")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- §2.4 aggregations ------------------------------------------------
-    "q01_pricing_summary" -> { (s, dir) =>
-      Tables.t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
-          (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
-    },
-    "q02_basic_agg" -> { (s, dir) =>
-      // "Basic Aggregation" benchmark shape: 2 dims, count/sum/max/avg/distinct
-      Tables.flat(s, dir)
-        .groupBy("c_mktsegment", "l_returnflag")
-        .agg(
-          count(lit(1)).as("cnt"),
-          dsum(col("l_extendedprice")).as("sum_price"),
-          max(col("l_quantity")).as("max_qty"),
-          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-          countDistinct(col("o_custkey")).as("n_cust"))
-        .orderBy("c_mktsegment", "l_returnflag")
-    },
-    // ---- §2.3 star join collapse + §2.9 time extraction -------------------
-    "q07_nation_volume" -> { (s, dir) =>
-      val f = Tables.flat(s, dir)
-      f.filter((col("s_nation") === "NATION_20" && col("c_nation") === "NATION_11") ||
-               (col("s_nation") === "NATION_11" && col("c_nation") === "NATION_20"))
-        .groupBy(col("s_nation"), col("c_nation"),
-                 year(col("l_shipdate")).as("l_year"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-        .orderBy("s_nation", "c_nation", "l_year")
-    }
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val sqlDriven: Map[String, (SparkSession, String) => DataFrame] =
+      StarQueries.all.map { case (name, sql) =>
+        name -> { (s: SparkSession, dir: String) => engine(s, dir); s.sql(sql) }
+      }
+    sqlDriven ++ Map[String, (SparkSession, String) => DataFrame](
+      // ---- §2.4 aggregations ----------------------------------------------
+      "q01_pricing_summary" -> { (s, dir) =>
+        Tables.t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+            (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+            (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      "q02_basic_agg" -> { (s, dir) =>
+        // "Basic Aggregation" benchmark shape: 2 dims, count/sum/max/avg/distinct
+        Tables.flat(s, dir)
+          .groupBy("c_mktsegment", "l_returnflag")
+          .agg(
+            count(lit(1)).as("cnt"),
+            dsum(col("l_extendedprice")).as("sum_price"),
+            max(col("l_quantity")).as("max_qty"),
+            (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+          .orderBy("c_mktsegment", "l_returnflag")
+      },
+      // ---- §2.3 star join collapse + §2.9 time extraction -------------------
+      "q07_nation_volume" -> { (s, dir) =>
+        engine(s, dir)
+        s.sql(
+          s"""SELECT sn.n_name AS s_nation, cn.n_name AS c_nation,
+             |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |WHERE (sn.n_name = 'NATION_20' AND cn.n_name = 'NATION_11')
+             |   OR (sn.n_name = 'NATION_11' AND cn.n_name = 'NATION_20')
+             |GROUP BY 1, 2, 3
+             |ORDER BY 1, 2, 3""".stripMargin)
+      },
+      // dim-sliced interval scan on the cube itself ("SubQry+filters+range"
+      // benchmark shape) — exercises time-bucket partition pruning
+      "q_subqry_filters_range" -> { (s, dir) =>
+        engine(s, dir)
+        val cube = TpchCube.ensure(s, dir)
+        s.read.parquet(cube.cubePath)
+          .filter(col("s_nation").isin("NATION_3", "NATION_9", "NATION_17") &&
+            col("c_mktsegment") === "MACHINERY" &&
+            col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-09-01").cast("timestamp"))
+          .groupBy("s_nation")
+          .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("s_nation")
+      })
+  }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = StarQueries.all ++ Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,
@@ -96,6 +234,14 @@ object SparkEntry {
          |WHERE (s_nation = 'NATION_20' AND c_nation = 'NATION_11')
          |   OR (s_nation = 'NATION_11' AND c_nation = 'NATION_20')
          |GROUP BY s_nation, c_nation, l_year
-         |ORDER BY s_nation, c_nation, l_year""".stripMargin)
-  )
+         |ORDER BY s_nation, c_nation, l_year""".stripMargin),
+    "q_subqry_filters_range" -> withFlat(
+      s"""SELECT s_nation, count(*) AS cnt, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM olps
+         |WHERE s_nation IN ('NATION_3', 'NATION_9', 'NATION_17')
+         |  AND c_mktsegment = 'MACHINERY'
+         |  AND l_shipdate >= TIMESTAMP '1996-03-01'
+         |  AND l_shipdate < TIMESTAMP '1996-09-01'
+         |GROUP BY s_nation
+         |ORDER BY s_nation""".stripMargin))
 }

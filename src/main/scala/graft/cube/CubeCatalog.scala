@@ -1,0 +1,71 @@
+package graft.cube
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** A cube registered for plan rewriting: metadata + the materialized cube's
+  * parquet path + the parquet paths of the base tables it flattens.
+  *
+  * The reference registers a relation linking a source DataFrame to a Druid
+  * index (`DefaultSource.scala:32-194`); here the "index" is a denormalized
+  * Parquet table partitioned by a time bucket, so partition pruning plays
+  * the role of Druid's interval-based segment selection.
+  */
+final case class RegisteredCube(
+    info: CubeInfo,
+    cubePath: String,
+    tablePaths: Map[String, String]) {
+
+  private val pathToTable: Map[String, String] = tablePaths.map(_.swap)
+
+  def tableForPath(path: String): Option[String] = pathToTable.get(path)
+}
+
+object CubeCatalog {
+
+  private val cubes = TrieMap.empty[String, RegisteredCube]
+
+  def register(cube: RegisteredCube): Unit = cubes.put(cube.info.name, cube)
+  def unregister(name: String): Unit = cubes.remove(name)
+  def get(name: String): Option[RegisteredCube] = cubes.get(name)
+  def all: Seq[RegisteredCube] = cubes.values.toSeq
+  def isEmpty: Boolean = cubes.isEmpty
+
+  /** Normalize a Hadoop path/URI to a bare filesystem path for matching. */
+  def normalizePath(p: String): String = {
+    val uri = new java.net.URI(p)
+    val path = if (uri.getScheme == null) p else uri.getPath
+    path.stripSuffix("/")
+  }
+
+  /** Physical-table name of a scan leaf, if it is a base table of some
+    * registered cube.
+    */
+  def tableOf(cube: RegisteredCube, lr: LogicalRelation): Option[String] =
+    lr.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.headOption
+          .flatMap(p => cube.tableForPath(normalizePath(p.toString)))
+      case _ => None
+    }
+
+  /** Is this scan leaf the materialized cube itself? */
+  def cubeOfRelation(lr: LogicalRelation): Option[RegisteredCube] =
+    lr.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.headOption.map(p => normalizePath(p.toString))
+          .flatMap(p => all.find(c => normalizePath(c.cubePath) == p))
+      case _ => None
+    }
+
+  /** A fresh logical plan over the materialized cube (new expression ids per
+    * call, so one query can host several rewrites).
+    */
+  def cubePlan(spark: SparkSession, cube: RegisteredCube): LogicalPlan = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.read.parquet(cube.cubePath).queryExecution.analyzed
+  }
+}

@@ -1,0 +1,143 @@
+package graft.cube
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The TPC-H flat cube over the driver testdata: cube descriptor, star
+  * schema (with role-playing nation/region, mirroring the reference's
+  * custnation/suppnation split — `BaseTest.scala:59-141`), and idempotent
+  * materialization as a time-bucket-partitioned Parquet table.
+  */
+object TpchCube {
+
+  import ColumnRole._
+  import RelType._
+
+  val CubeName = "tpch_flat"
+
+  /** Partition bucket: months since epoch (UTC) of the time dimension. At
+    * 100 TB this is the cube-build ETL's partitioning key; locally it makes
+    * Catalyst partition-prune interval queries exactly like the reference's
+    * Druid segment/interval selection.
+    */
+  def bucketExpr(timeCol: String) =
+    ((year(col(timeCol)) - 1970) * 12 + month(col(timeCol)) - 1)
+
+  def bucketOfMicros(us: Long): Int = {
+    val ldt = java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), 0).atZone(java.time.ZoneOffset.UTC)
+    (ldt.getYear - 1970) * 12 + ldt.getMonthValue - 1
+  }
+
+  val starSchema: StarSchema = StarSchema(
+    factTable = "lineitem",
+    relations = Seq(
+      StarRelation("lineitem", "orders", ManyToOne,
+        Seq(EqualityCondition("l_orderkey", "o_orderkey"))),
+      StarRelation("lineitem", "supplier", ManyToOne,
+        Seq(EqualityCondition("l_suppkey", "s_suppkey"))),
+      StarRelation("lineitem", "part", ManyToOne,
+        Seq(EqualityCondition("l_partkey", "p_partkey"))),
+      StarRelation("orders", "customer", ManyToOne,
+        Seq(EqualityCondition("o_custkey", "c_custkey"))),
+      StarRelation("customer", "custnation", ManyToOne,
+        Seq(EqualityCondition("c_nationkey", "n_nationkey"))),
+      StarRelation("custnation", "custregion", ManyToOne,
+        Seq(EqualityCondition("n_regionkey", "r_regionkey"))),
+      StarRelation("supplier", "suppnation", ManyToOne,
+        Seq(EqualityCondition("s_nationkey", "n_nationkey"))),
+      StarRelation("suppnation", "suppregion", ManyToOne,
+        Seq(EqualityCondition("n_regionkey", "r_regionkey")))))
+
+  /** Physical table -> roles it plays in the star schema. */
+  val roleOfTable: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("lineitem"),
+    "orders"   -> Seq("orders"),
+    "customer" -> Seq("customer"),
+    "supplier" -> Seq("supplier"),
+    "part"     -> Seq("part"),
+    "nation"   -> Seq("custnation", "suppnation"),
+    "region"   -> Seq("custregion", "suppregion"))
+
+  /** (role, source column) -> cube column. Identity for fact/dim columns the
+    * flat table keeps under their own name; the role-playing nation/region
+    * columns land under the reference's names (`c_nation`, `s_region`, ... —
+    * FIXTURES.md §3). Source columns not listed did not survive
+    * denormalization (e.g. `n_regionkey`): queries referencing them outside
+    * a collapsed star edge stay on the base tables.
+    */
+  val columnMapping: Map[(String, String), String] = {
+    val identity = Seq(
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"),
+      "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"),
+      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice"))
+    val id = for ((role, cols) <- identity; c <- cols) yield (role, c) -> c
+    val roleMapped = Seq(
+      ("custnation", "n_nationkey") -> "c_nationkey",
+      ("custnation", "n_name")      -> "c_nation",
+      ("custregion", "r_name")      -> "c_region",
+      ("suppnation", "n_nationkey") -> "s_nationkey",
+      ("suppnation", "n_name")      -> "s_nation",
+      ("suppregion", "r_name")      -> "s_region")
+    (id ++ roleMapped).toMap
+  }
+
+  def info: CubeInfo = {
+    val metrics = Set("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "o_totalprice", "c_acctbal", "s_acctbal", "p_retailprice")
+    val cols = columnMapping.values.toSeq.distinct.map { c =>
+      val role: ColumnRole =
+        if (c == "l_shipdate") Time
+        else if (metrics.contains(c)) Metric
+        else Dimension
+      CubeColumn(c, role)
+    }
+    CubeInfo(
+      name = CubeName,
+      timeColumn = "l_shipdate",
+      columns = cols,
+      starSchema = starSchema,
+      roleOfTable = roleOfTable,
+      columnMapping = columnMapping,
+      functionalDeps = Seq(
+        FunctionalDependency("c_nation", "c_region", ManyToOne),
+        FunctionalDependency("s_nation", "s_region", ManyToOne)))
+  }
+
+  def cubePath(sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    s"/root/repo/target/cubes/tpch_$sf"
+  }
+
+  private val lock = new Object
+
+  /** Materialize (if needed) and register the flat cube for `sfDir`.
+    * Idempotent; the parquet write happens once per scale factor.
+    */
+  def ensure(spark: SparkSession, sfDir: String): RegisteredCube = lock.synchronized {
+    val path = cubePath(sfDir)
+    val marker = new java.io.File(path, "_SUCCESS")
+    if (!marker.exists()) {
+      Tables.flat(spark, sfDir)
+        .withColumn("g_tbucket", bucketExpr("l_shipdate"))
+        .repartition(col("g_tbucket"))
+        .write.mode("overwrite").partitionBy("g_tbucket").parquet(path)
+    }
+    val tablePaths = roleOfTable.keys.map { t =>
+      t -> CubeCatalog.normalizePath(Tables.path(sfDir, t))
+    }.toMap
+    val sf = new java.io.File(sfDir).getName
+    val cube = RegisteredCube(info.copy(name = s"${CubeName}_$sf"), path, tablePaths)
+    CubeCatalog.register(cube)
+    cube
+  }
+}

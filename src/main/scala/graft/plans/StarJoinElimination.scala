@@ -1,0 +1,190 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.planning.PhysicalOperation
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+import graft.cube.{CubeCatalog, RegisteredCube}
+
+/** Collapse inner equi-join subtrees that are subgraphs of a registered
+  * star schema into a single scan of the materialized flat cube.
+  *
+  * This is the Spark-native re-expression of the reference's join
+  * elimination (`JoinTransform.scala:305-442`, validation
+  * `StarSchemaInfo.scala:215-275`, `JoinTransform.scala:41-107`): instead of
+  * emitting a Druid query, we substitute the join tree with a
+  * `Project(Filter(cubeScan))` whose output preserves the original
+  * attribute ids, so the surrounding plan (Aggregate/Sort/...) is untouched.
+  * Filters from the dimension legs and non-star ("theta") join residuals
+  * become ordinary filters over the cube's mapped columns; Catalyst then
+  * pushes them into the parquet scan. `IsNotNull` on collapsed join keys is
+  * dropped — the inner-join guarantee of the reference's `NoopFilterSpec`
+  * trick (`DruidQueryBuilder.scala:97-121`).
+  *
+  * Correctness contract (same as the reference): star edges declared in the
+  * schema have referential integrity — every fact row matches exactly one
+  * row of each n-1 dimension — so collapsing a join over any subset of the
+  * dimensions preserves the row multiset.
+  */
+case class StarJoinElimination(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (CubeCatalog.isEmpty) return plan
+    plan.transformDown {
+      case p @ Project(_, child) =>
+        rewrite(child, p.references).map(c => p.copy(child = c)).getOrElse(p)
+      case a: Aggregate =>
+        rewrite(a.child, a.references).map(c => a.copy(child = c)).getOrElse(a)
+    }
+  }
+
+  /** One base-table scan leaf of the join tree. */
+  private case class Leaf(rel: LogicalRelation, table: String,
+                          filters: Seq[Expression])
+
+  /** Flatten a [Project/Filter]*-over-Join tree into leaves + a pool of all
+    * predicates (join conditions and mid-tree filters). Returns None when
+    * the subtree is not exclusively inner joins over known base tables.
+    */
+  private def collectTree(cube: RegisteredCube, plan: LogicalPlan)
+      : Option[(Seq[Leaf], Seq[Expression])] = plan match {
+    case PhysicalOperation(projects, filters, lr: LogicalRelation)
+        if projects.forall(_.isInstanceOf[Attribute]) =>
+      CubeCatalog.tableOf(cube, lr).map(t => (Seq(Leaf(lr, t, filters)), Nil))
+    case PhysicalOperation(projects, filters, Join(l, r, Inner, cond, _))
+        if projects.forall(_.isInstanceOf[Attribute]) =>
+      for {
+        (ll, lc) <- collectTree(cube, l)
+        (rl, rc) <- collectTree(cube, r)
+      } yield (ll ++ rl,
+        lc ++ rc ++ cond.toSeq.flatMap(splitConjunctivePredicates) ++
+          filters.flatMap(splitConjunctivePredicates))
+    case _ => None
+  }
+
+  private def rewrite(child: LogicalPlan, required: AttributeSet)
+      : Option[LogicalPlan] = {
+    if (!child.exists(_.isInstanceOf[Join])) return None
+    CubeCatalog.all.view.flatMap(c => rewriteForCube(c, child, required)).headOption
+  }
+
+  private def rewriteForCube(cube: RegisteredCube, child: LogicalPlan,
+                             required: AttributeSet): Option[LogicalPlan] = {
+    val (leaves, conjuncts) = collectTree(cube, child).getOrElse(return None)
+    if (leaves.size < 2) return None
+
+    val byExprId: Map[ExprId, Int] = (for {
+      (l, i) <- leaves.zipWithIndex
+      a <- l.rel.output
+    } yield a.exprId -> i).toMap
+    def ownerOf(e: Expression): Option[Int] = {
+      val owners = e.references.toSeq.flatMap(a => byExprId.get(a.exprId)).distinct
+      if (owners.size == 1) Some(owners.head) else None
+    }
+
+    // Split the predicate pool into cross-leaf equality edges and residuals.
+    val (equalities, residuals) = conjuncts.partition {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        (byExprId.get(a.exprId), byExprId.get(b.exprId)) match {
+          case (Some(i), Some(j)) => i != j
+          case _                  => return None // predicate over unknown attrs
+        }
+      case e if e.references.forall(a => byExprId.contains(a.exprId)) => false
+      case _ => return None
+    }
+
+    // Group equality edges by unordered leaf pair.
+    case class Edge(i: Int, j: Int, keys: Seq[(String, String)],
+                    exprs: Seq[Expression])
+    val edges = equalities.map {
+      case eq @ EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val (ia, ib) = (byExprId(a.exprId), byExprId(b.exprId))
+        if (ia < ib) (ia, ib, (a.name, b.name), eq: Expression)
+        else (ib, ia, (b.name, a.name), eq: Expression)
+    }.groupBy(t => (t._1, t._2)).map { case ((i, j), es) =>
+      Edge(i, j, es.map(_._3), es.map(_._4))
+    }.toSeq
+
+    // Assign a star-schema role to every leaf (backtracking; role-playing
+    // dimensions like nation-as-customer-nation are disambiguated by which
+    // declared edges their join keys match).
+    val schema = cube.info.starSchema
+    val candidates: Seq[Seq[String]] =
+      leaves.map(l => cube.info.roleOfTable.getOrElse(l.table, Nil))
+    if (candidates.exists(_.isEmpty)) return None
+
+    def solve(i: Int, assigned: Map[Int, String]): Option[Map[Int, String]] = {
+      if (i == leaves.size) {
+        // every edge must either match a declared star relation or be fully
+        // mappable as a residual; star edges must connect all leaves.
+        val starEdges = edges.filter { e =>
+          schema.starEdge(assigned(e.i), assigned(e.j), e.keys.toSet).isDefined
+        }
+        // connectivity over star edges only
+        val adj = starEdges.flatMap(e => Seq(e.i -> e.j, e.j -> e.i))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        val factIdx = assigned.collectFirst {
+          case (idx, role) if role == schema.factTable => idx
+        }.getOrElse(return None)
+        var seen = Set(factIdx)
+        var frontier = List(factIdx)
+        while (frontier.nonEmpty) {
+          val nxt = frontier.flatMap(n => adj.getOrElse(n, Nil)).filterNot(seen)
+          seen ++= nxt
+          frontier = nxt
+        }
+        if (seen.size == leaves.size) Some(assigned) else None
+      } else {
+        candidates(i).filterNot(assigned.values.toSet)
+          .view.flatMap(r => solve(i + 1, assigned + (i -> r))).headOption
+      }
+    }
+    val assigned = solve(0, Map.empty).getOrElse(return None)
+
+    val starEdges = edges.filter { e =>
+      schema.starEdge(assigned(e.i), assigned(e.j), e.keys.toSet).isDefined
+    }
+    val residualEdgeExprs = edges.diff(starEdges).flatMap(_.exprs)
+    val starKeyAttrs = AttributeSet(starEdges.flatMap(_.exprs).flatMap(_.references))
+
+    // Map every needed source attribute to a cube column.
+    val cubePlan = CubeCatalog.cubePlan(spark, cube)
+    val cubeAttrByName: Map[String, Attribute] =
+      cubePlan.output.map(a => a.name.toLowerCase -> a).toMap
+    def cubeAttrFor(a: Attribute): Option[Attribute] = for {
+      i <- byExprId.get(a.exprId)
+      cubeCol <- cube.info.mapped(assigned(i), a.name)
+      attr <- cubeAttrByName.get(cubeCol.toLowerCase)
+    } yield attr
+
+    // Leaf filters, minus IsNotNull on collapsed star-join keys (Noop trick).
+    val leafFilters = leaves.flatMap(_.filters).filterNot {
+      case IsNotNull(a: Attribute) => starKeyAttrs.contains(a)
+      case _                       => false
+    }
+    val allFilters = leafFilters ++ residuals ++ residualEdgeExprs
+
+    val neededAttrs = required ++ AttributeSet(allFilters.flatMap(_.references))
+    val substitution: Map[ExprId, Attribute] = neededAttrs.toSeq.map { a =>
+      a.exprId -> cubeAttrFor(a).getOrElse(return None)
+    }.toMap
+
+    def substitute(e: Expression): Expression = e.transformUp {
+      case a: Attribute if substitution.contains(a.exprId) => substitution(a.exprId)
+    }
+
+    val filtered: LogicalPlan =
+      if (allFilters.isEmpty) cubePlan
+      else Filter(allFilters.map(substitute).reduce(And), cubePlan)
+
+    val projections: Seq[NamedExpression] = required.toSeq.map { a =>
+      Alias(substitution(a.exprId), a.name)(exprId = a.exprId)
+    }
+    Some(Project(projections, filtered))
+  }
+}

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cube.{CubeCatalog, TpchCube}
+
+/** Differential tests for the star-join elimination + time-bucket pruning
+  * rules: the same SQL must produce identical results with the cube
+  * registered (rewritten onto the flat cube) and without (vanilla Spark
+  * joins) — the reference's cTest protocol (`AbstractTest.scala:127-143`).
+  */
+class StarRewriteSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val init: Unit = {
+    for (t <- Tables.starTables)
+      Tables.t(spark, sf, t).createOrReplaceTempView(t)
+    TpchCube.ensure(spark, sf)
+  }
+
+  private def scansCube(df: DataFrame): Boolean = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    classic.queryExecution.optimizedPlan.exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.toString.contains("target/cubes"))
+        case _ => false
+      }
+      case _ => false
+    }
+  }
+
+  private def hasJoin(df: DataFrame): Boolean = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    classic.queryExecution.optimizedPlan.exists(_.isInstanceOf[Join])
+  }
+
+  /** Row fingerprints with doubles rounded to 2 decimals — summation order
+    * differs between the cube scan and the join plan, so raw doubles drift
+    * by ~1 ulp (the reference's cTest rounds to 1 decimal for the same
+    * reason, `AbstractTest.scala:186-245`).
+    */
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map { r =>
+      (0 until r.length).map { i =>
+        r.get(i) match {
+          case d: Double => f"$d%.2f"
+          case v         => String.valueOf(v)
+        }
+      }.mkString("|")
+    }.sorted.toSeq
+
+  /** Run with the cube registered, then unregistered; assert identical
+    * results; return (rewritten plan scanned cube, plan had join).
+    */
+  private def differential(sql: String, expectRewrite: Boolean): Unit = {
+    init
+    val cube = TpchCube.ensure(spark, sf)
+    val rewritten = spark.sql(sql)
+    val rewrittenRows = rows(rewritten)
+    if (expectRewrite) {
+      assert(scansCube(rewritten), s"expected cube scan:\n$sql")
+      assert(!hasJoin(rewritten), s"expected no join:\n$sql")
+    } else {
+      assert(!scansCube(rewritten), s"expected NO cube scan:\n$sql")
+    }
+    CubeCatalog.unregister(cube.info.name)
+    try {
+      val vanilla = spark.sql(sql)
+      assert(!scansCube(vanilla))
+      assert(rewrittenRows == rows(vanilla), s"result mismatch:\n$sql")
+    } finally TpchCube.ensure(spark, sf)
+  }
+
+  test("q7-shape: two role-playing nations collapse to cube scan") {
+    differential(
+      """SELECT sn.n_name AS s_nation, cn.n_name AS c_nation,
+        |       year(l_shipdate) AS l_year, sum(l_quantity) AS qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_20' AND cn.n_name = 'NATION_11')
+        |   OR (sn.n_name = 'NATION_11' AND cn.n_name = 'NATION_20')
+        |GROUP BY 1, 2, 3""".stripMargin, expectRewrite = true)
+  }
+
+  test("q3-shape: fact + two dims with dim filter") {
+    differential(
+      """SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey""".stripMargin, expectRewrite = true)
+  }
+
+  test("q5-shape: shared-nation residual equality + region filter") {
+    differential(
+      """SELECT n.n_name AS nation, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation n ON s_nationkey = n.n_nationkey
+        |JOIN region ON n.n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n.n_name""".stripMargin, expectRewrite = true)
+  }
+
+  test("select-detail (no aggregate) also collapses") {
+    differential(
+      """SELECT l_orderkey, l_linenumber, p_name, s_name
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE p_brand = 'Brand#19' AND l_quantity > 40""".stripMargin,
+      expectRewrite = true)
+  }
+
+  test("query referencing a column not in the cube falls back") {
+    differential(
+      """SELECT n_regionkey, count(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY n_regionkey""".stripMargin, expectRewrite = false)
+  }
+
+  test("dim-only join (no fact table) falls back") {
+    differential(
+      """SELECT n_name, count(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin, expectRewrite = false)
+  }
+
+  test("outer join falls back") {
+    differential(
+      """SELECT c_mktsegment, count(*) AS cnt
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin, expectRewrite = false)
+  }
+
+  test("time filter prunes cube partitions and stays correct") {
+    init
+    val cube = TpchCube.ensure(spark, sf)
+    val cubeDf = spark.read.parquet(cube.cubePath)
+    val filtered = cubeDf
+      .filter("l_shipdate >= timestamp'1996-01-01' AND l_shipdate < timestamp'1996-04-01'")
+    val n = filtered.count()
+    // pruning must not change results vs an unpruned evaluation
+    val raw = Tables.t(spark, sf, "lineitem")
+      .filter("l_shipdate >= timestamp'1996-01-01' AND l_shipdate < timestamp'1996-04-01'")
+      .count()
+    assert(n == raw)
+    // physical scan must read only the 3 matching buckets
+    val classic = filtered.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val scan = classic.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined)
+    assert(scan.get.relation.location.listFiles(scan.get.partitionFilters, Nil)
+      .map(_.values).size <= 3, "expected at most 3 partition buckets scanned")
+  }
+}
