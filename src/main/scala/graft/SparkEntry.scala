@@ -126,6 +126,152 @@ object SparkEntry {
       "q_ship_date_range"     -> ship_date_range)
   }
 
+  /** Portable SQL exercising the scalar/operator surface of SURVEY.md §2.2,
+    * §2.4-§2.8 on the base tables (same text runs on Spark and DuckDB).
+    */
+  object ScalarQueries {
+    private def dec(expr: String) = s"CAST(sum(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
+
+    val all: Map[String, String] = Map(
+      // §2.4 grouping sets / rollup / cube (reference Expand path,
+      // AggregateTransform.scala:98-167)
+      "q_rollup" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+           |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+           |  count(*) AS cnt, ${dec("l_quantity")} AS sum_qty
+           |FROM lineitem
+           |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      "q_cube_grouping" ->
+        s"""SELECT l_returnflag, o_orderstatus, count(*) AS cnt
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY CUBE(l_returnflag, o_orderstatus)
+           |ORDER BY l_returnflag NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+      // §2.4 HAVING (reference declares HavingSpec but never translates it —
+      // ours is native)
+      "q_having" ->
+        s"""SELECT l_suppkey, count(*) AS cnt, ${dec("l_extendedprice")} AS sum_price
+           |FROM lineitem
+           |GROUP BY l_suppkey
+           |HAVING count(*) > 45
+           |ORDER BY l_suppkey""".stripMargin,
+      // §2.4 multiple exact distinct aggregates (Expand + double aggregate)
+      "q_multi_distinct" ->
+        s"""SELECT l_returnflag,
+           |  count(DISTINCT l_partkey) AS nd_part,
+           |  count(DISTINCT l_suppkey) AS nd_supp,
+           |  count(*) AS cnt
+           |FROM lineitem
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin,
+      // §2.7 set operations
+      "q_set_except" ->
+        s"""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           |EXCEPT
+           |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000.0
+           |ORDER BY c_custkey""".stripMargin,
+      "q_set_union_intersect" ->
+        s"""SELECT x.c_custkey, count(*) AS n FROM (
+           |  SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0
+           |  UNION
+           |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+           |  INTERSECT
+           |  SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0
+           |) x GROUP BY x.c_custkey ORDER BY x.c_custkey""".stripMargin,
+      // §2.2 predicates: LIKE / NOT LIKE / IN / BETWEEN / null checks
+      "q_filters" ->
+        s"""SELECT p_brand, count(*) AS cnt
+           |FROM part
+           |WHERE (p_name LIKE '%ol%' AND p_type NOT LIKE 'PRO%'
+           |  AND p_size IN (1, 5, 9, 13, 17, 21)
+           |  AND p_retailprice BETWEEN 900.0 AND 1500.0)
+           |  OR p_brand = 'Brand#0'
+           |GROUP BY p_brand
+           |ORDER BY p_brand""".stripMargin,
+      // §2.8 string functions
+      "q_scalar_string" ->
+        s"""SELECT p_partkey,
+           |  upper(p_name) AS uname, lower(p_brand) AS lbrand,
+           |  substring(p_type, 1, 4) AS t4,
+           |  concat(p_brand, '/', p_type) AS bt,
+           |  CAST(length(p_name) AS INTEGER) AS nlen,
+           |  replace(p_name, ' ', '_') AS undername,
+           |  trim(substring(p_name, 1, 6)) AS head6
+           |FROM part
+           |WHERE p_partkey <= 200
+           |ORDER BY p_partkey""".stripMargin,
+      // §2.8 conditionals
+      "q_scalar_conditional" ->
+        s"""SELECT l_returnflag,
+           |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_highdisc,
+           |  count(nullif(l_linestatus, 'F')) AS n_nonf,
+           |  coalesce(nullif(l_returnflag, 'N'), 'NONE') AS flag2
+           |FROM lineitem
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin,
+      // §2.8 arithmetic / math
+      "q_scalar_math" ->
+        s"""SELECT l_linenumber,
+           |  CAST(sum(CAST(abs(l_extendedprice - l_tax * 100.0) AS DECIMAL(28,6))) AS DOUBLE) AS s_abs,
+           |  CAST(sum(CAST(floor(l_quantity / 7.0) AS BIGINT)) AS BIGINT) AS s_floor,
+           |  CAST(sum(CAST(ceil(l_quantity / 7.0) AS BIGINT)) AS BIGINT) AS s_ceil,
+           |  CAST(sum(CAST(round(sqrt(l_quantity), 6) AS DECIMAL(28,6))) AS DOUBLE) AS s_sqrt,
+           |  CAST(sum(l_orderkey % 97) AS BIGINT) AS s_mod
+           |FROM lineitem
+           |GROUP BY l_linenumber
+           |ORDER BY l_linenumber""".stripMargin,
+      // §2.9 time granularity bucketing (reference GranularitySpec)
+      "q_time_granularity" ->
+        s"""SELECT CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS VARCHAR(10)) AS mon,
+           |  count(*) AS cnt, ${dec("l_quantity")} AS sum_qty
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+           |GROUP BY 1
+           |ORDER BY 1""".stripMargin,
+      // §2.9 time extraction functions
+      "q_time_extract" ->
+        s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
+           |  CAST(quarter(l_shipdate) AS INTEGER) AS q,
+           |  CAST(month(l_shipdate) AS INTEGER) AS m,
+           |  count(*) AS cnt
+           |FROM lineitem
+           |GROUP BY 1, 2, 3
+           |ORDER BY 1, 2, 3""".stripMargin,
+      // §2.5 window functions (beyond reference parity; native in Spark)
+      "q_window_running" ->
+        s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+           |  CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS rn,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6)))
+           |       OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
+           |FROM lineitem
+           |WHERE l_suppkey <= 5
+           |ORDER BY l_suppkey, rn""".stripMargin,
+      "q_window_rank" ->
+        s"""SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+           |  SELECT c_mktsegment, c_custkey, c_acctbal,
+           |    CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+           |  FROM customer) t
+           |WHERE rnk <= 3
+           |ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin,
+      // §2.6 top-k: single-dim group + order-by-metric + small limit
+      // (reference TopN rewrite — we do the exact TakeOrderedAndProject form)
+      "q_topn_suppliers" ->
+        s"""SELECT l_suppkey, ${dec("l_extendedprice")} AS volume
+           |FROM lineitem
+           |GROUP BY l_suppkey
+           |ORDER BY volume DESC, l_suppkey
+           |LIMIT 7""".stripMargin,
+      // §2.3 scalar-subquery pattern (reference PushGB motivation)
+      "q_scalar_subquery" ->
+        s"""SELECT l_returnflag, count(*) AS cnt
+           |FROM lineitem
+           |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q7-shape on the flat cube — the reference's flagship win
     * (reference `docs/benchmark/BenchMarkDetails.org:525-537`).
@@ -135,7 +281,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val sqlDriven: Map[String, (SparkSession, String) => DataFrame] =
-      StarQueries.all.map { case (name, sql) =>
+      (StarQueries.all ++ ScalarQueries.all).map { case (name, sql) =>
         name -> { (s: SparkSession, dir: String) => engine(s, dir); s.sql(sql) }
       }
     sqlDriven ++ Map[String, (SparkSession, String) => DataFrame](
@@ -201,7 +347,7 @@ object SparkEntry {
       })
   }
 
-  def oracleSql: Map[String, String] = StarQueries.all ++ Map(
+  def oracleSql: Map[String, String] = StarQueries.all ++ ScalarQueries.all ++ Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,
