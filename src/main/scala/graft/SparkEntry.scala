@@ -169,7 +169,7 @@ object SparkEntry {
       "q_set_except" ->
         s"""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
            |EXCEPT
-           |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000.0
+           |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0
            |ORDER BY c_custkey""".stripMargin,
       "q_set_union_intersect" ->
         s"""SELECT x.c_custkey, count(*) AS n FROM (
