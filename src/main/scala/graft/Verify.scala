@@ -18,7 +18,7 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       // drop any stale dump first so a failed query can't masquerade as a
       // (wrong) result from an earlier run
-      val dest = new java.io.File(s"$outDir/$name")
+      val dest = new java.io.File(s"$outDir/$name.parquet")
       if (dest.exists()) {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -26,7 +26,7 @@ object Verify {
         rm(dest)
       }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language identification, and document
+  * fingerprinting.
+  *
+  * All of these are composed from `org.apache.spark.sql.functions` built-ins
+  * (including the higher-order array functions), so they evaluate inside the
+  * JVM with no UDF/serialization cost, distribute trivially, and keep the
+  * scan's predicate pushdown and column pruning intact. The reference engine
+  * has no text layer (its scalar surface is `jscodegen/JSCodeGenerator.scala`);
+  * this module is the beyond-parity training-data surface layered on the same
+  * expression-first philosophy.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a document (empty string → empty array). */
+  def tokens(text: Column): Column = {
+    val trimmed = trim(text)
+    when(length(trimmed) === 0, array().cast("array<string>"))
+      .otherwise(split(trimmed, "\\s+"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: words are split at letter/digit/punctuation
+    * boundaries and long alpha runs count one extra piece per 4 chars — a
+    * deterministic stand-in for a real tokenizer's subword granularity,
+    * computable without any vocabulary.
+    */
+  def subwordCount(text: Column): Column = {
+    val pieces = when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])"))
+    val extra = aggregate(
+      pieces, lit(0L),
+      (acc, p) => acc + greatest(lit(0L), ((length(p) - 1) / 4).cast("long")))
+    (size(pieces).cast("long") + extra).as("subwords")
+  }
+
+  /** Distinct-token ratio in [0,1]: low values signal boilerplate/spam. */
+  def distinctTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(array_distinct(t)).cast("double") / size(t).cast("double"))
+  }
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column = {
+    val cleaned = regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(cleaned).cast("double") / length(text).cast("double"))
+  }
+
+  /** English stopword ratio among tokens (tiny fixed list — a heuristic
+    * feature, not a linguistic claim).
+    */
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for",
+      "with", "as", "at", "by", "it", "this", "that")
+
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(lower(text))
+    val n = size(t)
+    val stops = size(filter(t, w => w.isin(enStopwords.map(x => x: Any): _*)))
+    when(n === 0, lit(0.0)).otherwise(stops.cast("double") / n.cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length documents with
+    * diverse tokens, low punctuation noise and a plausible stopword rate.
+    * Weights are arbitrary but fixed; the value is a *ranking* feature.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lengthScore = least(n / lit(50.0), lit(1.0)) * when(n > 2000, 0.5).otherwise(1.0)
+    val diversity = distinctTokenRatio(text)
+    val punct = punctRatio(text)
+    val stop = stopwordRatio(text)
+    val stopScore = lit(1.0) - abs(stop - lit(0.15)) * 2.0
+    greatest(lit(0.0), least(lit(1.0),
+      lengthScore * 0.3 + diversity * 0.3 +
+        (lit(1.0) - least(punct * 5.0, lit(1.0))) * 0.2 +
+        greatest(stopScore, lit(0.0)) * 0.2))
+  }
+
+  /** Language-marker token sets for the n-gram/function-word language-ID
+    * heuristic. Latin-script languages are scored by function-word hits;
+    * CJK by codepoint range.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une", "que", "pour", "dans", "du"))
+
+  /** Identify the language of `text` among en/es/de/fr/zh.
+    *
+    * Heuristic: any CJK ideograph → `zh`; otherwise the Latin language whose
+    * function-word marker set hits the most tokens (ties broken by the fixed
+    * en>es>de>fr order); no hits → `und`. Pure column algebra: the per-language
+    * scores are computed with `filter`/`size` over the token array and the
+    * argmax with `greatest`-style chained `when`s, so the whole thing is one
+    * projection — no UDF, no shuffle.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    def score(lang: String): Column =
+      size(filter(toks, w => w.isin(langMarkers(lang).map(x => x: Any): _*)))
+    val langs = Seq("en", "es", "de", "fr")
+    val scores = langs.map(l => l -> score(l))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((l, s), els) =>
+      when(s === best && best > 0, lit(l)).otherwise(els)
+    }
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
+  }
+
+  /** 64-bit rolling-hash fingerprint of the token sequence (order-sensitive):
+    * `h = xxhash64(h, token)` folded over tokens. Identical token
+    * sequences — regardless of whitespace layout — produce identical
+    * fingerprints; the hash-chain form never overflows (ANSI-mode safe).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Word k-shingles: overlapping k-grams of the token sequence, joined by a
+    * single space. Documents shorter than k tokens yield their whole token
+    * sequence as one shingle.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    val n = size(t)
+    when(n === 0, array().cast("array<string>"))
+      .otherwise(when(n <= k, array(concat_ws(" ", t)))
+        .otherwise(transform(
+          sequence(lit(1), n - lit(k - 1)),
+          i => concat_ws(" ", slice(t, i, lit(k))))))
+  }
+
+  /** MinHash signature over word `k`-shingles: component `i` is
+    * `min over shingles of xxhash64(shingle, i)`. Empty docs get
+    * `Long.MaxValue` components (never collide with real signatures).
+    */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val sh = shingles(text, k)
+    val comps = (0 until numHashes).map { i =>
+      when(size(sh) === 0, lit(Long.MaxValue))
+        .otherwise(array_min(transform(sh, s => xxhash64(s, lit(i)))))
+    }
+    array(comps: _*)
+  }
+
+  /** Estimated Jaccard similarity from two equal-length MinHash signatures:
+    * the fraction of agreeing components.
+    */
+  def minhashJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
+      .cast("double") / size(sigA).cast("double")
+
+  /** 64-bit SimHash over the document's token multiset: bit `b` of the
+    * result is 1 iff more token hashes have bit `b` set than clear.
+    * Near-identical documents differ in few bits (small Hamming distance).
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    val n = size(hashes).cast("long")
+    val bits = transform(sequence(lit(0), lit(63)), b => {
+      val ones = size(filter(hashes,
+        h => call_function("shiftright", h, b).bitwiseAND(1L) === 1L)).cast("long")
+      when(ones * 2L > n, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(63)),
+        (bit, i) => call_function("shiftleft", bit, i)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit SimHash values. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

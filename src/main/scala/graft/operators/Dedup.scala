@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-duplicate detection.
+  *
+  * Every operator is a declarative DataFrame transform — candidate
+  * generation is always a *bucketed equi-join* (LSH band, SimHash block, or
+  * shared shingle), never an all-pairs product, so the plans scale to
+  * billion-document corpora: Catalyst plans the bucket joins as shuffled
+  * hash joins on the bucket key, and the verify stage only touches candidate
+  * pairs. No driver-side collection anywhere.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `idCol` per distinct value
+    * of `keys` (content columns or hashes of them). One shuffle on the key.
+    */
+  def exactDedup(df: DataFrame, idCol: String, keys: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col(idCol))
+    df.withColumn("g_rn", row_number().over(w))
+      .filter(col("g_rn") === 1)
+      .drop("g_rn")
+  }
+
+  /** Exact content dedup on the md5 of a text column. */
+  def exactTextDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactDedup(df, idCol, Seq(md5(col(textCol))))
+
+  /** Candidate pairs from MinHash LSH banding: documents whose signatures
+    * agree on *all* rows of at least one band. Signature length =
+    * `bands * rowsPerBand`. Output: (idA, idB, sim) with idA < idB and
+    * `sim` = the signature-estimated Jaccard, deduplicated across bands.
+    *
+    * Plan shape at scale: project (signature) → explode (bands, ×B rows) →
+    * shuffle on (band index, band hash) via the self-equi-join → pair dedup.
+    * A skewed bucket (e.g. an empty-document hash) would explode the join;
+    * callers should pre-filter degenerate docs.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, bands: Int = 16,
+                        rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = df.select(
+      col(idCol).as("g_id"),
+      minhashSignature(col(textCol), shingleK, numHashes).as("g_sig"))
+    // band b = components [b*rowsPerBand, (b+1)*rowsPerBand); hash the slice
+    val banded = sig.select(
+      col("g_id"), col("g_sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(col("g_sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")), b.cast("string"))))).as(Seq("g_band", "g_bucket")))
+    val l = banded.select(col("g_band"), col("g_bucket"),
+      col("g_id").as("idA"), col("g_sig").as("g_sigA"))
+    val r = banded.select(col("g_band"), col("g_bucket"),
+      col("g_id").as("idB"), col("g_sig").as("g_sigB"))
+    l.join(r, Seq("g_band", "g_bucket"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        minhashJaccard(col("g_sigA"), col("g_sigB")).as("sim"))
+      .groupBy("idA", "idB").agg(first("sim").as("sim"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs, verified with the *exact* shingle
+    * Jaccard (computed distributively from the candidate pairs only).
+    * Output: (idA, idB, jaccard) with jaccard >= threshold.
+    */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, shingleK: Int = 3, bands: Int = 16,
+                      rowsPerBand: Int = 4): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleK, bands, rowsPerBand)
+      .select("idA", "idB")
+    val sh = df.select(col(idCol).as("g_id"),
+      array_distinct(shingles(col(textCol), shingleK)).as("g_sh"))
+    cands
+      .join(sh.select(col("g_id").as("idA"), col("g_sh").as("g_shA")), "idA")
+      .join(sh.select(col("g_id").as("idB"), col("g_sh").as("g_shB")), "idB")
+      .select(col("idA"), col("idB"), exactJaccard(col("g_shA"), col("g_shB")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard similarity of two string arrays (treated as sets). */
+  def exactJaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs WITHOUT LSH: candidates are
+    * pairs sharing at least one shingle (inverted-index equi-join on the
+    * shingle), verified exactly. Complete (no false negatives above
+    * threshold > 0) but heavier than [[minhashDupPairs]]; the
+    * shingle join benefits from a count-based rare-shingle filter at scale.
+    */
+  def ngramJaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("g_id"),
+      array_distinct(shingles(col(textCol), shingleK)).as("g_sh"))
+    val inv = sh.select(col("g_id"), explode(col("g_sh")).as("g_shingle"))
+    val cands = inv.select(col("g_shingle"), col("g_id").as("idA"))
+      .join(inv.select(col("g_shingle"), col("g_id").as("idB")), "g_shingle")
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB").distinct()
+    cands
+      .join(sh.select(col("g_id").as("idA"), col("g_sh").as("g_shA")), "idA")
+      .join(sh.select(col("g_id").as("idB"), col("g_sh").as("g_shB")), "idB")
+      .select(col("idA"), col("idB"), exactJaccard(col("g_shA"), col("g_shB")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit SimHash per doc, candidates share
+    * at least one of the four 16-bit blocks (guaranteeing recall for
+    * Hamming distance <= 3 by pigeonhole), verified by exact Hamming
+    * distance <= maxHamming. Output: (idA, idB, hamming).
+    */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-block SimHash LSH guarantees recall only for hamming <= 3")
+    val sigs = df.select(col(idCol).as("g_id"), simhash(col(textCol)).as("g_sim"))
+    val blocked = sigs.select(col("g_id"), col("g_sim"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("g_sim"), b * 16).bitwiseAND(0xffffL)))
+        .as(Seq("g_block", "g_bits")))
+    val l = blocked.select(col("g_block"), col("g_bits"),
+      col("g_id").as("idA"), col("g_sim").as("g_simA"))
+    val r = blocked.select(col("g_block"), col("g_bits"),
+      col("g_id").as("idB"), col("g_sim").as("g_simB"))
+    l.join(r, Seq("g_block", "g_bits"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        hammingDistance(col("g_simA"), col("g_simB")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("idA", "idB").agg(first("hamming").as("hamming"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: candidates from random-
+    * hyperplane LSH over the embedding (documents agreeing on at least one
+    * signature band), verified by exact cosine >= threshold.
+    * Output: (idA, idB, cosine).
+    *
+    * The hyperplanes are deterministic pseudo-random unit-free vectors
+    * derived from xxhash64(seed, dim, component) — no driver-side RNG state
+    * to ship, identical across runs and executors.
+    */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, nBits: Int = 16, bands: Int = 4,
+                        seed: Int = 42): DataFrame = {
+    val rowsPerBand = nBits / bands
+    val vecs = df.select(col(idCol).as("g_id"), col(vecCol).as("g_vec"))
+    val sig = vecs.withColumn("g_bits",
+      transform(sequence(lit(0), lit(nBits - 1)), b =>
+        when(Vectors.hyperplaneDot(col("g_vec"), b, seed) >= 0, lit(1)).otherwise(lit(0))))
+    val banded = sig.select(col("g_id"), col("g_vec"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(col("g_bits"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")), b.cast("string")))))
+        .as(Seq("g_band", "g_bucket")))
+    val l = banded.select(col("g_band"), col("g_bucket"),
+      col("g_id").as("idA"), col("g_vec").as("g_vecA"))
+    val r = banded.select(col("g_band"), col("g_bucket"),
+      col("g_id").as("idB"), col("g_vec").as("g_vecB"))
+    l.join(r, Seq("g_band", "g_bucket"))
+      .filter(col("idA") < col("idB"))
+      .groupBy("idA", "idB").agg(first("g_vecA").as("g_vecA"), first("g_vecB").as("g_vecB"))
+      .select(col("idA"), col("idB"),
+        Vectors.cosine(col("g_vecA"), col("g_vecB")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Vectors._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Three tiers, mirroring how a 100 TB corpus is actually searched:
+  *   - [[bruteForceTopK]] — exact scan + `TakeOrderedAndProject` (the
+  *     baseline, and the right plan when the corpus is already filtered);
+  *   - [[ivfTopK]] — IVF-style: k-means-free centroid assignment via
+  *     deterministic hyperplane buckets, query probes only matching
+  *     buckets (the scale path: prunes the scan to a fraction of the data
+  *     once the bucket column is a partition/cluster key);
+  *   - [[knnJoin]] — batched all-queries-at-once top-k join, LSH-bucketed.
+  */
+object Similarity {
+
+  /** Exact top-k nearest neighbors of one query vector by cosine.
+    * The plan is scan → project(cosine) → `TakeOrderedAndProject(k)`:
+    * no shuffle of the corpus, a single reduce of k-row heaps.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Float], k: Int): DataFrame = {
+    val qLit = typedLit(query)
+    df.select(col(idCol), cosine(col(vecCol), qLit).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Add an IVF bucket id to a corpus: the bucket is the packed sign
+    * pattern of `nBits` deterministic hyperplanes (2^nBits buckets).
+    * At scale this column is written as a partition/Z-order key so probes
+    * touch only matching files.
+    */
+  def withIvfBucket(df: DataFrame, vecCol: String, nBits: Int = 6,
+                    seed: Int = 42): DataFrame =
+    df.withColumn("g_ivf_bucket", packBits(rhpSignature(col(vecCol), nBits, seed)))
+
+  /** IVF-style ANN top-k: probe only corpus rows whose bucket matches the
+    * query's bucket in at least `minMatchingBits` of the `nBits` hyperplane
+    * signs (Hamming-ball multiprobe). Recall is tunable via
+    * `minMatchingBits`; `nBits - minMatchingBits = 0` probes a single
+    * bucket. Exact cosine ranks the probed subset.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, nBits: Int = 6,
+              minMatchingBits: Int = 5, seed: Int = 42): DataFrame = {
+    val bucketed = withIvfBucket(df, vecCol, nBits, seed)
+    val qLit = typedLit(query)
+    // query signature as a literal-free column expression over the literal
+    // vector: evaluates to a constant at runtime, folded by Catalyst
+    val qBucket = packBits(rhpSignature(qLit, nBits, seed))
+    val matching = lit(nBits) - bit_count(col("g_ivf_bucket").bitwiseXOR(qBucket))
+    bucketed
+      .filter(matching >= minMatchingBits)
+      .select(col(idCol), cosine(col(vecCol), qLit).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Batched k-NN join: for every row of `queries`, its top-k neighbors in
+    * `corpus` among candidates sharing an LSH band (random-hyperplane
+    * signature banded like MinHash-LSH). Output:
+    * (queryId, neighborId, cosine, rank<=k).
+    *
+    * Plan shape: both sides explode to (band, bucket) keys → shuffled
+    * equi-join on the band key → exact cosine on candidates → per-query
+    * window top-k. No cross product at any point.
+    */
+  def knnJoin(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, nBits: Int = 16, bands: Int = 4,
+              seed: Int = 42): DataFrame = {
+    val rowsPerBand = nBits / bands
+    def banded(df: DataFrame, id: String, vec: String, outId: String,
+               outVec: String): DataFrame =
+      df.select(col(id).as(outId), col(vec).as(outVec),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(concat_ws(",",
+            transform(slice(rhpSignature(col(vec), nBits, seed),
+              b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string")), b.cast("string")))))
+          .as(Seq("g_band", "g_bucket")))
+    val c = banded(corpus, corpusId, corpusVec, "g_nid", "g_nvec")
+    val q = banded(queries, queryId, queryVec, "g_qid", "g_qvec")
+    val cands = q.join(c, Seq("g_band", "g_bucket"))
+      .groupBy("g_qid", "g_nid")
+      .agg(first("g_qvec").as("g_qvec"), first("g_nvec").as("g_nvec"))
+      .select(col("g_qid"), col("g_nid"),
+        cosine(col("g_qvec"), col("g_nvec")).as("cosine"))
+    val w = Window.partitionBy("g_qid").orderBy(col("cosine").desc, col("g_nid"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("g_qid").as(queryId + "_q"), col("g_nid").as(corpusId + "_n"),
+        col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity, Vectors}
+
+/** Specs for the training-data pipeline operators (text analysis, dedup,
+  * similarity search) over the driver testdata `documents`/`embeddings`.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = Tables.t(spark, sf, "documents").cache()
+  private lazy val embs = Tables.t(spark, sf, "embeddings").cache()
+
+  test("tokenCount matches a scala-side split") {
+    val got = docs.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+")
+        .count(_.nonEmpty)).toMap
+    assert(got == want)
+  }
+
+  // The testdata documents' `lang` labels are synthetic (the text itself is
+  // the same English-ish token soup for every label), so language ID is
+  // tested on real sentences instead.
+  test("langId identifies real sentences in all five target languages") {
+    val samples = Seq(
+      ("en", "the cat is in the house and it is hungry for food"),
+      ("es", "el gato es de la casa y que no tiene hambre en un lugar"),
+      ("de", "der hund ist nicht in das haus und die katze ist mit ein ball"),
+      ("fr", "le chat est dans la maison et il est pour une souris du jardin"),
+      ("zh", "这是一只猫在房子里"),
+      ("und", "xyzzy plugh quux"))
+    val df = spark.createDataFrame(samples).toDF("want", "text")
+    val got = df.select(col("want"), TextFunctions.langId(col("text")).as("got"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    for ((want, predicted) <- got) assert(predicted == want, s"want $want got $predicted")
+  }
+
+  test("fingerprint is whitespace-insensitive but token-sensitive") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "the quick  brown fox"),
+      (2L, "  the quick brown   fox "),
+      (3L, "the quick brown fax"))).toDF("id", "t")
+    val fps = df.select(TextFunctions.fingerprint(col("t"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("exact dedup keeps the min-id row per duplicate group") {
+    val df = spark.createDataFrame(Seq(
+      (5L, "aaa"), (2L, "aaa"), (3L, "bbb"), (9L, "aaa"))).toDF("id", "t")
+    val kept = Dedup.exactTextDedup(df, "id", "t")
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(kept == Map("aaa" -> 2L, "bbb" -> 3L))
+  }
+
+  test("minhash estimated jaccard tracks exact jaccard on near-dups") {
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.8)
+    val found = pairs.collect()
+    assert(found.nonEmpty, "expected near-duplicate pairs in documents")
+    assert(found.forall(_.getDouble(2) >= 0.8))
+  }
+
+  test("minhash LSH finds all high-jaccard pairs found by the exact ngram join") {
+    val exact = Dedup.ngramJaccardDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact,
+      s"LSH missed ${exact -- lsh} / extra ${lsh -- exact}")
+  }
+
+  test("simhash near-dup pairs have genuinely similar texts") {
+    val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 3)
+    val found = pairs.collect()
+    assert(found.nonEmpty, "expected simhash near-dup pairs")
+    // verify one pair textually: token jaccard must be high
+    val byId = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (a, b) = (found.head.getLong(0), found.head.getLong(1))
+    val (ta, tb) = (byId(a).split("\\s+").toSet, byId(b).split("\\s+").toSet)
+    val jac = ta.intersect(tb).size.toDouble / ta.union(tb).size
+    assert(jac > 0.5, s"simhash pair ($a,$b) token jaccard only $jac")
+  }
+
+  test("embedding near-dup pairs verified by exact cosine") {
+    val pairs = Dedup.embeddingDupPairs(embs, "vec_id", "embedding", threshold = 0.95)
+    assert(pairs.collect().forall(_.getDouble(2) >= 0.95))
+  }
+
+  test("brute-force cosine topK returns k best, self first for a corpus vector") {
+    val q = embs.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val top = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 5).collect()
+    assert(top.length == 5)
+    assert(top.head.getLong(0) == 0L, "query vector should be its own NN")
+    assert(top.head.getDouble(1) > 0.999999)
+    val sims = top.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("IVF topK with full multiprobe equals brute force; single-bucket probe is a subset") {
+    val q = embs.filter(col("vec_id") === 7L)
+      .select("embedding").head().getSeq[Float](0)
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val full = Similarity.ivfTopK(embs, "vec_id", "embedding", q, 10,
+      nBits = 6, minMatchingBits = 0).collect().map(_.getLong(0)).toSeq
+    assert(full == brute)
+    val probed = Similarity.ivfTopK(embs, "vec_id", "embedding", q, 10,
+      nBits = 6, minMatchingBits = 5).collect().map(_.getLong(0)).toSet
+    assert(probed.subsetOf(brute.toSet ++ probed)) // sane output
+    assert(probed.contains(7L), "self must share its own bucket")
+  }
+
+  test("knnJoin returns ranked neighbors per query") {
+    val queries = embs.filter(col("vec_id") < 3L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = Similarity.knnJoin(embs, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 3).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    for ((qid, rows) <- byQ) {
+      assert(rows.length <= 3)
+      val top = rows.minBy(_.getInt(3))
+      assert(top.getLong(1) == qid, s"query $qid should find itself at rank 1")
+    }
+  }
+
+  test("quality score is in [0,1] and penalizes junk") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "the cat sat on the mat and then the dog came in with a ball for play time fun games outside today"),
+      (2L, "buy buy buy buy buy buy buy buy buy buy"),
+      (3L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"))).toDF("id", "t")
+    val scores = df.select(col("id"), TextFunctions.qualityScore(col("t")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(1L) > scores(2L), "repetitive text should score lower")
+    assert(scores(1L) > scores(3L), "punctuation soup should score lower")
+  }
+}

@@ -34,7 +34,7 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = pd.read_parquet(f"{out_dir}/{name}")
+            got = pd.read_parquet(f"{out_dir}/{name}.parquet")
         except Exception as e:
             print(f"FAIL {name}: no spark output ({e})")
             n_bad += 1
