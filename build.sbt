@@ -11,6 +11,8 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked `runMain graft.Bench` must emit its JSON line unprefixed
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -272,6 +272,205 @@ object SparkEntry {
            |ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Training-data pipeline operators (dedup / similarity / text analysis /
+    * events) over the `documents`, `embeddings` and `events` tables. Where
+    * the semantics are SQL-expressible the DuckDB oracle re-implements the
+    * *same algorithm* independently (e.g. the language-ID heuristic and the
+    * n-gram Jaccard join are written twice); hash-based operators (MinHash /
+    * SimHash / xxhash fingerprints) have no DuckDB equivalent, except that
+    * LSH dedup is checked against the exact n-gram join — LSH recall on
+    * this data is total, which the spec also asserts.
+    */
+  object PipelineQueries {
+    import graft.functions.TextFunctions._
+    import graft.operators.{Dedup, Similarity, Vectors}
+
+    private def dec(expr: String) = s"CAST(sum(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
+
+    /** DuckDB list literal of a marker set, kept in lockstep with
+      * [[graft.functions.TextFunctions.langMarkers]].
+      */
+    private def sqlList(words: Seq[String]): String =
+      words.map(w => s"'$w'").mkString("[", ",", "]")
+
+    /** The language-ID heuristic re-stated in DuckDB SQL (independent
+      * implementation of the same algorithm, marker sets shared).
+      */
+    private val langIdOracle: String = {
+      val langs = Seq("en", "es", "de", "fr")
+      val scores = langs.map(l =>
+        s"len(list_filter(w, t -> list_contains(${sqlList(langMarkers(l))}, t))) s_$l").mkString(",\n  ")
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val picks = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+      s"""WITH s AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
+         |sc AS (SELECT doc_id, text,
+         |  $scores
+         |FROM s)
+         |SELECT CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |  WHEN $best = 0 THEN 'und'
+         |  $picks END AS predicted, count(*) AS cnt
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+    }
+
+    /** DuckDB 3-token shingle-set expression over alias `w` (token list). */
+    private val shingleSql =
+      """CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |  ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' ')) END""".stripMargin
+
+    private val ngramPairsOracle: String =
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct($shingleSql) s FROM toks)
+         |SELECT a.doc_id AS idA, b.doc_id AS idB,
+         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |  CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |      CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8
+         |ORDER BY idA, idB""".stripMargin
+
+    /** Sequential-fold double dot product of two DuckDB float lists —
+      * DuckDB's `list_sum` folds in index order, matching
+      * [[graft.operators.Vectors.dot]] bit for bit.
+      */
+    private def dotSql(a: String, b: String): String =
+      s"""list_sum(list_transform(generate_series(1, len($a)),
+         |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+
+    private val simTopkOracle: String =
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT e.vec_id,
+         |  ${dotSql("e.embedding", "q.qe")} /
+         |  (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |   sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
+         |FROM embeddings e, q)
+         |SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+    val sparkQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "q_text_stats" -> { (s, dir) =>
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            tokenCount(col("text")).as("n_tokens"),
+            size(array_distinct(tokens(col("text")))).as("n_distinct"),
+            col("n_chars"))
+          .orderBy("doc_id")
+      },
+      "q_text_quality" -> { (s, dir) =>
+        Tables.t(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            dsum(distinctTokenRatio(col("text"))).as("sum_diversity"),
+            dsum(punctRatio(col("text"))).as("sum_punct"))
+          .orderBy("source")
+      },
+      "q_lang_id" -> { (s, dir) =>
+        Tables.t(s, dir, "documents")
+          .groupBy(langId(col("text")).as("predicted"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("predicted")
+      },
+      "q_dedup_exact" -> { (s, dir) =>
+        Dedup.exactTextDedup(Tables.t(s, dir, "documents"), "doc_id", "text")
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      "q_dedup_ngram" -> { (s, dir) =>
+        Dedup.ngramJaccardDupPairs(Tables.t(s, dir, "documents"),
+            "doc_id", "text", threshold = 0.8)
+          .orderBy("idA", "idB")
+      },
+      "q_dedup_minhash" -> { (s, dir) =>
+        Dedup.minhashDupPairs(Tables.t(s, dir, "documents"),
+            "doc_id", "text", threshold = 0.8)
+          .orderBy("idA", "idB")
+      },
+      "q_sim_topk" -> { (s, dir) =>
+        val embs = Tables.t(s, dir, "embeddings")
+        val q = embs.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+        embs.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            Vectors.cosine(col("embedding"), col("qe")).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      "q_events_window" -> { (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+          .select(col("window.start").cast("timestamp").cast("long").as("ws"),
+            col("event_type"), col("cnt"), col("sum_value"))
+          .orderBy("ws", "event_type")
+      },
+      "q_events_json" -> { (s, dir) =>
+        Tables.events(s, dir)
+          .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+            col("value"))
+          .groupBy((col("k") % 10).as("kmod"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+          .orderBy("kmod")
+      },
+      // ---- hash-based / approximate: no DuckDB equivalent (rows-only) ----
+      "q_dedup_simhash" -> { (s, dir) =>
+        Dedup.simhashDupPairs(Tables.t(s, dir, "documents"),
+            "doc_id", "text", maxHamming = 3)
+          .orderBy("idA", "idB")
+      },
+      "q_dedup_embedding" -> { (s, dir) =>
+        Dedup.embeddingDupPairs(Tables.t(s, dir, "embeddings"),
+            "vec_id", "embedding", threshold = 0.9)
+          .orderBy("idA", "idB")
+      },
+      "q_knn_join" -> { (s, dir) =>
+        val embs = Tables.t(s, dir, "embeddings")
+        val queries = embs.filter(col("vec_id") < 5L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.knnJoin(embs, "vec_id", "embedding",
+            queries, "qid", "qvec", k = 3)
+          .orderBy(col("qid_q"), col("rank"))
+      },
+      "q_ann_ivf" -> { (s, dir) =>
+        val embs = Tables.t(s, dir, "embeddings")
+        val q = embs.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0)
+        Similarity.ivfTopK(embs, "vec_id", "embedding", q, k = 10,
+          nBits = 6, minMatchingBits = 4)
+      },
+      "q_doc_fingerprint" -> { (s, dir) =>
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+            simhash(col("text")).as("sh"))
+          .orderBy("doc_id")
+      })
+
+    val oracles: Map[String, String] = Map(
+      "q_text_stats" ->
+        """SELECT doc_id,
+          |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+          |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct,
+          |  n_chars
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_text_quality" ->
+        s"""SELECT source, count(*) AS n_docs,
+           |  ${dec("CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)")} AS sum_diversity,
+           |  ${dec("CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)")} AS sum_punct
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      "q_lang_id" -> langIdOracle,
+      "q_dedup_exact" ->
+        """WITH k AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1)
+          |SELECT d.doc_id, d.lang, d.source FROM documents d
+          |JOIN k ON d.doc_id = k.doc_id ORDER BY d.doc_id""".stripMargin,
+      "q_dedup_ngram" -> ngramPairsOracle,
+      "q_dedup_minhash" -> ngramPairsOracle,
+      "q_sim_topk" -> simTopkOracle,
+      "q_events_window" ->
+        s"""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,
+           |  event_type, count(*) AS cnt, ${dec("value")} AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q_events_json" ->
+        s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS kmod,
+           |  count(*) AS cnt, ${dec("value")} AS sum_value
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q7-shape on the flat cube — the reference's flagship win
     * (reference `docs/benchmark/BenchMarkDetails.org:525-537`).
@@ -284,7 +483,7 @@ object SparkEntry {
       (StarQueries.all ++ ScalarQueries.all).map { case (name, sql) =>
         name -> { (s: SparkSession, dir: String) => engine(s, dir); s.sql(sql) }
       }
-    sqlDriven ++ Map[String, (SparkSession, String) => DataFrame](
+    sqlDriven ++ PipelineQueries.sparkQueries ++ Map[String, (SparkSession, String) => DataFrame](
       // ---- §2.4 aggregations ----------------------------------------------
       "q01_pricing_summary" -> { (s, dir) =>
         Tables.t(s, dir, "lineitem")
@@ -347,7 +546,8 @@ object SparkEntry {
       })
   }
 
-  def oracleSql: Map[String, String] = StarQueries.all ++ ScalarQueries.all ++ Map(
+  def oracleSql: Map[String, String] = StarQueries.all ++ ScalarQueries.all ++
+    PipelineQueries.oracles ++ Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,

@@ -26,6 +26,16 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(path(sfDir, name))
 
+  /** The `events` table, whose parquet `ts` is TIMESTAMP(NANOS) — a type
+    * Spark refuses by default. Read nanos as long and truncate to a
+    * microsecond timestamp (exactly what DuckDB's reader does).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path(sfDir, "events"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Exact, order-independent sum of a double column: route through a wide
     * decimal so Spark and any ANSI-SQL oracle (DuckDB) produce bit-identical
     * doubles regardless of partitioning / summation order.

@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Let-binding idiom: evaluate `value` once per row and reference it
+    * cheaply in `body` via the lambda variable. Without this, a lambda that
+    * references an expensive subexpression N times re-evaluates it N times —
+    * Spark's subexpression elimination does not reach inside higher-order-
+    * function lambdas. (`transform` over a 1-element array is the cheapest
+    * available binder; the extra array allocation is one pointer.)
+    */
+  def let1(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Whitespace tokens of a document (empty string → empty array). */
   def tokens(text: Column): Column = {
     val trimmed = trim(text)
@@ -106,14 +116,15 @@ object TextFunctions {
     * projection — no UDF, no shuffle.
     */
   def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    def score(lang: String): Column =
-      size(filter(toks, w => w.isin(langMarkers(lang).map(x => x: Any): _*)))
-    val langs = Seq("en", "es", "de", "fr")
-    val scores = langs.map(l => l -> score(l))
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scores.foldRight(lit("und")) { case ((l, s), els) =>
-      when(s === best && best > 0, lit(l)).otherwise(els)
+    val pick = let1(tokens(lower(text))) { toks =>
+      def score(lang: String): Column =
+        size(filter(toks, w => w.isin(langMarkers(lang).map(x => x: Any): _*)))
+      val langs = Seq("en", "es", "de", "fr")
+      val scores = langs.map(l => l -> score(l))
+      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+      scores.foldRight(lit("und")) { case ((l, s), els) =>
+        when(s === best && best > 0, lit(l)).otherwise(els)
+      }
     }
     when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
   }
@@ -130,8 +141,7 @@ object TextFunctions {
     * single space. Documents shorter than k tokens yield their whole token
     * sequence as one shingle.
     */
-  def shingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
+  def shingles(text: Column, k: Int): Column = let1(tokens(text)) { t =>
     val n = size(t)
     when(n === 0, array().cast("array<string>"))
       .otherwise(when(n <= k, array(concat_ws(" ", t)))
@@ -144,14 +154,14 @@ object TextFunctions {
     * `min over shingles of xxhash64(shingle, i)`. Empty docs get
     * `Long.MaxValue` components (never collide with real signatures).
     */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val sh = shingles(text, k)
-    val comps = (0 until numHashes).map { i =>
-      when(size(sh) === 0, lit(Long.MaxValue))
-        .otherwise(array_min(transform(sh, s => xxhash64(s, lit(i)))))
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
+    let1(shingles(text, k)) { sh =>
+      val comps = (0 until numHashes).map { i =>
+        when(size(sh) === 0, lit(Long.MaxValue))
+          .otherwise(array_min(transform(sh, s => xxhash64(s, lit(i)))))
+      }
+      array(comps: _*)
     }
-    array(comps: _*)
-  }
 
   /** Estimated Jaccard similarity from two equal-length MinHash signatures:
     * the fraction of agreeing components.
@@ -164,19 +174,19 @@ object TextFunctions {
     * result is 1 iff more token hashes have bit `b` set than clear.
     * Near-identical documents differ in few bits (small Hamming distance).
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(tokens(text), t => xxhash64(t))
-    val n = size(hashes).cast("long")
-    val bits = transform(sequence(lit(0), lit(63)), b => {
-      val ones = size(filter(hashes,
-        h => call_function("shiftright", h, b).bitwiseAND(1L) === 1L)).cast("long")
-      when(ones * 2L > n, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(
-      zip_with(bits, sequence(lit(0), lit(63)),
-        (bit, i) => call_function("shiftleft", bit, i)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash(text: Column): Column =
+    let1(transform(tokens(text), t => xxhash64(t))) { hashes =>
+      val n = size(hashes).cast("long")
+      val bits = transform(sequence(lit(0), lit(63)), b => {
+        val ones = size(filter(hashes,
+          h => call_function("shiftright", h, b).bitwiseAND(1L) === 1L)).cast("long")
+        when(ones * 2L > n, lit(1L)).otherwise(lit(0L))
+      })
+      aggregate(
+        zip_with(bits, sequence(lit(0), lit(63)),
+          (bit, i) => call_function("shiftleft", bit, i)),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+    }
 
   /** Hamming distance between two 64-bit SimHash values. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

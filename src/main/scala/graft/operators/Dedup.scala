@@ -49,14 +49,18 @@ object Dedup {
     val sig = df.select(
       col(idCol).as("g_id"),
       minhashSignature(col(textCol), shingleK, numHashes).as("g_sig"))
-    // band b = components [b*rowsPerBand, (b+1)*rowsPerBand); hash the slice
+    // band b = components [b*rowsPerBand, (b+1)*rowsPerBand); hash the slice.
+    // let1 keeps the signature bound once per row even after CollapseProject
+    // inlines it into the per-band lambda.
     val banded = sig.select(
       col("g_id"), col("g_sig"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          transform(slice(col("g_sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            x => x.cast("string")), b.cast("string"))))).as(Seq("g_band", "g_bucket")))
+      posexplode(let1(col("g_sig")) { s =>
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            transform(slice(s, b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string")), b.cast("string"))))
+      }).as(Seq("g_band", "g_bucket")))
     val l = banded.select(col("g_band"), col("g_bucket"),
       col("g_id").as("idA"), col("g_sig").as("g_sigA"))
     val r = banded.select(col("g_band"), col("g_bucket"),
@@ -125,9 +129,10 @@ object Dedup {
     require(maxHamming <= 3, "4-block SimHash LSH guarantees recall only for hamming <= 3")
     val sigs = df.select(col(idCol).as("g_id"), simhash(col(textCol)).as("g_sim"))
     val blocked = sigs.select(col("g_id"), col("g_sim"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("g_sim"), b * 16).bitwiseAND(0xffffL)))
-        .as(Seq("g_block", "g_bits")))
+      posexplode(let1(col("g_sim")) { s =>
+        transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftright", s, b * 16).bitwiseAND(0xffffL))
+      }).as(Seq("g_block", "g_bits")))
     val l = blocked.select(col("g_block"), col("g_bits"),
       col("g_id").as("idA"), col("g_sim").as("g_simA"))
     val r = blocked.select(col("g_block"), col("g_bits"),
@@ -158,11 +163,12 @@ object Dedup {
       transform(sequence(lit(0), lit(nBits - 1)), b =>
         when(Vectors.hyperplaneDot(col("g_vec"), b, seed) >= 0, lit(1)).otherwise(lit(0))))
     val banded = sig.select(col("g_id"), col("g_vec"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          transform(slice(col("g_bits"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            x => x.cast("string")), b.cast("string")))))
-        .as(Seq("g_band", "g_bucket")))
+      posexplode(let1(col("g_bits")) { bits =>
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            transform(slice(bits, b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string")), b.cast("string"))))
+      }).as(Seq("g_band", "g_bucket")))
     val l = banded.select(col("g_band"), col("g_bucket"),
       col("g_id").as("idA"), col("g_vec").as("g_vecA"))
     val r = banded.select(col("g_band"), col("g_bucket"),

@@ -79,12 +79,13 @@ object Similarity {
     def banded(df: DataFrame, id: String, vec: String, outId: String,
                outVec: String): DataFrame =
       df.select(col(id).as(outId), col(vec).as(outVec),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          xxhash64(concat_ws(",",
-            transform(slice(rhpSignature(col(vec), nBits, seed),
-              b * rowsPerBand + 1, lit(rowsPerBand)),
-              x => x.cast("string")), b.cast("string")))))
-          .as(Seq("g_band", "g_bucket")))
+        posexplode(graft.functions.TextFunctions.let1(
+          rhpSignature(col(vec), nBits, seed)) { sig =>
+          transform(sequence(lit(0), lit(bands - 1)), b =>
+            xxhash64(concat_ws(",",
+              transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+                x => x.cast("string")), b.cast("string"))))
+        }).as(Seq("g_band", "g_bucket")))
     val c = banded(corpus, corpusId, corpusVec, "g_nid", "g_nvec")
     val q = banded(queries, queryId, queryVec, "g_qid", "g_qvec")
     val cands = q.join(c, Seq("g_band", "g_bucket"))

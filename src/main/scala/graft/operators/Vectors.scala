@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
 object Vectors {
 
   /** Dot product of two equal-length numeric array columns, accumulated in
-    * double in index order (deterministic across partitionings — the result
-    * is a per-row scalar, not an aggregation).
+    * double in index order. Deterministic across partitionings (a per-row
+    * scalar, not an aggregation) and bit-identical to any engine that folds
+    * the products sequentially (DuckDB's `list_sum` does), which is what
+    * the differential oracle relies on.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
