@@ -439,6 +439,39 @@ object SparkEntry {
           .select(col("doc_id"), fingerprint(col("text")).as("fp"),
             simhash(col("text")).as("sh"))
           .orderBy("doc_id")
+      },
+      // sessionization: batch window-function form (the streaming stateful
+      // twin is differentially tested in StreamingSpec)
+      "q_events_sessionize" -> { (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy("user_id").orderBy("ts")
+        Tables.events(s, dir)
+          .withColumn("g_prev", lag(col("ts"), 1).over(byUser))
+          .withColumn("g_new",
+            (col("g_prev").isNull ||
+              unix_millis(col("ts")) - unix_millis(col("g_prev")) > 1800000L).cast("int"))
+          .withColumn("g_sess", sum(col("g_new")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "g_sess")
+          .agg(unix_millis(min(col("ts"))).as("start_ms"),
+            unix_millis(max(col("ts"))).as("end_ms"),
+            count(lit(1)).as("n_events"),
+            dsum(col("value")).as("total_value"))
+          .drop("g_sess")
+          .orderBy("user_id", "start_ms")
+      },
+      // multimodal decode plumbing (stub codec — deterministic, rows-only)
+      "q_multimodal_decode" -> { (s, dir) =>
+        import graft.operators.Multimodal
+        implicit val sp: SparkSession = s
+        Multimodal.resizeMeta(
+            Multimodal.decodeFeatures(Multimodal.demoBlobs(s, dir)).toDF(), 256)
+          .groupBy("kind")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("sizeBytes")).cast("long").as("total_bytes"),
+            max(col("width")).as("max_w"),
+            max(col("durationMs")).as("max_dur"))
+          .orderBy("kind")
       })
 
     val oracles: Map[String, String] = Map(
@@ -468,7 +501,21 @@ object SparkEntry {
       "q_events_json" ->
         s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS kmod,
            |  count(*) AS cnt, ${dec("value")} AS sum_value
-           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_events_sessionize" ->
+        s"""WITH x AS (SELECT user_id, ts, value,
+           |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+           |y AS (SELECT user_id, ts, value,
+           |    CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1 ELSE 0 END AS nw
+           |  FROM x),
+           |z AS (SELECT user_id, ts, value,
+           |    SUM(nw) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+           |  FROM y)
+           |SELECT user_id, CAST(epoch_ms(min(ts)) AS BIGINT) AS start_ms,
+           |  CAST(epoch_ms(max(ts)) AS BIGINT) AS end_ms,
+           |  count(*) AS n_events, ${dec("value")} AS total_value
+           |FROM z GROUP BY user_id, sess
+           |ORDER BY user_id, start_ms""".stripMargin)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

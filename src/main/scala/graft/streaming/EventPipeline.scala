@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured-Streaming ingestion and aggregation over the `events` stream.
+  *
+  * Beyond-parity relative to the reference (which is batch-only and
+  * delegates real-time ingest to Druid's realtime nodes — SURVEY.md §2.10):
+  * here the same declarative transforms serve batch DataFrames and
+  * streaming DataFrames, which is the Spark-native way to keep one code
+  * path for both. Stateful sessionization uses
+  * `flatMapGroupsWithState` with an event-time timeout — the
+  * init/update/merge contract the reference expresses as its JS aggregate
+  * triple (`JSAggGenerator.scala:93-104`), re-expressed on Spark state.
+  */
+object EventPipeline {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+                     nEvents: Int, totalValue: Double)
+
+  /** Tumbling-window per-type aggregate. Works unchanged on a batch or a
+    * streaming DataFrame; on a stream the 2h watermark bounds state.
+    */
+  def windowedTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Per-user session gap logic: events within `gapMinutes` of the previous
+    * event belong to one session. Emits closed sessions.
+    *
+    * State = the open session per user; event-time timeout closes sessions
+    * when the watermark passes start + gap. Scales with #concurrent users
+    * (one state row each), not with event volume.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+
+    def fold(userId: Long, it: Iterator[Event],
+             state: GroupState[Session]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val closed = state.get
+        state.remove()
+        Iterator(closed)
+      } else {
+        var open = state.getOption
+        val closed = Seq.newBuilder[Session]
+        for (e <- it.toSeq.sortBy(_.ts.getTime)) {
+          open match {
+            case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
+              open = Some(s.copy(end = e.ts, nEvents = s.nEvents + 1,
+                totalValue = s.totalValue + e.value))
+            case Some(s) =>
+              closed += s
+              open = Some(Session(userId, e.ts, e.ts, 1, e.value))
+            case None =>
+              open = Some(Session(userId, e.ts, e.ts, 1, e.value))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end.getTime + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+
+  /** Batch-mode sessionization of the same semantics, expressed with window
+    * functions (for the differential test against the stateful version and
+    * for backfills): a session starts where the gap from the previous event
+    * exceeds the threshold.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = gapMinutes * 60 * 1000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("g_prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("g_new",
+        (col("g_prev").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("g_prev")) > gapMs)
+          .cast("int"))
+      .withColumn("g_sess", sum(col("g_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "g_sess")
+      .agg(min(col("ts")).as("start"), max(col("ts")).as("end"),
+        count(lit(1)).cast("int").as("nEvents"),
+        sum(col("value")).as("totalValue"))
+      .drop("g_sess")
+  }
+
+  /** Continuous ingest of event files into a time-bucketed cube layout:
+    * readStream → derive the partition column → writeStream partitioned
+    * parquet with checkpointing. The streaming analog of
+    * [[graft.cube.TpchCube.ensure]]'s batch materialization.
+    */
+  def ingestToCube(spark: SparkSession, srcDir: String, destDir: String,
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val in = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(srcDir)
+    in.withColumn("g_tbucket",
+        ((year(col("ts")) - 1970) * 12 + month(col("ts")) - 1))
+      .writeStream
+      .format("parquet")
+      .option("path", destDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("g_tbucket")
+      .outputMode(OutputMode.Append)
+      .start()
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+import graft.streaming.EventPipeline
+import graft.streaming.EventPipeline.{Event, Session}
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowedTypeCounts over a stream matches the same transform over the batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val events = Seq(
+      Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 1, "view", 2.0),
+      Event(3, ts(65), 2, "click", 3.0), Event(4, ts(70), 2, "click", 4.0),
+      Event(5, ts(200), 1, "view", 5.0))
+
+    val stream = MemoryStream[Event]
+    val q = EventPipeline.windowedTypeCounts(stream.toDF())
+      .writeStream.format("memory").queryName("wtc")
+      .outputMode("complete").start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM wtc").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = EventPipeline.windowedTypeCounts(events.toDF()).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful sessionize emits closed sessions equal to the batch window version") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    // user 1: two sessions (gap 40min > 30min); user 2: one session
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "view", 2.0),
+      Event(3, ts(50), 1, "click", 3.0),
+      Event(4, ts(0), 2, "view", 4.0), Event(5, ts(25), 2, "view", 5.0))
+
+    val stream = MemoryStream[Event]
+    val q = EventPipeline.sessionize(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      // advance the watermark far enough to time out all open sessions
+      stream.addData(Event(99, ts(600), 9, "click", 0.0))
+      q.processAllAvailable()
+      stream.addData(Event(100, ts(1200), 9, "click", 0.0))
+      q.processAllAvailable()
+
+      val got = spark.sql("SELECT user_id, start, end, nEvents, totalValue FROM sess")
+        .as[Session].collect()
+        .filter(_.user_id != 9)
+        .map(s => (s.user_id, s.start, s.end, s.nEvents, s.totalValue)).toSet
+      val want = EventPipeline.sessionizeBatch(events.toDF(), gapMinutes = 30)
+        .select("user_id", "start", "end", "nEvents", "totalValue")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getInt(3), r.getDouble(4))).toSet
+      assert(got == want)
+      assert(want.size == 3, s"expected 3 sessions, got $want")
+    } finally q.stop()
+  }
+
+  test("sessionizeBatch on the events table produces sane sessions") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val sessions = EventPipeline.sessionizeBatch(ev, gapMinutes = 30)
+    val n = sessions.count()
+    assert(n > 0 && n <= ev.count())
+    val bad = sessions.filter(col("end") < col("start") || col("nEvents") <= 0).count()
+    assert(bad == 0)
+  }
+
+  test("streaming ingest writes a time-bucketed cube layout") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val src = s"$tmp/src"; val dest = s"$tmp/dest"; val chk = s"$tmp/chk"
+    new java.io.File(src).mkdirs()
+    // stage the events parquet as the stream source
+    Tables.events(spark, sf).write.mode("overwrite").parquet(src)
+    val q = EventPipeline.ingestToCube(spark, src, dest, chk)
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(dest)
+    assert(out.count() == Tables.events(spark, sf).count())
+    assert(out.columns.contains("g_tbucket"))
+    val buckets = new java.io.File(dest).listFiles().map(_.getName).filter(_.startsWith("g_tbucket="))
+    assert(buckets.nonEmpty, "expected partitioned output dirs")
+  }
+}
