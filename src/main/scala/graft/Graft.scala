@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.plans.{StarJoinElimination, TimeBucketPruning}
+import graft.plans.{StarJoinElimination, SumOfLiteralRewrite, TimeBucketPruning}
 
 /** Engine installation: inject the cube-rewrite rules into a session.
   *
@@ -19,7 +19,8 @@ object Graft {
   def install(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val existing = classic.experimental.extraOptimizations
-    val mine = Seq(StarJoinElimination(spark), TimeBucketPruning(spark))
+    val mine = Seq(StarJoinElimination(spark), TimeBucketPruning(spark),
+        SumOfLiteralRewrite)
       .filterNot(r => existing.exists(_.getClass == r.getClass))
     classic.experimental.extraOptimizations = existing ++ mine
   }
@@ -29,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(s => StarJoinElimination(s))
     e.injectOptimizerRule(s => TimeBucketPruning(s))
+    e.injectOptimizerRule(_ => SumOfLiteralRewrite)
   }
 }

@@ -460,6 +460,24 @@ object SparkEntry {
           .drop("g_sess")
           .orderBy("user_id", "start_ms")
       },
+      // pre-aggregated rollup cube: avg decomposition + count merge served
+      // from the small rollup table, compared against direct aggregation of
+      // raw rows by the oracle (SURVEY.md §7.4 re-aggregation correctness)
+      "q_rollup_reagg" -> { (s, dir) =>
+        import graft.cube.RollupCube
+        RollupCube.reaggregate(s, dir, Seq("c_mktsegment", "l_returnflag"),
+            Seq(RollupCube.merge.cnt,
+              RollupCube.merge.sumOf("l_quantity"),
+              RollupCube.merge.avgOf("l_extendedprice")))
+          .orderBy("c_mktsegment", "l_returnflag")
+      },
+      // merged HLL sketches (approximate -> rows-only)
+      "q_rollup_hll" -> { (s, dir) =>
+        import graft.cube.RollupCube
+        RollupCube.reaggregate(s, dir, Seq("c_mktsegment"),
+            Seq(RollupCube.merge.cnt, RollupCube.merge.customers))
+          .orderBy("c_mktsegment")
+      },
       // multimodal decode plumbing (stub codec — deterministic, rows-only)
       "q_multimodal_decode" -> { (s, dir) =>
         import graft.operators.Multimodal
@@ -628,6 +646,13 @@ object SparkEntry {
          |   OR (s_nation = 'NATION_11' AND c_nation = 'NATION_20')
          |GROUP BY s_nation, c_nation, l_year
          |ORDER BY s_nation, c_nation, l_year""".stripMargin),
+    "q_rollup_reagg" -> withFlat(
+      s"""SELECT c_mktsegment, l_returnflag, count(*) AS cnt,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} / count(*) AS avg_price
+         |FROM olps
+         |GROUP BY c_mktsegment, l_returnflag
+         |ORDER BY c_mktsegment, l_returnflag""".stripMargin),
     "q_subqry_filters_range" -> withFlat(
       s"""SELECT s_nation, count(*) AS cnt, ${dsumSql("l_quantity")} AS sum_qty
          |FROM olps

@@ -1,0 +1,94 @@
+package graft.cube
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Pre-aggregated rollup of the flat TPC-H cube — the Spark-native
+  * equivalent of a rolled-up Druid index (reference: rows are rollups
+  * carrying a `count` metric, `AggregateTransform.scala:331-347`; merge
+  * table `PostAggregate.scala:39-60`).
+  *
+  * One row per (time bucket, dimension tuple); metrics are stored
+  * *re-aggregable*:
+  *   - `cnt`           — row count          → merges as `sum(cnt)`
+  *   - `sum_*`         — DECIMAL sums       → merge as `sum(sum_*)`, exact
+  *                       regardless of partial/final split or bucket layout
+  *   - `custkey_hll`   — HLL sketch binary  → merges with `hll_union_agg`
+  * `avg` is answered as `sum(sum_x) / sum(cnt)` (the reference's avg
+  * decomposition, `AggregateTransform.scala:426-442`).
+  *
+  * At 100 TB the rollup is orders of magnitude smaller than the fact table
+  * (|dims| × buckets rows), so any query whose grouping is a subset of the
+  * rollup dims scans the small table and still gets exact sums/counts and
+  * mergeable distinct sketches.
+  */
+object RollupCube {
+
+  /** Rollup dimension columns (subsets of these are servable). */
+  val dims: Seq[String] = Seq("c_mktsegment", "l_returnflag", "s_nation", "c_nation")
+
+  /** Source metric -> rollup sum column. */
+  val sumMetrics: Map[String, String] = Map(
+    "l_quantity"      -> "sum_qty",
+    "l_extendedprice" -> "sum_price",
+    "l_discount"      -> "sum_disc")
+
+  def rollupPath(sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    s"/root/repo/target/cubes/tpch_${sf}_rollup"
+  }
+
+  private val lock = new Object
+
+  /** Materialize (once per scale factor) the rollup from the flat cube. */
+  def ensure(spark: SparkSession, sfDir: String): String = lock.synchronized {
+    val path = rollupPath(sfDir)
+    val marker = new java.io.File(path, "_SUCCESS")
+    if (!marker.exists()) {
+      val flat = spark.read.parquet(TpchCube.ensure(spark, sfDir).cubePath)
+      val sums = sumMetrics.toSeq.sortBy(_._2).map { case (src, dst) =>
+        sum(col(src).cast("decimal(28,6)")).as(dst)
+      }
+      flat.groupBy((col("g_tbucket") +: dims.map(col)): _*)
+        .agg(count(lit(1)).as("cnt"),
+          (sums :+ hll_sketch_agg(col("o_custkey")).as("custkey_hll")): _*)
+        .repartition(col("g_tbucket"))
+        .write.mode("overwrite").partitionBy("g_tbucket").parquet(path)
+    }
+    path
+  }
+
+  /** Serve a grouped aggregate from the rollup: `groupCols` must be a
+    * subset of [[dims]] (+ `g_tbucket`). Supported requests per metric:
+    * sum / avg (decomposed) / count / approx distinct custkeys.
+    */
+  def reaggregate(spark: SparkSession, sfDir: String,
+                  groupCols: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(groupCols.forall(c => dims.contains(c) || c == "g_tbucket"),
+      s"rollup serves only ${dims.mkString(",")}; got ${groupCols.mkString(",")}")
+    spark.read.parquet(ensure(spark, sfDir))
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merged metric expressions for use with [[reaggregate]]. */
+  object merge {
+    /** count(*) over raw rows == sum of rollup counts. */
+    def cnt: Column = sum(col("cnt")).as("cnt")
+    /** Exact sum of a source metric (decimal-merged, cast back to double). */
+    def sumOf(sourceCol: String): Column =
+      sum(col(sumMetrics(sourceCol))).cast("double").as(sumMetrics(sourceCol))
+    /** Exact avg of a source metric: sum(sums) / sum(counts). The decimal
+      * sum is cast to double *before* dividing so the arithmetic matches a
+      * `CAST(sum(..) AS DOUBLE) / count(*)` oracle bit for bit.
+      */
+    def avgOf(sourceCol: String): Column =
+      (sum(col(sumMetrics(sourceCol))).cast("double") / sum(col("cnt")))
+        .as("avg_" + sumMetrics(sourceCol).stripPrefix("sum_"))
+    /** Approximate distinct customers from merged HLL sketches. */
+    def customers: Column =
+      hll_sketch_estimate(hll_union_agg(col("custkey_hll"))).as("n_cust_approx")
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cube.RollupCube
+
+/** Re-aggregation over the pre-aggregated rollup cube must agree with
+  * direct aggregation over raw rows — the reference's core rollup-index
+  * correctness property (SURVEY.md §7.4).
+  */
+class RollupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("sum/count/avg re-aggregated from the rollup equal direct aggregation, exactly") {
+    val got = RollupCube.reaggregate(spark, sf,
+        Seq("c_mktsegment", "l_returnflag"),
+        Seq(RollupCube.merge.cnt, RollupCube.merge.sumOf("l_quantity"),
+          RollupCube.merge.avgOf("l_extendedprice")))
+      .orderBy("c_mktsegment", "l_returnflag")
+      .collect()
+
+    val want = Tables.flat(spark, sf)
+      .groupBy("c_mktsegment", "l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(28,6)")).cast("double").as("sum_qty"),
+        (sum(col("l_extendedprice").cast("decimal(28,6)")).cast("double") / count(lit(1)))
+          .as("avg_price"))
+      .orderBy("c_mktsegment", "l_returnflag")
+      .collect()
+
+    assert(got.length == want.length && got.nonEmpty)
+    for ((g, w) <- got.zip(want)) {
+      assert(g.getString(0) == w.getString(0) && g.getString(1) == w.getString(1))
+      assert(g.getLong(2) == w.getLong(2), s"cnt mismatch at ${g.getString(0)}")
+      assert(g.getDouble(3) == w.getDouble(3), s"sum mismatch at ${g.getString(0)}")
+      assert(g.getDouble(4) == w.getDouble(4), s"avg mismatch at ${g.getString(0)}")
+    }
+  }
+
+  test("subset-of-dims grouping also re-aggregates exactly") {
+    val got = RollupCube.reaggregate(spark, sf, Seq("s_nation"),
+        Seq(RollupCube.merge.cnt, RollupCube.merge.sumOf("l_extendedprice")))
+      .orderBy("s_nation").collect()
+    val want = Tables.flat(spark, sf).groupBy("s_nation")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(28,6)")).cast("double").as("sum_price"))
+      .orderBy("s_nation").collect()
+    assert(got.length == want.length && got.nonEmpty)
+    for ((g, w) <- got.zip(want)) {
+      assert(g.getLong(1) == w.getLong(1) && g.getDouble(2) == w.getDouble(2))
+    }
+  }
+
+  test("merged HLL sketches track exact distinct counts within 5%") {
+    val got = RollupCube.reaggregate(spark, sf, Seq("c_mktsegment"),
+        Seq(RollupCube.merge.customers))
+      .orderBy("c_mktsegment").collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exact = Tables.flat(spark, sf).groupBy("c_mktsegment")
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet)
+    for ((seg, est) <- got) {
+      val ex = exact(seg).toDouble
+      assert(math.abs(est - ex) / ex < 0.05, s"$seg: est $est vs exact $ex")
+    }
+  }
+
+  test("rollup refuses groupings outside its dimension set") {
+    intercept[IllegalArgumentException] {
+      RollupCube.reaggregate(spark, sf, Seq("l_partkey"), Seq(RollupCube.merge.cnt))
+    }
+  }
+
+  test("SumOfLiteralRewrite turns grouped sum(lit) into count*lit with equal results") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+    val df = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sum(lit(3)).as("s3"), count(lit(1)).as("cnt"))
+    val optimized = df.queryExecution.optimizedPlan
+    val sumOfLit = optimized.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case AggregateExpression(s: Sum, _, _, _, _)
+            if s.child.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] => s
+        })
+    }.flatten
+    assert(sumOfLit.isEmpty, "sum(literal) should have been rewritten")
+    val rows = df.collect()
+    assert(rows.forall(r => r.getLong(1) == 3L * r.getLong(2)))
+  }
+}
