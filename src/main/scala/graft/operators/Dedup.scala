@@ -97,25 +97,36 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
-  /** Exact n-gram Jaccard near-duplicate pairs WITHOUT LSH: candidates are
-    * pairs sharing at least one shingle (inverted-index equi-join on the
-    * shingle), verified exactly. Complete (no false negatives above
-    * threshold > 0) but heavier than [[minhashDupPairs]]; the
-    * shingle join benefits from a count-based rare-shingle filter at scale.
+  /** Exact n-gram Jaccard near-duplicate pairs WITHOUT LSH: an inverted-
+    * index equi-join on the shingle yields one row per *shared* shingle, so
+    * `|A ∩ B|` is just the pair's row count and
+    * `J = common / (|A| + |B| - common)` — no second join back to the
+    * shingle arrays, no array intersection. Complete (no false negatives
+    * above threshold > 0).
+    *
+    * Scale properties: one shuffle on the shingle (the join), one on the id
+    * pair (the count). A size-ratio prune inside the join drops pairs that
+    * cannot reach the threshold (`J <= min/max`); very frequent shingles
+    * are the skew risk at corpus scale — cap or sample them upstream if a
+    * single shingle's posting list explodes.
     */
   def ngramJaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
                            threshold: Double, shingleK: Int = 3): DataFrame = {
     val sh = df.select(col(idCol).as("g_id"),
       array_distinct(shingles(col(textCol), shingleK)).as("g_sh"))
-    val inv = sh.select(col("g_id"), explode(col("g_sh")).as("g_shingle"))
-    val cands = inv.select(col("g_shingle"), col("g_id").as("idA"))
-      .join(inv.select(col("g_shingle"), col("g_id").as("idB")), "g_shingle")
-      .filter(col("idA") < col("idB"))
-      .select("idA", "idB").distinct()
-    cands
-      .join(sh.select(col("g_id").as("idA"), col("g_sh").as("g_shA")), "idA")
-      .join(sh.select(col("g_id").as("idB"), col("g_sh").as("g_shB")), "idB")
-      .select(col("idA"), col("idB"), exactJaccard(col("g_shA"), col("g_shB")).as("jaccard"))
+    val inv = sh.select(col("g_id"), size(col("g_sh")).as("g_sz"),
+      explode(col("g_sh")).as("g_shingle"))
+    inv.select(col("g_shingle"), col("g_id").as("idA"), col("g_sz").as("g_szA"))
+      .join(inv.select(col("g_shingle"), col("g_id").as("idB"), col("g_sz").as("g_szB")),
+        "g_shingle")
+      .filter(col("idA") < col("idB") &&
+        least(col("g_szA"), col("g_szB")).cast("double") >=
+          greatest(col("g_szA"), col("g_szB")) * threshold)
+      .groupBy("idA", "idB", "g_szA", "g_szB")
+      .agg(count(lit(1)).as("g_common"))
+      .select(col("idA"), col("idB"),
+        (col("g_common").cast("double") /
+          (col("g_szA") + col("g_szB") - col("g_common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -155,13 +166,12 @@ object Dedup {
     * to ship, identical across runs and executors.
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, nBits: Int = 16, bands: Int = 4,
+                        threshold: Double, nBits: Int = 32, bands: Int = 4,
                         seed: Int = 42): DataFrame = {
     val rowsPerBand = nBits / bands
     val vecs = df.select(col(idCol).as("g_id"), col(vecCol).as("g_vec"))
     val sig = vecs.withColumn("g_bits",
-      transform(sequence(lit(0), lit(nBits - 1)), b =>
-        when(Vectors.hyperplaneDot(col("g_vec"), b, seed) >= 0, lit(1)).otherwise(lit(0))))
+      Vectors.rhpSignature(col("g_vec"), nBits, seed))
     val banded = sig.select(col("g_id"), col("g_vec"),
       posexplode(let1(col("g_bits")) { bits =>
         transform(sequence(lit(0), lit(bands - 1)),
@@ -169,13 +179,15 @@ object Dedup {
             transform(slice(bits, b * rowsPerBand + 1, lit(rowsPerBand)),
               x => x.cast("string")), b.cast("string"))))
       }).as(Seq("g_band", "g_bucket")))
-    val l = banded.select(col("g_band"), col("g_bucket"),
-      col("g_id").as("idA"), col("g_vec").as("g_vecA"))
-    val r = banded.select(col("g_band"), col("g_bucket"),
-      col("g_id").as("idB"), col("g_vec").as("g_vecB"))
-    l.join(r, Seq("g_band", "g_bucket"))
+    // distinct id pairs first (cheap), vectors re-attached only to survivors
+    val l = banded.select(col("g_band"), col("g_bucket"), col("g_id").as("idA"))
+    val r = banded.select(col("g_band"), col("g_bucket"), col("g_id").as("idB"))
+    val cands = l.join(r, Seq("g_band", "g_bucket"))
       .filter(col("idA") < col("idB"))
-      .groupBy("idA", "idB").agg(first("g_vecA").as("g_vecA"), first("g_vecB").as("g_vecB"))
+      .select("idA", "idB").distinct()
+    cands
+      .join(vecs.select(col("g_id").as("idA"), col("g_vec").as("g_vecA")), "idA")
+      .join(vecs.select(col("g_id").as("idB"), col("g_vec").as("g_vecB")), "idB")
       .select(col("idA"), col("idB"),
         Vectors.cosine(col("g_vecA"), col("g_vecB")).as("cosine"))
       .filter(col("cosine") >= threshold)

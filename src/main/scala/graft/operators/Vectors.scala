@@ -36,25 +36,50 @@ object Vectors {
       d * d
     }), lit(0.0), (acc, x) => acc + x)
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a symmetric value in [-0.5, 0.5) derived from xxhash64 — reproducible
-    * on every executor with no broadcast of RNG state.
-    */
-  private def planeComponent(plane: Column, dim: Column, seed: Int): Column =
-    (pmod(xxhash64(plane.cast("string"), dim.cast("string"), lit(seed)), lit(1000000L))
-      .cast("double") / 1000000.0) - 0.5
+  /** Maximum supported embedding dimension for hyperplane signatures. */
+  val MaxPlaneDim = 256
 
-  /** Dot product of vector column `v` with pseudo-random hyperplane `plane`. */
-  def hyperplaneDot(v: Column, plane: Column, seed: Int): Column =
+  /** Deterministic pseudo-random hyperplane matrix (splitmix64-derived,
+    * symmetric in [-0.5, 0.5)), embedded in the plan as ONE literal — the
+    * signature then costs only multiply-adds per row, no hashing, no
+    * per-element allocation, and every executor sees the same planes with
+    * no broadcast.
+    */
+  private def planeMatrix(nBits: Int, seed: Int): Seq[Seq[Double]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Seq.tabulate(nBits, MaxPlaneDim) { (b, d) =>
+      (mix(seed.toLong * 0x100000001L + b.toLong * 65537L + d).toDouble /
+        9.223372036854776e18) / 2.0
+    }
+  }
+
+  /** Dot product of vector column `v` with hyperplane `plane` (0-based
+    * Column index into the literal plane matrix).
+    */
+  def hyperplaneDot(v: Column, plane: Column, seed: Int,
+                    nBits: Int = 32): Column = {
+    val planes = typedLit(planeMatrix(nBits, seed))
     aggregate(
-      zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, i) => x.cast("double") * planeComponent(plane, i, seed)),
+      zip_with(v, slice(element_at(planes, plane.cast("int") + 1), lit(1), size(v)),
+        (x, p) => x.cast("double") * p),
       lit(0.0), (acc, x) => acc + x)
+  }
 
   /** Random-hyperplane signature of `v`: `nBits` sign bits as an int array. */
-  def rhpSignature(v: Column, nBits: Int, seed: Int): Column =
+  def rhpSignature(v: Column, nBits: Int, seed: Int): Column = {
+    val planes = typedLit(planeMatrix(nBits, seed))
     transform(sequence(lit(0), lit(nBits - 1)),
-      b => when(hyperplaneDot(v, b, seed) >= 0, lit(1)).otherwise(lit(0)))
+      b => when(
+        aggregate(
+          zip_with(v, slice(element_at(planes, b + 1), lit(1), size(v)),
+            (x, p) => x.cast("double") * p),
+          lit(0.0), (acc, x) => acc + x) >= 0, lit(1)).otherwise(lit(0)))
+  }
 
   /** Pack a bit array (little-endian) into a single long. */
   def packBits(bits: Column): Column =

@@ -121,6 +121,23 @@ class StarRewriteSpec extends AnyFunSuite {
       expectRewrite = true)
   }
 
+  test("q8-shape: all eight tables incl. both region roles collapse") {
+    differential(
+      """SELECT year(o_orderdate) AS o_year,
+        |       sum(CASE WHEN sn.n_name = 'NATION_20' THEN l_extendedprice ELSE 0.0 END) AS num,
+        |       sum(l_extendedprice) AS den
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE cr.r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |GROUP BY 1""".stripMargin, expectRewrite = true)
+  }
+
   test("query referencing a column not in the cube falls back") {
     differential(
       """SELECT n_regionkey, count(*) AS cnt
