@@ -153,15 +153,12 @@ object TextFunctions {
   /** MinHash signature over word `k`-shingles: component `i` is
     * `min over shingles of xxhash64(shingle, i)`. Empty docs get
     * `Long.MaxValue` components (never collide with real signatures).
+    * Evaluated by the single-pass native expression
+    * ([[org.apache.spark.sql.graft.NativeTextExprs.MinHashSignatureExpr]]): each shingle is hashed
+    * once, components derive from the base hash.
     */
   def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
-    let1(shingles(text, k)) { sh =>
-      val comps = (0 until numHashes).map { i =>
-        when(size(sh) === 0, lit(Long.MaxValue))
-          .otherwise(array_min(transform(sh, s => xxhash64(s, lit(i)))))
-      }
-      array(comps: _*)
-    }
+    org.apache.spark.sql.graft.NativeTextExprs.minhashSignature(shingles(text, k), numHashes)
 
   /** Estimated Jaccard similarity from two equal-length MinHash signatures:
     * the fraction of agreeing components.
@@ -173,20 +170,11 @@ object TextFunctions {
   /** 64-bit SimHash over the document's token multiset: bit `b` of the
     * result is 1 iff more token hashes have bit `b` set than clear.
     * Near-identical documents differ in few bits (small Hamming distance).
+    * Evaluated by the single-pass native expression
+    * ([[org.apache.spark.sql.graft.NativeTextExprs.SimHash64Expr]]).
     */
   def simhash(text: Column): Column =
-    let1(transform(tokens(text), t => xxhash64(t))) { hashes =>
-      val n = size(hashes).cast("long")
-      val bits = transform(sequence(lit(0), lit(63)), b => {
-        val ones = size(filter(hashes,
-          h => call_function("shiftright", h, b).bitwiseAND(1L) === 1L)).cast("long")
-        when(ones * 2L > n, lit(1L)).otherwise(lit(0L))
-      })
-      aggregate(
-        zip_with(bits, sequence(lit(0), lit(63)),
-          (bit, i) => call_function("shiftleft", bit, i)),
-        lit(0L), (acc, x) => acc.bitwiseOR(x))
-    }
+    org.apache.spark.sql.graft.NativeTextExprs.simhash64(tokens(text))
 
   /** Hamming distance between two 64-bit SimHash values. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

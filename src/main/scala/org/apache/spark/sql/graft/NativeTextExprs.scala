@@ -1,0 +1,118 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, LongType, StringType}
+
+/** Native Catalyst expressions for the hash-sketch hot path.
+  *
+  * The composed higher-order-function versions re-hash every shingle string
+  * once per signature component (64×) because each `array_min(transform(…))`
+  * is an independent pass; these single-pass expressions hash each string
+  * ONCE and derive the per-component values with cheap long-mixing —
+  * bit-identical results (same `XxHash64Function` chain as
+  * `xxhash64(s, lit(i))`) at a fraction of the cost. This is the extension
+  * tier the reference reserves for its JS codegen
+  * (`jscodegen/JSAggGenerator.scala`), re-expressed as a first-class
+  * Catalyst `Expression`. Codegen note: higher-order functions don't
+  * participate in whole-stage codegen either, so `CodegenFallback` here
+  * gives up nothing while the interpreted loop works on primitive arrays.
+  *
+  * Lives under `org.apache.spark.sql` because `AbstractDataType` /
+  * `ExpressionUtils` are `private[sql]` — the same packaging the reference
+  * uses for its Spark-internal extension points
+  * (`src/main/scala/org/apache/spark/sql/sources/druid/`).
+  */
+object NativeTextExprs {
+
+  private val Seed = 42L
+
+  /** MinHash signature over a pre-computed shingle array: component `i` is
+    * `min over shingles of xxhash64(shingle, i)`; empty input yields all
+    * `Long.MaxValue` (matching the composed implementation).
+    */
+  case class MinHashSignatureExpr(child: Expression, numHashes: Int)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_signature"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        if (s != null) {
+          val base = XxHash64Function.hash(s, StringType, Seed)
+          var j = 0
+          while (j < numHashes) {
+            val h = XxHash64Function.hash(j, IntegerType, base)
+            if (h < mins(j)) mins(j) = h
+            j += 1
+          }
+        }
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(mins)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash over a token array: bit `b` is set iff more token
+    * hashes have bit `b` set than clear (ties -> 0, matching the composed
+    * `ones * 2 > n` form where `n` counts all tokens).
+    */
+  case class SimHash64Expr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        if (s != null) {
+          val h = XxHash64Function.hash(s, StringType, Seed)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) * 2 > n) out |= (1L << b)
+        b += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def minhashSignature(shingleArray: Column, numHashes: Int): Column =
+    ExpressionUtils.column(
+      MinHashSignatureExpr(ExpressionUtils.expression(shingleArray), numHashes))
+
+  def simhash64(tokenArray: Column): Column =
+    ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(tokenArray)))
+}
