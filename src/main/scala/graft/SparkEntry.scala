@@ -238,6 +238,20 @@ object SparkEntry {
            |FROM lineitem
            |GROUP BY 1, 2, 3
            |ORDER BY 1, 2, 3""".stripMargin,
+      // §2.8/§2.9 date-time scalar surface (reference SparkNativeTimeElement
+      // extractor + sparklinedata date UDF library, DateTimeExtractor.scala)
+      "q_scalar_datetime" ->
+        s"""SELECT o_orderkey,
+           |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS od,
+           |  CAST(year(o_orderdate) AS INTEGER) AS y,
+           |  CAST(month(o_orderdate) AS INTEGER) AS m,
+           |  CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+           |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL '30' DAY AS DATE) AS VARCHAR(10)) AS d30,
+           |  CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR(10)) AS qstart
+           |FROM orders
+           |WHERE o_orderkey <= 300
+           |ORDER BY o_orderkey""".stripMargin,
       // §2.5 window functions (beyond reference parity; native in Spark)
       "q_window_running" ->
         s"""SELECT l_suppkey, l_orderkey, l_linenumber,

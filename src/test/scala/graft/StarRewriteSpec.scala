@@ -161,6 +161,21 @@ class StarRewriteSpec extends AnyFunSuite {
         |GROUP BY c_mktsegment""".stripMargin, expectRewrite = false)
   }
 
+  test("explainRewrite reports cube scans and join elimination") {
+    init
+    TpchCube.ensure(spark, sf)
+    val report = Graft.explainRewrite(spark,
+      """SELECT c_mktsegment, sum(l_quantity) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin)
+    assert(report.contains("cube scans: tpch_flat"))
+    assert(report.contains("remaining joins: 0"))
+    val vanilla = Graft.explainRewrite(spark,
+      "SELECT count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey")
+    assert(vanilla.contains("NONE"))
+  }
+
   test("time filter prunes cube partitions and stays correct") {
     init
     val cube = TpchCube.ensure(spark, sf)
