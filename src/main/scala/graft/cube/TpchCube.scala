@@ -110,7 +110,41 @@ object TpchCube {
       columnMapping = columnMapping,
       functionalDeps = Seq(
         FunctionalDependency("c_nation", "c_region", ManyToOne),
-        FunctionalDependency("s_nation", "s_region", ManyToOne)))
+        FunctionalDependency("s_nation", "s_region", ManyToOne),
+        // every lineitem/order key determines its order's attributes
+        FunctionalDependency("l_orderkey", "o_orderkey", OneToOne),
+        FunctionalDependency("o_orderkey", "o_orderdate", ManyToOne),
+        FunctionalDependency("o_orderkey", "o_custkey", ManyToOne),
+        FunctionalDependency("c_custkey", "c_name", OneToOne),
+        FunctionalDependency("c_custkey", "c_mktsegment", ManyToOne),
+        FunctionalDependency("c_custkey", "c_nation", ManyToOne),
+        FunctionalDependency("p_partkey", "p_name", OneToOne),
+        FunctionalDependency("s_suppkey", "s_name", OneToOne),
+        FunctionalDependency("s_suppkey", "s_nation", ManyToOne)))
+  }
+
+  /** Dimension NDV stats, computed once per materialized cube and persisted
+    * as a sidecar (`_graft_stats.json`) — the role Druid column cardinality
+    * metadata plays for the reference's cost gate
+    * (`DruidDataSource.scala:45-51`).
+    */
+  private def ensureStats(spark: SparkSession, path: String): Map[String, Long] = {
+    val sidecar = new java.io.File(path, "_graft_stats.json")
+    if (sidecar.exists()) {
+      val txt = new String(java.nio.file.Files.readAllBytes(sidecar.toPath), "UTF-8")
+      "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+    } else {
+      val dims = info.columns.filter(_.role != ColumnRole.Metric).map(_.name)
+      val row = spark.read.parquet(path)
+        .select(dims.map(c => approx_count_distinct(col(c)).as(c)): _*)
+        .head()
+      val stats = dims.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+      val json = stats.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+      java.nio.file.Files.write(sidecar.toPath, json.getBytes("UTF-8"))
+      stats
+    }
   }
 
   def cubePath(sfDir: String): String = {
@@ -136,7 +170,11 @@ object TpchCube {
       t -> CubeCatalog.normalizePath(Tables.path(sfDir, t))
     }.toMap
     val sf = new java.io.File(sfDir).getName
-    val cube = RegisteredCube(info.copy(name = s"${CubeName}_$sf"), path, tablePaths)
+    val stats = ensureStats(spark, path)
+    val withStats = info.copy(
+      name = s"${CubeName}_$sf",
+      columns = info.columns.map(c => c.copy(cardinality = stats.get(c.name))))
+    val cube = RegisteredCube(withStats, path, tablePaths)
     CubeCatalog.register(cube)
     cube
   }

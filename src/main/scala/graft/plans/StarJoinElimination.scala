@@ -33,13 +33,16 @@ import graft.cube.{CubeCatalog, RegisteredCube}
 case class StarJoinElimination(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
+  import StarJoinElimination.gateRefusedTag
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (CubeCatalog.isEmpty) return plan
     plan.transformDown {
-      case p @ Project(_, child) =>
-        rewrite(child, p.references).map(c => p.copy(child = c)).getOrElse(p)
-      case a: Aggregate =>
-        rewrite(a.child, a.references).map(c => a.copy(child = c)).getOrElse(a)
+      case p @ Project(_, child) if p.getTagValue(gateRefusedTag).isEmpty =>
+        rewrite(child, p.references, None).map(c => p.copy(child = c)).getOrElse(p)
+      case a: Aggregate if a.getTagValue(gateRefusedTag).isEmpty =>
+        rewrite(a.child, a.references, Some(a.groupingExpressions))
+          .map(c => a.copy(child = c)).getOrElse(a)
     }
   }
 
@@ -67,14 +70,17 @@ case class StarJoinElimination(spark: SparkSession)
     case _ => None
   }
 
-  private def rewrite(child: LogicalPlan, required: AttributeSet)
+  private def rewrite(child: LogicalPlan, required: AttributeSet,
+                      groupingExprs: Option[Seq[Expression]])
       : Option[LogicalPlan] = {
     if (!child.exists(_.isInstanceOf[Join])) return None
-    CubeCatalog.all.view.flatMap(c => rewriteForCube(c, child, required)).headOption
+    CubeCatalog.all.view
+      .flatMap(c => rewriteForCube(c, child, required, groupingExprs)).headOption
   }
 
   private def rewriteForCube(cube: RegisteredCube, child: LogicalPlan,
-                             required: AttributeSet): Option[LogicalPlan] = {
+                             required: AttributeSet,
+                             groupingExprs: Option[Seq[Expression]]): Option[LogicalPlan] = {
     val (leaves, conjuncts) = collectTree(cube, child).getOrElse(return None)
     if (leaves.size < 2) return None
 
@@ -174,6 +180,30 @@ case class StarJoinElimination(spark: SparkSession)
       a.exprId -> cubeAttrFor(a).getOrElse(return None)
     }.toMap
 
+    // Cardinality gate (reference `maxResultCardinality`,
+    // `DefaultSource.scala:212-213` + `FunctionalDependency.scala:59-84`):
+    // refuse the rewrite when the estimated grouped-result cardinality
+    // explodes. Estimated from the cube's NDV stats with functional
+    // dependencies collapsing determined columns; a grouping expression is
+    // bounded by the NDV product of the columns it references.
+    for (gs <- groupingExprs) {
+      val groupCols = gs.flatMap(_.references.toSeq)
+        .flatMap(a => substitution.get(a.exprId)).map(_.name).distinct
+      val stats = cube.info.columns
+        .collect { case c if c.cardinality.isDefined => c.name -> c.cardinality.get }
+        .toMap
+      if (groupCols.nonEmpty && groupCols.forall(stats.contains)) {
+        val est = graft.cube.FunctionalDependencies.estimateCardinality(
+          groupCols, stats, cube.info.functionalDeps)
+        if (est > cube.info.maxResultCardinality) {
+          // reference semantics: the whole query stays in Spark — also veto
+          // nested Project-level collapses of this join subtree
+          child.foreach(_.setTagValue(gateRefusedTag, true))
+          return None
+        }
+      }
+    }
+
     def substitute(e: Expression): Expression = e.transformUp {
       case a: Attribute if substitution.contains(a.exprId) => substitution(a.exprId)
     }
@@ -187,4 +217,12 @@ case class StarJoinElimination(spark: SparkSession)
     }
     Some(Project(projections, filtered))
   }
+}
+
+object StarJoinElimination {
+  import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+  /** Set on every node of a join subtree whose rewrite the cardinality gate
+    * refused, so nested matches don't partially collapse it.
+    */
+  val gateRefusedTag: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.gateRefused")
 }

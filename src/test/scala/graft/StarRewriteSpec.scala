@@ -161,6 +161,23 @@ class StarRewriteSpec extends AnyFunSuite {
         |GROUP BY c_mktsegment""".stripMargin, expectRewrite = false)
   }
 
+  test("cardinality gate refuses rewrites whose grouped result explodes") {
+    init
+    val cube = TpchCube.ensure(spark, sf)
+    val sql =
+      """SELECT l_orderkey, o_orderdate, sum(l_quantity) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey, o_orderdate""".stripMargin
+    // normal threshold (1M): the functional dependency l_orderkey ->
+    // o_orderdate collapses the estimate to #orders, rewrite allowed
+    assert(scansCube(spark.sql(sql)), "expected rewrite under default threshold")
+    // tiny threshold: the same query must fall back to the join plan
+    CubeCatalog.register(
+      cube.copy(info = cube.info.copy(maxResultCardinality = 10)))
+    try assert(!scansCube(spark.sql(sql)), "expected refusal at threshold 10")
+    finally CubeCatalog.register(cube)
+  }
+
   test("explainRewrite reports cube scans and join elimination") {
     init
     TpchCube.ensure(spark, sf)
