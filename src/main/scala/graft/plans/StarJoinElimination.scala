@@ -73,7 +73,18 @@ case class StarJoinElimination(spark: SparkSession)
   private def rewrite(child: LogicalPlan, required: AttributeSet,
                       groupingExprs: Option[Seq[Expression]])
       : Option[LogicalPlan] = {
-    if (!child.exists(_.isInstanceOf[Join])) return None
+    // worth attempting for join subtrees AND bare fact-table scans (the
+    // latter routes e.g. `Aggregate(Filter(lineitem))` onto the
+    // time-bucket-partitioned cube so interval queries partition-prune —
+    // the reference's relation IS the index, so it gets this for free)
+    val candidate = child.exists {
+      case _: Join => true
+      case lr: LogicalRelation =>
+        CubeCatalog.all.exists(c =>
+          CubeCatalog.tableOf(c, lr).contains(c.info.starSchema.factTable))
+      case _ => false
+    }
+    if (!candidate) return None
     CubeCatalog.all.view
       .flatMap(c => rewriteForCube(c, child, required, groupingExprs)).headOption
   }
@@ -82,7 +93,15 @@ case class StarJoinElimination(spark: SparkSession)
                              required: AttributeSet,
                              groupingExprs: Option[Seq[Expression]]): Option[LogicalPlan] = {
     val (leaves, conjuncts) = collectTree(cube, child).getOrElse(return None)
-    if (leaves.size < 2) return None
+    // A bare fact-table scan routes to the cube only when a time predicate
+    // exists: that is where the cube's bucket partitioning wins (pruning);
+    // without one the raw table is the same data, narrower.
+    val singleFactLeaf = leaves.size == 1 &&
+      cube.info.roleOfTable.get(leaves.head.table)
+        .exists(_.contains(cube.info.starSchema.factTable)) &&
+      leaves.head.filters.exists(
+        _.references.exists(_.name.equalsIgnoreCase(cube.info.timeColumn)))
+    if (leaves.size < 2 && !singleFactLeaf) return None
 
     val byExprId: Map[ExprId, Int] = (for {
       (l, i) <- leaves.zipWithIndex

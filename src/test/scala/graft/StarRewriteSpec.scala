@@ -161,6 +161,28 @@ class StarRewriteSpec extends AnyFunSuite {
         |GROUP BY c_mktsegment""".stripMargin, expectRewrite = false)
   }
 
+  test("bare fact-table interval aggregate routes to the cube and partition-prunes") {
+    differential(
+      """SELECT year(l_shipdate) AS y, count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= timestamp'1996-01-01' AND l_shipdate < timestamp'1996-07-01'
+        |GROUP BY 1""".stripMargin, expectRewrite = true)
+    // and the routed plan carries time-bucket predicates for pruning
+    // (projection-only shape keeps AQE out of the physical plan)
+    val df = spark.sql(
+      """SELECT l_quantity FROM lineitem
+        |WHERE l_shipdate >= timestamp'1996-01-01' AND l_shipdate < timestamp'1996-07-01'""".stripMargin)
+    assert(scansCube(df), "interval projection should also route to the cube")
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val scans = classic.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.relation.location.rootPaths.head.toString.contains("target/cubes")))
+    assert(scans.head.relation.location
+      .listFiles(scans.head.partitionFilters, Nil).map(_.values).size <= 6)
+  }
+
   test("cardinality gate refuses rewrites whose grouped result explodes") {
     init
     val cube = TpchCube.ensure(spark, sf)
