@@ -451,7 +451,8 @@ object SparkEntry {
       "q_doc_fingerprint" -> { (s, dir) =>
         Tables.t(s, dir, "documents")
           .select(col("doc_id"), fingerprint(col("text")).as("fp"),
-            simhash(col("text")).as("sh"))
+            simhash(col("text")).as("sh"),
+            subwordCount(col("text")).as("subwords"))
           .orderBy("doc_id")
       },
       // sessionization: batch window-function form (the streaming stateful
