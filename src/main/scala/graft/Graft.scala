@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.plans.{StarJoinElimination, SumOfLiteralRewrite, TimeBucketPruning}
+import graft.plans.{RollupRouting, StarJoinElimination, SumOfLiteralRewrite, TimeBucketPruning}
 
 /** Engine installation: inject the cube-rewrite rules into a session.
   *
@@ -48,7 +48,7 @@ object Graft {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val existing = classic.experimental.extraOptimizations
     val mine = Seq(StarJoinElimination(spark), TimeBucketPruning(spark),
-        SumOfLiteralRewrite)
+        SumOfLiteralRewrite, RollupRouting(spark))
       .filterNot(r => existing.exists(_.getClass == r.getClass))
     classic.experimental.extraOptimizations = existing ++ mine
   }
@@ -59,5 +59,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => StarJoinElimination(s))
     e.injectOptimizerRule(s => TimeBucketPruning(s))
     e.injectOptimizerRule(_ => SumOfLiteralRewrite)
+    e.injectOptimizerRule(s => RollupRouting(s))
   }
 }

@@ -32,6 +32,7 @@ object SparkEntry {
     for (t <- Tables.starTables ++ Seq("documents", "embeddings"))
       Tables.t(s, dir, t).createOrReplaceTempView(t)
     TpchCube.ensure(s, dir)
+    graft.cube.RollupCube.ensure(s, dir)
   }
 
   /** Portable SQL (runs verbatim on Spark and DuckDB). */
@@ -475,6 +476,23 @@ object SparkEntry {
           .drop("g_sess")
           .orderBy("user_id", "start_ms")
       },
+      // the fully automatic chain: the optimizer collapses the star join to
+      // the flat cube (StarJoinElimination), then serves the aggregate from
+      // the pre-aggregated rollup (RollupRouting) — sum is DECIMAL-merged so
+      // it matches the dsum oracle exactly
+      "q_auto_rollup" -> { (s, dir) =>
+        engine(s, dir)
+        s.sql(
+          """SELECT c_mktsegment, l_returnflag, count(*) AS cnt,
+            |  sum(l_quantity) AS sum_qty,
+            |  avg(l_extendedprice) AS avg_price,
+            |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+            |FROM lineitem
+            |JOIN orders ON l_orderkey = o_orderkey
+            |JOIN customer ON o_custkey = c_custkey
+            |GROUP BY 1, 2
+            |ORDER BY 1, 2""".stripMargin)
+      },
       // pre-aggregated rollup cube: avg decomposition + count merge served
       // from the small rollup table, compared against direct aggregation of
       // raw rows by the oracle (SURVEY.md §7.4 re-aggregation correctness)
@@ -661,6 +679,14 @@ object SparkEntry {
          |   OR (s_nation = 'NATION_11' AND c_nation = 'NATION_20')
          |GROUP BY s_nation, c_nation, l_year
          |ORDER BY s_nation, c_nation, l_year""".stripMargin),
+    "q_auto_rollup" -> withFlat(
+      s"""SELECT c_mktsegment, l_returnflag, count(*) AS cnt,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} / count(*) AS avg_price,
+         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+         |FROM olps
+         |GROUP BY c_mktsegment, l_returnflag
+         |ORDER BY c_mktsegment, l_returnflag""".stripMargin),
     "q_rollup_reagg" -> withFlat(
       s"""SELECT c_mktsegment, l_returnflag, count(*) AS cnt,
          |  ${dsumSql("l_quantity")} AS sum_qty,

@@ -14,10 +14,23 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * Parquet table partitioned by a time bucket, so partition pruning plays
   * the role of Druid's interval-based segment selection.
   */
+/** Metadata of a materialized pre-aggregated rollup of a cube: where it
+  * lives, which dimensions it preserves and how each stored metric merges.
+  */
+final case class RollupMeta(
+    path: String,
+    dims: Seq[String],
+    timeBucketColumn: String,
+    countColumn: String,
+    sums: Map[String, String],
+    mins: Map[String, String],
+    maxs: Map[String, String])
+
 final case class RegisteredCube(
     info: CubeInfo,
     cubePath: String,
-    tablePaths: Map[String, String]) {
+    tablePaths: Map[String, String],
+    rollup: Option[RollupMeta] = None) {
 
   private val pathToTable: Map[String, String] = tablePaths.map(_.swap)
 
@@ -67,5 +80,11 @@ object CubeCatalog {
   def cubePlan(spark: SparkSession, cube: RegisteredCube): LogicalPlan = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.read.parquet(cube.cubePath).queryExecution.analyzed
+  }
+
+  /** A fresh logical plan over a cube's rollup table. */
+  def rollupPlan(spark: SparkSession, rollup: RollupMeta): LogicalPlan = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.read.parquet(rollup.path).queryExecution.analyzed
   }
 }

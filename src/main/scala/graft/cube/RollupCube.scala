@@ -35,28 +35,49 @@ object RollupCube {
     "l_extendedprice" -> "sum_price",
     "l_discount"      -> "sum_disc")
 
+  /** Rollup min/max metric columns (min_/max_ + the sum column suffix). */
+  val minMetrics: Map[String, String] = sumMetrics.map { case (s, d) => s -> ("min_" + d.stripPrefix("sum_")) }
+  val maxMetrics: Map[String, String] = sumMetrics.map { case (s, d) => s -> ("max_" + d.stripPrefix("sum_")) }
+
   def rollupPath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/cubes/tpch_${sf}_rollup"
+    // v2: adds min_/max_ metric columns
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_v2"
   }
+
+  def meta(sfDir: String): RollupMeta = RollupMeta(
+    path = rollupPath(sfDir),
+    dims = dims,
+    timeBucketColumn = "g_tbucket",
+    countColumn = "cnt",
+    sums = sumMetrics,
+    mins = minMetrics,
+    maxs = maxMetrics)
 
   private val lock = new Object
 
-  /** Materialize (once per scale factor) the rollup from the flat cube. */
+  /** Materialize (once per scale factor) the rollup from the flat cube and
+    * attach its metadata to the registered cube so [[graft.plans.RollupRouting]]
+    * can serve matching aggregates from it automatically.
+    */
   def ensure(spark: SparkSession, sfDir: String): String = lock.synchronized {
     val path = rollupPath(sfDir)
+    val cube = TpchCube.ensure(spark, sfDir)
     val marker = new java.io.File(path, "_SUCCESS")
     if (!marker.exists()) {
-      val flat = spark.read.parquet(TpchCube.ensure(spark, sfDir).cubePath)
+      val flat = spark.read.parquet(cube.cubePath)
       val sums = sumMetrics.toSeq.sortBy(_._2).map { case (src, dst) =>
         sum(col(src).cast("decimal(28,6)")).as(dst)
       }
+      val mins = minMetrics.toSeq.sortBy(_._2).map { case (src, dst) => min(col(src)).as(dst) }
+      val maxs = maxMetrics.toSeq.sortBy(_._2).map { case (src, dst) => max(col(src)).as(dst) }
       flat.groupBy((col("g_tbucket") +: dims.map(col)): _*)
         .agg(count(lit(1)).as("cnt"),
-          (sums :+ hll_sketch_agg(col("o_custkey")).as("custkey_hll")): _*)
+          (sums ++ mins ++ maxs :+ hll_sketch_agg(col("o_custkey")).as("custkey_hll")): _*)
         .repartition(col("g_tbucket"))
         .write.mode("overwrite").partitionBy("g_tbucket").parquet(path)
     }
+    CubeCatalog.register(cube.copy(rollup = Some(meta(sfDir))))
     path
   }
 

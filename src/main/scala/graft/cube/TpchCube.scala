@@ -174,7 +174,9 @@ object TpchCube {
     val withStats = info.copy(
       name = s"${CubeName}_$sf",
       columns = info.columns.map(c => c.copy(cardinality = stats.get(c.name))))
-    val cube = RegisteredCube(withStats, path, tablePaths)
+    // preserve rollup metadata attached by RollupCube.ensure
+    val existingRollup = CubeCatalog.get(withStats.name).flatMap(_.rollup)
+    val cube = RegisteredCube(withStats, path, tablePaths, existingRollup)
     CubeCatalog.register(cube)
     cube
   }

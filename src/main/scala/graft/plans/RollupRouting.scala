@@ -1,0 +1,118 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.planning.PhysicalOperation
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.DoubleType
+
+import graft.cube.{CubeCatalog, RegisteredCube, RollupMeta}
+
+/** Serve a grouped aggregate over the flat cube from its pre-aggregated
+  * rollup table when every part of the query translates:
+  *
+  *   - grouping columns ⊆ rollup dimensions (+ the time bucket),
+  *   - filters reference only those columns,
+  *   - aggregates are `count(1)`, `sum/min/max/avg(metric)` over stored
+  *     rollup metrics (no DISTINCT, no FILTER clauses).
+  *
+  * Merge semantics (reference `PostAggregate.scala:39-60` +
+  * `AggregateTransform.scala:331-347,426-442`): `count → sum(cnt)`,
+  * `sum → sum(sum_x)` (DECIMAL, exact), `min/max → min(min_x)/max(max_x)`,
+  * `avg → sum(sum_x)/sum(cnt)`. Combined with [[StarJoinElimination]] in
+  * the same fixed-point batch, a star-join aggregate collapses to the flat
+  * cube in one iteration and onto the rollup in the next — at 100 TB the
+  * final scan is |dims|×buckets rows instead of the fact table.
+  */
+case class RollupRouting(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (CubeCatalog.isEmpty) return plan
+    plan.transformDown {
+      case agg: Aggregate => route(agg).getOrElse(agg)
+    }
+  }
+
+  private def route(agg: Aggregate): Option[LogicalPlan] = {
+    // grouped aggregates only: a global aggregate over an empty relation
+    // yields count()=0 but sum(cnt)=NULL — not servable
+    if (agg.groupingExpressions.isEmpty) return None
+    // match [Project/Filter]* over the materialized flat-cube scan; the
+    // projections may be bare attributes or the exprId-preserving aliases
+    // StarJoinElimination emits
+    val (projects, filters, lr) = agg.child match {
+      case PhysicalOperation(p, f, rel: LogicalRelation) => (p, f, rel)
+      case _ => return None
+    }
+    val cube: RegisteredCube = CubeCatalog.cubeOfRelation(lr).getOrElse(return None)
+    val ru: RollupMeta = cube.rollup.getOrElse(return None)
+
+    // attr (by exprId) -> underlying cube column name, through one alias hop
+    val colName: Map[ExprId, String] = projects.map {
+      case a: Attribute           => a.exprId -> a.name.toLowerCase
+      case al @ Alias(u: Attribute, _) => al.exprId -> u.name.toLowerCase
+      case _ => return None
+    }.toMap
+    def nameOf(a: Attribute): String = colName.getOrElse(a.exprId, a.name.toLowerCase)
+
+    val servable: Set[String] = (ru.dims :+ ru.timeBucketColumn).map(_.toLowerCase).toSet
+    if (!filters.forall(_.references.forall(a => servable(nameOf(a))))) return None
+    val groupNames = agg.groupingExpressions.map {
+      case a: Attribute if servable(nameOf(a)) => nameOf(a)
+      case _ => return None
+    }
+
+    val rollupPlan = CubeCatalog.rollupPlan(spark, ru)
+    val rAttr: Map[String, Attribute] =
+      rollupPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    val cntAttr = rAttr(ru.countColumn)
+
+    // safe: filter references were checked servable, and servable ⊆ rAttr
+    def substitute(e: Expression): Expression = e.transformUp {
+      case a: Attribute => rAttr(nameOf(a))
+    }
+
+    def metricOf(e: Expression, table: Map[String, String]): Option[String] = e match {
+      case a: Attribute => table.get(nameOf(a)).map(_.toLowerCase).filter(rAttr.contains)
+      case Cast(a: Attribute, _, _, _) => metricOf(a, table)
+      case _ => None
+    }
+
+    def mergedAgg(af: AggregateFunction): Option[Expression] = af match {
+      case Count(Seq(_: Literal)) =>
+        Some(Sum(cntAttr).toAggregateExpression())
+      case s @ Sum(child, _) => metricOf(child, ru.sums).map(c =>
+        Cast(Sum(rAttr(c)).toAggregateExpression(), s.dataType))
+      case Min(child) => metricOf(child, ru.mins).map(c =>
+        Min(rAttr(c)).toAggregateExpression())
+      case Max(child) => metricOf(child, ru.maxs).map(c =>
+        Max(rAttr(c)).toAggregateExpression())
+      case Average(child, _) => metricOf(child, ru.sums).map(c =>
+        Divide(
+          Cast(Sum(rAttr(c)).toAggregateExpression(), DoubleType),
+          Cast(Sum(cntAttr).toAggregateExpression(), DoubleType)))
+      case _ => None
+    }
+
+    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: Attribute if servable(nameOf(a)) =>
+        Alias(rAttr(nameOf(a)), a.name)(exprId = a.exprId)
+      case al @ Alias(ae: AggregateExpression, name)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        val merged = mergedAgg(ae.aggregateFunction).getOrElse(return None)
+        Alias(merged, name)(exprId = al.exprId)
+      case al @ Alias(a: Attribute, name) if servable(nameOf(a)) =>
+        Alias(rAttr(nameOf(a)), name)(exprId = al.exprId)
+      case _ => return None
+    }
+
+    val newChild: LogicalPlan =
+      if (filters.isEmpty) rollupPlan
+      else Filter(filters.map(substitute).reduce(And), rollupPlan)
+    Some(Aggregate(groupNames.map(rAttr), newAggExprs, newChild))
+  }
+}

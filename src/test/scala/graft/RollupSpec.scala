@@ -73,6 +73,48 @@ class RollupSpec extends AnyFunSuite {
     }
   }
 
+  test("automatic chain: star join -> flat cube -> rollup, results agree with vanilla") {
+    import graft.cube.{CubeCatalog, TpchCube}
+    for (t <- Tables.starTables)
+      Tables.t(spark, sf, t).createOrReplaceTempView(t)
+    graft.cube.RollupCube.ensure(spark, sf)
+    val sql =
+      """SELECT c_mktsegment, l_returnflag, count(*) AS cnt,
+        |  sum(l_quantity) AS sum_qty, avg(l_extendedprice) AS avg_price,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin
+    val routed = spark.sql(sql)
+    val scansRollup = routed.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan.exists {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains("_rollup"))
+            case _ => false
+          }
+        case _ => false
+      }
+    assert(scansRollup, "expected the aggregate to be served from the rollup")
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (0 until r.length).map(i => r.get(i) match {
+        case d: Double => f"$d%.2f"
+        case v => String.valueOf(v)
+      }).mkString("|")
+    }.sorted.toSeq
+    val routedRows = rows(routed)
+    val cube = TpchCube.ensure(spark, sf)
+    CubeCatalog.unregister(cube.info.name)
+    try {
+      val vanilla = spark.sql(sql)
+      assert(rows(vanilla) == routedRows, "rollup-served results diverge")
+      assert(routedRows.nonEmpty)
+    } finally graft.cube.RollupCube.ensure(spark, sf)
+  }
+
   test("SumOfLiteralRewrite turns grouped sum(lit) into count*lit with equal results") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
     val df = Tables.t(spark, sf, "lineitem")
