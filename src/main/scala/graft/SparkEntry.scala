@@ -253,6 +253,15 @@ object SparkEntry {
            |FROM orders
            |WHERE o_orderkey <= 300
            |ORDER BY o_orderkey""".stripMargin,
+      // §4.2 Druid "search query" shape: distinct values of one dimension
+      // under a filter — the reference turns a no-agg single-dim groupBy
+      // into a search query (SearchQuerySpecTransform); ours is native
+      // distinct with pushdown
+      "q_search_distinct" ->
+        s"""SELECT DISTINCT p_brand
+           |FROM part
+           |WHERE p_name LIKE '%ol%'
+           |ORDER BY p_brand""".stripMargin,
       // §2.5 window functions (beyond reference parity; native in Spark)
       "q_window_running" ->
         s"""SELECT l_suppkey, l_orderkey, l_linenumber,
