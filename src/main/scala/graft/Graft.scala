@@ -27,10 +27,21 @@ object Graft {
     val qe = spark.sql(sql)
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution
     val cubeScans = qe.optimizedPlan.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
-          if graft.cube.CubeCatalog.cubeOfRelation(lr).isDefined =>
-        graft.cube.CubeCatalog.cubeOfRelation(lr).get.info.name
-    }
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val path = fs.location.rootPaths.headOption
+              .map(p => graft.cube.CubeCatalog.normalizePath(p.toString))
+            graft.cube.CubeCatalog.all.collectFirst {
+              case c if path.contains(graft.cube.CubeCatalog.normalizePath(c.cubePath)) =>
+                c.info.name
+              case c if c.rollup.exists(r =>
+                  path.contains(graft.cube.CubeCatalog.normalizePath(r.path))) =>
+                c.info.name + " (rollup)"
+            }
+          case _ => None
+        }
+    }.flatten
     val joins = qe.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }.size
@@ -42,6 +53,29 @@ object Graft {
        |${qe.optimizedPlan.treeString}
        |== Physical Plan ==
        |${qe.executedPlan.treeString}""".stripMargin
+  }
+
+  /** Metadata view of a registered cube: one row per cube column with its
+    * role, NDV estimate, and rollup merge column (if the pre-aggregated
+    * rollup preserves it) — the reference's metadata views
+    * (`DruidMetadataViews`, `SPLSessionCatalog.lookupRelation`) as an API.
+    */
+  def describeCube(spark: SparkSession, name: String): org.apache.spark.sql.DataFrame = {
+    val cube = graft.cube.CubeCatalog.get(name)
+      .getOrElse(throw new IllegalArgumentException(s"no cube named $name; " +
+        s"registered: ${graft.cube.CubeCatalog.all.map(_.info.name).mkString(",")}"))
+    val ru = cube.rollup
+    val rows = cube.info.columns.sortBy(_.name).map { c =>
+      val role = c.role.toString
+      val merge = ru.flatMap { r =>
+        if (r.dims.contains(c.name)) Some("group")
+        else r.sums.get(c.name).map(s => s"sum:$s")
+      }
+      (c.name, role, c.cardinality.getOrElse(-1L), merge.getOrElse(""))
+    }
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    rows.toDF("column", "role", "ndv", "rollup")
   }
 
   def install(spark: SparkSession): Unit = {

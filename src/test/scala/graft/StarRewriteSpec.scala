@@ -200,6 +200,20 @@ class StarRewriteSpec extends AnyFunSuite {
     finally CubeCatalog.register(cube)
   }
 
+  test("describeCube exposes column roles, NDV stats and rollup merges") {
+    init
+    val cube = TpchCube.ensure(spark, sf)
+    graft.cube.RollupCube.ensure(spark, sf)
+    val rows = Graft.describeCube(spark, cube.info.name).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getString(3))).toMap
+    assert(rows("l_shipdate")._1 == "Time")
+    assert(rows("l_quantity")._1 == "Metric")
+    assert(rows("c_mktsegment")._2 > 0, "dimension NDV stats should be loaded")
+    assert(rows("c_mktsegment")._3 == "group")
+    assert(rows("l_quantity")._3 == "sum:sum_qty")
+    intercept[IllegalArgumentException] { Graft.describeCube(spark, "nope") }
+  }
+
   test("explainRewrite reports cube scans and join elimination") {
     init
     TpchCube.ensure(spark, sf)
@@ -208,7 +222,7 @@ class StarRewriteSpec extends AnyFunSuite {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin)
-    assert(report.contains("cube scans: tpch_flat"))
+    assert(report.contains("cube scans: tpch_flat"), report.linesIterator.take(2).mkString("\n"))
     assert(report.contains("remaining joins: 0"))
     val vanilla = Graft.explainRewrite(spark,
       "SELECT count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey")
