@@ -111,11 +111,27 @@ object Dedup {
     * single shingle's posting list explodes.
     */
   def ngramJaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
-                           threshold: Double, shingleK: Int = 3): DataFrame = {
+                           threshold: Double, shingleK: Int = 3,
+                           maxShingleDf: Option[Int] = None): DataFrame = {
     val sh = df.select(col(idCol).as("g_id"),
       array_distinct(shingles(col(textCol), shingleK)).as("g_sh"))
-    val inv = sh.select(col("g_id"), size(col("g_sh")).as("g_sz"),
+    val invAll = sh.select(col("g_id"), size(col("g_sh")).as("g_sz"),
       explode(col("g_sh")).as("g_shingle"))
+    // Skew guard for corpus scale: drop ultra-common shingles whose posting
+    // lists would explode the self-join (one shingle shared by 1M docs is
+    // 10^12 candidate pairs). Near-duplicates share MANY shingles including
+    // rare ones, so recall loss is confined to pairs related only through
+    // boilerplate; surviving pairs keep their full set sizes, so only the
+    // common-count (and thus the reported Jaccard) of capped pairs shrinks.
+    val inv = maxShingleDf match {
+      case None => invAll
+      case Some(cap) =>
+        val rare = invAll.groupBy("g_shingle")
+          .agg(count(lit(1)).as("g_df"))
+          .filter(col("g_df") <= cap)
+          .select("g_shingle")
+        invAll.join(rare, "g_shingle")
+    }
     inv.select(col("g_shingle"), col("g_id").as("idA"), col("g_sz").as("g_szA"))
       .join(inv.select(col("g_shingle"), col("g_id").as("idB"), col("g_sz").as("g_szB")),
         "g_shingle")

@@ -75,6 +75,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"LSH missed ${exact -- lsh} / extra ${lsh -- exact}")
   }
 
+  test("ngram shingle-df cap (skew guard) keeps the true near-dup pairs") {
+    val full = Dedup.ngramJaccardDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardDupPairs(docs, "doc_id", "text", threshold = 0.8,
+        maxShingleDf = Some(50))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == full,
+      s"df-capped join lost ${full -- capped} / gained ${capped -- full}")
+  }
+
   test("simhash near-dup pairs have genuinely similar texts") {
     val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 3)
     val found = pairs.collect()
