@@ -253,6 +253,17 @@ object SparkEntry {
            |FROM orders
            |WHERE o_orderkey <= 300
            |ORDER BY o_orderkey""".stripMargin,
+      // §2.4 filtered aggregation (reference FilteredAggregationSpec —
+      // declared in its IR but never wired; native FILTER clause here)
+      "q_filtered_agg" ->
+        s"""SELECT l_returnflag,
+           |  count(*) AS cnt,
+           |  count(*) FILTER (WHERE l_quantity > 25.0) AS cnt_bulk,
+           |  ${dec("l_extendedprice")} AS sum_all,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS sum_disc
+           |FROM lineitem
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin,
       // §4.2 Druid "search query" shape: distinct values of one dimension
       // under a filter — the reference turns a no-agg single-dim groupBy
       // into a search query (SearchQuerySpecTransform); ours is native
@@ -637,6 +648,19 @@ object SparkEntry {
              |GROUP BY 1, 2, 3
              |ORDER BY 1, 2, 3""".stripMargin)
       },
+      // ---- §2.2 spatial rectangle filter (reference SpatialFilterSpec:
+      // ours = per-axis range predicates, bounds intersected pre-plan) ----
+      "q_spatial_rect" -> { (s, dir) =>
+        import graft.functions.SpatialFunctions._
+        val rect = Rect(0.0, 5000.0, 1000.0, 8000.0)
+        val narrower = Rect(500.0, 9999.0, 0.0, 7000.0)
+        Tables.flat(s, dir)
+          .filter(rectsContain(col("c_acctbal"), col("s_acctbal"),
+            Seq(rect, narrower)))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("sum_x"))
+          .orderBy("c_mktsegment")
+      },
       // dim-sliced interval scan on the cube itself ("SubQry+filters+range"
       // benchmark shape) — exercises time-bucket partition pruning
       "q_subqry_filters_range" -> { (s, dir) =>
@@ -703,6 +727,13 @@ object SparkEntry {
          |FROM olps
          |GROUP BY c_mktsegment, l_returnflag
          |ORDER BY c_mktsegment, l_returnflag""".stripMargin),
+    "q_spatial_rect" -> withFlat(
+      s"""SELECT c_mktsegment, count(*) AS cnt, ${dsumSql("c_acctbal")} AS sum_x
+         |FROM olps
+         |WHERE c_acctbal >= 500.0 AND c_acctbal < 5000.0
+         |  AND s_acctbal >= 1000.0 AND s_acctbal < 7000.0
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin),
     "q_subqry_filters_range" -> withFlat(
       s"""SELECT s_nation, count(*) AS cnt, ${dsumSql("l_quantity")} AS sum_qty
          |FROM olps
