@@ -652,9 +652,14 @@ object SparkEntry {
       // ours = per-axis range predicates, bounds intersected pre-plan) ----
       "q_spatial_rect" -> { (s, dir) =>
         import graft.functions.SpatialFunctions._
+        engine(s, dir)
         val rect = Rect(0.0, 5000.0, 1000.0, 8000.0)
         val narrower = Rect(500.0, 9999.0, 0.0, 7000.0)
-        Tables.flat(s, dir)
+        s.sql(
+          """SELECT c_mktsegment, c_acctbal, s_acctbal FROM lineitem
+            |JOIN orders ON l_orderkey = o_orderkey
+            |JOIN customer ON o_custkey = c_custkey
+            |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin)
           .filter(rectsContain(col("c_acctbal"), col("s_acctbal"),
             Seq(rect, narrower)))
           .groupBy("c_mktsegment")
