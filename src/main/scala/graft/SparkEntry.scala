@@ -619,8 +619,15 @@ object SparkEntry {
           .orderBy("l_returnflag", "l_linestatus")
       },
       "q02_basic_agg" -> { (s, dir) =>
-        // "Basic Aggregation" benchmark shape: 2 dims, count/sum/max/avg/distinct
-        Tables.flat(s, dir)
+        // "Basic Aggregation" benchmark shape: 2 dims, count/sum/max/avg/
+        // distinct — through the engine so the star join collapses to the
+        // cube scan (the reference's 13.5x headline case)
+        engine(s, dir)
+        s.sql(
+          """SELECT c_mktsegment, l_returnflag, l_extendedprice, l_quantity, o_custkey
+            |FROM lineitem
+            |JOIN orders ON l_orderkey = o_orderkey
+            |JOIN customer ON o_custkey = c_custkey""".stripMargin)
           .groupBy("c_mktsegment", "l_returnflag")
           .agg(
             count(lit(1)).as("cnt"),
