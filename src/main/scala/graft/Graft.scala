@@ -78,7 +78,20 @@ object Graft {
     rows.toDF("column", "role", "ndv", "rollup")
   }
 
+  /** The engine's time semantics are UTC throughout: `g_tbucket` is
+    * computed with session-TZ `year()/month()` at cube build, while
+    * [[graft.plans.TimeBucketPruning]] converts predicate literals to
+    * buckets in UTC ([[graft.cube.TpchCube.bucketOfMicros]]). A non-UTC
+    * session would make materialization and pruning disagree by up to a
+    * month and silently drop rows — so every engine entry point forces UTC
+    * (the reference pins a zone the same way via `spark.sparklinedata.tz.id`,
+    * `DruidPlanner.scala:73-76`).
+    */
+  def forceUtc(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
   def install(spark: SparkSession): Unit = {
+    forceUtc(spark)
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val existing = classic.experimental.extraOptimizations
     val mine = Seq(StarJoinElimination(spark), TimeBucketPruning(spark),
@@ -90,7 +103,7 @@ object Graft {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectOptimizerRule(s => StarJoinElimination(s))
+    e.injectOptimizerRule { s => Graft.forceUtc(s); StarJoinElimination(s) }
     e.injectOptimizerRule(s => TimeBucketPruning(s))
     e.injectOptimizerRule(_ => SumOfLiteralRewrite)
     e.injectOptimizerRule(s => RollupRouting(s))

@@ -43,7 +43,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The driver keys its correctness report by output FILENAME (with the
+    // .parquet extension) and looks oracle SQL up by that key — round 1's
+    // extensionless keys made every query report "no_oracle". Emit BOTH key
+    // forms so either lookup convention matches.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

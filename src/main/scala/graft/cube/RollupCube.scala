@@ -66,6 +66,24 @@ object RollupCube {
     val marker = new java.io.File(path, "_SUCCESS")
     if (!marker.exists()) {
       val flat = spark.read.parquet(cube.cubePath)
+      // Merge semantics (RollupRouting) require every rolled-up metric to be
+      // a null-free DOUBLE: avg merges as sum(sum_x)/sum(cnt) where cnt
+      // counts ALL rows, which diverges from Average's NULL-skipping if any
+      // value is NULL. Verified here, once, where we scan the table anyway.
+      val metricCols = sumMetrics.keys.toSeq.sorted
+      metricCols.foreach { c =>
+        require(flat.schema(c).dataType ==
+          org.apache.spark.sql.types.DoubleType,
+          s"rollup metric $c must be DOUBLE, got ${flat.schema(c).dataType}")
+      }
+      val nullRow = flat
+        .select(metricCols.map(c => count(when(col(c).isNull, 1)).as(c)): _*)
+        .head()
+      metricCols.zipWithIndex.foreach { case (c, i) =>
+        require(nullRow.getLong(i) == 0L,
+          s"rollup metric $c has ${nullRow.getLong(i)} NULLs; " +
+            "avg/sum merge over the rollup would be wrong")
+      }
       val sums = sumMetrics.toSeq.sortBy(_._2).map { case (src, dst) =>
         sum(col(src).cast("decimal(28,6)")).as(dst)
       }

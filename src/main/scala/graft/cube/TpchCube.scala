@@ -158,6 +158,10 @@ object TpchCube {
     * Idempotent; the parquet write happens once per scale factor.
     */
   def ensure(spark: SparkSession, sfDir: String): RegisteredCube = lock.synchronized {
+    // bucketExpr's year()/month() are session-TZ dependent on a timestamp
+    // column; the pruning side (bucketOfMicros) is fixed to UTC — force the
+    // build side to match so they can never disagree (see Graft.forceUtc).
+    graft.Graft.forceUtc(spark)
     val path = cubePath(sfDir)
     val marker = new java.io.File(path, "_SUCCESS")
     if (!marker.exists()) {

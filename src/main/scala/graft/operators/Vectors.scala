@@ -58,6 +58,20 @@ object Vectors {
     }
   }
 
+  /** `size(v)`, failing the query at runtime if the vector is wider than
+    * the plane matrix. Without this, `slice` would truncate the plane to
+    * [[MaxPlaneDim]] elements, `zip_with` would pad with NULLs, every dot
+    * would be NULL and every signature all-zero — valid-looking output
+    * that degenerates LSH bucketing into a near cross-join. `assert_true`
+    * is NULL on success, so `coalesce(cast(...), 0)` adds nothing.
+    */
+  private def checkedSize(v: Column): Column =
+    size(v) + coalesce(
+      assert_true(size(v) <= MaxPlaneDim,
+        concat(lit("embedding dimension "), size(v).cast("string"),
+          lit(s" exceeds Vectors.MaxPlaneDim=$MaxPlaneDim"))).cast("int"),
+      lit(0))
+
   /** Dot product of vector column `v` with hyperplane `plane` (0-based
     * Column index into the literal plane matrix).
     */
@@ -65,7 +79,7 @@ object Vectors {
                     nBits: Int = 32): Column = {
     val planes = typedLit(planeMatrix(nBits, seed))
     aggregate(
-      zip_with(v, slice(element_at(planes, plane.cast("int") + 1), lit(1), size(v)),
+      zip_with(v, slice(element_at(planes, plane.cast("int") + 1), lit(1), checkedSize(v)),
         (x, p) => x.cast("double") * p),
       lit(0.0), (acc, x) => acc + x)
   }
@@ -73,10 +87,11 @@ object Vectors {
   /** Random-hyperplane signature of `v`: `nBits` sign bits as an int array. */
   def rhpSignature(v: Column, nBits: Int, seed: Int): Column = {
     val planes = typedLit(planeMatrix(nBits, seed))
+    val n = checkedSize(v)
     transform(sequence(lit(0), lit(nBits - 1)),
       b => when(
         aggregate(
-          zip_with(v, slice(element_at(planes, b + 1), lit(1), size(v)),
+          zip_with(v, slice(element_at(planes, b + 1), lit(1), n),
             (x, p) => x.cast("double") * p),
           lit(0.0), (acc, x) => acc + x) >= 0, lit(1)).otherwise(lit(0)))
   }

@@ -82,19 +82,34 @@ case class RollupRouting(spark: SparkSession)
       case _ => None
     }
 
+    // Sum/Average merge semantics assume the stored rollup sums were built
+    // from a null-free double metric: a metric with NULLs breaks avg
+    // (sum(cnt) counts all rows, Average ignores NULLs) and a decimal one
+    // changes result types. Null-freedom is verified at rollup build time
+    // (RollupCube.ensure — parquet attrs are always `nullable` so it can't
+    // be checked here); the type is checked statically.
+    def isDouble(e: Expression): Boolean = e match {
+      case a: Attribute => a.dataType == DoubleType
+      case Cast(a: Attribute, _, _, _) => isDouble(a)
+      case _ => false
+    }
+
     def mergedAgg(af: AggregateFunction): Option[Expression] = af match {
-      case Count(Seq(_: Literal)) =>
+      // count(NULL) is 0 per group, not the group row count — exclude it
+      case Count(Seq(l: Literal)) if l.value != null =>
         Some(Sum(cntAttr).toAggregateExpression())
-      case s @ Sum(child, _) => metricOf(child, ru.sums).map(c =>
-        Cast(Sum(rAttr(c)).toAggregateExpression(), s.dataType))
+      case s @ Sum(child, _) if isDouble(child) =>
+        metricOf(child, ru.sums).map(c =>
+          Cast(Sum(rAttr(c)).toAggregateExpression(), s.dataType))
       case Min(child) => metricOf(child, ru.mins).map(c =>
         Min(rAttr(c)).toAggregateExpression())
       case Max(child) => metricOf(child, ru.maxs).map(c =>
         Max(rAttr(c)).toAggregateExpression())
-      case Average(child, _) => metricOf(child, ru.sums).map(c =>
-        Divide(
-          Cast(Sum(rAttr(c)).toAggregateExpression(), DoubleType),
-          Cast(Sum(cntAttr).toAggregateExpression(), DoubleType)))
+      case Average(child, _) if isDouble(child) =>
+        metricOf(child, ru.sums).map(c =>
+          Divide(
+            Cast(Sum(rAttr(c)).toAggregateExpression(), DoubleType),
+            Cast(Sum(cntAttr).toAggregateExpression(), DoubleType)))
       case _ => None
     }
 

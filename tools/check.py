@@ -30,7 +30,12 @@ def main(sf_dir: str, out_dir: str) -> int:
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    oracle_raw = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify emits each oracle under both 'name' and 'name.parquet' keys
+    # (the driver looks up by output filename); normalize + dedupe here.
+    oracle = {}
+    for k, v in oracle_raw.items():
+        oracle[k[:-len(".parquet")] if k.endswith(".parquet") else k] = v
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
