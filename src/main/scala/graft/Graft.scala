@@ -92,6 +92,7 @@ object Graft {
 
   def install(spark: SparkSession): Unit = {
     forceUtc(spark)
+    graft.functions.DateTimeCompat.register(spark)
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val existing = classic.experimental.extraOptimizations
     val mine = Seq(StarJoinElimination(spark), TimeBucketPruning(spark),
@@ -103,7 +104,10 @@ object Graft {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectOptimizerRule { s => Graft.forceUtc(s); StarJoinElimination(s) }
+    e.injectOptimizerRule { s =>
+      Graft.forceUtc(s); graft.functions.DateTimeCompat.register(s)
+      StarJoinElimination(s)
+    }
     e.injectOptimizerRule(s => TimeBucketPruning(s))
     e.injectOptimizerRule(_ => SumOfLiteralRewrite)
     e.injectOptimizerRule(s => RollupRouting(s))

@@ -307,6 +307,79 @@ object SparkEntry {
            |ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Reference-compat date-time UDF surface (§2.8/§2.11): the Spark side is
+    * written against the [[graft.functions.DateTimeCompat]] function
+    * library — the exact names the reference registers into every session
+    * and uses throughout its own test SQL — while the oracle re-states the
+    * semantics in plain DuckDB SQL. Spark text != oracle text here by
+    * necessity (DuckDB has no `dateIsBefore`), so these live outside the
+    * shared-text query objects.
+    */
+  object CompatQueries {
+    private def dec(expr: String) = s"CAST(sum(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
+
+    /** reference-style interval predicate built from the UDF algebra
+      * (`DruidRewritesCTest.scala:67`-style); constant-folds to
+      * `l_shipdate >= '1995-12-01' AND < '1996-12-01'` so time-bucket
+      * pruning fires exactly as with native literals
+      */
+    val sparkSql: Map[String, String] = Map(
+      "q_compat_datetime" ->
+        s"""SELECT CAST(year(dateTime(l_shipdate)) AS INTEGER) AS y,
+           |  CAST(monthOfYear(dateTime(l_shipdate)) AS INTEGER) AS m,
+           |  monthOfYearName(dateTime(l_shipdate)) AS mname,
+           |  count(*) AS cnt, ${dec("l_quantity")} AS sum_qty
+           |FROM lineitem
+           |WHERE dateIsAfterOrEqual(dateTime(l_shipdate),
+           |        datePlus(dateTime('1995-06-01'), period('P6M')))
+           |  AND dateIsBefore(dateTime(l_shipdate),
+           |        dateMinus(dateTime('1997-01-01'), period('P31D')))
+           |GROUP BY 1, 2, 3
+           |ORDER BY 1, 2""".stripMargin,
+      "q_compat_extractors" ->
+        s"""SELECT o_orderkey,
+           |  era(dateTime(o_orderdate)) AS e,
+           |  CAST(centuryOfEra(dateTime(o_orderdate)) AS INTEGER) AS cen,
+           |  CAST(yearOfCentury(dateTime(o_orderdate)) AS INTEGER) AS yc,
+           |  CAST(weekyear(dateTime(o_orderdate)) AS INTEGER) AS wy,
+           |  CAST(weekOfWeekyear(dateTime(o_orderdate)) AS INTEGER) AS wk,
+           |  CAST(dayOfWeek(dateTime(o_orderdate)) AS INTEGER) AS dow,
+           |  dayOfWeekName(dateTime(o_orderdate)) AS dname,
+           |  CAST(dayOfYear(dateTime(o_orderdate)) AS INTEGER) AS doy,
+           |  CAST(hourOfDay(datePlus(dateTime(o_orderdate), period('PT7H30M'))) AS INTEGER) AS h,
+           |  CAST(minuteOfHour(datePlus(dateTime(o_orderdate), period('PT7H30M'))) AS INTEGER) AS mi
+           |FROM orders
+           |WHERE o_orderkey <= 300
+           |ORDER BY o_orderkey""".stripMargin)
+
+    val oracles: Map[String, String] = Map(
+      "q_compat_datetime" ->
+        s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
+           |  CAST(month(l_shipdate) AS INTEGER) AS m,
+           |  monthname(l_shipdate) AS mname,
+           |  count(*) AS cnt, ${dec("l_quantity")} AS sum_qty
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1995-12-01'
+           |  AND l_shipdate < TIMESTAMP '1996-12-01'
+           |GROUP BY 1, 2, 3
+           |ORDER BY 1, 2""".stripMargin,
+      "q_compat_extractors" ->
+        """SELECT o_orderkey,
+          |  'AD' AS e,
+          |  CAST(year(o_orderdate) // 100 AS INTEGER) AS cen,
+          |  CAST(year(o_orderdate) % 100 AS INTEGER) AS yc,
+          |  CAST(isoyear(o_orderdate) AS INTEGER) AS wy,
+          |  CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
+          |  CAST(isodow(o_orderdate) AS INTEGER) AS dow,
+          |  dayname(o_orderdate) AS dname,
+          |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+          |  CAST(7 AS INTEGER) AS h,
+          |  CAST(30 AS INTEGER) AS mi
+          |FROM orders
+          |WHERE o_orderkey <= 300
+          |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Training-data pipeline operators (dedup / similarity / text analysis /
     * events) over the `documents`, `embeddings` and `events` tables. Where
     * the semantics are SQL-expressible the DuckDB oracle re-implements the
@@ -598,8 +671,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val sqlDriven: Map[String, (SparkSession, String) => DataFrame] =
-      (StarQueries.all ++ ScalarQueries.all).map { case (name, sql) =>
-        name -> { (s: SparkSession, dir: String) => engine(s, dir); s.sql(sql) }
+      (StarQueries.all ++ ScalarQueries.all ++ CompatQueries.sparkSql).map {
+        case (name, sql) =>
+          name -> { (s: SparkSession, dir: String) => engine(s, dir); s.sql(sql) }
       }
     sqlDriven ++ PipelineQueries.sparkQueries ++ Map[String, (SparkSession, String) => DataFrame](
       // ---- §2.4 aggregations ----------------------------------------------
@@ -690,7 +764,7 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = StarQueries.all ++ ScalarQueries.all ++
-    PipelineQueries.oracles ++ Map(
+    CompatQueries.oracles ++ PipelineQueries.oracles ++ Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,
