@@ -46,9 +46,29 @@ case class StarJoinElimination(spark: SparkSession)
     }
   }
 
-  /** One base-table scan leaf of the join tree. */
-  private case class Leaf(rel: LogicalRelation, table: String,
+  /** One base-table scan leaf of the join tree (`output` is the leaf's
+    * attribute set as seen by the surrounding plan — the relation's own
+    * output, or the `InMemoryRelation` output for a cached table).
+    */
+  private case class Leaf(output: Seq[Attribute], table: String,
                           filters: Seq[Expression])
+
+  /** Resolve a cached plan fragment to the base table it scans, seeing
+    * through aliasing and attribute-only projections — the reference's
+    * `CachedTablePattern` (`CachedTablePattern.scala:39-160`): a user who
+    * `spark.catalog.cacheTable`s a dimension must not lose the star
+    * rewrite, because cache substitution runs *before* the optimizer and
+    * replaces the scan with an `InMemoryRelation`.
+    */
+  private def cachedTableOf(cube: RegisteredCube, plan: LogicalPlan)
+      : Option[String] = plan match {
+    case SubqueryAlias(_, child) => cachedTableOf(cube, child)
+    case v: View => cachedTableOf(cube, v.child)
+    case Project(projects, child) if projects.forall(_.isInstanceOf[Attribute]) =>
+      cachedTableOf(cube, child)
+    case lr: LogicalRelation => CubeCatalog.tableOf(cube, lr)
+    case _ => None
+  }
 
   /** Flatten a [Project/Filter]*-over-Join tree into leaves + a pool of all
     * predicates (join conditions and mid-tree filters). Returns None when
@@ -58,7 +78,12 @@ case class StarJoinElimination(spark: SparkSession)
       : Option[(Seq[Leaf], Seq[Expression])] = plan match {
     case PhysicalOperation(projects, filters, lr: LogicalRelation)
         if projects.forall(_.isInstanceOf[Attribute]) =>
-      CubeCatalog.tableOf(cube, lr).map(t => (Seq(Leaf(lr, t, filters)), Nil))
+      CubeCatalog.tableOf(cube, lr).map(t => (Seq(Leaf(lr.output, t, filters)), Nil))
+    case PhysicalOperation(projects, filters,
+        imr: org.apache.spark.sql.execution.columnar.InMemoryRelation)
+        if projects.forall(_.isInstanceOf[Attribute]) =>
+      cachedTableOf(cube, imr.cacheBuilder.logicalPlan)
+        .map(t => (Seq(Leaf(imr.output, t, filters)), Nil))
     case PhysicalOperation(projects, filters, Join(l, r, Inner, cond, _))
         if projects.forall(_.isInstanceOf[Attribute]) =>
       for {
@@ -82,6 +107,10 @@ case class StarJoinElimination(spark: SparkSession)
       case lr: LogicalRelation =>
         CubeCatalog.all.exists(c =>
           CubeCatalog.tableOf(c, lr).contains(c.info.starSchema.factTable))
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        CubeCatalog.all.exists(c =>
+          cachedTableOf(c, imr.cacheBuilder.logicalPlan)
+            .contains(c.info.starSchema.factTable))
       case _ => false
     }
     if (!candidate) return None
@@ -105,7 +134,7 @@ case class StarJoinElimination(spark: SparkSession)
 
     val byExprId: Map[ExprId, Int] = (for {
       (l, i) <- leaves.zipWithIndex
-      a <- l.rel.output
+      a <- l.output
     } yield a.exprId -> i).toMap
     def ownerOf(e: Expression): Option[Int] = {
       val owners = e.references.toSeq.flatMap(a => byExprId.get(a.exprId)).distinct

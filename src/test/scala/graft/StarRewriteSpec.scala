@@ -183,6 +183,26 @@ class StarRewriteSpec extends AnyFunSuite {
       .listFiles(scans.head.partitionFilters, Nil).map(_.values).size <= 6)
   }
 
+  test("cached dimension tables still collapse (InMemoryRelation see-through)") {
+    init
+    TpchCube.ensure(spark, sf)
+    spark.catalog.cacheTable("nation")
+    spark.catalog.cacheTable("customer")
+    try {
+      differential(
+        """SELECT n_name AS nation, sum(l_extendedprice) AS revenue
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE n_name IN ('NATION_3', 'NATION_7')
+          |GROUP BY n_name""".stripMargin, expectRewrite = true)
+    } finally {
+      spark.catalog.uncacheTable("nation")
+      spark.catalog.uncacheTable("customer")
+    }
+  }
+
   test("cardinality gate refuses rewrites whose grouped result explodes") {
     init
     val cube = TpchCube.ensure(spark, sf)
