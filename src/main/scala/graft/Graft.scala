@@ -93,6 +93,7 @@ object Graft {
   def install(spark: SparkSession): Unit = {
     forceUtc(spark)
     graft.functions.DateTimeCompat.register(spark)
+    org.apache.spark.sql.graft.KmvSketch.register(spark)
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val existing = classic.experimental.extraOptimizations
     val mine = Seq(StarJoinElimination(spark), TimeBucketPruning(spark),
@@ -106,6 +107,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule { s =>
       Graft.forceUtc(s); graft.functions.DateTimeCompat.register(s)
+      org.apache.spark.sql.graft.KmvSketch.register(s)
       StarJoinElimination(s)
     }
     e.injectOptimizerRule(s => TimeBucketPruning(s))

@@ -604,6 +604,15 @@ object SparkEntry {
             Seq(RollupCube.merge.cnt, RollupCube.merge.customers))
           .orderBy("c_mktsegment")
       },
+      // merged KMV (theta-style) sketches: distinct count served from
+      // pre-aggregated sketch unions — exact below the sketch's k, so this
+      // one has a real count(DISTINCT) oracle
+      "q_rollup_theta" -> { (s, dir) =>
+        import graft.cube.RollupCube
+        RollupCube.reaggregate(s, dir, Seq("c_mktsegment"),
+            Seq(RollupCube.merge.cnt, RollupCube.merge.customersTheta))
+          .orderBy("c_mktsegment")
+      },
       // multimodal decode plumbing (stub codec — deterministic, rows-only)
       "q_multimodal_decode" -> { (s, dir) =>
         import graft.operators.Multimodal
@@ -747,6 +756,20 @@ object SparkEntry {
           .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("sum_x"))
           .orderBy("c_mktsegment")
       },
+      // §2.4 approximate count-distinct over a KMV (theta-style) sketch —
+      // k > NDV at test scale, so the estimate is exact and oracle-checked
+      // against true count(DISTINCT); accuracy beyond k is spec-tested
+      "q_theta_distinct" -> { (s, dir) =>
+        engine(s, dir)
+        s.sql(
+          """SELECT l_returnflag,
+            |  kmv_distinct(l_partkey) AS nd_part,
+            |  kmv_distinct(l_suppkey) AS nd_supp,
+            |  count(*) AS cnt
+            |FROM lineitem
+            |GROUP BY l_returnflag
+            |ORDER BY l_returnflag""".stripMargin)
+      },
       // dim-sliced interval scan on the cube itself ("SubQry+filters+range"
       // benchmark shape) — exercises time-bucket partition pruning
       "q_subqry_filters_range" -> { (s, dir) =>
@@ -813,6 +836,20 @@ object SparkEntry {
          |FROM olps
          |GROUP BY c_mktsegment, l_returnflag
          |ORDER BY c_mktsegment, l_returnflag""".stripMargin),
+    "q_theta_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_part,
+        |  count(DISTINCT l_suppkey) AS nd_supp,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_rollup_theta" -> withFlat(
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM olps
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin),
     "q_spatial_rect" -> withFlat(
       s"""SELECT c_mktsegment, count(*) AS cnt, ${dsumSql("c_acctbal")} AS sum_x
          |FROM olps

@@ -41,8 +41,8 @@ object RollupCube {
 
   def rollupPath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    // v2: adds min_/max_ metric columns
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_v2"
+    // v3: adds the custkey_kmv theta-style sketch column
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_v3"
   }
 
   def meta(sfDir: String): RollupMeta = RollupMeta(
@@ -91,7 +91,10 @@ object RollupCube {
       val maxs = maxMetrics.toSeq.sortBy(_._2).map { case (src, dst) => max(col(src)).as(dst) }
       flat.groupBy((col("g_tbucket") +: dims.map(col)): _*)
         .agg(count(lit(1)).as("cnt"),
-          (sums ++ mins ++ maxs :+ hll_sketch_agg(col("o_custkey")).as("custkey_hll")): _*)
+          (sums ++ mins ++ maxs
+            :+ hll_sketch_agg(col("o_custkey")).as("custkey_hll")
+            :+ org.apache.spark.sql.graft.KmvSketch
+                .kmvSketch(col("o_custkey")).as("custkey_kmv")): _*)
         .repartition(col("g_tbucket"))
         .write.mode("overwrite").partitionBy("g_tbucket").parquet(path)
     }
@@ -129,5 +132,12 @@ object RollupCube {
     /** Approximate distinct customers from merged HLL sketches. */
     def customers: Column =
       hll_sketch_estimate(hll_union_agg(col("custkey_hll"))).as("n_cust_approx")
+    /** Distinct customers from merged KMV (theta-style) sketches — exact
+      * whenever the true distinct count is below the sketch's k, so unlike
+      * the HLL column this one is DuckDB-oracle-testable at small SF.
+      */
+    def customersTheta: Column =
+      org.apache.spark.sql.graft.KmvSketch
+        .kmvMergeEstimate(col("custkey_kmv")).as("n_cust")
   }
 }
