@@ -72,6 +72,27 @@ object Dedup {
       .groupBy("idA", "idB").agg(first("sim").as("sim"))
   }
 
+  /** Distinct unordered id pairs per bucket, expanded positionally (i < j)
+    * inside each bucket's collected id list. One shuffle; the upstream
+    * bucket-producing subtree is evaluated ONCE (a self-equi-join would
+    * recompute it per join side), and a bucket of d ids costs d(d-1)/2
+    * rows instead of a d x d join. Buckets at corpus scale must be bounded
+    * (LSH bucket sizes are, given a sane banding scheme; degenerate inputs
+    * — e.g. millions of empty documents hashing identically — should be
+    * filtered upstream).
+    */
+  private def bucketPairs(bucketed: DataFrame, keyCols: Seq[String],
+                          idCol: String): DataFrame =
+    bucketed.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("g_ids"))
+      .filter(size(col("g_ids")) >= 2)
+      .select(explode(let1(col("g_ids")) { ids =>
+        flatten(transform(ids, (a, i) =>
+          transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
+            b => struct(least(a, b).as("idA"), greatest(a, b).as("idB")))))
+      }).as("g_p"))
+      .select("g_p.*").distinct()
+
   /** MinHash-LSH near-duplicate pairs, verified with the *exact* shingle
     * Jaccard (computed distributively from the candidate pairs only).
     * Output: (idA, idB, jaccard) with jaccard >= threshold.
@@ -79,8 +100,21 @@ object Dedup {
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, shingleK: Int = 3, bands: Int = 16,
                       rowsPerBand: Int = 4): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleK, bands, rowsPerBand)
-      .select("idA", "idB")
+    val numHashes = bands * rowsPerBand
+    // candidate generation needs only (band, bucket, id): signatures are
+    // computed once and dropped before the shuffle
+    val banded = df.select(
+        col(idCol).as("g_id"),
+        minhashSignature(col(textCol), shingleK, numHashes).as("g_sig"))
+      .select(col("g_id"),
+        explode(let1(col("g_sig")) { s =>
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(concat_ws(",",
+              transform(slice(s, b * rowsPerBand + 1, lit(rowsPerBand)),
+                x => x.cast("string")), b.cast("string"))))
+        }).as("g_bucket"))
+    val cands = bucketPairs(banded, Seq("g_bucket"), "g_id")
     val sh = df.select(col(idCol).as("g_id"),
       array_distinct(shingles(col(textCol), shingleK)).as("g_sh"))
     cands
@@ -113,31 +147,49 @@ object Dedup {
   def ngramJaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
                            threshold: Double, shingleK: Int = 3,
                            maxShingleDf: Option[Int] = None): DataFrame = {
+    // Shingles travel as xxhash64 longs, not strings: an 8-byte fixed-width
+    // shuffle key instead of a ~30-byte string. Identical output barring a
+    // 64-bit hash collision between two distinct shingles of one document
+    // pair (probability ~ (shingles/doc)^2 / 2^64 — negligible even at
+    // billions of documents).
     val sh = df.select(col(idCol).as("g_id"),
       array_distinct(shingles(col(textCol), shingleK)).as("g_sh"))
-    val invAll = sh.select(col("g_id"), size(col("g_sh")).as("g_sz"),
-      explode(col("g_sh")).as("g_shingle"))
+    val inv = sh.select(col("g_id"), size(col("g_sh")).as("g_sz"),
+      explode(col("g_sh")).as("g_shingle0"))
+      .select(col("g_id"), col("g_sz"), xxhash64(col("g_shingle0")).as("g_shingle"))
+    // One shuffle builds the posting list per shingle; pairs are expanded
+    // positionally (i < j) INSIDE each list, so the tokenize+shingle subtree
+    // is evaluated once (a self-join would recompute it per side) and a
+    // shingle shared by d docs costs d(d-1)/2 rows, not a d x d join.
     // Skew guard for corpus scale: drop ultra-common shingles whose posting
-    // lists would explode the self-join (one shingle shared by 1M docs is
-    // 10^12 candidate pairs). Near-duplicates share MANY shingles including
-    // rare ones, so recall loss is confined to pairs related only through
-    // boilerplate; surviving pairs keep their full set sizes, so only the
-    // common-count (and thus the reported Jaccard) of capped pairs shrinks.
-    val inv = maxShingleDf match {
-      case None => invAll
-      case Some(cap) =>
-        val rare = invAll.groupBy("g_shingle")
-          .agg(count(lit(1)).as("g_df"))
-          .filter(col("g_df") <= cap)
-          .select("g_shingle")
-        invAll.join(rare, "g_shingle")
+    // lists would explode (one shingle shared by 1M docs is 10^12 candidate
+    // pairs — and an unbounded in-memory list). Near-duplicates share MANY
+    // shingles including rare ones, so recall loss is confined to pairs
+    // related only through boilerplate; surviving pairs keep their full set
+    // sizes, so only the common-count (and thus the reported Jaccard) of
+    // capped pairs shrinks.
+    val postings = inv.groupBy("g_shingle")
+      .agg(collect_list(struct(col("g_id"), col("g_sz"))).as("g_docs"))
+    val capped = maxShingleDf match {
+      case None      => postings
+      case Some(cap) => postings.filter(size(col("g_docs")) <= cap)
     }
-    inv.select(col("g_shingle"), col("g_id").as("idA"), col("g_sz").as("g_szA"))
-      .join(inv.select(col("g_shingle"), col("g_id").as("idB"), col("g_sz").as("g_szB")),
-        "g_shingle")
-      .filter(col("idA") < col("idB") &&
-        least(col("g_szA"), col("g_szB")).cast("double") >=
-          greatest(col("g_szA"), col("g_szB")) * threshold)
+    val pairs = capped
+      .filter(size(col("g_docs")) >= 2)
+      .select(explode(let1(col("g_docs")) { docs =>
+        flatten(transform(docs, (a, i) =>
+          transform(slice(docs, i + 2, greatest(size(docs) - i - 1, lit(0))),
+            b => when(a("g_id") < b("g_id"),
+                   struct(a("g_id").as("idA"), b("g_id").as("idB"),
+                     a("g_sz").as("g_szA"), b("g_sz").as("g_szB")))
+                 .otherwise(
+                   struct(b("g_id").as("idA"), a("g_id").as("idB"),
+                     b("g_sz").as("g_szA"), a("g_sz").as("g_szB"))))))
+      }).as("g_p"))
+      .select("g_p.*")
+    pairs
+      .filter(least(col("g_szA"), col("g_szB")).cast("double") >=
+        greatest(col("g_szA"), col("g_szB")) * threshold)
       .groupBy("idA", "idB", "g_szA", "g_szB")
       .agg(count(lit(1)).as("g_common"))
       .select(col("idA"), col("idB"),
@@ -188,19 +240,16 @@ object Dedup {
     val vecs = df.select(col(idCol).as("g_id"), col(vecCol).as("g_vec"))
     val sig = vecs.withColumn("g_bits",
       Vectors.rhpSignature(col("g_vec"), nBits, seed))
-    val banded = sig.select(col("g_id"), col("g_vec"),
-      posexplode(let1(col("g_bits")) { bits =>
+    val banded = sig.select(col("g_id"),
+      explode(let1(col("g_bits")) { bits =>
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
             transform(slice(bits, b * rowsPerBand + 1, lit(rowsPerBand)),
               x => x.cast("string")), b.cast("string"))))
-      }).as(Seq("g_band", "g_bucket")))
-    // distinct id pairs first (cheap), vectors re-attached only to survivors
-    val l = banded.select(col("g_band"), col("g_bucket"), col("g_id").as("idA"))
-    val r = banded.select(col("g_band"), col("g_bucket"), col("g_id").as("idB"))
-    val cands = l.join(r, Seq("g_band", "g_bucket"))
-      .filter(col("idA") < col("idB"))
-      .select("idA", "idB").distinct()
+      }).as("g_bucket"))
+    // distinct id pairs from in-bucket expansion (signatures computed once,
+    // dropped before the shuffle); vectors re-attached only to survivors
+    val cands = bucketPairs(banded, Seq("g_bucket"), "g_id")
     cands
       .join(vecs.select(col("g_id").as("idA"), col("g_vec").as("g_vecA")), "idA")
       .join(vecs.select(col("g_id").as("idB"), col("g_vec").as("g_vecB")), "idB")

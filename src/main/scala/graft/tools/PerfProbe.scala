@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time one SparkEntry query repeatedly.
+  * Usage: runMain graft.tools.PerfProbe <queryName> [sfDir] [reps]
+  */
+object PerfProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.install(spark)
+    graft.cube.TpchCube.ensure(spark, sfDir)
+    graft.cube.RollupCube.ensure(spark, sfDir)
+    graft.Tables.t(spark, sfDir, "lineitem").count()
+    val fn = graft.SparkEntry.queries(name)
+    for (i <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[probe] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    }
+    spark.stop()
+  }
+}
