@@ -24,7 +24,11 @@ final case class RollupMeta(
     countColumn: String,
     sums: Map[String, String],
     mins: Map[String, String],
-    maxs: Map[String, String])
+    maxs: Map[String, String],
+    /** source column -> stored KMV sketch column (distinct-count serving) */
+    kmvSketches: Map[String, String] = Map.empty,
+    /** k of the stored KMV sketches */
+    kmvK: Int = org.apache.spark.sql.graft.KmvSketch.DefaultK)
 
 final case class RegisteredCube(
     info: CubeInfo,

@@ -39,10 +39,17 @@ object RollupCube {
   val minMetrics: Map[String, String] = sumMetrics.map { case (s, d) => s -> ("min_" + d.stripPrefix("sum_")) }
   val maxMetrics: Map[String, String] = sumMetrics.map { case (s, d) => s -> ("max_" + d.stripPrefix("sum_")) }
 
+  /** k of the stored custkey KMV sketch. Sized so the sketch stays EXACT
+    * (never saturates) well past the bench scale factors: storage grows
+    * with the true per-group distinct count, not with k, so a generous k
+    * costs nothing until groups actually hold ~64k distinct customers.
+    */
+  val kmvK: Int = 65536
+
   def rollupPath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    // v3: adds the custkey_kmv theta-style sketch column
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_v3"
+    // v4: custkey_kmv sketch at k=65536
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_v4"
   }
 
   def meta(sfDir: String): RollupMeta = RollupMeta(
@@ -52,7 +59,9 @@ object RollupCube {
     countColumn = "cnt",
     sums = sumMetrics,
     mins = minMetrics,
-    maxs = maxMetrics)
+    maxs = maxMetrics,
+    kmvSketches = Map("o_custkey" -> "custkey_kmv"),
+    kmvK = kmvK)
 
   private val lock = new Object
 
@@ -94,7 +103,7 @@ object RollupCube {
           (sums ++ mins ++ maxs
             :+ hll_sketch_agg(col("o_custkey")).as("custkey_hll")
             :+ org.apache.spark.sql.graft.KmvSketch
-                .kmvSketch(col("o_custkey")).as("custkey_kmv")): _*)
+                .kmvSketch(col("o_custkey"), kmvK).as("custkey_kmv")): _*)
         .repartition(col("g_tbucket"))
         .write.mode("overwrite").partitionBy("g_tbucket").parquet(path)
     }
@@ -138,6 +147,6 @@ object RollupCube {
       */
     def customersTheta: Column =
       org.apache.spark.sql.graft.KmvSketch
-        .kmvMergeEstimate(col("custkey_kmv")).as("n_cust")
+        .kmvMergeEstimate(col("custkey_kmv"), kmvK).as("n_cust")
   }
 }

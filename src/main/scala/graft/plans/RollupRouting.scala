@@ -113,15 +113,55 @@ case class RollupRouting(spark: SparkSession)
       case _ => None
     }
 
+    /** `count(DISTINCT dim)` from the stored KMV sketch union — only when
+      * the cube's NDV statistics prove the sketch cannot have saturated
+      * (global NDV * 2 <= k ⇒ every sketch and every union holds all its
+      * hashes ⇒ the "estimate" is the exact distinct count). The reference
+      * serves this approximately behind an opt-in (`pushHLLTODruid`,
+      * `AggregateTransform.scala:454-479`); the stats gate makes ours a
+      * lossless rewrite, so it needs no flag. Beyond the gate the rewrite
+      * simply doesn't fire and the distinct count runs exactly on the cube.
+      */
+    def mergedDistinct(af: AggregateFunction): Option[Expression] = af match {
+      case Count(Seq(a: Attribute)) =>
+        for {
+          sketchCol <- ru.kmvSketches.get(nameOf(a))
+          sk <- rAttr.get(sketchCol.toLowerCase)
+          ndv <- cube.info.columns
+            .find(_.name.equalsIgnoreCase(nameOf(a))).flatMap(_.cardinality)
+          if ndv * 2 <= ru.kmvK
+        } yield org.apache.spark.sql.graft.KmvSketch
+          .KmvMergeEstimate(sk, ru.kmvK).toAggregateExpression()
+      case _ => None
+    }
+
+    def mergeAggExpr(ae: AggregateExpression): Option[Expression] =
+      if (ae.filter.nonEmpty) None
+      else if (ae.isDistinct) mergedDistinct(ae.aggregateFunction)
+      else mergedAgg(ae.aggregateFunction)
+
+    /** Rewrite an aggregate-list expression: embedded aggregates merge per
+      * [[mergeAggExpr]]; bare attribute references must be grouping
+      * dimensions; literals and arithmetic over the above pass through
+      * (the reference's post-aggregation surface, `DruidQuerySpec.scala:
+      * 379-430` — e.g. `sum(x)/count(*)` or a double-cast decimal sum).
+      */
+    def mergeBody(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => mergeAggExpr(ae)
+      case a: Attribute => if (servable(nameOf(a))) Some(rAttr(nameOf(a))) else None
+      case l: Literal => Some(l)
+      case other if other.children.nonEmpty =>
+        val kids = other.children.map(mergeBody)
+        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
+        else None
+      case _ => None
+    }
+
     val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: Attribute if servable(nameOf(a)) =>
         Alias(rAttr(nameOf(a)), a.name)(exprId = a.exprId)
-      case al @ Alias(ae: AggregateExpression, name)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        val merged = mergedAgg(ae.aggregateFunction).getOrElse(return None)
-        Alias(merged, name)(exprId = al.exprId)
-      case al @ Alias(a: Attribute, name) if servable(nameOf(a)) =>
-        Alias(rAttr(nameOf(a)), name)(exprId = al.exprId)
+      case al @ Alias(body, name) =>
+        Alias(mergeBody(body).getOrElse(return None), name)(exprId = al.exprId)
       case _ => return None
     }
 

@@ -192,7 +192,7 @@ object KmvSketch {
   def kmvSketch(c: Column, k: Int = DefaultK): Column =
     ExpressionUtils.column(
       KmvSketchAgg(ExpressionUtils.expression(c), checkK(k)).toAggregateExpression())
-  def kmvMergeEstimate(c: Column): Column =
+  def kmvMergeEstimate(c: Column, k: Int = DefaultK): Column =
     ExpressionUtils.column(
-      KmvMergeEstimate(ExpressionUtils.expression(c)).toAggregateExpression())
+      KmvMergeEstimate(ExpressionUtils.expression(c), checkK(k)).toAggregateExpression())
 }

@@ -115,6 +115,58 @@ class RollupSpec extends AnyFunSuite {
     } finally graft.cube.RollupCube.ensure(spark, sf)
   }
 
+  test("count(DISTINCT) serves from the KMV sketch when NDV stats prove exactness") {
+    import graft.cube.{CubeCatalog, TpchCube}
+    for (t <- Tables.starTables)
+      Tables.t(spark, sf, t).createOrReplaceTempView(t)
+    graft.cube.RollupCube.ensure(spark, sf)
+    // the q02 "Basic Aggregation" shape: post-agg arithmetic + distinct
+    val sql =
+      """SELECT c_mktsegment, l_returnflag, count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+        |  max(l_quantity) AS max_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin
+    def scansRollup(df: org.apache.spark.sql.DataFrame) =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.optimizedPlan.exists {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(_.toString.contains("_rollup"))
+              case _ => false
+            }
+          case _ => false
+        }
+    val routed = spark.sql(sql)
+    assert(scansRollup(routed),
+      "count-distinct aggregate should be served from the rollup sketch")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    val routedRows = rows(routed)
+    val cube = TpchCube.ensure(spark, sf)
+    CubeCatalog.unregister(cube.info.name)
+    try {
+      val vanilla = spark.sql(sql)
+      // EXACT equality, doubles included: the decimal merge and the sketch
+      // union must be bit-identical to direct aggregation, not approximate
+      assert(rows(vanilla) == routedRows, "sketch-served distinct diverges")
+      assert(routedRows.nonEmpty)
+    } finally graft.cube.RollupCube.ensure(spark, sf)
+
+    // gate: a column with no sketch must NOT route
+    val noSketch = spark.sql(
+      """SELECT c_mktsegment, count(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin)
+    assert(!scansRollup(noSketch), "unsketchable distinct must stay on the cube")
+  }
+
   test("SumOfLiteralRewrite turns grouped sum(lit) into count*lit with equal results") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
     val df = Tables.t(spark, sf, "lineitem")
