@@ -93,6 +93,33 @@ object SparkEntry {
          |GROUP BY 1
          |ORDER BY 1""".stripMargin
 
+    /** Non-aggregate select-detail over the star join (the reference's
+      * `nonAggregateQueryHandling=push_project_and_filters` select-query
+      * path, `DefaultSource.scala:252-260`): Project+Filter collapse onto
+      * the cube scan with no Aggregate on top.
+      */
+    val q_select_push: String =
+      s"""SELECT l_orderkey, l_linenumber, p_name, s_name, l_quantity
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE p_brand = 'Brand#19' AND l_quantity > 40.0
+         |ORDER BY l_orderkey, l_linenumber
+         |LIMIT 50""".stripMargin
+
+    /** Semi/anti-join shapes (IN / NOT EXISTS subqueries). The reference
+      * leaves non-inner joins to Spark (`JoinTransform.scala:307` matches
+      * Inner only); ours run natively as Left{Semi,Anti} hash joins.
+      */
+    val q_semi_anti: String =
+      s"""SELECT c_mktsegment, count(*) AS cnt
+         |FROM customer
+         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin
+
     val q10_returned_items: String =
       s"""SELECT c_custkey, c_name,
          |  ${dec("l_extendedprice * (1.0 - l_discount)")} AS revenue,
@@ -124,6 +151,8 @@ object SparkEntry {
       "q06_forecast_revenue"  -> q06_forecast_revenue,
       "q08_market_share"      -> q08_market_share,
       "q10_returned_items"    -> q10_returned_items,
+      "q_select_push"         -> q_select_push,
+      "q_semi_anti"           -> q_semi_anti,
       "q_ship_date_range"     -> ship_date_range)
   }
 

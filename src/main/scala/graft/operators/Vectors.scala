@@ -84,17 +84,15 @@ object Vectors {
       lit(0.0), (acc, x) => acc + x)
   }
 
-  /** Random-hyperplane signature of `v`: `nBits` sign bits as an int array. */
-  def rhpSignature(v: Column, nBits: Int, seed: Int): Column = {
-    val planes = typedLit(planeMatrix(nBits, seed))
-    val n = checkedSize(v)
-    transform(sequence(lit(0), lit(nBits - 1)),
-      b => when(
-        aggregate(
-          zip_with(v, slice(element_at(planes, b + 1), lit(1), n),
-            (x, p) => x.cast("double") * p),
-          lit(0.0), (acc, x) => acc + x) >= 0, lit(1)).otherwise(lit(0)))
-  }
+  /** Random-hyperplane signature of `v`: `nBits` sign bits as an int array.
+    * Served by the native single-pass expression
+    * ([[org.apache.spark.sql.graft.VectorExprs.RhpSignatureExpr]]); the
+    * plane values derive from the same splitmix64 formula as
+    * [[planeMatrix]], so signatures are identical to the composed
+    * higher-order-function form (which [[hyperplaneDot]] still uses).
+    */
+  def rhpSignature(v: Column, nBits: Int, seed: Int): Column =
+    org.apache.spark.sql.graft.VectorExprs.rhpSignature(v, nBits, seed)
 
   /** Pack a bit array (little-endian) into a single long. */
   def packBits(bits: Column): Column =

@@ -1,0 +1,76 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native random-hyperplane signature for embedding LSH.
+  *
+  * The composed higher-order-function form evaluates `nBits` independent
+  * `aggregate(zip_with(...))` passes per row — each re-walking the vector
+  * and boxing every element. This expression computes all `nBits` plane
+  * dots in ONE pass over the primitive float array, deriving plane
+  * components from the same splitmix64 formula as
+  * `graft.operators.Vectors.planeMatrix`, so signatures are bit-identical
+  * to the composed version (same values, same index-order double
+  * accumulation) while the plan carries no 8k-element plane literal at all.
+  */
+object VectorExprs {
+
+  val MaxPlaneDim = 256
+
+  /** splitmix64 plane component — MUST match Vectors.planeMatrix. */
+  @inline private def plane(seed: Int, b: Int, d: Int): Double = {
+    var z = seed.toLong * 0x100000001L + b.toLong * 65537L + d + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    ((z ^ (z >>> 31)).toDouble / 9.223372036854776e18) / 2.0
+  }
+
+  case class RhpSignatureExpr(child: Expression, nBits: Int, seed: Int)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "rhp_signature"
+
+    private lazy val elemIsFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      require(n <= MaxPlaneDim,
+        s"embedding dimension $n exceeds MaxPlaneDim=$MaxPlaneDim")
+      val v = new Array[Double](n)
+      var d = 0
+      while (d < n) {
+        v(d) = if (elemIsFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+        d += 1
+      }
+      val bits = new Array[Int](nBits)
+      var b = 0
+      while (b < nBits) {
+        var acc = 0.0
+        d = 0
+        while (d < n) { acc += v(d) * plane(seed, b, d); d += 1 }
+        bits(b) = if (acc >= 0) 1 else 0
+        b += 1
+      }
+      new GenericArrayData(bits)
+    }
+
+    override protected def withNewChildInternal(c: Expression): RhpSignatureExpr =
+      copy(child = c)
+  }
+
+  def rhpSignature(v: Column, nBits: Int, seed: Int): Column =
+    ExpressionUtils.column(
+      RhpSignatureExpr(ExpressionUtils.expression(v), nBits, seed))
+}

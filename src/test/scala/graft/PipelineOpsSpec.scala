@@ -51,6 +51,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fps(0) != fps(2))
   }
 
+  test("native rhp signature agrees with the composed hyperplane dots") {
+    val nBits = 16
+    val sig = embs.limit(20).select(col("vec_id"),
+      Vectors.rhpSignature(col("embedding"), nBits, seed = 42).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val dots = embs.limit(20).select(col("vec_id") +:
+        (0 until nBits).map(b =>
+          Vectors.hyperplaneDot(col("embedding"), lit(b), seed = 42, nBits).as(s"d$b")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to nBits).map(i => if (r.getDouble(i) >= 0) 1 else 0)).toMap
+    assert(sig.keySet == dots.keySet)
+    for ((id, bits) <- sig) assert(bits == dots(id), s"vec $id signature mismatch")
+  }
+
   test("exact dedup keeps the min-id row per duplicate group") {
     val df = spark.createDataFrame(Seq(
       (5L, "aaa"), (2L, "aaa"), (3L, "bbb"), (9L, "aaa"))).toDF("id", "t")
