@@ -35,7 +35,7 @@ object Graft {
             graft.cube.CubeCatalog.all.collectFirst {
               case c if path.contains(graft.cube.CubeCatalog.normalizePath(c.cubePath)) =>
                 c.info.name
-              case c if c.rollup.exists(r =>
+              case c if c.rollups.exists(r =>
                   path.contains(graft.cube.CubeCatalog.normalizePath(r.path))) =>
                 c.info.name + " (rollup)"
             }

@@ -25,15 +25,21 @@ object SparkEntry {
 
   /** Install the engine into the session and register base tables + cube.
     * (`events` is excluded: its nanosecond timestamps need the dedicated
-    * reader in the streaming layer, not a plain view.)
+    * reader in the streaming layer, not a plain view.) Idempotent and
+    * cached per (session, dir) — queries call it unconditionally.
     */
-  private def engine(s: SparkSession, dir: String): Unit = {
-    Graft.install(s)
-    for (t <- Tables.starTables ++ Seq("documents", "embeddings"))
-      Tables.t(s, dir, t).createOrReplaceTempView(t)
-    TpchCube.ensure(s, dir)
-    graft.cube.RollupCube.ensure(s, dir)
-  }
+  private val engineReady =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+
+  private def engine(s: SparkSession, dir: String): Unit =
+    engineReady.getOrElseUpdate((s, dir), {
+      Graft.install(s)
+      for (t <- Tables.starTables ++ Seq("documents", "embeddings"))
+        Tables.t(s, dir, t).createOrReplaceTempView(t)
+      TpchCube.ensure(s, dir)
+      graft.cube.RollupCube.ensure(s, dir)
+      true
+    })
 
   /** Portable SQL (runs verbatim on Spark and DuckDB). */
   object StarQueries {

@@ -23,8 +23,16 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  // schema inference (footer reads + file listing) costs ~10-30ms per
+  // parquet table; queries re-resolve the same handful of tables over and
+  // over, so the analyzed DataFrames are cached per (session, path).
+  // Testdata paths are immutable, so entries never go stale.
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(path(sfDir, name))
+    tableCache.getOrElseUpdate((spark, path(sfDir, name)),
+      spark.read.parquet(path(sfDir, name)))
 
   /** The `events` table, whose parquet `ts` is TIMESTAMP(NANOS) — a type
     * Spark refuses by default. Read nanos as long and truncate to a

@@ -34,11 +34,16 @@ final case class RegisteredCube(
     info: CubeInfo,
     cubePath: String,
     tablePaths: Map[String, String],
-    rollup: Option[RollupMeta] = None) {
+    /** pre-aggregated rollups, coarsest (smallest) first — routing tries
+      * them in order, the OLAP-lattice walk
+      */
+    rollups: Seq[RollupMeta] = Nil) {
 
   private val pathToTable: Map[String, String] = tablePaths.map(_.swap)
 
   def tableForPath(path: String): Option[String] = pathToTable.get(path)
+
+  def rollup: Option[RollupMeta] = rollups.lastOption
 }
 
 object CubeCatalog {
@@ -78,17 +83,33 @@ object CubeCatalog {
       case _ => None
     }
 
+  /** Analyzed scan plans are cached per path — building one costs a
+    * parquet file listing + footer schema inference, and the rewrite rules
+    * ask for one on every matching plan node. Each caller still gets fresh
+    * expression ids (`newInstance`), so one query can host several
+    * rewrites without attribute collisions. Invalidation: paths are
+    * immutable once materialized (versioned directory names), so entries
+    * never go stale.
+    */
+  private val planCache = TrieMap.empty[String, LogicalPlan]
+
+  private def analyzedScan(spark: SparkSession, path: String): LogicalPlan = {
+    val base = planCache.getOrElseUpdate(path, {
+      val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      classic.read.parquet(path).queryExecution.analyzed
+    })
+    base.transform {
+      case lr: LogicalRelation => lr.newInstance()
+    }
+  }
+
   /** A fresh logical plan over the materialized cube (new expression ids per
     * call, so one query can host several rewrites).
     */
-  def cubePlan(spark: SparkSession, cube: RegisteredCube): LogicalPlan = {
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    classic.read.parquet(cube.cubePath).queryExecution.analyzed
-  }
+  def cubePlan(spark: SparkSession, cube: RegisteredCube): LogicalPlan =
+    analyzedScan(spark, cube.cubePath)
 
   /** A fresh logical plan over a cube's rollup table. */
-  def rollupPlan(spark: SparkSession, rollup: RollupMeta): LogicalPlan = {
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    classic.read.parquet(rollup.path).queryExecution.analyzed
-  }
+  def rollupPlan(spark: SparkSession, rollup: RollupMeta): LogicalPlan =
+    analyzedScan(spark, rollup.path)
 }

@@ -46,10 +46,18 @@ object RollupCube {
     */
   val kmvK: Int = 65536
 
+  /** Coarse-rollup dimensions — the lattice node above [[dims]]. */
+  val coarseDims: Seq[String] = Seq("c_mktsegment", "l_returnflag")
+
   def rollupPath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
     // v4: custkey_kmv sketch at k=65536
     s"/root/repo/target/cubes/tpch_${sf}_rollup_v4"
+  }
+
+  def coarsePath(sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_coarse_v1"
   }
 
   def meta(sfDir: String): RollupMeta = RollupMeta(
@@ -62,6 +70,9 @@ object RollupCube {
     maxs = maxMetrics,
     kmvSketches = Map("o_custkey" -> "custkey_kmv"),
     kmvK = kmvK)
+
+  def coarseMeta(sfDir: String): RollupMeta =
+    meta(sfDir).copy(path = coarsePath(sfDir), dims = coarseDims)
 
   private val lock = new Object
 
@@ -107,7 +118,27 @@ object RollupCube {
         .repartition(col("g_tbucket"))
         .write.mode("overwrite").partitionBy("g_tbucket").parquet(path)
     }
-    CubeCatalog.register(cube.copy(rollup = Some(meta(sfDir))))
+    // Cascade: the coarse lattice node is re-aggregated FROM the fine
+    // rollup, never from the fact table — every stored metric is mergeable
+    // (decimal sums re-sum, min/max nest, count sums, HLL and KMV sketches
+    // union), so the cascade is exactly what a 100 TB build does: one pass
+    // over the facts, then pennies per extra lattice node.
+    val cPath = coarsePath(sfDir)
+    if (!new java.io.File(cPath, "_SUCCESS").exists()) {
+      val fine = spark.read.parquet(path)
+      val sumAgg = sumMetrics.values.toSeq.sorted.map(c => sum(col(c)).as(c))
+      val minAgg = minMetrics.values.toSeq.sorted.map(c => min(col(c)).as(c))
+      val maxAgg = maxMetrics.values.toSeq.sorted.map(c => max(col(c)).as(c))
+      fine.groupBy((col("g_tbucket") +: coarseDims.map(col)): _*)
+        .agg(sum(col("cnt")).as("cnt"),
+          (sumAgg ++ minAgg ++ maxAgg
+            :+ hll_union_agg(col("custkey_hll")).as("custkey_hll")
+            :+ org.apache.spark.sql.graft.KmvSketch
+                .kmvUnion(col("custkey_kmv"), kmvK).as("custkey_kmv")): _*)
+        .repartition(1)
+        .write.mode("overwrite").partitionBy("g_tbucket").parquet(cPath)
+    }
+    CubeCatalog.register(cube.copy(rollups = Seq(coarseMeta(sfDir), meta(sfDir))))
     path
   }
 

@@ -31,6 +31,11 @@ object TpchCube {
     (ldt.getYear - 1970) * 12 + ldt.getMonthValue - 1
   }
 
+  /** Epoch micros of the first instant of bucket `b` (UTC month start). */
+  def monthStartMicros(b: Int): Long =
+    java.time.LocalDate.of(1970, 1, 1).plusMonths(b.toLong).toEpochDay *
+      86400L * 1000000L
+
   val starSchema: StarSchema = StarSchema(
     factTable = "lineitem",
     relations = Seq(
@@ -179,8 +184,8 @@ object TpchCube {
       name = s"${CubeName}_$sf",
       columns = info.columns.map(c => c.copy(cardinality = stats.get(c.name))))
     // preserve rollup metadata attached by RollupCube.ensure
-    val existingRollup = CubeCatalog.get(withStats.name).flatMap(_.rollup)
-    val cube = RegisteredCube(withStats, path, tablePaths, existingRollup)
+    val existingRollups = CubeCatalog.get(withStats.name).map(_.rollups).getOrElse(Nil)
+    val cube = RegisteredCube(withStats, path, tablePaths, existingRollups)
     CubeCatalog.register(cube)
     cube
   }

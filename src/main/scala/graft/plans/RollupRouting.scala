@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.planning.PhysicalOperation
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
 import graft.cube.{CubeCatalog, RegisteredCube, RollupMeta}
 
@@ -49,27 +49,43 @@ case class RollupRouting(spark: SparkSession)
       case _ => return None
     }
     val cube: RegisteredCube = CubeCatalog.cubeOfRelation(lr).getOrElse(return None)
-    val ru: RollupMeta = cube.rollup.getOrElse(return None)
+    if (cube.rollups.isEmpty) return None
+    // lattice walk: coarsest (smallest) rollup that can serve wins
+    cube.rollups.view.flatMap(ru => serveFrom(agg, projects, filters, cube, ru))
+      .headOption
+  }
+
+  private def serveFrom(agg: Aggregate, projects: Seq[NamedExpression],
+                        filters: Seq[Expression], cube: RegisteredCube,
+                        ru: RollupMeta): Option[LogicalPlan] = {
 
     // attr (by exprId) -> underlying cube column name, through one alias hop
-    val colName: Map[ExprId, String] = projects.map {
-      case a: Attribute           => a.exprId -> a.name.toLowerCase
+    val colName: Map[ExprId, String] = projects.collect {
+      case a: Attribute                => a.exprId -> a.name.toLowerCase
       case al @ Alias(u: Attribute, _) => al.exprId -> u.name.toLowerCase
-      case _ => return None
     }.toMap
     def nameOf(a: Attribute): String = colName.getOrElse(a.exprId, a.name.toLowerCase)
 
-    val servable: Set[String] = (ru.dims :+ ru.timeBucketColumn).map(_.toLowerCase).toSet
-    if (!filters.forall(_.references.forall(a => servable(nameOf(a))))) return None
-    val groupNames = agg.groupingExpressions.map {
-      case a: Attribute if servable(nameOf(a)) => nameOf(a)
-      case _ => return None
+    // Complex project aliases (e.g. the `_groupingexpression#N` columns the
+    // analyzer's PullOutGroupingExpressions extracts for non-trivial
+    // grouping keys) are inlined back into the referencing expressions, so
+    // the translation below sees the real `date_trunc(...)`/`year(...)`
+    // trees over scan attributes.
+    val aliasExpr: Map[ExprId, Expression] = projects.collect {
+      case al @ Alias(e, _) if !e.isInstanceOf[Attribute] => al.exprId -> e
+    }.toMap
+    def inline(e: Expression): Expression = e.transformUp {
+      case a: Attribute if aliasExpr.contains(a.exprId) => aliasExpr(a.exprId)
     }
+
+    val servable: Set[String] = (ru.dims :+ ru.timeBucketColumn).map(_.toLowerCase).toSet
 
     val rollupPlan = CubeCatalog.rollupPlan(spark, ru)
     val rAttr: Map[String, Attribute] =
       rollupPlan.output.map(a => a.name.toLowerCase -> a).toMap
     val cntAttr = rAttr(ru.countColumn)
+    val bucketAttr = rAttr(ru.timeBucketColumn.toLowerCase)
+    val timeColL = cube.info.timeColumn.toLowerCase
 
     // safe: filter references were checked servable, and servable ⊆ rAttr
     def substitute(e: Expression): Expression = e.transformUp {
@@ -140,14 +156,62 @@ case class RollupRouting(spark: SparkSession)
       else if (ae.isDistinct) mergedDistinct(ae.aggregateFunction)
       else mergedAgg(ae.aggregateFunction)
 
-    /** Rewrite an aggregate-list expression: embedded aggregates merge per
-      * [[mergeAggExpr]]; bare attribute references must be grouping
-      * dimensions; literals and arithmetic over the above pass through
-      * (the reference's post-aggregation surface, `DruidQuerySpec.scala:
-      * 379-430` — e.g. `sum(x)/count(*)` or a double-cast decimal sum).
+    // ---- time granularity over the bucket column (reference
+    // `GranularitySpec`, `DruidQuerySpec.scala:140-150`, served from a
+    // rolled-up index): month-or-coarser truncations and field extractions
+    // of the time dimension are pure functions of `g_tbucket`
+    // (months-since-epoch, UTC), so time-bucketed aggregates group the
+    // small rollup instead of the fact table. All arithmetic is
+    // floor-based, valid for negative (pre-1970) buckets too.
+    def isTimeRef(e: Expression): Boolean = e match {
+      case a: Attribute     => nameOf(a) == timeColL
+      case Cast(u, _, _, _) => isTimeRef(u)
+      case _                => false
+    }
+    // date_trunc unit -> months per group (month=1, quarter=3, year=12)
+    def monthsOf(fmt: Any): Option[Int] = String.valueOf(fmt).toLowerCase match {
+      case "month" | "mon" | "mm"  => Some(1)
+      case "quarter"               => Some(3)
+      case "year" | "yyyy" | "yy"  => Some(12)
+      case _                       => None
+    }
+    val epochDate = Literal(0, DateType)
+    def bucketFloor(n: Int): Expression =
+      if (n == 1) bucketAttr
+      else Subtract(bucketAttr, Pmod(bucketAttr, Literal(n)))
+    // floorDiv(b, n) with exact division after subtracting pmod
+    def floorDiv(e: Expression, n: Int): Expression =
+      Cast(IntegralDivide(Cast(Subtract(e, Pmod(e, Literal(n))), LongType),
+        Literal(n.toLong)), IntegerType)
+    // constructed post-analysis: timezone-aware nodes need the zone set
+    // explicitly (ResolveTimeZone has already run); the session is UTC
+    val tzId = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    def timeGrouping(e: Expression): Option[Expression] = e match {
+      case TruncTimestamp(f: Literal, t, _) if isTimeRef(t) =>
+        monthsOf(f.value).map(n =>
+          Cast(AddMonths(epochDate, bucketFloor(n)), TimestampType, tzId))
+      case TruncDate(t, f: Literal) if isTimeRef(t) =>
+        monthsOf(f.value).map(n => AddMonths(epochDate, bucketFloor(n)))
+      case Year(t) if isTimeRef(t) =>
+        Some(Add(Literal(1970), floorDiv(bucketAttr, 12)))
+      case Quarter(t) if isTimeRef(t) =>
+        Some(Add(floorDiv(Pmod(bucketAttr, Literal(12)), 3), Literal(1)))
+      case Month(t) if isTimeRef(t) =>
+        Some(Add(Pmod(bucketAttr, Literal(12)), Literal(1)))
+      case _ => None
+    }
+
+    /** Rewrite an aggregate-list or grouping expression: embedded
+      * aggregates merge per [[mergeAggExpr]]; bare attribute references
+      * must be grouping dimensions; month-granularity time expressions
+      * derive from the bucket column; literals and arithmetic over the
+      * above pass through (the reference's post-aggregation surface,
+      * `DruidQuerySpec.scala:379-430` — e.g. `sum(x)/count(*)` or a
+      * double-cast decimal sum).
       */
     def mergeBody(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression => mergeAggExpr(ae)
+      case _ if timeGrouping(e).isDefined => timeGrouping(e)
       case a: Attribute => if (servable(nameOf(a))) Some(rAttr(nameOf(a))) else None
       case l: Literal => Some(l)
       case other if other.children.nonEmpty =>
@@ -157,17 +221,58 @@ case class RollupRouting(spark: SparkSession)
       case _ => None
     }
 
+    // Filters: dimension predicates substitute directly; time-column
+    // comparisons translate to bucket predicates ONLY when the literal sits
+    // exactly on a month boundary (otherwise the rollup cannot answer the
+    // query and the whole route is refused). Mirrors the reference's
+    // interval-to-segment alignment.
+    def litMicros(l: Literal): Option[Long] = l.dataType match {
+      case TimestampType | TimestampNTZType => Some(l.value.asInstanceOf[Long])
+      case DateType => Some(l.value.asInstanceOf[Int].toLong * 86400000000L)
+      case _        => None
+    }
+    def alignedBucket(us: Long): Option[Int] = {
+      val b = graft.cube.TpchCube.bucketOfMicros(us)
+      if (graft.cube.TpchCube.monthStartMicros(b) == us) Some(b) else None
+    }
+    def timeFilter(c: Expression): Option[Expression] = {
+      def geq(l: Literal) = litMicros(l).flatMap(alignedBucket)
+        .map(b => GreaterThanOrEqual(bucketAttr, Literal(b)))
+      def lt(l: Literal) = litMicros(l).flatMap(alignedBucket)
+        .map(b => LessThan(bucketAttr, Literal(b)))
+      c match {
+        case GreaterThanOrEqual(t, l: Literal) if isTimeRef(t) => geq(l)
+        case LessThan(t, l: Literal) if isTimeRef(t)           => lt(l)
+        case LessThanOrEqual(l: Literal, t) if isTimeRef(t)    => geq(l)
+        case GreaterThan(l: Literal, t) if isTimeRef(t)        => lt(l)
+        // the bucket expression is null-preserving (year/month of NULL is
+        // NULL), so time-NULL rows are exactly the bucket-NULL rollup rows
+        case IsNotNull(t) if isTimeRef(t) => Some(IsNotNull(bucketAttr))
+        case _ => None
+      }
+    }
+
+    val newGrouping: Seq[Expression] =
+      agg.groupingExpressions.map(g => mergeBody(inline(g)).getOrElse(return None))
+
     val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: Attribute if servable(nameOf(a)) =>
         Alias(rAttr(nameOf(a)), a.name)(exprId = a.exprId)
+      case a: Attribute if aliasExpr.contains(a.exprId) =>
+        Alias(mergeBody(inline(a)).getOrElse(return None), a.name)(exprId = a.exprId)
       case al @ Alias(body, name) =>
-        Alias(mergeBody(body).getOrElse(return None), name)(exprId = al.exprId)
+        Alias(mergeBody(inline(body)).getOrElse(return None), name)(exprId = al.exprId)
       case _ => return None
     }
 
+    val newFilters: Seq[Expression] = filters.map(inline).map { c =>
+      if (c.references.forall(a => servable(nameOf(a)))) substitute(c)
+      else timeFilter(c).getOrElse(return None)
+    }
+
     val newChild: LogicalPlan =
-      if (filters.isEmpty) rollupPlan
-      else Filter(filters.map(substitute).reduce(And), rollupPlan)
-    Some(Aggregate(groupNames.map(rAttr), newAggExprs, newChild))
+      if (newFilters.isEmpty) rollupPlan
+      else Filter(newFilters.reduce(And), rollupPlan)
+    Some(Aggregate(newGrouping, newAggExprs, newChild))
   }
 }

@@ -165,6 +165,28 @@ object KmvSketch {
     require(k >= 16, s"kmv sketch needs k >= 16, got $k"); k
   }
 
+  /** `kmv_union(sketchCol)` — union stored sketches → sketch bytes (for
+    * cascading one rollup into a coarser one).
+    */
+  case class KmvUnionAgg(child: Expression, k: Int = DefaultK,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends KmvAgg {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "kmv_union"
+    override def update(b: Buffer, row: InternalRow): Buffer = {
+      val v = child.eval(row)
+      if (v != null) b.merge(KmvSketch.deserialize(v.asInstanceOf[Array[Byte]]))
+      b
+    }
+    override def eval(b: Buffer): Any = b.serialize
+    override def withNewMutableAggBufferOffset(o: Int): KmvUnionAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KmvUnionAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvUnionAgg =
+      copy(child = c.head)
+  }
+
   private def kArg(name: String, args: Seq[Expression]): Int = args match {
     case Seq(_) => DefaultK
     case Seq(_, l) if l.foldable && l.dataType == IntegerType =>
@@ -183,6 +205,8 @@ object KmvSketch {
       args => KmvSketchAgg(args.head, kArg("kmv_sketch", args)), "built-in")
     registry.createOrReplaceTempFunction("kmv_merge_estimate",
       args => KmvMergeEstimate(args.head, kArg("kmv_merge_estimate", args)), "built-in")
+    registry.createOrReplaceTempFunction("kmv_union",
+      args => KmvUnionAgg(args.head, kArg("kmv_union", args)), "built-in")
   }
 
   // ---- Column API (for DataFrame callers and the rollup builder) ----
@@ -195,4 +219,7 @@ object KmvSketch {
   def kmvMergeEstimate(c: Column, k: Int = DefaultK): Column =
     ExpressionUtils.column(
       KmvMergeEstimate(ExpressionUtils.expression(c), checkK(k)).toAggregateExpression())
+  def kmvUnion(c: Column, k: Int = DefaultK): Column =
+    ExpressionUtils.column(
+      KmvUnionAgg(ExpressionUtils.expression(c), checkK(k)).toAggregateExpression())
 }

@@ -167,6 +167,62 @@ class RollupSpec extends AnyFunSuite {
     assert(!scansRollup(noSketch), "unsketchable distinct must stay on the cube")
   }
 
+  test("time-granularity aggregates serve from the rollup bucket column") {
+    import graft.cube.{CubeCatalog, TpchCube}
+    for (t <- Tables.starTables)
+      Tables.t(spark, sf, t).createOrReplaceTempView(t)
+    graft.cube.RollupCube.ensure(spark, sf)
+    def scansRollup(df: org.apache.spark.sql.DataFrame) =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.optimizedPlan.exists {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(_.toString.contains("_rollup"))
+              case _ => false
+            }
+          case _ => false
+        }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+
+    // month truncation + aligned interval + extraction functions, with a
+    // dimension grouping and decimal sum in the mix
+    val sql =
+      """SELECT date_trunc('month', l_shipdate) AS mon,
+        |  CAST(year(l_shipdate) AS INTEGER) AS y,
+        |  CAST(quarter(l_shipdate) AS INTEGER) AS q,
+        |  CAST(month(l_shipdate) AS INTEGER) AS m,
+        |  l_returnflag, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= timestamp'1996-01-01' AND l_shipdate < timestamp'1996-07-01'
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin
+    val routed = spark.sql(sql)
+    assert(scansRollup(routed), "granularity aggregate should serve from the rollup")
+    val routedRows = rows(routed)
+    val cube = TpchCube.ensure(spark, sf)
+    CubeCatalog.unregister(cube.info.name)
+    try {
+      assert(rows(spark.sql(sql)) == routedRows, "granularity serving diverges")
+      assert(routedRows.nonEmpty)
+    } finally graft.cube.RollupCube.ensure(spark, sf)
+
+    // an interval NOT on a month boundary must refuse the rollup (a partial
+    // month cannot be answered from month-grain pre-aggregates)
+    val unaligned = spark.sql(
+      """SELECT date_trunc('month', l_shipdate) AS mon, count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= timestamp'1996-01-15'
+        |GROUP BY 1""".stripMargin)
+    assert(!scansRollup(unaligned), "unaligned interval must not use the rollup")
+
+    // day-granularity grouping is finer than the bucket: refuse
+    val daily = spark.sql(
+      """SELECT date_trunc('day', l_shipdate) AS d, count(*) AS cnt
+        |FROM lineitem GROUP BY 1""".stripMargin)
+    assert(!scansRollup(daily), "day granularity must not use the rollup")
+  }
+
   test("SumOfLiteralRewrite turns grouped sum(lit) into count*lit with equal results") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
     val df = Tables.t(spark, sf, "lineitem")
