@@ -116,7 +116,8 @@ object Dedup {
         }).as("g_bucket"))
     val cands = bucketPairs(banded, Seq("g_bucket"), "g_id")
     val sh = df.select(col(idCol).as("g_id"),
-      array_distinct(shingles(col(textCol), shingleK)).as("g_sh"))
+      org.apache.spark.sql.graft.NativeTextExprs
+        .shingleHashSet(tokens(col(textCol)), shingleK).as("g_sh"))
     cands
       .join(sh.select(col("g_id").as("idA"), col("g_sh").as("g_shA")), "idA")
       .join(sh.select(col("g_id").as("idB"), col("g_sh").as("g_shB")), "idB")
@@ -148,15 +149,16 @@ object Dedup {
                            threshold: Double, shingleK: Int = 3,
                            maxShingleDf: Option[Int] = None): DataFrame = {
     // Shingles travel as xxhash64 longs, not strings: an 8-byte fixed-width
-    // shuffle key instead of a ~30-byte string. Identical output barring a
-    // 64-bit hash collision between two distinct shingles of one document
-    // pair (probability ~ (shingles/doc)^2 / 2^64 — negligible even at
-    // billions of documents).
+    // shuffle key instead of a ~30-byte string, produced by the single-pass
+    // native expression with zero string materialization. Identical output
+    // barring a 64-bit hash collision between two distinct shingles of one
+    // document pair (probability ~ (shingles/doc)^2 / 2^64 — negligible
+    // even at billions of documents).
     val sh = df.select(col(idCol).as("g_id"),
-      array_distinct(shingles(col(textCol), shingleK)).as("g_sh"))
+      org.apache.spark.sql.graft.NativeTextExprs
+        .shingleHashSet(tokens(col(textCol)), shingleK).as("g_sh"))
     val inv = sh.select(col("g_id"), size(col("g_sh")).as("g_sz"),
-      explode(col("g_sh")).as("g_shingle0"))
-      .select(col("g_id"), col("g_sz"), xxhash64(col("g_shingle0")).as("g_shingle"))
+      explode(col("g_sh")).as("g_shingle"))
     // One shuffle builds the posting list per shingle; pairs are expanded
     // positionally (i < j) INSIDE each list, so the tokenize+shingle subtree
     // is evaluated once (a self-join would recompute it per side) and a

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, LongType, StringType}
@@ -109,9 +109,63 @@ object NativeTextExprs {
       copy(child = newChild)
   }
 
+  /** Distinct hashed word-`k`-shingles of a token array, as longs — the
+    * shuffle-ready form of the shingle set. Window hashes chain the
+    * per-token xxhash64 values (k fold steps per window, order-sensitive)
+    * instead of materializing the joined shingle string, so a document
+    * costs n token hashes + n*k long mixes and ZERO string allocation.
+    * Set semantics match the string shingle set barring 64-bit collisions
+    * within one document pair (~(shingles/doc)^2 / 2^64 — negligible).
+    * Same windowing as `TextFunctions.shingles`: n <= k tokens form one
+    * whole-text shingle; empty input yields an empty array.
+    */
+  case class ShingleHashSetExpr(child: Expression, k: Int)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hash_set"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return new GenericArrayData(Array.empty[Long])
+      val th = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        th(i) = if (s == null) Seed else XxHash64Function.hash(s, StringType, Seed)
+        i += 1
+      }
+      val width = if (n <= k) n else k
+      val out = new java.util.HashSet[java.lang.Long]()
+      var start = 0
+      val last = n - width
+      while (start <= last) {
+        var h = Seed
+        var j = 0
+        while (j < width) { h = XxHash64Function.hash(th(start + j), LongType, h); j += 1 }
+        out.add(h)
+        start += 1
+      }
+      val res = new Array[Long](out.size)
+      val it = out.iterator()
+      i = 0
+      while (it.hasNext) { res(i) = it.next(); i += 1 }
+      new GenericArrayData(res)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def minhashSignature(shingleArray: Column, numHashes: Int): Column =
     ExpressionUtils.column(
       MinHashSignatureExpr(ExpressionUtils.expression(shingleArray), numHashes))
+
+  def shingleHashSet(tokenArray: Column, k: Int): Column =
+    ExpressionUtils.column(
+      ShingleHashSetExpr(ExpressionUtils.expression(tokenArray), k))
 
   def simhash64(tokenArray: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(tokenArray)))
