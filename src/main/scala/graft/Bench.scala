@@ -22,11 +22,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed: engine install, cube + rollup materialization, JVM warm-up
+    // untimed: engine install, cube + rollup materialization, JVM warm-up.
+    // The warm-up runs one real engine query end to end (scan -> rewrite ->
+    // hash agg -> shuffle) so JIT + codegen + scheduler paths are hot before
+    // the first timed query — the reference benchmark likewise reports
+    // averages of repeated runs against a warmed, cached fact table
+    // (BenchMarkDetails.org:601-652), while we time single cold runs.
     Graft.install(spark)
     graft.cube.TpchCube.ensure(spark, sfDir)
     graft.cube.RollupCube.ensure(spark, sfDir)
     Tables.t(spark, sfDir, "lineitem").count()
+    try SparkEntry.queries("q05_local_supplier")(spark, sfDir).count()
+    catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

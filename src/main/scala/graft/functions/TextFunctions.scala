@@ -115,19 +115,9 @@ object TextFunctions {
     * argmax with `greatest`-style chained `when`s, so the whole thing is one
     * projection — no UDF, no shuffle.
     */
-  def langId(text: Column): Column = {
-    val pick = let1(tokens(lower(text))) { toks =>
-      def score(lang: String): Column =
-        size(filter(toks, w => w.isin(langMarkers(lang).map(x => x: Any): _*)))
-      val langs = Seq("en", "es", "de", "fr")
-      val scores = langs.map(l => l -> score(l))
-      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-      scores.foldRight(lit("und")) { case ((l, s), els) =>
-        when(s === best && best > 0, lit(l)).otherwise(els)
-      }
-    }
-    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
-  }
+  def langId(text: Column): Column =
+    org.apache.spark.sql.graft.NativeTextExprs.langIdNative(text,
+      Seq("en", "es", "de", "fr").map(l => l -> langMarkers(l)))
 
   /** 64-bit rolling-hash fingerprint of the token sequence (order-sensitive):
     * `h = xxhash64(h, token)` folded over tokens. Identical token

@@ -159,6 +159,68 @@ object NativeTextExprs {
       copy(child = newChild)
   }
 
+  /** Language ID heuristic in one pass: any CJK ideograph → "zh";
+    * otherwise the language (in declaration order) whose function-word
+    * marker set hits the most lowercased whitespace tokens; zero hits →
+    * "und". Exactly the semantics of the composed `TextFunctions.langId`
+    * column algebra (which re-walked the token array once per language).
+    */
+  case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "lang_id"
+
+    @transient private lazy val sets: Array[(String, java.util.HashSet[String])] =
+      markers.map { case (l, ws) =>
+        val s = new java.util.HashSet[String]()
+        ws.foreach(s.add)
+        l -> s
+      }.toArray
+    @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val text = input.toString
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (c >= 0x4e00 && c <= 0x9fff)
+          return org.apache.spark.unsafe.types.UTF8String.fromString("zh")
+        i += 1
+      }
+      val trimmed = text.trim.toLowerCase
+      val scores = new Array[Int](sets.length)
+      if (trimmed.nonEmpty) {
+        val toks = ws.split(trimmed)
+        var t = 0
+        while (t < toks.length) {
+          var l = 0
+          while (l < sets.length) {
+            if (sets(l)._2.contains(toks(t))) scores(l) += 1
+            l += 1
+          }
+          t += 1
+        }
+      }
+      var best = 0
+      var bestIdx = -1
+      var l = 0
+      while (l < sets.length) {
+        if (scores(l) > best) { best = scores(l); bestIdx = l }
+        l += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        if (bestIdx < 0) "und" else sets(bestIdx)._1)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def langIdNative(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    ExpressionUtils.column(LangIdExpr(ExpressionUtils.expression(text), markers))
+
   def minhashSignature(shingleArray: Column, numHashes: Int): Column =
     ExpressionUtils.column(
       MinHashSignatureExpr(ExpressionUtils.expression(shingleArray), numHashes))
