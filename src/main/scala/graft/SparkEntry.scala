@@ -371,6 +371,15 @@ object SparkEntry {
            |        dateMinus(dateTime('1997-01-01'), period('P31D')))
            |GROUP BY 1, 2, 3
            |ORDER BY 1, 2""".stripMargin,
+      // §2.2 RegexFilterSpec / StringContainsSpec surface (rlike + contains;
+      // DuckDB spells them regexp_matches/contains, hence the split text)
+      "q_filters_regex" ->
+        s"""SELECT p_brand, count(*) AS cnt
+           |FROM part
+           |WHERE p_type RLIKE '^(SM|MED).*M$$'
+           |   OR (contains(p_name, 'bolt') AND p_size >= 20)
+           |GROUP BY p_brand
+           |ORDER BY p_brand""".stripMargin,
       "q_compat_extractors" ->
         s"""SELECT o_orderkey,
            |  era(dateTime(o_orderdate)) AS e,
@@ -398,6 +407,13 @@ object SparkEntry {
            |  AND l_shipdate < TIMESTAMP '1996-12-01'
            |GROUP BY 1, 2, 3
            |ORDER BY 1, 2""".stripMargin,
+      "q_filters_regex" ->
+        s"""SELECT p_brand, count(*) AS cnt
+           |FROM part
+           |WHERE regexp_matches(p_type, '^(SM|MED).*M$$')
+           |   OR (contains(p_name, 'bolt') AND p_size >= 20)
+           |GROUP BY p_brand
+           |ORDER BY p_brand""".stripMargin,
       "q_compat_extractors" ->
         """SELECT o_orderkey,
           |  'AD' AS e,
@@ -603,6 +619,18 @@ object SparkEntry {
             dsum(col("value")).as("total_value"))
           .drop("g_sess")
           .orderBy("user_id", "start_ms")
+      },
+      // video frame sampling: flatMap fan-out per blob (stub codec,
+      // deterministic -> rows-only gate on shape + stability)
+      "q_multimodal_frames" -> { (s, dir) =>
+        import graft.operators.Multimodal
+        implicit val sp: SparkSession = s
+        Multimodal.sampleFrames(Multimodal.demoBlobs(s, dir), n = 4).toDF()
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_frames"),
+            max(col("ptsMs")).as("max_pts"),
+            sum(length(col("bytes"))).cast("long").as("payload_bytes"))
+          .orderBy("media_id")
       },
       // the fully automatic chain: the optimizer collapses the star join to
       // the flat cube (StarJoinElimination), then serves the aggregate from

@@ -40,6 +40,13 @@ case class StarJoinElimination(spark: SparkSession)
     plan.transformDown {
       case p @ Project(_, child) if p.getTagValue(gateRefusedTag).isEmpty =>
         rewrite(child, p.references, None).map(c => p.copy(child = c)).getOrElse(p)
+      // grouping sets / cube / rollup arrive as Aggregate over Expand
+      // (reference: one Druid query per Expand projection,
+      // `AggregateTransform.scala:98-167`; ours: ONE cube scan feeding the
+      // native Expand, no per-projection re-scan)
+      case a @ Aggregate(_, _, e: Expand, _) if a.getTagValue(gateRefusedTag).isEmpty =>
+        rewrite(e.child, e.references, Some(a.groupingExpressions))
+          .map(c => a.copy(child = e.copy(child = c))).getOrElse(a)
       case a: Aggregate if a.getTagValue(gateRefusedTag).isEmpty =>
         rewrite(a.child, a.references, Some(a.groupingExpressions))
           .map(c => a.copy(child = c)).getOrElse(a)

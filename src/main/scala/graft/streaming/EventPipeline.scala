@@ -106,6 +106,19 @@ object EventPipeline {
       .drop("g_sess")
   }
 
+  /** Streaming exact deduplication: drop events whose content fingerprint
+    * was already seen within the watermark horizon. `dropDuplicates` keeps
+    * one state row per distinct key and the watermark bounds state size —
+    * the streaming twin of [[graft.operators.Dedup.exactDedup]], and the
+    * ingestion-time guard a training-data pipeline puts in front of the
+    * corpus store. Works identically on a batch DataFrame (global dedup).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keyCols)
+
   /** Continuous ingest of event files into a time-bucketed cube layout:
     * readStream → derive the partition column → writeStream partitioned
     * parquet with checkpointing. The streaming analog of

@@ -183,6 +183,17 @@ class StarRewriteSpec extends AnyFunSuite {
       .listFiles(scans.head.partitionFilters, Nil).map(_.values).size <= 6)
   }
 
+  test("grouping sets / cube over a star join collapse to one cube scan") {
+    differential(
+      """SELECT l_returnflag, c_mktsegment, count(*) AS cnt,
+        |       sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(l_returnflag, c_mktsegment)""".stripMargin,
+      expectRewrite = true)
+  }
+
   test("cached dimension tables still collapse (InMemoryRelation see-through)") {
     init
     TpchCube.ensure(spark, sf)

@@ -77,6 +77,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated fingerprints, matches batch dedup") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    // duplicate (user_id, value) payloads across distinct event ids
+    val events = Seq(
+      Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 1, "click", 1.0),
+      Event(3, ts(3), 2, "view", 2.0), Event(4, ts(4), 2, "view", 2.0),
+      Event(5, ts(5), 2, "view", 3.0))
+    val keys = Seq("user_id", "event_type", "value")
+
+    val stream = MemoryStream[Event]
+    val q = EventPipeline.dedupStream(stream.toDF(), keys)
+      .writeStream.format("memory").queryName("dds")
+      .outputMode("append").start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, event_type, value FROM dds").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      val want = EventPipeline.dedupStream(events.toDF(), keys)
+        .select("user_id", "event_type", "value").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == want)
+      assert(got.size == 3)
+    } finally q.stop()
+  }
+
   test("sessionizeBatch on the events table produces sane sessions") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
