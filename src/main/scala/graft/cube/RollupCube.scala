@@ -150,7 +150,13 @@ object RollupCube {
                   groupCols: Seq[String], aggs: Seq[Column]): DataFrame = {
     require(groupCols.forall(c => dims.contains(c) || c == "g_tbucket"),
       s"rollup serves only ${dims.mkString(",")}; got ${groupCols.mkString(",")}")
-    spark.read.parquet(ensure(spark, sfDir))
+    ensure(spark, sfDir)
+    // lattice walk: serve from the coarse rollup when its dims suffice
+    val path =
+      if (groupCols.forall(c => coarseDims.contains(c) || c == "g_tbucket"))
+        coarsePath(sfDir)
+      else rollupPath(sfDir)
+    spark.read.parquet(path)
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
