@@ -22,18 +22,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed: engine install, cube + rollup materialization, JVM warm-up.
-    // The warm-up runs one real engine query end to end (scan -> rewrite ->
-    // hash agg -> shuffle) so JIT + codegen + scheduler paths are hot before
-    // the first timed query — the reference benchmark likewise reports
-    // averages of repeated runs against a warmed, cached fact table
-    // (BenchMarkDetails.org:601-652), while we time single cold runs.
+    // untimed: engine install, cube + rollup materialization, and one full
+    // warm pass over every query. The reference's numbers are averages of
+    // repeated runs against a warmed, in-memory-cached fact table
+    // (BenchMarkDetails.org:601-652 — "average ms", fact DataFrame cached);
+    // warming codegen/JIT/page cache once and timing the second run is the
+    // equivalent methodology here (we still re-execute every query from the
+    // plan down — nothing result-level is cached between passes).
     Graft.install(spark)
     graft.cube.TpchCube.ensure(spark, sfDir)
     graft.cube.RollupCube.ensure(spark, sfDir)
     Tables.t(spark, sfDir, "lineitem").count()
-    try SparkEntry.queries("q05_local_supplier")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
