@@ -113,5 +113,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => TimeBucketPruning(s))
     e.injectOptimizerRule(_ => SumOfLiteralRewrite)
     e.injectOptimizerRule(s => RollupRouting(s))
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }

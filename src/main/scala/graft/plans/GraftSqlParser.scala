@@ -1,0 +1,84 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** SQL command entry points, as a parser extension — the reference's
+  * `SPLParser` (`hive/sparklinedata/SparklineDataParser.scala:42-124`)
+  * re-expressed on `SparkSessionExtensions.injectParser`:
+  *
+  *   - `EXPLAIN GRAFT REWRITE <sql>`  — the cube-rewrite report
+  *     (reference `ExplainDruidRewrite`)
+  *   - `SHOW GRAFT CUBES`             — registered cubes + their lattices
+  *     (reference metadata views)
+  *   - `DESCRIBE GRAFT CUBE <name>`   — per-column roles/NDV/rollup merges
+  *
+  * Anything else delegates verbatim to Spark's own parser.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val ExplainRe =
+    "(?is)\\s*EXPLAIN\\s+GRAFT\\s+REWRITE\\s+(.+)".r
+  private val ShowRe =
+    "(?is)\\s*SHOW\\s+GRAFT\\s+CUBES\\s*;?\\s*".r
+  private val DescRe =
+    "(?is)\\s*DESCRIBE\\s+GRAFT\\s+CUBE\\s+([\\w.]+)\\s*;?\\s*".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case ExplainRe(inner) => ExplainGraftRewriteCommand(inner.trim.stripSuffix(";"))
+    case ShowRe()         => ShowGraftCubesCommand()
+    case DescRe(name)     => DescribeGraftCubeCommand(name)
+    case _                => delegate.parsePlan(sqlText)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+case class ExplainGraftRewriteCommand(sql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("plan", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.Graft.explainRewrite(spark, sql).linesIterator.map(Row(_)).toSeq
+}
+
+case class ShowGraftCubesCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cube", StringType, nullable = false)(),
+    AttributeReference("fact_table", StringType, nullable = false)(),
+    AttributeReference("time_column", StringType, nullable = false)(),
+    AttributeReference("cube_path", StringType, nullable = false)(),
+    AttributeReference("rollups", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.cube.CubeCatalog.all.sortBy(_.info.name).map { c =>
+      Row(c.info.name, c.info.starSchema.factTable, c.info.timeColumn,
+        c.cubePath,
+        c.rollups.map(r => s"${r.dims.mkString("+")}@${r.path}").mkString("; "))
+    }
+}
+
+case class DescribeGraftCubeCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    DataTypeUtils.toAttributes(StructType.fromDDL(
+      "column STRING, role STRING, ndv BIGINT, rollup STRING"))
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.Graft.describeCube(spark, name).collect().toSeq
+}

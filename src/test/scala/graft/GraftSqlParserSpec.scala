@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{DescribeGraftCubeCommand, ExplainGraftRewriteCommand, GraftSqlParser, ShowGraftCubesCommand}
+
+/** The SQL command surface (reference `SPLParser` commands re-expressed on
+  * `injectParser`). The parser is exercised directly against the session's
+  * own parser as delegate — `GraftExtensions` wires the same class into
+  * sessions built with `withExtensions`.
+  */
+class GraftSqlParserSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val parser = new GraftSqlParser(
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser)
+
+  private def init(): Unit = {
+    for (t <- Tables.starTables)
+      Tables.t(spark, sf, t).createOrReplaceTempView(t)
+    graft.cube.TpchCube.ensure(spark, sf)
+  }
+
+  test("EXPLAIN GRAFT REWRITE parses and reports the cube rewrite") {
+    init()
+    val plan = parser.parsePlan(
+      """EXPLAIN GRAFT REWRITE SELECT c_mktsegment, sum(l_quantity) AS q
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin)
+    val cmd = plan.asInstanceOf[ExplainGraftRewriteCommand]
+    val report = cmd.run(spark).map(_.getString(0)).mkString("\n")
+    assert(report.contains("cube scans: tpch_flat"), report.take(200))
+    assert(report.contains("remaining joins: 0"))
+  }
+
+  test("SHOW GRAFT CUBES lists the registered cube and its lattice") {
+    init()
+    graft.cube.RollupCube.ensure(spark, sf)
+    val rows = parser.parsePlan("SHOW GRAFT CUBES")
+      .asInstanceOf[ShowGraftCubesCommand].run(spark)
+    val row = rows.find(_.getString(0).startsWith("tpch_flat")).get
+    assert(row.getString(1) == "lineitem")
+    assert(row.getString(2) == "l_shipdate")
+    assert(row.getString(4).contains("_rollup"),
+      "lattice column should list rollup paths")
+  }
+
+  test("DESCRIBE GRAFT CUBE returns the column metadata") {
+    init()
+    val cubeName = graft.cube.CubeCatalog.all.head.info.name
+    val rows = parser.parsePlan(s"DESCRIBE GRAFT CUBE $cubeName")
+      .asInstanceOf[DescribeGraftCubeCommand].run(spark)
+    val byCol = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byCol("l_shipdate") == "Time")
+    assert(byCol("l_quantity") == "Metric")
+  }
+
+  test("anything else delegates to the Spark parser") {
+    val plan = parser.parsePlan("SELECT 1 AS one")
+    assert(!plan.isInstanceOf[ExplainGraftRewriteCommand])
+    // expressions / identifiers delegate too
+    assert(parser.parseExpression("1 + 1") != null)
+    assert(parser.parseTableIdentifier("a.b").table == "b")
+  }
+}
