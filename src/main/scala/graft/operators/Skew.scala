@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for joins whose key distribution has heavy
+  * hitters (the classic 100 TB failure mode: one hot key lands an entire
+  * shuffle partition on one executor).
+  *
+  * [[saltedJoin]] is the explicit form of what AQE's skew-join split does
+  * at runtime — useful when the skew is KNOWN up front (e.g. joining
+  * events to a user dimension where a handful of bot users dominate), when
+  * the plan must be deterministic, or on engines/paths AQE does not cover
+  * (stream-static joins).
+  */
+object Skew {
+
+  /** Inner equi-join of a skewed `large` table to a `small` table on
+    * `key`, salted: each `large` row gets a random salt in [0, salt);
+    * `small` is exploded `salt`-fold so every (key, salt) bucket finds its
+    * match. The hot key's rows thus spread over `salt` shuffle partitions
+    * instead of one. Row multiset is identical to the plain inner join
+    * (each large row matches exactly the same small rows — the salt column
+    * pairs 1:1).
+    *
+    * Cost model: `small` is replicated `salt`-fold — choose `salt` around
+    * (hot-key rows / target partition rows), and keep `small` genuinely
+    * small (a dimension, not a fact).
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 salt: Int = 16): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val saltedLarge = large.withColumn("g_salt",
+      (rand(seed = 42) * salt).cast("int"))
+    val saltedSmall = small.withColumn("g_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedLarge.join(saltedSmall, Seq(key, "g_salt")).drop("g_salt")
+  }
+
+  /** Frequency profile of a join key: the top-`n` heaviest keys and the
+    * share of rows they cover — the measurement that decides whether
+    * salting (and which salt factor) is warranted.
+    */
+  def keySkewProfile(df: DataFrame, key: Column, n: Int = 10): DataFrame = {
+    val total = df.count().toDouble
+    df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("rows"))
+      .orderBy(col("rows").desc)
+      .limit(n)
+      .withColumn("share", col("rows") / total)
+  }
+}

@@ -32,6 +32,8 @@ case class RollupRouting(spark: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (CubeCatalog.isEmpty) return plan
+    if (!spark.conf.get("spark.graft.rollupRouting.enabled", "true").toBoolean)
+      return plan
     plan.transformDown {
       case agg: Aggregate => route(agg).getOrElse(agg)
     }
@@ -139,7 +141,8 @@ case class RollupRouting(spark: SparkSession)
       * simply doesn't fire and the distinct count runs exactly on the cube.
       */
     def mergedDistinct(af: AggregateFunction): Option[Expression] = af match {
-      case Count(Seq(a: Attribute)) =>
+      case Count(Seq(a: Attribute))
+          if spark.conf.get("spark.graft.distinctFromSketch.enabled", "true").toBoolean =>
         for {
           sketchCol <- ru.kmvSketches.get(nameOf(a))
           sk <- rAttr.get(sketchCol.toLowerCase)

@@ -37,6 +37,10 @@ case class StarJoinElimination(spark: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (CubeCatalog.isEmpty) return plan
+    // session-conf surface (reference: spark.sparklinedata.* options,
+    // `DruidPlanner.scala:59-160`)
+    if (!spark.conf.get("spark.graft.starJoin.enabled", "true").toBoolean)
+      return plan
     plan.transformDown {
       case p @ Project(_, child) if p.getTagValue(gateRefusedTag).isEmpty =>
         rewrite(child, p.references, None).map(c => p.copy(child = c)).getOrElse(p)
@@ -250,7 +254,9 @@ case class StarJoinElimination(spark: SparkSession)
       if (groupCols.nonEmpty && groupCols.forall(stats.contains)) {
         val est = graft.cube.FunctionalDependencies.estimateCardinality(
           groupCols, stats, cube.info.functionalDeps)
-        if (est > cube.info.maxResultCardinality) {
+        val maxCard = spark.conf.getOption("spark.graft.maxResultCardinality")
+          .map(_.toLong).getOrElse(cube.info.maxResultCardinality)
+        if (est > maxCard) {
           // reference semantics: the whole query stays in Spark — also veto
           // nested Project-level collapses of this join subtree
           child.foreach(_.setTagValue(gateRefusedTag, true))

@@ -27,6 +27,8 @@ case class TimeBucketPruning(spark: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (CubeCatalog.isEmpty) return plan
+    if (!spark.conf.get("spark.graft.timeBucketPruning.enabled", "true").toBoolean)
+      return plan
     plan.transformDown {
       case f @ Filter(cond, lr: LogicalRelation) =>
         CubeCatalog.cubeOfRelation(lr).map { cube =>

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cube.TpchCube
+import graft.operators.Skew
+
+/** Salted skew joins (result-identical to the plain join) and the
+  * spark.graft.* session-conf surface that toggles each rewrite rule.
+  */
+class SkewAndConfSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("saltedJoin equals the plain inner join on a skewed key") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    // 90% of fact rows hit key 7
+    val large = (1 to 5000).map(i => (if (i % 10 == 0) i % 5 else 7, i))
+      .toDF("k", "v")
+    val small = (0 to 9).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = large.join(small, "k").select("k", "v", "name")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedJoin(large, small, "k", salt = 8)
+      .select("k", "v", "name").collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+
+    val profile = Skew.keySkewProfile(large, col("k")).collect()
+    assert(profile.head.getInt(0) == 7)
+    assert(profile.head.getDouble(2) > 0.8)
+  }
+
+  private def scansCube(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan.exists {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains("target/cubes"))
+            case _ => false
+          }
+        case _ => false
+      }
+
+  test("spark.graft.* confs toggle the rewrite rules per session") {
+    for (t <- Tables.starTables)
+      Tables.t(spark, sf, t).createOrReplaceTempView(t)
+    TpchCube.ensure(spark, sf)
+    val sql =
+      """SELECT c_mktsegment, count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
+    assert(scansCube(spark.sql(sql)), "baseline: rewrite on")
+    try {
+      spark.conf.set("spark.graft.starJoin.enabled", "false")
+      assert(!scansCube(spark.sql(sql)), "starJoin.enabled=false must disable")
+    } finally spark.conf.unset("spark.graft.starJoin.enabled")
+
+    // cardinality override: an absurdly low session limit refuses the same
+    // rewrite the cube metadata would allow
+    try {
+      spark.conf.set("spark.graft.maxResultCardinality", "1")
+      assert(!scansCube(spark.sql(sql)), "session cardinality cap must refuse")
+    } finally spark.conf.unset("spark.graft.maxResultCardinality")
+    assert(scansCube(spark.sql(sql)), "restored after unset")
+  }
+}
