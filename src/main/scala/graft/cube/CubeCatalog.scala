@@ -28,7 +28,16 @@ final case class RollupMeta(
     /** source column -> stored KMV sketch column (distinct-count serving) */
     kmvSketches: Map[String, String] = Map.empty,
     /** k of the stored KMV sketches */
-    kmvK: Int = org.apache.spark.sql.graft.KmvSketch.DefaultK)
+    kmvK: Int = org.apache.spark.sql.graft.KmvSketch.DefaultK,
+    /** derived-metric key (see `RollupCube.derivedDefs`) -> stored sum
+      * column — ingestion-time computed measures, the rollup analog of
+      * Druid's derived metric columns
+      */
+    derivedSums: Map[String, String] = Map.empty,
+    /** grain of `timeBucketColumn`: "month" (months since epoch) or "day"
+      * (days since epoch) — Druid's datasource `queryGranularity`
+      */
+    grain: String = "month")
 
 final case class RegisteredCube(
     info: CubeInfo,

@@ -49,15 +49,56 @@ object RollupCube {
   /** Coarse-rollup dimensions — the lattice node above [[dims]]. */
   val coarseDims: Seq[String] = Seq("c_mktsegment", "l_returnflag")
 
+  /** TPC-H Q1 lattice node (pricing summary: returnflag × linestatus). */
+  val q1Dims: Seq[String] = Seq("l_returnflag", "l_linestatus")
+
+  /** Derived metrics materialized at rollup build — computed measures over
+    * the fact columns, stored as re-aggregable DECIMAL sums (the rollup
+    * analog of Druid's ingestion-time derived metric columns). The plan
+    * matcher ([[graft.plans.RollupRouting]]) recognizes `sum(<expr>)` by
+    * structural equality against [[derivedExpr]] built over the scan's own
+    * attributes, so the definitions here are the single source of truth.
+    */
+  val derivedSums: Map[String, String] = Map(
+    "disc_price" -> "sum_disc_price",  // l_extendedprice * (1.0 - l_discount)
+    "charge"     -> "sum_charge")      // ... * (1.0 + l_tax)
+
+  /** Catalyst tree of a derived metric over attribute refs supplied by
+    * name; also used (via the Column DSL twin below) at build time.
+    */
+  def derivedExpr(key: String, attr: String => org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Multiply, Subtract, Add}
+    key match {
+      case "disc_price" =>
+        Multiply(attr("l_extendedprice"), Subtract(Literal(1.0), attr("l_discount")))
+      case "charge" =>
+        Multiply(
+          Multiply(attr("l_extendedprice"), Subtract(Literal(1.0), attr("l_discount"))),
+          Add(Literal(1.0), attr("l_tax")))
+    }
+  }
+
+  private def derivedCol(key: String): Column = key match {
+    case "disc_price" => col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    case "charge" =>
+      col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))
+  }
+
   def rollupPath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    // v4: custkey_kmv sketch at k=65536
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_v4"
+    // v5: adds derived-metric sums (sum_disc_price, sum_charge)
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_v5"
   }
 
   def coarsePath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_coarse_v1"
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_coarse_v2"
+  }
+
+  def q1Path(sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_rf_ls_v2"
   }
 
   def meta(sfDir: String): RollupMeta = RollupMeta(
@@ -69,10 +110,22 @@ object RollupCube {
     mins = minMetrics,
     maxs = maxMetrics,
     kmvSketches = Map("o_custkey" -> "custkey_kmv"),
-    kmvK = kmvK)
+    kmvK = kmvK,
+    derivedSums = derivedSums)
 
   def coarseMeta(sfDir: String): RollupMeta =
     meta(sfDir).copy(path = coarsePath(sfDir), dims = coarseDims)
+
+  /** The Q1 node is DAY grain (Druid `queryGranularity=DAY`, what the
+    * reference's benchmark datasource used): TPC-H interval predicates are
+    * date literals — day-aligned, rarely month-aligned — so only a daily
+    * bucket can answer them exactly from pre-aggregates. `g_tbucket` stays
+    * in the dim list (derivable from the day, so the group count is
+    * unchanged) for file-partition alignment and month-predicate serving.
+    */
+  def q1Meta(sfDir: String): RollupMeta =
+    meta(sfDir).copy(path = q1Path(sfDir), dims = q1Dims :+ "g_tbucket",
+      timeBucketColumn = "g_dbucket", grain = "day")
 
   private val lock = new Object
 
@@ -104,20 +157,17 @@ object RollupCube {
           s"rollup metric $c has ${nullRow.getLong(i)} NULLs; " +
             "avg/sum merge over the rollup would be wrong")
       }
-      val sums = sumMetrics.toSeq.sortBy(_._2).map { case (src, dst) =>
-        sum(col(src).cast("decimal(28,6)")).as(dst)
-      }
-      val mins = minMetrics.toSeq.sortBy(_._2).map { case (src, dst) => min(col(src)).as(dst) }
-      val maxs = maxMetrics.toSeq.sortBy(_._2).map { case (src, dst) => max(col(src)).as(dst) }
-      flat.groupBy((col("g_tbucket") +: dims.map(col)): _*)
-        .agg(count(lit(1)).as("cnt"),
-          (sums ++ mins ++ maxs
-            :+ hll_sketch_agg(col("o_custkey")).as("custkey_hll")
-            :+ org.apache.spark.sql.graft.KmvSketch
-                .kmvSketch(col("o_custkey"), kmvK).as("custkey_kmv")): _*)
-        .repartition(col("g_tbucket"))
-        .write.mode("overwrite").partitionBy("g_tbucket").parquet(path)
+      buildFromFlat(flat, dims, path)
     }
+    // Q1 lattice node (day × returnflag × linestatus) is NOT a dim-subset
+    // of the fine rollup, so it too is built from the facts — a second pass
+    // whose output is |days| × 6 rows
+    if (!new java.io.File(q1Path(sfDir), "_SUCCESS").exists())
+      buildFromFlat(
+        spark.read.parquet(cube.cubePath)
+          .withColumn("g_dbucket", datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))),
+        q1Dims :+ "g_dbucket",
+        q1Path(sfDir))
     // Cascade: the coarse lattice node is re-aggregated FROM the fine
     // rollup, never from the fact table — every stored metric is mergeable
     // (decimal sums re-sum, min/max nest, count sums, HLL and KMV sketches
@@ -126,7 +176,8 @@ object RollupCube {
     val cPath = coarsePath(sfDir)
     if (!new java.io.File(cPath, "_SUCCESS").exists()) {
       val fine = spark.read.parquet(path)
-      val sumAgg = sumMetrics.values.toSeq.sorted.map(c => sum(col(c)).as(c))
+      val sumAgg = (sumMetrics.values ++ derivedSums.values).toSeq.sorted
+        .map(c => sum(col(c)).as(c))
       val minAgg = minMetrics.values.toSeq.sorted.map(c => min(col(c)).as(c))
       val maxAgg = maxMetrics.values.toSeq.sorted.map(c => max(col(c)).as(c))
       fine.groupBy((col("g_tbucket") +: coarseDims.map(col)): _*)
@@ -138,8 +189,33 @@ object RollupCube {
         .repartition(1)
         .write.mode("overwrite").partitionBy("g_tbucket").parquet(cPath)
     }
-    CubeCatalog.register(cube.copy(rollups = Seq(coarseMeta(sfDir), meta(sfDir))))
+    // smallest nodes first: the routing walk stops at the first fit
+    CubeCatalog.register(cube.copy(rollups =
+      Seq(q1Meta(sfDir), coarseMeta(sfDir), meta(sfDir))))
     path
+  }
+
+  /** One lattice node straight from the facts: re-aggregable counts,
+    * DECIMAL sums (plain + derived), min/max, HLL + KMV sketches.
+    */
+  private def buildFromFlat(flat: DataFrame, groupDims: Seq[String],
+                            outPath: String): Unit = {
+    val sums = sumMetrics.toSeq.sortBy(_._2).map { case (src, dst) =>
+      sum(col(src).cast("decimal(28,6)")).as(dst)
+    }
+    val derived = derivedSums.toSeq.sortBy(_._2).map { case (key, dst) =>
+      sum(derivedCol(key).cast("decimal(28,6)")).as(dst)
+    }
+    val mins = minMetrics.toSeq.sortBy(_._2).map { case (src, dst) => min(col(src)).as(dst) }
+    val maxs = maxMetrics.toSeq.sortBy(_._2).map { case (src, dst) => max(col(src)).as(dst) }
+    flat.groupBy((col("g_tbucket") +: groupDims.map(col)): _*)
+      .agg(count(lit(1)).as("cnt"),
+        (sums ++ derived ++ mins ++ maxs
+          :+ hll_sketch_agg(col("o_custkey")).as("custkey_hll")
+          :+ org.apache.spark.sql.graft.KmvSketch
+              .kmvSketch(col("o_custkey"), kmvK).as("custkey_kmv")): _*)
+      .repartition(col("g_tbucket"))
+      .write.mode("overwrite").partitionBy("g_tbucket").parquet(outPath)
   }
 
   /** Serve a grouped aggregate from the rollup: `groupCols` must be a

@@ -179,7 +179,19 @@ final case class CubeInfo(
     columnMapping: Map[(String, String), String],
     functionalDeps: Seq[FunctionalDependency] = Nil,
     maxResultCardinality: Long = 1000000L,
-    timeBucketColumn: String = "g_tbucket") {
+    timeBucketColumn: String = "g_tbucket",
+    /** [min, max] epoch-micros actually covered by the materialized cube
+      * (the reference's index intervals, `QueryIntervals.scala:40-132`) —
+      * lets the rules drop time predicates the data cannot violate and
+      * fold fully-disjoint queries to empty.
+      */
+    timeIntervalMicros: Option[(Long, Long)] = None,
+    /** measured at cube build: true iff every time value is exactly
+      * midnight UTC — what licenses serving ARBITRARY time predicates from
+      * a day-grain rollup (Druid's queryGranularity=DAY semantics, but
+      * gated by measurement instead of silent truncation)
+      */
+    timeDayQuantized: Boolean = false) {
 
   val columnByName: Map[String, CubeColumn] = columns.map(c => c.name -> c).toMap
 

@@ -86,7 +86,7 @@ case class RollupRouting(spark: SparkSession)
     val rAttr: Map[String, Attribute] =
       rollupPlan.output.map(a => a.name.toLowerCase -> a).toMap
     val cntAttr = rAttr(ru.countColumn)
-    val bucketAttr = rAttr(ru.timeBucketColumn.toLowerCase)
+    val bucketAttr = rAttr.getOrElse(ru.timeBucketColumn.toLowerCase, return None)
     val timeColL = cube.info.timeColumn.toLowerCase
 
     // safe: filter references were checked servable, and servable ⊆ rAttr
@@ -112,12 +112,39 @@ case class RollupRouting(spark: SparkSession)
       case _ => false
     }
 
+    // `sum(<derived expr>)` — match the aggregated expression structurally
+    // against each registered derived-metric definition built over the
+    // scan's own attribute instances (Druid's ingestion-time computed
+    // metrics, stored here as re-aggregable DECIMAL sums). The outer
+    // decimal cast a `dsum` adds is stripped first; literals have been
+    // constant-folded by the time this rule runs, so both the SQL and the
+    // DataFrame spelling of e.g. `x * (1.0 - y)` arrive as the same tree.
+    def derivedOf(e: Expression): Option[String] = {
+      val stripped = e match {
+        case Cast(x, _: org.apache.spark.sql.types.DecimalType, _, _) => x
+        case x => x
+      }
+      if (stripped.dataType != DoubleType) return None
+      val attrOf: Map[String, Attribute] =
+        stripped.references.toSeq.map(a => nameOf(a) -> a).toMap
+      ru.derivedSums.keys.find { key =>
+        try {
+          val cand = graft.cube.RollupCube.derivedExpr(key,
+            n => attrOf.getOrElse(n, return None))
+          stripped.semanticEquals(cand)
+        } catch { case _: MatchError => false }
+      }.map(k => ru.derivedSums(k).toLowerCase).filter(rAttr.contains)
+    }
+
     def mergedAgg(af: AggregateFunction): Option[Expression] = af match {
       // count(NULL) is 0 per group, not the group row count — exclude it
       case Count(Seq(l: Literal)) if l.value != null =>
         Some(Sum(cntAttr).toAggregateExpression())
       case s @ Sum(child, _) if isDouble(child) =>
         metricOf(child, ru.sums).map(c =>
+          Cast(Sum(rAttr(c)).toAggregateExpression(), s.dataType))
+      case s @ Sum(child, _) =>
+        derivedOf(child).map(c =>
           Cast(Sum(rAttr(c)).toAggregateExpression(), s.dataType))
       case Min(child) => metricOf(child, ru.mins).map(c =>
         Min(rAttr(c)).toAggregateExpression())
@@ -189,18 +216,36 @@ case class RollupRouting(spark: SparkSession)
     // constructed post-analysis: timezone-aware nodes need the zone set
     // explicitly (ResolveTimeZone has already run); the session is UTC
     val tzId = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    // day-grain nodes (Druid queryGranularity=DAY): the bucket IS
+    // days-since-epoch, so the calendar date is epoch + bucket and every
+    // date function applies natively on it
+    val isDayGrain = ru.grain == "day"
+    def dayDate: Expression = DateAdd(epochDate, bucketAttr)
+    def truncOf(fmt: Any): Option[Expression] =
+      String.valueOf(fmt).toLowerCase match {
+        case "day" | "dd" if isDayGrain => Some(dayDate)
+        case f if monthsOf(f).isDefined =>
+          if (isDayGrain) Some(TruncDate(dayDate, Literal(String.valueOf(fmt))))
+          else Some(AddMonths(epochDate, bucketFloor(monthsOf(f).get)))
+        case _ => None
+      }
     def timeGrouping(e: Expression): Option[Expression] = e match {
       case TruncTimestamp(f: Literal, t, _) if isTimeRef(t) =>
-        monthsOf(f.value).map(n =>
-          Cast(AddMonths(epochDate, bucketFloor(n)), TimestampType, tzId))
-      case TruncDate(t, f: Literal) if isTimeRef(t) =>
-        monthsOf(f.value).map(n => AddMonths(epochDate, bucketFloor(n)))
+        truncOf(f.value).map(d => Cast(d, TimestampType, tzId))
+      case TruncDate(t, f: Literal) if isTimeRef(t) => truncOf(f.value)
+      case Cast(t, DateType, _, _) if isDayGrain && isTimeRef(t) =>
+        Some(dayDate)
       case Year(t) if isTimeRef(t) =>
-        Some(Add(Literal(1970), floorDiv(bucketAttr, 12)))
+        if (isDayGrain) Some(Year(dayDate))
+        else Some(Add(Literal(1970), floorDiv(bucketAttr, 12)))
       case Quarter(t) if isTimeRef(t) =>
-        Some(Add(floorDiv(Pmod(bucketAttr, Literal(12)), 3), Literal(1)))
+        if (isDayGrain) Some(Quarter(dayDate))
+        else Some(Add(floorDiv(Pmod(bucketAttr, Literal(12)), 3), Literal(1)))
       case Month(t) if isTimeRef(t) =>
-        Some(Add(Pmod(bucketAttr, Literal(12)), Literal(1)))
+        if (isDayGrain) Some(Month(dayDate))
+        else Some(Add(Pmod(bucketAttr, Literal(12)), Literal(1)))
+      case DayOfMonth(t) if isDayGrain && isTimeRef(t) => Some(DayOfMonth(dayDate))
+      case DayOfYear(t) if isDayGrain && isTimeRef(t)  => Some(DayOfYear(dayDate))
       case _ => None
     }
 
@@ -234,24 +279,69 @@ case class RollupRouting(spark: SparkSession)
       case DateType => Some(l.value.asInstanceOf[Int].toLong * 86400000000L)
       case _        => None
     }
-    def alignedBucket(us: Long): Option[Int] = {
-      val b = graft.cube.TpchCube.bucketOfMicros(us)
-      if (graft.cube.TpchCube.monthStartMicros(b) == us) Some(b) else None
-    }
+    def alignedBucket(us: Long): Option[Int] =
+      if (isDayGrain) {
+        if (Math.floorMod(us, 86400000000L) == 0L)
+          Some(Math.floorDiv(us, 86400000000L).toInt)
+        else None
+      } else {
+        val b = graft.cube.TpchCube.bucketOfMicros(us)
+        if (graft.cube.TpchCube.monthStartMicros(b) == us) Some(b) else None
+      }
     def timeFilter(c: Expression): Option[Expression] = {
-      def geq(l: Literal) = litMicros(l).flatMap(alignedBucket)
-        .map(b => GreaterThanOrEqual(bucketAttr, Literal(b)))
-      def lt(l: Literal) = litMicros(l).flatMap(alignedBucket)
-        .map(b => LessThan(bucketAttr, Literal(b)))
-      c match {
-        case GreaterThanOrEqual(t, l: Literal) if isTimeRef(t) => geq(l)
-        case LessThan(t, l: Literal) if isTimeRef(t)           => lt(l)
-        case LessThanOrEqual(l: Literal, t) if isTimeRef(t)    => geq(l)
-        case GreaterThan(l: Literal, t) if isTimeRef(t)        => lt(l)
+      // normalize `time <op> literal` (either operand order) to (op, us)
+      val norm: Option[(String, Long)] = c match {
+        case GreaterThanOrEqual(t, l: Literal) if isTimeRef(t) => litMicros(l).map((">=", _))
+        case GreaterThan(t, l: Literal) if isTimeRef(t)        => litMicros(l).map((">", _))
+        case LessThanOrEqual(t, l: Literal) if isTimeRef(t)    => litMicros(l).map(("<=", _))
+        case LessThan(t, l: Literal) if isTimeRef(t)           => litMicros(l).map(("<", _))
+        case EqualTo(t, l: Literal) if isTimeRef(t)            => litMicros(l).map(("=", _))
+        case GreaterThanOrEqual(l: Literal, t) if isTimeRef(t) => litMicros(l).map(("<=", _))
+        case GreaterThan(l: Literal, t) if isTimeRef(t)        => litMicros(l).map(("<", _))
+        case LessThanOrEqual(l: Literal, t) if isTimeRef(t)    => litMicros(l).map((">=", _))
+        case LessThan(l: Literal, t) if isTimeRef(t)           => litMicros(l).map((">", _))
+        case EqualTo(l: Literal, t) if isTimeRef(t)            => litMicros(l).map(("=", _))
         // the bucket expression is null-preserving (year/month of NULL is
         // NULL), so time-NULL rows are exactly the bucket-NULL rollup rows
-        case IsNotNull(t) if isTimeRef(t) => Some(IsNotNull(bucketAttr))
-        case _ => None
+        case IsNotNull(t) if isTimeRef(t) => return Some(IsNotNull(bucketAttr))
+        case _ => return None
+      }
+      val dataLo = cube.info.timeIntervalMicros.map(_._1)
+      val dataHi = cube.info.timeIntervalMicros.map(_._2)
+      val DayUs = 86400000000L
+      norm.flatMap { case (op, u) =>
+        // vacuity against the cube's covered data interval (the reference's
+        // QueryIntervals vs index intervals): a bound the data cannot
+        // violate is dropped entirely
+        val vacuous = op match {
+          case ">=" => dataLo.exists(u <= _)
+          case ">"  => dataLo.exists(u < _)
+          case "<=" => dataHi.exists(u >= _)
+          case "<"  => dataHi.exists(u > _)
+          case _    => false
+        }
+        if (vacuous) Some(Literal.TrueLiteral)
+        else if (isDayGrain && cube.info.timeDayQuantized) {
+          // every time value is midnight UTC (measured at build), so t is
+          // exactly bucket*DayUs and ANY literal translates exactly
+          def fl(x: Long) = Math.floorDiv(x, DayUs)
+          op match {
+            case ">=" => Some(GreaterThanOrEqual(bucketAttr, Literal(fl(u + DayUs - 1).toInt)))
+            case ">"  => Some(GreaterThanOrEqual(bucketAttr, Literal((fl(u) + 1).toInt)))
+            case "<=" => Some(LessThanOrEqual(bucketAttr, Literal(fl(u).toInt)))
+            case "<"  => Some(LessThanOrEqual(bucketAttr, Literal(fl(u - 1).toInt)))
+            case "=" =>
+              if (Math.floorMod(u, DayUs) == 0L)
+                Some(EqualTo(bucketAttr, Literal(fl(u).toInt)))
+              else Some(Literal.FalseLiteral)
+          }
+        } else op match {
+          // grain-aligned boundaries only: a partial bucket cannot be
+          // answered from pre-aggregates
+          case ">=" => alignedBucket(u).map(b => GreaterThanOrEqual(bucketAttr, Literal(b)))
+          case "<"  => alignedBucket(u).map(b => LessThan(bucketAttr, Literal(b)))
+          case _    => None
+        }
       }
     }
 

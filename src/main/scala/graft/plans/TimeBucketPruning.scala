@@ -42,7 +42,15 @@ case class TimeBucketPruning(spark: SparkSession)
           if (alreadyPruned || bucketAttr.isEmpty || timeAttr.isEmpty) f
           else {
             val ivs = intervalsOf(conjuncts, timeAttr.get)
-            if (ivs.isEmpty) LocalRelation(f.output)
+            // intersect with the cube's covered interval (the reference's
+            // QueryIntervals vs index intervals): a predicate range disjoint
+            // from the DATA folds to the null scan even when the predicates
+            // are mutually consistent
+            val clamped = cube.info.timeIntervalMicros match {
+              case Some((lo, hi)) => ivs.intersect(IntervalSet(Interval(lo, hi + 1)))
+              case None           => ivs
+            }
+            if (clamped.isEmpty) LocalRelation(f.output)
             else {
               val preds = bucketPredicates(ivs, bucketAttr.get)
               if (preds.isEmpty) f

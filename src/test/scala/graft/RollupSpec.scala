@@ -207,20 +207,69 @@ class RollupSpec extends AnyFunSuite {
       assert(routedRows.nonEmpty)
     } finally graft.cube.RollupCube.ensure(spark, sf)
 
-    // an interval NOT on a month boundary must refuse the rollup (a partial
-    // month cannot be answered from month-grain pre-aggregates)
-    val unaligned = spark.sql(
+    // an interval NOT on a month boundary cannot use the month-grain nodes,
+    // but the DAY-grain lattice node serves it exactly (the time column is
+    // measured day-quantized) — differential-checked
+    val unalignedSql =
       """SELECT date_trunc('month', l_shipdate) AS mon, count(*) AS cnt
         |FROM lineitem
         |WHERE l_shipdate >= timestamp'1996-01-15'
-        |GROUP BY 1""".stripMargin)
-    assert(!scansRollup(unaligned), "unaligned interval must not use the rollup")
+        |GROUP BY 1""".stripMargin
+    val unaligned = spark.sql(unalignedSql)
+    assert(scansRollup(unaligned), "day-grain node should serve sub-month intervals")
+    val unalignedRows = rows(unaligned)
+    CubeCatalog.unregister(cube.info.name)
+    try assert(rows(spark.sql(unalignedSql)) == unalignedRows,
+      "day-grain sub-month serving diverges")
+    finally graft.cube.RollupCube.ensure(spark, sf)
 
-    // day-granularity grouping is finer than the bucket: refuse
-    val daily = spark.sql(
-      """SELECT date_trunc('day', l_shipdate) AS d, count(*) AS cnt
+    // hour granularity is finer than any lattice node: refuse
+    val hourly = spark.sql(
+      """SELECT date_trunc('hour', l_shipdate) AS h, count(*) AS cnt
         |FROM lineitem GROUP BY 1""".stripMargin)
-    assert(!scansRollup(daily), "day granularity must not use the rollup")
+    assert(!scansRollup(hourly), "hour granularity must not use the rollup")
+  }
+
+  test("Q1 shape serves from the day-grain node with derived-metric sums") {
+    import graft.cube.{CubeCatalog, TpchCube}
+    for (t <- Tables.starTables)
+      Tables.t(spark, sf, t).createOrReplaceTempView(t)
+    graft.cube.RollupCube.ensure(spark, sf)
+    // full TPC-H Q1: unaligned (day-granular) interval, derived-metric sums
+    // (disc_price, charge), avg decompositions — all from pre-aggregates
+    val sql =
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= timestamp'1996-09-02'
+        |GROUP BY 1, 2""".stripMargin
+    def scansNode(df: org.apache.spark.sql.DataFrame, marker: String) =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.optimizedPlan.exists {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(_.toString.contains(marker))
+              case _ => false
+            }
+          case _ => false
+        }
+    val routed = spark.sql(sql)
+    assert(scansNode(routed, "_rollup_rf_ls"),
+      "Q1 shape should serve from the day-grain lattice node")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    val routedRows = rows(routed)
+    val cube = TpchCube.ensure(spark, sf)
+    CubeCatalog.unregister(cube.info.name)
+    try {
+      // bit-exact, doubles included: decimal partial sums re-summed
+      assert(rows(spark.sql(sql)) == routedRows, "day-grain serving diverges")
+      assert(routedRows.nonEmpty)
+    } finally graft.cube.RollupCube.ensure(spark, sf)
   }
 
   test("SumOfLiteralRewrite turns grouped sum(lit) into count*lit with equal results") {
