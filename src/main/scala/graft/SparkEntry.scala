@@ -265,6 +265,15 @@ object SparkEntry {
            |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
            |GROUP BY 1
            |ORDER BY 1""".stripMargin,
+      // §2.9 DAY granularity over a non-month-aligned interval — served
+      // from the day-grain lattice node (Druid queryGranularity=DAY)
+      "q_time_day" ->
+        s"""SELECT CAST(CAST(date_trunc('day', l_shipdate) AS DATE) AS VARCHAR(10)) AS d,
+           |  count(*) AS cnt, ${dec("l_quantity")} AS sum_qty
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1996-03-05' AND l_shipdate < TIMESTAMP '1996-04-10'
+           |GROUP BY 1
+           |ORDER BY 1""".stripMargin,
       // §2.9 time extraction functions
       "q_time_extract" ->
         s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
