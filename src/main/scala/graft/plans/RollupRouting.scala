@@ -127,12 +127,16 @@ case class RollupRouting(spark: SparkSession)
       if (stripped.dataType != DoubleType) return None
       val attrOf: Map[String, Attribute] =
         stripped.references.toSeq.map(a => nameOf(a) -> a).toMap
+      // a definition referencing an attribute the expression doesn't use
+      // skips THAT key only (sentinel + catch, not a non-local return that
+      // would abort the remaining candidates)
+      final case class MissingAttr() extends RuntimeException
       ru.derivedSums.keys.find { key =>
         try {
           val cand = graft.cube.RollupCube.derivedExpr(key,
-            n => attrOf.getOrElse(n, return None))
+            n => attrOf.getOrElse(n, throw MissingAttr()))
           stripped.semanticEquals(cand)
-        } catch { case _: MatchError => false }
+        } catch { case _: MatchError | _: MissingAttr => false }
       }.map(k => ru.derivedSums(k).toLowerCase).filter(rAttr.contains)
     }
 
