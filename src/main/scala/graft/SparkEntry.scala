@@ -225,6 +225,20 @@ object SparkEntry {
            |  OR p_brand = 'Brand#0'
            |GROUP BY p_brand
            |ORDER BY p_brand""".stripMargin,
+      // §2.8 cast matrix (reference JSCast.scala — full numeric/string/
+      // temporal cast surface, here native)
+      "q_scalar_cast" ->
+        s"""SELECT l_orderkey,
+           |  CAST(l_quantity AS INTEGER) AS qty_int,
+           |  CAST(l_quantity AS VARCHAR(20)) AS qty_str,
+           |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR(30)) AS price_dec_str,
+           |  CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+           |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR(10)) AS ship_str,
+           |  CAST(CAST(l_orderkey AS VARCHAR(20)) AS BIGINT) AS key_rt,
+           |  CAST(l_quantity > 25.0 AS VARCHAR(5)) AS bulk_str
+           |FROM lineitem
+           |WHERE l_orderkey <= 100
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin,
       // §2.8 string functions
       "q_scalar_string" ->
         s"""SELECT p_partkey,

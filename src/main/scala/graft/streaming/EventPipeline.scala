@@ -119,6 +119,50 @@ object EventPipeline {
       .withWatermark("ts", watermark)
       .dropDuplicates(keyCols)
 
+  /** Incremental rollup maintenance from a stream: each micro-batch is
+    * pre-aggregated to (time bucket × dims) partial rows with MERGEABLE
+    * metrics — counts, DECIMAL sums, KMV distinct sketches — and unioned
+    * into the rollup table's bucket partitions. Readers merge partials
+    * exactly like [[graft.cube.RollupCube]] merges lattice nodes
+    * (`sum(cnt)`, `sum(sum_value)`, `kmv_merge_estimate`), so the store
+    * needs no read-modify-write: appending partials IS the update, and a
+    * compaction (re-aggregating a partition in place) is an optimization,
+    * not a correctness step. This is the realtime-ingest role Druid's
+    * realtime nodes play for the reference, on Structured Streaming.
+    */
+  def rollupIngest(events: DataFrame, destDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.graft.KmvSketch
+    events
+      .withWatermark("ts", "2 hours")
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch
+          .withColumn("g_tbucket",
+            (year(col("ts")) - 1970) * 12 + month(col("ts")) - 1)
+          .groupBy(col("g_tbucket"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(28,6)")).as("sum_value"),
+            KmvSketch.kmvSketch(col("user_id")).as("user_kmv"))
+          .write.mode("append").partitionBy("g_tbucket").parquet(destDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
+  /** Merged view of an incrementally-maintained rollup (see
+    * [[rollupIngest]]): partial rows collapse to final per-group metrics.
+    */
+  def rollupServe(spark: SparkSession, destDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.KmvSketch
+    spark.read.parquet(destDir)
+      .groupBy("event_type")
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("sum_value")).cast("double").as("sum_value"),
+        KmvSketch.kmvMergeEstimate(col("user_kmv")).as("n_users"))
+  }
+
   /** Continuous ingest of event files into a time-bucketed cube layout:
     * readStream → derive the partition column → writeStream partitioned
     * parquet with checkpointing. The streaming analog of

@@ -105,6 +105,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental rollup ingest merges to the same totals as batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ri_").toString
+    val events = Seq(
+      Event(1, ts(5), 1, "click", 1.5), Event(2, ts(20), 2, "view", 2.5),
+      Event(3, ts(65), 1, "click", 3.0), Event(4, ts(70), 3, "click", 4.0),
+      Event(5, ts(200), 2, "view", 5.0), Event(6, ts(210), 2, "click", 6.0))
+
+    val stream = MemoryStream[Event]
+    val q = EventPipeline.rollupIngest(stream.toDF(), s"$dir/data", s"$dir/ckpt")
+    try {
+      // two separate micro-batches -> two sets of partial rows per group
+      stream.addData(events.take(3): _*); q.processAllAvailable()
+      stream.addData(events.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = EventPipeline.rollupServe(spark, s"$dir/data")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val want = events.toDF()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got == want)
+    assert(got("click") == ((4L, 14.5, 3L)))
+  }
+
   test("sessionizeBatch on the events table produces sane sessions") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
