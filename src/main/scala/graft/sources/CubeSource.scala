@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cube._
+
+/** Generic cube registration — the reference's datasource entry point
+  * (`DefaultSource.createRelation`, `DefaultSource.scala:32-194`: source
+  * table, time column, star schema, column mapping as options) re-expressed
+  * as an API over [[CubeInfo]].
+  *
+  * Unlike the reference (which requires the user to supply the
+  * pre-denormalized fact DataFrame AND a pre-built Druid index),
+  * [[flatten]] derives the denormalization join from the declared star
+  * metadata itself — each role is joined along its declared edge, with
+  * role-played tables (e.g. nation as customer-nation and supplier-nation)
+  * disambiguated by the per-role column mapping — and [[materialize]]
+  * writes the time-bucket-partitioned cube + NDV/interval stats sidecar
+  * that the rewrite rules consume. Small dimension legs are broadcast.
+  */
+object CubeSource {
+
+  /** Denormalize the star schema into the flat fact DataFrame, columns
+    * named per `info.columnMapping`. `tablePaths` maps PHYSICAL table
+    * names (as in `info.roleOfTable`) to parquet paths.
+    */
+  def flatten(spark: SparkSession, info: CubeInfo,
+              tablePaths: Map[String, String]): DataFrame = {
+    val physicalOf: Map[String, String] = for {
+      (phys, roles) <- info.roleOfTable
+      role <- roles
+    } yield role -> phys
+
+    // per-role frame: mapped columns under their cube names + every join
+    // key of the role under a collision-proof temp name
+    def roleKeys(role: String): Seq[String] =
+      info.starSchema.relations.flatMap { r =>
+        r.joinCondition.flatMap { c =>
+          (if (r.leftTable == role) Seq(c.leftCol) else Nil) ++
+            (if (r.rightTable == role) Seq(c.rightCol) else Nil)
+        }
+      }.distinct
+
+    def tmp(role: String, c: String) = s"__${role}__$c"
+
+    def roleFrame(role: String): DataFrame = {
+      val base = spark.read.parquet(tablePaths(physicalOf(role)))
+      val mapped = info.columnMapping.collect {
+        case ((r, src), dst) if r == role => col(src).as(dst)
+      }.toSeq
+      val keys = roleKeys(role).map(k => col(k).as(tmp(role, k)))
+      base.select(mapped ++ keys: _*)
+    }
+
+    // left side of a join condition resolves against the accumulated plan
+    // (mapped cube name if the column survived, else its temp key); the
+    // right side ALWAYS uses its temp key — a role's mapped columns may
+    // collide with names the plan already has (both sides of an equi-join
+    // key can map to the same cube column, e.g. customer.c_nationkey and
+    // custnation.n_nationkey -> c_nationkey) and are dropped from the
+    // right frame before joining, the join equality making them redundant
+    def leftRef(role: String, c: String): String =
+      info.columnMapping.getOrElse((role, c), tmp(role, c))
+
+    // BFS from the fact table along declared edges
+    val fact = info.starSchema.factTable
+    var plan = roleFrame(fact)
+    var joined = Set(fact)
+    var remaining = info.starSchema.relations
+    while (remaining.nonEmpty) {
+      val (ready, rest) = remaining.partition(r => joined(r.leftTable))
+      require(ready.nonEmpty,
+        s"star schema not connected from $fact: ${rest.map(_.rightTable).mkString(",")}")
+      for (r <- ready) {
+        val existing = plan.columns.toSet
+        val right = {
+          val rf = roleFrame(r.rightTable)
+          rf.drop(rf.columns.filter(c => !c.startsWith("__") && existing(c)): _*)
+        }
+        val cond = r.joinCondition.map(c =>
+          col(leftRef(r.leftTable, c.leftCol)) === col(tmp(r.rightTable, c.rightCol)))
+          .reduce(_ && _)
+        plan = plan.join(broadcast(right), cond, "inner")
+        joined += r.rightTable
+      }
+      remaining = rest
+    }
+    plan.drop(plan.columns.filter(_.startsWith("__")): _*)
+  }
+
+  /** Materialize the flat cube (bucket-partitioned parquet + stats) and
+    * register it for plan rewriting. Idempotent per destination path.
+    */
+  def materialize(spark: SparkSession, info: CubeInfo,
+                  tablePaths: Map[String, String], destPath: String): RegisteredCube = {
+    graft.Graft.forceUtc(spark)
+    if (!new java.io.File(destPath, "_SUCCESS").exists()) {
+      flatten(spark, info, tablePaths)
+        .withColumn(info.timeBucketColumn,
+          (year(col(info.timeColumn)) - 1970) * 12 + month(col(info.timeColumn)) - 1)
+        .repartition(col(info.timeBucketColumn))
+        .write.mode("overwrite").partitionBy(info.timeBucketColumn).parquet(destPath)
+    }
+    val cube = RegisteredCube(info, destPath,
+      tablePaths.map { case (t, p) => t -> CubeCatalog.normalizePath(p) })
+    CubeCatalog.register(cube)
+    cube
+  }
+}
