@@ -31,6 +31,10 @@ class CubeSourceSpec extends AnyFunSuite {
   test("a generically materialized cube serves the star rewrite") {
     val dest = "/root/repo/target/cubes/generic_spec_v1"
     val info = TpchCube.info.copy(name = "generic_spec")
+    // isolate from the TPC-H cube other suites may have registered — both
+    // can serve this join, and the router picks whichever matches first
+    val previouslyRegistered = CubeCatalog.all.map(_.info.name)
+    previouslyRegistered.foreach(CubeCatalog.unregister)
     val cube = CubeSource.materialize(spark, info, paths, dest)
     try {
       for (t <- Tables.starTables)
