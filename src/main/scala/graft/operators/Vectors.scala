@@ -23,11 +23,14 @@ object Vectors {
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0.0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = norm(a) * norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
-  }
+  /** Cosine similarity; 0.0 when either vector is all-zero. Served by the
+    * native single-pass expression
+    * ([[org.apache.spark.sql.graft.VectorExprs.CosineExpr]]) — identical
+    * values (same index-order double accumulation) to the composed
+    * `aggregate(zip_with(...))` form at a fraction of the cost.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExprs.cosine(a, b)
 
   /** Squared L2 distance. */
   def sqDist(a: Column, b: Column): Column =

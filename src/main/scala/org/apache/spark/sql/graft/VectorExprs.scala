@@ -73,4 +73,55 @@ object VectorExprs {
   def rhpSignature(v: Column, nBits: Int, seed: Int): Column =
     ExpressionUtils.column(
       RhpSignatureExpr(ExpressionUtils.expression(v), nBits, seed))
+
+  /** Cosine similarity in one pass over both primitive arrays.
+    *
+    * Bit-identical to the composed `aggregate(zip_with(...))` form (and to
+    * DuckDB's sequential `list_sum` fold, which the differential oracle
+    * relies on): all three accumulators fold products in index order in
+    * double, and the final expression is `ab / (sqrt(aa) * sqrt(bb))` with
+    * the same all-zero guard. The composed form walked the arrays ~9 times
+    * per pair through boxed lambdas — this is THE hot operation of
+    * embedding dedup verification and k-NN re-ranking.
+    */
+  case class CosineExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ExpectsInputTypes with CodegenFallback {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(
+      TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+      TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_sim"
+
+    private def isFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    @transient private lazy val lFloat = isFloat(left)
+    @transient private lazy val rFloat = isFloat(right)
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (lFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yi = if (rFloat) y.getFloat(i).toDouble else y.getDouble(i)
+        ab += xi * yi; aa += xi * xi; bb += yi * yi
+        i += 1
+      }
+      val denom = math.sqrt(aa) * math.sqrt(bb)
+      if (denom == 0.0) 0.0 else ab / denom
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineExpr =
+      copy(left = l, right = r)
+  }
+
+  def cosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      CosineExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
