@@ -1,0 +1,57 @@
+package graft.cube
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Cube statistics sidecar (`_graft_stats.json`): dimension NDVs (the role
+  * Druid column cardinality plays for the reference's cost gate,
+  * `DruidDataSource.scala:45-51`), the covered time interval (reference
+  * `QueryIntervals.scala:40-132` index intervals), and whether the time
+  * column is day-quantized. Computed once per materialized cube path.
+  */
+object CubeStats {
+
+  /** Read-or-compute the stats for a materialized cube. */
+  def ensure(spark: SparkSession, info: CubeInfo, path: String): Map[String, Long] = {
+    val sidecar = new java.io.File(path, "_graft_stats.json")
+    val existing: Option[Map[String, Long]] =
+      if (!sidecar.exists()) None
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(sidecar.toPath), "UTF-8")
+        val m = "\"([^\"]+)\"\\s*:\\s*(-?\\d+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+        // regenerate older-format sidecars (missing time-range/quantization)
+        if (m.contains("__time_subday")) Some(m) else None
+      }
+    existing.getOrElse {
+      val dims = info.columns.filter(_.role != ColumnRole.Metric).map(_.name)
+      val tcol = col(info.timeColumn)
+      val row = spark.read.parquet(path)
+        .select((dims.map(c => approx_count_distinct(col(c)).as(c))
+          :+ unix_micros(min(tcol).cast("timestamp")).as("tmin")
+          :+ unix_micros(max(tcol).cast("timestamp")).as("tmax")
+          :+ max(when(tcol =!= date_trunc("day", tcol), 1L).otherwise(0L)).as("subday")): _*)
+        .head()
+      val stats = dims.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap ++
+        Map("__time_min_us" -> row.getLong(dims.size),
+            "__time_max_us" -> row.getLong(dims.size + 1),
+            "__time_subday" -> row.getLong(dims.size + 2))
+      val json = stats.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+      java.nio.file.Files.write(sidecar.toPath, json.getBytes("UTF-8"))
+      stats
+    }
+  }
+
+  /** Attach stats to the cube descriptor (column NDVs, time interval,
+    * quantization flag).
+    */
+  def withStats(info: CubeInfo, stats: Map[String, Long]): CubeInfo =
+    info.copy(
+      columns = info.columns.map(c => c.copy(cardinality = stats.get(c.name))),
+      timeIntervalMicros = for {
+        lo <- stats.get("__time_min_us")
+        hi <- stats.get("__time_max_us")
+      } yield (lo, hi),
+      timeDayQuantized = stats.get("__time_subday").contains(0L))
+}

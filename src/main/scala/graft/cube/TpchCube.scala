@@ -128,47 +128,6 @@ object TpchCube {
         FunctionalDependency("s_suppkey", "s_nation", ManyToOne)))
   }
 
-  /** Dimension NDV stats, computed once per materialized cube and persisted
-    * as a sidecar (`_graft_stats.json`) — the role Druid column cardinality
-    * metadata plays for the reference's cost gate
-    * (`DruidDataSource.scala:45-51`).
-    */
-  private def ensureStats(spark: SparkSession, path: String): Map[String, Long] = {
-    val sidecar = new java.io.File(path, "_graft_stats.json")
-    val existing: Option[Map[String, Long]] =
-      if (!sidecar.exists()) None
-      else {
-        val txt = new String(java.nio.file.Files.readAllBytes(sidecar.toPath), "UTF-8")
-        val m = "\"([^\"]+)\"\\s*:\\s*(-?\\d+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toLong).toMap
-        // regenerate older-format sidecars (missing time-range/quantization)
-        if (m.contains("__time_subday")) Some(m) else None
-      }
-    if (existing.isDefined) {
-      existing.get
-    } else {
-      val dims = info.columns.filter(_.role != ColumnRole.Metric).map(_.name)
-      val tcol = col(info.timeColumn)
-      val row = spark.read.parquet(path)
-        .select((dims.map(c => approx_count_distinct(col(c)).as(c))
-          :+ unix_micros(min(tcol).cast("timestamp")).as("tmin")
-          :+ unix_micros(max(tcol).cast("timestamp")).as("tmax")
-          :+ max(when(tcol =!= date_trunc("day", tcol), 1L).otherwise(0L)).as("subday")): _*)
-        .head()
-      val stats = dims.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap ++
-        // the cube's covered time interval (the reference's index intervals,
-        // `QueryIntervals.scala:40-132`) + sub-day-precision flag, stored
-        // under reserved keys
-        Map("__time_min_us" -> row.getLong(dims.size),
-            "__time_max_us" -> row.getLong(dims.size + 1),
-            "__time_subday" -> row.getLong(dims.size + 2))
-      val json = stats.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
-      java.nio.file.Files.write(sidecar.toPath, json.getBytes("UTF-8"))
-      stats
-    }
-  }
-
   def cubePath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
     s"/root/repo/target/cubes/tpch_$sf"
@@ -196,15 +155,8 @@ object TpchCube {
       t -> CubeCatalog.normalizePath(Tables.path(sfDir, t))
     }.toMap
     val sf = new java.io.File(sfDir).getName
-    val stats = ensureStats(spark, path)
-    val withStats = info.copy(
-      name = s"${CubeName}_$sf",
-      columns = info.columns.map(c => c.copy(cardinality = stats.get(c.name))),
-      timeIntervalMicros = for {
-        lo <- stats.get("__time_min_us")
-        hi <- stats.get("__time_max_us")
-      } yield (lo, hi),
-      timeDayQuantized = stats.get("__time_subday").contains(0L))
+    val stats = CubeStats.ensure(spark, info, path)
+    val withStats = CubeStats.withStats(info.copy(name = s"${CubeName}_$sf"), stats)
     // preserve rollup metadata attached by RollupCube.ensure
     val existingRollups = CubeCatalog.get(withStats.name).map(_.rollups).getOrElse(Nil)
     val cube = RegisteredCube(withStats, path, tablePaths, existingRollups)

@@ -102,7 +102,8 @@ object CubeSource {
         .repartition(col(info.timeBucketColumn))
         .write.mode("overwrite").partitionBy(info.timeBucketColumn).parquet(destPath)
     }
-    val cube = RegisteredCube(info, destPath,
+    val stats = CubeStats.ensure(spark, info, destPath)
+    val cube = RegisteredCube(CubeStats.withStats(info, stats), destPath,
       tablePaths.map { case (t, p) => t -> CubeCatalog.normalizePath(p) })
     CubeCatalog.register(cube)
     cube
