@@ -170,25 +170,31 @@ object Dedup {
     // related only through boilerplate; surviving pairs keep their full set
     // sizes, so only the common-count (and thus the reported Jaccard) of
     // capped pairs shrinks.
-    val postings = inv.groupBy("g_shingle")
-      .agg(collect_list(struct(col("g_id"), col("g_sz"))).as("g_docs"))
+    // posting lists carry (id, size) packed into one long (id in the high
+    // bits, size below 2^20) so collect_list aggregates a primitive array,
+    // not boxed structs; ids stay ordered under the packing because size
+    // occupies the low bits uniformly
+    val SzBits = 20
+    val packed = inv.select(col("g_shingle"),
+      (col("g_id") * (1L << SzBits) + col("g_sz")).as("g_doc"))
+    val postings = packed.groupBy("g_shingle")
+      .agg(collect_list(col("g_doc")).as("g_docs"))
     val capped = maxShingleDf match {
       case None      => postings
       case Some(cap) => postings.filter(size(col("g_docs")) <= cap)
     }
+    def unpackId(x: Column) = call_function("shiftright", x, lit(SzBits))
+    def unpackSz(x: Column) = x.bitwiseAND((1L << SzBits) - 1)
     val pairs = capped
       .filter(size(col("g_docs")) >= 2)
       .select(explode(let1(col("g_docs")) { docs =>
         flatten(transform(docs, (a, i) =>
           transform(slice(docs, i + 2, greatest(size(docs) - i - 1, lit(0))),
-            b => when(a("g_id") < b("g_id"),
-                   struct(a("g_id").as("idA"), b("g_id").as("idB"),
-                     a("g_sz").as("g_szA"), b("g_sz").as("g_szB")))
-                 .otherwise(
-                   struct(b("g_id").as("idA"), a("g_id").as("idB"),
-                     b("g_sz").as("g_szA"), a("g_sz").as("g_szB"))))))
+            b => struct(least(a, b).as("pA"), greatest(a, b).as("pB")))))
       }).as("g_p"))
-      .select("g_p.*")
+      .select(
+        unpackId(col("g_p.pA")).as("idA"), unpackId(col("g_p.pB")).as("idB"),
+        unpackSz(col("g_p.pA")).as("g_szA"), unpackSz(col("g_p.pB")).as("g_szB"))
     pairs
       .filter(least(col("g_szA"), col("g_szB")).cast("double") >=
         greatest(col("g_szA"), col("g_szB")) * threshold)
