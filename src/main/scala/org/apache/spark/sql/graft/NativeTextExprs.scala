@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -54,7 +54,9 @@ object NativeTextExprs {
           val base = XxHash64Function.hash(s, StringType, Seed)
           var j = 0
           while (j < numHashes) {
-            val h = XxHash64Function.hash(j, IntegerType, base)
+            // primitive path of xxhash64(int, seed) — identical values to
+            // XxHash64Function.hash(j, IntegerType, base), no boxing
+            val h = XXH64.hashInt(j, base)
             if (h < mins(j)) mins(j) = h
             j += 1
           }
@@ -144,7 +146,7 @@ object NativeTextExprs {
       while (start <= last) {
         var h = Seed
         var j = 0
-        while (j < width) { h = XxHash64Function.hash(th(start + j), LongType, h); j += 1 }
+        while (j < width) { h = XXH64.hashLong(th(start + j), h); j += 1 }
         out.add(h)
         start += 1
       }
