@@ -190,8 +190,9 @@ object RollupCube {
         .write.mode("overwrite").partitionBy("g_tbucket").parquet(cPath)
     }
     // smallest nodes first: the routing walk stops at the first fit
+    // (coarse ~ |coarseDims| x months; q1 ~ 6 x days; fine ~ |dims| x months)
     CubeCatalog.register(cube.copy(rollups =
-      Seq(q1Meta(sfDir), coarseMeta(sfDir), meta(sfDir))))
+      Seq(coarseMeta(sfDir), q1Meta(sfDir), meta(sfDir))))
     path
   }
 
