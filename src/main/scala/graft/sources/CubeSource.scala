@@ -17,7 +17,8 @@ import graft.cube._
   * role-played tables (e.g. nation as customer-nation and supplier-nation)
   * disambiguated by the per-role column mapping — and [[materialize]]
   * writes the time-bucket-partitioned cube + NDV/interval stats sidecar
-  * that the rewrite rules consume. Small dimension legs are broadcast.
+  * that the rewrite rules consume; join strategies are left to Catalyst/AQE
+  * (broadcast under the threshold, sort-merge beyond).
   */
 object CubeSource {
 
@@ -81,7 +82,10 @@ object CubeSource {
         val cond = r.joinCondition.map(c =>
           col(leftRef(r.leftTable, c.leftCol)) === col(tmp(r.rightTable, c.rightCol)))
           .reduce(_ && _)
-        plan = plan.join(broadcast(right), cond, "inner")
+        // no broadcast hint: dimension legs can be 10^8 rows at 100 TB —
+        // Catalyst/AQE broadcasts the ones under the threshold and
+        // sort-merges the rest
+        plan = plan.join(right, cond, "inner")
         joined += r.rightTable
       }
       remaining = rest

@@ -191,7 +191,8 @@ object NativeTextExprs {
           return org.apache.spark.unsafe.types.UTF8String.fromString("zh")
         i += 1
       }
-      val trimmed = text.trim.toLowerCase
+      // ROOT locale: matching Spark's lower(), immune to e.g. Turkish-I
+      val trimmed = text.trim.toLowerCase(java.util.Locale.ROOT)
       val scores = new Array[Int](sets.length)
       if (trimmed.nonEmpty) {
         val toks = ws.split(trimmed)

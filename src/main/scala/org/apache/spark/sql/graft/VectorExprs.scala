@@ -101,10 +101,14 @@ object VectorExprs {
     @transient private lazy val lFloat = isFloat(left)
     @transient private lazy val rFloat = isFloat(right)
 
+    override def nullable: Boolean = true
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      // length mismatch -> NULL, matching the composed zip_with form
+      // (null padding propagates through the fold there)
+      if (x.numElements() != y.numElements()) return null
+      val n = x.numElements()
       var ab = 0.0; var aa = 0.0; var bb = 0.0
       var i = 0
       while (i < n) {
