@@ -214,20 +214,29 @@ object Dedup {
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block SimHash LSH guarantees recall only for hamming <= 3")
-    val sigs = df.select(col(idCol).as("g_id"), simhash(col(textCol)).as("g_sim"))
-    val blocked = sigs.select(col("g_id"), col("g_sim"),
-      posexplode(let1(col("g_sim")) { s =>
-        transform(sequence(lit(0), lit(3)),
-          b => call_function("shiftright", s, b * 16).bitwiseAND(0xffffL))
-      }).as(Seq("g_block", "g_bits")))
-    val l = blocked.select(col("g_block"), col("g_bits"),
-      col("g_id").as("idA"), col("g_sim").as("g_simA"))
-    val r = blocked.select(col("g_block"), col("g_bits"),
-      col("g_id").as("idB"), col("g_sim").as("g_simB"))
-    l.join(r, Seq("g_block", "g_bits"))
-      .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"),
-        hammingDistance(col("g_simA"), col("g_simB")).as("hamming"))
+    // each bucket's (id, signature) pairs are collected and expanded
+    // in-list (i < j): the signature is computed ONCE per document and the
+    // verify hamming comes straight out of the expansion — no self-join,
+    // no recomputation per join side
+    val blocked = df
+      .select(col(idCol).as("g_id"), simhash(col(textCol)).as("g_sim"))
+      .select(col("g_id"), col("g_sim"),
+        posexplode(let1(col("g_sim")) { s =>
+          transform(sequence(lit(0), lit(3)),
+            b => call_function("shiftright", s, b * 16).bitwiseAND(0xffffL))
+        }).as(Seq("g_block", "g_bits")))
+    blocked.groupBy("g_block", "g_bits")
+      .agg(collect_list(struct(col("g_id"), col("g_sim"))).as("g_docs"))
+      .filter(size(col("g_docs")) >= 2)
+      .select(explode(let1(col("g_docs")) { docs =>
+        flatten(transform(docs, (a, i) =>
+          transform(slice(docs, i + 2, greatest(size(docs) - i - 1, lit(0))),
+            b => struct(
+              least(a("g_id"), b("g_id")).as("idA"),
+              greatest(a("g_id"), b("g_id")).as("idB"),
+              hammingDistance(a("g_sim"), b("g_sim")).as("hamming")))))
+      }).as("g_p"))
+      .select("g_p.*")
       .filter(col("hamming") <= maxHamming)
       .groupBy("idA", "idB").agg(first("hamming").as("hamming"))
   }
