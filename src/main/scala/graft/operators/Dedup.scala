@@ -46,29 +46,34 @@ object Dedup {
                         shingleK: Int = 3, bands: Int = 16,
                         rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = df.select(
-      col(idCol).as("g_id"),
-      minhashSignature(col(textCol), shingleK, numHashes).as("g_sig"))
     // band b = components [b*rowsPerBand, (b+1)*rowsPerBand); hash the slice.
     // let1 keeps the signature bound once per row even after CollapseProject
-    // inlines it into the per-band lambda.
-    val banded = sig.select(
-      col("g_id"), col("g_sig"),
-      posexplode(let1(col("g_sig")) { s =>
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            transform(slice(s, b * rowsPerBand + 1, lit(rowsPerBand)),
-              x => x.cast("string")), b.cast("string"))))
-      }).as(Seq("g_band", "g_bucket")))
-    val l = banded.select(col("g_band"), col("g_bucket"),
-      col("g_id").as("idA"), col("g_sig").as("g_sigA"))
-    val r = banded.select(col("g_band"), col("g_bucket"),
-      col("g_id").as("idB"), col("g_sig").as("g_sigB"))
-    l.join(r, Seq("g_band", "g_bucket"))
-      .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"),
-        minhashJaccard(col("g_sigA"), col("g_sigB")).as("sim"))
+    // inlines it into the per-band lambda. Pairs expand in-bucket carrying
+    // both signatures, so the estimated similarity needs no re-join and the
+    // signature subtree is evaluated once (see bucketPairs).
+    val banded = df.select(
+        col(idCol).as("g_id"),
+        minhashSignature(col(textCol), shingleK, numHashes).as("g_sig"))
+      .select(col("g_id"), col("g_sig"),
+        explode(let1(col("g_sig")) { s =>
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(concat_ws(",",
+              transform(slice(s, b * rowsPerBand + 1, lit(rowsPerBand)),
+                x => x.cast("string")), b.cast("string"))))
+        }).as("g_bucket"))
+    banded.groupBy("g_bucket")
+      .agg(collect_list(struct(col("g_id"), col("g_sig"))).as("g_docs"))
+      .filter(size(col("g_docs")) >= 2)
+      .select(explode(let1(col("g_docs")) { docs =>
+        flatten(transform(docs, (a, i) =>
+          transform(slice(docs, i + 2, greatest(size(docs) - i - 1, lit(0))),
+            b => struct(
+              least(a("g_id"), b("g_id")).as("idA"),
+              greatest(a("g_id"), b("g_id")).as("idB"),
+              minhashJaccard(a("g_sig"), b("g_sig")).as("sim")))))
+      }).as("g_p"))
+      .select("g_p.*")
       .groupBy("idA", "idB").agg(first("sim").as("sim"))
   }
 

@@ -80,6 +80,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(found.forall(_.getDouble(2) >= 0.8))
   }
 
+  test("minhashCandidates covers every true near-dup pair with a sane estimate") {
+    val exact = Dedup.ngramJaccardDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.subsetOf(cands.keySet), "banding missed true near-dup pairs")
+    assert(cands.values.forall(s => s >= 0.0 && s <= 1.0))
+    // estimates for true near-dups should skew high
+    assert(exact.forall(p => cands(p) >= 0.5), "estimate far below true jaccard")
+  }
+
   test("minhash LSH finds all high-jaccard pairs found by the exact ngram join") {
     val exact = Dedup.ngramJaccardDupPairs(docs, "doc_id", "text", threshold = 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
