@@ -29,6 +29,11 @@ final case class RollupMeta(
     kmvSketches: Map[String, String] = Map.empty,
     /** k of the stored KMV sketches */
     kmvK: Int = org.apache.spark.sql.graft.KmvSketch.DefaultK,
+    /** EXACT distinct count of each sketched column, measured at rollup
+      * build — the proof obligation for serving `count(DISTINCT)` from the
+      * sketch losslessly (approximate NDV stats are not proof)
+      */
+    kmvExactNdv: Map[String, Long] = Map.empty,
     /** derived-metric key (see `RollupCube.derivedDefs`) -> stored sum
       * column — ingestion-time computed measures, the rollup analog of
       * Druid's derived metric columns

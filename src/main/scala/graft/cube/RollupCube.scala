@@ -189,10 +189,31 @@ object RollupCube {
         .repartition(1)
         .write.mode("overwrite").partitionBy("g_tbucket").parquet(cPath)
     }
+    // EXACT distinct counts of the sketched columns (one tiny pass over the
+    // flat cube, persisted) — the lossless count(DISTINCT) rewrite may only
+    // fire when the TRUE cardinality fits the sketch; the approximate NDV
+    // stats in the cube sidecar are estimates, not proof
+    val ndvSidecar = new java.io.File(path, "_kmv_ndv.json")
+    val exactNdv: Map[String, Long] =
+      if (ndvSidecar.exists()) {
+        val txt = new String(java.nio.file.Files.readAllBytes(ndvSidecar.toPath), "UTF-8")
+        "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+      } else {
+        val cols = meta(sfDir).kmvSketches.keys.toSeq.sorted
+        val row = spark.read.parquet(cube.cubePath)
+          .select(cols.map(c => countDistinct(col(c)).as(c)): _*).head()
+        val m = cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+        java.nio.file.Files.write(ndvSidecar.toPath,
+          m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": $v""" }
+            .mkString("{", ", ", "}").getBytes("UTF-8"))
+        m
+      }
     // smallest nodes first: the routing walk stops at the first fit
     // (coarse ~ |coarseDims| x months; q1 ~ 6 x days; fine ~ |dims| x months)
     CubeCatalog.register(cube.copy(rollups =
-      Seq(coarseMeta(sfDir), q1Meta(sfDir), meta(sfDir))))
+      Seq(coarseMeta(sfDir), q1Meta(sfDir), meta(sfDir))
+        .map(_.copy(kmvExactNdv = exactNdv))))
     path
   }
 

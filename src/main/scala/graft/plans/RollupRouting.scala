@@ -85,7 +85,7 @@ case class RollupRouting(spark: SparkSession)
     val rollupPlan = CubeCatalog.rollupPlan(spark, ru)
     val rAttr: Map[String, Attribute] =
       rollupPlan.output.map(a => a.name.toLowerCase -> a).toMap
-    val cntAttr = rAttr(ru.countColumn)
+    val cntAttr = rAttr.getOrElse(ru.countColumn.toLowerCase, return None)
     val bucketAttr = rAttr.getOrElse(ru.timeBucketColumn.toLowerCase, return None)
     val timeColL = cube.info.timeColumn.toLowerCase
 
@@ -94,10 +94,25 @@ case class RollupRouting(spark: SparkSession)
       case a: Attribute => rAttr(nameOf(a))
     }
 
-    def metricOf(e: Expression, table: Map[String, String]): Option[String] = e match {
-      case a: Attribute => table.get(nameOf(a)).map(_.toLowerCase).filter(rAttr.contains)
-      case Cast(a: Attribute, _, _, _) => metricOf(a, table)
+    // The ONLY cast an aggregate argument may carry and still merge from
+    // stored sums is the exact per-row cast the rollup build itself applied
+    // (`sum(CAST(x AS DECIMAL(28,6)))` — the dsum shape): then re-summing
+    // the stored partial sums reproduces the original arithmetic. Any other
+    // cast (narrowing to BIGINT, to STRING, a different decimal scale)
+    // changes per-row values BEFORE aggregation and must refuse the route.
+    val DsumType = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsumCastOf(e: Expression): Option[Attribute] = e match {
+      case Cast(a: Attribute, DsumType, _, _) => Some(a)
       case _ => None
+    }
+    def metricOf(e: Expression, table: Map[String, String],
+                 allowDsumCast: Boolean): Option[String] = {
+      val attr = e match {
+        case a: Attribute => Some(a)
+        case _ if allowDsumCast => dsumCastOf(e)
+        case _ => None
+      }
+      attr.flatMap(a => table.get(nameOf(a)).map(_.toLowerCase).filter(rAttr.contains))
     }
 
     // Sum/Average merge semantics assume the stored rollup sums were built
@@ -108,8 +123,7 @@ case class RollupRouting(spark: SparkSession)
     // be checked here); the type is checked statically.
     def isDouble(e: Expression): Boolean = e match {
       case a: Attribute => a.dataType == DoubleType
-      case Cast(a: Attribute, _, _, _) => isDouble(a)
-      case _ => false
+      case _ => dsumCastOf(e).exists(_.dataType == DoubleType)
     }
 
     // `sum(<derived expr>)` — match the aggregated expression structurally
@@ -145,17 +159,17 @@ case class RollupRouting(spark: SparkSession)
       case Count(Seq(l: Literal)) if l.value != null =>
         Some(Sum(cntAttr).toAggregateExpression())
       case s @ Sum(child, _) if isDouble(child) =>
-        metricOf(child, ru.sums).map(c =>
+        metricOf(child, ru.sums, allowDsumCast = true).map(c =>
           Cast(Sum(rAttr(c)).toAggregateExpression(), s.dataType))
       case s @ Sum(child, _) =>
         derivedOf(child).map(c =>
           Cast(Sum(rAttr(c)).toAggregateExpression(), s.dataType))
-      case Min(child) => metricOf(child, ru.mins).map(c =>
+      case Min(child) => metricOf(child, ru.mins, allowDsumCast = false).map(c =>
         Min(rAttr(c)).toAggregateExpression())
-      case Max(child) => metricOf(child, ru.maxs).map(c =>
+      case Max(child) => metricOf(child, ru.maxs, allowDsumCast = false).map(c =>
         Max(rAttr(c)).toAggregateExpression())
       case Average(child, _) if isDouble(child) =>
-        metricOf(child, ru.sums).map(c =>
+        metricOf(child, ru.sums, allowDsumCast = true).map(c =>
           Divide(
             Cast(Sum(rAttr(c)).toAggregateExpression(), DoubleType),
             Cast(Sum(cntAttr).toAggregateExpression(), DoubleType)))
@@ -163,13 +177,14 @@ case class RollupRouting(spark: SparkSession)
     }
 
     /** `count(DISTINCT dim)` from the stored KMV sketch union — only when
-      * the cube's NDV statistics prove the sketch cannot have saturated
-      * (global NDV * 2 <= k ⇒ every sketch and every union holds all its
-      * hashes ⇒ the "estimate" is the exact distinct count). The reference
-      * serves this approximately behind an opt-in (`pushHLLTODruid`,
-      * `AggregateTransform.scala:454-479`); the stats gate makes ours a
-      * lossless rewrite, so it needs no flag. Beyond the gate the rewrite
-      * simply doesn't fire and the distinct count runs exactly on the cube.
+      * the EXACT distinct count measured at rollup build proves the sketch
+      * cannot have saturated (true NDV <= k ⇒ every sketch and every union
+      * holds all its hashes ⇒ the "estimate" is the exact distinct count).
+      * The reference serves this approximately behind an opt-in
+      * (`pushHLLTODruid`, `AggregateTransform.scala:454-479`); the
+      * measured-exactness gate makes ours a lossless rewrite, so it needs
+      * no flag. Beyond the gate the rewrite simply doesn't fire and the
+      * distinct count runs exactly on the cube.
       */
     def mergedDistinct(af: AggregateFunction): Option[Expression] = af match {
       case Count(Seq(a: Attribute))
@@ -177,9 +192,8 @@ case class RollupRouting(spark: SparkSession)
         for {
           sketchCol <- ru.kmvSketches.get(nameOf(a))
           sk <- rAttr.get(sketchCol.toLowerCase)
-          ndv <- cube.info.columns
-            .find(_.name.equalsIgnoreCase(nameOf(a))).flatMap(_.cardinality)
-          if ndv * 2 <= ru.kmvK
+          ndv <- ru.kmvExactNdv.get(nameOf(a))
+          if ndv <= ru.kmvK
         } yield org.apache.spark.sql.graft.KmvSketch
           .KmvMergeEstimate(sk, ru.kmvK).toAggregateExpression()
       case _ => None
@@ -263,14 +277,15 @@ case class RollupRouting(spark: SparkSession)
       */
     def mergeBody(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression => mergeAggExpr(ae)
-      case _ if timeGrouping(e).isDefined => timeGrouping(e)
-      case a: Attribute => if (servable(nameOf(a))) Some(rAttr(nameOf(a))) else None
-      case l: Literal => Some(l)
-      case other if other.children.nonEmpty =>
-        val kids = other.children.map(mergeBody)
-        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
-        else None
-      case _ => None
+      case _ => timeGrouping(e).orElse(e match {
+        case a: Attribute => if (servable(nameOf(a))) Some(rAttr(nameOf(a))) else None
+        case l: Literal => Some(l)
+        case other if other.children.nonEmpty =>
+          val kids = other.children.map(mergeBody)
+          if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
+          else None
+        case _ => None
+      })
     }
 
     // Filters: dimension predicates substitute directly; time-column
@@ -324,7 +339,10 @@ case class RollupRouting(spark: SparkSession)
           case "<"  => dataHi.exists(u > _)
           case _    => false
         }
-        if (vacuous) Some(Literal.TrueLiteral)
+        // a vacuous bound still excludes NULL-time rows (NULL fails every
+        // comparison), and NULL times land in the bucket-NULL rollup rows —
+        // so the drop must keep the not-null constraint, not become TRUE
+        if (vacuous) Some(IsNotNull(bucketAttr))
         else if (isDayGrain && cube.info.timeDayQuantized) {
           // every time value is midnight UTC (measured at build), so t is
           // exactly bucket*DayUs and ANY literal translates exactly

@@ -42,14 +42,35 @@ case class StarJoinElimination(spark: SparkSession)
     if (!spark.conf.get("spark.graft.starJoin.enabled", "true").toBoolean)
       return plan
     plan.transformDown {
+      // complex grouping keys: the analyzer's PullOutGroupingExpressions
+      // puts them in a Project below the Aggregate; the cardinality gate
+      // must see the INLINED grouping expressions (their base-column
+      // references), or the collapse would later happen through the
+      // gateless Project case below
+      case a @ Aggregate(_, _, p @ Project(projList, gchild), _)
+          if a.getTagValue(gateRefusedTag).isEmpty &&
+            projList.exists {
+              case al: Alias => !al.child.isInstanceOf[Attribute]
+              case _         => false
+            } =>
+        val aliasMap = projList.collect {
+          case al @ Alias(e, _) => al.exprId -> e
+        }.toMap
+        val inlined = a.groupingExpressions.map(_.transformUp {
+          case at: Attribute if aliasMap.contains(at.exprId) => aliasMap(at.exprId)
+        })
+        rewrite(gchild, p.references, Some(inlined))
+          .map(c => a.copy(child = p.copy(child = c))).getOrElse(a)
       case p @ Project(_, child) if p.getTagValue(gateRefusedTag).isEmpty =>
         rewrite(child, p.references, None).map(c => p.copy(child = c)).getOrElse(p)
       // grouping sets / cube / rollup arrive as Aggregate over Expand
       // (reference: one Druid query per Expand projection,
       // `AggregateTransform.scala:98-167`; ours: ONE cube scan feeding the
-      // native Expand, no per-projection re-scan)
+      // native Expand, no per-projection re-scan). The gate sees the child
+      // columns the Expand references — a conservative stand-in for the
+      // grouping keys (the finest grouping set uses all of them).
       case a @ Aggregate(_, _, e: Expand, _) if a.getTagValue(gateRefusedTag).isEmpty =>
-        rewrite(e.child, e.references, Some(a.groupingExpressions))
+        rewrite(e.child, e.references, Some(e.references.toSeq))
           .map(c => a.copy(child = e.copy(child = c))).getOrElse(a)
       case a: Aggregate if a.getTagValue(gateRefusedTag).isEmpty =>
         rewrite(a.child, a.references, Some(a.groupingExpressions))
@@ -109,6 +130,10 @@ case class StarJoinElimination(spark: SparkSession)
   private def rewrite(child: LogicalPlan, required: AttributeSet,
                       groupingExprs: Option[Seq[Expression]])
       : Option[LogicalPlan] = {
+    // a gate refusal anywhere in this subtree vetoes every enclosing match
+    // (the Project case carries no grouping information, so without this a
+    // refused aggregate would collapse through it ungated)
+    if (child.exists(_.getTagValue(gateRefusedTag).isDefined)) return None
     // worth attempting for join subtrees AND bare fact-table scans (the
     // latter routes e.g. `Aggregate(Filter(lineitem))` onto the
     // time-bucket-partitioned cube so interval queries partition-prune —

@@ -51,8 +51,13 @@ case class TimeBucketPruning(spark: SparkSession)
               case None           => ivs
             }
             if (clamped.isEmpty) LocalRelation(f.output)
+            else if (ivs == IntervalSet.All) f // no time predicate to prune on
             else {
-              val preds = bucketPredicates(ivs, bucketAttr.get)
+              // derive bucket predicates from the CLAMPED set: the data
+              // interval both tightens loose bounds (t >= 1990 on a cube
+              // starting 1995 prunes to 1995's bucket) and closes the open
+              // side of one-sided predicates
+              val preds = bucketPredicates(clamped, bucketAttr.get)
               if (preds.isEmpty) f
               else Filter((conjuncts ++ preds).reduce(And), lr)
             }
