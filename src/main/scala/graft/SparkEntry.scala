@@ -151,7 +151,151 @@ object SparkEntry {
          |GROUP BY 1
          |ORDER BY 1""".stripMargin
 
-    val all: Map[String, String] = Map(
+    /** The remaining TPC-H query shapes (Q4, Q9, Q11-Q22), adapted to the
+      * reduced synthetic schema (no partsupp / commitdate / receiptdate /
+      * phone / comment columns) while preserving each query's *operator*
+      * signature: EXISTS / NOT EXISTS (Q4, Q21, Q22), multi-way star joins
+      * with LIKE (Q9), scalar subquery in HAVING (Q11), CASE aggregation
+      * (Q12, Q14), LEFT OUTER JOIN + count distribution (Q13), CTE reused
+      * by a scalar subquery (Q15), NOT IN + count(DISTINCT) (Q16),
+      * correlated scalar aggregate subquery (Q17), IN over a HAVING
+      * subquery (Q18), OR'd predicate brackets (Q19), nested IN chains
+      * (Q20). The reference only benchmarks Q1/Q3/Q5/Q7/Q8/Q10 (its Druid
+      * pushdown can't express the rest — `TPCHQueries.scala` stops there);
+      * ours run as native Spark plans, so the full suite is serviceable.
+      */
+    val tpchFull: Map[String, String] = Map(
+      "q04_order_priority" ->
+        """SELECT o_orderpriority, count(*) AS cnt
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1996-10-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin,
+      "q09_product_profit" ->
+        s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           |  ${dec("l_extendedprice * (1.0 - l_discount)")} AS sum_profit
+           |FROM lineitem
+           |JOIN part ON l_partkey = p_partkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN orders ON l_orderkey = o_orderkey
+           |WHERE p_name LIKE '%red%'
+           |GROUP BY 1, 2
+           |ORDER BY nation, o_year""".stripMargin,
+      "q11_important_parts" ->
+        s"""SELECT l_partkey, ${dec("l_extendedprice")} AS value
+           |FROM lineitem
+           |GROUP BY l_partkey
+           |HAVING ${dec("l_extendedprice")} >
+           |  (SELECT ${dec("l_extendedprice")} * 0.0008 FROM lineitem)
+           |ORDER BY value DESC, l_partkey
+           |LIMIT 20""".stripMargin,
+      "q12_priority_lines" ->
+        """SELECT l_linestatus,
+          |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          |GROUP BY l_linestatus
+          |ORDER BY l_linestatus""".stripMargin,
+      "q13_cust_distribution" ->
+        """SELECT c_count, count(*) AS custdist FROM (
+          |  SELECT c_custkey, count(o_orderkey) AS c_count
+          |  FROM customer LEFT OUTER JOIN orders
+          |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+          |  GROUP BY c_custkey) c_orders
+          |GROUP BY c_count
+          |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+      "q14_promo_revenue" ->
+        s"""SELECT 100.0 * ${dec("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+           |  / ${dec("l_extendedprice * (1.0 - l_discount)")} AS promo_revenue
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+      "q15_top_supplier" ->
+        s"""WITH revenue AS (
+           |  SELECT l_suppkey AS supplier_no, ${dec("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+           |  FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+           |  GROUP BY l_suppkey)
+           |SELECT s_suppkey, s_name, total_revenue
+           |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+           |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+           |ORDER BY s_suppkey""".stripMargin,
+      "q16_parts_supplier" ->
+        """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE p_brand <> 'Brand#0'
+          |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+          |LIMIT 30""".stripMargin,
+      "q17_small_qty_revenue" ->
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#3' AND p_type = 'ECONOMY'
+          |  AND l_quantity < (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / (5.0 * count(*))
+          |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+      "q18_large_orders" ->
+        s"""SELECT c_custkey, o_orderkey,
+           |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS odate, o_totalprice,
+           |  ${dec("l_quantity")} AS sum_qty
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE o_orderkey IN (
+           |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+           |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) > 140.0)
+           |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+           |ORDER BY o_totalprice DESC, o_orderkey
+           |LIMIT 20""".stripMargin,
+      "q19_bracket_disc" ->
+        s"""SELECT ${dec("l_extendedprice * (1.0 - l_discount)")} AS revenue, count(*) AS cnt
+           |FROM lineitem JOIN part ON p_partkey = l_partkey
+           |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1.0 AND l_quantity <= 21.0)
+           |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10.0 AND l_quantity <= 30.0)
+           |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20.0 AND l_quantity <= 40.0)""".stripMargin,
+      "q20_excess_suppliers" ->
+        """SELECT s_suppkey, s_name FROM supplier
+          |WHERE s_suppkey IN (
+          |  SELECT l_suppkey FROM lineitem
+          |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          |    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  GROUP BY l_suppkey
+          |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) > 50.0)
+          |  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11'))
+          |ORDER BY s_suppkey""".stripMargin,
+      "q21_waiting_supplier" ->
+        """SELECT s_name, count(*) AS numwait
+          |FROM supplier
+          |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+          |JOIN orders ON o_orderkey = l1.l_orderkey
+          |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_returnflag = 'R')
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 10""".stripMargin,
+      "q22_global_sales" ->
+        s"""SELECT cntrycode, count(*) AS numcust, ${dec("c_acctbal")} AS totacctbal
+           |FROM (
+           |  SELECT substring(c_name, 15, 2) AS cntrycode, c_acctbal, c_custkey
+           |  FROM customer
+           |  WHERE substring(c_name, 15, 2) IN ('00', '01', '02', '03', '04', '05', '11', '12')
+           |    AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+           |                     FROM customer WHERE c_acctbal > 0.0)
+           |) custsale
+           |WHERE NOT EXISTS (SELECT 1 FROM orders
+           |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+           |GROUP BY cntrycode
+           |ORDER BY cntrycode""".stripMargin)
+
+    val all: Map[String, String] = tpchFull ++ Map(
       "q03_shipping_priority" -> q03_shipping_priority,
       "q05_local_supplier"    -> q05_local_supplier,
       "q06_forecast_revenue"  -> q06_forecast_revenue,
