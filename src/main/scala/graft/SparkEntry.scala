@@ -745,6 +745,55 @@ object SparkEntry {
             "vec_id", "embedding", threshold = 0.9)
           .orderBy("idA", "idB")
       },
+      // backward as-of join (§2.3 beyond-reference: the reference has no
+      // as-of; DuckDB's native ASOF JOIN is the oracle): every purchase
+      // event picks up the most recent view at-or-before it per user
+      "q_asof_join" -> { (s, dir) =>
+        import graft.operators.Joins
+        val ev = Tables.events(s, dir)
+        val purchases = ev
+          .filter(col("event_type") === "purchase" && col("user_id") < 30)
+          .select("user_id", "ts", "value")
+        // right side unique per (user_id, ts): as-of is ill-defined on ties
+        val views = Dedup.exactDedup(
+            ev.filter(col("event_type") === "view"),
+            "event_id", Seq(col("user_id"), col("ts")))
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+            col("value").as("v_val"))
+        Joins.asofJoin(purchases, "user_id", "ts", views, "v_user", "v_ts",
+            Seq("v_ts" -> "g_vts", "v_val" -> "v_value"))
+          .filter(col("g_vts").isNotNull)
+          .select(col("user_id"), unix_millis(col("ts")).as("p_ms"),
+            col("value").as("p_value"), unix_millis(col("g_vts")).as("v_ms"),
+            col("v_value"))
+          .orderBy("user_id", "p_ms")
+      },
+      // interval containment join via domain binning (§2.3 beyond-reference;
+      // overlapping bands prove multi-match fan-out)
+      "q_range_join" -> { (s, dir) =>
+        import graft.operators.Joins
+        val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        import classic.implicits._
+        val bands = Seq(
+          ("low", -1000.0, 2000.0), ("mid", 1500.0, 6000.0),
+          ("high", 5500.0, 9000.0), ("all", -1000.0, 10000.0))
+          .toDF("band", "lo", "hi")
+        Joins.rangeJoin(Tables.t(s, dir, "customer"), "c_acctbal",
+            bands, "lo", "hi", binWidth = 1000.0)
+          .groupBy("band")
+          .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("sum_bal"))
+          .orderBy("band")
+      },
+      // exact batched k-NN join (brute-force baseline; the LSH q_knn_join
+      // below is the approximate scale path, rows-only checked)
+      "q_knn_exact" -> { (s, dir) =>
+        val embs = Tables.t(s, dir, "embeddings")
+        val queries = embs.filter(col("vec_id") < 5L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.knnJoinExact(embs, "vec_id", "embedding",
+            queries, "qid", "qvec", k = 3)
+          .orderBy(col("qid_q"), col("rank"))
+      },
       "q_knn_join" -> { (s, dir) =>
         val embs = Tables.t(s, dir, "embeddings")
         val queries = embs.filter(col("vec_id") < 5L)
@@ -885,6 +934,53 @@ object SparkEntry {
         s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS kmod,
            |  count(*) AS cnt, ${dec("value")} AS sum_value
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_asof_join" ->
+        """WITH v AS (
+          |  SELECT user_id, ts, value FROM (
+          |    SELECT user_id, ts, value,
+          |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+          |    FROM events WHERE event_type = 'view') dv
+          |  WHERE rn = 1),
+          |p AS (SELECT user_id, ts, value FROM events
+          |      WHERE event_type = 'purchase' AND user_id < 30)
+          |SELECT p.user_id, CAST(epoch_ms(p.ts) AS BIGINT) AS p_ms, p.value AS p_value,
+          |  CAST(epoch_ms(v.ts) AS BIGINT) AS v_ms, v.value AS v_value
+          |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+          |ORDER BY p.user_id, p_ms""".stripMargin,
+      "q_range_join" ->
+        s"""WITH bands(band, lo, hi) AS (VALUES
+           |  ('low', -1000.0, 2000.0), ('mid', 1500.0, 6000.0),
+           |  ('high', 5500.0, 9000.0), ('all', -1000.0, 10000.0))
+           |SELECT band, count(*) AS cnt, ${dec("c_acctbal")} AS sum_bal
+           |FROM customer JOIN bands ON c_acctbal >= lo AND c_acctbal <= hi
+           |GROUP BY band
+           |ORDER BY band""".stripMargin,
+      "q_knn_exact" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+           |c AS (SELECT q.qid, e.vec_id,
+           |  ${dotSql("e.embedding", "q.qe")} /
+           |  (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+           |   sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
+           |FROM embeddings e, q),
+           |r AS (SELECT qid AS qid_q, vec_id AS vec_id_n, cosine,
+           |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+           |FROM c)
+           |SELECT qid_q, vec_id_n, cosine, rank FROM r WHERE rank <= 3
+           |ORDER BY qid_q, rank""".stripMargin,
+      // brute-force all-pairs restatement of embeddingDupPairs: confirms the
+      // LSH+verify path is exact on this corpus — including that an empty
+      // answer really is empty (the data's max pairwise cosine is ~0.51, so
+      // zero pairs at 0.9 is the CORRECT result, and any false positive the
+      // LSH path produced would fail this oracle)
+      "q_dedup_embedding" ->
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |p AS (SELECT a.vec_id AS idA, b.vec_id AS idB,
+           |  ${dotSql("a.embedding", "b.embedding")} /
+           |  (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+           |   sqrt(${dotSql("b.embedding", "b.embedding")})) AS cosine
+           |FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           |SELECT idA, idB, cosine FROM p WHERE cosine >= 0.9
+           |ORDER BY idA, idB""".stripMargin,
       "q_events_sessionize" ->
         s"""WITH x AS (SELECT user_id, ts, value,
            |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),

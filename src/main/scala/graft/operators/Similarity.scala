@@ -62,6 +62,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact batched k-NN join: broadcast the query set, score every corpus
+    * row against every query, keep each query's top-k by cosine. The
+    * brute-force baseline [[knnJoin]]'s LSH path is measured against.
+    *
+    * The top-k is two-phase so no single reducer ever sees a whole query's
+    * |corpus| scores: scores first shuffle on (query, salt) and reduce to k
+    * rows per salt bucket, then the P*k survivors per query reduce to the
+    * final k. With a broadcast query side the scoring itself is
+    * shuffle-free; the first shuffle carries only (qid, nid, cosine) —
+    * never the vectors.
+    */
+  def knnJoinExact(corpus: DataFrame, corpusId: String, corpusVec: String,
+                   queries: DataFrame, queryId: String, queryVec: String,
+                   k: Int, partialBuckets: Int = 32): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("g_qid"),
+      col(queryVec).as("g_qvec")))
+    val scored = corpus
+      .select(col(corpusId).as("g_nid"), col(corpusVec).as("g_nvec"))
+      .crossJoin(q)
+      .select(col("g_qid"), col("g_nid"),
+        cosine(col("g_nvec"), col("g_qvec")).as("cosine"))
+    val w1 = Window.partitionBy("g_qid", "g_salt")
+      .orderBy(col("cosine").desc, col("g_nid"))
+    val partial = scored
+      .withColumn("g_salt", pmod(xxhash64(col("g_nid")), lit(partialBuckets)))
+      .withColumn("g_r", row_number().over(w1))
+      .filter(col("g_r") <= k)
+    val w2 = Window.partitionBy("g_qid").orderBy(col("cosine").desc, col("g_nid"))
+    partial.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("g_qid").as(queryId + "_q"), col("g_nid").as(corpusId + "_n"),
+        col("cosine"), col("rank"))
+  }
+
   /** Batched k-NN join: for every row of `queries`, its top-k neighbors in
     * `corpus` among candidates sharing an LSH band (random-hyperplane
     * signature banded like MinHash-LSH). Output:

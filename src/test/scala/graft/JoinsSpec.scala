@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Joins, Similarity}
+
+/** Specs for the temporal/range join operators and the exact k-NN join. */
+class JoinsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("asofJoin picks the latest right row at-or-before each left ts") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val left = Seq(
+      (1L, 100L, "l1"), (1L, 205L, "l2"), (1L, 300L, "l3"),
+      (2L, 50L, "l4"), (3L, 10L, "l5"))
+      .toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 100L, 1.0), (1L, 200L, 2.0), (1L, 301L, 3.0),
+      (2L, 49L, 4.0), (9L, 1L, 9.9))
+      .toDF("k", "t", "rv")
+    val got = Joins.asofJoin(left, "k", "t", right, "k", "t",
+        Seq("t" -> "rt", "rv" -> "rv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    assert(got == Set(
+      (1L, 100L, "l1", Some(100L), Some(1.0)), // tie: equal-ts right visible
+      (1L, 205L, "l2", Some(200L), Some(2.0)), // skips the later 301 row
+      (1L, 300L, "l3", Some(200L), Some(2.0)),
+      (2L, 50L, "l4", Some(49L), Some(4.0)),
+      (3L, 10L, "l5", None, None)))            // no right row for key 3
+  }
+
+  test("rangeJoin matches the naive inequality join, overlaps included") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val points = Seq.tabulate(200)(i => (i.toLong, i * 37.0 % 1000 - 100))
+      .toDF("id", "v")
+    val ranges = Seq(("a", -100.0, 50.0), ("b", 0.0, 500.0),
+      ("c", 450.0, 455.0), ("d", 400.0, 900.0)).toDF("name", "lo", "hi")
+    val got = Joins.rangeJoin(points, "v", ranges, "lo", "hi", binWidth = 128.0)
+      .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = points.crossJoin(ranges)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // a point inside two overlapping ranges appears once per range
+    assert(got.groupBy(_._1).exists(_._2.size > 1))
+  }
+
+  test("knnJoinExact equals per-query brute-force top-k") {
+    val embs = Tables.t(spark, sf, "embeddings")
+    val queries = embs.filter(col("vec_id") < 3L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Similarity.knnJoinExact(embs, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    for (q <- 0L until 3L) {
+      val qv = embs.filter(col("vec_id") === q)
+        .select("embedding").head().getSeq[Float](0)
+      val bf = Similarity.bruteForceTopK(embs, "vec_id", "embedding", qv, 4)
+        .collect().map(_.getLong(0))
+      for ((id, rank) <- bf.zipWithIndex)
+        assert(got((q, rank + 1)) == id, s"query $q rank ${rank + 1}")
+    }
+  }
+}
