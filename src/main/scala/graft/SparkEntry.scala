@@ -809,6 +809,33 @@ object SparkEntry {
         Similarity.ivfTopK(embs, "vec_id", "embedding", q, k = 10,
           nBits = 6, minMatchingBits = 4)
       },
+      // cross-engine rolling-hash fingerprint (the xxhash64 chain in
+      // q_doc_fingerprint below stays rows-only; this one is oracle-backed)
+      "q_fingerprint_poly" -> { (s, dir) =>
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"), polyFingerprint(col("text")).as("fp"))
+          .orderBy("doc_id")
+      },
+      // hopping (overlapping) time windows: 1-hour windows sliding every
+      // 30 minutes — each event lands in exactly two windows
+      "q_events_hop" -> { (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+          .select(col("window.start").cast("timestamp").cast("long").as("ws"),
+            col("event_type"), col("cnt"), col("sum_value"))
+          .orderBy("ws", "event_type")
+      },
+      // exact linear-interpolation percentiles (both engines compute
+      // lower + frac*(upper-lower) at index p*(n-1) in double — bit-equal)
+      "q_percentile" -> { (s, dir) =>
+        Tables.t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(percentile(col("l_quantity"), lit(0.5)).as("p50"),
+            percentile(col("l_quantity"), lit(0.9)).as("p90"),
+            percentile(col("l_extendedprice"), lit(0.25)).as("price_p25"))
+          .orderBy("l_returnflag")
+      },
       "q_doc_fingerprint" -> { (s, dir) =>
         Tables.t(s, dir, "documents")
           .select(col("doc_id"), fingerprint(col("text")).as("fp"),
@@ -934,6 +961,35 @@ object SparkEntry {
         s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS kmod,
            |  count(*) AS cnt, ${dec("value")} AS sum_value
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_fingerprint_poly" ->
+        """WITH t AS (SELECT doc_id,
+          |  list_transform(string_split_regex(trim(text), '\s+'),
+          |    t -> list_reduce(list_transform(string_split_regex(t, ''), c -> CAST(ord(c) AS BIGINT)),
+          |                     (h, c) -> (h*31 + c) % 2147483647)) AS th
+          |FROM documents)
+          |SELECT doc_id,
+          |  CASE WHEN len(th) >= 4 THEN
+          |    list_min(list_transform(generate_series(1, len(th)-3),
+          |      i -> (th[i]*2248091 + th[i+1]*17161 + th[i+2]*131 + th[i+3]) % 2147483647))
+          |  WHEN len(th) = 0 THEN 0
+          |  ELSE list_reduce(th, (a, h) -> (a*131 + h) % 2147483647) END AS fp
+          |FROM t ORDER BY doc_id""".stripMargin,
+      "q_events_hop" ->
+        s"""WITH h AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS w1, event_type, value FROM events),
+           |u AS (SELECT w1 AS wstart, event_type, value FROM h
+           |      UNION ALL
+           |      SELECT w1 - INTERVAL '30 minutes' AS wstart, event_type, value FROM h)
+           |SELECT CAST(epoch(wstart) AS BIGINT) AS ws, event_type,
+           |  count(*) AS cnt, ${dec("value")} AS sum_value
+           |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q_percentile" ->
+        """SELECT l_returnflag,
+          |  quantile_cont(l_quantity, 0.5) AS p50,
+          |  quantile_cont(l_quantity, 0.9) AS p90,
+          |  quantile_cont(l_extendedprice, 0.25) AS price_p25
+          |FROM lineitem
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin,
       "q_asof_join" ->
         """WITH v AS (
           |  SELECT user_id, ts, value FROM (

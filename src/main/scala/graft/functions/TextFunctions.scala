@@ -127,6 +127,28 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** SQL-portable polynomial rolling-hash fingerprint (Karp–Rabin,
+    * winnowing-lite): each token hashes to a base-31 char-code polynomial
+    * mod M = 2^31-1, the document fingerprint is the minimum base-131 hash
+    * over all 4-token windows (or the whole-sequence fold when shorter).
+    * Every intermediate stays far below 2^53, so any engine with 64-bit
+    * integer arithmetic recomputes it bit-for-bit — unlike the xxhash64
+    * chain of [[fingerprint]], this one has a cross-engine oracle.
+    */
+  def polyFingerprint(text: Column): Column = {
+    val M = 2147483647L
+    val B = 131L
+    let1(transform(tokens(text), t =>
+        aggregate(split(t, ""), lit(0L), (h, c) => (h * 31L + ascii(c)) % M))) { th =>
+      val n = size(th)
+      when(n >= 4,
+        array_min(transform(sequence(lit(1), n - 3), i =>
+          (element_at(th, i) * (B * B * B) + element_at(th, i + 1) * (B * B) +
+            element_at(th, i + 2) * B + element_at(th, i + 3)) % M)))
+        .otherwise(aggregate(th, lit(0L), (a, h) => (a * B + h) % M))
+    }
+  }
+
   /** Word k-shingles: overlapping k-grams of the token sequence, joined by a
     * single space. Documents shorter than k tokens yield their whole token
     * sequence as one shingle.
