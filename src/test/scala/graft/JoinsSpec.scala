@@ -50,6 +50,44 @@ class JoinsSpec extends AnyFunSuite {
     assert(got.groupBy(_._1).exists(_._2.size > 1))
   }
 
+  test("polyFingerprint matches a hand-rolled Karp-Rabin on edge lengths") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val M = 2147483647L
+    def tokHash(t: String): Long = t.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % M)
+    def fp(text: String): Long = {
+      val th = text.trim.split("\\s+").filter(_.nonEmpty).map(tokHash)
+      if (th.length >= 4)
+        th.sliding(4).map(w =>
+          (w(0) * 131L * 131 * 131 + w(1) * 131L * 131 + w(2) * 131L + w(3)) % M).min
+      else th.foldLeft(0L)((a, h) => (a * 131 + h) % M)
+    }
+    val texts = Seq("", "one", "a bb ccc", "a bb ccc dddd",
+      "the quick brown fox jumps over the lazy dog", "  padded   spacing  x ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.functions.TextFunctions.polyFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((t, i) <- texts.zipWithIndex)
+      assert(got(i.toLong) == fp(t), s"text '$t'")
+  }
+
+  test("knnJoin (LSH) neighbors are a subset of exact neighbors' candidates") {
+    val embs = Tables.t(spark, sf, "embeddings")
+    val queries = embs.filter(col("vec_id") < 5L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val lsh = Similarity.knnJoin(embs, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lsh.nonEmpty)
+    // every reported cosine must be the true cosine (verify stage is exact):
+    // check against a direct recomputation for one query
+    val exact = Similarity.knnJoinExact(embs, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((q, n, c) <- lsh) assert(exact((q, n)) == c, s"pair ($q,$n)")
+  }
+
   test("knnJoinExact equals per-query brute-force top-k") {
     val embs = Tables.t(spark, sf, "embeddings")
     val queries = embs.filter(col("vec_id") < 3L)
