@@ -654,6 +654,26 @@ object SparkEntry {
          |      CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8
          |ORDER BY idA, idB""".stripMargin
 
+    /** Duplicate clusters from the exact n-gram pairs: transitive closure by
+      * a recursive CTE (min reachable id per node) — the independent
+      * restatement of [[graft.operators.Dedup.connectedComponents]].
+      */
+    private val dedupClustersOracle: String =
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct($shingleSql) s FROM toks),
+         |pairs AS (SELECT a.doc_id AS idA, b.doc_id AS idB
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8),
+         |edges AS (SELECT idA AS a, idB AS b FROM pairs
+         |          UNION SELECT idB AS a, idA AS b FROM pairs),
+         |cc AS (
+         |  SELECT DISTINCT a AS node, a AS lbl FROM edges
+         |  UNION
+         |  SELECT e.a AS node, c.lbl AS lbl FROM edges e JOIN cc c ON e.b = c.node)
+         |SELECT node AS doc_id, min(lbl) AS cluster_rep
+         |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin
+
     /** Sequential-fold double dot product of two DuckDB float lists —
       * DuckDB's `list_sum` folds in index order, matching
       * [[graft.operators.Vectors.dot]] bit for bit.
@@ -708,6 +728,15 @@ object SparkEntry {
         Dedup.minhashDupPairs(Tables.t(s, dir, "documents"),
             "doc_id", "text", threshold = 0.8)
           .orderBy("idA", "idB")
+      },
+      // pairwise hits -> duplicate clusters (min-id representative): the
+      // step a dedup pipeline actually keys its keep/drop decision on
+      "q_dedup_clusters" -> { (s, dir) =>
+        val pairs = Dedup.ngramJaccardDupPairs(Tables.t(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8)
+        Dedup.connectedComponents(pairs, "idA", "idB")
+          .select(col("node").as("doc_id"), col("component").as("cluster_rep"))
+          .orderBy("doc_id")
       },
       "q_sim_topk" -> { (s, dir) =>
         val embs = Tables.t(s, dir, "embeddings")
@@ -952,6 +981,7 @@ object SparkEntry {
           |JOIN k ON d.doc_id = k.doc_id ORDER BY d.doc_id""".stripMargin,
       "q_dedup_ngram" -> ngramPairsOracle,
       "q_dedup_minhash" -> ngramPairsOracle,
+      "q_dedup_clusters" -> dedupClustersOracle,
       "q_sim_topk" -> simTopkOracle,
       "q_events_window" ->
         s"""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,

@@ -246,6 +246,56 @@ object Dedup {
       .groupBy("idA", "idB").agg(first("hamming").as("hamming"))
   }
 
+  /** Connected components over an undirected duplicate-pair edge list —
+    * the step that turns pairwise near-dup hits into *clusters* so a
+    * pipeline can keep one representative per group. Output:
+    * `(node, component)` where `component` is the smallest id reachable
+    * from `node` (only nodes that appear in some pair are returned;
+    * singletons are their own representative by definition).
+    *
+    * Iterative min-label propagation: each round is one shuffled
+    * join + min-aggregate (`lbl(v) <- min(lbl(v), min lbl over neighbors)`),
+    * converging in O(component diameter) rounds — near-dup clusters are
+    * shallow (diameter a handful), so a few rounds suffice even at corpus
+    * scale. Per round the label frame is `localCheckpoint`ed to truncate
+    * lineage (an unbounded iterative plan otherwise re-executes every prior
+    * round), and convergence is detected by a count of changed labels —
+    * one scalar to the driver per round, never the labels themselves.
+    * A pathological giant component (everything transitively similar to
+    * everything) degrades rounds, not correctness; `maxIters` bounds the
+    * work and is asserted so truncation can never be mistaken for an
+    * answer.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("g_src"), col(bCol).as("g_dst"))
+    val edges = fwd
+      .union(fwd.select(col("g_dst").as("g_src"), col("g_src").as("g_dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("g_src").as("g_node"))
+      .distinct()
+      .withColumn("g_lbl", col("g_node"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxIters) {
+      val viaNeighbor = edges
+        .join(labels, edges("g_dst") === labels("g_node"))
+        .select(col("g_src").as("g_node"), col("g_lbl"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("g_node").agg(min("g_lbl").as("g_lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("g_lbl", "g_old"), "g_node")
+        .filter(col("g_lbl") < col("g_old")).count()
+      labels = next
+      round += 1
+    }
+    assert(changed == 0L,
+      s"connectedComponents did not converge in $maxIters rounds")
+    labels.select(col("g_node").as("node"), col("g_lbl").as("component"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates from random-
     * hyperplane LSH over the embedding (documents agreeing on at least one
     * signature band), verified by exact cosine >= threshold.

@@ -88,6 +88,19 @@ class JoinsSpec extends AnyFunSuite {
     for ((q, n, c) <- lsh) assert(exact((q, n)) == c, s"pair ($q,$n)")
   }
 
+  test("connectedComponents labels chains, triangles, and isolated pairs") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    // components: {1,2,3,4} (chain 1-2, 2-3, 3-4), {10,11,12} (triangle),
+    // {20,21} (pair); edge (30,30) self-loop stays its own component
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L), (30L, 30L)).toDF("idA", "idB")
+    val got = graft.operators.Dedup.connectedComponents(pairs, "idA", "idB")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
   test("knnJoinExact equals per-query brute-force top-k") {
     val embs = Tables.t(spark, sf, "embeddings")
     val queries = embs.filter(col("vec_id") < 3L)
