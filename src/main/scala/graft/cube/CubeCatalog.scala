@@ -66,6 +66,13 @@ object CubeCatalog {
 
   def register(cube: RegisteredCube): Unit = cubes.put(cube.info.name, cube)
   def unregister(name: String): Unit = cubes.remove(name)
+
+  /** Drop all registered cubes and cached scan plans (the reference's
+    * `CLEAR DRUID CACHE` metadata invalidation,
+    * `SparklineDataParser.scala:108-110`). Materialized parquet stays on
+    * disk; the next `ensure`/`register` rebuilds metadata from it.
+    */
+  def clear(): Unit = { cubes.clear(); planCache.clear() }
   def get(name: String): Option[RegisteredCube] = cubes.get(name)
   def all: Seq[RegisteredCube] = cubes.values.toSeq
   def isEmpty: Boolean = cubes.isEmpty

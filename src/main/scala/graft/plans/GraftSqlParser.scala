@@ -29,11 +29,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     "(?is)\\s*SHOW\\s+GRAFT\\s+CUBES\\s*;?\\s*".r
   private val DescRe =
     "(?is)\\s*DESCRIBE\\s+GRAFT\\s+CUBE\\s+([\\w.]+)\\s*;?\\s*".r
+  private val ClearRe =
+    "(?is)\\s*CLEAR\\s+GRAFT\\s+CACHE\\s*;?\\s*".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case ExplainRe(inner) => ExplainGraftRewriteCommand(inner.trim.stripSuffix(";"))
     case ShowRe()         => ShowGraftCubesCommand()
     case DescRe(name)     => DescribeGraftCubeCommand(name)
+    case ClearRe()        => ClearGraftCacheCommand()
     case _                => delegate.parsePlan(sqlText)
   }
 
@@ -73,6 +76,20 @@ case class ShowGraftCubesCommand() extends LeafRunnableCommand {
         c.cubePath,
         c.rollups.map(r => s"${r.dims.mkString("+")}@${r.path}").mkString("; "))
     }
+}
+
+/** The reference's `CLEAR DRUID CACHE` — drops cube registrations and
+  * cached scan plans; materialized parquet survives and re-registers on the
+  * next `ensure`.
+  */
+case class ClearGraftCacheCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("cleared", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val names = graft.cube.CubeCatalog.all.map(_.info.name).sorted
+    graft.cube.CubeCatalog.clear()
+    names.map(Row(_))
+  }
 }
 
 case class DescribeGraftCubeCommand(name: String) extends LeafRunnableCommand {

@@ -57,6 +57,19 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(byCol("l_quantity") == "Metric")
   }
 
+  test("CLEAR GRAFT CACHE empties the catalog; ensure re-registers") {
+    init()
+    assert(graft.cube.CubeCatalog.all.nonEmpty)
+    val cleared = parser.parsePlan("CLEAR GRAFT CACHE")
+      .asInstanceOf[graft.plans.ClearGraftCacheCommand].run(spark)
+    assert(cleared.nonEmpty && graft.cube.CubeCatalog.isEmpty)
+    // materialized parquet survives: re-registration is metadata-only and
+    // restores the state other specs in this JVM rely on
+    graft.cube.TpchCube.ensure(spark, sf)
+    graft.cube.RollupCube.ensure(spark, sf)
+    assert(graft.cube.CubeCatalog.all.nonEmpty)
+  }
+
   test("anything else delegates to the Spark parser") {
     val plan = parser.parsePlan("SELECT 1 AS one")
     assert(!plan.isInstanceOf[ExplainGraftRewriteCommand])
