@@ -609,7 +609,7 @@ object SparkEntry {
     */
   object PipelineQueries {
     import graft.functions.TextFunctions._
-    import graft.operators.{Dedup, Similarity, Vectors}
+    import graft.operators.{Corpus, Dedup, Profile, Sampling, Similarity, Vectors}
 
     private def dec(expr: String) = s"CAST(sum(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
 
@@ -960,9 +960,94 @@ object SparkEntry {
             max(col("width")).as("max_w"),
             max(col("durationMs")).as("max_dur"))
           .orderBy("kind")
+      },
+      // ---- deterministic sampling (training-data mixture ops) ----------
+      "q_sample_uniform" -> { (s, dir) =>
+        Sampling.sample(Tables.t(s, dir, "lineitem"),
+            col("l_orderkey") * 8 + col("l_linenumber"), 0.05, salt = 7)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      "q_sample_stratified" -> { (s, dir) =>
+        Sampling.stratifiedSample(Tables.t(s, dir, "documents"),
+            col("doc_id"), col("lang"),
+            Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.2, salt = 11)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      "q_split_assign" -> { (s, dir) =>
+        Tables.t(s, dir, "documents")
+          .withColumn("split", Sampling.assignSplit(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 3))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("split", "lang")
+      },
+      // ---- corpus statistics (vocabulary / TF-IDF) ---------------------
+      "q_vocab" -> { (s, dir) =>
+        Corpus.vocabulary(Tables.t(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("tf").desc, col("term"))
+          .limit(25)
+      },
+      "q_tfidf" -> { (s, dir) =>
+        Corpus.tfIdf(Tables.t(s, dir, "documents"), "doc_id", "text")
+          .filter(col("doc_id") < 10)
+          .select("doc_id", "term", "tf", "score")
+          .orderBy("doc_id", "term")
+      },
+      // ---- column profiling (data-quality sweep) -----------------------
+      "q_profile" -> { (s, dir) =>
+        Profile.profile(Tables.t(s, dir, "lineitem"),
+            Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+              "l_orderkey"), exact = true)
+          .orderBy("col_name")
       })
 
+    /** Shared tokenize→per-doc-term-frequency CTE prefix (DuckDB side of
+      * [[graft.operators.Corpus.termFrequencies]]).
+      */
+    private val tfCte =
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tfd AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)""".stripMargin
+
     val oracles: Map[String, String] = Map(
+      "q_sample_uniform" ->
+        s"""SELECT l_returnflag, count(*) AS cnt, ${dec("l_quantity")} AS sum_qty
+           |FROM lineitem
+           |WHERE ${Sampling.bucketSql("l_orderkey * 8 + l_linenumber", 7)}
+           |      < ${Sampling.thresholdOf(0.05)}
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_sample_stratified" ->
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE ${Sampling.bucketSql("doc_id", 11)} <
+           |  CASE lang WHEN 'en' THEN ${Sampling.thresholdOf(0.5)}
+           |            WHEN 'zh' THEN ${Sampling.thresholdOf(1.0)}
+           |            ELSE ${Sampling.thresholdOf(0.2)} END
+           |ORDER BY doc_id""".stripMargin,
+      "q_split_assign" ->
+        s"""SELECT ${Sampling.assignSplitSql("doc_id",
+               Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), 3)} AS split,
+           |  lang, count(*) AS cnt
+           |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q_vocab" ->
+        s"""$tfCte
+           |SELECT term, CAST(sum(tf) AS BIGINT) AS tf, count(*) AS df
+           |FROM tfd GROUP BY term ORDER BY 2 DESC, 1 LIMIT 25""".stripMargin,
+      "q_tfidf" ->
+        s"""$tfCte,
+           |dfreq AS (SELECT term, count(*) AS df FROM tfd GROUP BY term),
+           |n AS (SELECT count(*) AS n_docs FROM documents)
+           |SELECT t.doc_id, t.term, t.tf,
+           |  (CAST(t.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)) / CAST(d.df AS DOUBLE) AS score
+           |FROM tfd t JOIN dfreq d USING (term) CROSS JOIN n
+           |WHERE t.doc_id < 10
+           |ORDER BY t.doc_id, t.term""".stripMargin,
+      "q_profile" ->
+        (Profile.profileSql("lineitem",
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_orderkey")) + "\nORDER BY col_name"),
       "q_text_stats" ->
         """SELECT doc_id,
           |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,

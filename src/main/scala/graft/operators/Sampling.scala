@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data pipelines:
+  * uniform row sampling, per-stratum sampling, and train/val/test split
+  * assignment — all driven by a Lehmer (Park–Miller) hash of a stable row
+  * key instead of an RNG.
+  *
+  * Why hash-based and not `df.sample`/`rand()`:
+  *   - **Reproducible** across runs, engines, partitionings and retries — a
+  *     task retry under `rand()` resamples different rows (breaks
+  *     exactly-once semantics of a 100 TB pipeline run); a key hash never
+  *     does.
+  *   - **Cross-engine restatable**: the bucket arithmetic is plain integer
+  *     modular math, so the exact sample membership is reproducible in any
+  *     SQL engine (the DuckDB oracle re-derives it independently).
+  *   - **Embarrassingly parallel**: a per-row filter expression — no
+  *     shuffle, no state, survives predicate pushdown (Catalyst pushes the
+  *     filter to the scan), and composes with every other operator.
+  *
+  * The reference engine has no sampling surface (its closest feature is the
+  * approximate TopN rewrite, `QuerySpecTransforms.scala:279-332`); this is
+  * part of the beyond-parity training-data layer.
+  */
+object Sampling {
+
+  /** Modulus of the bucket space: 2^31 - 1 (prime, so the multiplier walks
+    * the full residue ring and low-order key patterns don't alias into
+    * bucket patterns).
+    */
+  val Modulus: Long = 2147483647L
+
+  /** Park–Miller MINSTD multiplier, applied twice: a single round of
+    * `k * 48271 mod M` never wraps for keys below ~44k (the bucket would
+    * just be `44k × key` — all small), while the composed two-round
+    * multiplier `48271² mod M = 182,605,794` wraps for every key ≥ 12. Each
+    * intermediate stays well under 2^63, so the arithmetic is exact in any
+    * engine with 64-bit integers.
+    *
+    * This is multiplicative (Weyl-style) hashing: equidistributed over any
+    * key range, but linear — adjacent keys map to buckets ~0.085·M apart,
+    * not independently. Good for sampling by synthetic ids; for adversarial
+    * or structured keys, hash first (e.g.
+    * [[graft.functions.TextFunctions.fingerprint]]) and bucket that.
+    */
+  val Multiplier: Long = 48271L
+
+  /** Pseudo-random bucket in `[0, Modulus)` for a non-negative long key.
+    * Distinct salts give distinct samples (resampling, multiple epochs);
+    * the `+ salt + 1` seeds the generator off zero so key 0 still mixes.
+    */
+  def bucket(key: Column, salt: Long = 0L): Column = {
+    val seeded = pmod(key.cast("long"), lit(Modulus)) + lit(salt + 1L)
+    pmod(pmod(seeded * lit(Multiplier), lit(Modulus)) * lit(Multiplier),
+      lit(Modulus))
+  }
+
+  /** The same bucket arithmetic as ANSI SQL over a non-negative key
+    * expression (DuckDB `%` matches `pmod` for non-negative operands).
+    */
+  def bucketSql(keyExpr: String, salt: Long = 0L): String =
+    s"(((($keyExpr) % $Modulus + ${salt + 1L}) * $Multiplier) % $Modulus) " +
+      s"* $Multiplier % $Modulus"
+
+  /** Bucket threshold for a fraction in [0, 1]. */
+  def thresholdOf(fraction: Double): Long =
+    math.round(fraction * Modulus)
+
+  /** Keep a deterministic `fraction` of rows, keyed by `key`. The predicate
+    * is a scan-pushable filter: at 100 TB a 1% sample reads all row groups
+    * but materializes and shuffles only the sampled 1%.
+    */
+  def sample(df: DataFrame, key: Column, fraction: Double,
+             salt: Long = 0L): DataFrame =
+    df.filter(bucket(key, salt) < lit(thresholdOf(fraction)))
+
+  /** Per-stratum sampling: rows whose `stratum` value maps to a fraction in
+    * `fractions` are sampled at that rate, everything else at
+    * `defaultFraction`. One pass, no shuffle — unlike
+    * `DataFrameStatFunctions.sampleBy` this is deterministic and needs no
+    * stratum-size pre-pass; rebalancing a skewed corpus (e.g. downsample
+    * English to 10%, keep low-resource languages whole) is the typical use.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double, salt: Long = 0L): DataFrame = {
+    val threshold = fractions.foldLeft(lit(thresholdOf(defaultFraction))) {
+      case (acc, (value, f)) =>
+        when(stratum === lit(value), lit(thresholdOf(f))).otherwise(acc)
+    }
+    df.filter(bucket(key, salt) < threshold)
+  }
+
+  /** Deterministic split assignment (e.g. train/val/test). `weights` are
+    * (name, weight) pairs; each row lands in exactly one split with
+    * probability weight/total, decided only by its key — so membership is
+    * stable under reruns, re-partitioning, and incremental appends (a new
+    * row never moves an old row between splits, the failure mode of
+    * `randomSplit` on growing data).
+    */
+  def assignSplit(key: Column, weights: Seq[(String, Double)],
+                  salt: Long = 0L): Column = {
+    require(weights.nonEmpty, "assignSplit needs at least one split")
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail
+      .map(c => thresholdOf(c / total))
+    val b = bucket(key, salt)
+    // last split takes the remainder so the cuts always cover [0, Modulus)
+    weights.init.zip(cuts).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), cut), acc) => when(b < lit(cut), lit(name)).otherwise(acc)
+    }
+  }
+
+  /** The split-assignment expression as ANSI SQL (for the oracle and for
+    * engines without the Column API).
+    */
+  def assignSplitSql(keyExpr: String, weights: Seq[(String, Double)],
+                     salt: Long = 0L): String = {
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail
+      .map(c => thresholdOf(c / total))
+    val b = bucketSql(keyExpr, salt)
+    val whens = weights.init.zip(cuts)
+      .map { case ((name, _), cut) => s"WHEN $b < $cut THEN '$name'" }
+      .mkString(" ")
+    s"CASE $whens ELSE '${weights.last._1}' END"
+  }
+
+  /** Deterministic weighted mix of corpora: each source is hash-sampled at
+    * its own rate and tagged with its name — the "data mixture" step of a
+    * training pipeline (e.g. 50% web, 30% code, 20% books), reproducible
+    * row-for-row. Sources must share the projected schema of `select`.
+    */
+  def weightedMix(sources: Seq[(String, DataFrame, Double)], key: String,
+                  select: Seq[String], salt: Long = 0L): DataFrame = {
+    require(sources.nonEmpty, "weightedMix needs at least one source")
+    sources.map { case (name, df, fraction) =>
+      sample(df, col(key), fraction, salt)
+        .select(lit(name).as("mix_source") +: select.map(col): _*)
+    }.reduce(_.unionAll(_))
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, Profile, Sampling}
+
+/** Specs for the deterministic-sampling, corpus-statistics, and column-
+  * profiling operators.
+  */
+class SamplingCorpusProfileSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = Tables.t(spark, sf, "documents").cache()
+
+  test("bucket is deterministic, in range, and salt-independent across salts") {
+    val b1 = docs.select(Sampling.bucket(col("doc_id"), 1).as("b")).collect().map(_.getLong(0))
+    val b1again = docs.select(Sampling.bucket(col("doc_id"), 1).as("b")).collect().map(_.getLong(0))
+    val b2 = docs.select(Sampling.bucket(col("doc_id"), 2).as("b")).collect().map(_.getLong(0))
+    assert(b1.sameElements(b1again))
+    assert(!b1.sameElements(b2))
+    assert(b1.forall(b => b >= 0 && b < Sampling.Modulus))
+  }
+
+  test("sample keeps roughly the requested fraction and is stable") {
+    val n = docs.count().toDouble
+    val s1 = Sampling.sample(docs, col("doc_id"), 0.3, salt = 5)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.sample(docs, col("doc_id"), 0.3, salt = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    assert(math.abs(ids1.size / n - 0.3) < 0.1)
+    // a smaller fraction with the same salt is a subset (threshold monotone)
+    val smaller = Sampling.sample(docs, col("doc_id"), 0.1, salt = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(smaller.subsetOf(ids1))
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val out = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("zh" -> 1.0, "en" -> 0.0), defaultFraction = 0.5, salt = 1)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("zh") == totals("zh"))
+    assert(!byLang.contains("en"))
+    for (l <- Seq("de", "es", "fr"))
+      assert(byLang(l) > 0 && byLang(l) < totals(l))
+  }
+
+  test("assignSplit covers every row exactly once with stable assignment") {
+    val split = Sampling.assignSplit(col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 3)
+    val out = docs.withColumn("split", split)
+    assert(out.count() == docs.count())
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val"))
+    // appending rows never moves existing rows between splits
+    val sub = docs.filter(col("doc_id") < 100).withColumn("split", split)
+    val full = out.filter(col("doc_id") < 100)
+    assert(sub.select("doc_id", "split").collect().toSet ==
+      full.select("doc_id", "split").collect().toSet)
+  }
+
+  test("weightedMix samples each source at its own rate and tags rows") {
+    val en = docs.filter(col("lang") === "en")
+    val zh = docs.filter(col("lang") === "zh")
+    val mix = Sampling.weightedMix(
+      Seq(("web", en, 0.5), ("books", zh, 1.0)), "doc_id", Seq("doc_id"))
+    val bySrc = mix.groupBy("mix_source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("books") == zh.count())
+    assert(bySrc("web") > 0 && bySrc("web") < en.count())
+  }
+
+  test("vocabulary counts tf and df correctly on a known corpus") {
+    val tiny = spark.createDataFrame(Seq(
+      (1L, "a b a"), (2L, "a c"), (3L, "C c"))).toDF("id", "text")
+    val v = Corpus.vocabulary(tiny, "id", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(v("a") == ((3L, 2L)))
+    assert(v("b") == ((1L, 1L)))
+    assert(v("c") == ((3L, 2L))) // case-folded: "C c" is two c's in one doc
+  }
+
+  test("tfIdf scores rare terms above common ones within a document") {
+    val tiny = spark.createDataFrame(Seq(
+      (1L, "common rare"), (2L, "common x"), (3L, "common y"))).toDF("id", "text")
+    val rows = Corpus.tfIdf(tiny, "id", "text")
+      .filter(col("id") === 1L).collect()
+      .map(r => r.getString(r.fieldIndex("term")) ->
+        r.getDouble(r.fieldIndex("score"))).toMap
+    assert(rows("rare") == 1.0 * 3.0 / 1.0)
+    assert(rows("common") == 1.0 * 3.0 / 3.0)
+    assert(rows("rare") > rows("common"))
+  }
+
+  test("profile reports exact per-column stats in one pass") {
+    val tiny = spark.createDataFrame(Seq(
+      (1, Some(2.0)), (2, None), (3, Some(4.5)), (3, Some(4.5))))
+      .toDF("k", "v")
+    val p = Profile.profile(tiny, Seq("k", "v"), exact = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val k = p("k")
+    assert(k.getLong(1) == 4 && k.getLong(2) == 4 && k.getLong(3) == 3)
+    assert(k.getDouble(4) == 1.0 && k.getDouble(5) == 3.0)
+    val v = p("v")
+    assert(v.getLong(1) == 4 && v.getLong(2) == 3 && v.getLong(3) == 2)
+    assert(v.getDouble(4) == 2.0 && v.getDouble(5) == 4.5)
+  }
+
+  test("profile approx variant runs one scan without Expand") {
+    val plan = Profile.profile(docs, Seq("doc_id", "lang"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Expand"))
+    val exact = Profile.profile(docs, Seq("doc_id", "lang"), exact = true)
+      .queryExecution.optimizedPlan.toString
+    assert(exact.contains("Expand"))
+  }
+}
