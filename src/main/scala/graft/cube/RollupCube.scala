@@ -211,9 +211,11 @@ object RollupCube {
       }
     // smallest nodes first: the routing walk stops at the first fit
     // (coarse ~ |coarseDims| x months; q1 ~ 6 x days; fine ~ |dims| x months)
-    CubeCatalog.register(cube.copy(rollups =
+    val registered = cube.copy(rollups =
       Seq(coarseMeta(sfDir), q1Meta(sfDir), meta(sfDir))
-        .map(_.copy(kmvExactNdv = exactNdv))))
+        .map(_.copy(kmvExactNdv = exactNdv)))
+    CubeCatalog.register(registered)
+    CubeMeta.save(registered)
     path
   }
 

@@ -161,6 +161,7 @@ object TpchCube {
     val existingRollups = CubeCatalog.get(withStats.name).map(_.rollups).getOrElse(Nil)
     val cube = RegisteredCube(withStats, path, tablePaths, existingRollups)
     CubeCatalog.register(cube)
+    CubeMeta.save(cube)
     cube
   }
 }

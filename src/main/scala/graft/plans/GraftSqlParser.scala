@@ -18,6 +18,9 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *   - `SHOW GRAFT CUBES`             — registered cubes + their lattices
   *     (reference metadata views)
   *   - `DESCRIBE GRAFT CUBE <name>`   — per-column roles/NDV/rollup merges
+  *   - `CLEAR GRAFT CACHE`            — drop registrations + plan cache
+  *   - `REGISTER GRAFT CUBE FROM '<path>'` — attach a materialized cube
+  *     from its descriptor sidecar ([[graft.cube.CubeMeta]])
   *
   * Anything else delegates verbatim to Spark's own parser.
   */
@@ -31,12 +34,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     "(?is)\\s*DESCRIBE\\s+GRAFT\\s+CUBE\\s+([\\w.]+)\\s*;?\\s*".r
   private val ClearRe =
     "(?is)\\s*CLEAR\\s+GRAFT\\s+CACHE\\s*;?\\s*".r
+  private val RegisterRe =
+    "(?is)\\s*REGISTER\\s+GRAFT\\s+CUBE\\s+FROM\\s+'([^']+)'\\s*;?\\s*".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case ExplainRe(inner) => ExplainGraftRewriteCommand(inner.trim.stripSuffix(";"))
     case ShowRe()         => ShowGraftCubesCommand()
     case DescRe(name)     => DescribeGraftCubeCommand(name)
     case ClearRe()        => ClearGraftCacheCommand()
+    case RegisterRe(path) => RegisterGraftCubeCommand(path)
     case _                => delegate.parsePlan(sqlText)
   }
 
@@ -89,6 +95,20 @@ case class ClearGraftCacheCommand() extends LeafRunnableCommand {
     val names = graft.cube.CubeCatalog.all.map(_.info.name).sorted
     graft.cube.CubeCatalog.clear()
     names.map(Row(_))
+  }
+}
+
+/** Attach a previously materialized cube from its `_graft_cube.json`
+  * descriptor sidecar — the durable-catalog counterpart of the reference's
+  * per-session `CREATE TEMPORARY TABLE ... USING` datasource declaration.
+  */
+case class RegisterGraftCubeCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cube", StringType, nullable = false)(),
+    AttributeReference("rollups", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cube = graft.cube.CubeMeta.attach(spark, path)
+    Seq(Row(cube.info.name, cube.rollups.size.toString))
   }
 }
 

@@ -110,6 +110,7 @@ object CubeSource {
     val cube = RegisteredCube(CubeStats.withStats(info, stats), destPath,
       tablePaths.map { case (t, p) => t -> CubeCatalog.normalizePath(p) })
     CubeCatalog.register(cube)
+    CubeMeta.save(cube)
     cube
   }
 }
