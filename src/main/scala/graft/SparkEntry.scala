@@ -984,6 +984,18 @@ object SparkEntry {
           .agg(count(lit(1)).as("cnt"))
           .orderBy("split", "lang")
       },
+      "q_mix_weighted" -> { (s, dir) =>
+        val docs = Tables.t(s, dir, "documents")
+        graft.operators.Sampling.weightedMix(
+            Seq(
+              ("web",   docs.filter(col("source") < "src2"), 0.5),
+              ("books", docs.filter(col("source") >= "src2"), 0.25)),
+            "doc_id", Seq("doc_id"), salt = 13)
+          .groupBy("mix_source")
+          .agg(count(lit(1)).as("cnt"), min("doc_id").as("min_id"),
+            max("doc_id").as("max_id"))
+          .orderBy("mix_source")
+      },
       // ---- corpus statistics (vocabulary / TF-IDF) ---------------------
       "q_vocab" -> { (s, dir) =>
         Corpus.vocabulary(Tables.t(s, dir, "documents"), "doc_id", "text")
@@ -1031,6 +1043,18 @@ object SparkEntry {
                Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), 3)} AS split,
            |  lang, count(*) AS cnt
            |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q_mix_weighted" ->
+        s"""WITH m AS (
+           |  SELECT 'web' AS mix_source, doc_id FROM documents
+           |  WHERE source < 'src2'
+           |    AND ${Sampling.bucketSql("doc_id", 13)} < ${Sampling.thresholdOf(0.5)}
+           |  UNION ALL
+           |  SELECT 'books' AS mix_source, doc_id FROM documents
+           |  WHERE source >= 'src2'
+           |    AND ${Sampling.bucketSql("doc_id", 13)} < ${Sampling.thresholdOf(0.25)})
+           |SELECT mix_source, count(*) AS cnt, min(doc_id) AS min_id,
+           |  max(doc_id) AS max_id
+           |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
       "q_vocab" ->
         s"""$tfCte
            |SELECT term, CAST(sum(tf) AS BIGINT) AS tf, count(*) AS df

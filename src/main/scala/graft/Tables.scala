@@ -34,6 +34,13 @@ object Tables {
     tableCache.getOrElseUpdate((spark, path(sfDir, name)),
       spark.read.parquet(path(sfDir, name)))
 
+  /** Drop the cached analyzed plans — required after overwriting a table
+    * path in place (the cached file index is eager and would read stale
+    * file lists). Driver testdata never changes; mutable-source workflows
+    * (e.g. [[graft.cube.CubeRefresh]] specs) do.
+    */
+  def invalidateCache(): Unit = tableCache.clear()
+
   /** The `events` table, whose parquet `ts` is TIMESTAMP(NANOS) — a type
     * Spark refuses by default. Read nanos as long and truncate to a
     * microsecond timestamp (exactly what DuckDB's reader does).

@@ -27,6 +27,10 @@ final case class RollupMeta(
     maxs: Map[String, String],
     /** source column -> stored KMV sketch column (distinct-count serving) */
     kmvSketches: Map[String, String] = Map.empty,
+    /** source column -> stored HLL sketch column (approx distinct serving;
+      * also what lets [[CubeRefresh]] rebuild a node's sketch columns)
+      */
+    hllSketches: Map[String, String] = Map.empty,
     /** k of the stored KMV sketches */
     kmvK: Int = org.apache.spark.sql.graft.KmvSketch.DefaultK,
     /** EXACT distinct count of each sketched column, measured at rollup
@@ -113,6 +117,12 @@ object CubeCatalog {
     * never go stale.
     */
   private val planCache = TrieMap.empty[String, LogicalPlan]
+
+  /** Drop the cached analyzed scan for a path whose files were rewritten in
+    * place (incremental refresh) — the cached plan's file index lists the
+    * replaced files eagerly and would fail with FILE_NOT_EXIST.
+    */
+  def invalidatePlan(path: String): Unit = { planCache.remove(path); () }
 
   private def analyzedScan(spark: SparkSession, path: String): LogicalPlan = {
     val base = planCache.getOrElseUpdate(path, {

@@ -77,6 +77,7 @@ object CubeMeta {
         "countColumn" -> JString(r.countColumn),
         "sums" -> strMap(r.sums), "mins" -> strMap(r.mins),
         "maxs" -> strMap(r.maxs), "kmvSketches" -> strMap(r.kmvSketches),
+        "hllSketches" -> strMap(r.hllSketches),
         "kmvK" -> JInt(r.kmvK),
         "kmvExactNdv" -> JObject(r.kmvExactNdv.toSeq.sortBy(_._1).map {
           case (k, v) => k -> JLong(v) }.toList),
@@ -143,6 +144,7 @@ object CubeMeta {
           countColumn = str(r \ "countColumn"),
           sums = sMap(r \ "sums"), mins = sMap(r \ "mins"),
           maxs = sMap(r \ "maxs"), kmvSketches = sMap(r \ "kmvSketches"),
+          hllSketches = sMap(r \ "hllSketches"),
           kmvK = lng(r \ "kmvK").toInt,
           kmvExactNdv = obj(r \ "kmvExactNdv").map { case (k, v) => k -> lng(v) }.toMap,
           derivedSums = sMap(r \ "derivedSums"),

@@ -1,0 +1,192 @@
+package graft.cube
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental cube maintenance: bring a materialized cube (and every
+  * rollup lattice node) up to date after the fact table grew — rewriting
+  * ONLY the time buckets whose data changed, never the whole cube.
+  *
+  * This is the batch counterpart of the streaming upkeep
+  * ([[graft.streaming.EventPipeline.rollupIngest]]) and the piece that makes
+  * the cube operable at 100 TB: a daily load touches one or two month
+  * buckets, so refresh cost is proportional to the NEW data (plus metadata
+  * passes), not to history. The reference delegates this entirely to
+  * Druid's external indexing service (segments are rebuilt per interval by
+  * `HadoopDruidIndexer`, `docs/benchmark/BenchMarkDetails.org:676-699`);
+  * here it is a first-class engine operation.
+  *
+  * Mechanics:
+  *   1. *Dirty-bucket detection*: per-bucket row counts of the fact table
+  *      (one column scanned, no joins — the bucket is a function of the
+  *      fact's time column) vs. per-bucket counts of the cube (partition
+  *      column only — served from parquet metadata). A bucket is dirty if
+  *      the counts differ: brand-new months AND late-arriving rows in old
+  *      months both qualify. Callers that already know the changed buckets
+  *      (e.g. a partitioned upstream feed) pass them explicitly and skip
+  *      the detection scan.
+  *   2. *Cube rewrite*: the flattening join runs with the bucket predicate
+  *      pushed to the fact scan, and the result dynamic-partition-overwrites
+  *      just the dirty `g_tbucket=` directories.
+  *   3. *Rollup rebuild*: each lattice node's dirty partitions are
+  *      re-aggregated FROM the refreshed cube slice (partition-pruned scan)
+  *      and dynamic-overwritten. Node schemas are reconstructed from
+  *      [[RollupMeta]] — counts, DECIMAL sums, derived sums, min/max, HLL +
+  *      KMV sketches — and column-aligned to the existing files.
+  *   4. *Metadata*: stats sidecars (NDVs, time interval, day-quantization)
+  *      and the exact-NDV proof for lossless sketch serving are recomputed,
+  *      the registration updated and the descriptor sidecar re-saved.
+  */
+object CubeRefresh {
+
+  final case class Result(
+      dirtyBuckets: Seq[Int],
+      cubeRowsWritten: Long,
+      refreshed: RegisteredCube)
+
+  /** Buckets present in the materialized cube, with row counts — scans only
+    * the partition column (parquet row counts come from footer metadata).
+    */
+  private def cubeBucketCounts(spark: SparkSession, cube: RegisteredCube): Map[Int, Long] =
+    spark.read.parquet(cube.cubePath)
+      .groupBy(col(cube.info.timeBucketColumn))
+      .count()
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+
+  /** Per-bucket counts of the fact table alone (no joins): the star edges
+    * are all many-to-one from the fact, so flat row count per bucket equals
+    * fact row count per bucket.
+    */
+  private def factBucketCounts(spark: SparkSession, cube: RegisteredCube): Option[Map[Int, Long]] = {
+    val info = cube.info
+    val factRole = info.starSchema.factTable
+    for {
+      physical <- info.roleOfTable.collectFirst {
+        case (table, roles) if roles.contains(factRole) => table }
+      path <- cube.tablePaths.get(physical)
+      srcTimeCol <- info.columnMapping.collectFirst {
+        case ((role, src), dst) if role == factRole && dst == info.timeColumn => src }
+    } yield spark.read.parquet(path)
+      .groupBy(TpchCube.bucketExpr(srcTimeCol).as("g_b"))
+      .count()
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+  }
+
+  /** Refresh `cube` from the current state of its sources. `flatFn` must
+    * produce the SAME flattening the cube was materialized with (its column
+    * set is aligned to the existing cube schema by name before writing).
+    * Returns the updated registration.
+    */
+  def refresh(spark: SparkSession, cube: RegisteredCube,
+              flatFn: => DataFrame,
+              explicitDirty: Option[Seq[Int]] = None): Result = {
+    graft.Graft.forceUtc(spark)
+    val info = cube.info
+    val bkt = info.timeBucketColumn
+
+    val dirty: Seq[Int] = explicitDirty.getOrElse {
+      val inCube = cubeBucketCounts(spark, cube)
+      val inFact = factBucketCounts(spark, cube).getOrElse(
+        throw new IllegalStateException(
+          s"cube ${info.name}: fact table not resolvable from metadata; " +
+            "pass explicitDirty"))
+      (inFact.keySet ++ inCube.keySet).toSeq.sorted
+        .filter(b => inFact.getOrElse(b, 0L) != inCube.getOrElse(b, 0L))
+    }
+    if (dirty.isEmpty) return Result(Nil, 0L, cube)
+
+    // 2. rewrite dirty cube partitions; the bucket predicate references only
+    // the fact table's time column, so Catalyst pushes it below the joins to
+    // the fact scan
+    val cubeSchema = spark.read.parquet(cube.cubePath).schema.fieldNames
+    val slice = flatFn
+      .withColumn(bkt, TpchCube.bucketExpr(info.timeColumn))
+      .filter(col(bkt).isin(dirty: _*))
+      .select(cubeSchema.map(col): _*)
+    slice
+      .repartition(col(bkt))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(bkt)
+      .parquet(cube.cubePath)
+    // three layers can still list the replaced files: cached query plans,
+    // the session-shared file-status cache, and the engine's own analyzed-
+    // scan cache used by the rewrite rules — invalidate all of them
+    spark.catalog.refreshByPath(cube.cubePath)
+    org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+    CubeCatalog.invalidatePlan(cube.cubePath)
+    val written = spark.read.parquet(cube.cubePath)
+      .filter(col(bkt).isin(dirty: _*)).count()
+
+    // 3. rebuild each rollup node's dirty partitions from the refreshed
+    // cube slice (partition-pruned: only dirty buckets are read)
+    val freshSlice = spark.read.parquet(cube.cubePath)
+      .filter(col(bkt).isin(dirty: _*))
+    cube.rollups.foreach { ru =>
+      val nodeSchema = spark.read.parquet(ru.path).schema.fieldNames
+      buildNode(freshSlice, info, ru)
+        .select(nodeSchema.map(col): _*)
+        .repartition(col(bkt))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(bkt)
+        .parquet(ru.path)
+      spark.catalog.refreshByPath(ru.path)
+      org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+      CubeCatalog.invalidatePlan(ru.path)
+    }
+
+    // 4. metadata: recompute the stats sidecar (time interval, NDVs,
+    // quantization) and the exact-NDV proofs; these are single-agg column
+    // passes, far below rebuild cost
+    new java.io.File(cube.cubePath, "_graft_stats.json").delete()
+    val stats = CubeStats.ensure(spark, info, cube.cubePath)
+    val sketched = cube.rollups.flatMap(_.kmvSketches.keys).distinct.sorted
+    val exactNdv: Map[String, Long] =
+      if (sketched.isEmpty) Map.empty
+      else {
+        val row = spark.read.parquet(cube.cubePath)
+          .select(sketched.map(c => countDistinct(col(c)).as(c)): _*).head()
+        sketched.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+      }
+    val refreshed = cube.copy(
+      info = CubeStats.withStats(info, stats),
+      rollups = cube.rollups.map(ru => ru.copy(
+        kmvExactNdv = ru.kmvExactNdv ++ exactNdv.view.filterKeys(ru.kmvSketches.contains))))
+    CubeCatalog.register(refreshed)
+    CubeMeta.save(refreshed)
+    Result(dirty, written, refreshed)
+  }
+
+  /** Aggregate one rollup lattice node from flat-cube rows, reconstructed
+    * entirely from its [[RollupMeta]] — the same shapes the original build
+    * used (DECIMAL(28,6) sums, derived-metric sums, HLL/KMV sketches).
+    */
+  private[cube] def buildNode(flat: DataFrame, info: CubeInfo,
+                              ru: RollupMeta): DataFrame = {
+    val withDay =
+      if (ru.grain == "day" && !flat.columns.contains(ru.timeBucketColumn))
+        flat.withColumn(ru.timeBucketColumn,
+          datediff(col(info.timeColumn), lit("1970-01-01").cast("date")))
+      else flat
+    val groupCols =
+      (Seq(info.timeBucketColumn) ++ ru.dims ++ Seq(ru.timeBucketColumn)).distinct
+    val sums = ru.sums.toSeq.sortBy(_._2).map { case (src, dst) =>
+      sum(col(src).cast("decimal(28,6)")).as(dst) }
+    val derived = ru.derivedSums.toSeq.sortBy(_._2).map { case (key, dst) =>
+      sum(RollupCube.derivedCol(key).cast("decimal(28,6)")).as(dst) }
+    val mins = ru.mins.toSeq.sortBy(_._2).map { case (src, dst) => min(col(src)).as(dst) }
+    val maxs = ru.maxs.toSeq.sortBy(_._2).map { case (src, dst) => max(col(src)).as(dst) }
+    val hlls = ru.hllSketches.toSeq.sortBy(_._2).map { case (src, dst) =>
+      hll_sketch_agg(col(src)).as(dst) }
+    val kmvs = ru.kmvSketches.toSeq.sortBy(_._2).map { case (src, dst) =>
+      org.apache.spark.sql.graft.KmvSketch.kmvSketch(col(src), ru.kmvK).as(dst) }
+    withDay.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(ru.countColumn),
+        (sums ++ derived ++ mins ++ maxs ++ hlls ++ kmvs): _*)
+  }
+}

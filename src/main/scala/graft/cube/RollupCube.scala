@@ -79,7 +79,7 @@ object RollupCube {
     }
   }
 
-  private def derivedCol(key: String): Column = key match {
+  private[cube] def derivedCol(key: String): Column = key match {
     case "disc_price" => col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     case "charge" =>
       col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))
@@ -110,6 +110,7 @@ object RollupCube {
     mins = minMetrics,
     maxs = maxMetrics,
     kmvSketches = Map("o_custkey" -> "custkey_kmv"),
+    hllSketches = Map("o_custkey" -> "custkey_hll"),
     kmvK = kmvK,
     derivedSums = derivedSums)
 

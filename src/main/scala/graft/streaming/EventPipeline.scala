@@ -156,6 +156,10 @@ object EventPipeline {
     */
   def rollupServe(spark: SparkSession, destDir: String): DataFrame = {
     import org.apache.spark.sql.graft.KmvSketch
+    // the shared file-status cache has no TTL by default: without this, a
+    // serve AFTER further ingested micro-batches could silently miss the
+    // newly appended partial files
+    org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
     spark.read.parquet(destDir)
       .groupBy("event_type")
       .agg(sum(col("cnt")).as("cnt"),
