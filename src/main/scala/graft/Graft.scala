@@ -78,6 +78,17 @@ object Graft {
     rows.toDF("column", "role", "ndv", "rollup")
   }
 
+  /** Workload-driven lattice design: analyze a set of SQL texts against a
+    * registered cube and return the Pareto-front rollup recommendations
+    * ([[graft.cube.RollupAdvisor]]).
+    */
+  def recommendRollups(spark: SparkSession, cubeName: String,
+                       workload: Seq[String]): Seq[graft.cube.RollupAdvisor.Recommendation] = {
+    val cube = graft.cube.CubeCatalog.get(cubeName)
+      .getOrElse(throw new IllegalArgumentException(s"no cube named $cubeName"))
+    graft.cube.RollupAdvisor.recommend(spark, cube, workload)
+  }
+
   /** The engine's time semantics are UTC throughout: `g_tbucket` is
     * computed with session-TZ `year()/month()` at cube build, while
     * [[graft.plans.TimeBucketPruning]] converts predicate literals to

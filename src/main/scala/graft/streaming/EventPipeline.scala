@@ -167,6 +167,43 @@ object EventPipeline {
         KmvSketch.kmvMergeEstimate(col("user_kmv")).as("n_users"))
   }
 
+  /** Compact an incrementally-maintained rollup in place: collapse each
+    * bucket's accumulated micro-batch partials to ONE final row per group
+    * (the mergeable metrics make this safe at any time — see
+    * [[rollupIngest]]). Only buckets holding more than one partial per
+    * group are rewritten (dynamic partition overwrite); quiet history stays
+    * untouched. At 100 TB this is the steady-state maintenance loop: hot
+    * buckets accrue a partial per micro-batch per shuffle partition, and a
+    * periodic compaction keeps serve-time merge fan-in (and file counts)
+    * bounded without ever blocking ingest correctness.
+    * Returns the set of compacted buckets.
+    */
+  def compactPartials(spark: SparkSession, destDir: String): Seq[Int] = {
+    import org.apache.spark.sql.graft.KmvSketch
+    org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+    val partials = spark.read.parquet(destDir)
+    val dirty = partials
+      .groupBy("g_tbucket", "event_type").count()
+      .filter(col("count") > 1)
+      .select("g_tbucket").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (dirty.nonEmpty) {
+      partials
+        .filter(col("g_tbucket").isin(dirty: _*))
+        .groupBy("g_tbucket", "event_type")
+        .agg(sum(col("cnt")).as("cnt"),
+          sum(col("sum_value")).as("sum_value"),
+          KmvSketch.kmvUnion(col("user_kmv")).as("user_kmv"))
+        .repartition(col("g_tbucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("g_tbucket")
+        .parquet(destDir)
+      org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+    }
+    dirty
+  }
+
   /** Continuous ingest of event files into a time-bucketed cube layout:
     * readStream → derive the partition column → writeStream partitioned
     * parquet with checkpointing. The streaming analog of

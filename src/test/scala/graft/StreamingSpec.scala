@@ -133,6 +133,23 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
     assert(got == want)
     assert(got("click") == ((4L, 14.5, 3L)))
+
+    // compaction collapses the multi-batch partials to one row per group,
+    // and serving afterwards returns the identical answer
+    val partialsBefore = spark.read.parquet(s"$dir/data").count()
+    val compacted = EventPipeline.compactPartials(spark, s"$dir/data")
+    assert(compacted.nonEmpty)
+    val partialsAfter = spark.read.parquet(s"$dir/data").count()
+    assert(partialsAfter < partialsBefore)
+    val perGroup = spark.read.parquet(s"$dir/data")
+      .groupBy("g_tbucket", "event_type").count()
+      .collect().map(_.getLong(2))
+    assert(perGroup.forall(_ == 1L))
+    val served = EventPipeline.rollupServe(spark, s"$dir/data")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(served == want)
+    // idempotent: nothing left to compact
+    assert(EventPipeline.compactPartials(spark, s"$dir/data").isEmpty)
   }
 
   test("sessionizeBatch on the events table produces sane sessions") {
