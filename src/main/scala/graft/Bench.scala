@@ -47,14 +47,44 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     // a failed query must not pass as a fast success: report it as negative
-    // time and list it under "failed"
-    val qs = results.map { case (k, v, ok) =>
-      s"\"" + k + "\":" + (if (ok) v else -v)
-    }.mkString("{", ",", "}")
+    // time and list it under "failed".
+    //
+    // The harness captures only the LAST 2000 characters of the build output
+    // and parses the final JSON line out of that window; with 80+ queries a
+    // full per-query map (~2.5k chars) overflows the window and the line
+    // becomes unparseable (this happened in round 3). So: emit the full
+    // detail on a prefixed, non-JSON line for the human log, then ONE
+    // compact JSON line — the BASELINE.md headline queries always included,
+    // remaining space filled with the slowest other queries — hard-capped
+    // well under the window.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def entry(k: String, v: Double, ok: Boolean): String =
+      s"\"" + k + "\":" + fmt(if (ok) v else -v)
     val failed = results.collect { case (k, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+
+    val fullQs = results.map { case (k, v, ok) => entry(k, v, ok) }.mkString("{", ",", "}")
+    println(s"""BENCH_DETAIL {"queries":$fullQs}""")
+
+    // headline set = BASELINE.md §"TPCH 10G results" rows, in our naming
+    val headline = Seq(
+      "q02_basic_agg", "q_ship_date_range", "q_subqry_filters_range",
+      "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier",
+      "q07_nation_volume", "q08_market_share")
+    val byName = results.map { case (k, v, ok) => k -> ((v, ok)) }.toMap
+    val picked = scala.collection.mutable.LinkedHashMap[String, (Double, Boolean)]()
+    headline.foreach(h => byName.get(h).foreach(picked(h) = _))
+    // fill with slowest non-headline queries while the line stays short
+    val budget = 1400
+    var len = picked.map { case (k, (v, ok)) => entry(k, v, ok).length + 1 }.sum
+    results.filterNot(r => picked.contains(r._1)).sortBy(-_._2).foreach {
+      case (k, v, ok) =>
+        val e = entry(k, v, ok).length + 1
+        if (len + e <= budget) { picked(k) = ((v, ok)); len += e }
+    }
+    val qs = picked.map { case (k, (v, ok)) => entry(k, v, ok) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
