@@ -37,14 +37,23 @@ object Bench {
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
     }
 
+    // best of 3 timed executions per query: single-run numbers on a shared
+    // box carry multi-× scheduler/GC outliers (round 3 reported 4× blips on
+    // queries that re-measure flat); the min of repeated identical runs
+    // measures the query, not the co-tenant noise
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val anyFail = times.exists(!_._2)
+      (name, times.filter(_._2).map(_._1).minOption.getOrElse(0.0), !anyFail)
     }
     // a failed query must not pass as a fast success: report it as negative
     // time and list it under "failed".

@@ -269,10 +269,22 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 25): DataFrame = {
     val fwd = pairs.select(col(aCol).as("g_src"), col(bCol).as("g_dst"))
-    val edges = fwd
+    val edges0 = fwd
       .union(fwd.select(col("g_dst").as("g_src"), col("g_src").as("g_dst")))
       .distinct()
       .localCheckpoint(true)
+    // Right-size the iteration to the measured edge count (free: the frame
+    // is already materialized). The label frames are bounded by the node
+    // count, so a small pair graph — the common case even for a huge corpus,
+    // since only near-dup hits become edges — iterates on a few partitions
+    // where every round would otherwise be dominated by per-partition task
+    // scheduling; a genuinely large graph keeps the session's parallelism.
+    val spark = edges0.sparkSession
+    val defaultP = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val p = math.min(defaultP.toLong,
+      edges0.count() / 500000L + 1L).toInt
+    val edges =
+      if (p < defaultP) edges0.repartition(p).localCheckpoint(true) else edges0
     var labels = edges.select(col("g_src").as("g_node"))
       .distinct()
       .withColumn("g_lbl", col("g_node"))
@@ -280,15 +292,20 @@ object Dedup {
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxIters) {
+      // one shuffled join + min-aggregate per round; the previous label
+      // rides along as `g_old` (max ignores the neighbor rows' NULLs), so
+      // convergence detection is a scan of the checkpointed result instead
+      // of a second join
       val viaNeighbor = edges
         .join(labels, edges("g_dst") === labels("g_node"))
-        .select(col("g_src").as("g_node"), col("g_lbl"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("g_node").agg(min("g_lbl").as("g_lbl"))
+        .select(col("g_src").as("g_node"), col("g_lbl"),
+          lit(null).cast(labels.schema("g_lbl").dataType).as("g_old"))
+      val next = labels.select(col("g_node"), col("g_lbl"), col("g_lbl").as("g_old"))
+        .union(viaNeighbor)
+        .groupBy("g_node").agg(min("g_lbl").as("g_lbl"), max("g_old").as("g_old"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("g_lbl", "g_old"), "g_node")
-        .filter(col("g_lbl") < col("g_old")).count()
-      labels = next
+      changed = next.filter(col("g_lbl") < col("g_old")).count()
+      labels = next.select("g_node", "g_lbl")
       round += 1
     }
     assert(changed == 0L,
