@@ -105,6 +105,7 @@ object Graft {
     forceUtc(spark)
     graft.functions.DateTimeCompat.register(spark)
     org.apache.spark.sql.graft.KmvSketch.register(spark)
+    org.apache.spark.sql.graft.QuantileSketch.register(spark)
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val existing = classic.experimental.extraOptimizations
     val mine = Seq(StarJoinElimination(spark), TimeBucketPruning(spark),
@@ -119,6 +120,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule { s =>
       Graft.forceUtc(s); graft.functions.DateTimeCompat.register(s)
       org.apache.spark.sql.graft.KmvSketch.register(s)
+      org.apache.spark.sql.graft.QuantileSketch.register(s)
       StarJoinElimination(s)
     }
     e.injectOptimizerRule(s => TimeBucketPruning(s))

@@ -948,6 +948,24 @@ object SparkEntry {
             Seq(RollupCube.merge.cnt, RollupCube.merge.customersTheta))
           .orderBy("c_mktsegment")
       },
+      // percentile served from pre-aggregated quantile sketches via the
+      // automatic route (star collapse -> rollup) — lossless under the
+      // measured saturation proof (totalRows <= sketch capacity at sf0.01),
+      // so it carries a real quantile_cont oracle; above the proof the
+      // route declines and the same query runs on the fact rows
+      "q_rollup_quantile" -> { (s, dir) =>
+        engine(s, dir)
+        s.sql(
+          """SELECT c_mktsegment, l_returnflag,
+            |  percentile(l_extendedprice, 0.5D) AS p50_price,
+            |  percentile(l_extendedprice, 0.95D) AS p95_price,
+            |  count(*) AS cnt
+            |FROM lineitem
+            |JOIN orders ON l_orderkey = o_orderkey
+            |JOIN customer ON o_custkey = c_custkey
+            |GROUP BY 1, 2
+            |ORDER BY 1, 2""".stripMargin)
+      },
       // multimodal decode plumbing (stub codec — deterministic, rows-only)
       "q_multimodal_decode" -> { (s, dir) =>
         import graft.operators.Multimodal
@@ -1371,6 +1389,14 @@ object SparkEntry {
         |FROM olps
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin),
+    "q_rollup_quantile" -> withFlat(
+      """SELECT c_mktsegment, l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50_price,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95_price,
+        |  count(*) AS cnt
+        |FROM olps
+        |GROUP BY c_mktsegment, l_returnflag
+        |ORDER BY c_mktsegment, l_returnflag""".stripMargin),
     "q_spatial_rect" -> withFlat(
       s"""SELECT c_mktsegment, count(*) AS cnt, ${dsumSql("c_acctbal")} AS sum_x
          |FROM olps

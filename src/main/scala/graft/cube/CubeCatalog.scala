@@ -46,7 +46,18 @@ final case class RollupMeta(
     /** grain of `timeBucketColumn`: "month" (months since epoch) or "day"
       * (days since epoch) — Druid's datasource `queryGranularity`
       */
-    grain: String = "month")
+    grain: String = "month",
+    /** source column -> stored quantile sketch column (exact percentile
+      * serving below the saturation gate, [[org.apache.spark.sql.graft.QuantileSketch]])
+      */
+    quantileSketches: Map[String, String] = Map.empty,
+    /** k (value capacity) of the stored quantile sketches */
+    quantileK: Int = org.apache.spark.sql.graft.QuantileSketch.DefaultK,
+    /** TOTAL fact rows under this node, measured at build — the proof
+      * obligation for serving `percentile()` from the sketches losslessly:
+      * totalRows <= quantileK means no merged subset of cells can saturate
+      */
+    totalRows: Option[Long] = None)
 
 final case class RegisteredCube(
     info: CubeInfo,

@@ -82,7 +82,10 @@ object CubeMeta {
         "kmvExactNdv" -> JObject(r.kmvExactNdv.toSeq.sortBy(_._1).map {
           case (k, v) => k -> JLong(v) }.toList),
         "derivedSums" -> strMap(r.derivedSums),
-        "grain" -> JString(r.grain))).toList))
+        "grain" -> JString(r.grain),
+        "quantileSketches" -> strMap(r.quantileSketches),
+        "quantileK" -> JInt(r.quantileK),
+        "totalRows" -> r.totalRows.map(JLong(_): JValue).getOrElse(JNull))).toList))
     JsonMethods.pretty(JsonMethods.render(j))
   }
 
@@ -148,7 +151,16 @@ object CubeMeta {
           kmvK = lng(r \ "kmvK").toInt,
           kmvExactNdv = obj(r \ "kmvExactNdv").map { case (k, v) => k -> lng(v) }.toMap,
           derivedSums = sMap(r \ "derivedSums"),
-          grain = str(r \ "grain"))
+          grain = str(r \ "grain"),
+          quantileSketches = sMap(r \ "quantileSketches"),
+          quantileK = r \ "quantileK" match {
+            case JNull | JNothing => org.apache.spark.sql.graft.QuantileSketch.DefaultK
+            case v                => lng(v).toInt
+          },
+          totalRows = r \ "totalRows" match {
+            case JNull | JNothing => None
+            case v                => Some(lng(v))
+          })
       })
   }
 

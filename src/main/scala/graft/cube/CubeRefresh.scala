@@ -146,16 +146,31 @@ object CubeRefresh {
     new java.io.File(cube.cubePath, "_graft_stats.json").delete()
     val stats = CubeStats.ensure(spark, info, cube.cubePath)
     val sketched = cube.rollups.flatMap(_.kmvSketches.keys).distinct.sorted
-    val exactNdv: Map[String, Long] =
-      if (sketched.isEmpty) Map.empty
-      else {
-        val row = spark.read.parquet(cube.cubePath)
-          .select(sketched.map(c => countDistinct(col(c)).as(c)): _*).head()
-        sketched.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+    val (exactNdv, totalRows): (Map[String, Long], Long) = {
+      val row = spark.read.parquet(cube.cubePath)
+        .select((sketched.map(c => countDistinct(col(c)).as(c))
+          :+ count(lit(1)).as("__total_rows__")): _*).head()
+      (sketched.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap,
+        row.getLong(sketched.size))
+    }
+    // re-measured proofs supersede the build-time sidecar: rewrite it
+    // wherever a node keeps one, or a later ensure() would re-register the
+    // stale pre-refresh values (and a stale totalRows could vouch for a
+    // sketch that now saturates)
+    cube.rollups.foreach { ru =>
+      val sidecar = new java.io.File(ru.path, "_kmv_ndv.json")
+      if (sidecar.exists()) {
+        val m = exactNdv + ("__total_rows__" -> totalRows)
+        java.nio.file.Files.write(sidecar.toPath,
+          m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": $v""" }
+            .mkString("{", ", ", "}").getBytes("UTF-8"))
+        ()
       }
+    }
     val refreshed = cube.copy(
       info = CubeStats.withStats(info, stats),
       rollups = cube.rollups.map(ru => ru.copy(
+        totalRows = Some(totalRows),
         kmvExactNdv = ru.kmvExactNdv ++ exactNdv.view.filterKeys(ru.kmvSketches.contains))))
     CubeCatalog.register(refreshed)
     CubeMeta.save(refreshed)
@@ -185,8 +200,11 @@ object CubeRefresh {
       hll_sketch_agg(col(src)).as(dst) }
     val kmvs = ru.kmvSketches.toSeq.sortBy(_._2).map { case (src, dst) =>
       org.apache.spark.sql.graft.KmvSketch.kmvSketch(col(src), ru.kmvK).as(dst) }
+    val qsks = ru.quantileSketches.toSeq.sortBy(_._2).map { case (src, dst) =>
+      org.apache.spark.sql.graft.QuantileSketch
+        .qskSketch(col(src), ru.quantileK).as(dst) }
     withDay.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as(ru.countColumn),
-        (sums ++ derived ++ mins ++ maxs ++ hlls ++ kmvs): _*)
+        (sums ++ derived ++ mins ++ maxs ++ hlls ++ kmvs ++ qsks): _*)
   }
 }

@@ -46,6 +46,16 @@ object RollupCube {
     */
   val kmvK: Int = 65536
 
+  /** Source metric -> stored quantile sketch column. Percentiles cannot be
+    * re-aggregated from sums; the gated value-buffer sketch
+    * ([[org.apache.spark.sql.graft.QuantileSketch]]) serves them EXACTLY
+    * below its capacity and refuses (NULL) above it.
+    */
+  val quantileMetrics: Map[String, String] = Map("l_extendedprice" -> "price_qsk")
+
+  /** Value capacity of the stored quantile sketches. */
+  val quantileK: Int = org.apache.spark.sql.graft.QuantileSketch.DefaultK
+
   /** Coarse-rollup dimensions — the lattice node above [[dims]]. */
   val coarseDims: Seq[String] = Seq("c_mktsegment", "l_returnflag")
 
@@ -87,18 +97,18 @@ object RollupCube {
 
   def rollupPath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    // v5: adds derived-metric sums (sum_disc_price, sum_charge)
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_v5"
+    // v6: adds the price quantile sketch column (price_qsk)
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_v6"
   }
 
   def coarsePath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_coarse_v2"
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_coarse_v3"
   }
 
   def q1Path(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_rf_ls_v2"
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_rf_ls_v3"
   }
 
   def meta(sfDir: String): RollupMeta = RollupMeta(
@@ -112,7 +122,9 @@ object RollupCube {
     kmvSketches = Map("o_custkey" -> "custkey_kmv"),
     hllSketches = Map("o_custkey" -> "custkey_hll"),
     kmvK = kmvK,
-    derivedSums = derivedSums)
+    derivedSums = derivedSums,
+    quantileSketches = quantileMetrics,
+    quantileK = quantileK)
 
   def coarseMeta(sfDir: String): RollupMeta =
     meta(sfDir).copy(path = coarsePath(sfDir), dims = coarseDims)
@@ -181,9 +193,11 @@ object RollupCube {
         .map(c => sum(col(c)).as(c))
       val minAgg = minMetrics.values.toSeq.sorted.map(c => min(col(c)).as(c))
       val maxAgg = maxMetrics.values.toSeq.sorted.map(c => max(col(c)).as(c))
+      val qskAgg = quantileMetrics.values.toSeq.sorted.map(c =>
+        org.apache.spark.sql.graft.QuantileSketch.qskUnion(col(c), quantileK).as(c))
       fine.groupBy((col("g_tbucket") +: coarseDims.map(col)): _*)
         .agg(sum(col("cnt")).as("cnt"),
-          (sumAgg ++ minAgg ++ maxAgg
+          (sumAgg ++ minAgg ++ maxAgg ++ qskAgg
             :+ hll_union_agg(col("custkey_hll")).as("custkey_hll")
             :+ org.apache.spark.sql.graft.KmvSketch
                 .kmvUnion(col("custkey_kmv"), kmvK).as("custkey_kmv")): _*)
@@ -194,8 +208,12 @@ object RollupCube {
     // flat cube, persisted) — the lossless count(DISTINCT) rewrite may only
     // fire when the TRUE cardinality fits the sketch; the approximate NDV
     // stats in the cube sidecar are estimates, not proof
+    // the sidecar also records the fact row count (key "__total_rows__") —
+    // the saturation proof for lossless percentile serving from the
+    // quantile sketches (any merged subset of cells holds <= total values)
+    val TotalRowsKey = "__total_rows__"
     val ndvSidecar = new java.io.File(path, "_kmv_ndv.json")
-    val exactNdv: Map[String, Long] =
+    val measured: Map[String, Long] =
       if (ndvSidecar.exists()) {
         val txt = new String(java.nio.file.Files.readAllBytes(ndvSidecar.toPath), "UTF-8")
         "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt)
@@ -203,18 +221,22 @@ object RollupCube {
       } else {
         val cols = meta(sfDir).kmvSketches.keys.toSeq.sorted
         val row = spark.read.parquet(cube.cubePath)
-          .select(cols.map(c => countDistinct(col(c)).as(c)): _*).head()
-        val m = cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+          .select((cols.map(c => countDistinct(col(c)).as(c))
+            :+ count(lit(1)).as(TotalRowsKey)): _*).head()
+        val m = cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap +
+          (TotalRowsKey -> row.getLong(cols.size))
         java.nio.file.Files.write(ndvSidecar.toPath,
           m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": $v""" }
             .mkString("{", ", ", "}").getBytes("UTF-8"))
         m
       }
+    val exactNdv = measured - TotalRowsKey
+    val totalRows = measured.get(TotalRowsKey)
     // smallest nodes first: the routing walk stops at the first fit
     // (coarse ~ |coarseDims| x months; q1 ~ 6 x days; fine ~ |dims| x months)
     val registered = cube.copy(rollups =
       Seq(coarseMeta(sfDir), q1Meta(sfDir), meta(sfDir))
-        .map(_.copy(kmvExactNdv = exactNdv)))
+        .map(_.copy(kmvExactNdv = exactNdv, totalRows = totalRows)))
     CubeCatalog.register(registered)
     CubeMeta.save(registered)
     path
@@ -233,9 +255,13 @@ object RollupCube {
     }
     val mins = minMetrics.toSeq.sortBy(_._2).map { case (src, dst) => min(col(src)).as(dst) }
     val maxs = maxMetrics.toSeq.sortBy(_._2).map { case (src, dst) => max(col(src)).as(dst) }
+    val qsks = quantileMetrics.toSeq.sortBy(_._2).map { case (src, dst) =>
+      org.apache.spark.sql.graft.QuantileSketch
+        .qskSketch(col(src), quantileK).as(dst)
+    }
     flat.groupBy((col("g_tbucket") +: groupDims.map(col)): _*)
       .agg(count(lit(1)).as("cnt"),
-        (sums ++ derived ++ mins ++ maxs
+        (sums ++ derived ++ mins ++ maxs ++ qsks
           :+ hll_sketch_agg(col("o_custkey")).as("custkey_hll")
           :+ org.apache.spark.sql.graft.KmvSketch
               .kmvSketch(col("o_custkey"), kmvK).as("custkey_kmv")): _*)
@@ -286,5 +312,13 @@ object RollupCube {
     def customersTheta: Column =
       org.apache.spark.sql.graft.KmvSketch
         .kmvMergeEstimate(col("custkey_kmv"), kmvK).as("n_cust")
+    /** Percentile of a source metric from merged quantile sketches — exact
+      * below the sketch capacity, NULL (an explicit refusal, never a wrong
+      * number) once the merged group saturates.
+      */
+    def percentileOf(sourceCol: String, p: Double): Column =
+      org.apache.spark.sql.graft.QuantileSketch
+        .qskPercentile(col(quantileMetrics(sourceCol)), p, quantileK)
+        .as("p" + (p * 100).round + "_" + quantileMetrics(sourceCol).stripSuffix("_qsk"))
   }
 }

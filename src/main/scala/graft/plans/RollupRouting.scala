@@ -173,6 +173,30 @@ case class RollupRouting(spark: SparkSession)
           Divide(
             Cast(Sum(rAttr(c)).toAggregateExpression(), DoubleType),
             Cast(Sum(cntAttr).toAggregateExpression(), DoubleType)))
+      // `percentile(metric, p)` from the stored quantile sketches — only
+      // under the measured saturation proof: totalRows <= sketch capacity
+      // means EVERY merged subset of cells still holds its full value
+      // multiset, so the served percentile is exact (the sketch's NULL
+      // refusal can never fire). Beyond the proof the route declines and
+      // the percentile runs on the fact rows.
+      case per: Percentile
+          if !per.reverse && per.dataType == DoubleType &&
+            ru.totalRows.exists(_ <= ru.quantileK) &&
+            spark.conf.get("spark.graft.percentileFromSketch.enabled", "true").toBoolean =>
+        val freqIsOne = per.frequencyExpression match {
+          case Literal(v, _) => v == 1L
+          case _             => false
+        }
+        val pLit = per.percentageExpression match {
+          case l @ Literal(_, DoubleType) => Some(l)
+          case _                          => None
+        }
+        if (!freqIsOne) None
+        else for {
+          p <- pLit
+          c <- metricOf(per.child, ru.quantileSketches, allowDsumCast = false)
+        } yield org.apache.spark.sql.graft.QuantileSketch
+          .QskPercentile(rAttr(c), p, ru.quantileK).toAggregateExpression()
       case _ => None
     }
 

@@ -121,18 +121,19 @@ object EventPipeline {
 
   /** Incremental rollup maintenance from a stream: each micro-batch is
     * pre-aggregated to (time bucket × dims) partial rows with MERGEABLE
-    * metrics — counts, DECIMAL sums, KMV distinct sketches — and unioned
-    * into the rollup table's bucket partitions. Readers merge partials
-    * exactly like [[graft.cube.RollupCube]] merges lattice nodes
-    * (`sum(cnt)`, `sum(sum_value)`, `kmv_merge_estimate`), so the store
-    * needs no read-modify-write: appending partials IS the update, and a
-    * compaction (re-aggregating a partition in place) is an optimization,
-    * not a correctness step. This is the realtime-ingest role Druid's
-    * realtime nodes play for the reference, on Structured Streaming.
+    * metrics — counts, DECIMAL sums, KMV distinct sketches, gated quantile
+    * sketches — and unioned into the rollup table's bucket partitions.
+    * Readers merge partials exactly like [[graft.cube.RollupCube]] merges
+    * lattice nodes (`sum(cnt)`, `sum(sum_value)`, `kmv_merge_estimate`,
+    * `qsk_percentile`), so the store needs no read-modify-write: appending
+    * partials IS the update, and a compaction (re-aggregating a partition
+    * in place) is an optimization, not a correctness step. This is the
+    * realtime-ingest role Druid's realtime nodes play for the reference, on
+    * Structured Streaming.
     */
   def rollupIngest(events: DataFrame, destDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.graft.KmvSketch
+    import org.apache.spark.sql.graft.{KmvSketch, QuantileSketch}
     events
       .withWatermark("ts", "2 hours")
       .writeStream
@@ -143,7 +144,8 @@ object EventPipeline {
           .groupBy(col("g_tbucket"), col("event_type"))
           .agg(count(lit(1)).as("cnt"),
             sum(col("value").cast("decimal(28,6)")).as("sum_value"),
-            KmvSketch.kmvSketch(col("user_id")).as("user_kmv"))
+            KmvSketch.kmvSketch(col("user_id")).as("user_kmv"),
+            QuantileSketch.qskSketch(col("value")).as("value_qsk"))
           .write.mode("append").partitionBy("g_tbucket").parquet(destDir)
         ()
       }
@@ -153,9 +155,12 @@ object EventPipeline {
 
   /** Merged view of an incrementally-maintained rollup (see
     * [[rollupIngest]]): partial rows collapse to final per-group metrics.
+    * The served median is exact below the quantile sketch's capacity and
+    * NULL past it (the gated-refusal contract, never a silently
+    * approximate number).
     */
   def rollupServe(spark: SparkSession, destDir: String): DataFrame = {
-    import org.apache.spark.sql.graft.KmvSketch
+    import org.apache.spark.sql.graft.{KmvSketch, QuantileSketch}
     // the shared file-status cache has no TTL by default: without this, a
     // serve AFTER further ingested micro-batches could silently miss the
     // newly appended partial files
@@ -164,7 +169,8 @@ object EventPipeline {
       .groupBy("event_type")
       .agg(sum(col("cnt")).as("cnt"),
         sum(col("sum_value")).cast("double").as("sum_value"),
-        KmvSketch.kmvMergeEstimate(col("user_kmv")).as("n_users"))
+        KmvSketch.kmvMergeEstimate(col("user_kmv")).as("n_users"),
+        QuantileSketch.qskPercentile(col("value_qsk"), 0.5).as("p50_value"))
   }
 
   /** Compact an incrementally-maintained rollup in place: collapse each
@@ -179,7 +185,7 @@ object EventPipeline {
     * Returns the set of compacted buckets.
     */
   def compactPartials(spark: SparkSession, destDir: String): Seq[Int] = {
-    import org.apache.spark.sql.graft.KmvSketch
+    import org.apache.spark.sql.graft.{KmvSketch, QuantileSketch}
     org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
     val partials = spark.read.parquet(destDir)
     val dirty = partials
@@ -193,7 +199,8 @@ object EventPipeline {
         .groupBy("g_tbucket", "event_type")
         .agg(sum(col("cnt")).as("cnt"),
           sum(col("sum_value")).as("sum_value"),
-          KmvSketch.kmvUnion(col("user_kmv")).as("user_kmv"))
+          KmvSketch.kmvUnion(col("user_kmv")).as("user_kmv"),
+          QuantileSketch.qskUnion(col("value_qsk")).as("value_qsk"))
         .repartition(col("g_tbucket"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

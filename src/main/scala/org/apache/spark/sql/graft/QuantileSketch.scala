@@ -63,8 +63,11 @@ object QuantileSketch {
     }
 
     /** Linear-interpolation percentile at fraction `p` — index `p*(n-1)`,
-      * `lo + frac*(hi-lo)` — matching Spark's `percentile` and DuckDB's
-      * `quantile_cont` exactly. NULL when saturated or empty.
+      * interpolated as `(hi-pos)*lower + (pos-lo)*higher`: the EXACT
+      * floating arithmetic of Spark's `Percentile.getPercentile` (which
+      * bit-matches DuckDB's `quantile_cont` on the oracle gate; the
+      * algebraically-equal `lo + frac*(hi-lo)` form drifts by 1 ulp).
+      * NULL when saturated or empty.
       */
     def percentile(p: Double): Any =
       if (saturated || values.isEmpty) null
@@ -74,9 +77,10 @@ object QuantileSketch {
         while (i < arr.length) { arr(i) = values.get(i); i += 1 }
         java.util.Arrays.sort(arr)
         val pos = p * (arr.length - 1)
-        val lo = math.floor(pos).toInt
-        val hi = math.ceil(pos).toInt
-        arr(lo) + (pos - lo) * (arr(hi) - arr(lo))
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        if (hi == lo) arr(lo.toInt)
+        else (hi - pos) * arr(lo.toInt) + (pos - lo) * arr(hi.toInt)
       }
 
     def serialize: Array[Byte] = {

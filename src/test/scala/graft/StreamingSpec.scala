@@ -124,15 +124,18 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
 
     val got = EventPipeline.rollupServe(spark, s"$dir/data")
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
     val want = events.toDF()
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"),
-        countDistinct(col("user_id")).as("n_users"))
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+        countDistinct(col("user_id")).as("n_users"),
+        percentile(col("value"), lit(0.5)).as("p50_value"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
     assert(got == want)
-    assert(got("click") == ((4L, 14.5, 3L)))
+    assert(got("click") == ((4L, 14.5, 3L, 3.5)))
 
     // compaction collapses the multi-batch partials to one row per group,
     // and serving afterwards returns the identical answer
@@ -146,7 +149,8 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(2))
     assert(perGroup.forall(_ == 1L))
     val served = EventPipeline.rollupServe(spark, s"$dir/data")
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
     assert(served == want)
     // idempotent: nothing left to compact
     assert(EventPipeline.compactPartials(spark, s"$dir/data").isEmpty)
