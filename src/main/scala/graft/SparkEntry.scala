@@ -1309,6 +1309,22 @@ object SparkEntry {
             |GROUP BY l_returnflag
             |ORDER BY l_returnflag""".stripMargin)
       },
+      // theta-sketch SET OPERATIONS (Druid exposes these as theta post-
+      // aggregations; the reference stores theta-sketch metric columns):
+      // audience overlap between two event cohorts from two sketches —
+      // exact below k, hence the INTERSECT/EXCEPT oracle
+      "q_theta_setops" -> { (s, dir) =>
+        engine(s, dir)
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        s.sql(
+          """SELECT kmv_intersect_estimate(v.sk, p.sk) AS n_both,
+            |  kmv_difference_estimate(v.sk, p.sk) AS n_view_only,
+            |  kmv_difference_estimate(p.sk, v.sk) AS n_purchase_only
+            |FROM (SELECT kmv_sketch(user_id) AS sk FROM events
+            |      WHERE event_type = 'view') v
+            |CROSS JOIN (SELECT kmv_sketch(user_id) AS sk FROM events
+            |            WHERE event_type = 'purchase') p""".stripMargin)
+      },
       // dim-sliced interval scan on the cube itself ("SubQry+filters+range"
       // benchmark shape) — exercises time-bucket partition pruning
       "q_subqry_filters_range" -> { (s, dir) =>
@@ -1383,6 +1399,20 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_theta_setops" ->
+      """SELECT
+        |  (SELECT count(*) FROM (
+        |     SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |     INTERSECT
+        |     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS n_both,
+        |  (SELECT count(*) FROM (
+        |     SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |     EXCEPT
+        |     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS n_view_only,
+        |  (SELECT count(*) FROM (
+        |     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |     EXCEPT
+        |     SELECT DISTINCT user_id FROM events WHERE event_type = 'view')) AS n_purchase_only""".stripMargin,
     "q_rollup_theta" -> withFlat(
       """SELECT c_mktsegment, count(*) AS cnt,
         |  count(DISTINCT o_custkey) AS n_cust

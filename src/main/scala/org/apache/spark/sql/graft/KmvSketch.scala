@@ -187,6 +187,60 @@ object KmvSketch {
       copy(child = c.head)
   }
 
+  /** Theta-style set-operation estimate over two sketches (Druid theta
+    * sketches expose exactly these as post-aggregations; KMV carries the
+    * same structure). Semantics:
+    *   - both sketches unsaturated → the sets ARE the full hash sets, so
+    *     `|A ∩ B|` / `|A \ B|` are the exact distinct counts (the same
+    *     exact-below-k property the estimate has);
+    *   - any side saturated → cut both at θ = min(θA, θB) (the stricter
+    *     k-th-smallest bound) and scale the surviving-overlap count by 1/θ
+    *     — the standard theta intersection / AnotB estimator.
+    */
+  private[graft] def setOpEstimate(a: Buffer, b: Buffer, intersect: Boolean): Long = {
+    def boundOf(s: Buffer): Option[Long] =
+      if (s.set.size >= s.k) Some(s.set.last().longValue()) else None
+    val bounds = Seq(boundOf(a), boundOf(b)).flatten
+    def count(cut: Long => Boolean): Long = {
+      var n = 0L
+      val it = a.set.iterator()
+      while (it.hasNext) {
+        val h = it.next()
+        if (cut(h) && b.set.contains(h) == intersect) n += 1
+      }
+      n
+    }
+    if (bounds.isEmpty) count(_ => true)
+    else {
+      val bound = bounds.reduce((x, y) =>
+        if (java.lang.Long.compareUnsigned(x, y) < 0) x else y)
+      val theta = ((bound >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+      val n = count(h => java.lang.Long.compareUnsigned(h, bound) < 0)
+      math.round(n.toDouble / theta)
+    }
+  }
+
+  /** `kmv_intersect_estimate(skA, skB)` / `kmv_difference_estimate(skA, skB)`
+    * — scalar set-operation estimators over two stored sketches.
+    */
+  case class KmvSetOp(left: Expression, right: Expression, intersect: Boolean)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+    override def dataType: DataType = LongType
+    override def prettyName: String =
+      if (intersect) "kmv_intersect_estimate" else "kmv_difference_estimate"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      setOpEstimate(
+        KmvSketch.deserialize(a.asInstanceOf[Array[Byte]]),
+        KmvSketch.deserialize(b.asInstanceOf[Array[Byte]]),
+        intersect)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): KmvSetOp =
+      copy(left = newLeft, right = newRight)
+  }
+
   private def kArg(name: String, args: Seq[Expression]): Int = args match {
     case Seq(_) => DefaultK
     case Seq(_, l) if l.foldable && l.dataType == IntegerType =>
@@ -207,6 +261,10 @@ object KmvSketch {
       args => KmvMergeEstimate(args.head, kArg("kmv_merge_estimate", args)), "built-in")
     registry.createOrReplaceTempFunction("kmv_union",
       args => KmvUnionAgg(args.head, kArg("kmv_union", args)), "built-in")
+    registry.createOrReplaceTempFunction("kmv_intersect_estimate",
+      args => KmvSetOp(args(0), args(1), intersect = true), "built-in")
+    registry.createOrReplaceTempFunction("kmv_difference_estimate",
+      args => KmvSetOp(args(0), args(1), intersect = false), "built-in")
   }
 
   // ---- Column API (for DataFrame callers and the rollup builder) ----
@@ -222,4 +280,10 @@ object KmvSketch {
   def kmvUnion(c: Column, k: Int = DefaultK): Column =
     ExpressionUtils.column(
       KmvUnionAgg(ExpressionUtils.expression(c), checkK(k)).toAggregateExpression())
+  def kmvIntersectEstimate(a: Column, b: Column): Column =
+    ExpressionUtils.column(KmvSetOp(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), intersect = true))
+  def kmvDifferenceEstimate(a: Column, b: Column): Column =
+    ExpressionUtils.column(KmvSetOp(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), intersect = false))
 }

@@ -64,4 +64,48 @@ class KmvSketchSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(math.abs(est - 601L) < 90L, s"kmv_distinct(64) estimate $est")
   }
+
+  test("set-op estimates are exact below k (intersection / difference)") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    // A = {0..599}, B = {400..999}: |A ∩ B| = 200, |A \ B| = 400, |B \ A| = 400
+    val a = (0 until 600).toDF("x").repartition(5)
+      .agg(KmvSketch.kmvSketch(col("x"), 2048).as("sk"))
+    val b = (400 until 1000).toDF("x").repartition(3)
+      .agg(KmvSketch.kmvSketch(col("x"), 2048).as("sk"))
+    val r = a.crossJoin(b.withColumnRenamed("sk", "skB"))
+      .select(
+        KmvSketch.kmvIntersectEstimate(col("sk"), col("skB")).as("inter"),
+        KmvSketch.kmvDifferenceEstimate(col("sk"), col("skB")).as("aNotB"),
+        KmvSketch.kmvDifferenceEstimate(col("skB"), col("sk")).as("bNotA"))
+      .head()
+    assert(r.getLong(0) == 200L && r.getLong(1) == 400L && r.getLong(2) == 400L)
+  }
+
+  test("set-op estimates stay within 10% when a side saturates") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    // |A| = 50k, |B| = 40k, overlap 20k; k = 1024 saturates both
+    val a = (0 until 50000).toDF("x")
+      .agg(KmvSketch.kmvSketch(col("x"), 1024).as("sk"))
+    val b = (30000 until 70000).toDF("x")
+      .agg(KmvSketch.kmvSketch(col("x"), 1024).as("sk"))
+    val r = a.crossJoin(b.withColumnRenamed("sk", "skB"))
+      .select(
+        KmvSketch.kmvIntersectEstimate(col("sk"), col("skB")).as("inter"),
+        KmvSketch.kmvDifferenceEstimate(col("sk"), col("skB")).as("aNotB"))
+      .head()
+    assert(math.abs(r.getLong(0) - 20000L) < 2000L, s"inter ${r.getLong(0)}")
+    assert(math.abs(r.getLong(1) - 30000L) < 3000L, s"aNotB ${r.getLong(1)}")
+  }
+
+  test("SQL set-op functions registered") {
+    val got = spark.sql(
+      """SELECT kmv_intersect_estimate(a.sk, b.sk) AS i,
+        |       kmv_difference_estimate(a.sk, b.sk) AS d
+        |FROM (SELECT kmv_sketch(id) AS sk FROM range(0, 300)) a
+        |CROSS JOIN (SELECT kmv_sketch(id) AS sk FROM range(200, 500)) b""".stripMargin)
+      .head()
+    assert(got.getLong(0) == 100L && got.getLong(1) == 200L)
+  }
 }

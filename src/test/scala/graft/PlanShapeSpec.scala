@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression locks on the plan properties that decide whether a query
+  * still works at 100 TB (SURVEY.md §4.4, SCALE.md): partition pruning
+  * reaching the scan, predicate/projection pushdown into parquet, star
+  * joins actually collapsing, top-k planning as TakeOrderedAndProject,
+  * and small-dimension joins broadcasting. `.explain`-and-iterate,
+  * captured as asserts.
+  *
+  * AQE is disabled per-query here (it wraps the physical plan in an
+  * adaptive shell whose children are not traversable pre-execution);
+  * production runs keep it on — these asserts are about the *static*
+  * plan Catalyst hands AQE.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def withAqeOff[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def qe(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution
+
+  private def scans(name: String): Seq[FileSourceScanExec] =
+    qe(name).executedPlan.collect { case f: FileSourceScanExec => f }
+
+  test("time-range query prunes cube partitions at planning time") {
+    withAqeOff {
+      val cubeScans = scans("q_ship_date_range")
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains("cubes/")))
+      assert(cubeScans.nonEmpty, "expected the query to scan the cube")
+      val s = cubeScans.head
+      assert(s.partitionFilters.nonEmpty, "time predicate must become a partition filter")
+      val survivors = s.relation.location.listFiles(s.partitionFilters, Nil).size
+      val all = s.relation.location.listFiles(Nil, Nil).size
+      assert(survivors < all,
+        s"pruning kept $survivors of $all partitions — nothing was pruned")
+    }
+  }
+
+  test("projection and predicates reach the parquet scan") {
+    withAqeOff {
+      val s = scans("q_select_push").head
+      assert(s.metadata.getOrElse("PushedFilters", "[]") != "[]",
+        "expected data filters pushed into the parquet reader")
+      // a 50-column cube scan serving a narrow projection must not read
+      // every column
+      assert(s.requiredSchema.fieldNames.length <= 8,
+        s"read schema too wide: ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+  }
+
+  test("star join collapses to a single cube scan (no join in the plan)") {
+    withAqeOff {
+      val plan = qe("q07_nation_volume").optimizedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.isEmpty, s"star join survived: ${joins.size} join(s) left")
+      assert(scans("q07_nation_volume").size == 1, "expected exactly one scan")
+    }
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    withAqeOff {
+      val physical = qe("q_topn_suppliers").executedPlan
+      val hasTopK = physical.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty
+      assert(hasTopK, s"expected TakeOrderedAndProjectExec in:\n$physical")
+    }
+  }
+
+  test("small dimension side of a non-star join broadcasts") {
+    withAqeOff {
+      val physical = qe("q13_cust_distribution").executedPlan
+      val broadcasts = physical.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(broadcasts.nonEmpty,
+        s"expected a broadcast hash join at sf0.001 in:\n$physical")
+    }
+  }
+
+  test("always-false time interval folds to an empty local relation (zero tasks)") {
+    withAqeOff {
+      for (t <- Tables.starTables)
+        Tables.t(spark, sf, t).createOrReplaceTempView(t)
+      graft.cube.RollupCube.ensure(spark, sf)
+      val df = spark.sql(
+        """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |GROUP BY l_returnflag""".stripMargin)
+      val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.optimizedPlan
+      val hasScan = plan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.nonEmpty
+      assert(!hasScan, s"contradictory interval should scan nothing:\n$plan")
+      assert(df.count() == 0)
+    }
+  }
+}
