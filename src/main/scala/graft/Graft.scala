@@ -101,6 +101,24 @@ object Graft {
   def forceUtc(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+  /** Run `body` with every graft rewrite disabled. The engine's OWN
+    * maintenance reads (dirty-bucket detection, NDV/totalRows proof
+    * measurement, refresh row counts) must see the raw data, never a
+    * rewrite onto the possibly-stale cube/rollup they are maintaining —
+    * e.g. a dirty-bucket count routed onto the stale cube would compare
+    * the cube against itself and find nothing to refresh.
+    */
+  def withoutRewrites[T](spark: SparkSession)(body: => T): T = {
+    val flags = Seq("spark.graft.starJoin.enabled",
+      "spark.graft.rollupRouting.enabled",
+      "spark.graft.timeBucketPruning.enabled",
+      "spark.graft.distinctFromSketch.enabled",
+      "spark.graft.percentileFromSketch.enabled")
+    val prev = flags.map(f => f -> spark.conf.get(f, "true"))
+    flags.foreach(spark.conf.set(_, "false"))
+    try body finally prev.foreach { case (f, v) => spark.conf.set(f, v) }
+  }
+
   def install(spark: SparkSession): Unit = {
     forceUtc(spark)
     graft.functions.DateTimeCompat.register(spark)

@@ -48,12 +48,14 @@ object CubeRefresh {
     * the partition column (parquet row counts come from footer metadata).
     */
   private def cubeBucketCounts(spark: SparkSession, cube: RegisteredCube): Map[Int, Long] =
-    spark.read.parquet(cube.cubePath)
-      .groupBy(col(cube.info.timeBucketColumn))
-      .count()
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
+    graft.Graft.withoutRewrites(spark) {
+      spark.read.parquet(cube.cubePath)
+        .groupBy(col(cube.info.timeBucketColumn))
+        .count()
+        .collect()
+        .map(r => r.getInt(0) -> r.getLong(1))
+        .toMap
+    }
 
   /** Per-bucket counts of the fact table alone (no joins): the star edges
     * are all many-to-one from the fact, so flat row count per bucket equals
@@ -68,12 +70,17 @@ object CubeRefresh {
       path <- cube.tablePaths.get(physical)
       srcTimeCol <- info.columnMapping.collectFirst {
         case ((role, src), dst) if role == factRole && dst == info.timeColumn => src }
-    } yield spark.read.parquet(path)
-      .groupBy(TpchCube.bucketExpr(srcTimeCol).as("g_b"))
-      .count()
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
+    } yield graft.Graft.withoutRewrites(spark) {
+      // the raw fact table, NOT the cube: a bare-fact aggregate would
+      // otherwise collapse onto the very cube being refreshed and compare
+      // the stale data against itself
+      spark.read.parquet(path)
+        .groupBy(TpchCube.bucketExpr(srcTimeCol).as("g_b"))
+        .count()
+        .collect()
+        .map(r => r.getInt(0) -> r.getLong(1))
+        .toMap
+    }
   }
 
   /** Refresh `cube` from the current state of its sources. `flatFn` must
@@ -107,20 +114,26 @@ object CubeRefresh {
       .withColumn(bkt, TpchCube.bucketExpr(info.timeColumn))
       .filter(col(bkt).isin(dirty: _*))
       .select(cubeSchema.map(col): _*)
-    slice
-      .repartition(col(bkt))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(bkt)
-      .parquet(cube.cubePath)
+    // written WITHOUT rewrites: the flattening join must read the raw
+    // sources, never collapse onto the stale cube it is replacing
+    graft.Graft.withoutRewrites(spark) {
+      slice
+        .repartition(col(bkt))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(bkt)
+        .parquet(cube.cubePath)
+    }
     // three layers can still list the replaced files: cached query plans,
     // the session-shared file-status cache, and the engine's own analyzed-
     // scan cache used by the rewrite rules — invalidate all of them
     spark.catalog.refreshByPath(cube.cubePath)
     org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
     CubeCatalog.invalidatePlan(cube.cubePath)
-    val written = spark.read.parquet(cube.cubePath)
-      .filter(col(bkt).isin(dirty: _*)).count()
+    val written = graft.Graft.withoutRewrites(spark) {
+      spark.read.parquet(cube.cubePath)
+        .filter(col(bkt).isin(dirty: _*)).count()
+    }
 
     // 3. rebuild each rollup node's dirty partitions from the refreshed
     // cube slice (partition-pruned: only dirty buckets are read)
@@ -128,13 +141,17 @@ object CubeRefresh {
       .filter(col(bkt).isin(dirty: _*))
     cube.rollups.foreach { ru =>
       val nodeSchema = spark.read.parquet(ru.path).schema.fieldNames
-      buildNode(freshSlice, info, ru)
-        .select(nodeSchema.map(col): _*)
-        .repartition(col(bkt))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(bkt)
-        .parquet(ru.path)
+      // aggregated WITHOUT rewrites: the node rebuild must scan the fresh
+      // cube slice, never be served from the stale node being rebuilt
+      graft.Graft.withoutRewrites(spark) {
+        buildNode(freshSlice, info, ru)
+          .select(nodeSchema.map(col): _*)
+          .repartition(col(bkt))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(bkt)
+          .parquet(ru.path)
+      }
       spark.catalog.refreshByPath(ru.path)
       org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
       CubeCatalog.invalidatePlan(ru.path)
@@ -146,13 +163,17 @@ object CubeRefresh {
     new java.io.File(cube.cubePath, "_graft_stats.json").delete()
     val stats = CubeStats.ensure(spark, info, cube.cubePath)
     val sketched = cube.rollups.flatMap(_.kmvSketches.keys).distinct.sorted
-    val (exactNdv, totalRows): (Map[String, Long], Long) = {
-      val row = spark.read.parquet(cube.cubePath)
-        .select((sketched.map(c => countDistinct(col(c)).as(c))
-          :+ count(lit(1)).as("__total_rows__")): _*).head()
-      (sketched.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap,
-        row.getLong(sketched.size))
-    }
+    // measured WITHOUT rewrites: routing the proof measurement through the
+    // sketches it is meant to vouch for would be circular (a stale
+    // "exact" NDV could bless a now-saturated sketch)
+    val (exactNdv, totalRows): (Map[String, Long], Long) =
+      graft.Graft.withoutRewrites(spark) {
+        val row = spark.read.parquet(cube.cubePath)
+          .select((sketched.map(c => countDistinct(col(c)).as(c))
+            :+ count(lit(1)).as("__total_rows__")): _*).head()
+        (sketched.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap,
+          row.getLong(sketched.size))
+      }
     // re-measured proofs supersede the build-time sidecar: rewrite it
     // wherever a node keeps one, or a later ensure() would re-register the
     // stale pre-refresh values (and a stale totalRows could vouch for a

@@ -149,6 +149,15 @@ object RollupCube {
   def ensure(spark: SparkSession, sfDir: String): String = lock.synchronized {
     val path = rollupPath(sfDir)
     val cube = TpchCube.ensure(spark, sfDir)
+    // builds and proof measurements run with the engine's rewrites OFF:
+    // an aggregate over the cube must never be served from a rollup node
+    // that is mid-(re)build, and the exactness proofs must never route
+    // through the sketches they vouch for
+    graft.Graft.withoutRewrites(spark) { ensureBuilds(spark, sfDir, cube, path) }
+  }
+
+  private def ensureBuilds(spark: SparkSession, sfDir: String,
+                           cube: RegisteredCube, path: String): String = {
     val marker = new java.io.File(path, "_SUCCESS")
     if (!marker.exists()) {
       val flat = spark.read.parquet(cube.cubePath)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.planning.PhysicalOperation
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, TimestampNTZType, TimestampType}
@@ -43,23 +43,30 @@ case class RollupRouting(spark: SparkSession)
     // grouped aggregates only: a global aggregate over an empty relation
     // yields count()=0 but sum(cnt)=NULL — not servable
     if (agg.groupingExpressions.isEmpty) return None
-    // match [Project/Filter]* over the materialized flat-cube scan; the
-    // projections may be bare attributes or the exprId-preserving aliases
-    // StarJoinElimination emits
-    val (projects, filters, lr) = agg.child match {
-      case PhysicalOperation(p, f, rel: LogicalRelation) => (p, f, rel)
+    // match [Project/Filter]* over the materialized flat-cube scan — bare,
+    // or under the Expand a grouping-sets/cube/rollup query plans to (the
+    // reference's per-grouping-set path, `AggregateTransform.scala:98-167`:
+    // one rolled-up query per Expand projection). The projections may be
+    // bare attributes or the exprId-preserving aliases StarJoinElimination
+    // emits
+    val (projects, filters, lr, expandOpt) = agg.child match {
+      case PhysicalOperation(p, f, rel: LogicalRelation) => (p, f, rel, None)
+      case ex @ Expand(_, _, PhysicalOperation(p, f, rel: LogicalRelation)) =>
+        (p, f, rel, Some(ex))
       case _ => return None
     }
     val cube: RegisteredCube = CubeCatalog.cubeOfRelation(lr).getOrElse(return None)
     if (cube.rollups.isEmpty) return None
     // lattice walk: coarsest (smallest) rollup that can serve wins
-    cube.rollups.view.flatMap(ru => serveFrom(agg, projects, filters, cube, ru))
+    cube.rollups.view
+      .flatMap(ru => serveFrom(agg, projects, filters, cube, ru, expandOpt))
       .headOption
   }
 
   private def serveFrom(agg: Aggregate, projects: Seq[NamedExpression],
                         filters: Seq[Expression], cube: RegisteredCube,
-                        ru: RollupMeta): Option[LogicalPlan] = {
+                        ru: RollupMeta,
+                        expandOpt: Option[Expand] = None): Option[LogicalPlan] = {
 
     // attr (by exprId) -> underlying cube column name, through one alias hop
     val colName: Map[ExprId, String] = projects.collect {
@@ -391,27 +398,127 @@ case class RollupRouting(spark: SparkSession)
       }
     }
 
-    val newGrouping: Seq[Expression] =
-      agg.groupingExpressions.map(g => mergeBody(inline(g)).getOrElse(return None))
-
-    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
-      case a: Attribute if servable(nameOf(a)) =>
-        Alias(rAttr(nameOf(a)), a.name)(exprId = a.exprId)
-      case a: Attribute if aliasExpr.contains(a.exprId) =>
-        Alias(mergeBody(inline(a)).getOrElse(return None), a.name)(exprId = a.exprId)
-      case al @ Alias(body, name) =>
-        Alias(mergeBody(inline(body)).getOrElse(return None), name)(exprId = al.exprId)
-      case _ => return None
-    }
-
     val newFilters: Seq[Expression] = filters.map(inline).map { c =>
       if (c.references.forall(a => servable(nameOf(a)))) substitute(c)
       else timeFilter(c).getOrElse(return None)
     }
-
     val newChild: LogicalPlan =
       if (newFilters.isEmpty) rollupPlan
       else Filter(newFilters.reduce(And), rollupPlan)
-    Some(Aggregate(newGrouping, newAggExprs, newChild))
+
+    expandOpt match {
+      case Some(ex) => serveExpand(agg, ex, newChild, rollupPlan.output,
+        inline, mergeBody, mergeAggExpr)
+      case None =>
+        val newGrouping: Seq[Expression] =
+          agg.groupingExpressions.map(g => mergeBody(inline(g)).getOrElse(return None))
+
+        val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+          case a: Attribute if servable(nameOf(a)) =>
+            Alias(rAttr(nameOf(a)), a.name)(exprId = a.exprId)
+          case a: Attribute if aliasExpr.contains(a.exprId) =>
+            Alias(mergeBody(inline(a)).getOrElse(return None), a.name)(exprId = a.exprId)
+          case al @ Alias(body, name) =>
+            Alias(mergeBody(inline(body)).getOrElse(return None), name)(exprId = al.exprId)
+          case _ => return None
+        }
+        Some(Aggregate(newGrouping, newAggExprs, newChild))
+    }
+  }
+
+  /** Serve `Aggregate(Expand(scan))` — the grouping-sets / CUBE / ROLLUP
+    * plan shape — from a rollup node. The reference runs one rolled-up
+    * query per Expand projection and unions (`AggregateTransform.scala:
+    * 98-167,217-311`); Spark's Expand already IS that union, so we keep the
+    * Aggregate and Expand structure (output attrs, grouping-id slots,
+    * grouping expressions) untouched and only
+    *   - rewrite each projection's dimension slots onto rollup attributes
+    *     (null literals of the non-participating grouping sets pass
+    *     through),
+    *   - null out metric passthrough slots and append passthrough slots
+    *     carrying the rollup's pre-aggregated columns,
+    *   - merge the aggregates over those slots (count → sum(cnt) etc. — the
+    *     same merge table as the flat path).
+    * The Expand then multiplies |rollup| rows per grouping set instead of
+    * |fact| rows.
+    */
+  private def serveExpand(agg: Aggregate, ex: Expand, newChild: LogicalPlan,
+                          rollupOut: Seq[Attribute],
+                          inline: Expression => Expression,
+                          mergeBody: Expression => Option[Expression],
+                          mergeAggExpr: AggregateExpression => Option[Expression])
+      : Option[LogicalPlan] = {
+    val rIds = rollupOut.map(_.exprId).toSet
+    // expand-output slot -> (index, per-projection values)
+    val slotOf: Map[ExprId, Int] =
+      ex.output.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap
+    def slotValues(i: Int): Seq[Expression] = ex.projections.map(_(i))
+
+    val groupSlots: Set[ExprId] =
+      agg.groupingExpressions.flatMap(_.references).map(_.exprId).toSet
+        .intersect(slotOf.keySet)
+
+    // rollup attr -> appended passthrough slot (one per distinct attr the
+    // merged aggregates need above the Expand)
+    val lifted = scala.collection.mutable.LinkedHashMap[Attribute, AttributeReference]()
+    def lift(e: Expression): Expression = e.transformUp {
+      case a: Attribute if rIds.contains(a.exprId) =>
+        lifted.getOrElseUpdate(a,
+          AttributeReference("g_ru_" + a.name, a.dataType, nullable = true)())
+    }
+
+    // metric slots consumed by merged aggregates: every projection must
+    // carry the identical passthrough value (a slot a distinct-rewrite
+    // Expand nulls per grouping set fails this and refuses the route)
+    val metricSlots = scala.collection.mutable.Set[Int]()
+    def unslot(e: Expression): Option[Expression] = {
+      var ok = true
+      val r = e.transformUp {
+        case a: Attribute if slotOf.contains(a.exprId) =>
+          val i = slotOf(a.exprId)
+          val vals = slotValues(i)
+          val head = vals.head
+          if (head.isInstanceOf[Literal] ||
+              !vals.tail.forall(_.semanticEquals(head))) { ok = false; a }
+          else { metricSlots += i; inline(head) }
+      }
+      if (ok) Some(r) else None
+    }
+
+    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      // bare dim/gid slot passthrough; a bare reference to a metric slot
+      // (which the rewrite nulls out) refuses the route
+      case a: Attribute if groupSlots.contains(a.exprId) || !slotOf.contains(a.exprId) => a
+      case al @ Alias(body, name) =>
+        val newBody = body.transformUp {
+          case ae: AggregateExpression =>
+            val merged = unslot(ae).flatMap {
+              case t: AggregateExpression => mergeAggExpr(t)
+              case _                      => None
+            }
+            lift(merged.getOrElse(return None))
+        }
+        // whatever slot references remain outside the merged aggregates
+        // must be grouping slots (dims / grouping id)
+        val leaks = newBody.references
+          .filter(a => slotOf.contains(a.exprId) && !groupSlots.contains(a.exprId))
+        if (leaks.nonEmpty) return None
+        Alias(newBody, name)(exprId = al.exprId)
+      case _ => return None
+    }
+
+    val newProjections: Seq[Seq[Expression]] = ex.projections.map { row =>
+      row.zipWithIndex.map { case (v, i) =>
+        val slotId = ex.output(i).exprId
+        if (groupSlots.contains(slotId)) v match {
+          case l: Literal => l // null of a grouping set, or the grouping id
+          case other      => mergeBody(inline(other)).getOrElse(return None)
+        }
+        else Literal.create(null, ex.output(i).dataType) // merged or unread
+      } ++ lifted.keys.toSeq
+    }
+    val newOutput = ex.output ++ lifted.values.toSeq
+    Some(Aggregate(agg.groupingExpressions, newAggExprs,
+      Expand(newProjections, newOutput, newChild)))
   }
 }

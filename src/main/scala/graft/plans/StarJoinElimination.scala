@@ -66,11 +66,15 @@ case class StarJoinElimination(spark: SparkSession)
       // grouping sets / cube / rollup arrive as Aggregate over Expand
       // (reference: one Druid query per Expand projection,
       // `AggregateTransform.scala:98-167`; ours: ONE cube scan feeding the
-      // native Expand, no per-projection re-scan). The gate sees the child
-      // columns the Expand references — a conservative stand-in for the
-      // grouping keys (the finest grouping set uses all of them).
+      // native Expand, no per-projection re-scan). The gate sees the
+      // per-projection values of the slots the aggregate actually groups
+      // by — the real grouping keys of the finest grouping set.
       case a @ Aggregate(_, _, e: Expand, _) if a.getTagValue(gateRefusedTag).isEmpty =>
-        rewrite(e.child, e.references, Some(e.references.toSeq))
+        val gSlots = a.groupingExpressions.flatMap(_.references.toSeq)
+          .map(at => e.output.indexWhere(_.exprId == at.exprId)).filter(_ >= 0)
+        val gVals = gSlots.flatMap(i => e.projections.map(_(i)))
+          .filterNot(_.isInstanceOf[Literal]).distinct
+        rewrite(e.child, e.references, Some(gVals))
           .map(c => a.copy(child = e.copy(child = c))).getOrElse(a)
       case a: Aggregate if a.getTagValue(gateRefusedTag).isEmpty =>
         rewrite(a.child, a.references, Some(a.groupingExpressions))
@@ -158,14 +162,29 @@ case class StarJoinElimination(spark: SparkSession)
                              required: AttributeSet,
                              groupingExprs: Option[Seq[Expression]]): Option[LogicalPlan] = {
     val (leaves, conjuncts) = collectTree(cube, child).getOrElse(return None)
-    // A bare fact-table scan routes to the cube only when a time predicate
-    // exists: that is where the cube's bucket partitioning wins (pruning);
-    // without one the raw table is the same data, narrower.
-    val singleFactLeaf = leaves.size == 1 &&
-      cube.info.roleOfTable.get(leaves.head.table)
-        .exists(_.contains(cube.info.starSchema.factTable)) &&
-      leaves.head.filters.exists(
-        _.references.exists(_.name.equalsIgnoreCase(cube.info.timeColumn)))
+    // A bare fact-table scan routes to the cube when a time predicate
+    // exists (that is where bucket partitioning wins — pruning), OR when
+    // the grouping dims are a subset of some rollup node's dims: the cube
+    // scan is row/column-equivalent to the raw one under column pruning,
+    // and the next fixed-point iteration can then serve the aggregate from
+    // the lattice (RollupRouting) — the reference gets both for free
+    // because its relation IS the index.
+    val factRole = cube.info.starSchema.factTable
+    val singleFactRole = leaves.size == 1 &&
+      cube.info.roleOfTable.get(leaves.head.table).exists(_.contains(factRole))
+    lazy val hasTimeFilter = leaves.head.filters.exists(
+      _.references.exists(_.name.equalsIgnoreCase(cube.info.timeColumn)))
+    lazy val rollupServableGrouping = groupingExprs.exists { gs =>
+      gs.nonEmpty && cube.rollups.nonEmpty && {
+        val mapped = gs.flatMap(_.references.toSeq).map(_.name).distinct
+          .map(n => cube.info.mapped(factRole, n))
+        mapped.forall(_.isDefined) && cube.rollups.exists { ru =>
+          val servable = (ru.dims :+ cube.info.timeColumn).map(_.toLowerCase).toSet
+          mapped.flatten.forall(c => servable(c.toLowerCase))
+        }
+      }
+    }
+    val singleFactLeaf = singleFactRole && (hasTimeFilter || rollupServableGrouping)
     if (leaves.size < 2 && !singleFactLeaf) return None
 
     val byExprId: Map[ExprId, Int] = (for {
