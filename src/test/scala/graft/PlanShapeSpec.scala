@@ -90,6 +90,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("grouping-sets aggregate serves from the rollup lattice") {
+    withAqeOff {
+      for (t <- Tables.starTables)
+        Tables.t(spark, sf, t).createOrReplaceTempView(t)
+      graft.cube.RollupCube.ensure(spark, sf)
+      val rollupScans = scans("q_rollup")
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains("_rollup")))
+      assert(rollupScans.nonEmpty,
+        "expected GROUP BY ROLLUP over the fact table to read a rollup node")
+    }
+  }
+
   test("always-false time interval folds to an empty local relation (zero tasks)") {
     withAqeOff {
       for (t <- Tables.starTables)
