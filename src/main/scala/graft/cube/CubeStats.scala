@@ -26,12 +26,12 @@ object CubeStats {
     existing.getOrElse {
       val dims = info.columns.filter(_.role != ColumnRole.Metric).map(_.name)
       val tcol = col(info.timeColumn)
-      val row = spark.read.parquet(path)
+      val row = graft.Graft.withoutRewrites(spark) { spark.read.parquet(path)
         .select((dims.map(c => approx_count_distinct(col(c)).as(c))
           :+ unix_micros(min(tcol).cast("timestamp")).as("tmin")
           :+ unix_micros(max(tcol).cast("timestamp")).as("tmax")
           :+ max(when(tcol =!= date_trunc("day", tcol), 1L).otherwise(0L)).as("subday")): _*)
-        .head()
+        .head() }
       val stats = dims.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap ++
         Map("__time_min_us" -> row.getLong(dims.size),
             "__time_max_us" -> row.getLong(dims.size + 1),

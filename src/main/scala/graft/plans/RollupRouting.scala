@@ -40,9 +40,11 @@ case class RollupRouting(spark: SparkSession)
   }
 
   private def route(agg: Aggregate): Option[LogicalPlan] = {
-    // grouped aggregates only: a global aggregate over an empty relation
-    // yields count()=0 but sum(cnt)=NULL — not servable
-    if (agg.groupingExpressions.isEmpty) return None
+    // global (ungrouped) aggregates serve too: the count merge is
+    // `coalesce(sum(cnt), 0)`, so a filter that empties the rollup still
+    // yields count()=0 / sum()=NULL / min()=NULL — exactly Spark's global
+    // aggregate semantics over zero rows. `SELECT count(*) FROM fact`
+    // becomes a scan of |dims|×buckets pre-aggregated rows.
     // match [Project/Filter]* over the materialized flat-cube scan — bare,
     // or under the Expand a grouping-sets/cube/rollup query plans to (the
     // reference's per-grouping-set path, `AggregateTransform.scala:98-167`:
@@ -162,9 +164,12 @@ case class RollupRouting(spark: SparkSession)
     }
 
     def mergedAgg(af: AggregateFunction): Option[Expression] = af match {
-      // count(NULL) is 0 per group, not the group row count — exclude it
+      // count(NULL) is 0 per group, not the group row count — exclude it.
+      // coalesce: a GLOBAL aggregate over zero surviving rollup rows must
+      // yield 0 like count() does, not sum's NULL (per-group rows are
+      // never empty, so the coalesce is inert for grouped serves)
       case Count(Seq(l: Literal)) if l.value != null =>
-        Some(Sum(cntAttr).toAggregateExpression())
+        Some(Coalesce(Seq(Sum(cntAttr).toAggregateExpression(), Literal(0L))))
       case s @ Sum(child, _) if isDouble(child) =>
         metricOf(child, ru.sums, allowDsumCast = true).map(c =>
           Cast(Sum(rAttr(c)).toAggregateExpression(), s.dataType))

@@ -175,11 +175,22 @@ case class StarJoinElimination(spark: SparkSession)
     lazy val hasTimeFilter = leaves.head.filters.exists(
       _.references.exists(_.name.equalsIgnoreCase(cube.info.timeColumn)))
     lazy val rollupServableGrouping = groupingExprs.exists { gs =>
-      gs.nonEmpty && cube.rollups.nonEmpty && {
-        val mapped = gs.flatMap(_.references.toSeq).map(_.name).distinct
-          .map(n => cube.info.mapped(factRole, n))
+      cube.rollups.nonEmpty && {
+        // grouped: the grouping dims must fit a node's dimension set;
+        // global (ungrouped): the aggregated columns must all be stored
+        // node metrics — then `count(*)/sum/min/max/...` merge from
+        // |dims|×buckets pre-aggregated rows
+        val names =
+          (if (gs.nonEmpty) gs.flatMap(_.references.toSeq) else required.toSeq)
+            .map(_.name).distinct
+        val mapped = names.map(n => cube.info.mapped(factRole, n))
         mapped.forall(_.isDefined) && cube.rollups.exists { ru =>
-          val servable = (ru.dims :+ cube.info.timeColumn).map(_.toLowerCase).toSet
+          val servable =
+            (if (gs.nonEmpty) ru.dims :+ cube.info.timeColumn
+             else (ru.sums.keys ++ ru.mins.keys ++ ru.maxs.keys ++
+               ru.kmvSketches.keys ++ ru.quantileSketches.keys).toSeq ++
+               ru.dims :+ cube.info.timeColumn)
+            .map(_.toLowerCase).toSet
           mapped.flatten.forall(c => servable(c.toLowerCase))
         }
       }

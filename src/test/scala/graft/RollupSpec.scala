@@ -289,4 +289,42 @@ class RollupSpec extends AnyFunSuite {
     val rows = df.collect()
     assert(rows.forall(r => r.getLong(1) == 3L * r.getLong(2)))
   }
+
+  test("global aggregates serve from the rollup, including the zero-row edge") {
+    import graft.cube.CubeCatalog
+    for (t <- Tables.starTables)
+      Tables.t(spark, sf, t).createOrReplaceTempView(t)
+    graft.cube.RollupCube.ensure(spark, sf)
+    val sql =
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sq,
+        |  min(l_extendedprice) AS mn
+        |FROM lineitem""".stripMargin
+    val routed = spark.sql(sql)
+    val scansRollup = routed.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan.exists {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains("_rollup"))
+            case _ => false
+          }
+        case _ => false
+      }
+    assert(scansRollup, "global aggregate should be served from the rollup")
+    val got = routed.head()
+    val want = {
+      spark.conf.set("spark.graft.starJoin.enabled", "false")
+      try spark.sql(sql).head()
+      finally spark.conf.set("spark.graft.starJoin.enabled", "true")
+    }
+    assert(got == want)
+    assert(got.getLong(0) > 0L)
+    // a time filter that empties the cube must still yield count 0 (the
+    // coalesce in the count merge), never NULL
+    val empty = spark.sql(
+      """SELECT count(*) AS n FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2050-01-01'""".stripMargin).head()
+    assert(!empty.isNullAt(0) && empty.getLong(0) == 0L)
+  }
 }
