@@ -609,9 +609,19 @@ object SparkEntry {
     */
   object PipelineQueries {
     import graft.functions.TextFunctions._
-    import graft.operators.{Corpus, Dedup, Profile, Sampling, Similarity, Vectors}
+    import graft.operators.{Corpus, Dedup, Profile, Quality, Sampling, Similarity, Vectors}
 
     private def dec(expr: String) = s"CAST(sum(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
+
+    /** Trained IVF centroids per sf dir — index-build ETL, computed once
+      * (training is deterministic, so the memo never changes a result).
+      */
+    private val kmeansMemo =
+      scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+    def kmeansCentroids(s: SparkSession, dir: String): Seq[Seq[Double]] =
+      kmeansMemo.getOrElseUpdate(dir,
+        Similarity.trainKmeansCentroids(
+          Tables.t(s, dir, "embeddings"), "embedding", k = 16, iters = 3))
 
     /** DuckDB list literal of a marker set, kept in lockstep with
       * [[graft.functions.TextFunctions.langMarkers]].
@@ -713,6 +723,37 @@ object SparkEntry {
           .groupBy(langId(col("text")).as("predicted"))
           .agg(count(lit(1)).as("cnt"))
           .orderBy("predicted")
+      },
+      // Gopher-style quality rules (Rae et al. 2021 §A1.1): scalar
+      // well-formedness ratios + word-bigram repetition statistics
+      "q_text_gopher" -> { (s, dir) =>
+        val docs = Tables.t(s, dir, "documents")
+        docs.select(col("doc_id"),
+            Quality.meanWordLength(col("text")).as("mean_word_len"),
+            Quality.alphaWordRatio(col("text")).as("alpha_word_ratio"),
+            Quality.symbolWordRatio(col("text")).as("symbol_word_ratio"))
+          .join(Quality.ngramRepetition(docs, "doc_id", "text", n = 2),
+            Seq("doc_id"))
+          .orderBy("doc_id")
+      },
+      // int8 embedding quantization (per-vector symmetric scale): scalar
+      // summaries keep the differential compare type-stable across engines
+      "q_vec_quant" -> { (s, dir) =>
+        Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            Vectors.quantizeInt8(col("embedding")).as("qz"))
+          .select(col("vec_id"),
+            col("qz.scale").as("scale"),
+            aggregate(col("qz.q"), lit(0L),
+              (a, x) => a + x.cast("long")).as("q_sum"),
+            aggregate(col("qz.q"), lit(0L),
+              (a, x) => a + abs(x.cast("long"))).as("q_l1"),
+            let1(Vectors.dequantize(col("qz.q"), col("qz.scale"))) { dq =>
+              aggregate(zip_with(dq, col("embedding"), (d, o) => {
+                val e = d - o.cast("double"); e * e
+              }), lit(0.0), (a, x) => a + x)
+            }.as("recon_sse"))
+          .orderBy("vec_id")
       },
       "q_dedup_exact" -> { (s, dir) =>
         Dedup.exactTextDedup(Tables.t(s, dir, "documents"), "doc_id", "text")
@@ -837,6 +878,17 @@ object SparkEntry {
           .select("embedding").head().getSeq[Float](0)
         Similarity.ivfTopK(embs, "vec_id", "embedding", q, k = 10,
           nBits = 6, minMatchingBits = 4)
+      },
+      // IVF with trained (deterministic k-means) centroids — the other ANN
+      // scale path; centroid training is index-build ETL, memoized like the
+      // cube materialization
+      "q_ann_kmeans" -> { (s, dir) =>
+        val embs = Tables.t(s, dir, "embeddings")
+        val cents = kmeansCentroids(s, dir)
+        val q = embs.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0)
+        Similarity.ivfKmeansTopK(embs, "vec_id", "embedding", q, k = 10,
+          cents, nprobe = 3)
       },
       // cross-engine rolling-hash fingerprint (the xxhash64 chain in
       // q_doc_fingerprint below stays rows-only; this one is oracle-backed)
@@ -1102,6 +1154,94 @@ object SparkEntry {
            |  ${dec("CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)")} AS sum_punct
            |FROM documents GROUP BY source ORDER BY source""".stripMargin,
       "q_lang_id" -> langIdOracle,
+      // Gopher rules re-stated in DuckDB: same tokenizer (whitespace split),
+      // same bigram/coverage definitions, integer-exact until the final
+      // double divisions (bit-identical across engines)
+      "q_text_gopher" ->
+        """WITH base AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks, text
+          |  FROM documents
+          |), stats AS (
+          |  SELECT doc_id, toks, text, len(toks) AS m,
+          |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars
+          |  FROM base
+          |), grams AS (
+          |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+1], ' ') AS ng,
+          |    length(toks[i]) + length(toks[i+1]) AS ngc
+          |  FROM stats, UNNEST(generate_series(1, m - 1)) AS u(i)
+          |), occ AS (
+          |  SELECT doc_id, ng, min(ngc) AS ngc, count(*) AS cnt
+          |  FROM grams GROUP BY doc_id, ng
+          |), top AS (
+          |  SELECT doc_id, least(1.0,
+          |      CAST(cnt * ngc AS DOUBLE) / CAST(total_chars AS DOUBLE)) AS top_frac
+          |  FROM (
+          |    SELECT o.doc_id, o.cnt, o.ngc, s.total_chars,
+          |      row_number() OVER (PARTITION BY o.doc_id
+          |                         ORDER BY o.cnt DESC, o.ng ASC) AS rk
+          |    FROM occ o JOIN stats s USING (doc_id))
+          |  WHERE rk = 1
+          |), cov AS (
+          |  SELECT DISTINCT g.doc_id, u.p
+          |  FROM grams g JOIN occ o USING (doc_id, ng),
+          |       UNNEST(generate_series(g.pos, g.pos + 1)) AS u(p)
+          |  WHERE o.cnt > 1
+          |), lens AS (
+          |  SELECT doc_id, i AS p, length(toks[i]) AS l
+          |  FROM stats, UNNEST(generate_series(1, m)) AS u(i)
+          |), dup AS (
+          |  SELECT doc_id, CAST(sum(l) AS BIGINT) AS cov_chars
+          |  FROM cov JOIN lens USING (doc_id, p) GROUP BY doc_id
+          |)
+          |SELECT s.doc_id,
+          |  CASE WHEN s.m = 0 THEN 0.0
+          |       ELSE CAST(s.total_chars AS DOUBLE) / CAST(s.m AS DOUBLE) END
+          |    AS mean_word_len,
+          |  CASE WHEN s.m = 0 THEN 0.0
+          |       ELSE CAST(len(list_filter(s.toks,
+          |              x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+          |            / CAST(s.m AS DOUBLE) END AS alpha_word_ratio,
+          |  CASE WHEN s.m = 0 THEN 0.0
+          |       ELSE CAST((len(string_split(s.text, '#')) - 1)
+          |              + (len(string_split_regex(s.text, '\.{3,}')) - 1)
+          |              + (len(string_split(s.text, '…')) - 1) AS DOUBLE)
+          |            / CAST(s.m AS DOUBLE) END AS symbol_word_ratio,
+          |  coalesce(t.top_frac, 0.0) AS top_ngram_char_frac,
+          |  CASE WHEN s.total_chars > 0
+          |       THEN coalesce(CAST(d.cov_chars AS DOUBLE)
+          |              / CAST(s.total_chars AS DOUBLE), 0.0)
+          |       ELSE 0.0 END AS dup_ngram_char_frac
+          |FROM stats s
+          |LEFT JOIN top t USING (doc_id)
+          |LEFT JOIN dup d USING (doc_id)
+          |ORDER BY s.doc_id""".stripMargin,
+      // int8 quantization restated: floor(x/scale + 0.5) is tie-free and
+      // identical across engines; sums fold in index order
+      "q_vec_quant" ->
+        """WITH sc AS (
+          |  SELECT vec_id, embedding,
+          |    list_max(list_transform(embedding,
+          |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+          |  FROM embeddings
+          |), qq AS (
+          |  SELECT vec_id, embedding, scale,
+          |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+          |         ELSE list_transform(embedding, x ->
+          |           CAST(greatest(-127, least(127,
+          |             floor(CAST(x AS DOUBLE) / scale + 0.5))) AS INTEGER))
+          |    END AS q
+          |  FROM sc
+          |)
+          |SELECT vec_id, scale,
+          |  CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT))) AS BIGINT)
+          |    AS q_sum,
+          |  CAST(list_sum(list_transform(q, x -> abs(CAST(x AS BIGINT)))) AS BIGINT)
+          |    AS q_l1,
+          |  list_sum(list_transform(generate_series(1, len(q)),
+          |    i -> (CAST(q[i] AS DOUBLE) * scale - CAST(embedding[i] AS DOUBLE))
+          |       * (CAST(q[i] AS DOUBLE) * scale - CAST(embedding[i] AS DOUBLE))))
+          |    AS recon_sse
+          |FROM qq ORDER BY vec_id""".stripMargin,
       "q_dedup_exact" ->
         """WITH k AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1)
           |SELECT d.doc_id, d.lang, d.source FROM documents d

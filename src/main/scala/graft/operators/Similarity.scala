@@ -96,6 +96,93 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** Deterministic k-means centroid training for IVF (Lloyd's algorithm as
+    * DataFrame ops, fixed iteration count):
+    *   - init: the `k` distinct vectors with the smallest `xxhash64(vec)` —
+    *     a seedless, order-independent choice (`TakeOrderedAndProject`, no
+    *     driver RNG);
+    *   - assign: argmin over the centroid literal (per-row projection, no
+    *     shuffle — centroids ride into the plan as ONE literal);
+    *   - update: per-(centroid, component) means via `posexplode` +
+    *     hash-aggregate. Sums accumulate in decimal, so the result is
+    *     independent of shuffle/merge order — training is bit-reproducible
+    *     across runs and cluster layouts;
+    *   - empty clusters keep their previous centroid.
+    *
+    * Each iteration shuffles only (k × dim) aggregation cells (map-side
+    * partial agg collapses the per-row explosion), and only the k×dim
+    * centroid matrix ever reaches the driver. At 100 TB, train on a
+    * deterministic hash-sample ([[Sampling.sample]]) — centroid quality
+    * needs thousands of points per centroid, not the whole corpus.
+    */
+  def trainKmeansCentroids(df: DataFrame, vecCol: String, k: Int,
+                           iters: Int = 4): Seq[Seq[Double]] = {
+    require(k >= 1 && iters >= 0)
+    val vecs = df.select(col(vecCol).cast("array<double>").as("g_v"))
+    var cents: Seq[Seq[Double]] = vecs.distinct()
+      .orderBy(xxhash64(col("g_v")))
+      .limit(k).collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    require(cents.nonEmpty, "cannot train centroids on an empty corpus")
+    for (_ <- 1 to iters) {
+      val updated = vecs
+        .withColumn("g_c", assignCentroid(col("g_v"), cents))
+        .select(col("g_c"), posexplode(col("g_v")).as(Seq("g_p", "g_x")))
+        .groupBy("g_c", "g_p")
+        .agg((sum(col("g_x").cast("decimal(30,15)")) / count(lit(1)))
+          .cast("double").as("g_m"))
+        .groupBy("g_c")
+        .agg(array_sort(collect_list(struct(col("g_p"), col("g_m")))).as("g_s"))
+        .select(col("g_c"),
+          transform(col("g_s"), s => s.getField("g_m")).as("g_cent"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** 0-based index of the nearest centroid (squared-L2) — a per-row
+    * projection against the centroid literal; at scale this is the IVF
+    * partition/cluster key written at ingest.
+    */
+  def assignCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    graft.functions.TextFunctions.let1(
+      transform(typedLit(centroids), c => sqDist(vec, c))) { ds =>
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+
+  /** Materialize the IVF-k-means bucket column. */
+  def withIvfKmeansBucket(df: DataFrame, vecCol: String,
+                          centroids: Seq[Seq[Double]]): DataFrame =
+    df.withColumn("g_ivf_bucket", assignCentroid(col(vecCol), centroids))
+
+  /** IVF top-k with trained centroids: probe the `nprobe` centroids nearest
+    * the query (chosen on the driver — k×dim arithmetic), scan only corpus
+    * rows assigned to them, rank by exact cosine. With the bucket column as
+    * a partition key the scan prunes to `nprobe/k` of the corpus files;
+    * recall is tunable via `nprobe` (`nprobe = centroids.size` is exact).
+    */
+  def ivfKmeansTopK(df: DataFrame, idCol: String, vecCol: String,
+                    query: Seq[Float], k: Int, centroids: Seq[Seq[Double]],
+                    nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && centroids.nonEmpty)
+    def sq(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val qd = query.map(_.toDouble)
+    val probed = centroids.zipWithIndex
+      .sortBy { case (c, i) => (sq(qd, c), i) }
+      .take(nprobe).map(_._2)
+    val qLit = typedLit(query)
+    withIvfKmeansBucket(df, vecCol, centroids)
+      .filter(col("g_ivf_bucket").isin(probed.map(x => x: Any): _*))
+      .select(col(idCol), cosine(col(vecCol), qLit).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Batched k-NN join: for every row of `queries`, its top-k neighbors in
     * `corpus` among candidates sharing an LSH band (random-hyperplane
     * signature banded like MinHash-LSH). Output:

@@ -103,4 +103,49 @@ object Vectors {
       zip_with(bits, sequence(lit(0), size(bits) - 1),
         (bit, i) => call_function("shiftleft", bit.cast("long"), i)),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** L2-normalized copy of `v` as `array<double>` (all-zero vectors pass
+    * through unchanged). Normalizing once at ingest makes every downstream
+    * cosine a plain dot product — at corpus scale that halves the ANN
+    * inner-loop cost and lets pre-normalized int8 vectors ([[quantizeInt8]])
+    * serve similarity search directly.
+    */
+  def l2normalize(v: Column): Column =
+    graft.functions.TextFunctions.let1(norm(v)) { n =>
+      when(n === 0.0, transform(v, x => x.cast("double")))
+        .otherwise(transform(v, x => x.cast("double") / n))
+    }
+
+  /** Symmetric per-vector int8 quantization:
+    * `struct(scale double, q array<int>)` with
+    * `scale = max|v_i| / 127` and `q_i = floor(v_i/scale + 0.5)` clamped to
+    * [-127, 127] (`floor(x + 0.5)` instead of `round` — floor has identical
+    * semantics in every engine, so the differential oracle is tie-free).
+    * All-zero vectors get `scale = 0`, `q = 0...`.
+    *
+    * Scale rationale: 4 bytes → 1 byte per component cuts the shuffle and
+    * storage footprint of a 100 TB embedding corpus 4×, and the integer dot
+    * product ([[dotInt]]) is exact — cosine over quantized vectors equals
+    * cosine over [[dequantize]]d ones (the scales cancel).
+    */
+  def quantizeInt8(v: Column): Column =
+    graft.functions.TextFunctions.let1(
+      array_max(transform(v, x => abs(x.cast("double")))) / 127.0) { s =>
+      struct(s.as("scale"),
+        when(s === 0.0, transform(v, _ => lit(0)))
+          .otherwise(transform(v, x =>
+            greatest(lit(-127), least(lit(127),
+              floor(x.cast("double") / s + 0.5).cast("int"))))).as("q"))
+    }
+
+  /** Reconstruct doubles from an int8-quantized vector. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
+  /** Exact integer dot product of two quantized vectors (fits a long for
+    * any realistic dimension: 127² × dim).
+    */
+  def dotInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, x) => acc + x)
 }

@@ -153,6 +153,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(probed.contains(7L), "self must share its own bucket")
   }
 
+  test("kmeans IVF: training is reproducible; full probe equals brute force") {
+    val c1 = Similarity.trainKmeansCentroids(embs, "embedding", k = 8, iters = 2)
+    val c2 = Similarity.trainKmeansCentroids(embs, "embedding", k = 8, iters = 2)
+    assert(c1 == c2, "decimal-sum training must be bit-reproducible")
+    assert(c1.length == 8)
+    val q = embs.filter(col("vec_id") === 7L)
+      .select("embedding").head().getSeq[Float](0)
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val full = Similarity.ivfKmeansTopK(embs, "vec_id", "embedding", q, 10,
+      c1, nprobe = 8).collect().map(_.getLong(0)).toSeq
+    assert(full == brute, "probing every centroid must be exact")
+    // single-probe: the query's own bucket is probed first, so the query
+    // vector itself (cosine 1.0) is always found
+    val p1 = Similarity.ivfKmeansTopK(embs, "vec_id", "embedding", q, 10,
+      c1, nprobe = 1).collect().map(_.getLong(0)).toSeq
+    assert(p1.contains(7L))
+    // every cluster is non-degenerate: assignments cover > 1 bucket
+    val nBuckets = Similarity.withIvfKmeansBucket(embs, "embedding", c1)
+      .select(countDistinct(col("g_ivf_bucket"))).head().getLong(0)
+    assert(nBuckets > 1)
+  }
+
   test("knnJoin returns ranked neighbors per query") {
     val queries = embs.filter(col("vec_id") < 3L)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -165,6 +188,54 @@ class PipelineOpsSpec extends AnyFunSuite {
       val top = rows.minBy(_.getInt(3))
       assert(top.getLong(1) == qid, s"query $qid should find itself at rank 1")
     }
+  }
+
+  test("int8 quantization: bounded error, exact integer dot, scale cancels in cosine") {
+    val q = embs.select(col("vec_id"), col("embedding"),
+        Vectors.quantizeInt8(col("embedding")).as("qz"))
+      .select(col("vec_id"), col("embedding"),
+        col("qz.scale").as("s"), col("qz.q").as("q"))
+      .cache()
+    // per-component reconstruction error <= scale/2 (floor(x+0.5) rounding)
+    val viol = q.select(
+        max(aggregate(
+          zip_with(Vectors.dequantize(col("q"), col("s")), col("embedding"),
+            (d, o) => abs(d - o.cast("double")) - col("s") * 0.5001),
+          lit(-1.0), (a, x) => greatest(a, x))).as("worst"))
+      .head().getDouble(0)
+    assert(viol <= 0.0, s"reconstruction error exceeded scale/2: $viol")
+    // components stay in [-127, 127]
+    assert(q.filter(exists(col("q"), x => abs(x) > 127)).count() == 0L)
+    // cosine over quantized ints tracks exact cosine (scales cancel; only
+    // rounding noise remains)
+    val pair = q.filter(col("vec_id") < 2L).collect()
+    if (pair.length == 2) {
+      val Array(a, b) = pair
+      def ints(r: org.apache.spark.sql.Row) = r.getSeq[Int](3).map(_.toLong)
+      def floats(r: org.apache.spark.sql.Row) = r.getSeq[Float](1).map(_.toDouble)
+      def cos(x: Seq[Double], y: Seq[Double]) = {
+        val d = x.zip(y).map { case (u, v) => u * v }.sum
+        d / (math.sqrt(x.map(u => u * u).sum) * math.sqrt(y.map(u => u * u).sum))
+      }
+      val exact = cos(floats(a), floats(b))
+      val quant = cos(ints(a).map(_.toDouble), ints(b).map(_.toDouble))
+      assert(math.abs(exact - quant) < 0.02, s"quantized cosine drifted: $exact vs $quant")
+    }
+    q.unpersist()
+  }
+
+  test("l2normalize yields unit vectors and preserves direction") {
+    val n = embs.limit(20).select(col("vec_id"),
+        Vectors.l2normalize(col("embedding")).as("nv"), col("embedding"))
+      .select(col("vec_id"), Vectors.norm(col("nv")).as("nrm"),
+        Vectors.cosine(col("nv"), col("embedding")).as("cos"))
+      .collect()
+    assert(n.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    assert(n.forall(r => r.getDouble(2) > 1.0 - 1e-9))
+    // all-zero vector passes through as zeros, norm 0
+    val z = spark.sql("SELECT array(0.0f, 0.0f) AS v")
+      .select(Vectors.norm(Vectors.l2normalize(col("v"))).as("n")).head().getDouble(0)
+    assert(z == 0.0)
   }
 
   test("quality score is in [0,1] and penalizes junk") {

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Quality
+
+/** Specs for the Gopher-style document quality rules: hand-computed values
+  * on constructed documents (the gate query `q_text_gopher` additionally
+  * cross-checks the whole family against DuckDB on the testdata corpus).
+  */
+class QualitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docsDF(rows: (Long, String)*) = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("scalar rules: mean word length, alpha ratio, symbol ratio") {
+    val df = docsDF(1L -> "ab abc a", 2L -> "ab 12 c3", 3L -> "# hi ..... x …", 4L -> "   ")
+    val got = df.select(col("doc_id"),
+        Quality.meanWordLength(col("text")).as("mwl"),
+        Quality.alphaWordRatio(col("text")).as("awr"),
+        Quality.symbolWordRatio(col("text")).as("swr"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == (((2.0 + 3.0 + 1.0) / 3.0, 1.0, 0.0)))
+    assert(got(2L)._2 == 2.0 / 3.0)       // "12" has no letter
+    // doc 3: 5 tokens; one '#', one dot-run (counts once), one unicode ellipsis
+    assert(got(3L)._3 == 3.0 / 5.0)
+    assert(got(4L) == ((0.0, 0.0, 0.0)))  // whitespace-only doc
+  }
+
+  test("line rules: duplicate-line chars and bullet/ellipsis lines") {
+    val df = docsDF(
+      1L -> "aa\nbb\naa",            // 'aa' duplicated: 4 of 6 chars
+      2L -> "• x\nplain\nend...",    // bullet start + ellipsis end: 2 of 3
+      3L -> "one\n\n  \ntwo")        // blank/whitespace lines dropped
+    val got = df.select(col("doc_id"),
+        Quality.duplicateLineCharFraction(col("text")).as("dl"),
+        Quality.bulletOrEllipsisLineFraction(col("text")).as("be"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 == 4.0 / 6.0)
+    assert(got(2L)._2 == 2.0 / 3.0)
+    assert(got(3L) == ((0.0, 0.0)))
+  }
+
+  test("ngramRepetition: hand-checked bigram stats") {
+    val df = docsDF(
+      1L -> "aa bb aa bb aa",  // every bigram duplicated; top 'aa bb' ×2
+      2L -> "x y z",           // no repeats
+      3L -> "solo")            // shorter than n
+    val got = Quality.ngramRepetition(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // doc 1: total token chars 10; 'aa bb' occurs 2× covering 2*4=8 chars
+    assert(got(1L) == ((0.8, 1.0)))
+    // doc 2: top bigram 'x y' ×1 → 2/3; nothing duplicated
+    assert(got(2L) == ((2.0 / 3.0, 0.0)))
+    assert(got(3L) == ((0.0, 0.0)))
+  }
+
+  test("ngramRepetition: overlap clamps top fraction at 1.0") {
+    // 'a a a a': bigram 'a a' ×3, chars 3*2=6 > total 4 → clamp to 1.0;
+    // dup coverage is every position → 1.0
+    val df = docsDF(1L -> "a a a a")
+    val Array(r) = Quality.ngramRepetition(df, "doc_id", "text", n = 2).collect()
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0)
+  }
+
+  test("ngramRepetition n=5 finds a repeated phrase") {
+    val phrase = "the quick brown fox jumps"
+    val df = docsDF(
+      1L -> s"$phrase over the dog $phrase end",
+      2L -> "all tokens here are totally distinct from one another")
+    val got = Quality.ngramRepetition(df, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // doc 1: phrase tokens cover 2×21 chars of 55 total (dup coverage 42/55)
+    assert(got(1L)._2 == 42.0 / 55.0)
+    assert(got(1L)._1 == 42.0 / 55.0)
+    assert(got(2L)._2 == 0.0)
+  }
+}
