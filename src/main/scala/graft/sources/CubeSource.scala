@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 import graft.cube._
 
@@ -22,12 +23,36 @@ import graft.cube._
   */
 object CubeSource {
 
+  /** Read one source table, dispatching on the path's extension — the
+    * format-agnostic ingest edge (the reference reads its test data through
+    * `com.databricks.spark.csv`, `BaseTest.scala:163`; ours reads parquet,
+    * CSV, and JSON-lines natively). An explicit schema skips inference:
+    * at 100 TB, CSV/JSON schema inference is a wasted full scan, so
+    * production ingest should always pass one (parquet carries its own).
+    */
+  def readTable(spark: SparkSession, path: String,
+                schema: Option[StructType] = None): DataFrame = {
+    val lower = path.toLowerCase(java.util.Locale.ROOT)
+    def base = {
+      val r = spark.read
+      schema.map(r.schema).getOrElse(r)
+    }
+    if (lower.endsWith(".csv") || lower.endsWith(".csv.d"))
+      (if (schema.isEmpty) base.option("inferSchema", "true") else base)
+        .option("header", "true").csv(path)
+    else if (lower.endsWith(".json") || lower.endsWith(".jsonl")) base.json(path)
+    else base.parquet(path)
+  }
+
   /** Denormalize the star schema into the flat fact DataFrame, columns
     * named per `info.columnMapping`. `tablePaths` maps PHYSICAL table
-    * names (as in `info.roleOfTable`) to parquet paths.
+    * names (as in `info.roleOfTable`) to source paths (parquet / `.csv` /
+    * `.json` — see [[readTable]]); `schemas` optionally pins a schema per
+    * physical table for the self-describing-less formats.
     */
   def flatten(spark: SparkSession, info: CubeInfo,
-              tablePaths: Map[String, String]): DataFrame = {
+              tablePaths: Map[String, String],
+              schemas: Map[String, StructType] = Map.empty): DataFrame = {
     val physicalOf: Map[String, String] = for {
       (phys, roles) <- info.roleOfTable
       role <- roles
@@ -46,7 +71,8 @@ object CubeSource {
     def tmp(role: String, c: String) = s"__${role}__$c"
 
     def roleFrame(role: String): DataFrame = {
-      val base = spark.read.parquet(tablePaths(physicalOf(role)))
+      val phys = physicalOf(role)
+      val base = readTable(spark, tablePaths(phys), schemas.get(phys))
       val mapped = info.columnMapping.collect {
         case ((r, src), dst) if r == role => col(src).as(dst)
       }.toSeq
@@ -97,10 +123,11 @@ object CubeSource {
     * register it for plan rewriting. Idempotent per destination path.
     */
   def materialize(spark: SparkSession, info: CubeInfo,
-                  tablePaths: Map[String, String], destPath: String): RegisteredCube = {
+                  tablePaths: Map[String, String], destPath: String,
+                  schemas: Map[String, StructType] = Map.empty): RegisteredCube = {
     graft.Graft.forceUtc(spark)
     if (!new java.io.File(destPath, "_SUCCESS").exists()) {
-      flatten(spark, info, tablePaths)
+      flatten(spark, info, tablePaths, schemas)
         .withColumn(info.timeBucketColumn,
           (year(col(info.timeColumn)) - 1970) * 12 + month(col(info.timeColumn)) - 1)
         .repartition(col(info.timeBucketColumn))
