@@ -131,24 +131,32 @@ object Quality {
       .select(id, col("g_total"), col("g.pos").as("g_pos"),
         col("g.ng").as("g_ng"), col("g.ngc").as("g_ngc"))
 
-    // occurrence counts per (doc, gram) without collapsing positions: a
-    // window over the exploded frame — one shuffle keyed (doc, gram)
-    val counted = grams.withColumn("g_cnt",
-      count(lit(1)).over(Window.partitionBy(id, col("g_ng"))))
+    // ONE shuffle keyed (doc, gram) serves both downstream consumers:
+    // occurrence counts ride with their position lists (map-side partial
+    // aggregation collapses the exploded frame before the exchange), so
+    // neither a window over the raw gram stream nor a second
+    // position-carrying shuffle is needed
+    val occ = grams
+      .groupBy(id, col("g_ng"))
+      .agg(count(lit(1)).as("g_cnt"), first("g_ngc").as("g_ngc"),
+        first("g_total").as("g_total"),
+        collect_list(col("g_pos")).as("g_poss"))
 
-    // most frequent gram per doc (count desc, gram asc)
-    val top = counted
+    // most frequent gram per doc (count desc, gram asc) — the window runs
+    // over the already-aggregated per-gram frame
+    val top = occ
       .withColumn("g_rk", row_number().over(Window.partitionBy(id)
-        .orderBy(col("g_cnt").desc, col("g_ng").asc, col("g_pos").asc)))
+        .orderBy(col("g_cnt").desc, col("g_ng").asc)))
       .filter(col("g_rk") === 1)
       .select(id,
         least(lit(1.0), (col("g_cnt") * col("g_ngc")).cast("double")
           / col("g_total").cast("double")).as("top_ngram_char_frac"))
 
     // char-position coverage union of duplicated grams: explode each
-    // duplicated occurrence into its token positions, dedup per doc, then
+    // duplicated gram's positions into token positions, dedup per doc, then
     // sum the token lengths at the covered positions
-    val coveredPos = counted.filter(col("g_cnt") > 1)
+    val coveredPos = occ.filter(col("g_cnt") > 1)
+      .select(id, explode(col("g_poss")).as("g_pos"))
       .select(id, explode(sequence(col("g_pos"), col("g_pos") + (n - 1))).as("g_p"))
       .distinct()
     val posLens = base.select(id, posexplode(col("g_toks")).as(Seq("g_p0", "g_w")))

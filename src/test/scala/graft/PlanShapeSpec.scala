@@ -102,6 +102,53 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("quantization is a pure projection: no shuffle except the output sort") {
+    withAqeOff {
+      val shuffles = qe("q_vec_quant").executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // one range exchange for the ORDER BY; the quantize/summarize math
+      // itself must stay row-local
+      assert(shuffles.size <= 1,
+        s"expected at most the sort exchange, got ${shuffles.size}")
+      val s = scans("q_vec_quant").head
+      assert(s.requiredSchema.fieldNames.toSet == Set("vec_id", "embedding"),
+        s"scan should read only id+vector: ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+  }
+
+  test("kmeans IVF probe: single corpus scan, top-k without a global sort") {
+    withAqeOff {
+      val plan = qe("q_ann_kmeans").executedPlan
+      assert(scans("q_ann_kmeans").size == 1, "probe must scan the corpus once")
+      val topk = plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }
+      assert(topk.nonEmpty, "rank+limit must plan as TakeOrderedAndProject")
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucket filter + top-k needs no exchange, got ${shuffles.size}")
+    }
+  }
+
+  test("gopher repetition never cross-joins and bounds its shuffle count") {
+    withAqeOff {
+      val plan = qe("q_text_gopher").executedPlan
+      val cartesian = plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(cartesian.isEmpty, "per-doc stats must join keyed, never cross")
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.size <= 10,
+        s"doc-keyed pipeline grew to ${shuffles.size} exchanges")
+    }
+  }
+
   test("always-false time interval folds to an empty local relation (zero tasks)") {
     withAqeOff {
       for (t <- Tables.starTables)
