@@ -124,6 +124,7 @@ object Graft {
     graft.functions.DateTimeCompat.register(spark)
     org.apache.spark.sql.graft.KmvSketch.register(spark)
     org.apache.spark.sql.graft.QuantileSketch.register(spark)
+    org.apache.spark.sql.graft.FreqSketch.register(spark)
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val existing = classic.experimental.extraOptimizations
     val mine = Seq(StarJoinElimination(spark), TimeBucketPruning(spark),
@@ -139,6 +140,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Graft.forceUtc(s); graft.functions.DateTimeCompat.register(s)
       org.apache.spark.sql.graft.KmvSketch.register(s)
       org.apache.spark.sql.graft.QuantileSketch.register(s)
+      org.apache.spark.sql.graft.FreqSketch.register(s)
       StarJoinElimination(s)
     }
     e.injectOptimizerRule(s => TimeBucketPruning(s))

@@ -1018,6 +1018,45 @@ object SparkEntry {
             |GROUP BY 1, 2
             |ORDER BY 1, 2""".stripMargin)
       },
+      // heavy hitters (Misra-Gries): Druid's approximate TopN capability as
+      // a mergeable aggregate — err = 0 in the output *proves* the counts
+      // exact (NDV below k), which is what licenses the GROUP BY oracle
+      "q_freq_items" -> { (s, dir) =>
+        import org.apache.spark.sql.graft.FreqSketch
+        Tables.t(s, dir, "lineitem")
+          .agg(FreqSketch.freqItems(col("l_suppkey")).as("g_fi"))
+          .select(explode(col("g_fi")).as("g_e"))
+          .select(col("g_e.item").cast("long").as("l_suppkey"),
+            col("g_e.cnt").as("cnt"), col("g_e.err").as("err"))
+          .orderBy(col("cnt").desc, col("l_suppkey"))
+          .limit(10)
+      },
+      // approximate TopN served from the rollup lattice: per-segment top
+      // suppliers by *merging* the stored Misra-Gries sketches — no fact
+      // scan; ranking ties break on the item string (the sketch's order),
+      // restated identically in the oracle
+      "q_rollup_topn" -> { (s, dir) =>
+        import graft.cube.RollupCube
+        RollupCube.reaggregate(s, dir, Seq("c_mktsegment"),
+            Seq(RollupCube.merge.cnt, RollupCube.merge.freqItemsOf("l_suppkey")))
+          .select(col("c_mktsegment"), col("cnt"),
+            posexplode(slice(col("top_suppkey"), 1, 5)).as(Seq("g_pos", "g_e")))
+          .select(col("c_mktsegment"), col("cnt"),
+            (col("g_pos") + 1).as("rank"),
+            col("g_e.item").cast("long").as("l_suppkey"),
+            col("g_e.cnt").as("supp_cnt"), col("g_e.err").as("err"))
+          .orderBy("c_mktsegment", "rank")
+      },
+      // benchmark decontamination: corpus documents sharing any word 4-gram
+      // with the benchmark set (here: the src0 slice) — the eval-set-leak
+      // audit of a training-data pipeline
+      "q_decontaminate" -> { (s, dir) =>
+        val docs = Tables.t(s, dir, "documents")
+        Dedup.decontaminate(
+            docs.filter(col("source") =!= "src0"), "doc_id", "text",
+            docs.filter(col("source") === "src0"), "text", n = 4)
+          .orderBy("doc_id")
+      },
       // multimodal decode plumbing (stub codec — deterministic, rows-only)
       "q_multimodal_decode" -> { (s, dir) =>
         import graft.operators.Multimodal
@@ -1582,5 +1621,51 @@ object SparkEntry {
          |  AND l_shipdate >= TIMESTAMP '1996-03-01'
          |  AND l_shipdate < TIMESTAMP '1996-09-01'
          |GROUP BY s_nation
-         |ORDER BY s_nation""".stripMargin))
+         |ORDER BY s_nation""".stripMargin),
+    // heavy hitters: counts are exact below the sketch's k (err = 0), so
+    // the ranking restates as plain GROUP BY / ORDER BY
+    "q_freq_items" ->
+      """SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey, count(*) AS cnt,
+        |  CAST(0 AS BIGINT) AS err
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY cnt DESC, l_suppkey
+        |LIMIT 10""".stripMargin,
+    // rollup TopN: the sketch ranks (cnt desc, item-string asc); the oracle
+    // ranks the raw joined rows with the same key
+    "q_rollup_topn" -> withFlat(
+      """, c AS (
+        |  SELECT c_mktsegment, l_suppkey, count(*) AS supp_cnt
+        |  FROM olps GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c_mktsegment, l_suppkey, supp_cnt,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY supp_cnt DESC, CAST(l_suppkey AS VARCHAR)) AS rank,
+        |    sum(supp_cnt) OVER (PARTITION BY c_mktsegment) AS cnt
+        |  FROM c)
+        |SELECT c_mktsegment, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank,
+        |  CAST(l_suppkey AS BIGINT) AS l_suppkey, supp_cnt, CAST(0 AS BIGINT) AS err
+        |FROM r WHERE rank <= 5
+        |ORDER BY c_mktsegment, rank""".stripMargin),
+    // decontamination: same 4-gram shingling as graft.functions.TextFunctions
+    // .shingles (docs shorter than n tokens contribute their whole token
+    // sequence as one shingle)
+    "q_decontaminate" ->
+      """WITH dw AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |dng AS (
+        |  SELECT doc_id, source, array_to_string(list_slice(ws, i, i+3), ' ') AS ng
+        |  FROM dw, LATERAL (SELECT unnest(range(1, len(ws)-2)) AS i) t
+        |  WHERE len(ws) >= 4),
+        |short AS (
+        |  SELECT doc_id, source, array_to_string(ws, ' ') AS ng
+        |  FROM dw WHERE len(ws) BETWEEN 1 AND 3),
+        |allng AS (SELECT * FROM dng UNION ALL SELECT * FROM short),
+        |bng AS (SELECT DISTINCT ng FROM allng WHERE source = 'src0')
+        |SELECT a.doc_id, count(DISTINCT a.ng) AS n_hits
+        |FROM allng a JOIN bng USING (ng)
+        |WHERE a.source <> 'src0'
+        |GROUP BY a.doc_id
+        |ORDER BY a.doc_id""".stripMargin)
 }

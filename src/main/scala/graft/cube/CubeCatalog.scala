@@ -53,6 +53,13 @@ final case class RollupMeta(
     quantileSketches: Map[String, String] = Map.empty,
     /** k (value capacity) of the stored quantile sketches */
     quantileK: Int = org.apache.spark.sql.graft.QuantileSketch.DefaultK,
+    /** source column -> stored heavy-hitters (Misra-Gries) sketch column —
+      * approximate-TopN serving ([[org.apache.spark.sql.graft.FreqSketch]]);
+      * exact (err = 0) while the merged group's NDV stays below `freqK`
+      */
+    freqSketches: Map[String, String] = Map.empty,
+    /** counter capacity of the stored heavy-hitters sketches */
+    freqK: Int = org.apache.spark.sql.graft.FreqSketch.DefaultK,
     /** TOTAL fact rows under this node, measured at build — the proof
       * obligation for serving `percentile()` from the sketches losslessly:
       * totalRows <= quantileK means no merged subset of cells can saturate

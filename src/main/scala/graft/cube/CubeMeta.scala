@@ -85,6 +85,8 @@ object CubeMeta {
         "grain" -> JString(r.grain),
         "quantileSketches" -> strMap(r.quantileSketches),
         "quantileK" -> JInt(r.quantileK),
+        "freqSketches" -> strMap(r.freqSketches),
+        "freqK" -> JInt(r.freqK),
         "totalRows" -> r.totalRows.map(JLong(_): JValue).getOrElse(JNull))).toList))
     JsonMethods.pretty(JsonMethods.render(j))
   }
@@ -155,6 +157,11 @@ object CubeMeta {
           quantileSketches = sMap(r \ "quantileSketches"),
           quantileK = r \ "quantileK" match {
             case JNull | JNothing => org.apache.spark.sql.graft.QuantileSketch.DefaultK
+            case v                => lng(v).toInt
+          },
+          freqSketches = sMap(r \ "freqSketches"),
+          freqK = r \ "freqK" match {
+            case JNull | JNothing => org.apache.spark.sql.graft.FreqSketch.DefaultK
             case v                => lng(v).toInt
           },
           totalRows = r \ "totalRows" match {

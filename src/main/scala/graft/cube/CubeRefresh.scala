@@ -224,8 +224,10 @@ object CubeRefresh {
     val qsks = ru.quantileSketches.toSeq.sortBy(_._2).map { case (src, dst) =>
       org.apache.spark.sql.graft.QuantileSketch
         .qskSketch(col(src), ru.quantileK).as(dst) }
+    val freqs = ru.freqSketches.toSeq.sortBy(_._2).map { case (src, dst) =>
+      org.apache.spark.sql.graft.FreqSketch.freqSketch(col(src), ru.freqK).as(dst) }
     withDay.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as(ru.countColumn),
-        (sums ++ derived ++ mins ++ maxs ++ hlls ++ kmvs ++ qsks): _*)
+        (sums ++ derived ++ mins ++ maxs ++ hlls ++ kmvs ++ qsks ++ freqs): _*)
   }
 }

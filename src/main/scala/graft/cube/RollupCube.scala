@@ -56,6 +56,20 @@ object RollupCube {
   /** Value capacity of the stored quantile sketches. */
   val quantileK: Int = org.apache.spark.sql.graft.QuantileSketch.DefaultK
 
+  /** Source column -> stored heavy-hitters (Misra-Gries) sketch column —
+    * the reference's approximate-TopN query served as a *metric*
+    * (`DruidQuerySpec.scala:767-868`): "top suppliers per segment" merges
+    * per-cell sketches instead of re-scanning facts. Exact (err = 0) while
+    * a merged group's supplier NDV stays below [[freqK]].
+    */
+  val freqMetrics: Map[String, String] = Map("l_suppkey" -> "suppkey_freq")
+
+  /** Counter capacity of the stored heavy-hitters sketches. Sized like
+    * [[kmvK]]: generously above the dimension's NDV at bench scale, so the
+    * sketches never decrement (storage grows with true per-cell NDV, not k).
+    */
+  val freqK: Int = 8192
+
   /** Coarse-rollup dimensions — the lattice node above [[dims]]. */
   val coarseDims: Seq[String] = Seq("c_mktsegment", "l_returnflag")
 
@@ -97,13 +111,13 @@ object RollupCube {
 
   def rollupPath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    // v6: adds the price quantile sketch column (price_qsk)
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_v6"
+    // v7: adds the supplier heavy-hitters sketch column (suppkey_freq)
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_v7"
   }
 
   def coarsePath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_coarse_v3"
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_coarse_v4"
   }
 
   def q1Path(sfDir: String): String = {
@@ -124,7 +138,9 @@ object RollupCube {
     kmvK = kmvK,
     derivedSums = derivedSums,
     quantileSketches = quantileMetrics,
-    quantileK = quantileK)
+    quantileK = quantileK,
+    freqSketches = freqMetrics,
+    freqK = freqK)
 
   def coarseMeta(sfDir: String): RollupMeta =
     meta(sfDir).copy(path = coarsePath(sfDir), dims = coarseDims)
@@ -136,9 +152,12 @@ object RollupCube {
     * in the dim list (derivable from the day, so the group count is
     * unchanged) for file-partition alignment and month-predicate serving.
     */
+  // no freq sketch on the day-grain node: |days| x 6 cells each carrying a
+  // full supplier count map would dwarf the node itself, and TopN queries
+  // are month-grain — per-node metric config is the point of RollupMeta
   def q1Meta(sfDir: String): RollupMeta =
     meta(sfDir).copy(path = q1Path(sfDir), dims = q1Dims :+ "g_tbucket",
-      timeBucketColumn = "g_dbucket", grain = "day")
+      timeBucketColumn = "g_dbucket", grain = "day", freqSketches = Map.empty)
 
   private val lock = new Object
 
@@ -189,7 +208,8 @@ object RollupCube {
         spark.read.parquet(cube.cubePath)
           .withColumn("g_dbucket", datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))),
         q1Dims :+ "g_dbucket",
-        q1Path(sfDir))
+        q1Path(sfDir),
+        freq = false)
     // Cascade: the coarse lattice node is re-aggregated FROM the fine
     // rollup, never from the fact table — every stored metric is mergeable
     // (decimal sums re-sum, min/max nest, count sums, HLL and KMV sketches
@@ -204,9 +224,11 @@ object RollupCube {
       val maxAgg = maxMetrics.values.toSeq.sorted.map(c => max(col(c)).as(c))
       val qskAgg = quantileMetrics.values.toSeq.sorted.map(c =>
         org.apache.spark.sql.graft.QuantileSketch.qskUnion(col(c), quantileK).as(c))
+      val freqAgg = freqMetrics.values.toSeq.sorted.map(c =>
+        org.apache.spark.sql.graft.FreqSketch.freqMerge(col(c), freqK).as(c))
       fine.groupBy((col("g_tbucket") +: coarseDims.map(col)): _*)
         .agg(sum(col("cnt")).as("cnt"),
-          (sumAgg ++ minAgg ++ maxAgg ++ qskAgg
+          (sumAgg ++ minAgg ++ maxAgg ++ qskAgg ++ freqAgg
             :+ hll_union_agg(col("custkey_hll")).as("custkey_hll")
             :+ org.apache.spark.sql.graft.KmvSketch
                 .kmvUnion(col("custkey_kmv"), kmvK).as("custkey_kmv")): _*)
@@ -255,7 +277,7 @@ object RollupCube {
     * DECIMAL sums (plain + derived), min/max, HLL + KMV sketches.
     */
   private def buildFromFlat(flat: DataFrame, groupDims: Seq[String],
-                            outPath: String): Unit = {
+                            outPath: String, freq: Boolean = true): Unit = {
     val sums = sumMetrics.toSeq.sortBy(_._2).map { case (src, dst) =>
       sum(col(src).cast("decimal(28,6)")).as(dst)
     }
@@ -268,9 +290,14 @@ object RollupCube {
       org.apache.spark.sql.graft.QuantileSketch
         .qskSketch(col(src), quantileK).as(dst)
     }
+    val freqs =
+      if (!freq) Nil
+      else freqMetrics.toSeq.sortBy(_._2).map { case (src, dst) =>
+        org.apache.spark.sql.graft.FreqSketch.freqSketch(col(src), freqK).as(dst)
+      }
     flat.groupBy((col("g_tbucket") +: groupDims.map(col)): _*)
       .agg(count(lit(1)).as("cnt"),
-        (sums ++ derived ++ mins ++ maxs ++ qsks
+        (sums ++ derived ++ mins ++ maxs ++ qsks ++ freqs
           :+ hll_sketch_agg(col("o_custkey")).as("custkey_hll")
           :+ org.apache.spark.sql.graft.KmvSketch
               .kmvSketch(col("o_custkey"), kmvK).as("custkey_kmv")): _*)
@@ -329,5 +356,15 @@ object RollupCube {
       org.apache.spark.sql.graft.QuantileSketch
         .qskPercentile(col(quantileMetrics(sourceCol)), p, quantileK)
         .as("p" + (p * 100).round + "_" + quantileMetrics(sourceCol).stripSuffix("_qsk"))
+    /** Heavy hitters of a sketched dimension from merged Misra-Gries
+      * sketches — Druid's approximate TopN served from pre-aggregates.
+      * Returns array<struct<item,cnt,err>> heaviest-first; `err` = 0 means
+      * the counts (and hence the ranking) are exact, the guarantee while
+      * the merged group's NDV stays below [[freqK]].
+      */
+    def freqItemsOf(sourceCol: String): Column =
+      org.apache.spark.sql.graft.FreqSketch
+        .freqMergeItems(col(freqMetrics(sourceCol)), freqK)
+        .as("top_" + freqMetrics(sourceCol).stripSuffix("_freq"))
   }
 }

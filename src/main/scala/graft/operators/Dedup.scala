@@ -346,4 +346,37 @@ object Dedup {
         Vectors.cosine(col("g_vecA"), col("g_vecB")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Benchmark decontamination: corpus documents sharing at least one word
+    * `n`-gram with any benchmark document, with the count of distinct shared
+    * n-grams. Training pipelines drop (or at least audit) these documents so
+    * eval benchmarks aren't leaked into the training set; real deployments
+    * use n in the 8-13 range (the n-gram must be long enough that chance
+    * collisions vanish).
+    *
+    * Output: (idCol, n_hits: bigint), contaminated documents only.
+    *
+    * Shape at scale: both sides shingle locally (explode, no shuffle), the
+    * corpus side carries 8-byte xxhash64 shingle keys instead of strings,
+    * and the match is an equi-join on the hash — the benchmark side is tiny
+    * by construction (thousands of documents vs billions), so AQE plans it
+    * as a broadcast and the only shuffle is the final per-document count.
+    * Hash collisions can only *add* a spurious hit at ~2^-64 per candidate
+    * pair — the standard trade for not shuffling raw shingle text.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    n: Int = 8): DataFrame = {
+    val docNg = docs.select(col(idCol).as("g_id"),
+        explode(shingles(col(textCol), n)).as("g_ng"))
+      .select(col("g_id"), xxhash64(col("g_ng")).as("g_h"))
+    val benchNg = bench
+      .select(explode(shingles(col(benchTextCol), n)).as("g_ng"))
+      .select(xxhash64(col("g_ng")).as("g_h"))
+      .distinct()
+    docNg.join(benchNg, "g_h")
+      .groupBy("g_id")
+      .agg(count_distinct(col("g_h")).as("n_hits"))
+      .select(col("g_id").as(idCol), col("n_hits"))
+  }
 }

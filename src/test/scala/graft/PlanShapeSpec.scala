@@ -102,8 +102,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  // an earlier suite may have `.cache()`d the embeddings table (suites share
+  // the session); cache substitution replaces the parquet scan with an
+  // InMemoryTableScan and these locks are about the *parquet* plan
+  private def withUncachedEmbeddings[A](body: => A): A = {
+    Tables.t(spark, sf, "embeddings").unpersist(blocking = true)
+    body
+  }
+
   test("quantization is a pure projection: no shuffle except the output sort") {
-    withAqeOff {
+    withAqeOff { withUncachedEmbeddings {
       val shuffles = qe("q_vec_quant").executedPlan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }
@@ -114,11 +122,11 @@ class PlanShapeSpec extends AnyFunSuite {
       val s = scans("q_vec_quant").head
       assert(s.requiredSchema.fieldNames.toSet == Set("vec_id", "embedding"),
         s"scan should read only id+vector: ${s.requiredSchema.fieldNames.mkString(",")}")
-    }
+    } }
   }
 
   test("kmeans IVF probe: single corpus scan, top-k without a global sort") {
-    withAqeOff {
+    withAqeOff { withUncachedEmbeddings {
       val plan = qe("q_ann_kmeans").executedPlan
       assert(scans("q_ann_kmeans").size == 1, "probe must scan the corpus once")
       val topk = plan.collect {
@@ -130,7 +138,7 @@ class PlanShapeSpec extends AnyFunSuite {
       }
       assert(shuffles.isEmpty,
         s"bucket filter + top-k needs no exchange, got ${shuffles.size}")
-    }
+    } }
   }
 
   test("gopher repetition never cross-joins and bounds its shuffle count") {
