@@ -157,6 +157,40 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("selective dim filter injects a runtime bloom filter on the fact side") {
+    // the non-star fallback path at 100 TB: when a join does NOT collapse
+    // into the cube, a selective dimension predicate must still reach the
+    // fact scan before the shuffle — Spark's InjectRuntimeFilter builds a
+    // bloom filter from the filtered dim side and semi-filters the fact
+    // side with it. Thresholds are sized for clusters, so pin them down to
+    // make the lock assertable at test scale; broadcast is disabled because
+    // at 100 TB this join IS a shuffle join.
+    val pins = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = pins.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pins.foreach { case (k, v) => spark.conf.set(k, v) }
+    try Graft.withoutRewrites(spark) {
+      val li = Tables.t(spark, sf, "lineitem")
+      val ord = Tables.t(spark, sf, "orders")
+        .filter(col("o_totalprice") > 500000.0)
+      val agg = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(sum("l_quantity"))
+      val blooms = agg.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.optimizedPlan.collect {
+          case p => p.expressions.flatMap(_.collect {
+            case b: org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain => b
+          })
+        }.flatten
+      assert(blooms.nonEmpty,
+        "expected InjectRuntimeFilter to semi-filter the fact side")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("always-false time interval folds to an empty local relation (zero tasks)") {
     withAqeOff {
       for (t <- Tables.starTables)
