@@ -1047,6 +1047,18 @@ object SparkEntry {
             col("g_e.cnt").as("supp_cnt"), col("g_e.err").as("err"))
           .orderBy("c_mktsegment", "rank")
       },
+      // PII-style scrubbing: masked identifier tails, digit-run redaction,
+      // canonical text form — pure projections (codegen'd regexps, no
+      // shuffle); the same shapes scrub phones/accounts/ids at corpus scale
+      "q_text_redact" -> { (s, dir) =>
+        import graft.functions.TextFunctions
+        Tables.t(s, dir, "supplier")
+          .select(col("s_suppkey"),
+            TextFunctions.maskTail(col("s_name"), 4).as("name_masked"),
+            TextFunctions.redactLongNumbers(col("s_name"), 1).as("name_redacted"),
+            TextFunctions.normalizeText(col("s_name")).as("name_norm"))
+          .orderBy("s_suppkey")
+      },
       // benchmark decontamination: corpus documents sharing any word 4-gram
       // with the benchmark set (here: the src0 slice) — the eval-set-leak
       // audit of a training-data pipeline
@@ -1647,6 +1659,15 @@ object SparkEntry {
         |  CAST(l_suppkey AS BIGINT) AS l_suppkey, supp_cnt, CAST(0 AS BIGINT) AS err
         |FROM r WHERE rank <= 5
         |ORDER BY c_mktsegment, rank""".stripMargin),
+    "q_text_redact" ->
+      """SELECT s_suppkey,
+        |  CASE WHEN length(s_name) <= 4 THEN s_name
+        |       ELSE repeat('*', CAST(length(s_name) - 4 AS INT)) ||
+        |            substring(s_name, length(s_name) - 3, 4) END AS name_masked,
+        |  regexp_replace(s_name, '[0-9]{1,}', '<num>', 'g') AS name_redacted,
+        |  lower(trim(regexp_replace(s_name, '\s+', ' ', 'g'))) AS name_norm
+        |FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
     // decontamination: same 4-gram shingling as graft.functions.TextFunctions
     // .shingles (docs shorter than n tokens contribute their whole token
     // sequence as one shingle)

@@ -149,6 +149,29 @@ object TextFunctions {
     }
   }
 
+  /** Canonical text form for exact-match layers: lower-cased, whitespace
+    * runs collapsed to one space, trimmed. Pure projection (codegen'd
+    * regexp), no UDF.
+    */
+  def normalizeText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** PII-style scrub: digit runs of `minRun`+ characters (phone/account/id
+    * numbers) replaced with a placeholder token. A real pipeline composes
+    * several of these patterns; the operator shape — global regexp over a
+    * projected column, no shuffle — is the same for all of them.
+    */
+  def redactLongNumbers(c: Column, minRun: Int = 4, token: String = "<num>"): Column =
+    regexp_replace(c, s"[0-9]{$minRun,}", token)
+
+  /** Mask all but the last `keep` characters (card/phone tail display). */
+  def maskTail(c: Column, keep: Int): Column = {
+    val n = length(c)
+    when(n <= keep, c)
+      .otherwise(concat(org.apache.spark.sql.functions.repeat(lit("*"),
+        (n - keep).cast("int")), substring(c, -keep, keep)))
+  }
+
   /** Word k-shingles: overlapping k-grams of the token sequence, joined by a
     * single space. Documents shorter than k tokens yield their whole token
     * sequence as one shingle.

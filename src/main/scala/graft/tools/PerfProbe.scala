@@ -22,6 +22,12 @@ object PerfProbe {
     graft.cube.RollupCube.ensure(spark, sfDir)
     graft.Tables.t(spark, sfDir, "lineitem").count()
     val fn = graft.SparkEntry.queries(name)
+    if (sys.env.contains("PROBE_EXPLAIN")) {
+      val qe = fn(spark, sfDir)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution
+      println("=== OPTIMIZED ===\n" + qe.optimizedPlan.treeString)
+      println("=== PHYSICAL ===\n" + qe.executedPlan.treeString)
+    }
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
