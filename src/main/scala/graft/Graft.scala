@@ -113,7 +113,8 @@ object Graft {
       "spark.graft.rollupRouting.enabled",
       "spark.graft.timeBucketPruning.enabled",
       "spark.graft.distinctFromSketch.enabled",
-      "spark.graft.percentileFromSketch.enabled")
+      "spark.graft.percentileFromSketch.enabled",
+      "spark.graft.topNFromSketch.enabled")
     val prev = flags.map(f => f -> spark.conf.get(f, "true"))
     flags.foreach(spark.conf.set(_, "false"))
     try body finally prev.foreach { case (f, v) => spark.conf.set(f, v) }

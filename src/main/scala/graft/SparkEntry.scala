@@ -1031,6 +1031,22 @@ object SparkEntry {
           .orderBy(col("cnt").desc, col("l_suppkey"))
           .limit(10)
       },
+      // automatic TopN rewrite (reference TopNQueryTransform): vanilla SQL,
+      // served from merged heavy-hitter sketches under the measured
+      // NDV <= k and zero-NULLs proofs — the optimizer routes it, not the
+      // query author
+      "q_topn_sketch" -> { (s, dir) =>
+        engine(s, dir)
+        s.sql(
+          """SELECT l_suppkey, count(*) AS cnt
+            |FROM lineitem
+            |JOIN orders ON l_orderkey = o_orderkey
+            |JOIN customer ON o_custkey = c_custkey
+            |WHERE c_mktsegment = 'MACHINERY'
+            |GROUP BY l_suppkey
+            |ORDER BY cnt DESC, l_suppkey
+            |LIMIT 10""".stripMargin)
+      },
       // approximate TopN served from the rollup lattice: per-segment top
       // suppliers by *merging* the stored Misra-Gries sketches — no fact
       // scan; ranking ties break on the item string (the sketch's order),
@@ -1643,6 +1659,13 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY cnt DESC, l_suppkey
         |LIMIT 10""".stripMargin,
+    "q_topn_sketch" -> withFlat(
+      """SELECT l_suppkey, count(*) AS cnt
+        |FROM olps
+        |WHERE c_mktsegment = 'MACHINERY'
+        |GROUP BY l_suppkey
+        |ORDER BY cnt DESC, l_suppkey
+        |LIMIT 10""".stripMargin),
     // rollup TopN: the sketch ranks (cnt desc, item-string asc); the oracle
     // ranks the raw joined rows with the same key
     "q_rollup_topn" -> withFlat(

@@ -60,6 +60,11 @@ final case class RollupMeta(
     freqSketches: Map[String, String] = Map.empty,
     /** counter capacity of the stored heavy-hitters sketches */
     freqK: Int = org.apache.spark.sql.graft.FreqSketch.DefaultK,
+    /** EXACT NULL count of each sketched column, measured at rollup build —
+      * sketches skip NULLs, so group-by serves from them are only sound
+      * when the column provably has none
+      */
+    exactNullCount: Map[String, Long] = Map.empty,
     /** TOTAL fact rows under this node, measured at build — the proof
       * obligation for serving `percentile()` from the sketches losslessly:
       * totalRows <= quantileK means no merged subset of cells can saturate

@@ -87,6 +87,8 @@ object CubeMeta {
         "quantileK" -> JInt(r.quantileK),
         "freqSketches" -> strMap(r.freqSketches),
         "freqK" -> JInt(r.freqK),
+        "exactNullCount" -> JObject(r.exactNullCount.toSeq.sortBy(_._1).map {
+          case (k, v) => k -> JLong(v) }.toList),
         "totalRows" -> r.totalRows.map(JLong(_): JValue).getOrElse(JNull))).toList))
     JsonMethods.pretty(JsonMethods.render(j))
   }
@@ -164,6 +166,8 @@ object CubeMeta {
             case JNull | JNothing => org.apache.spark.sql.graft.FreqSketch.DefaultK
             case v                => lng(v).toInt
           },
+          exactNullCount = obj(r \ "exactNullCount").map {
+            case (k, v) => k -> lng(v) }.toMap,
           totalRows = r \ "totalRows" match {
             case JNull | JNothing => None
             case v                => Some(lng(v))

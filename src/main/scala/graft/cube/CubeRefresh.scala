@@ -162,26 +162,33 @@ object CubeRefresh {
     // passes, far below rebuild cost
     new java.io.File(cube.cubePath, "_graft_stats.json").delete()
     val stats = CubeStats.ensure(spark, info, cube.cubePath)
-    val sketched = cube.rollups.flatMap(_.kmvSketches.keys).distinct.sorted
+    val sketched = cube.rollups
+      .flatMap(ru => ru.kmvSketches.keys ++ ru.freqSketches.keys).distinct.sorted
     // measured WITHOUT rewrites: routing the proof measurement through the
     // sketches it is meant to vouch for would be circular (a stale
     // "exact" NDV could bless a now-saturated sketch)
-    val (exactNdv, totalRows): (Map[String, Long], Long) =
+    val NullPrefix = "__nulls__:"
+    val (exactNdv, nullCounts, totalRows): (Map[String, Long], Map[String, Long], Long) =
       graft.Graft.withoutRewrites(spark) {
         val row = spark.read.parquet(cube.cubePath)
           .select((sketched.map(c => countDistinct(col(c)).as(c))
+            ++ sketched.map(c => count(when(col(c).isNull, 1)).as(NullPrefix + c))
             :+ count(lit(1)).as("__total_rows__")): _*).head()
         (sketched.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap,
-          row.getLong(sketched.size))
+          sketched.zipWithIndex.map { case (c, i) =>
+            c -> row.getLong(sketched.size + i) }.toMap,
+          row.getLong(2 * sketched.size))
       }
     // re-measured proofs supersede the build-time sidecar: rewrite it
     // wherever a node keeps one, or a later ensure() would re-register the
     // stale pre-refresh values (and a stale totalRows could vouch for a
     // sketch that now saturates)
     cube.rollups.foreach { ru =>
-      val sidecar = new java.io.File(ru.path, "_kmv_ndv.json")
+      val sidecar = new java.io.File(ru.path, "_measured_ndv.json")
       if (sidecar.exists()) {
-        val m = exactNdv + ("__total_rows__" -> totalRows)
+        val m = exactNdv ++
+          nullCounts.map { case (k, v) => (NullPrefix + k) -> v } +
+          ("__total_rows__" -> totalRows)
         java.nio.file.Files.write(sidecar.toPath,
           m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": $v""" }
             .mkString("{", ", ", "}").getBytes("UTF-8"))
@@ -192,7 +199,8 @@ object CubeRefresh {
       info = CubeStats.withStats(info, stats),
       rollups = cube.rollups.map(ru => ru.copy(
         totalRows = Some(totalRows),
-        kmvExactNdv = ru.kmvExactNdv ++ exactNdv.view.filterKeys(ru.kmvSketches.contains))))
+        kmvExactNdv = ru.kmvExactNdv ++ exactNdv,
+        exactNullCount = ru.exactNullCount ++ nullCounts)))
     CubeCatalog.register(refreshed)
     CubeMeta.save(refreshed)
     Result(dirty, written, refreshed)

@@ -235,39 +235,51 @@ object RollupCube {
         .repartition(1)
         .write.mode("overwrite").partitionBy("g_tbucket").parquet(cPath)
     }
-    // EXACT distinct counts of the sketched columns (one tiny pass over the
-    // flat cube, persisted) — the lossless count(DISTINCT) rewrite may only
-    // fire when the TRUE cardinality fits the sketch; the approximate NDV
-    // stats in the cube sidecar are estimates, not proof
-    // the sidecar also records the fact row count (key "__total_rows__") —
+    // EXACT distinct + NULL counts of the sketched columns (one tiny pass
+    // over the flat cube, persisted) — the lossless count(DISTINCT) and
+    // TopN-from-sketch rewrites may only fire when the TRUE cardinality
+    // fits the sketch (and, for group-by serves, the column provably has
+    // no NULLs — sketches skip them); the approximate NDV stats in the
+    // cube sidecar are estimates, not proof.
+    // The sidecar also records the fact row count (key "__total_rows__") —
     // the saturation proof for lossless percentile serving from the
     // quantile sketches (any merged subset of cells holds <= total values)
     val TotalRowsKey = "__total_rows__"
-    val ndvSidecar = new java.io.File(path, "_kmv_ndv.json")
+    val NullPrefix = "__nulls__:"
+    val ndvSidecar = new java.io.File(path, "_measured_ndv.json")
     val measured: Map[String, Long] =
       if (ndvSidecar.exists()) {
         val txt = new String(java.nio.file.Files.readAllBytes(ndvSidecar.toPath), "UTF-8")
         "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toLong).toMap
       } else {
-        val cols = meta(sfDir).kmvSketches.keys.toSeq.sorted
+        val m0 = meta(sfDir)
+        val cols = (m0.kmvSketches.keys ++ m0.freqSketches.keys).toSeq.distinct.sorted
         val row = spark.read.parquet(cube.cubePath)
           .select((cols.map(c => countDistinct(col(c)).as(c))
+            ++ cols.map(c => count(when(col(c).isNull, 1)).as(NullPrefix + c))
             :+ count(lit(1)).as(TotalRowsKey)): _*).head()
-        val m = cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap +
-          (TotalRowsKey -> row.getLong(cols.size))
+        val m = cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap ++
+          cols.zipWithIndex.map { case (c, i) =>
+            (NullPrefix + c) -> row.getLong(cols.size + i) }.toMap +
+          (TotalRowsKey -> row.getLong(2 * cols.size))
         java.nio.file.Files.write(ndvSidecar.toPath,
           m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": $v""" }
             .mkString("{", ", ", "}").getBytes("UTF-8"))
         m
       }
-    val exactNdv = measured - TotalRowsKey
+    val exactNdv = measured.view
+      .filterKeys(k => k != TotalRowsKey && !k.startsWith(NullPrefix)).toMap
+    val nullCounts = measured.view.collect {
+      case (k, v) if k.startsWith(NullPrefix) => k.stripPrefix(NullPrefix) -> v
+    }.toMap
     val totalRows = measured.get(TotalRowsKey)
     // smallest nodes first: the routing walk stops at the first fit
     // (coarse ~ |coarseDims| x months; q1 ~ 6 x days; fine ~ |dims| x months)
     val registered = cube.copy(rollups =
       Seq(coarseMeta(sfDir), q1Meta(sfDir), meta(sfDir))
-        .map(_.copy(kmvExactNdv = exactNdv, totalRows = totalRows)))
+        .map(_.copy(kmvExactNdv = exactNdv, exactNullCount = nullCounts,
+          totalRows = totalRows)))
     CubeCatalog.register(registered)
     CubeMeta.save(registered)
     path

@@ -63,6 +63,111 @@ case class RollupRouting(spark: SparkSession)
     cube.rollups.view
       .flatMap(ru => serveFrom(agg, projects, filters, cube, ru, expandOpt))
       .headOption
+      .orElse(
+        if (expandOpt.nonEmpty) None
+        else cube.rollups.view
+          .flatMap(ru => serveTopN(agg, projects, filters, cube, ru))
+          .headOption)
+  }
+
+  /** Serve `GROUP BY <sketched dim> ... count(*)` from the stored
+    * heavy-hitters sketches — the reference's approximate-TopN rewrite
+    * (`TopNQueryTransform`, `QuerySpecTransforms.scala:279-332`; IR
+    * `DruidQuerySpec.scala:767-868`), made *lossless*: it fires only under
+    * the measured proofs that (a) the dimension's true NDV fits the
+    * counter budget (no Misra-Gries decrement can ever have happened, so
+    * every stored count is exact and the merged sketch holds EVERY value,
+    * not just the top k) and (b) the column has no NULLs (sketch updates
+    * skip them, a NULL group would be lost). Unlike Druid there is no
+    * opt-in flag and no threshold cap — beyond the proofs the rewrite
+    * simply doesn't fire and the aggregate runs on the cube.
+    *
+    * The emitted plan is scan(rollup cells) → global merge → explode —
+    * any Sort/Limit above the original aggregate re-parents unchanged
+    * (output attr ids are preserved), so `ORDER BY cnt DESC LIMIT k`
+    * becomes a TakeOrderedAndProject over |NDV| pre-counted rows.
+    */
+  private def serveTopN(agg: Aggregate, projects: Seq[NamedExpression],
+                        filters: Seq[Expression], cube: RegisteredCube,
+                        ru: RollupMeta): Option[LogicalPlan] = {
+    if (!spark.conf.get("spark.graft.topNFromSketch.enabled", "true").toBoolean)
+      return None
+    if (ru.freqSketches.isEmpty) return None
+
+    val colName: Map[ExprId, String] = projects.collect {
+      case a: Attribute                => a.exprId -> a.name.toLowerCase
+      case al @ Alias(u: Attribute, _) => al.exprId -> u.name.toLowerCase
+    }.toMap
+    def nameOf(a: Attribute): String = colName.getOrElse(a.exprId, a.name.toLowerCase)
+
+    // single grouping key: a freq-sketched source column of a round-trip-
+    // safe type (the sketch stores canonical string forms)
+    val dimAttr = agg.groupingExpressions match {
+      case Seq(a: Attribute) => a
+      case _                 => return None
+    }
+    if (!Seq(org.apache.spark.sql.types.StringType, LongType, IntegerType)
+        .contains(dimAttr.dataType)) return None
+    val src = nameOf(dimAttr)
+    val sketchCol = ru.freqSketches.getOrElse(src, return None)
+    // exactness proofs (measured at build, not estimated)
+    if (!ru.kmvExactNdv.get(src).exists(_ <= ru.freqK)) return None
+    if (!ru.exactNullCount.get(src).contains(0L)) return None
+
+    // outputs: the dimension and exactly one plain count(*) — Druid topN's
+    // surface (one dimension, one count metric)
+    def isCountStar(e: Expression): Boolean = e match {
+      case ae: AggregateExpression if ae.filter.isEmpty && !ae.isDistinct =>
+        ae.aggregateFunction match {
+          case Count(Seq(l: Literal)) => l.value != null
+          case _                      => false
+        }
+      case _ => false
+    }
+
+    val rollupPlan = CubeCatalog.rollupPlan(spark, ru)
+    val rAttr: Map[String, Attribute] =
+      rollupPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    val skAttr = rAttr.getOrElse(sketchCol.toLowerCase, return None)
+    val servable: Set[String] =
+      (ru.dims :+ ru.timeBucketColumn).map(_.toLowerCase).toSet
+    def substitute(e: Expression): Expression = e.transformUp {
+      case a: Attribute => rAttr(nameOf(a))
+    }
+    val newFilters: Seq[Expression] = filters.map { c =>
+      if (c.references.forall(a => servable(nameOf(a)))) substitute(c)
+      else return None
+    }
+    val child: LogicalPlan =
+      if (newFilters.isEmpty) rollupPlan
+      else Filter(newFilters.reduce(And), rollupPlan)
+
+    val FS = org.apache.spark.sql.graft.FreqSketch
+    val itemsAlias = Alias(
+      FS.FreqMergeItems(skAttr, ru.freqK).toAggregateExpression(), "g_items")()
+    val mergeAgg = Aggregate(Nil, Seq(itemsAlias), child)
+    val eAttr = AttributeReference("g_e", FS.ItemType, nullable = false)()
+    val gen = org.apache.spark.sql.catalyst.plans.logical.Generate(
+      Explode(itemsAlias.toAttribute), unrequiredChildIndex = Seq(0),
+      outer = false, qualifier = None, generatorOutput = Seq(eAttr),
+      child = mergeAgg)
+    val itemExpr: Expression = {
+      val s = GetStructField(eAttr, 0, Some("item"))
+      if (dimAttr.dataType == org.apache.spark.sql.types.StringType) s
+      else Cast(s, dimAttr.dataType)
+    }
+    val cntExpr = GetStructField(eAttr, 1, Some("cnt"))
+
+    val newOut: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: Attribute if a.exprId == dimAttr.exprId =>
+        Alias(itemExpr, a.name)(exprId = a.exprId)
+      case al @ Alias(u: Attribute, name) if u.exprId == dimAttr.exprId =>
+        Alias(itemExpr, name)(exprId = al.exprId)
+      case al @ Alias(body, name) if isCountStar(body) =>
+        Alias(cntExpr, name)(exprId = al.exprId)
+      case _ => return None
+    }
+    Some(org.apache.spark.sql.catalyst.plans.logical.Project(newOut, gen))
   }
 
   private def serveFrom(agg: Aggregate, projects: Seq[NamedExpression],

@@ -73,6 +73,43 @@ class RollupSpec extends AnyFunSuite {
     }
   }
 
+  test("TopN from heavy-hitter sketches: lossless rewrite, no fact scan") {
+    for (t <- Tables.starTables)
+      Tables.t(spark, sf, t).createOrReplaceTempView(t)
+    graft.cube.RollupCube.ensure(spark, sf)
+    val sql =
+      """SELECT l_suppkey, count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'MACHINERY'
+        |GROUP BY l_suppkey
+        |ORDER BY cnt DESC, l_suppkey
+        |LIMIT 10""".stripMargin
+    val routed = spark.sql(sql)
+    val plan = routed.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan
+    val hasExplode = plan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Generate => true
+      case _ => false
+    }
+    assert(hasExplode, s"expected the sketch-explode plan, got:\n$plan")
+    val scansFacts = plan.exists {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            !fs.location.rootPaths.exists(_.toString.contains("_rollup"))
+          case _ => true
+        }
+      case _ => false
+    }
+    assert(!scansFacts, "TopN must read only rollup cells, never the facts")
+    val got = routed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Graft.withoutRewrites(spark)(spark.sql(sql).collect())
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"sketch TopN diverged:\n got  $got\n want $want")
+  }
+
   test("automatic chain: star join -> flat cube -> rollup, results agree with vanilla") {
     import graft.cube.{CubeCatalog, TpchCube}
     for (t <- Tables.starTables)
