@@ -21,11 +21,10 @@ import graft.functions.TextFunctions.let1
   *     intact. Line rules are quadratic in the *line* count of a document
   *     (fine: web documents have tens of lines, and the work is per-row,
   *     embarrassingly parallel).
-  *   - **N-gram repetition** ([[ngramRepetition]]) needs per-(doc, gram)
-  *     occurrence counts, so it explodes grams and aggregates keyed by
-  *     document — work linear in corpus token count, shuffles keyed on
-  *     (doc, gram) (never a global key), so it scales exactly like the
-  *     wordcount family in [[Corpus]].
+  *   - **N-gram repetition** ([[ngramRepetition]]) is per-document too,
+  *     so it is ALSO pure column algebra: sorted-gram-array folds replace
+  *     the explode/count/window formulation — zero shuffles, one scan,
+  *     per-row work bounded by the document length.
   *
   * The reference engine has no text layer (scalar surface:
   * `jscodegen/JSCodeGenerator.scala`); this is beyond-parity training-data
@@ -103,74 +102,88 @@ object Quality {
     * Character totals count token characters only (whitespace excluded), so
     * the metric is layout-invariant like the tokenizer.
     *
-    * Scale shape: grams are exploded (generator, no shuffle) and counted
-    * keyed by (doc, gram) with map-side partial aggregation; every later
-    * join/aggregate is keyed by the document id. Nothing global, nothing
-    * quadratic: corpus cost is O(total tokens), the classic wordcount
-    * profile.
+    * Scale shape: a PURE PROJECTION — the statistics are per-document, so
+    * they are computed per row with array folds (sort the gram array, one
+    * fold for the max run = most frequent gram, one fold collecting the
+    * duplicated grams, one fold summing covered token characters). No
+    * shuffle, no window, no self-join: the corpus cost is one scan, and
+    * the per-row work is O(m log m + m·n·d) for m tokens and d duplicated
+    * grams — bounded by the document, not the corpus. (Degenerate mega-
+    * documents should be length-truncated upstream, the same upstream
+    * hygiene the exploded formulation needed against gram-key skew.)
     */
   def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame = {
     require(n >= 1, s"ngram size must be >= 1, got $n")
     val id = col(idCol)
+    // tokens have no whitespace, so a gram's character count is
+    // length(gram) - (n-1) joining spaces; grams exist only when m >= n
     val base = df.select(id,
         TextFunctions.tokens(col(textCol)).as("g_toks"))
       .withColumn("g_total",
         aggregate(col("g_toks"), lit(0L), (a, w) => a + length(w)))
       .withColumn("g_m", size(col("g_toks")))
+      .withColumn("g_ngs",
+        when(col("g_m") >= n,
+          transform(sequence(lit(1), col("g_m") - (n - 1)),
+            i => concat_ws(" ", slice(col("g_toks"), i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
 
-    // (doc, pos, gram, gramChars): one row per n-gram occurrence
-    val grams = base
-      .filter(col("g_m") >= n)
-      .select(id, col("g_total"),
-        explode(transform(sequence(lit(1), col("g_m") - (n - 1)),
-          i => struct(i.as("pos"),
-            concat_ws(" ", slice(col("g_toks"), i, lit(n))).as("ng"),
-            aggregate(slice(col("g_toks"), i, lit(n)), lit(0L),
-              (a, w) => a + length(w)).as("ngc")))).as("g"))
-      .select(id, col("g_total"), col("g.pos").as("g_pos"),
-        col("g.ng").as("g_ng"), col("g.ngc").as("g_ngc"))
+    // most frequent gram = longest run in the sorted gram array; updating
+    // `best` only on strictly-greater run length keeps the first (= the
+    // lexicographically smallest) gram on ties — the (count desc, gram asc)
+    // order of the exploded formulation
+    val folded = base
+      .withColumn("g_sorted", array_sort(col("g_ngs")))
+      .withColumn("g_fold", aggregate(col("g_sorted"),
+        struct(lit("").as("prev"), lit(0L).as("run"),
+          lit(0L).as("bestCnt"), lit("").as("bestNg")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            when(run > acc.getField("bestCnt"), run)
+              .otherwise(acc.getField("bestCnt")).as("bestCnt"),
+            when(run > acc.getField("bestCnt"), x)
+              .otherwise(acc.getField("bestNg")).as("bestNg"))
+        }))
+      // grams occurring more than once: appended exactly when a run
+      // reaches length 2 (sorted order ⇒ one append per distinct gram)
+      .withColumn("g_dups", aggregate(col("g_sorted"),
+        struct(lit("").as("prev"), lit(0L).as("run"),
+          array().cast("array<string>").as("ds")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            when(run === 2, concat(acc.getField("ds"), array(x)))
+              .otherwise(acc.getField("ds")).as("ds"))
+        }).getField("ds"))
 
-    // ONE shuffle keyed (doc, gram) serves both downstream consumers:
-    // occurrence counts ride with their position lists (map-side partial
-    // aggregation collapses the exploded frame before the exchange), so
-    // neither a window over the raw gram stream nor a second
-    // position-carrying shuffle is needed
-    val occ = grams
-      .groupBy(id, col("g_ng"))
-      .agg(count(lit(1)).as("g_cnt"), first("g_ngc").as("g_ngc"),
-        first("g_total").as("g_total"),
-        collect_list(col("g_pos")).as("g_poss"))
+    // coverage union: token position p lies inside a duplicated gram iff
+    // some gram start q in [p-n+1, p] (clamped to valid starts) is
+    // duplicated; sum the token lengths of covered positions
+    val covered = folded.withColumn("g_cov",
+      when(col("g_total") > 0 && size(col("g_dups")) > 0,
+        aggregate(sequence(lit(1), col("g_m")), lit(0L), (a, p) =>
+          a + when(
+            exists(
+              sequence(greatest(lit(1), p - (n - 1)),
+                least(p, col("g_m") - (n - 1))),
+              q => array_contains(col("g_dups"), element_at(col("g_ngs"), q))),
+            length(element_at(col("g_toks"), p)).cast("long"))
+            .otherwise(lit(0L))))
+        .otherwise(lit(0L)))
 
-    // most frequent gram per doc (count desc, gram asc) — the window runs
-    // over the already-aggregated per-gram frame
-    val top = occ
-      .withColumn("g_rk", row_number().over(Window.partitionBy(id)
-        .orderBy(col("g_cnt").desc, col("g_ng").asc)))
-      .filter(col("g_rk") === 1)
-      .select(id,
-        least(lit(1.0), (col("g_cnt") * col("g_ngc")).cast("double")
-          / col("g_total").cast("double")).as("top_ngram_char_frac"))
-
-    // char-position coverage union of duplicated grams: explode each
-    // duplicated gram's positions into token positions, dedup per doc, then
-    // sum the token lengths at the covered positions
-    val coveredPos = occ.filter(col("g_cnt") > 1)
-      .select(id, explode(col("g_poss")).as("g_pos"))
-      .select(id, explode(sequence(col("g_pos"), col("g_pos") + (n - 1))).as("g_p"))
-      .distinct()
-    val posLens = base.select(id, posexplode(col("g_toks")).as(Seq("g_p0", "g_w")))
-      .select(id, (col("g_p0") + 1).as("g_p"), length(col("g_w")).as("g_l"))
-    val dup = coveredPos.join(posLens, Seq(idCol, "g_p"))
-      .groupBy(idCol).agg(sum("g_l").as("g_cov"))
-
-    base.select(id, col("g_total"))
-      .join(top, Seq(idCol), "left")
-      .join(dup, Seq(idCol), "left")
-      .select(id,
-        coalesce(col("top_ngram_char_frac"), lit(0.0)).as("top_ngram_char_frac"),
-        coalesce(when(col("g_total") > 0,
-            col("g_cov").cast("double") / col("g_total").cast("double")),
-          lit(0.0)).as("dup_ngram_char_frac"))
+    covered.select(id,
+      when(col("g_total") > 0 && col("g_fold").getField("bestCnt") > 0,
+        least(lit(1.0),
+          (col("g_fold").getField("bestCnt") *
+            (length(col("g_fold").getField("bestNg")) - (n - 1)).cast("long"))
+            .cast("double") / col("g_total").cast("double")))
+        .otherwise(lit(0.0)).as("top_ngram_char_frac"),
+      when(col("g_total") > 0,
+        col("g_cov").cast("double") / col("g_total").cast("double"))
+        .otherwise(lit(0.0)).as("dup_ngram_char_frac"))
   }
 }

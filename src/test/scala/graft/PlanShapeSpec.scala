@@ -152,8 +152,10 @@ class PlanShapeSpec extends AnyFunSuite {
       val shuffles = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }
-      assert(shuffles.size <= 10,
-        s"doc-keyed pipeline grew to ${shuffles.size} exchanges")
+      // the repetition stats are array folds (pure projection); only the
+      // final ORDER BY and the tiny stats join may exchange
+      assert(shuffles.size <= 2,
+        s"per-doc stats must stay a projection, got ${shuffles.size} exchanges")
     }
   }
 
