@@ -1047,6 +1047,22 @@ object SparkEntry {
             |ORDER BY cnt DESC, l_suppkey
             |LIMIT 10""".stripMargin)
       },
+      // weighted TopN rewrite: ORDER BY a *sum metric* (Druid topN over an
+      // arbitrary sum aggregator) — served from the price-weighted
+      // heavy-hitter sketches' exact micros, bit-equal to the DECIMAL sum
+      "q_topn_weighted" -> { (s, dir) =>
+        engine(s, dir)
+        s.sql(
+          """SELECT l_suppkey,
+            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS volume
+            |FROM lineitem
+            |JOIN orders ON l_orderkey = o_orderkey
+            |JOIN customer ON o_custkey = c_custkey
+            |WHERE c_mktsegment = 'MACHINERY'
+            |GROUP BY l_suppkey
+            |ORDER BY volume DESC, l_suppkey
+            |LIMIT 7""".stripMargin)
+      },
       // approximate TopN served from the rollup lattice: per-segment top
       // suppliers by *merging* the stored Misra-Gries sketches — no fact
       // scan; ranking ties break on the item string (the sketch's order),
@@ -1666,6 +1682,14 @@ object SparkEntry {
         |GROUP BY l_suppkey
         |ORDER BY cnt DESC, l_suppkey
         |LIMIT 10""".stripMargin),
+    "q_topn_weighted" -> withFlat(
+      """SELECT l_suppkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS volume
+        |FROM olps
+        |WHERE c_mktsegment = 'MACHINERY'
+        |GROUP BY l_suppkey
+        |ORDER BY volume DESC, l_suppkey
+        |LIMIT 7""".stripMargin),
     // rollup TopN: the sketch ranks (cnt desc, item-string asc); the oracle
     // ranks the raw joined rows with the same key
     "q_rollup_topn" -> withFlat(

@@ -65,6 +65,11 @@ final case class RollupMeta(
       * when the column provably has none
       */
     exactNullCount: Map[String, Long] = Map.empty,
+    /** (dim column, weight metric, stored sketch column) — weighted
+      * heavy-hitters sketches: per-item exact-micros weighted sums, the
+      * TopN-over-a-sum-metric serving path
+      */
+    freqWeighted: Seq[(String, String, String)] = Nil,
     /** TOTAL fact rows under this node, measured at build — the proof
       * obligation for serving `percentile()` from the sketches losslessly:
       * totalRows <= quantileK means no merged subset of cells can saturate

@@ -89,6 +89,8 @@ object CubeMeta {
         "freqK" -> JInt(r.freqK),
         "exactNullCount" -> JObject(r.exactNullCount.toSeq.sortBy(_._1).map {
           case (k, v) => k -> JLong(v) }.toList),
+        "freqWeighted" -> JArray(r.freqWeighted.map { case (d, w, c) =>
+          JArray(List(JString(d), JString(w), JString(c))) }.toList),
         "totalRows" -> r.totalRows.map(JLong(_): JValue).getOrElse(JNull))).toList))
     JsonMethods.pretty(JsonMethods.render(j))
   }
@@ -168,6 +170,10 @@ object CubeMeta {
           },
           exactNullCount = obj(r \ "exactNullCount").map {
             case (k, v) => k -> lng(v) }.toMap,
+          freqWeighted = arr(r \ "freqWeighted").map { t =>
+            val List(d, w, c) = arr(t)
+            (str(d), str(w), str(c))
+          },
           totalRows = r \ "totalRows" match {
             case JNull | JNothing => None
             case v                => Some(lng(v))

@@ -163,7 +163,8 @@ object CubeRefresh {
     new java.io.File(cube.cubePath, "_graft_stats.json").delete()
     val stats = CubeStats.ensure(spark, info, cube.cubePath)
     val sketched = cube.rollups
-      .flatMap(ru => ru.kmvSketches.keys ++ ru.freqSketches.keys).distinct.sorted
+      .flatMap(ru => ru.kmvSketches.keys ++ ru.freqSketches.keys ++
+        ru.freqWeighted.flatMap(t => Seq(t._1, t._2))).distinct.sorted
     // measured WITHOUT rewrites: routing the proof measurement through the
     // sketches it is meant to vouch for would be circular (a stale
     // "exact" NDV could bless a now-saturated sketch)
@@ -234,8 +235,11 @@ object CubeRefresh {
         .qskSketch(col(src), ru.quantileK).as(dst) }
     val freqs = ru.freqSketches.toSeq.sortBy(_._2).map { case (src, dst) =>
       org.apache.spark.sql.graft.FreqSketch.freqSketch(col(src), ru.freqK).as(dst) }
+    val freqWs = ru.freqWeighted.sortBy(_._3).map { case (src, w, dst) =>
+      org.apache.spark.sql.graft.FreqSketch
+        .freqSketchBy(col(src), col(w), ru.freqK).as(dst) }
     withDay.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as(ru.countColumn),
-        (sums ++ derived ++ mins ++ maxs ++ hlls ++ kmvs ++ qsks ++ freqs): _*)
+        (sums ++ derived ++ mins ++ maxs ++ hlls ++ kmvs ++ qsks ++ freqs ++ freqWs): _*)
   }
 }

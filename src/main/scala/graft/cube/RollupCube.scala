@@ -70,6 +70,13 @@ object RollupCube {
     */
   val freqK: Int = 8192
 
+  /** (dim, weight metric, stored column) — weighted heavy hitters: per-item
+    * exact-micros sums of the metric, serving `GROUP BY dim` + `sum(metric)`
+    * TopN (Druid topN over an arbitrary sum aggregator) without a fact scan.
+    */
+  val freqWeightedMetrics: Seq[(String, String, String)] =
+    Seq(("l_suppkey", "l_extendedprice", "suppkey_price_freq"))
+
   /** Coarse-rollup dimensions — the lattice node above [[dims]]. */
   val coarseDims: Seq[String] = Seq("c_mktsegment", "l_returnflag")
 
@@ -111,13 +118,13 @@ object RollupCube {
 
   def rollupPath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    // v7: adds the supplier heavy-hitters sketch column (suppkey_freq)
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_v7"
+    // v8: adds supplier heavy-hitters sketches (count + price-weighted)
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_v8"
   }
 
   def coarsePath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_coarse_v4"
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_coarse_v5"
   }
 
   def q1Path(sfDir: String): String = {
@@ -140,7 +147,8 @@ object RollupCube {
     quantileSketches = quantileMetrics,
     quantileK = quantileK,
     freqSketches = freqMetrics,
-    freqK = freqK)
+    freqK = freqK,
+    freqWeighted = freqWeightedMetrics)
 
   def coarseMeta(sfDir: String): RollupMeta =
     meta(sfDir).copy(path = coarsePath(sfDir), dims = coarseDims)
@@ -157,7 +165,8 @@ object RollupCube {
   // are month-grain — per-node metric config is the point of RollupMeta
   def q1Meta(sfDir: String): RollupMeta =
     meta(sfDir).copy(path = q1Path(sfDir), dims = q1Dims :+ "g_tbucket",
-      timeBucketColumn = "g_dbucket", grain = "day", freqSketches = Map.empty)
+      timeBucketColumn = "g_dbucket", grain = "day",
+      freqSketches = Map.empty, freqWeighted = Nil)
 
   private val lock = new Object
 
@@ -224,8 +233,9 @@ object RollupCube {
       val maxAgg = maxMetrics.values.toSeq.sorted.map(c => max(col(c)).as(c))
       val qskAgg = quantileMetrics.values.toSeq.sorted.map(c =>
         org.apache.spark.sql.graft.QuantileSketch.qskUnion(col(c), quantileK).as(c))
-      val freqAgg = freqMetrics.values.toSeq.sorted.map(c =>
-        org.apache.spark.sql.graft.FreqSketch.freqMerge(col(c), freqK).as(c))
+      val freqAgg = (freqMetrics.values ++ freqWeightedMetrics.map(_._3))
+        .toSeq.sorted.map(c =>
+          org.apache.spark.sql.graft.FreqSketch.freqMerge(col(c), freqK).as(c))
       fine.groupBy((col("g_tbucket") +: coarseDims.map(col)): _*)
         .agg(sum(col("cnt")).as("cnt"),
           (sumAgg ++ minAgg ++ maxAgg ++ qskAgg ++ freqAgg
@@ -254,7 +264,8 @@ object RollupCube {
           .map(m => m.group(1) -> m.group(2).toLong).toMap
       } else {
         val m0 = meta(sfDir)
-        val cols = (m0.kmvSketches.keys ++ m0.freqSketches.keys).toSeq.distinct.sorted
+        val cols = (m0.kmvSketches.keys ++ m0.freqSketches.keys ++
+          m0.freqWeighted.flatMap(t => Seq(t._1, t._2))).toSeq.distinct.sorted
         val row = spark.read.parquet(cube.cubePath)
           .select((cols.map(c => countDistinct(col(c)).as(c))
             ++ cols.map(c => count(when(col(c).isNull, 1)).as(NullPrefix + c))
@@ -306,6 +317,9 @@ object RollupCube {
       if (!freq) Nil
       else freqMetrics.toSeq.sortBy(_._2).map { case (src, dst) =>
         org.apache.spark.sql.graft.FreqSketch.freqSketch(col(src), freqK).as(dst)
+      } ++ freqWeightedMetrics.sortBy(_._3).map { case (src, w, dst) =>
+        org.apache.spark.sql.graft.FreqSketch
+          .freqSketchBy(col(src), col(w), freqK).as(dst)
       }
     flat.groupBy((col("g_tbucket") +: groupDims.map(col)): _*)
       .agg(count(lit(1)).as("cnt"),

@@ -109,13 +109,13 @@ case class RollupRouting(spark: SparkSession)
     if (!Seq(org.apache.spark.sql.types.StringType, LongType, IntegerType)
         .contains(dimAttr.dataType)) return None
     val src = nameOf(dimAttr)
-    val sketchCol = ru.freqSketches.getOrElse(src, return None)
     // exactness proofs (measured at build, not estimated)
     if (!ru.kmvExactNdv.get(src).exists(_ <= ru.freqK)) return None
     if (!ru.exactNullCount.get(src).contains(0L)) return None
 
-    // outputs: the dimension and exactly one plain count(*) — Druid topN's
-    // surface (one dimension, one count metric)
+    // outputs: the dimension and exactly one metric — count(*) (plain
+    // sketch) or sum(metric) (weighted sketch) — Druid topN's surface of
+    // one dimension + one metric aggregator
     def isCountStar(e: Expression): Boolean = e match {
       case ae: AggregateExpression if ae.filter.isEmpty && !ae.isDistinct =>
         ae.aggregateFunction match {
@@ -124,6 +124,50 @@ case class RollupRouting(spark: SparkSession)
         }
       case _ => false
     }
+    // the engine's exact-sum convention (`CAST(sum(CAST(x AS DECIMAL(28,6)))
+    // AS DOUBLE)`) or a bare sum over a double metric — both merge from the
+    // weighted sketch's exact micros (serving the bare double sum from
+    // deterministic micros is the same liberty the decimal-merged rollup
+    // sums already take)
+    val DsumType = org.apache.spark.sql.types.DecimalType(28, 6)
+    def sumMetricOf(e: Expression): Option[String] = {
+      def ofAgg(ae: AggregateExpression): Option[String] =
+        if (ae.filter.nonEmpty || ae.isDistinct) None
+        else ae.aggregateFunction match {
+          case Sum(Cast(a: Attribute, DsumType, _, _), _) => Some(nameOf(a))
+          case Sum(a: Attribute, _) if a.dataType == DoubleType => Some(nameOf(a))
+          case _ => None
+        }
+      e match {
+        case Cast(ae: AggregateExpression, DoubleType, _, _) => ofAgg(ae)
+        case ae: AggregateExpression                         => ofAgg(ae)
+        case _                                               => None
+      }
+    }
+
+    // pick the sketch column from the single value output's shape
+    val valAlias: Alias = {
+      val vals = agg.aggregateExpressions.filter {
+        case a: Attribute                => a.exprId != dimAttr.exprId
+        case al @ Alias(u: Attribute, _) => u.exprId != dimAttr.exprId
+        case _                           => true
+      }
+      vals match {
+        case Seq(al: Alias) => al
+        case _              => return None
+      }
+    }
+    val isWeighted = !isCountStar(valAlias.child)
+    val sketchCol: String =
+      if (!isWeighted) ru.freqSketches.getOrElse(src, return None)
+      else (for {
+        metric <- sumMetricOf(valAlias.child)
+        // weight-NULL soundness: an all-NULL-weight group sums to NULL but
+        // never enters the sketch — require the metric provably null-free
+        if ru.exactNullCount.get(metric).contains(0L)
+        hit <- ru.freqWeighted.find(t =>
+          t._1.toLowerCase == src && t._2.toLowerCase == metric)
+      } yield hit._3).getOrElse(return None)
 
     val rollupPlan = CubeCatalog.rollupPlan(spark, ru)
     val rAttr: Map[String, Attribute] =
@@ -156,14 +200,22 @@ case class RollupRouting(spark: SparkSession)
       if (dimAttr.dataType == org.apache.spark.sql.types.StringType) s
       else Cast(s, dimAttr.dataType)
     }
-    val cntExpr = GetStructField(eAttr, 1, Some("cnt"))
+    // weighted sketches store exact micros: DECIMAL(38,6) from the unscaled
+    // long then cast — the identical correctly-rounded conversion the
+    // decimal-sum path performs, so the doubles match bit for bit
+    val cntField = GetStructField(eAttr, 1, Some("cnt"))
+    val cntExpr: Expression =
+      if (!isWeighted) cntField
+      else Cast(
+        org.apache.spark.sql.catalyst.expressions.MakeDecimal(cntField, 38, 6),
+        DoubleType)
 
     val newOut: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: Attribute if a.exprId == dimAttr.exprId =>
         Alias(itemExpr, a.name)(exprId = a.exprId)
       case al @ Alias(u: Attribute, name) if u.exprId == dimAttr.exprId =>
         Alias(itemExpr, name)(exprId = al.exprId)
-      case al @ Alias(body, name) if isCountStar(body) =>
+      case al @ Alias(_, name) if al.exprId == valAlias.exprId =>
         Alias(cntExpr, name)(exprId = al.exprId)
       case _ => return None
     }

@@ -208,6 +208,51 @@ object FreqSketch {
       copy(child = c.head)
   }
 
+  /** Exact micros of a double weight, matching Spark's
+    * `CAST(w AS DECIMAL(28,6))` semantics bit for bit (canonical decimal
+    * form of the double, HALF_UP at scale 6): a weighted sketch built with
+    * this merges into sums equal to the engine's DECIMAL sum convention —
+    * `long → double` and `decimal(38,6) → double` are both correctly-
+    * rounded conversions of the same rational, so the final doubles are
+    * identical.
+    */
+  private[graft] def microsOf(w: Double): Long =
+    java.math.BigDecimal.valueOf(w)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+
+  /** `freq_sketch_by(col, weight, k)` — weighted heavy hitters: each
+    * occurrence adds its weight (as exact micros) instead of 1, so the
+    * merged "counts" are per-item weighted sums (Druid topN over an
+    * arbitrary sum metric). NULL weights contribute nothing (Sum
+    * semantics); exactness below k needs a null-free metric, which the
+    * rollup build verifies.
+    */
+  case class FreqSketchWeighted(child: Expression, weight: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends FreqAgg
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    override def children: Seq[Expression] = Seq(child, weight)
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType, DoubleType)
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "freq_sketch_by"
+    override def update(b: Buffer, row: InternalRow): Buffer = {
+      val v = child.eval(row)
+      val w = weight.eval(row)
+      if (v != null && w != null)
+        b.add(v.asInstanceOf[UTF8String].toString,
+          microsOf(w.asInstanceOf[Double]))
+      b
+    }
+    override def eval(b: Buffer): Any = b.serialize
+    override def withNewMutableAggBufferOffset(o: Int): FreqSketchWeighted =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): FreqSketchWeighted =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): FreqSketchWeighted =
+      copy(child = c(0), weight = c(1))
+  }
+
   /** `freq_sketch(col, k)` — count raw values, return sketch bytes. */
   case class FreqSketchAgg(child: Expression, k: Int,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -276,6 +321,14 @@ object FreqSketch {
       args => FreqItems(args.head, kArg("freq_items", args)), "built-in")
     registry.createOrReplaceTempFunction("freq_sketch",
       args => FreqSketchAgg(args.head, kArg("freq_sketch", args)), "built-in")
+    registry.createOrReplaceTempFunction("freq_sketch_by",
+      {
+        case Seq(c, w)    => FreqSketchWeighted(c, w, DefaultK)
+        case Seq(c, w, l) if l.foldable && l.dataType == IntegerType =>
+          FreqSketchWeighted(c, w, checkK(l.eval().asInstanceOf[Int]))
+        case args => throw new IllegalArgumentException(
+          s"freq_sketch_by expects (col, weight[, k: int literal]), got ${args.size} args")
+      }, "built-in")
     registry.createOrReplaceTempFunction("freq_merge",
       args => FreqMergeAgg(args.head, kArg("freq_merge", args)), "built-in")
     registry.createOrReplaceTempFunction("freq_merge_items",
@@ -289,6 +342,10 @@ object FreqSketch {
   def freqSketch(c: Column, k: Int = DefaultK): Column =
     ExpressionUtils.column(
       FreqSketchAgg(ExpressionUtils.expression(c), checkK(k)).toAggregateExpression())
+  def freqSketchBy(c: Column, weight: Column, k: Int = DefaultK): Column =
+    ExpressionUtils.column(
+      FreqSketchWeighted(ExpressionUtils.expression(c),
+        ExpressionUtils.expression(weight), checkK(k)).toAggregateExpression())
   def freqMerge(c: Column, k: Int = DefaultK): Column =
     ExpressionUtils.column(
       FreqMergeAgg(ExpressionUtils.expression(c), checkK(k)).toAggregateExpression())

@@ -96,6 +96,28 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(direct.nonEmpty && direct == twoLevel)
   }
 
+  test("weighted sketch micros match the DECIMAL(28,6) sum convention") {
+    Graft.install(spark)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val df = (1 to 5000).map(i => ("k" + i % 37, i * 0.07 + 0.001))
+      .toDF("k", "w").repartition(9)
+    df.createOrReplaceTempView("fw_t")
+    val viaSketch = spark.sql(
+      """SELECT e.item, e.cnt FROM (
+        |  SELECT explode(freq_merge_items(sk)) AS e FROM (
+        |    SELECT k AS g, freq_sketch_by(k, w, 256) AS sk FROM fw_t GROUP BY k) t)
+        |""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.sql(
+      "SELECT k, sum(CAST(w AS DECIMAL(28,6))) AS s FROM fw_t GROUP BY k")
+      .collect().map { r =>
+        r.getString(0) ->
+          r.getDecimal(1).setScale(6).unscaledValue().longValueExact()
+      }.toMap
+    assert(viaSketch.nonEmpty && viaSketch == exact)
+  }
+
   test("decontaminate flags exactly the documents sharing an n-gram") {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     import classic.implicits._

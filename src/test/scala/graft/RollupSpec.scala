@@ -110,6 +110,33 @@ class RollupSpec extends AnyFunSuite {
     assert(got == want, s"sketch TopN diverged:\n got  $got\n want $want")
   }
 
+  test("weighted TopN (sum metric) from sketches is bit-equal to the decimal sum") {
+    for (t <- Tables.starTables)
+      Tables.t(spark, sf, t).createOrReplaceTempView(t)
+    graft.cube.RollupCube.ensure(spark, sf)
+    val sql =
+      """SELECT l_suppkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'MACHINERY'
+        |GROUP BY l_suppkey
+        |ORDER BY volume DESC, l_suppkey
+        |LIMIT 7""".stripMargin
+    val routed = spark.sql(sql)
+    val plan = routed.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan
+    assert(plan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Generate => true
+      case _ => false
+    }, s"expected the weighted-sketch plan, got:\n$plan")
+    val got = routed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Graft.withoutRewrites(spark)(spark.sql(sql).collect())
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"weighted TopN diverged:\n got  $got\n want $want")
+  }
+
   test("automatic chain: star join -> flat cube -> rollup, results agree with vanilla") {
     import graft.cube.{CubeCatalog, TpchCube}
     for (t <- Tables.starTables)
