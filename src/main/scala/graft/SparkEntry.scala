@@ -1047,6 +1047,23 @@ object SparkEntry {
             |ORDER BY cnt DESC, l_suppkey
             |LIMIT 10""".stripMargin)
       },
+      // grouped TopN rewrite (Druid topN's dimension + granularity form):
+      // per-segment supplier ranks — the sketches merge per surviving
+      // group and the window ranks |groups x NDV| pre-counted rows
+      "q_topn_grouped" -> { (s, dir) =>
+        engine(s, dir)
+        s.sql(
+          """SELECT c_mktsegment, l_suppkey, cnt FROM (
+            |  SELECT c_mktsegment, l_suppkey, count(*) AS cnt,
+            |    row_number() OVER (PARTITION BY c_mktsegment
+            |      ORDER BY count(*) DESC, l_suppkey) AS rk
+            |  FROM lineitem
+            |  JOIN orders ON l_orderkey = o_orderkey
+            |  JOIN customer ON o_custkey = c_custkey
+            |  GROUP BY c_mktsegment, l_suppkey)
+            |WHERE rk <= 3
+            |ORDER BY c_mktsegment, cnt DESC, l_suppkey""".stripMargin)
+      },
       // weighted TopN rewrite: ORDER BY a *sum metric* (Druid topN over an
       // arbitrary sum aggregator) — served from the price-weighted
       // heavy-hitter sketches' exact micros, bit-equal to the DECIMAL sum
@@ -1682,6 +1699,15 @@ object SparkEntry {
         |GROUP BY l_suppkey
         |ORDER BY cnt DESC, l_suppkey
         |LIMIT 10""".stripMargin),
+    "q_topn_grouped" -> withFlat(
+      """SELECT c_mktsegment, l_suppkey, cnt FROM (
+        |  SELECT c_mktsegment, l_suppkey, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY count(*) DESC, l_suppkey) AS rk
+        |  FROM olps
+        |  GROUP BY c_mktsegment, l_suppkey)
+        |WHERE rk <= 3
+        |ORDER BY c_mktsegment, cnt DESC, l_suppkey""".stripMargin),
     "q_topn_weighted" -> withFlat(
       """SELECT l_suppkey,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS volume

@@ -82,10 +82,13 @@ case class RollupRouting(spark: SparkSession)
     * opt-in flag and no threshold cap — beyond the proofs the rewrite
     * simply doesn't fire and the aggregate runs on the cube.
     *
-    * The emitted plan is scan(rollup cells) → global merge → explode —
-    * any Sort/Limit above the original aggregate re-parents unchanged
-    * (output attr ids are preserved), so `ORDER BY cnt DESC LIMIT k`
-    * becomes a TakeOrderedAndProject over |NDV| pre-counted rows.
+    * The emitted plan is scan(rollup cells) → merge per group (global, or
+    * per surviving rollup-dim/bucket group — Druid topN's granularity ×
+    * dimension form) → explode — any Sort/Limit/Window above the original
+    * aggregate re-parents unchanged (output attr ids are preserved), so
+    * `ORDER BY cnt DESC LIMIT k` becomes a TakeOrderedAndProject over
+    * |NDV| pre-counted rows, and a per-group `row_number() <= k` ranks
+    * |groups × NDV| of them.
     */
   private def serveTopN(agg: Aggregate, projects: Seq[NamedExpression],
                         filters: Seq[Expression], cube: RegisteredCube,
@@ -100,11 +103,20 @@ case class RollupRouting(spark: SparkSession)
     }.toMap
     def nameOf(a: Attribute): String = colName.getOrElse(a.exprId, a.name.toLowerCase)
 
-    // single grouping key: a freq-sketched source column of a round-trip-
-    // safe type (the sketch stores canonical string forms)
-    val dimAttr = agg.groupingExpressions match {
-      case Seq(a: Attribute) => a
-      case _                 => return None
+    // grouping keys: bare attributes only — exactly one is the sketched
+    // dimension (not a rollup dim), the rest must be rollup dims / the
+    // bucket (Druid topN's dimension + granularity form: the per-cell
+    // sketches merge per surviving group instead of globally)
+    val groupAttrs: Seq[Attribute] = agg.groupingExpressions.map {
+      case a: Attribute => a
+      case _            => return None
+    }
+    val servable: Set[String] =
+      (ru.dims :+ ru.timeBucketColumn).map(_.toLowerCase).toSet
+    val (extras, dimCands) = groupAttrs.partition(a => servable(nameOf(a)))
+    val dimAttr = dimCands match {
+      case Seq(a) => a
+      case _      => return None
     }
     if (!Seq(org.apache.spark.sql.types.StringType, LongType, IntegerType)
         .contains(dimAttr.dataType)) return None
@@ -145,23 +157,28 @@ case class RollupRouting(spark: SparkSession)
       }
     }
 
-    // pick the sketch column from the single value output's shape
-    val valAlias: Alias = {
+    // pick the sketch column from the value outputs' shape; several value
+    // aliases are fine as long as they are all the SAME metric (a window's
+    // order expression gets pulled into the aggregate as a duplicate)
+    val groupIds: Set[ExprId] = (dimAttr +: extras).map(_.exprId).toSet
+    val valAliases: Seq[Alias] = {
       val vals = agg.aggregateExpressions.filter {
-        case a: Attribute                => a.exprId != dimAttr.exprId
-        case al @ Alias(u: Attribute, _) => u.exprId != dimAttr.exprId
+        case a: Attribute                => !groupIds.contains(a.exprId)
+        case al @ Alias(u: Attribute, _) => !groupIds.contains(u.exprId)
         case _                           => true
       }
-      vals match {
-        case Seq(al: Alias) => al
-        case _              => return None
-      }
+      if (vals.isEmpty) return None
+      vals.map { case al: Alias => al; case _ => return None }
     }
-    val isWeighted = !isCountStar(valAlias.child)
+    val valIds: Set[ExprId] = valAliases.map(_.exprId).toSet
+    val isWeighted = !isCountStar(valAliases.head.child)
     val sketchCol: String =
-      if (!isWeighted) ru.freqSketches.getOrElse(src, return None)
-      else (for {
-        metric <- sumMetricOf(valAlias.child)
+      if (!isWeighted) {
+        if (!valAliases.forall(al => isCountStar(al.child))) return None
+        ru.freqSketches.getOrElse(src, return None)
+      } else (for {
+        metric <- sumMetricOf(valAliases.head.child)
+        if valAliases.forall(al => sumMetricOf(al.child).contains(metric))
         // weight-NULL soundness: an all-NULL-weight group sums to NULL but
         // never enters the sketch — require the metric provably null-free
         if ru.exactNullCount.get(metric).contains(0L)
@@ -173,8 +190,6 @@ case class RollupRouting(spark: SparkSession)
     val rAttr: Map[String, Attribute] =
       rollupPlan.output.map(a => a.name.toLowerCase -> a).toMap
     val skAttr = rAttr.getOrElse(sketchCol.toLowerCase, return None)
-    val servable: Set[String] =
-      (ru.dims :+ ru.timeBucketColumn).map(_.toLowerCase).toSet
     def substitute(e: Expression): Expression = e.transformUp {
       case a: Attribute => rAttr(nameOf(a))
     }
@@ -189,10 +204,15 @@ case class RollupRouting(spark: SparkSession)
     val FS = org.apache.spark.sql.graft.FreqSketch
     val itemsAlias = Alias(
       FS.FreqMergeItems(skAttr, ru.freqK).toAggregateExpression(), "g_items")()
-    val mergeAgg = Aggregate(Nil, Seq(itemsAlias), child)
+    // merge per surviving group (global when no extra dims): the rollup
+    // attrs pass through bare so the outer project can re-alias them
+    val extraRAttrs: Seq[Attribute] = extras.map(a => rAttr(nameOf(a)))
+    val mergeAgg = Aggregate(extraRAttrs,
+      extraRAttrs.map(a => a: NamedExpression) :+ itemsAlias, child)
     val eAttr = AttributeReference("g_e", FS.ItemType, nullable = false)()
     val gen = org.apache.spark.sql.catalyst.plans.logical.Generate(
-      Explode(itemsAlias.toAttribute), unrequiredChildIndex = Seq(0),
+      Explode(itemsAlias.toAttribute),
+      unrequiredChildIndex = Seq(extraRAttrs.size),
       outer = false, qualifier = None, generatorOutput = Seq(eAttr),
       child = mergeAgg)
     val itemExpr: Expression = {
@@ -210,14 +230,22 @@ case class RollupRouting(spark: SparkSession)
         org.apache.spark.sql.catalyst.expressions.MakeDecimal(cntField, 38, 6),
         DoubleType)
 
-    val newOut: Seq[NamedExpression] = agg.aggregateExpressions.map {
-      case a: Attribute if a.exprId == dimAttr.exprId =>
-        Alias(itemExpr, a.name)(exprId = a.exprId)
-      case al @ Alias(u: Attribute, name) if u.exprId == dimAttr.exprId =>
-        Alias(itemExpr, name)(exprId = al.exprId)
-      case al @ Alias(_, name) if al.exprId == valAlias.exprId =>
-        Alias(cntExpr, name)(exprId = al.exprId)
-      case _ => return None
+    val extraIds: Set[ExprId] = extras.map(_.exprId).toSet
+    def bodyOf(ne: NamedExpression): Option[Attribute] = ne match {
+      case a: Attribute           => Some(a)
+      case Alias(u: Attribute, _) => Some(u)
+      case _                      => None
+    }
+    val newOut: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
+      bodyOf(ne) match {
+        case Some(u) if u.exprId == dimAttr.exprId =>
+          Alias(itemExpr, ne.name)(exprId = ne.exprId)
+        case Some(u) if extraIds.contains(u.exprId) =>
+          Alias(rAttr(nameOf(u)), ne.name)(exprId = ne.exprId)
+        case _ if valIds.contains(ne.exprId) =>
+          Alias(cntExpr, ne.name)(exprId = ne.exprId)
+        case _ => return None
+      }
     }
     Some(org.apache.spark.sql.catalyst.plans.logical.Project(newOut, gen))
   }

@@ -137,6 +137,35 @@ class RollupSpec extends AnyFunSuite {
     assert(got == want, s"weighted TopN diverged:\n got  $got\n want $want")
   }
 
+  test("grouped TopN: per-segment supplier ranks from per-group sketch merges") {
+    for (t <- Tables.starTables)
+      Tables.t(spark, sf, t).createOrReplaceTempView(t)
+    graft.cube.RollupCube.ensure(spark, sf)
+    val sql =
+      """SELECT c_mktsegment, l_suppkey, cnt FROM (
+        |  SELECT c_mktsegment, l_suppkey, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY count(*) DESC, l_suppkey) AS rk
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, l_suppkey)
+        |WHERE rk <= 3
+        |ORDER BY c_mktsegment, cnt DESC, l_suppkey""".stripMargin
+    val routed = spark.sql(sql)
+    val plan = routed.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan
+    assert(plan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Generate => true
+      case _ => false
+    }, s"expected the per-group sketch plan, got:\n$plan")
+    val got = routed.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Graft.withoutRewrites(spark)(spark.sql(sql).collect())
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"grouped TopN diverged:\n got  $got\n want $want")
+  }
+
   test("automatic chain: star join -> flat cube -> rollup, results agree with vanilla") {
     import graft.cube.{CubeCatalog, TpchCube}
     for (t <- Tables.starTables)
