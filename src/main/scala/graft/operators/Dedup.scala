@@ -268,9 +268,13 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 25): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("g_src"), col(bCol).as("g_dst"))
-    val edges0 = fwd
-      .union(fwd.select(col("g_dst").as("g_src"), col("g_src").as("g_dst")))
+    // both orientations in ONE pass over the (possibly expensive) pair
+    // pipeline — a union of the frame with its own swap would execute the
+    // upstream candidate generation twice
+    val edges0 = pairs.select(explode(array(
+        struct(col(aCol).as("g_src"), col(bCol).as("g_dst")),
+        struct(col(bCol).as("g_src"), col(aCol).as("g_dst")))).as("g_e"))
+      .select("g_e.g_src", "g_e.g_dst")
       .distinct()
       .localCheckpoint(true)
     // Right-size the iteration to the measured edge count (free: the frame
@@ -280,9 +284,26 @@ object Dedup {
     // where every round would otherwise be dominated by per-partition task
     // scheduling; a genuinely large graph keeps the session's parallelism.
     val spark = edges0.sparkSession
+    val edgeCount = edges0.count()
+    // Adaptive small-graph path (the broadcast-join of graph algorithms):
+    // a provably small edge set — the usual outcome of near-dup candidate
+    // generation even over a huge corpus — is solved by driver-side
+    // union-find in one collect instead of paying per-round job scheduling
+    // for label propagation. Same answer, bounded by the threshold; large
+    // graphs keep the distributed path.
+    val localThreshold =
+      spark.conf.get("spark.graft.cc.localEdgeThreshold", "500000").toLong
+    val nodeType = edges0.schema("g_src").dataType
+    val localOrderable = nodeType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (edgeCount <= localThreshold && localOrderable)
+      return ccLocal(edges0, nodeType)
     val defaultP = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val p = math.min(defaultP.toLong,
-      edges0.count() / 500000L + 1L).toInt
+      edgeCount / 500000L + 1L).toInt
     val edges =
       if (p < defaultP) edges0.repartition(p).localCheckpoint(true) else edges0
     var labels = edges.select(col("g_src").as("g_node"))
@@ -311,6 +332,41 @@ object Dedup {
     assert(changed == 0L,
       s"connectedComponents did not converge in $maxIters rounds")
     labels.select(col("g_node").as("node"), col("g_lbl").as("component"))
+  }
+
+  /** Driver-side union-find for small edge sets; identical output contract
+    * to the distributed path (every node labeled with the minimum node id
+    * of its component).
+    */
+  private def ccLocal(edges: DataFrame,
+                      nodeType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.Row
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long)     => x < y
+      case (x: Int, y: Int)       => x < y
+      case (x: String, y: String) => x < y
+      case _ => throw new IllegalStateException(s"unorderable node pair ($a, $b)")
+    }
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      if (!parent.containsKey(x)) { parent.put(x, x); return x }
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.collect().foreach { row =>
+      val ra = find(row.get(0))
+      val rb = find(row.get(1))
+      if (ra != rb) parent.put(if (lt(ra, rb)) rb else ra, if (lt(ra, rb)) ra else rb)
+    }
+    val out = new java.util.ArrayList[Row]()
+    parent.keySet().forEach(n => { out.add(Row(n, find(n))); () })
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType, nullable = true),
+      org.apache.spark.sql.types.StructField("component", nodeType, nullable = true)))
+    edges.sparkSession.createDataFrame(out, schema)
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates from random-

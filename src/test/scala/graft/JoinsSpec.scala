@@ -99,6 +99,18 @@ class JoinsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
+    // the distributed label-propagation path (threshold 0 forces it past
+    // the local union-find) must produce the identical labeling
+    val prev = spark.conf.getOption("spark.graft.cc.localEdgeThreshold")
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val dist = graft.operators.Dedup.connectedComponents(pairs, "idA", "idB")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == got, "distributed and local components diverged")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.cc.localEdgeThreshold", v)
+      case None    => spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+    }
   }
 
   test("knnJoinExact equals per-query brute-force top-k") {
