@@ -122,7 +122,8 @@ object EventPipeline {
   /** Incremental rollup maintenance from a stream: each micro-batch is
     * pre-aggregated to (time bucket × dims) partial rows with MERGEABLE
     * metrics — counts, DECIMAL sums, KMV distinct sketches, gated quantile
-    * sketches — and unioned into the rollup table's bucket partitions.
+    * sketches, Misra-Gries heavy-hitter sketches — and unioned into the
+    * rollup table's bucket partitions.
     * Readers merge partials exactly like [[graft.cube.RollupCube]] merges
     * lattice nodes (`sum(cnt)`, `sum(sum_value)`, `kmv_merge_estimate`,
     * `qsk_percentile`), so the store needs no read-modify-write: appending
@@ -133,7 +134,7 @@ object EventPipeline {
     */
   def rollupIngest(events: DataFrame, destDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.graft.{KmvSketch, QuantileSketch}
+    import org.apache.spark.sql.graft.{FreqSketch, KmvSketch, QuantileSketch}
     events
       .withWatermark("ts", "2 hours")
       .writeStream
@@ -145,7 +146,8 @@ object EventPipeline {
           .agg(count(lit(1)).as("cnt"),
             sum(col("value").cast("decimal(28,6)")).as("sum_value"),
             KmvSketch.kmvSketch(col("user_id")).as("user_kmv"),
-            QuantileSketch.qskSketch(col("value")).as("value_qsk"))
+            QuantileSketch.qskSketch(col("value")).as("value_qsk"),
+            FreqSketch.freqSketch(col("user_id")).as("user_freq"))
           .write.mode("append").partitionBy("g_tbucket").parquet(destDir)
         ()
       }
@@ -160,7 +162,7 @@ object EventPipeline {
     * approximate number).
     */
   def rollupServe(spark: SparkSession, destDir: String): DataFrame = {
-    import org.apache.spark.sql.graft.{KmvSketch, QuantileSketch}
+    import org.apache.spark.sql.graft.{FreqSketch, KmvSketch, QuantileSketch}
     // the shared file-status cache has no TTL by default: without this, a
     // serve AFTER further ingested micro-batches could silently miss the
     // newly appended partial files
@@ -170,7 +172,10 @@ object EventPipeline {
       .agg(sum(col("cnt")).as("cnt"),
         sum(col("sum_value")).cast("double").as("sum_value"),
         KmvSketch.kmvMergeEstimate(col("user_kmv")).as("n_users"),
-        QuantileSketch.qskPercentile(col("value_qsk"), 0.5).as("p50_value"))
+        QuantileSketch.qskPercentile(col("value_qsk"), 0.5).as("p50_value"),
+        // streaming heavy hitters: top users per event type from the
+        // incrementally-maintained Misra-Gries sketches (exact below k)
+        slice(FreqSketch.freqMergeItems(col("user_freq")), 1, 3).as("top_users"))
   }
 
   /** Compact an incrementally-maintained rollup in place: collapse each
@@ -185,7 +190,7 @@ object EventPipeline {
     * Returns the set of compacted buckets.
     */
   def compactPartials(spark: SparkSession, destDir: String): Seq[Int] = {
-    import org.apache.spark.sql.graft.{KmvSketch, QuantileSketch}
+    import org.apache.spark.sql.graft.{FreqSketch, KmvSketch, QuantileSketch}
     org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
     val partials = spark.read.parquet(destDir)
     val dirty = partials
@@ -200,7 +205,8 @@ object EventPipeline {
         .agg(sum(col("cnt")).as("cnt"),
           sum(col("sum_value")).as("sum_value"),
           KmvSketch.kmvUnion(col("user_kmv")).as("user_kmv"),
-          QuantileSketch.qskUnion(col("value_qsk")).as("value_qsk"))
+          QuantileSketch.qskUnion(col("value_qsk")).as("value_qsk"),
+          FreqSketch.freqMerge(col("user_freq")).as("user_freq"))
         .repartition(col("g_tbucket"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -136,6 +136,13 @@ class StreamingSpec extends AnyFunSuite {
         ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
     assert(got == want)
     assert(got("click") == ((4L, 14.5, 3L, 3.5)))
+    // streaming heavy hitters: user 1 clicked twice; users 3 and 2 once
+    // (ties break on the item string) — merged across micro-batch partials
+    val topUsers = EventPipeline.rollupServe(spark, s"$dir/data")
+      .filter(col("event_type") === "click")
+      .head().getSeq[org.apache.spark.sql.Row](5)
+      .map(e => (e.getString(0), e.getLong(1)))
+    assert(topUsers == Seq(("1", 2L), ("2", 1L), ("3", 1L)))
 
     // compaction collapses the multi-batch partials to one row per group,
     // and serving afterwards returns the identical answer
