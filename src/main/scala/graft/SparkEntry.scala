@@ -1184,6 +1184,15 @@ object SparkEntry {
             Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
               "l_orderkey"), exact = true)
           .orderBy("col_name")
+      },
+      // profiling with per-column top values (sketch-rendered, exact below
+      // the counter budget — the classic data-profiling "most frequent
+      // values" panel)
+      "q_profile_top" -> { (s, dir) =>
+        Profile.profile(Tables.t(s, dir, "lineitem"),
+            Seq("l_returnflag", "l_suppkey", "l_linenumber"),
+            exact = true, topK = 3)
+          .orderBy("col_name")
       })
 
     /** Shared tokenize→per-doc-term-frequency CTE prefix (DuckDB side of
@@ -1242,6 +1251,10 @@ object SparkEntry {
         (Profile.profileSql("lineitem",
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
             "l_orderkey")) + "\nORDER BY col_name"),
+      "q_profile_top" ->
+        (Profile.profileSql("lineitem",
+          Seq("l_returnflag", "l_suppkey", "l_linenumber"), topK = 3) +
+          "\nORDER BY col_name"),
       "q_text_stats" ->
         """SELECT doc_id,
           |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,

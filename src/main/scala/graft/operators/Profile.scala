@@ -18,33 +18,63 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** `topK > 0` appends a `top_values` column: the k most frequent values
+    * as `"value:count"` pairs (heaviest first, ties on the value string) —
+    * rendered from a per-column Misra-Gries sketch
+    * ([[org.apache.spark.sql.graft.FreqSketch]]), exact while the column's
+    * NDV fits the counter budget. One mergeable sketch per column rides
+    * the same single aggregate, so the one-scan shape is preserved.
+    * (Profile double columns without topK: their string rendering is not
+    * cross-engine portable.)
+    */
   def profile(df: DataFrame, cols: Seq[String],
-              exact: Boolean = false): DataFrame = {
+              exact: Boolean = false, topK: Int = 0): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     def ndv(c: String) =
       if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+    val aggs = (count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(count(col(c)).as(s"nv_$c"), ndv(c).as(s"nd_$c"),
-        min(col(c)).cast("double").as(s"mn_$c"),
-        max(col(c)).cast("double").as(s"mx_$c"))
-    }
+        min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+    }) ++ (if (topK <= 0) Nil else cols.map { c =>
+      org.apache.spark.sql.graft.FreqSketch.freqItems(col(c)).as(s"tv_$c")
+    })
     val one = df.agg(aggs.head, aggs.tail: _*)
     val entries = cols.map { c =>
-      struct(lit(c).as("col_name"), col("n_rows"),
+      // TRY_CAST: numeric min/max pass through, non-numeric columns profile
+      // with NULL bounds instead of a cast failure (same on the oracle side)
+      val base = Seq(lit(c).as("col_name"), col("n_rows"),
         col(s"nv_$c").as("n_values"), col(s"nd_$c").as("n_distinct"),
-        col(s"mn_$c").as("min_val"), col(s"mx_$c").as("max_val"))
+        expr(s"try_cast(mn_$c AS DOUBLE)").as("min_val"),
+        expr(s"try_cast(mx_$c AS DOUBLE)").as("max_val"))
+      val top =
+        if (topK <= 0) Nil
+        else Seq(concat_ws(",",
+          transform(slice(col(s"tv_$c"), 1, topK),
+            e => concat(e.getField("item"), lit(":"),
+              e.getField("cnt").cast("string")))).as("top_values"))
+      struct(base ++ top: _*)
     }
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
   /** The same profile as ANSI SQL (the differential oracle): one SELECT per
-    * column, UNION ALL'd.
+    * column, UNION ALL'd. The `topK` restatement ranks value strings by
+    * (count DESC, value ASC) — the sketch's deterministic order.
     */
-  def profileSql(table: String, cols: Seq[String]): String =
+  def profileSql(table: String, cols: Seq[String], topK: Int = 0): String =
     cols.map { c =>
+      val top =
+        if (topK <= 0) ""
+        else
+          s""",
+             |  (SELECT string_agg(v || ':' || CAST(cn AS VARCHAR), ',' ORDER BY cn DESC, v)
+             |   FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS cn FROM $table
+             |         WHERE $c IS NOT NULL GROUP BY 1
+             |         ORDER BY cn DESC, v LIMIT $topK)) AS top_values""".stripMargin
       s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_values,
          |  count(DISTINCT $c) AS n_distinct,
-         |  CAST(min($c) AS DOUBLE) AS min_val, CAST(max($c) AS DOUBLE) AS max_val
+         |  TRY_CAST(min($c) AS DOUBLE) AS min_val,
+         |  TRY_CAST(max($c) AS DOUBLE) AS max_val$top
          |FROM $table""".stripMargin
     }.mkString("\nUNION ALL\n")
 }
