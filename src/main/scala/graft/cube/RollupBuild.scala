@@ -1,0 +1,68 @@
+package graft.cube
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Generic rollup materialization for ANY registered cube — the lattice's
+  * user-facing API. Declare a [[RollupMeta]] (dimensions, count/sum/min/max
+  * metrics, HLL/KMV/quantile/heavy-hitter sketch columns) and this
+  *
+  *   1. builds the node from the materialized flat cube with the same
+  *      meta-driven aggregate shapes [[CubeRefresh]] uses for incremental
+  *      rebuilds (so refresh keeps custom nodes current too),
+  *   2. measures the exactness proofs the lossless rewrites require —
+  *      exact NDV and NULL counts of every sketched column, total fact
+  *      rows for the quantile saturation gate,
+  *   3. attaches the node to the catalog and descriptor sidecar,
+  *      coarsest-first (fewest dims), so [[graft.plans.RollupRouting]]
+  *      serves matching aggregates from it automatically.
+  *
+  * [[RollupCube]] (the TPC-H lattice) is one instance of this machinery;
+  * EventsCubeSpec drives the same path over a single-table events cube.
+  * At 100 TB this is the "declare an index" operation: one pass over the
+  * facts per node, everything downstream is metadata.
+  */
+object RollupBuild {
+
+  def materialize(spark: SparkSession, cubeName: String,
+                  ru0: RollupMeta): RegisteredCube = {
+    val cube = CubeCatalog.get(cubeName).getOrElse(throw new IllegalArgumentException(
+      s"no registered cube named $cubeName — materialize/attach the cube first"))
+    // builds and proofs run with rewrites OFF: the measurement must never
+    // route through the sketches it is meant to vouch for
+    graft.Graft.withoutRewrites(spark) {
+      val flat = spark.read.parquet(cube.cubePath)
+      if (!new java.io.File(ru0.path, "_SUCCESS").exists()) {
+        CubeRefresh.buildNode(flat, cube.info, ru0)
+          .repartition(col(ru0.timeBucketColumn))
+          .write.mode("overwrite")
+          .partitionBy(ru0.timeBucketColumn)
+          .parquet(ru0.path)
+      }
+      val ru = withProofs(flat, ru0)
+      val attached = cube.copy(rollups =
+        (cube.rollups.filterNot(_.path == ru.path) :+ ru)
+          .sortBy(_.dims.size))
+      CubeCatalog.register(attached)
+      CubeMeta.save(attached)
+      attached
+    }
+  }
+
+  /** Measure the exactness proofs for a node's sketched columns. */
+  private def withProofs(flat: DataFrame, ru: RollupMeta): RollupMeta = {
+    val cols = (ru.kmvSketches.keys ++ ru.freqSketches.keys ++
+      ru.freqWeighted.flatMap(t => Seq(t._1, t._2))).toSeq.distinct.sorted
+    if (cols.isEmpty && ru.quantileSketches.isEmpty) return ru
+    val row = flat.select(
+      (cols.map(c => countDistinct(col(c)).as(c))
+        ++ cols.map(c => count(when(col(c).isNull, 1)).as("n_" + c))
+        :+ count(lit(1)).as("__total_rows__")): _*).head()
+    val ndv = cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+    val nulls = cols.zipWithIndex.map { case (c, i) =>
+      c -> row.getLong(cols.size + i) }.toMap
+    ru.copy(kmvExactNdv = ru.kmvExactNdv ++ ndv,
+      exactNullCount = ru.exactNullCount ++ nulls,
+      totalRows = Some(row.getLong(2 * cols.size)))
+  }
+}
