@@ -838,6 +838,19 @@ object SparkEntry {
             col("v_value"))
           .orderBy("user_id", "p_ms")
       },
+      // stream-stream attribution join, batch form — the same
+      // EventPipeline.attributionJoin runs watermarked on streams
+      // (StreamingSpec proves the streaming execution emits identical rows)
+      "q_events_attrib" -> { (s, dir) =>
+        import graft.streaming.EventPipeline
+        val ev = Tables.events(s, dir)
+        EventPipeline.attributionJoin(
+            ev.filter(col("event_type") === "purchase" && col("user_id") < 30),
+            ev.filter(col("event_type") === "view"), withinMinutes = 60)
+          .select(col("user_id"), unix_millis(col("p_ts")).as("p_ms"),
+            col("p_value"), unix_millis(col("v_ts")).as("v_ms"), col("v_value"))
+          .orderBy("user_id", "p_ms", "v_ms")
+      },
       // interval containment join via domain binning (§2.3 beyond-reference;
       // overlapping bands prove multi-match fan-out)
       "q_range_join" -> { (s, dir) =>
@@ -1413,6 +1426,16 @@ object SparkEntry {
           |  CAST(epoch_ms(v.ts) AS BIGINT) AS v_ms, v.value AS v_value
           |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
           |ORDER BY p.user_id, p_ms""".stripMargin,
+      "q_events_attrib" ->
+        """WITH p AS (SELECT user_id, ts, value FROM events
+          |          WHERE event_type = 'purchase' AND user_id < 30),
+          |v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+          |SELECT p.user_id, CAST(epoch_ms(p.ts) AS BIGINT) AS p_ms,
+          |  p.value AS p_value,
+          |  CAST(epoch_ms(v.ts) AS BIGINT) AS v_ms, v.value AS v_value
+          |FROM p JOIN v ON p.user_id = v.user_id
+          |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 60 MINUTE
+          |ORDER BY p.user_id, p_ms, v_ms""".stripMargin,
       "q_range_join" ->
         s"""WITH bands(band, lo, hi) AS (VALUES
            |  ('low', -1000.0, 2000.0), ('mid', 1500.0, 6000.0),

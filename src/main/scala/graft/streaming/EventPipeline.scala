@@ -119,6 +119,33 @@ object EventPipeline {
       .withWatermark("ts", watermark)
       .dropDuplicates(keyCols)
 
+  /** Watermarked stream-stream attribution join: every purchase picks up
+    * each view by the same user within the preceding `withinMinutes` — the
+    * streaming form of event attribution (which ad/click view led to this
+    * purchase). The event-time range condition plus the watermarks let
+    * Spark bound the join state: a buffered view can be dropped once the
+    * watermark passes `v_ts + within` (no future purchase can match it), so
+    * state scales with the event rate × window, not with history. On batch
+    * DataFrames `withWatermark` is a no-op and this is a plain range
+    * equi-join — one code path, both modes (oracle: `q_events_attrib`).
+    */
+  def attributionJoin(purchases: DataFrame, views: DataFrame,
+                      withinMinutes: Int = 60): DataFrame = {
+    val p = purchases
+      .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "2 hours")
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("value").as("v_value"))
+      .withWatermark("v_ts", "2 hours")
+    p.join(v,
+        col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("user_id"), col("p_ts"), col("p_value"),
+        col("v_ts"), col("v_value"))
+  }
+
   /** Incremental rollup maintenance from a stream: each micro-batch is
     * pre-aggregated to (time bucket × dims) partial rows with MERGEABLE
     * metrics — counts, DECIMAL sums, KMV distinct sketches, gated quantile

@@ -105,6 +105,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches the batch range join") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    // user 1: two views inside the hour before the purchase, one outside;
+    // user 2: a view AFTER the purchase (must not match)
+    val purchases = Seq(
+      Event(10, ts(120), 1, "purchase", 9.0),
+      Event(11, ts(100), 2, "purchase", 8.0))
+    val views = Seq(
+      Event(1, ts(30), 1, "view", 1.0),  // 90 min before: outside
+      Event(2, ts(70), 1, "view", 2.0),  // 50 min before: match
+      Event(3, ts(115), 1, "view", 3.0), // 5 min before: match
+      Event(4, ts(110), 2, "view", 4.0)) // after user 2's purchase: no
+
+    val ps = MemoryStream[Event]
+    val vs = MemoryStream[Event]
+    val q = EventPipeline.attributionJoin(ps.toDF(), vs.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      ps.addData(purchases: _*)
+      vs.addData(views: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+          r.getTimestamp(3), r.getDouble(4))
+      val got = spark.sql("SELECT * FROM attrib").collect().map(key).toSet
+      val want = EventPipeline.attributionJoin(
+        purchases.toDF(), views.toDF()).collect().map(key).toSet
+      assert(got == want)
+      assert(want == Set(
+        (1L, ts(120), 9.0, ts(70), 2.0),
+        (1L, ts(120), 9.0, ts(115), 3.0)))
+    } finally q.stop()
+  }
+
   test("incremental rollup ingest merges to the same totals as batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
