@@ -49,6 +49,33 @@ object RollupBuild {
     }
   }
 
+  /** Auto-indexing: turn a workload-driven [[RollupAdvisor.Recommendation]]
+    * into a materialized, attached lattice node. Metrics default to every
+    * Metric-role column of the cube (count + sum/min/max) so any mergeable
+    * aggregate the workload used is covered; recommended sketch columns
+    * become KMV sketches whose exactness proofs are measured at build. The
+    * full loop — `RollupAdvisor.recommend(workload).map(fromRecommendation)`
+    * — is the operator's "index my workload" command: after it, the
+    * analyzed queries stop touching the fact table entirely.
+    */
+  def fromRecommendation(spark: SparkSession, cubeName: String,
+                         rec: RollupAdvisor.Recommendation,
+                         path: String): RegisteredCube = {
+    val cube = CubeCatalog.get(cubeName).getOrElse(throw new IllegalArgumentException(
+      s"no registered cube named $cubeName — materialize/attach the cube first"))
+    val metrics = cube.info.columns
+      .filter(_.role == ColumnRole.Metric).map(_.name)
+    materialize(spark, cubeName, RollupMeta(
+      path = path,
+      dims = rec.dims,
+      timeBucketColumn = cube.info.timeBucketColumn,
+      countColumn = "cnt",
+      sums = metrics.map(m => m -> s"sum_$m").toMap,
+      mins = metrics.map(m => m -> s"min_$m").toMap,
+      maxs = metrics.map(m => m -> s"max_$m").toMap,
+      kmvSketches = rec.sketchCols.map(c => c -> s"${c}_kmv").toMap))
+  }
+
   /** Measure the exactness proofs for a node's sketched columns. */
   private def withProofs(flat: DataFrame, ru: RollupMeta): RollupMeta = {
     val cols = (ru.kmvSketches.keys ++ ru.freqSketches.keys ++

@@ -95,4 +95,53 @@ class RollupBuildSpec extends AnyFunSuite {
       assert(again.rollups.count(_.path == node.path) == 1)
     } finally CubeCatalog.unregister("events_cube_rb")
   }
+
+  test("advisor recommendation materializes and serves its own workload") {
+    val src = s"$base/src"
+    if (!new java.io.File(src, "_SUCCESS").exists())
+      Tables.events(spark, sf).drop("props")
+        .write.mode("overwrite").parquet(src)
+    val cube = CubeSource.materialize(spark, cubeInfo, Map("events" -> src),
+      s"$base/cube")
+    try {
+      spark.read.parquet(s"$base/cube").createOrReplaceTempView("ev_rb")
+      val workload = Seq(
+        "SELECT event_type, count(*) AS cnt FROM ev_rb GROUP BY 1",
+        "SELECT event_type, count(DISTINCT user_id) AS users FROM ev_rb GROUP BY 1")
+      val recs = RollupAdvisor.recommend(spark, cube, workload)
+      assert(recs.nonEmpty)
+      val rec = recs.head
+      assert(rec.queriesServed == 2)
+      assert(rec.sketchCols == Seq("user_id"))
+
+      val attached = RollupBuild.fromRecommendation(
+        spark, "events_cube_rb", rec, s"$base/ru_auto")
+      val ru = attached.rollups.find(_.path == s"$base/ru_auto").get
+      assert(ru.kmvExactNdv.contains("user_id"))
+
+      // the workload's distinct-count query now routes to the built node
+      val q = spark.read.parquet(s"$base/cube")
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("users"))
+      val classic = q.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      val scansNode = classic.queryExecution.optimizedPlan.exists {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains("ru_auto"))
+            case _ => false
+          }
+        case _ => false
+      }
+      assert(scansNode, "advised node should serve the advising workload")
+      val routed = q.collect().map(_.toString).sorted.toSeq
+      val vanilla = Graft.withoutRewrites(spark) {
+        spark.read.parquet(s"$base/cube")
+          .groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("users"))
+          .collect().map(_.toString).sorted.toSeq
+      }
+      assert(routed == vanilla && routed.nonEmpty)
+    } finally CubeCatalog.unregister("events_cube_rb")
+  }
 }
