@@ -60,20 +60,30 @@ object RollupBuild {
     */
   def fromRecommendation(spark: SparkSession, cubeName: String,
                          rec: RollupAdvisor.Recommendation,
-                         path: String): RegisteredCube = {
+                         path: String): RegisteredCube =
+    materialize(spark, cubeName,
+      defaultMeta(cubeName, rec.dims, rec.sketchCols, path))
+
+  /** The default node shape for a dimension set: count + sum/min/max of
+    * every Metric-role column (covering all mergeable aggregates) and a KMV
+    * sketch per requested distinct-count column. Shared by
+    * [[fromRecommendation]] and the `MATERIALIZE GRAFT ROLLUP` SQL command.
+    */
+  def defaultMeta(cubeName: String, dims: Seq[String],
+                  sketchCols: Seq[String], path: String): RollupMeta = {
     val cube = CubeCatalog.get(cubeName).getOrElse(throw new IllegalArgumentException(
       s"no registered cube named $cubeName — materialize/attach the cube first"))
     val metrics = cube.info.columns
       .filter(_.role == ColumnRole.Metric).map(_.name)
-    materialize(spark, cubeName, RollupMeta(
+    RollupMeta(
       path = path,
-      dims = rec.dims,
+      dims = dims,
       timeBucketColumn = cube.info.timeBucketColumn,
       countColumn = "cnt",
       sums = metrics.map(m => m -> s"sum_$m").toMap,
       mins = metrics.map(m => m -> s"min_$m").toMap,
       maxs = metrics.map(m => m -> s"max_$m").toMap,
-      kmvSketches = rec.sketchCols.map(c => c -> s"${c}_kmv").toMap))
+      kmvSketches = sketchCols.map(c => c -> s"${c}_kmv").toMap)
   }
 
   /** Measure the exactness proofs for a node's sketched columns. */

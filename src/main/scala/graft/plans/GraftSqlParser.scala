@@ -36,6 +36,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     "(?is)\\s*CLEAR\\s+GRAFT\\s+CACHE\\s*;?\\s*".r
   private val RegisterRe =
     "(?is)\\s*REGISTER\\s+GRAFT\\s+CUBE\\s+FROM\\s+'([^']+)'\\s*;?\\s*".r
+  private val MaterializeRe =
+    ("(?is)\\s*MATERIALIZE\\s+GRAFT\\s+ROLLUP\\s+ON\\s+([\\w.]+)\\s+" +
+      "DIMENSIONS\\s*\\(([^)]*)\\)\\s*(?:SKETCH\\s*\\(([^)]*)\\)\\s*)?" +
+      "AT\\s+'([^']+)'\\s*;?\\s*").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case ExplainRe(inner) => ExplainGraftRewriteCommand(inner.trim.stripSuffix(";"))
@@ -43,6 +47,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DescRe(name)     => DescribeGraftCubeCommand(name)
     case ClearRe()        => ClearGraftCacheCommand()
     case RegisterRe(path) => RegisterGraftCubeCommand(path)
+    case MaterializeRe(cube, dims, sketches, path) =>
+      def split(s: String): Seq[String] =
+        Option(s).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      MaterializeGraftRollupCommand(cube, split(dims), split(sketches), path)
     case _                => delegate.parsePlan(sqlText)
   }
 
@@ -109,6 +117,29 @@ case class RegisterGraftCubeCommand(path: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val cube = graft.cube.CubeMeta.attach(spark, path)
     Seq(Row(cube.info.name, cube.rollups.size.toString))
+  }
+}
+
+/** `MATERIALIZE GRAFT ROLLUP ON <cube> DIMENSIONS (d, ...) [SKETCH (c, ...)]
+  * AT '<path>'` — declare-an-index as a SQL statement: builds the lattice
+  * node (count + sum/min/max of every metric, KMV sketches with measured
+  * exactness proofs for the SKETCH columns) and attaches it so matching
+  * aggregates route to it. The SQL twin of [[graft.cube.RollupBuild]];
+  * the reference's equivalent surface is its datasource DDL options
+  * (`DefaultSource.scala:197-308`).
+  */
+case class MaterializeGraftRollupCommand(cube: String, dims: Seq[String],
+    sketchCols: Seq[String], path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cube", StringType, nullable = false)(),
+    AttributeReference("rollup", StringType, nullable = false)(),
+    AttributeReference("stored_rows", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.cube.{CubeCatalog, RollupBuild}
+    val attached = RollupBuild.materialize(spark, cube,
+      RollupBuild.defaultMeta(cube, dims, sketchCols, path))
+    val rows = spark.read.parquet(path).count()
+    Seq(Row(attached.info.name, s"${dims.mkString("+")}@$path", rows.toString))
   }
 }
 

@@ -70,6 +70,36 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(graft.cube.CubeCatalog.all.nonEmpty)
   }
 
+  test("MATERIALIZE GRAFT ROLLUP builds, proves and attaches the node") {
+    init()
+    val cubeName = graft.cube.CubeCatalog.all
+      .find(_.info.name.startsWith("tpch_flat")).get.info.name
+    val path = "/root/repo/target/cubes/parser_rollup"
+    val cmd = parser.parsePlan(
+      s"""MATERIALIZE GRAFT ROLLUP ON $cubeName
+         |DIMENSIONS (l_returnflag, l_linestatus)
+         |SKETCH (c_custkey)
+         |AT '$path'""".stripMargin)
+      .asInstanceOf[graft.plans.MaterializeGraftRollupCommand]
+    assert(cmd.dims == Seq("l_returnflag", "l_linestatus"))
+    assert(cmd.sketchCols == Seq("c_custkey"))
+    try {
+      val rows = cmd.run(spark)
+      assert(rows.head.getString(0) == cubeName)
+      val cube = graft.cube.CubeCatalog.get(cubeName).get
+      val ru = cube.rollups.find(_.path == path).get
+      assert(ru.dims == Seq("l_returnflag", "l_linestatus"))
+      assert(ru.kmvExactNdv.contains("c_custkey"))
+      assert(ru.totalRows.exists(_ > 0L))
+    } finally {
+      // detach the extra node so other specs' lattice-shape asserts hold
+      val cube = graft.cube.CubeCatalog.get(cubeName).get
+      graft.cube.CubeCatalog.register(cube.copy(
+        rollups = cube.rollups.filterNot(_.path == path)))
+      graft.cube.CubeMeta.save(graft.cube.CubeCatalog.get(cubeName).get)
+    }
+  }
+
   test("anything else delegates to the Spark parser") {
     val plan = parser.parsePlan("SELECT 1 AS one")
     assert(!plan.isInstanceOf[ExplainGraftRewriteCommand])
