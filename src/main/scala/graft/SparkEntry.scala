@@ -684,6 +684,25 @@ object SparkEntry {
          |SELECT node AS doc_id, min(lbl) AS cluster_rep
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin
 
+    private val corpusDedupOracle: String =
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct($shingleSql) s FROM toks),
+         |pairs AS (SELECT a.doc_id AS idA, b.doc_id AS idB
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8),
+         |edges AS (SELECT idA AS a, idB AS b FROM pairs
+         |          UNION SELECT idB AS a, idA AS b FROM pairs),
+         |cc AS (
+         |  SELECT DISTINCT a AS node, a AS lbl FROM edges
+         |  UNION
+         |  SELECT e.a AS node, c.lbl AS lbl FROM edges e JOIN cc c ON e.b = c.node),
+         |dropped AS (SELECT node FROM (SELECT node, min(lbl) AS rep FROM cc GROUP BY node)
+         |            WHERE node <> rep)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM dropped)
+         |ORDER BY doc_id""".stripMargin
+
     /** Sequential-fold double dot product of two DuckDB float lists —
       * DuckDB's `list_sum` folds in index order, matching
       * [[graft.operators.Vectors.dot]] bit for bit.
@@ -777,6 +796,22 @@ object SparkEntry {
           "doc_id", "text", threshold = 0.8)
         Dedup.connectedComponents(pairs, "idA", "idB")
           .select(col("node").as("doc_id"), col("component").as("cluster_rep"))
+          .orderBy("doc_id")
+      },
+      // the end of the dedup pipeline: the KEPT corpus — every document
+      // except non-representative members of a duplicate cluster (min-id
+      // representative survives). This is the row-level decision a 100 TB
+      // curation run ships: clusters stay small (dup groups), the anti-join
+      // against them broadcasts.
+      "q_corpus_dedup" -> { (s, dir) =>
+        val docs = Tables.t(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardDupPairs(docs, "doc_id", "text",
+          threshold = 0.8)
+        val drop = Dedup.connectedComponents(pairs, "idA", "idB")
+          .filter(col("node") =!= col("component"))
+          .select(col("node").as("doc_id"))
+        docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"))
           .orderBy("doc_id")
       },
       "q_sim_topk" -> { (s, dir) =>
@@ -1375,6 +1410,7 @@ object SparkEntry {
       "q_dedup_ngram" -> ngramPairsOracle,
       "q_dedup_minhash" -> ngramPairsOracle,
       "q_dedup_clusters" -> dedupClustersOracle,
+      "q_corpus_dedup" -> corpusDedupOracle,
       "q_sim_topk" -> simTopkOracle,
       "q_events_window" ->
         s"""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,
