@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed co-location for the joins the cube layer does NOT eliminate.
+  *
+  * Star joins collapse into the flat cube (no join at all); everything else
+  * — fact-to-fact joins, dedup-pair verification, enrichment against a
+  * same-scale table — shuffles both sides on the join key every query. At
+  * 100 TB that shuffle IS the query cost. The fix is Spark's bucketing:
+  * write both tables hash-partitioned (and sorted) on the join key into the
+  * same number of buckets, and every subsequent equi-join on that key plans
+  * as a zero-Exchange SortMergeJoin — the shuffle is paid once at layout
+  * time, amortized over the workload, exactly like the cube's
+  * time-bucketed layout amortizes interval pruning.
+  *
+  * (The reference never faces this: its only join strategy is to prove the
+  * join away against the star schema — SURVEY.md §2.3. Bucketing is the
+  * Spark-native answer for the joins that remain.)
+  */
+object Bucketing {
+
+  /** Persist `df` as a bucketed+sorted managed table. Idempotent per table
+    * name — skips the write when the table already exists.
+    */
+  def ensureBucketed(spark: SparkSession, df: DataFrame, table: String,
+                     key: String, buckets: Int): DataFrame = {
+    if (!spark.catalog.tableExists(table)) {
+      df.write
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    }
+    spark.table(table)
+  }
+
+  /** Join two same-bucket-count tables on their bucket keys. With both
+    * sides laid out by [[ensureBucketed]] this plans with no
+    * ShuffleExchange under either join leg (see BucketingSpec's plan
+    * assert); broadcast is disabled for the join so the co-located
+    * sort-merge path is actually taken and verifiable.
+    */
+  def cobucketedJoin(left: DataFrame, leftKey: String,
+                     right: DataFrame, rightKey: String): DataFrame =
+    left.hint("merge").join(right, left(leftKey) === right(rightKey))
+}
