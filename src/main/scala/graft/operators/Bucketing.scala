@@ -21,15 +21,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Persist `df` as a bucketed+sorted managed table. Idempotent per table
-    * name — skips the write when the table already exists.
+    * name within a catalog; a stale warehouse directory left by an earlier
+    * session (the in-memory catalog forgets it, the filesystem doesn't) is
+    * reclaimed by the overwrite.
     */
   def ensureBucketed(spark: SparkSession, df: DataFrame, table: String,
                      key: String, buckets: Int): DataFrame = {
     if (!spark.catalog.tableExists(table)) {
+      val stale = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+        table.toLowerCase)
+      if (stale.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(stale)
       df.write
         .bucketBy(buckets, key)
         .sortBy(key)
         .format("parquet")
+        .mode("overwrite")
         .saveAsTable(table)
     }
     spark.table(table)
