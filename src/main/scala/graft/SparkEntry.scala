@@ -303,7 +303,19 @@ object SparkEntry {
       "q10_returned_items"    -> q10_returned_items,
       "q_select_push"         -> q_select_push,
       "q_semi_anti"           -> q_semi_anti,
-      "q_ship_date_range"     -> ship_date_range)
+      "q_ship_date_range"     -> ship_date_range,
+      // Druid search query over CUBE dimensions (§4.2): a no-aggregate
+      // DISTINCT with a dimension predicate plans as Aggregate(dims) and
+      // rides the full route — star collapse, then the rollup lattice —
+      // so it scans |rollup| pre-aggregated rows, never the fact table
+      // (PlanShapeSpec locks the node scan)
+      "q_search_dims" ->
+        """SELECT DISTINCT c_mktsegment, l_returnflag
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment LIKE '%U%'
+          |ORDER BY c_mktsegment, l_returnflag""".stripMargin)
   }
 
   /** Portable SQL exercising the scalar/operator surface of SURVEY.md §2.2,

@@ -102,6 +102,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("DISTINCT dims with a dim predicate serves from the rollup lattice") {
+    withAqeOff {
+      for (t <- Tables.starTables)
+        Tables.t(spark, sf, t).createOrReplaceTempView(t)
+      graft.cube.RollupCube.ensure(spark, sf)
+      val all = scans("q_search_dims")
+      val rollupScans = all.filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("_rollup")))
+      assert(rollupScans.nonEmpty,
+        "expected the Druid-search-shape DISTINCT to read a rollup node")
+      val factScans = all.filter(_.relation.location.rootPaths.exists(p =>
+        !p.toString.contains("_rollup")))
+      assert(factScans.isEmpty, "DISTINCT must not touch fact-grain data")
+    }
+  }
+
   // an earlier suite may have `.cache()`d the embeddings table (suites share
   // the session); cache substitution replaces the parquet scan with an
   // InMemoryTableScan and these locks are about the *parquet* plan
