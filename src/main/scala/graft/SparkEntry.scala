@@ -1253,6 +1253,20 @@ object SparkEntry {
             Seq("l_returnflag", "l_suppkey", "l_linenumber"),
             exact = true, topK = 3)
           .orderBy("col_name")
+      },
+      // context-window chunking: generator + array slice, zero shuffle
+      "q_doc_chunks" -> { (s, dir) =>
+        Corpus.chunk(Tables.t(s, dir, "documents")
+            .filter(col("doc_id") < 100), "doc_id", "text",
+            chunkTokens = 64, overlap = 16)
+          .orderBy("doc_id", "chunk_id")
+      },
+      // striped sequence packing: distributed two-phase prefix sum
+      "q_seq_pack" -> { (s, dir) =>
+        Corpus.packSequences(Tables.t(s, dir, "documents"),
+            "doc_id", "text", capacity = 2048)
+          .select("doc_id", "n_tokens", "bin_id")
+          .orderBy("doc_id")
       })
 
     /** Shared tokenize→per-doc-term-frequency CTE prefix (DuckDB side of
@@ -1264,6 +1278,25 @@ object SparkEntry {
         |tfd AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)""".stripMargin
 
     val oracles: Map[String, String] = Map(
+      "q_doc_chunks" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          |  FROM documents WHERE doc_id < 100),
+          |s AS (SELECT doc_id, toks, len(toks) AS n,
+          |    unnest(generate_series(0,
+          |      CAST(greatest(1, ceil((len(toks) - 16) / 48.0)) AS BIGINT) - 1)) AS i
+          |  FROM t)
+          |SELECT doc_id, i AS chunk_id,
+          |  array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text,
+          |  CAST(least(n - i*48, 64) AS BIGINT) AS n_tokens
+          |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+      "q_seq_pack" ->
+        """WITH t AS (SELECT doc_id,
+          |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+          |  FROM documents)
+          |SELECT doc_id, n_tokens,
+          |  CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin_id
+          |FROM t ORDER BY doc_id""".stripMargin,
       "q_sample_uniform" ->
         s"""SELECT l_returnflag, count(*) AS cnt, ${dec("l_quantity")} AS sum_qty
            |FROM lineitem

@@ -66,4 +66,80 @@ object Corpus {
         (col("tf").cast("double") * col("n_docs").cast("double")) /
           col("df").cast("double"))
   }
+
+  /** Split each document into token-window chunks of `chunkTokens` words
+    * advancing by `chunkTokens - overlap` — the context-window preparation
+    * step of a training pipeline. Pure generator + array ops (explode of a
+    * computed start sequence, `slice` + `array_join` on the token array):
+    * stays inside whole-stage codegen, shuffles nothing, and parallelism is
+    * per-document — the shape that holds at billions of documents. A final
+    * short chunk is kept iff it adds tokens beyond the previous window
+    * (every token appears in ≥1 chunk; no chunk is a pure suffix repeat).
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap / $chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = terms(col(textCol))
+    // starts: 0, stride, 2*stride, ... while start + overlap < n_tokens
+    // (a start at or past n - overlap would only repeat the previous tail)
+    val nStarts = greatest(lit(1),
+      ceil((size(toks).cast("long") - lit(overlap)) / lit(stride.toDouble))
+        .cast("int"))
+    docs
+      .withColumn("g_toks", toks)
+      .withColumn("g_start",
+        explode(transform(sequence(lit(0), nStarts - 1),
+          i => i * stride)))
+      .select(col(idCol),
+        (col("g_start") / stride).cast("long").as("chunk_id"),
+        array_join(slice(col("g_toks"), col("g_start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(size(col("g_toks")) - col("g_start"), lit(chunkTokens))
+          .cast("long").as("n_tokens"))
+  }
+
+  /** Assign documents to fixed-capacity bins by running token count —
+    * striped sequence packing: in `orderCol` order, a document's bin is
+    * `floor(exclusive-prefix-token-sum / capacity)`. Bins fill to capacity
+    * on average; a boundary document may straddle (a greedy
+    * reset-on-overflow packer is inherently sequential — this is its
+    * distributed analog, and the assignment depends only on the order
+    * column, never on physical partitioning).
+    *
+    * The global prefix sum is the two-phase pattern (what Spark's own
+    * zipWithIndex does): range-partition by the order column, per-partition
+    * running sums from a *partitioned* window (no single-partition global
+    * window — that serializes 10⁹ rows through one task), then add each
+    * partition's starting offset, computed from the per-partition totals
+    * (#partitions rows — a driver-side scan of a tiny aggregate, broadcast
+    * back).
+    */
+  def packSequences(docs: DataFrame, orderCol: String, textCol: String,
+                    capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val ranged = docs
+      .withColumn("n_tokens", size(terms(col(textCol))).cast("long"))
+      .repartitionByRange(col(orderCol))
+      .withColumn("g_pid", spark_partition_id())
+    val w = Window.partitionBy("g_pid").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("g_local",
+      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    // per-partition totals: #partitions rows; exclusive scan on the driver
+    val totals = local.groupBy("g_pid").agg(sum("n_tokens").as("g_total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _))
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val offDf = offsets.toSeq.toDF("g_pid", "g_offset")
+    local.join(broadcast(offDf), Seq("g_pid"))
+      .withColumn("bin_id",
+        floor((col("g_local") + col("g_offset")) / capacity))
+      .drop("g_pid", "g_local", "g_offset")
+  }
 }

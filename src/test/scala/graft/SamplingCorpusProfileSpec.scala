@@ -98,6 +98,54 @@ class SamplingCorpusProfileSpec extends AnyFunSuite {
     assert(rows("rare") > rows("common"))
   }
 
+  test("chunk windows cover every token; boundaries and short docs behave") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val tiny = spark.createDataFrame(Seq(
+      (1L, words(3)),   // shorter than a chunk: one chunk, whole text
+      (2L, words(8)),   // exactly chunkTokens: one chunk
+      (3L, words(9)),   // one past: second chunk must add w9
+      (4L, words(20)))) // several strides
+      .toDF("id", "text")
+    val out = Corpus.chunk(tiny, "id", "text", chunkTokens = 8, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).map(_._3).toSeq == Seq(words(3)))
+    assert(byDoc(2L).map(_._3).toSeq == Seq(words(8)))
+    // stride 6: doc 3 chunks start at tokens 1 and 7
+    assert(byDoc(3L).sortBy(_._2).map(_._3).toSeq ==
+      Seq(words(8), "w7 w8 w9"))
+    // every token of doc 4 appears in some chunk; consecutive chunks
+    // overlap by exactly 2 tokens
+    val c4 = byDoc(4L).sortBy(_._2).map(_._3.split(" ").toSeq)
+    assert(c4.flatten.toSet == (1 to 20).map(i => s"w$i").toSet)
+    for (w <- c4.sliding(2) if w.length == 2)
+      assert(w(0).takeRight(2) == w(1).take(2))
+    // n_tokens column matches the actual chunk sizes
+    assert(out.forall { case (_, _, text, n) => text.split(" ").length == n })
+  }
+
+  test("packSequences is partitioning-independent and fills bins to capacity") {
+    val docs = Tables.t(spark, sf, "documents")
+    def pack(df: org.apache.spark.sql.DataFrame) =
+      Corpus.packSequences(df, "doc_id", "text", capacity = 1000)
+        .select("doc_id", "n_tokens", "bin_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val a = pack(docs)
+    val b = pack(docs.repartition(7))
+    assert(a.sameElements(b), "bin assignment must not depend on layout")
+    // exclusive-prefix striping with every doc shorter than the capacity:
+    // bin ids are contiguous and every non-final bin holds at least
+    // capacity - (max doc length) tokens (the previous bin's straddler
+    // can eat at most maxDoc-1 tokens of this bin's range)
+    val maxDoc = a.map(_._2).max
+    assert(maxDoc < 1000, "test assumes docs shorter than the capacity")
+    val bins = a.groupBy(_._3).toSeq.sortBy(_._1)
+    assert(bins.map(_._1) == (0L until bins.size.toLong).toSeq)
+    for ((bin, rows) <- bins.dropRight(1))
+      assert(rows.map(_._2).sum >= 1000 - maxDoc, s"bin $bin under-filled")
+  }
+
   test("profile reports exact per-column stats in one pass") {
     val tiny = spark.createDataFrame(Seq(
       (1, Some(2.0)), (2, None), (3, Some(4.5)), (3, Some(4.5))))
