@@ -376,6 +376,22 @@ case class RollupRouting(spark: SparkSession)
       // multiset, so the served percentile is exact (the sketch's NULL
       // refusal can never fire). Beyond the proof the route declines and
       // the percentile runs on the fact rows.
+      // `approx_count_distinct(dim)` from the stored HLL sketch union — the
+      // reference's ApproximateCountAggregate push (`pushHLLTODruid`,
+      // `AggregateTransform.scala:454-479`: HLL++ swapped for the index's
+      // hyperUnique column). Approximate-for-approximate, so unlike the
+      // exact KMV serve no measured proof is needed — but the estimator
+      // changes (HLL++ → DataSketches HLL), so it IS flag-gated like the
+      // reference's, and the flag documents the drift.
+      case HyperLogLogPlusPlus(child: Attribute, _, _, _)
+          if spark.conf.get("spark.graft.approxDistinctFromSketch.enabled", "true").toBoolean =>
+        ru.hllSketches.get(nameOf(child))
+          .flatMap(c => rAttr.get(c.toLowerCase))
+          .map { sk =>
+            val union = new org.apache.spark.sql.catalyst.expressions.aggregate
+              .HllUnionAgg(sk).toAggregateExpression()
+            org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(union)
+          }
       case per: Percentile
           if !per.reverse && per.dataType == DoubleType &&
             ru.totalRows.exists(_ <= ru.quantileK) &&

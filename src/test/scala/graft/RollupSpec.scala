@@ -260,6 +260,51 @@ class RollupSpec extends AnyFunSuite {
     assert(!scansRollup(noSketch), "unsketchable distinct must stay on the cube")
   }
 
+  test("approx_count_distinct serves from the stored HLL sketches behind its flag") {
+    for (t <- Tables.starTables)
+      Tables.t(spark, sf, t).createOrReplaceTempView(t)
+    graft.cube.RollupCube.ensure(spark, sf)
+    val sql =
+      """SELECT c_mktsegment, approx_count_distinct(o_custkey) AS n_approx
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin
+    def scansRollup(df: org.apache.spark.sql.DataFrame) =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.optimizedPlan.exists {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(_.toString.contains("_rollup"))
+              case _ => false
+            }
+          case _ => false
+        }
+    val routed = spark.sql(sql)
+    assert(scansRollup(routed),
+      "approx distinct should be served from the stored HLL sketches")
+    // approximate-for-approximate: validate against the EXACT count, the
+    // only cross-estimator invariant (HLL++ vs DataSketches HLL drift is
+    // expected — BenchMarkDetails.org:893-908 shows the same in Druid)
+    val exact = spark.sql(
+      """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = routed.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet && got.nonEmpty)
+    for ((seg, n) <- exact)
+      assert(math.abs(got(seg) - n) <= math.max(2L, (n * 0.05).toLong),
+        s"estimate ${got(seg)} too far from exact $n for $seg")
+    // flag off -> the route must not fire
+    spark.conf.set("spark.graft.approxDistinctFromSketch.enabled", "false")
+    try assert(!scansRollup(spark.sql(sql)), "flag must gate the HLL serve")
+    finally spark.conf.unset("spark.graft.approxDistinctFromSketch.enabled")
+  }
+
   test("time-granularity aggregates serve from the rollup bucket column") {
     import graft.cube.{CubeCatalog, TpchCube}
     for (t <- Tables.starTables)
