@@ -1,0 +1,136 @@
+package graft.cube
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Direct execution of a serialized query descriptor against a registered
+  * cube — the reference's `ON DRUIDDATASOURCE ds EXECUTE QUERY <json>`
+  * entry point (`SparklineDataParser.scala:113-119`,
+  * `util/PlanUtil.scala:49-67`), which deserializes a raw `QuerySpec` and
+  * wraps it in a scan, bypassing the SQL rewrite.
+  *
+  * The descriptor mirrors the Druid groupBy-query essentials
+  * (`DruidQuerySpec.scala`): dimensions, aggregations (count / sum / min /
+  * max over metrics), selector/bound/logical filters, ISO `start/end`
+  * intervals over the cube's time column. Execution is a declarative
+  * DataFrame over the cube relation, so — unlike the reference's bypass —
+  * the plan still benefits from time-bucket pruning and rollup-lattice
+  * routing: a "raw" query spec whose dims sit in the lattice never touches
+  * the fact table.
+  *
+  * Example:
+  * {{{
+  * {"queryType": "groupBy",
+  *  "dimensions": ["c_mktsegment"],
+  *  "aggregations": [
+  *    {"type": "count", "name": "cnt"},
+  *    {"type": "doubleSum", "fieldName": "l_quantity", "name": "sum_qty"}],
+  *  "filter": {"type": "selector", "dimension": "l_returnflag", "value": "R"},
+  *  "intervals": ["1996-01-01/1997-01-01"]}
+  * }}}
+  */
+object DirectQuery {
+
+  def execute(spark: SparkSession, cubeName: String, json: String): DataFrame = {
+    val cube = CubeCatalog.get(cubeName).getOrElse(throw new IllegalArgumentException(
+      s"no registered cube named $cubeName"))
+    val j = JsonMethods.parse(json)
+    def str(v: JValue): String = v match {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(s"expected string, got $other")
+    }
+    (j \ "queryType") match {
+      case JString("groupBy") | JNothing => ()
+      case other => throw new IllegalArgumentException(
+        s"unsupported queryType $other — only groupBy (timeseries = groupBy with no dimensions)")
+    }
+
+    // the cube relation by path: CubeCatalog matches scans of this path, so
+    // the rewrite rules (bucket pruning, lattice routing) apply as usual
+    var df = spark.read.parquet(cube.cubePath)
+
+    // intervals: ["start/end", ...] — half-open, ORed, on the time column
+    (j \ "intervals") match {
+      case JArray(ivs) if ivs.nonEmpty =>
+        val t = col(cube.info.timeColumn)
+        val conds = ivs.map(str).map { iv =>
+          val parts = iv.split("/", 2)
+          require(parts.length == 2, s"interval must be start/end: $iv")
+          t >= lit(parts(0)).cast("timestamp") && t < lit(parts(1)).cast("timestamp")
+        }
+        df = df.filter(conds.reduce(_ || _))
+      case JNothing => ()
+      case other => throw new IllegalArgumentException(s"bad intervals: $other")
+    }
+
+    // filter tree: selector (=), bound (lower/upper, strict flags), in,
+    // not, and/or — the reference's FilterSpec surface minus the JS escape
+    def filterOf(f: JValue): Column = (f \ "type") match {
+      case JString("selector") =>
+        col(str(f \ "dimension")) === lit(str(f \ "value"))
+      case JString("in") =>
+        val vals = (f \ "values") match {
+          case JArray(vs) => vs.map(str)
+          case other => throw new IllegalArgumentException(s"bad in values: $other")
+        }
+        col(str(f \ "dimension")).isin(vals: _*)
+      case JString("bound") =>
+        val c = col(str(f \ "dimension"))
+        val lower = (f \ "lower").toOption.map(str)
+        val upper = (f \ "upper").toOption.map(str)
+        val lowerStrict = (f \ "lowerStrict") == JBool(true)
+        val upperStrict = (f \ "upperStrict") == JBool(true)
+        val conds =
+          lower.map(v => if (lowerStrict) c > v else c >= v).toSeq ++
+          upper.map(v => if (upperStrict) c < v else c <= v).toSeq
+        require(conds.nonEmpty, "bound filter needs lower and/or upper")
+        conds.reduce(_ && _)
+      case JString("not") => !filterOf(f \ "field")
+      case JString("and") | JString("or") =>
+        val fields = (f \ "fields") match {
+          case JArray(fs) => fs.map(filterOf)
+          case other => throw new IllegalArgumentException(s"bad fields: $other")
+        }
+        if ((f \ "type") == JString("and")) fields.reduce(_ && _)
+        else fields.reduce(_ || _)
+      case other => throw new IllegalArgumentException(s"unsupported filter type $other")
+    }
+    (j \ "filter") match {
+      case JNothing => ()
+      case f        => df = df.filter(filterOf(f))
+    }
+
+    val dims: Seq[String] = (j \ "dimensions") match {
+      case JArray(ds) => ds.map(str)
+      case JNothing   => Nil
+      case other => throw new IllegalArgumentException(s"bad dimensions: $other")
+    }
+
+    // aggregations — the mergeable set (SURVEY.md §2.4). Sums go through
+    // the exact DECIMAL(28,6) shape so results are reproducible and the
+    // lattice's stored sums can serve them.
+    def aggOf(a: JValue): Column = {
+      val name = str(a \ "name")
+      def field = col(str(a \ "fieldName"))
+      (str(a \ "type") match {
+        case "count"                  => count(lit(1))
+        case "longSum"                => sum(field.cast("long"))
+        case "doubleSum"              => graft.Tables.dsum(field)
+        case "longMin" | "doubleMin"  => min(field)
+        case "longMax" | "doubleMax"  => max(field)
+        case t => throw new IllegalArgumentException(s"unsupported aggregation type $t")
+      }).as(name)
+    }
+    val aggs: Seq[Column] = (j \ "aggregations") match {
+      case JArray(as) => as.map(aggOf)
+      case JNothing   => Nil
+      case other => throw new IllegalArgumentException(s"bad aggregations: $other")
+    }
+    require(aggs.nonEmpty, "query spec needs at least one aggregation")
+
+    if (dims.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -40,6 +40,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("(?is)\\s*MATERIALIZE\\s+GRAFT\\s+ROLLUP\\s+ON\\s+([\\w.]+)\\s+" +
       "DIMENSIONS\\s*\\(([^)]*)\\)\\s*(?:SKETCH\\s*\\(([^)]*)\\)\\s*)?" +
       "AT\\s+'([^']+)'\\s*;?\\s*").r
+  private val ExecuteRe =
+    "(?is)\\s*ON\\s+GRAFT\\s+CUBE\\s+([\\w.]+)\\s+EXECUTE\\s+QUERY\\s+'([^']+)'\\s*;?\\s*".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case ExplainRe(inner) => ExplainGraftRewriteCommand(inner.trim.stripSuffix(";"))
@@ -51,6 +53,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       def split(s: String): Seq[String] =
         Option(s).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       MaterializeGraftRollupCommand(cube, split(dims), split(sketches), path)
+    // raw query-spec execution (reference `ON DRUIDDATASOURCE ds EXECUTE
+    // QUERY <json>`, `SparklineDataParser.scala:113-119`): the descriptor
+    // builds a DataFrame plan directly — dynamic schema, and still subject
+    // to the lattice/pruning rewrites
+    case ExecuteRe(cube, json) =>
+      graft.cube.DirectQuery.execute(
+        org.apache.spark.sql.SparkSession.active, cube, json)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.logical
     case _                => delegate.parsePlan(sqlText)
   }
 

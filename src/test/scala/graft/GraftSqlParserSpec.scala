@@ -100,6 +100,40 @@ class GraftSqlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("ON GRAFT CUBE EXECUTE QUERY runs a raw descriptor, equal to the SQL form") {
+    init()
+    val cubeName = graft.cube.CubeCatalog.all
+      .find(_.info.name.startsWith("tpch_flat")).get.info.name
+    val json =
+      """{"queryType": "groupBy",
+        | "dimensions": ["c_mktsegment"],
+        | "aggregations": [
+        |   {"type": "count", "name": "cnt"},
+        |   {"type": "doubleSum", "fieldName": "l_quantity", "name": "sum_qty"}],
+        | "filter": {"type": "selector", "dimension": "l_returnflag", "value": "R"},
+        | "intervals": ["1995-01-01/1997-01-01"]}""".stripMargin
+    // the parser turns the statement into the query's own logical plan
+    val plan = parser.parsePlan(s"ON GRAFT CUBE $cubeName EXECUTE QUERY '$json'")
+    assert(plan.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+      s"expected an aggregate plan, got:\n$plan")
+    val got = graft.cube.DirectQuery.execute(spark, cubeName, json)
+      .collect().map(_.toString).sorted.toSeq
+
+    val want = spark.sql(
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("anything else delegates to the Spark parser") {
     val plan = parser.parsePlan("SELECT 1 AS one")
     assert(!plan.isInstanceOf[ExplainGraftRewriteCommand])
