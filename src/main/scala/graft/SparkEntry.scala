@@ -885,6 +885,19 @@ object SparkEntry {
             col("v_value"))
           .orderBy("user_id", "p_ms")
       },
+      // native session_window sessions, batch form (same declaration runs
+      // streaming; note the boundary: a gap of EXACTLY 30min starts a new
+      // session — [start, last+gap) windows — where the custom sessionizer
+      // merges it)
+      "q_events_sessions_native" -> { (s, dir) =>
+        import graft.streaming.EventPipeline
+        EventPipeline.sessionWindowAgg(Tables.events(s, dir), gapMinutes = 30)
+          .select(col("user_id"), unix_millis(col("start")).as("s_ms"),
+            unix_millis(col("end")).as("e_ms"),
+            col("nEvents").cast("long").as("n_events"),
+            col("totalValue").as("total_value"))
+          .orderBy("user_id", "s_ms")
+      },
       // stream-stream attribution join, batch form — the same
       // EventPipeline.attributionJoin runs watermarked on streams
       // (StreamingSpec proves the streaming execution emits identical rows)
@@ -1507,6 +1520,20 @@ object SparkEntry {
           |  CAST(epoch_ms(v.ts) AS BIGINT) AS v_ms, v.value AS v_value
           |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
           |ORDER BY p.user_id, p_ms""".stripMargin,
+      "q_events_sessions_native" ->
+        s"""WITH x AS (SELECT user_id, ts, value,
+           |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+           |y AS (SELECT user_id, ts, value,
+           |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) >= 1800000000 THEN 1 ELSE 0 END AS nw
+           |  FROM x),
+           |z AS (SELECT user_id, ts, value,
+           |    SUM(nw) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+           |  FROM y)
+           |SELECT user_id, CAST(epoch_ms(min(ts)) AS BIGINT) AS s_ms,
+           |  CAST(epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS BIGINT) AS e_ms,
+           |  count(*) AS n_events, ${dec("value")} AS total_value
+           |FROM z GROUP BY user_id, sess
+           |ORDER BY user_id, s_ms""".stripMargin,
       "q_events_attrib" ->
         """WITH p AS (SELECT user_id, ts, value FROM events
           |          WHERE event_type = 'purchase' AND user_id < 30),

@@ -106,6 +106,25 @@ object EventPipeline {
       .drop("g_sess")
   }
 
+  /** Per-user sessions via Spark's native `session_window` — the built-in
+    * alternative to the custom [[sessionize]] state machine. Same gap
+    * semantics (events ≤ `gapMinutes` apart merge); `session_window.end`
+    * is last-event + gap, where [[sessionizeBatch]] reports the last event
+    * itself — StreamingSpec pins the exact correspondence. Prefer this
+    * form when the aggregate is expressible declaratively: the state store
+    * merges windows without user code, and batch/stream share the plan.
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).cast("int").as("nEvents"),
+        graft.Tables.dsum(col("value")).as("totalValue"))
+      .select(col("user_id"),
+        col("session_window.start").as("start"),
+        col("session_window.end").as("end"),
+        col("nEvents"), col("totalValue"))
+
   /** Streaming exact deduplication: drop events whose content fingerprint
     * was already seen within the watermark horizon. `dropDuplicates` keeps
     * one state row per distinct key and the watermark bounds state size —

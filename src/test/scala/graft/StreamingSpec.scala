@@ -105,6 +105,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window sessions agree with the custom sessionizer") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "view", 2.0),
+      Event(3, ts(60), 1, "click", 3.0), // 50 min gap: new session
+      Event(4, ts(5), 2, "view", 4.0))
+
+    val stream = MemoryStream[Event]
+    val q = EventPipeline.sessionWindowAgg(stream.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("swa")
+      .outputMode("complete").start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getInt(3), r.getDouble(4))
+      val got = spark.sql("SELECT * FROM swa").collect().map(key).toSet
+      // same over the batch DataFrame (watermark no-ops)
+      val batchSame = EventPipeline.sessionWindowAgg(events.toDF(), 30)
+        .collect().map(key).toSet
+      assert(got == batchSame)
+      // correspondence with the custom sessionizer: same (user, start,
+      // count, total); session_window.end = custom end + gap
+      val custom = EventPipeline.sessionizeBatch(events.toDF(), 30)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          new java.sql.Timestamp(r.getTimestamp(2).getTime + 30 * 60 * 1000L),
+          r.getInt(3), r.getDouble(4))).toSet
+      assert(got == custom)
+      assert(got.size == 3)
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join matches the batch range join") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
