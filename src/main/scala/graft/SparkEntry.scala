@@ -885,6 +885,23 @@ object SparkEntry {
             col("v_value"))
           .orderBy("user_id", "p_ms")
       },
+      // raw query-spec execution (reference entry point 3): the serialized
+      // groupBy descriptor against the registered cube; the DuckDB oracle
+      // is the equivalent SQL over the base star tables
+      "q_direct_spec" -> { (s, dir) =>
+        engine(s, dir)
+        val cube = TpchCube.ensure(s, dir)
+        graft.cube.DirectQuery.execute(s, cube.info.name,
+          """{"queryType": "groupBy",
+            | "dimensions": ["c_mktsegment", "l_returnflag"],
+            | "aggregations": [
+            |   {"type": "count", "name": "cnt"},
+            |   {"type": "doubleSum", "fieldName": "l_extendedprice", "name": "sum_price"},
+            |   {"type": "doubleMax", "fieldName": "l_quantity", "name": "max_qty"}],
+            | "filter": {"type": "bound", "dimension": "l_returnflag", "lower": "N"},
+            | "intervals": ["1993-01-01/1998-01-01"]}""".stripMargin)
+          .orderBy("c_mktsegment", "l_returnflag")
+      },
       // native session_window sessions, batch form (same declaration runs
       // streaming; note the boundary: a gap of EXACTLY 30min starts a new
       // session — [start, last+gap) windows — where the custom sessionizer
@@ -1520,6 +1537,18 @@ object SparkEntry {
           |  CAST(epoch_ms(v.ts) AS BIGINT) AS v_ms, v.value AS v_value
           |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
           |ORDER BY p.user_id, p_ms""".stripMargin,
+      "q_direct_spec" ->
+        s"""SELECT c_mktsegment, l_returnflag, count(*) AS cnt,
+           |  ${dec("l_extendedprice")} AS sum_price,
+           |  max(l_quantity) AS max_qty
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |WHERE l_returnflag >= 'N'
+           |  AND l_shipdate >= TIMESTAMP '1993-01-01'
+           |  AND l_shipdate < TIMESTAMP '1998-01-01'
+           |GROUP BY 1, 2
+           |ORDER BY 1, 2""".stripMargin,
       "q_events_sessions_native" ->
         s"""WITH x AS (SELECT user_id, ts, value,
            |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
