@@ -42,12 +42,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       "AT\\s+'([^']+)'\\s*;?\\s*").r
   private val ExecuteRe =
     "(?is)\\s*ON\\s+GRAFT\\s+CUBE\\s+([\\w.]+)\\s+EXECUTE\\s+QUERY\\s+'([^']+)'\\s*;?\\s*".r
+  private val StatsRe =
+    "(?is)\\s*SHOW\\s+GRAFT\\s+STATS\\s*;?\\s*".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case ExplainRe(inner) => ExplainGraftRewriteCommand(inner.trim.stripSuffix(";"))
     case ShowRe()         => ShowGraftCubesCommand()
     case DescRe(name)     => DescribeGraftCubeCommand(name)
     case ClearRe()        => ClearGraftCacheCommand()
+    case StatsRe()        => ShowGraftStatsCommand()
     case RegisterRe(path) => RegisterGraftCubeCommand(path)
     case MaterializeRe(cube, dims, sketches, path) =>
       def split(s: String): Seq[String] =
@@ -113,8 +116,22 @@ case class ClearGraftCacheCommand() extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val names = graft.cube.CubeCatalog.all.map(_.info.name).sorted
     graft.cube.CubeCatalog.clear()
+    RewriteStats.reset()
     names.map(Row(_))
   }
+}
+
+/** `SHOW GRAFT STATS` — how often each rewrite rule fired this session
+  * (reference: per-query Druid execution metrics + UI tab, SURVEY.md §4.4).
+  * The signal an operator actually needs: a workload whose counters stay
+  * at zero is running on raw fact scans and needs cube/rollup coverage.
+  */
+case class ShowGraftStatsCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("rule", StringType, nullable = false)(),
+    AttributeReference("fires", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    RewriteStats.snapshot.map { case (r, n) => Row(r, n.toString) }
 }
 
 /** Attach a previously materialized cube from its `_graft_cube.json`

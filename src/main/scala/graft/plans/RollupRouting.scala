@@ -34,9 +34,9 @@ case class RollupRouting(spark: SparkSession)
     if (CubeCatalog.isEmpty) return plan
     if (!spark.conf.get("spark.graft.rollupRouting.enabled", "true").toBoolean)
       return plan
-    plan.transformDown {
+    RewriteStats.counted("rollupRouting", plan)(_.transformDown {
       case agg: Aggregate => route(agg).getOrElse(agg)
-    }
+    })
   }
 
   private def route(agg: Aggregate): Option[LogicalPlan] = {

@@ -41,7 +41,7 @@ case class StarJoinElimination(spark: SparkSession)
     // `DruidPlanner.scala:59-160`)
     if (!spark.conf.get("spark.graft.starJoin.enabled", "true").toBoolean)
       return plan
-    plan.transformDown {
+    RewriteStats.counted("starJoinElimination", plan)(_.transformDown {
       // complex grouping keys: the analyzer's PullOutGroupingExpressions
       // puts them in a Project below the Aggregate; the cardinality gate
       // must see the INLINED grouping expressions (their base-column
@@ -79,7 +79,7 @@ case class StarJoinElimination(spark: SparkSession)
       case a: Aggregate if a.getTagValue(gateRefusedTag).isEmpty =>
         rewrite(a.child, a.references, Some(a.groupingExpressions))
           .map(c => a.copy(child = c)).getOrElse(a)
-    }
+    })
   }
 
   /** One base-table scan leaf of the join tree (`output` is the leaf's

@@ -18,7 +18,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object SumOfLiteralRewrite extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    RewriteStats.counted("sumOfLiteralRewrite", plan)(_.transformDown {
     case agg @ Aggregate(gs, _, _, _) if gs.nonEmpty =>
       agg.transformExpressionsDown {
         case ae @ AggregateExpression(s: Sum, _, false, None, _) =>
@@ -30,5 +31,5 @@ object SumOfLiteralRewrite extends Rule[LogicalPlan] {
             case _ => ae
           }
       }
-  }
+    })
 }

@@ -29,7 +29,7 @@ case class TimeBucketPruning(spark: SparkSession)
     if (CubeCatalog.isEmpty) return plan
     if (!spark.conf.get("spark.graft.timeBucketPruning.enabled", "true").toBoolean)
       return plan
-    plan.transformDown {
+    RewriteStats.counted("timeBucketPruning", plan)(_.transformDown {
       case f @ Filter(cond, lr: LogicalRelation) =>
         CubeCatalog.cubeOfRelation(lr).map { cube =>
           val bucketCol = cube.info.timeBucketColumn
@@ -63,7 +63,7 @@ case class TimeBucketPruning(spark: SparkSession)
             }
           }
         }.getOrElse(f)
-    }
+    })
   }
 
   /** Intersect all time-column comparisons into an interval set (epoch

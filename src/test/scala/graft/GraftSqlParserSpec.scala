@@ -134,6 +134,23 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("SHOW GRAFT STATS reports rewrite fires after a served query") {
+    init()
+    graft.cube.RollupCube.ensure(spark, sf)
+    graft.plans.RewriteStats.reset()
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin).collect()
+    val stats = parser.parsePlan("SHOW GRAFT STATS")
+      .asInstanceOf[graft.plans.ShowGraftStatsCommand].run(spark)
+      .map(r => r.getString(0) -> r.getString(1).toLong).toMap
+    assert(stats.getOrElse("starJoinElimination", 0L) >= 1L, stats.toString)
+    assert(stats.getOrElse("rollupRouting", 0L) >= 1L, stats.toString)
+  }
+
   test("anything else delegates to the Spark parser") {
     val plan = parser.parsePlan("SELECT 1 AS one")
     assert(!plan.isInstanceOf[ExplainGraftRewriteCommand])
