@@ -96,6 +96,58 @@ class RollupBuildSpec extends AnyFunSuite {
     } finally CubeCatalog.unregister("events_cube_rb")
   }
 
+  test("CubeRefresh keeps a declared custom node current after late arrivals") {
+    val base2 = s"$base/refresh"
+    val src = s"$base2/src"
+    val events = Tables.events(spark, sf).drop("props")
+    // initial load: first half of January (sf0.001 events all fall in Jan)
+    events.filter(col("ts") < lit("2024-01-15").cast("timestamp"))
+      .write.mode("overwrite").parquet(src)
+    val info = cubeInfo.copy(name = "events_cube_refresh")
+    val cube = CubeSource.materialize(spark, info, Map("events" -> src),
+      s"$base2/cube")
+    try {
+      val node = RollupMeta(
+        path = s"$base2/ru",
+        dims = Seq("event_type"),
+        timeBucketColumn = cube.info.timeBucketColumn,
+        countColumn = "cnt",
+        sums = Map("value" -> "sum_value"),
+        mins = Map.empty, maxs = Map.empty)
+      RollupBuild.materialize(spark, info.name, node)
+
+      // late + new data arrives in the fact source
+      events.filter(col("ts") >= lit("2024-01-15").cast("timestamp"))
+        .write.mode("append").parquet(src)
+      val result = CubeRefresh.refresh(spark,
+        CubeCatalog.get(info.name).get,
+        CubeSource.flatten(spark, info, Map("events" -> src)))
+      assert(result.dirtyBuckets.nonEmpty)
+
+      // the custom node now reproduces a full-fact aggregate exactly
+      val served = Graft.withoutRewrites(spark) {
+        spark.read.parquet(node.path)
+          .groupBy("event_type")
+          .agg(sum("cnt").as("cnt"),
+            sum("sum_value").cast("double").as("sum_value"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(_._1).toSeq
+      }
+      val want = Graft.withoutRewrites(spark) {
+        spark.read.parquet(src)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(_._1).toSeq
+      }
+      assert(served == want && served.nonEmpty)
+    } finally {
+      CubeCatalog.unregister(info.name)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base2))
+    }
+  }
+
   test("advisor recommendation materializes and serves its own workload") {
     val src = s"$base/src"
     if (!new java.io.File(src, "_SUCCESS").exists())
