@@ -124,11 +124,30 @@ object Corpus {
     val ranged = docs
       .withColumn("n_tokens", size(terms(col(textCol))).cast("long"))
       .repartitionByRange(col(orderCol))
-      .withColumn("g_pid", spark_partition_id())
-    val w = Window.partitionBy("g_pid").orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = ranged.withColumn("g_local",
-      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .sortWithinPartitions(col(orderCol))
+    // per-partition exclusive running sum as an order-preserving fold: a
+    // Window.partitionBy(spark_partition_id) would re-SHUFFLE every row by
+    // the very key they are already partitioned on — mapPartitions keeps
+    // the range layout and streams once
+    val outSchema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+        org.apache.spark.sql.types.StructField("g_pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false) :+
+        org.apache.spark.sql.types.StructField("g_local",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val nIdx = ranged.schema.fieldIndex("n_tokens")
+    val local = ranged
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var acc = 0L
+        it.map { r =>
+          val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ acc)
+          acc += r.getLong(nIdx)
+          out
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
     // per-partition totals: #partitions rows; exclusive scan on the driver
     val totals = local.groupBy("g_pid").agg(sum("n_tokens").as("g_total"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
