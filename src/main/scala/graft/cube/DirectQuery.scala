@@ -41,10 +41,11 @@ object DirectQuery {
       case JString(s) => s
       case other => throw new IllegalArgumentException(s"expected string, got $other")
     }
-    (j \ "queryType") match {
-      case JString("groupBy") | JNothing => ()
+    val queryType = (j \ "queryType") match {
+      case JString(t @ ("groupBy" | "timeseries" | "topN")) => t
+      case JNothing => "groupBy"
       case other => throw new IllegalArgumentException(
-        s"unsupported queryType $other — only groupBy (timeseries = groupBy with no dimensions)")
+        s"unsupported queryType $other — groupBy, timeseries or topN")
     }
 
     // the cube relation by path: CubeCatalog matches scans of this path, so
@@ -102,10 +103,25 @@ object DirectQuery {
       case f        => df = df.filter(filterOf(f))
     }
 
-    val dims: Seq[String] = (j \ "dimensions") match {
-      case JArray(ds) => ds.map(str)
-      case JNothing   => Nil
-      case other => throw new IllegalArgumentException(s"bad dimensions: $other")
+    val dims: Seq[String] = queryType match {
+      case "topN" => Seq(str(j \ "dimension"))
+      case _ => (j \ "dimensions") match {
+        case JArray(ds) => ds.map(str)
+        case JNothing   => Nil
+        case other => throw new IllegalArgumentException(s"bad dimensions: $other")
+      }
+    }
+
+    // granularity: Druid's time bucketing (timeseries and bucketed groupBy;
+    // `GranularitySpec`, `DruidQuerySpec.scala:140-150`). Truncations of
+    // the time column are exactly what RollupRouting's time-grouping serves
+    // from the lattice bucket column — month-or-coarser never touches facts.
+    val timeGroup: Option[Column] = (j \ "granularity") match {
+      case JNothing | JString("all") => None
+      case JString(g @ ("day" | "month" | "quarter" | "year")) =>
+        Some(date_trunc(g, col(cube.info.timeColumn)).as("g_time"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported granularity $other — all/day/month/quarter/year")
     }
 
     // aggregations — the mergeable set (SURVEY.md §2.4). Sums go through
@@ -130,7 +146,25 @@ object DirectQuery {
     }
     require(aggs.nonEmpty, "query spec needs at least one aggregation")
 
-    if (dims.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-    else df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val groupCols: Seq[Column] = timeGroup.toSeq ++ dims.map(col)
+    val grouped =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+
+    queryType match {
+      case "topN" =>
+        // Druid topN: one dimension ranked by one metric, `threshold` rows.
+        // Ours is EXACT (TakeOrderedAndProject; SURVEY.md §2.6) — and when
+        // the dimension carries a heavy-hitter sketch with proofs, the
+        // aggregate itself serves from the lattice (RollupRouting.serveTopN).
+        val metric = str(j \ "metric")
+        val threshold = (j \ "threshold") match {
+          case JInt(n)    => n.toInt
+          case JNothing   => throw new IllegalArgumentException("topN needs threshold")
+          case other => throw new IllegalArgumentException(s"bad threshold: $other")
+        }
+        grouped.orderBy(col(metric).desc, col(dims.head)).limit(threshold)
+      case _ => grouped
+    }
   }
 }

@@ -134,6 +134,32 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("timeseries and topN descriptors execute, equal to their SQL forms") {
+    init()
+    graft.cube.RollupCube.ensure(spark, sf)
+    val cubeName = graft.cube.CubeCatalog.all
+      .find(_.info.name.startsWith("tpch_flat")).get.info.name
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+
+    val ts = graft.cube.DirectQuery.execute(spark, cubeName,
+      """{"queryType": "timeseries", "granularity": "month",
+        | "aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+    val tsWant = spark.sql(
+      """SELECT date_trunc('month', l_shipdate) AS g_time, count(*) AS cnt
+        |FROM lineitem GROUP BY 1""".stripMargin)
+    assert(rows(ts) == rows(tsWant) && ts.count() > 0)
+
+    val topn = graft.cube.DirectQuery.execute(spark, cubeName,
+      """{"queryType": "topN", "dimension": "l_suppkey", "metric": "cnt",
+        | "threshold": 5,
+        | "aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+    val topnWant = spark.sql(
+      """SELECT l_suppkey, count(*) AS cnt FROM lineitem
+        |GROUP BY 1 ORDER BY cnt DESC, l_suppkey LIMIT 5""".stripMargin)
+    assert(rows(topn) == rows(topnWant) && topn.count() == 5)
+  }
+
   test("SHOW GRAFT STATS reports rewrite fires after a served query") {
     init()
     graft.cube.RollupCube.ensure(spark, sf)
