@@ -660,6 +660,37 @@ object SparkEntry {
          |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
     }
 
+    /** The whole curation chain (lang gate → diversity gate → exact dedup →
+      * chunking → per-source stats) re-stated in one DuckDB query — the
+      * differential oracle for `q_pipeline_e2e`'s COMPOSITION.
+      */
+    private val pipelineE2eOracle: String = {
+      val langs = Seq("en", "es", "de", "fr")
+      val scores = langs.map(l =>
+        s"len(list_filter(w, t -> list_contains(${sqlList(langMarkers(l))}, t))) s_$l").mkString(",\n  ")
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val picks = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+      s"""WITH s AS (SELECT doc_id, text, source, string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
+         |sc AS (SELECT doc_id, text, source, $scores FROM s),
+         |lang AS (SELECT doc_id, text, source FROM sc
+         |  WHERE (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |    WHEN $best = 0 THEN 'und' $picks END) = 'en'),
+         |good AS (SELECT * FROM lang
+         |  WHERE CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) /
+         |        CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) >= 0.5),
+         |kept AS (SELECT g.doc_id, g.text, g.source FROM good g
+         |  JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM good GROUP BY 1) k
+         |    ON g.doc_id = k.doc_id),
+         |t AS (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM kept),
+         |ch AS (SELECT doc_id, source, len(toks) AS n,
+         |    unnest(generate_series(0,
+         |      CAST(greatest(1, ceil(len(toks) / 64.0)) AS BIGINT) - 1)) AS i
+         |  FROM t)
+         |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+         |  CAST(sum(least(n - i*64, 64)) AS BIGINT) AS n_tokens
+         |FROM ch GROUP BY source ORDER BY source""".stripMargin
+    }
+
     /** DuckDB 3-token shingle-set expression over alias `w` (token list). */
     private val shingleSql =
       """CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
@@ -740,6 +771,25 @@ object SparkEntry {
             size(array_distinct(tokens(col("text")))).as("n_distinct"),
             col("n_chars"))
           .orderBy("doc_id")
+      },
+      // the full curation pipeline in one declarative plan: language gate →
+      // lexical-diversity gate → exact dedup (min-id survivor) → context
+      // chunking → per-source corpus accounting. Every stage is the same
+      // operator the standalone queries gate; the oracle restates the whole
+      // chain in SQL, so the COMPOSITION is differentially verified too.
+      "q_pipeline_e2e" -> { (s, dir) =>
+        val docs = Tables.t(s, dir, "documents")
+        val kept = Dedup.exactTextDedup(
+          docs.filter(langId(col("text")) === "en" &&
+            distinctTokenRatio(col("text")) >= 0.5),
+          "doc_id", "text")
+        Corpus.chunk(kept, "doc_id", "text", chunkTokens = 64)
+          .join(broadcast(docs.select("doc_id", "source")), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count_distinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum(col("n_tokens")).as("n_tokens"))
+          .orderBy("source")
       },
       "q_text_quality" -> { (s, dir) =>
         Tables.t(s, dir, "documents")
@@ -1478,6 +1528,7 @@ object SparkEntry {
           |       * (CAST(q[i] AS DOUBLE) * scale - CAST(embedding[i] AS DOUBLE))))
           |    AS recon_sse
           |FROM qq ORDER BY vec_id""".stripMargin,
+      "q_pipeline_e2e" -> pipelineE2eOracle,
       "q_dedup_exact" ->
         """WITH k AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1)
           |SELECT d.doc_id, d.lang, d.source FROM documents d
