@@ -1688,6 +1688,34 @@ object SparkEntry {
           name -> { (s: SparkSession, dir: String) => engine(s, dir); s.sql(sql) }
       }
     sqlDriven ++ PipelineQueries.sparkQueries ++ Map[String, (SparkSession, String) => DataFrame](
+      // TPC-H Q21 rewritten for scale (oracle stays the canonical
+      // EXISTS/NOT-EXISTS SQL): the two correlated subqueries are three
+      // shuffled passes over lineitem as semi/anti joins; the equivalent
+      // per-order statistics — ≥2 distinct suppliers, exactly 1 distinct
+      // supplier among 'R' lines (necessarily l1's own) — need ONE
+      // aggregation of lineitem and one join back. At 100 TB that is one
+      // fact shuffle instead of three.
+      "q21_waiting_supplier" -> { (s, dir) =>
+        val li = Tables.t(s, dir, "lineitem")
+        val stats = li
+          .groupBy(col("l_orderkey").as("g_ok"))
+          .agg(count_distinct(col("l_suppkey")).as("n_supp"),
+            count_distinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+              .as("n_r_supp"))
+          .filter(col("n_supp") >= 2 && col("n_r_supp") === 1)
+        li.filter(col("l_returnflag") === "R")
+          .join(stats, col("l_orderkey") === col("g_ok"))
+          .join(Tables.t(s, dir, "orders")
+              .filter(col("o_orderstatus") === "F").select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.t(s, dir, "supplier")
+            .select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(10)
+      },
       // ---- §2.4 aggregations ----------------------------------------------
       "q01_pricing_summary" -> { (s, dir) =>
         Tables.t(s, dir, "lineitem")
