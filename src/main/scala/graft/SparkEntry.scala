@@ -1688,6 +1688,25 @@ object SparkEntry {
           name -> { (s: SparkSession, dir: String) => engine(s, dir); s.sql(sql) }
       }
     sqlDriven ++ PipelineQueries.sparkQueries ++ Map[String, (SparkSession, String) => DataFrame](
+      // TPC-H Q18 rewritten for scale (oracle stays the canonical IN-subquery
+      // SQL): the HAVING subquery already computes the very per-order sum the
+      // outer aggregate re-derives — one lineitem aggregation feeds both the
+      // filter and the output, so the fact shuffles once, and the orders /
+      // customer legs join the (tiny) filtered order list
+      "q18_large_orders" -> { (s, dir) =>
+        val big = Tables.t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(dsum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 140.0)
+        big
+          .join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("date").cast("string").as("odate"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      },
       // TPC-H Q21 rewritten for scale (oracle stays the canonical
       // EXISTS/NOT-EXISTS SQL): the two correlated subqueries are three
       // shuffled passes over lineitem as semi/anti joins; the equivalent
