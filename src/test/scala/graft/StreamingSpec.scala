@@ -235,6 +235,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventPipeline.compactPartials(spark, s"$dir/data").isEmpty)
   }
 
+  test("rollup ingest survives a restart from its checkpoint without double-counting") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_").toString
+    val batch1 = Seq(
+      Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 2, "view", 2.0))
+    val batch2 = Seq(
+      Event(3, ts(65), 1, "click", 3.0), Event(4, ts(70), 3, "view", 4.0))
+
+    val stream = MemoryStream[Event]
+    val q1 = EventPipeline.rollupIngest(stream.toDF(), s"$dir/data", s"$dir/ckpt")
+    try {
+      stream.addData(batch1: _*); q1.processAllAvailable()
+    } finally q1.stop()
+
+    // process crashes / redeploys: a NEW query resumes from the checkpoint
+    stream.addData(batch2: _*)
+    val q2 = EventPipeline.rollupIngest(stream.toDF(), s"$dir/data", s"$dir/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = EventPipeline.rollupServe(spark, s"$dir/data")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // exactly once: batch1 counted a single time despite the restart
+    assert(got == Map("click" -> ((2L, 4.0)), "view" -> ((2L, 6.0))))
+  }
+
   test("sessionizeBatch on the events table produces sane sessions") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
