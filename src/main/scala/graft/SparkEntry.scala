@@ -309,6 +309,17 @@ object SparkEntry {
       // rides the full route — star collapse, then the rollup lattice —
       // so it scans |rollup| pre-aggregated rows, never the fact table
       // (PlanShapeSpec locks the node scan)
+      // aggregates OVER dimensions served from rollup rows (no sketch, no
+      // stored metric — the lattice preserves every dim combination)
+      "q_dim_aggs" ->
+        """SELECT c_mktsegment, min(l_returnflag) AS min_rf,
+          |  max(l_returnflag) AS max_rf,
+          |  count(DISTINCT l_returnflag) AS n_rf
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin,
       "q_search_dims" ->
         """SELECT DISTINCT c_mktsegment, l_returnflag
           |FROM lineitem

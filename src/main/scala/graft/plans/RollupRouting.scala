@@ -361,6 +361,13 @@ case class RollupRouting(spark: SparkSession)
       case s @ Sum(child, _) =>
         derivedOf(child).map(c =>
           Cast(Sum(rAttr(c)).toAggregateExpression(), s.dataType))
+      // min/max over a DIMENSION need no stored metric: every distinct
+      // (dims × bucket) combination survives rollup with its dim values,
+      // so the extreme over rollup rows IS the extreme over fact rows
+      case Min(child: Attribute) if servable(nameOf(child)) =>
+        Some(Min(rAttr(nameOf(child))).toAggregateExpression())
+      case Max(child: Attribute) if servable(nameOf(child)) =>
+        Some(Max(rAttr(nameOf(child))).toAggregateExpression())
       case Min(child) => metricOf(child, ru.mins, allowDsumCast = false).map(c =>
         Min(rAttr(c)).toAggregateExpression())
       case Max(child) => metricOf(child, ru.maxs, allowDsumCast = false).map(c =>
@@ -424,6 +431,13 @@ case class RollupRouting(spark: SparkSession)
       * distinct count runs exactly on the cube.
       */
     def mergedDistinct(af: AggregateFunction): Option[Expression] = af match {
+      // count(DISTINCT <rollup dim>) needs no sketch at all: the rollup
+      // preserves every distinct dim combination, so a distinct count over
+      // rollup rows equals the fact-grain one exactly (no proof needed)
+      case Count(Seq(a: Attribute)) if servable(nameOf(a)) =>
+        Some(AggregateExpression(Count(Seq(rAttr(nameOf(a)))),
+          org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+          isDistinct = true))
       case Count(Seq(a: Attribute))
           if spark.conf.get("spark.graft.distinctFromSketch.enabled", "true").toBoolean =>
         for {

@@ -260,6 +260,40 @@ class RollupSpec extends AnyFunSuite {
     assert(!scansRollup(noSketch), "unsketchable distinct must stay on the cube")
   }
 
+  test("dimension min/max/count-distinct serve from rollup rows without sketches") {
+    for (t <- Tables.starTables)
+      Tables.t(spark, sf, t).createOrReplaceTempView(t)
+    graft.cube.RollupCube.ensure(spark, sf)
+    val sql =
+      """SELECT c_mktsegment, min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf,
+        |  count(DISTINCT l_returnflag) AS n_rf
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin
+    def scansRollup(df: org.apache.spark.sql.DataFrame) =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.optimizedPlan.exists {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(_.toString.contains("_rollup"))
+              case _ => false
+            }
+          case _ => false
+        }
+    val routed = spark.sql(sql)
+    assert(scansRollup(routed), "dim aggregates should serve from rollup rows")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val routedRows = rows(routed)
+    val cube = graft.cube.TpchCube.ensure(spark, sf)
+    graft.cube.CubeCatalog.unregister(cube.info.name)
+    try {
+      assert(rows(spark.sql(sql)) == routedRows && routedRows.nonEmpty)
+    } finally graft.cube.RollupCube.ensure(spark, sf)
+  }
+
   test("approx_count_distinct serves from the stored HLL sketches behind its flag") {
     for (t <- Tables.starTables)
       Tables.t(spark, sf, t).createOrReplaceTempView(t)
