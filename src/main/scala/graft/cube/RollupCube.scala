@@ -80,6 +80,9 @@ object RollupCube {
   /** Coarse-rollup dimensions — the lattice node above [[dims]]. */
   val coarseDims: Seq[String] = Seq("c_mktsegment", "l_returnflag")
 
+  /** Q7-shape lattice node (supplier nation x customer nation). */
+  val nationsDims: Seq[String] = Seq("s_nation", "c_nation")
+
   /** TPC-H Q1 lattice node (pricing summary: returnflag × linestatus). */
   val q1Dims: Seq[String] = Seq("l_returnflag", "l_linestatus")
 
@@ -127,6 +130,11 @@ object RollupCube {
     s"/root/repo/target/cubes/tpch_${sf}_rollup_coarse_v5"
   }
 
+  def nationsPath(sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_nations_v1"
+  }
+
   def q1Path(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
     s"/root/repo/target/cubes/tpch_${sf}_rollup_rf_ls_v3"
@@ -152,6 +160,9 @@ object RollupCube {
 
   def coarseMeta(sfDir: String): RollupMeta =
     meta(sfDir).copy(path = coarsePath(sfDir), dims = coarseDims)
+
+  def nationsMeta(sfDir: String): RollupMeta =
+    meta(sfDir).copy(path = nationsPath(sfDir), dims = nationsDims)
 
   /** The Q1 node is DAY grain (Druid `queryGranularity=DAY`, what the
     * reference's benchmark datasource used): TPC-H interval predicates are
@@ -224,27 +235,33 @@ object RollupCube {
     // (decimal sums re-sum, min/max nest, count sums, HLL and KMV sketches
     // union), so the cascade is exactly what a 100 TB build does: one pass
     // over the facts, then pennies per extra lattice node.
-    val cPath = coarsePath(sfDir)
-    if (!new java.io.File(cPath, "_SUCCESS").exists()) {
-      val fine = spark.read.parquet(path)
-      val sumAgg = (sumMetrics.values ++ derivedSums.values).toSeq.sorted
-        .map(c => sum(col(c)).as(c))
-      val minAgg = minMetrics.values.toSeq.sorted.map(c => min(col(c)).as(c))
-      val maxAgg = maxMetrics.values.toSeq.sorted.map(c => max(col(c)).as(c))
-      val qskAgg = quantileMetrics.values.toSeq.sorted.map(c =>
-        org.apache.spark.sql.graft.QuantileSketch.qskUnion(col(c), quantileK).as(c))
-      val freqAgg = (freqMetrics.values ++ freqWeightedMetrics.map(_._3))
-        .toSeq.sorted.map(c =>
-          org.apache.spark.sql.graft.FreqSketch.freqMerge(col(c), freqK).as(c))
-      fine.groupBy((col("g_tbucket") +: coarseDims.map(col)): _*)
-        .agg(sum(col("cnt")).as("cnt"),
-          (sumAgg ++ minAgg ++ maxAgg ++ qskAgg ++ freqAgg
-            :+ hll_union_agg(col("custkey_hll")).as("custkey_hll")
-            :+ org.apache.spark.sql.graft.KmvSketch
-                .kmvUnion(col("custkey_kmv"), kmvK).as("custkey_kmv")): _*)
-        .repartition(1)
-        .write.mode("overwrite").partitionBy("g_tbucket").parquet(cPath)
-    }
+    def cascade(nodeDims: Seq[String], outPath: String): Unit =
+      if (!new java.io.File(outPath, "_SUCCESS").exists()) {
+        val fine = spark.read.parquet(path)
+        val sumAgg = (sumMetrics.values ++ derivedSums.values).toSeq.sorted
+          .map(c => sum(col(c)).as(c))
+        val minAgg = minMetrics.values.toSeq.sorted.map(c => min(col(c)).as(c))
+        val maxAgg = maxMetrics.values.toSeq.sorted.map(c => max(col(c)).as(c))
+        val qskAgg = quantileMetrics.values.toSeq.sorted.map(c =>
+          org.apache.spark.sql.graft.QuantileSketch.qskUnion(col(c), quantileK).as(c))
+        val freqAgg = (freqMetrics.values ++ freqWeightedMetrics.map(_._3))
+          .toSeq.sorted.map(c =>
+            org.apache.spark.sql.graft.FreqSketch.freqMerge(col(c), freqK).as(c))
+        fine.groupBy((col("g_tbucket") +: nodeDims.map(col)): _*)
+          .agg(sum(col("cnt")).as("cnt"),
+            (sumAgg ++ minAgg ++ maxAgg ++ qskAgg ++ freqAgg
+              :+ hll_union_agg(col("custkey_hll")).as("custkey_hll")
+              :+ org.apache.spark.sql.graft.KmvSketch
+                  .kmvUnion(col("custkey_kmv"), kmvK).as("custkey_kmv")): _*)
+          .repartition(1)
+          .write.mode("overwrite").partitionBy("g_tbucket").parquet(outPath)
+      }
+    cascade(coarseDims, coarsePath(sfDir))
+    // nations node: serves the Q7-shape (supplier nation × customer nation ×
+    // year) from |nations|² × buckets rows instead of the near-fact-grain
+    // fine node — the reference's flagship 82× query (BenchMarkDetails
+    // .org:148) gets its own lattice node for pennies (one cascade pass)
+    cascade(nationsDims, nationsPath(sfDir))
     // EXACT distinct + NULL counts of the sketched columns (one tiny pass
     // over the flat cube, persisted) — the lossless count(DISTINCT) and
     // TopN-from-sketch rewrites may only fire when the TRUE cardinality
@@ -288,7 +305,7 @@ object RollupCube {
     // smallest nodes first: the routing walk stops at the first fit
     // (coarse ~ |coarseDims| x months; q1 ~ 6 x days; fine ~ |dims| x months)
     val registered = cube.copy(rollups =
-      Seq(coarseMeta(sfDir), q1Meta(sfDir), meta(sfDir))
+      Seq(coarseMeta(sfDir), q1Meta(sfDir), nationsMeta(sfDir), meta(sfDir))
         .map(_.copy(kmvExactNdv = exactNdv, exactNullCount = nullCounts,
           totalRows = totalRows)))
     CubeCatalog.register(registered)

@@ -33,7 +33,7 @@ import graft.cube.{CubeCatalog, RegisteredCube}
 case class StarJoinElimination(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
-  import StarJoinElimination.gateRefusedTag
+  import StarJoinElimination.{gateRefusedTag, granCount}
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (CubeCatalog.isEmpty) return plan
@@ -300,15 +300,53 @@ case class StarJoinElimination(spark: SparkSession)
     // explodes. Estimated from the cube's NDV stats with functional
     // dependencies collapsing determined columns; a grouping expression is
     // bounded by the NDV product of the columns it references.
+    // Time-granularity NDV model (reference `DruidQueryGranularity.ndv`,
+    // `DruidQueryGranularity.scala:31-107`): grouping on `year(time)` has
+    // ~years-of-data distinct values, not NDV(time) — without this, any
+    // per-year grouping looks like a per-day explosion and the gate refuses
+    // plans it should accept (the Q7 benchmark shape).
+    def granularityNdv(e: Expression): Option[Long] = {
+      def isTime(x: Expression): Boolean = x match {
+        case a: Attribute =>
+          substitution.get(a.exprId).exists(_.name.equalsIgnoreCase(cube.info.timeColumn))
+        case Cast(u, _, _, _) => isTime(u)
+        case _ => false
+      }
+      lazy val (days, months) = cube.info.timeIntervalMicros match {
+        case Some((lo, hi)) =>
+          val d = (hi - lo) / 86400000000L + 2
+          (d, d / 30 + 2)
+        case None => (36500L, 1200L)
+      }
+      e match {
+        case Cast(u, _, _, _)            => granularityNdv(u)
+        case Year(t) if isTime(t)        => Some(months / 12 + 2)
+        case Quarter(t) if isTime(t)     => Some(4L)
+        case Month(t) if isTime(t)       => Some(12L)
+        case DayOfMonth(t) if isTime(t)  => Some(31L)
+        case DayOfYear(t) if isTime(t)   => Some(366L)
+        case TruncTimestamp(Literal(f, _), t, _) if isTime(t) =>
+          granCount(String.valueOf(f), days, months)
+        case TruncDate(t, Literal(f, _)) if isTime(t) =>
+          granCount(String.valueOf(f), days, months)
+        case _ => None
+      }
+    }
+
     for (gs <- groupingExprs) {
-      val groupCols = gs.flatMap(_.references.toSeq)
+      val (timeGrouped, plain) = gs.partition(e => granularityNdv(e).isDefined)
+      val granProduct: Long = timeGrouped
+        .flatMap(granularityNdv).foldLeft(1L)((a, b) => math.min(a * b, Long.MaxValue / 4))
+      val groupCols = plain.flatMap(_.references.toSeq)
         .flatMap(a => substitution.get(a.exprId)).map(_.name).distinct
       val stats = cube.info.columns
         .collect { case c if c.cardinality.isDefined => c.name -> c.cardinality.get }
         .toMap
-      if (groupCols.nonEmpty && groupCols.forall(stats.contains)) {
-        val est = graft.cube.FunctionalDependencies.estimateCardinality(
-          groupCols, stats, cube.info.functionalDeps)
+      if (groupCols.forall(stats.contains) && (groupCols.nonEmpty || timeGrouped.nonEmpty)) {
+        val est = granProduct * (
+          if (groupCols.isEmpty) 1L
+          else graft.cube.FunctionalDependencies.estimateCardinality(
+            groupCols, stats, cube.info.functionalDeps))
         val maxCard = spark.conf.getOption("spark.graft.maxResultCardinality")
           .map(_.toLong).getOrElse(cube.info.maxResultCardinality)
         if (est > maxCard) {
@@ -337,6 +375,17 @@ case class StarJoinElimination(spark: SparkSession)
 
 object StarJoinElimination {
   import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+  /** Distinct-bucket count of a `date_trunc` unit over the data interval. */
+  private def granCount(fmt: String, days: Long, months: Long): Option[Long] =
+    fmt.toLowerCase match {
+      case "day" | "dd"           => Some(days)
+      case "week"                 => Some(days / 7 + 2)
+      case "month" | "mon" | "mm" => Some(months)
+      case "quarter"              => Some(months / 3 + 2)
+      case "year" | "yyyy" | "yy" => Some(months / 12 + 2)
+      case _                      => None
+    }
+
   /** Set on every node of a join subtree whose rewrite the cardinality gate
     * refused, so nested matches don't partially collapse it.
     */

@@ -102,6 +102,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("Q7 shape collapses and serves from the nations lattice node") {
+    withAqeOff {
+      for (t <- Tables.starTables)
+        Tables.t(spark, sf, t).createOrReplaceTempView(t)
+      graft.cube.RollupCube.ensure(spark, sf)
+      val all = scans("q07_nation_volume")
+      assert(all.exists(_.relation.location.rootPaths
+          .exists(_.toString.contains("_rollup_nations"))),
+        "q07 should serve from the nations node (year NDV from the " +
+          "granularity model, not NDV(l_shipdate))")
+      assert(!all.exists(_.relation.location.rootPaths
+          .exists(_.toString.contains("lineitem"))),
+        "q07 must not scan the fact table")
+    }
+  }
+
   test("DISTINCT dims with a dim predicate serves from the rollup lattice") {
     withAqeOff {
       for (t <- Tables.starTables)
