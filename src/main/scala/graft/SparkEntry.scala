@@ -963,6 +963,42 @@ object SparkEntry {
             | "intervals": ["1993-01-01/1998-01-01"]}""".stripMargin)
           .orderBy("c_mktsegment", "l_returnflag")
       },
+      // Druid Select query: a raw event page (time + dims + metrics, paging
+      // threshold); deterministic page via full-column ordering — same
+      // multiset both engines, so it oracle-checks
+      "q_direct_select" -> { (s, dir) =>
+        engine(s, dir)
+        val cube = TpchCube.ensure(s, dir)
+        graft.cube.DirectQuery.execute(s, cube.info.name,
+          """{"queryType": "select",
+            | "dimensions": ["l_returnflag", "l_linestatus"],
+            | "metrics": ["l_quantity", "l_extendedprice"],
+            | "filter": {"type": "selector", "dimension": "l_returnflag", "value": "R"},
+            | "intervals": ["1995-06-01/1995-06-08"],
+            | "pagingSpec": {"threshold": 200}}""".stripMargin)
+          .select(unix_millis(col("l_shipdate").cast("timestamp")).as("ts_ms"),
+            col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"))
+      },
+      // Druid Search query: dimension values matching a substring spec,
+      // with match counts — one scan for all searched dimensions
+      "q_direct_search" -> { (s, dir) =>
+        engine(s, dir)
+        val cube = TpchCube.ensure(s, dir)
+        graft.cube.DirectQuery.execute(s, cube.info.name,
+          """{"queryType": "search",
+            | "searchDimensions": ["c_mktsegment", "o_orderpriority"],
+            | "query": {"type": "insensitive_contains", "value": "o"},
+            | "intervals": ["1996-01-01/1997-01-01"]}""".stripMargin)
+      },
+      // Druid SegmentMetadata query: per-month-bucket (segment analog) row
+      // counts and time cover of the cube
+      "q_direct_segments" -> { (s, dir) =>
+        engine(s, dir)
+        val cube = TpchCube.ensure(s, dir)
+        graft.cube.DirectQuery.execute(s, cube.info.name,
+          """{"queryType": "segmentMetadata"}""")
+      },
       // native session_window sessions, batch form (same declaration runs
       // streaming; note the boundary: a gap of EXACTLY 30min starts a new
       // session — [start, last+gap) windows — where the custom sessionizer
@@ -1358,6 +1394,19 @@ object SparkEntry {
             "doc_id", "text", capacity = 2048)
           .select("doc_id", "n_tokens", "bin_id")
           .orderBy("doc_id")
+      },
+      // CCNet-style line-level boilerplate removal. The synthetic docs are
+      // single-line, so the query first restates each as 8-token lines (a
+      // pure projection both engines express identically), then drops every
+      // line occurring >= 2 times corpus-wide and reassembles survivors in
+      // order
+      "q_line_dedup" -> { (s, dir) =>
+        val toks = split(col("text"), " ")
+        val multi = Tables.t(s, dir, "documents").select(col("doc_id"),
+          array_join(transform(sequence(lit(0), size(toks) - 1, lit(8)),
+            st => array_join(slice(toks, st + 1, lit(8)), " ")), "\n").as("mtext"))
+        Corpus.dedupLines(multi, "doc_id", "mtext", minDf = 2)
+          .orderBy("doc_id")
       })
 
     /** Shared tokenize→per-doc-term-frequency CTE prefix (DuckDB side of
@@ -1388,6 +1437,22 @@ object SparkEntry {
           |  CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin_id
           |FROM t ORDER BY doc_id""".stripMargin,
+      "q_line_dedup" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |m AS (SELECT doc_id, list_transform(range(1, len(toks) + 1, 8),
+          |        s -> array_to_string(toks[s:s+7], ' ')) AS lns FROM t),
+          |l AS (SELECT doc_id, unnest(lns) AS line,
+          |        unnest(range(1, len(lns) + 1)) AS pos FROM m),
+          |b AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 2),
+          |k AS (SELECT doc_id, pos, line FROM l
+          |      WHERE line NOT IN (SELECT line FROM b)),
+          |a AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+          |        count(*) AS n_kept FROM k GROUP BY doc_id)
+          |SELECT m.doc_id, coalesce(a.text_clean, '') AS text_clean,
+          |  coalesce(a.n_kept, 0) AS n_kept,
+          |  len(m.lns) - coalesce(a.n_kept, 0) AS n_dropped
+          |FROM m LEFT JOIN a ON m.doc_id = a.doc_id
+          |ORDER BY m.doc_id""".stripMargin,
       "q_sample_uniform" ->
         s"""SELECT l_returnflag, count(*) AS cnt, ${dec("l_quantity")} AS sum_qty
            |FROM lineitem
@@ -1611,6 +1676,45 @@ object SparkEntry {
            |  AND l_shipdate < TIMESTAMP '1998-01-01'
            |GROUP BY 1, 2
            |ORDER BY 1, 2""".stripMargin,
+      "q_direct_select" ->
+        """SELECT CAST(epoch_ms(l_shipdate) AS BIGINT) AS ts_ms,
+          |  l_returnflag, l_linestatus, l_quantity, l_extendedprice
+          |FROM lineitem
+          |WHERE l_returnflag = 'R'
+          |  AND l_shipdate >= TIMESTAMP '1995-06-01'
+          |  AND l_shipdate < TIMESTAMP '1995-06-08'
+          |ORDER BY l_shipdate, l_returnflag, l_linestatus, l_quantity,
+          |  l_extendedprice
+          |LIMIT 200""".stripMargin,
+      "q_direct_search" ->
+        """SELECT dimension, value, cnt FROM (
+          |  SELECT 'c_mktsegment' AS dimension, c_mktsegment AS value,
+          |    count(*) AS cnt
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  WHERE contains(lower(c_mktsegment), 'o')
+          |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+          |    AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  GROUP BY 2
+          |  UNION ALL
+          |  SELECT 'o_orderpriority', o_orderpriority, count(*)
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  WHERE contains(lower(o_orderpriority), 'o')
+          |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+          |    AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  GROUP BY 2
+          |) ORDER BY dimension, value""".stripMargin,
+      "q_direct_segments" ->
+        """SELECT CAST((year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1
+          |    AS INTEGER) AS segment,
+          |  count(*) AS num_rows,
+          |  CAST(epoch_us(min(l_shipdate)) AS BIGINT) AS t_min_us,
+          |  CAST(epoch_us(max(l_shipdate)) AS BIGINT) AS t_max_us
+          |FROM lineitem
+          |GROUP BY 1
+          |ORDER BY 1""".stripMargin,
       "q_events_sessions_native" ->
         s"""WITH x AS (SELECT user_id, ts, value,
            |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),

@@ -11,10 +11,13 @@ import org.json4s.jackson.JsonMethods
   * `util/PlanUtil.scala:49-67`), which deserializes a raw `QuerySpec` and
   * wraps it in a scan, bypassing the SQL rewrite.
   *
-  * The descriptor mirrors the Druid groupBy-query essentials
-  * (`DruidQuerySpec.scala`): dimensions, aggregations (count / sum / min /
-  * max over metrics), selector/bound/logical filters, ISO `start/end`
-  * intervals over the cube's time column. Execution is a declarative
+  * The descriptor mirrors the Druid query-spec surface
+  * (`DruidQuerySpec.scala`): `groupBy` / `timeseries` / `topN` aggregating
+  * queries (dimensions, count / sum / min / max aggregations,
+  * selector/in/bound/logical filters, granularity, ISO `start/end`
+  * intervals over the cube's time column) plus the non-aggregating
+  * `select` (raw event page), `search` (dimension-value matching) and
+  * `segmentMetadata` (per-bucket row counts and time cover) query types. Execution is a declarative
   * DataFrame over the cube relation, so — unlike the reference's bypass —
   * the plan still benefits from time-bucket pruning and rollup-lattice
   * routing: a "raw" query spec whose dims sit in the lattice never touches
@@ -42,10 +45,12 @@ object DirectQuery {
       case other => throw new IllegalArgumentException(s"expected string, got $other")
     }
     val queryType = (j \ "queryType") match {
-      case JString(t @ ("groupBy" | "timeseries" | "topN")) => t
+      case JString(t @ ("groupBy" | "timeseries" | "topN" | "select" |
+                        "search" | "segmentMetadata")) => t
       case JNothing => "groupBy"
       case other => throw new IllegalArgumentException(
-        s"unsupported queryType $other — groupBy, timeseries or topN")
+        s"unsupported queryType $other — groupBy, timeseries, topN, " +
+          "select, search or segmentMetadata")
     }
 
     // the cube relation by path: CubeCatalog matches scans of this path, so
@@ -103,13 +108,110 @@ object DirectQuery {
       case f        => df = df.filter(filterOf(f))
     }
 
+    def strList(v: JValue, what: String): Seq[String] = v match {
+      case JArray(xs) => xs.map(str)
+      case JNothing   => Nil
+      case other => throw new IllegalArgumentException(s"bad $what: $other")
+    }
+
+    // ---- non-aggregating query types -------------------------------------
+    queryType match {
+      case "select" =>
+        // Druid Select query (`DruidQuerySpec.scala:977-1098`): raw event
+        // rows — time, dimensions, metrics — with a paging threshold. Druid
+        // pages by (segment, offset), an ordering that doesn't exist here;
+        // ours orders by event time with the projected columns as
+        // tiebreakers, so the returned page is a deterministic multiset for
+        // any threshold (Druid's own page order is storage-dependent).
+        val selDims = strList(j \ "dimensions", "dimensions") match {
+          case Nil => cube.info.columns
+            .filter(_.role == ColumnRole.Dimension).map(_.name)
+          case ds => ds
+        }
+        val selMets = strList(j \ "metrics", "metrics") match {
+          case Nil => cube.info.columns
+            .filter(_.role == ColumnRole.Metric).map(_.name)
+          case ms => ms
+        }
+        val thresholdJ = (j \ "pagingSpec" \ "threshold") match {
+          case JNothing => j \ "limit"
+          case v        => v
+        }
+        val threshold = thresholdJ match {
+          case JInt(n) => n.toInt
+          case JNothing => throw new IllegalArgumentException(
+            "select needs pagingSpec.threshold (or limit)")
+          case other => throw new IllegalArgumentException(s"bad threshold: $other")
+        }
+        val descending = (j \ "descending") == JBool(true)
+        val outCols = cube.info.timeColumn +: (selDims ++ selMets)
+        val tOrd = if (descending) col(cube.info.timeColumn).desc
+                   else col(cube.info.timeColumn).asc
+        return df.select(outCols.distinct.map(col): _*)
+          .orderBy(tOrd +: (selDims ++ selMets).map(col(_).asc): _*)
+          .limit(threshold)
+
+      case "search" =>
+        // Druid Search query (`DruidQuerySpec.scala:59-60`, SURVEY.md §4.2
+        // SearchQuerySpecTransform): dimension values matching a contains /
+        // insensitive_contains / fragment spec, with per-value match
+        // counts. One scan for ALL searched dimensions: each row explodes
+        // into (dimension, value) pairs, the match filters, one shuffle
+        // counts — at cube scale this is a single pass regardless of how
+        // many dimensions are searched.
+        val sdims = strList(j \ "searchDimensions", "searchDimensions") match {
+          case Nil => cube.info.columns
+            .filter(_.role == ColumnRole.Dimension).map(_.name)
+          case ds => ds
+        }
+        val q = j \ "query"
+        def matches(c: Column): Column = (q \ "type") match {
+          case JString("contains") if (q \ "caseSensitive") == JBool(true) =>
+            c.contains(str(q \ "value"))
+          case JString("contains") | JString("insensitive_contains") =>
+            lower(c).contains(str(q \ "value").toLowerCase(java.util.Locale.ROOT))
+          case JString("fragment") =>
+            strList(q \ "values", "fragment values")
+              .map(v => lower(c).contains(v.toLowerCase(java.util.Locale.ROOT)))
+              .reduce(_ && _)
+          case other => throw new IllegalArgumentException(
+            s"unsupported search query type $other — contains, " +
+              "insensitive_contains or fragment")
+        }
+        val pairs = df.select(explode(array(sdims.map(d =>
+            struct(lit(d).as("dimension"), col(d).cast("string").as("value"))): _*))
+            .as("g_sv"))
+          .select(col("g_sv.dimension").as("dimension"), col("g_sv.value").as("value"))
+        val counted = pairs.filter(matches(col("value")))
+          .groupBy("dimension", "value")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("dimension", "value")
+        return (j \ "limit") match {
+          case JInt(n)  => counted.limit(n.toInt)
+          case JNothing => counted
+          case other => throw new IllegalArgumentException(s"bad limit: $other")
+        }
+
+      case "segmentMetadata" =>
+        // Druid SegmentMetadata query: per-segment row counts and time
+        // cover. The cube's segment analog is the month bucket its layout
+        // partitions by, recomputed here from the time column so the query
+        // works on any registered cube regardless of its physical bucket
+        // column name.
+        val t = col(cube.info.timeColumn)
+        val bucket = (year(t) - 1970) * 12 + month(t) - 1
+        return df.groupBy(bucket.as("segment"))
+          .agg(count(lit(1)).as("num_rows"),
+            unix_micros(min(t).cast("timestamp")).as("t_min_us"),
+            unix_micros(max(t).cast("timestamp")).as("t_max_us"))
+          .orderBy("segment")
+
+      case _ => ()
+    }
+
     val dims: Seq[String] = queryType match {
       case "topN" => Seq(str(j \ "dimension"))
-      case _ => (j \ "dimensions") match {
-        case JArray(ds) => ds.map(str)
-        case JNothing   => Nil
-        case other => throw new IllegalArgumentException(s"bad dimensions: $other")
-      }
+      case _ => strList(j \ "dimensions", "dimensions")
     }
 
     // granularity: Druid's time bucketing (timeseries and bucketed groupBy;

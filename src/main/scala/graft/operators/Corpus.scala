@@ -161,4 +161,50 @@ object Corpus {
         floor((col("g_local") + col("g_offset")) / capacity))
       .drop("g_pid", "g_local", "g_offset")
   }
+
+  /** Line-level corpus dedup (CCNet-style boilerplate removal): drop every
+    * line that occurs at least `minDf` times across the whole corpus
+    * (navigation chrome, cookie banners, license headers), keeping each
+    * document's surviving lines in their original order. Output:
+    * `(idCol, text_clean, n_kept, n_dropped)` — one row per input document,
+    * including documents scrubbed to empty.
+    *
+    * Shape at scale: lines explode inside codegen (no shuffle); ONE shuffle
+    * counts occurrences per line hash; the boilerplate set — only lines
+    * with `count >= minDf`, a tiny fraction of distinct lines — broadcasts
+    * back as a left-anti join (the corpus side never shuffles for the
+    * membership test); one final shuffle on the document id reassembles
+    * ordered survivors. Lines travel as 8-byte xxhash64 keys, never as
+    * strings, on both shuffles. A 64-bit collision could only *drop* an
+    * innocent line that collides with boilerplate (~n_distinct/2^64 — the
+    * standard trade, same as the shingle pipeline).
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val lines = docs.select(col(idCol).as("g_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("g_pos", "g_line")))
+      .withColumn("g_h", xxhash64(col("g_line")))
+    val boiler = lines.groupBy("g_h")
+      .agg(count(lit(1)).as("g_n"))
+      .filter(col("g_n") >= minDf)
+      .select("g_h")
+    val kept = lines.join(broadcast(boiler), Seq("g_h"), "left_anti")
+    // every input document appears in the output, even if all its lines
+    // were boilerplate: re-attach survivors to the full id list
+    val assembled = kept.groupBy("g_id")
+      .agg(sort_array(collect_list(struct(col("g_pos"), col("g_line"))))
+        .as("g_ls"))
+      .select(col("g_id"),
+        array_join(transform(col("g_ls"), x => x("g_line")), "\n")
+          .as("text_clean"),
+        size(col("g_ls")).cast("long").as("n_kept"))
+    docs.select(col(idCol).as("g_id"),
+        size(split(col(textCol), "\n")).cast("long").as("g_total"))
+      .join(assembled, Seq("g_id"), "left_outer")
+      .select(col("g_id").as(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("g_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

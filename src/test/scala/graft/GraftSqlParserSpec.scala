@@ -160,6 +160,58 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(rows(topn) == rows(topnWant) && topn.count() == 5)
   }
 
+  test("select, search and segmentMetadata descriptors execute, equal to their SQL forms") {
+    init()
+    val cubeName = graft.cube.CubeCatalog.all
+      .find(_.info.name.startsWith("tpch_flat")).get.info.name
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // select: a raw event page — deterministic multiset under the
+    // full-column ordering even at the LIMIT boundary
+    val sel = graft.cube.DirectQuery.execute(spark, cubeName,
+      """{"queryType": "select",
+        | "dimensions": ["l_returnflag"], "metrics": ["l_quantity"],
+        | "intervals": ["1995-01-01/1995-03-01"],
+        | "pagingSpec": {"threshold": 50}}""".stripMargin)
+    val selWant = spark.sql(
+      """SELECT l_shipdate, l_returnflag, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1995-03-01'
+        |ORDER BY l_shipdate, l_returnflag, l_quantity LIMIT 50""".stripMargin)
+    assert(rows(sel) == rows(selWant) && sel.count() == 50)
+
+    // search: per-value match counts across dimensions, one scan
+    val se = graft.cube.DirectQuery.execute(spark, cubeName,
+      """{"queryType": "search",
+        | "searchDimensions": ["c_mktsegment", "l_returnflag"],
+        | "query": {"type": "fragment", "values": ["O", "o"]}}""".stripMargin)
+    val seWant = spark.sql(
+      """SELECT dimension, value, cnt FROM (
+        |  SELECT 'c_mktsegment' AS dimension, c_mktsegment AS value,
+        |    count(*) AS cnt
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE contains(lower(c_mktsegment), 'o') GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'l_returnflag', l_returnflag, count(*) FROM lineitem
+        |  WHERE contains(lower(l_returnflag), 'o') GROUP BY 2)
+        |ORDER BY dimension, value""".stripMargin)
+    assert(rows(se) == rows(seWant) && se.count() > 0)
+
+    // segmentMetadata: per-month-bucket row counts and time cover
+    val sm = graft.cube.DirectQuery.execute(spark, cubeName,
+      """{"queryType": "segmentMetadata"}""")
+    val smWant = spark.sql(
+      """SELECT (year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1 AS segment,
+        |  count(*) AS num_rows,
+        |  unix_micros(CAST(min(l_shipdate) AS TIMESTAMP)) AS t_min_us,
+        |  unix_micros(CAST(max(l_shipdate) AS TIMESTAMP)) AS t_max_us
+        |FROM lineitem GROUP BY 1""".stripMargin)
+    assert(rows(sm) == rows(smWant) && sm.count() > 0)
+  }
+
   test("SHOW GRAFT STATS reports rewrite fires after a served query") {
     init()
     graft.cube.RollupCube.ensure(spark, sf)

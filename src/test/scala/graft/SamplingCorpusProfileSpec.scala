@@ -125,6 +125,23 @@ class SamplingCorpusProfileSpec extends AnyFunSuite {
     assert(out.forall { case (_, _, text, n) => text.split(" ").length == n })
   }
 
+  test("dedupLines drops corpus-frequent lines, keeps order, retains empty docs") {
+    val tiny = spark.createDataFrame(Seq(
+      (1L, "keep one\nBOILER\nkeep two"),
+      (2L, "BOILER\nunique line"),
+      (3L, "BOILER\nBOILER"),       // scrubbed to empty, must still appear
+      (4L, "solo document line")))
+      .toDF("id", "text")
+    val out = Corpus.dedupLines(tiny, "id", "text", minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("keep one\nkeep two", 2L, 1L)))
+    assert(out(2L) == (("unique line", 1L, 1L)))
+    assert(out(3L) == (("", 0L, 2L)))   // all lines boilerplate
+    assert(out(4L) == (("solo document line", 1L, 0L)))
+    assert(out.size == 4)
+  }
+
   test("packSequences is partitioning-independent and fills bins to capacity") {
     val docs = Tables.t(spark, sf, "documents")
     def pack(df: org.apache.spark.sql.DataFrame) =
