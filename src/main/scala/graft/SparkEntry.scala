@@ -1831,11 +1831,15 @@ object SparkEntry {
       // fact shuffle instead of three.
       "q21_waiting_supplier" -> { (s, dir) =>
         val li = Tables.t(s, dir, "lineitem")
+        // two distinct aggregates over one grouping would plan as an Expand
+        // (2x the fact rows through the shuffle); aggregating per
+        // (order, supplier) first then per order moves the same information
+        // in 1x rows — the distinct-heavy shape's scalable form
         val stats = li
-          .groupBy(col("l_orderkey").as("g_ok"))
-          .agg(count_distinct(col("l_suppkey")).as("n_supp"),
-            count_distinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-              .as("n_r_supp"))
+          .groupBy(col("l_orderkey").as("g_ok"), col("l_suppkey").as("g_sk"))
+          .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("g_has_r"))
+          .groupBy("g_ok")
+          .agg(count(lit(1)).as("n_supp"), sum("g_has_r").as("n_r_supp"))
           .filter(col("n_supp") >= 2 && col("n_r_supp") === 1)
         li.filter(col("l_returnflag") === "R")
           .join(stats, col("l_orderkey") === col("g_ok"))
