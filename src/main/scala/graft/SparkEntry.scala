@@ -999,6 +999,38 @@ object SparkEntry {
         graft.cube.DirectQuery.execute(s, cube.info.name,
           """{"queryType": "segmentMetadata"}""")
       },
+      // groupBy descriptor with the full Druid result-shaping surface:
+      // postAggregations (arithmetic over agg results), having
+      // (aggregation comparisons + logical combinators), limitSpec
+      // (ordered columns + row limit)
+      "q_direct_post" -> { (s, dir) =>
+        engine(s, dir)
+        val cube = TpchCube.ensure(s, dir)
+        graft.cube.DirectQuery.execute(s, cube.info.name,
+          """{"queryType": "groupBy",
+            | "dimensions": ["c_mktsegment", "l_returnflag"],
+            | "aggregations": [
+            |   {"type": "count", "name": "cnt"},
+            |   {"type": "doubleSum", "fieldName": "l_quantity", "name": "sum_qty"},
+            |   {"type": "doubleSum", "fieldName": "l_extendedprice", "name": "sum_price"}],
+            | "postAggregations": [
+            |   {"type": "arithmetic", "name": "avg_qty", "fn": "/",
+            |    "fields": [{"type": "fieldAccess", "fieldName": "sum_qty"},
+            |               {"type": "fieldAccess", "fieldName": "cnt"}]},
+            |   {"type": "arithmetic", "name": "scaled", "fn": "*",
+            |    "fields": [{"type": "constant", "value": 0.5},
+            |               {"type": "arithmetic", "fn": "-",
+            |                "fields": [{"type": "fieldAccess", "fieldName": "sum_price"},
+            |                           {"type": "fieldAccess", "fieldName": "sum_qty"}]}]}],
+            | "having": {"type": "and", "havingSpecs": [
+            |   {"type": "greaterThan", "aggregation": "cnt", "value": 100},
+            |   {"type": "not", "havingSpec":
+            |     {"type": "lessThan", "aggregation": "avg_qty", "value": 10}}]},
+            | "limitSpec": {"type": "default", "limit": 8, "columns": [
+            |   {"dimension": "avg_qty", "direction": "descending"},
+            |   "c_mktsegment", "l_returnflag"]},
+            | "intervals": ["1994-01-01/1997-01-01"]}""".stripMargin)
+      },
       // native session_window sessions, batch form (same declaration runs
       // streaming; note the boundary: a gap of EXACTLY 30min starts a new
       // session — [start, last+gap) windows — where the custom sessionizer
@@ -1715,6 +1747,25 @@ object SparkEntry {
           |FROM lineitem
           |GROUP BY 1
           |ORDER BY 1""".stripMargin,
+      "q_direct_post" ->
+        """WITH g AS (
+          |  SELECT c_mktsegment, l_returnflag, count(*) AS cnt,
+          |    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          |    AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  GROUP BY 1, 2),
+          |p AS (SELECT *, sum_qty / cnt AS avg_qty,
+          |        0.5 * (sum_price - sum_qty) AS scaled FROM g)
+          |SELECT c_mktsegment, l_returnflag, cnt, sum_qty, sum_price,
+          |  avg_qty, scaled
+          |FROM p
+          |WHERE cnt > 100 AND NOT (avg_qty < 10)
+          |ORDER BY avg_qty DESC, c_mktsegment, l_returnflag
+          |LIMIT 8""".stripMargin,
       "q_events_sessions_native" ->
         s"""WITH x AS (SELECT user_id, ts, value,
            |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),

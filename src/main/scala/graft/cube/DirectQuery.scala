@@ -253,6 +253,70 @@ object DirectQuery {
       if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
 
+    // post-aggregations (`DruidQuerySpec.scala:379-430`): arithmetic over
+    // aggregation results, constants, and nested arithmetic — an ordinary
+    // projection above the aggregate. Division is plain double division
+    // (Druid coerces x/0 to 0; SQL semantics keep the honest NULL/Inf).
+    def num(v: JValue, what: String): Double = v match {
+      case JInt(n)     => n.toDouble
+      case JDouble(d)  => d
+      case JDecimal(d) => d.toDouble
+      case other => throw new IllegalArgumentException(s"bad $what: $other")
+    }
+    def postFieldOf(f: JValue): Column = (f \ "type") match {
+      case JString("fieldAccess") => col(str(f \ "fieldName"))
+      case JString("constant")    => lit(num(f \ "value", "constant value"))
+      case JString("arithmetic")  => postArithOf(f)
+      case other => throw new IllegalArgumentException(
+        s"unsupported post-aggregation field type $other")
+    }
+    def postArithOf(p: JValue): Column = {
+      val fields = (p \ "fields") match {
+        case JArray(fs) if fs.size >= 2 => fs.map(postFieldOf)
+        case other => throw new IllegalArgumentException(s"bad postAgg fields: $other")
+      }
+      str(p \ "fn") match {
+        case "+" => fields.reduce(_ + _)
+        case "-" => fields.reduce(_ - _)
+        case "*" => fields.reduce(_ * _)
+        case "/" | "quotient" =>
+          fields.map(_.cast("double")).reduce(_ / _)
+        case fn => throw new IllegalArgumentException(
+          s"unsupported post-aggregation fn $fn")
+      }
+    }
+    val postAgged = (j \ "postAggregations") match {
+      case JArray(ps) => ps.foldLeft(grouped)((d, p) =>
+        d.withColumn(str(p \ "name"), postArithOf(p)))
+      case JNothing => grouped
+      case other => throw new IllegalArgumentException(s"bad postAggregations: $other")
+    }
+
+    // HAVING (`HavingSpec`, `DruidQuerySpec.scala:458-476` — declared in
+    // the reference IR but never reached from Catalyst; completed here):
+    // comparisons on aggregation/post-aggregation names plus and/or/not.
+    def havingOf(h: JValue): Column = (h \ "type") match {
+      case JString("greaterThan") =>
+        col(str(h \ "aggregation")) > lit(num(h \ "value", "having value"))
+      case JString("lessThan") =>
+        col(str(h \ "aggregation")) < lit(num(h \ "value", "having value"))
+      case JString("equalTo") =>
+        col(str(h \ "aggregation")) === lit(num(h \ "value", "having value"))
+      case JString("and") | JString("or") =>
+        val specs = (h \ "havingSpecs") match {
+          case JArray(hs) => hs.map(havingOf)
+          case other => throw new IllegalArgumentException(s"bad havingSpecs: $other")
+        }
+        if ((h \ "type") == JString("and")) specs.reduce(_ && _)
+        else specs.reduce(_ || _)
+      case JString("not") => !havingOf(h \ "havingSpec")
+      case other => throw new IllegalArgumentException(s"unsupported having type $other")
+    }
+    val havinged = (j \ "having") match {
+      case JNothing => postAgged
+      case h        => postAgged.filter(havingOf(h))
+    }
+
     queryType match {
       case "topN" =>
         // Druid topN: one dimension ranked by one metric, `threshold` rows.
@@ -265,8 +329,36 @@ object DirectQuery {
           case JNothing   => throw new IllegalArgumentException("topN needs threshold")
           case other => throw new IllegalArgumentException(s"bad threshold: $other")
         }
-        grouped.orderBy(col(metric).desc, col(dims.head)).limit(threshold)
-      case _ => grouped
+        havinged.orderBy(col(metric).desc, col(dims.head)).limit(threshold)
+      case _ =>
+        // limitSpec (`DruidQuerySpec.scala:437-456`): order-by columns
+        // (dimension or aggregation names, per-column direction) plus an
+        // optional row limit — `TakeOrderedAndProjectExec` exactly.
+        (j \ "limitSpec") match {
+          case JNothing => havinged
+          case ls =>
+            val ordered = (ls \ "columns") match {
+              case JArray(cs) if cs.nonEmpty =>
+                havinged.orderBy(cs.map {
+                  case JString(d) => col(d).asc
+                  case o =>
+                    val c = col(str(o \ "dimension"))
+                    (o \ "direction") match {
+                      case JString("descending") => c.desc
+                      case JString("ascending") | JNothing => c.asc
+                      case other => throw new IllegalArgumentException(
+                        s"bad direction: $other")
+                    }
+                }: _*)
+              case JNothing => havinged
+              case other => throw new IllegalArgumentException(s"bad limit columns: $other")
+            }
+            (ls \ "limit") match {
+              case JInt(n)  => ordered.limit(n.toInt)
+              case JNothing => ordered
+              case other => throw new IllegalArgumentException(s"bad limit: $other")
+            }
+        }
     }
   }
 }

@@ -212,6 +212,39 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(rows(sm) == rows(smWant) && sm.count() > 0)
   }
 
+  test("postAggregations, having and limitSpec shape the groupBy result") {
+    init()
+    val cubeName = graft.cube.CubeCatalog.all
+      .find(_.info.name.startsWith("tpch_flat")).get.info.name
+    val got = graft.cube.DirectQuery.execute(spark, cubeName,
+      """{"queryType": "groupBy",
+        | "dimensions": ["c_mktsegment"],
+        | "aggregations": [
+        |   {"type": "count", "name": "cnt"},
+        |   {"type": "doubleSum", "fieldName": "l_quantity", "name": "sum_qty"}],
+        | "postAggregations": [
+        |   {"type": "arithmetic", "name": "avg_qty", "fn": "/",
+        |    "fields": [{"type": "fieldAccess", "fieldName": "sum_qty"},
+        |               {"type": "fieldAccess", "fieldName": "cnt"}]}],
+        | "having": {"type": "greaterThan", "aggregation": "cnt", "value": 10},
+        | "limitSpec": {"type": "default", "limit": 3, "columns": [
+        |   {"dimension": "avg_qty", "direction": "descending"},
+        |   "c_mktsegment"]}}""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val want = spark.sql(
+      """WITH g AS (SELECT c_mktsegment, count(*) AS cnt,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1)
+        |SELECT c_mktsegment, cnt, sum_qty, sum_qty / cnt AS avg_qty FROM g
+        |WHERE cnt > 10
+        |ORDER BY avg_qty DESC, c_mktsegment LIMIT 3""".stripMargin)
+      .collect().map(_.toString).toSeq
+    assert(got == want && got.size == 3)
+  }
+
   test("SHOW GRAFT STATS reports rewrite fires after a served query") {
     init()
     graft.cube.RollupCube.ensure(spark, sf)
