@@ -1905,6 +1905,27 @@ object SparkEntry {
           .orderBy(col("numwait").desc, col("s_name"))
           .limit(10)
       },
+      // TPC-H Q17 rewritten for scale (oracle stays the canonical
+      // correlated-subquery SQL): Spark decorrelates the per-part average
+      // into an aggregation of the ENTIRE fact table, joined to the tiny
+      // brand slice — a full fact shuffle for a 1/25th-of-partkeys answer.
+      // The per-part threshold only needs the rows that survive the brand
+      // filter (partkey determines brand), so a window over the filtered
+      // slice computes it with ONE cube scan and one slice-sized shuffle.
+      "q17_small_qty_revenue" -> { (s, dir) =>
+        engine(s, dir)
+        s.sql(
+          """WITH liP AS (
+            |  SELECT l_partkey, l_quantity, l_extendedprice
+            |  FROM lineitem JOIN part ON p_partkey = l_partkey
+            |  WHERE p_brand = 'Brand#3' AND p_type = 'ECONOMY'),
+            |t AS (SELECT l_quantity, l_extendedprice,
+            |        CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) OVER (PARTITION BY l_partkey) AS DOUBLE)
+            |          / (5.0 * count(*) OVER (PARTITION BY l_partkey)) AS thresh
+            |      FROM liP)
+            |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly
+            |FROM t WHERE l_quantity < thresh""".stripMargin)
+      },
       // ---- §2.4 aggregations ----------------------------------------------
       "q01_pricing_summary" -> { (s, dir) =>
         Tables.t(s, dir, "lineitem")
