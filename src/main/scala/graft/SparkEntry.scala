@@ -2027,19 +2027,28 @@ object SparkEntry {
             |CROSS JOIN (SELECT kmv_sketch(user_id) AS sk FROM events
             |            WHERE event_type = 'purchase') p""".stripMargin)
       },
-      // dim-sliced interval scan on the cube itself ("SubQry+filters+range"
-      // benchmark shape) — exercises time-bucket partition pruning
+      // dim-sliced interval query ("SubQry+filters+range" benchmark shape,
+      // the reference's 357x headline): written against the BASE star
+      // tables so the full route earns the win — star collapse onto the
+      // cube, time-bucket pruning, then the month-aligned dim-only shape
+      // serves from the rollup lattice without touching facts. The bench's
+      // raw re-run (rewrites off) executes this same SQL as a 4-way join.
       "q_subqry_filters_range" -> { (s, dir) =>
         engine(s, dir)
-        val cube = TpchCube.ensure(s, dir)
-        s.read.parquet(cube.cubePath)
-          .filter(col("s_nation").isin("NATION_3", "NATION_9", "NATION_17") &&
-            col("c_mktsegment") === "MACHINERY" &&
-            col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
-            col("l_shipdate") < lit("1996-09-01").cast("timestamp"))
-          .groupBy("s_nation")
-          .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
-          .orderBy("s_nation")
+        s.sql(
+          s"""SELECT sn.n_name AS s_nation, count(*) AS cnt,
+             |  ${dsumSql("l_quantity")} AS sum_qty
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |WHERE sn.n_name IN ('NATION_3', 'NATION_9', 'NATION_17')
+             |  AND c_mktsegment = 'MACHINERY'
+             |  AND l_shipdate >= TIMESTAMP '1996-03-01'
+             |  AND l_shipdate < TIMESTAMP '1996-09-01'
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)
       })
   }
 

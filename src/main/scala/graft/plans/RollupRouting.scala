@@ -39,6 +39,26 @@ case class RollupRouting(spark: SparkSession)
     })
   }
 
+  /** This rule runs in the `extraOptimizations` batch, AFTER ColumnPruning
+    * has reached its fixed point — so the optimizer never prunes the scan a
+    * served plan introduces, and the physical rollup scan would read every
+    * metric and sketch column of the node (measured: 21-column readSchema
+    * for a 5-column query). Emit the pruning Project ourselves: keep only
+    * the rollup-scan attributes the served plan references. File-source
+    * planning (`FileSourceStrategy`) collapses the Project into the scan's
+    * requiredSchema, so parquet reads just those columns.
+    */
+  private def pruneScan(plan: LogicalPlan): LogicalPlan = {
+    val refs = AttributeSet(plan.collect {
+      case p if !p.isInstanceOf[LogicalRelation] => p.expressions
+    }.flatten.flatMap(_.references))
+    plan.transformUp {
+      case lr: LogicalRelation if lr.output.exists(a => !refs.contains(a)) =>
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          lr.output.filter(refs.contains), lr)
+    }
+  }
+
   private def route(agg: Aggregate): Option[LogicalPlan] = {
     // global (ungrouped) aggregates serve too: the count merge is
     // `coalesce(sum(cnt), 0)`, so a filter that empties the rollup still
@@ -68,6 +88,7 @@ case class RollupRouting(spark: SparkSession)
         else cube.rollups.view
           .flatMap(ru => serveTopN(agg, projects, filters, cube, ru))
           .headOption)
+      .map(pruneScan)
   }
 
   /** Serve `GROUP BY <sketched dim> ... count(*)` from the stored
