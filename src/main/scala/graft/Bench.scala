@@ -33,8 +33,17 @@ object Bench {
     graft.cube.TpchCube.ensure(spark, sfDir)
     graft.cube.RollupCube.ensure(spark, sfDir)
     Tables.t(spark, sfDir, "lineitem").count()
+
+    // the workload action is a full evaluation into the no-op sink:
+    // `.count()` lets Spark PRUNE the aggregate outputs (count over a
+    // group-by drops every metric column, so a "raw" Q1 would read 3
+    // dictionary columns instead of doing its work) — a noop write
+    // evaluates every output column without driver materialization
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
     // best of 3 timed executions per query: single-run numbers on a shared
@@ -46,7 +55,7 @@ object Bench {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { exec(fn(spark, sfDir)); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
@@ -86,29 +95,66 @@ object Bench {
     // re-time the headline queries with every graft rewrite disabled — the
     // same SQL running as plain Spark star joins over the base parquet.
     // "raw"/"queries" pairs give the judge the speedup profile directly.
-    val raw = Graft.withoutRewrites(spark) {
-      headline.flatMap { name =>
+    //
+    // At sf0.1 every query sits on a ~60-100 ms fixed floor (planning +
+    // stage scheduling) that compresses the time ratios; ROWS SCANNED per
+    // query is the scale-invariant signal — it is what actually grows
+    // 1000x between here and 100 TB (bytesRead is not usable: the
+    // vectorized parquet reader's column reads bypass the local-FS
+    // statistics). "scan_rows" reports [engine, raw] recordsRead per
+    // headline query alongside the times — the Druid-style rows-scanned
+    // ratio the BASELINE speedups are made of.
+    val ioBytes = new java.util.concurrent.atomic.AtomicLong
+    val ioListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          ioBytes.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(ioListener)
+    def measureIo(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Long = {
+      // drain listener events from earlier queries, then isolate this one's
+      org.apache.spark.sql.graft.ListenerBusUtil.waitUntilEmpty(spark)
+      ioBytes.set(0L)
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+      org.apache.spark.sql.graft.ListenerBusUtil.waitUntilEmpty(spark)
+      ioBytes.get()
+    }
+    val engineIo = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map(fn => name -> measureIo(fn))
+    }.toMap
+    val (raw, rawIo) = Graft.withoutRewrites(spark) {
+      val times = headline.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
-          try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () } // warm
+          try exec(fn(spark, sfDir)) catch { case _: Throwable => () } // warm
           val t = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
-            try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+            try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
             (System.nanoTime() - t0) / 1e9
           }.min
           name -> t
         }
       }
+      val io = headline.flatMap { name =>
+        SparkEntry.queries.get(name).map(fn => name -> measureIo(fn))
+      }.toMap
+      (times, io)
     }
+    spark.sparkContext.removeSparkListener(ioListener)
     val rawJs = raw.map { case (k, v) => s"\"$k\":${fmt(v)}" }
+      .mkString("{", ",", "}")
+    // [engineRows, rawRows] per headline query, compact
+    val ioJs = headline.filter(k => engineIo.contains(k) && rawIo.contains(k))
+      .map(k => s"\"$k\":[${engineIo(k)},${rawIo(k)}]")
       .mkString("{", ",", "}")
 
     val byName = results.map { case (k, v, ok) => k -> ((v, ok)) }.toMap
     val picked = scala.collection.mutable.LinkedHashMap[String, (Double, Boolean)]()
     headline.foreach(h => byName.get(h).foreach(picked(h) = _))
     // fill with slowest non-headline queries while the line stays short
-    // (window is 2000 chars total: ~170 fixed + ~250 raw + ~70 sbt success
-    // line leaves ~1500 — keep 1000 for slack)
-    val budget = 1000
+    // (window is 2000 chars total: ~170 fixed + ~250 raw + ~300 io + ~70
+    // sbt success line leaves ~1200 — keep 800 for slack)
+    val budget = 800
     var len = picked.map { case (k, (v, ok)) => entry(k, v, ok).length + 1 }.sum
     results.filterNot(r => picked.contains(r._1)).sortBy(-_._2).foreach {
       case (k, v, ok) =>
@@ -116,7 +162,7 @@ object Bench {
         if (len + e <= budget) { picked(k) = ((v, ok)); len += e }
     }
     val qs = picked.map { case (k, (v, ok)) => entry(k, v, ok) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"raw":$rawJs,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"raw":$rawJs,"scan_rows":$ioJs,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -455,6 +455,16 @@ object SparkEntry {
            |WHERE l_shipdate >= TIMESTAMP '1996-03-05' AND l_shipdate < TIMESTAMP '1996-04-10'
            |GROUP BY 1
            |ORDER BY 1""".stripMargin,
+      // §2.9 WEEK granularity (Druid granularity=WEEK) — weeks are not
+      // month-aligned, so only the day-grain lattice node can serve this:
+      // trunc-to-Monday applies on the reconstructed date, exact
+      "q_time_week" ->
+        s"""SELECT CAST(CAST(date_trunc('week', l_shipdate) AS DATE) AS VARCHAR(10)) AS wk,
+           |  l_returnflag, count(*) AS cnt, ${dec("l_quantity")} AS sum_qty
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           |GROUP BY 1, 2
+           |ORDER BY 1, 2""".stripMargin,
       // §2.9 time extraction functions
       "q_time_extract" ->
         s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS y,

@@ -130,7 +130,8 @@ object TpchCube {
 
   def cubePath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/cubes/tpch_$sf"
+    // v2: dimension-clustered row order within each time bucket
+    s"/root/repo/target/cubes/tpch_${sf}_v2"
   }
 
   private val lock = new Object
@@ -146,9 +147,17 @@ object TpchCube {
     val path = cubePath(sfDir)
     val marker = new java.io.File(path, "_SUCCESS")
     if (!marker.exists()) {
+      // rows within each time bucket are CLUSTERED by the most-filtered
+      // dimensions — the layout-level stand-in for Druid's per-dimension
+      // inverted indexes: parquet row-group/page min-max stats on a sorted
+      // column actually skip IO for dim-sliced queries. Locally a bucket is
+      // one row group (no visible effect); at 100 TB a month holds
+      // thousands of row groups and a `c_mktsegment = X AND s_nation = Y`
+      // slice reads ~1/|segment| of them instead of all.
       Tables.flat(spark, sfDir)
         .withColumn("g_tbucket", bucketExpr("l_shipdate"))
         .repartition(col("g_tbucket"))
+        .sortWithinPartitions("g_tbucket", "c_mktsegment", "s_nation", "c_nation")
         .write.mode("overwrite").partitionBy("g_tbucket").parquet(path)
     }
     val tablePaths = roleOfTable.keys.map { t =>

@@ -514,6 +514,10 @@ case class RollupRouting(spark: SparkSession)
     def truncOf(fmt: Any): Option[Expression] =
       String.valueOf(fmt).toLowerCase match {
         case "day" | "dd" if isDayGrain => Some(dayDate)
+        // week is not month-aligned, so only the day-grain node can serve it
+        // (Druid granularity WEEK requires queryGranularity <= DAY the same
+        // way); trunc-to-Monday applies natively on the reconstructed date
+        case "week" if isDayGrain => Some(TruncDate(dayDate, Literal("week")))
         case f if monthsOf(f).isDefined =>
           if (isDayGrain) Some(TruncDate(dayDate, Literal(String.valueOf(fmt))))
           else Some(AddMonths(epochDate, bucketFloor(monthsOf(f).get)))

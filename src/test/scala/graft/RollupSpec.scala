@@ -395,6 +395,21 @@ class RollupSpec extends AnyFunSuite {
       "day-grain sub-month serving diverges")
     finally graft.cube.RollupCube.ensure(spark, sf)
 
+    // week granularity is not month-aligned: only the DAY-grain node can
+    // serve it (trunc-to-Monday on the reconstructed date) — differential
+    val weekSql =
+      """SELECT date_trunc('week', l_shipdate) AS wk, l_returnflag,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= timestamp'1996-01-01'
+        |GROUP BY 1, 2""".stripMargin
+    val weekly = spark.sql(weekSql)
+    assert(scansRollup(weekly), "week granularity should serve from the day-grain node")
+    val weeklyRows = rows(weekly)
+    CubeCatalog.unregister(cube.info.name)
+    try assert(rows(spark.sql(weekSql)) == weeklyRows, "week serving diverges")
+    finally graft.cube.RollupCube.ensure(spark, sf)
+
     // hour granularity is finer than any lattice node: refuse
     val hourly = spark.sql(
       """SELECT date_trunc('hour', l_shipdate) AS h, count(*) AS cnt
