@@ -150,6 +150,15 @@ class GraftSqlParserSpec extends AnyFunSuite {
         |FROM lineitem GROUP BY 1""".stripMargin)
     assert(rows(ts) == rows(tsWant) && ts.count() > 0)
 
+    // week granularity: not month-aligned, exercises the day-grain serve
+    val wk = graft.cube.DirectQuery.execute(spark, cubeName,
+      """{"queryType": "timeseries", "granularity": "week",
+        | "aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+    val wkWant = spark.sql(
+      """SELECT date_trunc('week', l_shipdate) AS g_time, count(*) AS cnt
+        |FROM lineitem GROUP BY 1""".stripMargin)
+    assert(rows(wk) == rows(wkWant) && wk.count() > 0)
+
     val topn = graft.cube.DirectQuery.execute(spark, cubeName,
       """{"queryType": "topN", "dimension": "l_suppkey", "metric": "cnt",
         | "threshold": 5,
