@@ -50,6 +50,11 @@ object CubeMeta {
       "timeIntervalMicros" -> info.timeIntervalMicros.map { case (lo, hi) =>
         JArray(List(JLong(lo), JLong(hi))) }.getOrElse(JNull),
       "timeDayQuantized" -> JBool(info.timeDayQuantized),
+      "timeNullFree" -> JBool(info.timeNullFree),
+      "timeCorrelatedColumns" -> JArray(
+        info.timeCorrelatedColumns.map(JString(_): JValue).toList),
+      "timeLagBounds" -> JObject(info.timeLagBounds.toSeq.sortBy(_._1).map {
+        case (c, (lo, hi)) => c -> JArray(List(JLong(lo), JLong(hi))) }.toList),
       "columns" -> JArray(info.columns.map(c => JObject(
         "name" -> JString(c.name), "role" -> roleToJ(c.role),
         "cardinality" -> c.cardinality.map(JLong(_): JValue).getOrElse(JNull))).toList),
@@ -140,7 +145,13 @@ object CubeMeta {
         case JArray(List(lo, hi)) => Some((lng(lo), lng(hi)))
         case _                    => None
       },
-      timeDayQuantized = (j \ "timeDayQuantized") == JBool(true))
+      timeDayQuantized = (j \ "timeDayQuantized") == JBool(true),
+      timeNullFree = (j \ "timeNullFree") == JBool(true),
+      timeCorrelatedColumns = arr(j \ "timeCorrelatedColumns").map(str),
+      timeLagBounds = obj(j \ "timeLagBounds").map { case (c, v) =>
+        val List(lo, hi) = arr(v)
+        c -> ((lng(lo), lng(hi)))
+      }.toMap)
     RegisteredCube(
       info = info,
       cubePath = str(j \ "cubePath"),

@@ -20,22 +20,40 @@ object CubeStats {
         val txt = new String(java.nio.file.Files.readAllBytes(sidecar.toPath), "UTF-8")
         val m = "\"([^\"]+)\"\\s*:\\s*(-?\\d+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toLong).toMap
-        // regenerate older-format sidecars (missing time-range/quantization)
-        if (m.contains("__time_subday")) Some(m) else None
+        // regenerate older-format sidecars (missing time-range/quantization
+        // or the correlation-lag measurements)
+        if (m.contains("__time_subday") && m.contains("__time_nulls")) Some(m)
+        else None
       }
     existing.getOrElse {
       val dims = info.columns.filter(_.role != ColumnRole.Metric).map(_.name)
       val tcol = col(info.timeColumn)
+      val corr = info.timeCorrelatedColumns.filter(info.columnByName.contains)
+      // lag of the time dimension against each declared correlated column,
+      // in micros, over rows where both are non-NULL (min/max skip NULLs)
+      val lagAggs = corr.flatMap { c =>
+        val lag = unix_micros(tcol.cast("timestamp")) -
+          unix_micros(col(c).cast("timestamp"))
+        Seq(min(lag).as(s"lagmin_$c"), max(lag).as(s"lagmax_$c"))
+      }
       val row = graft.Graft.withoutRewrites(spark) { spark.read.parquet(path)
         .select((dims.map(c => approx_count_distinct(col(c)).as(c))
           :+ unix_micros(min(tcol).cast("timestamp")).as("tmin")
           :+ unix_micros(max(tcol).cast("timestamp")).as("tmax")
-          :+ max(when(tcol =!= date_trunc("day", tcol), 1L).otherwise(0L)).as("subday")): _*)
+          :+ max(when(tcol =!= date_trunc("day", tcol), 1L).otherwise(0L)).as("subday")
+          :+ count(when(tcol.isNull, 1)).as("tnulls")) ++ lagAggs: _*)
         .head() }
+      val lagStats = corr.zipWithIndex.flatMap { case (c, i) =>
+        val base = dims.size + 4 + 2 * i
+        if (row.isNullAt(base) || row.isNullAt(base + 1)) Nil // all-NULL column
+        else Seq(s"__lag_min_us_$c" -> row.getLong(base),
+          s"__lag_max_us_$c" -> row.getLong(base + 1))
+      }
       val stats = dims.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap ++
         Map("__time_min_us" -> row.getLong(dims.size),
             "__time_max_us" -> row.getLong(dims.size + 1),
-            "__time_subday" -> row.getLong(dims.size + 2))
+            "__time_subday" -> row.getLong(dims.size + 2),
+            "__time_nulls" -> row.getLong(dims.size + 3)) ++ lagStats
       val json = stats.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
       java.nio.file.Files.write(sidecar.toPath, json.getBytes("UTF-8"))
@@ -53,5 +71,12 @@ object CubeStats {
         lo <- stats.get("__time_min_us")
         hi <- stats.get("__time_max_us")
       } yield (lo, hi),
-      timeDayQuantized = stats.get("__time_subday").contains(0L))
+      timeDayQuantized = stats.get("__time_subday").contains(0L),
+      timeNullFree = stats.get("__time_nulls").contains(0L),
+      timeLagBounds = info.timeCorrelatedColumns.flatMap { c =>
+        for {
+          lo <- stats.get(s"__lag_min_us_$c")
+          hi <- stats.get(s"__lag_max_us_$c")
+        } yield c -> ((lo, hi))
+      }.toMap)
 }

@@ -113,6 +113,11 @@ object TpchCube {
       starSchema = starSchema,
       roleOfTable = roleOfTable,
       columnMapping = columnMapping,
+      // TPC-H ships every lineitem within a bounded window of its order
+      // date; DECLARING the correlation lets the build MEASURE the exact
+      // lag bounds, and o_orderdate slices (Q3/Q4/Q5/Q8/Q10 shapes) then
+      // prune the l_shipdate-partitioned cube
+      timeCorrelatedColumns = Seq("o_orderdate"),
       functionalDeps = Seq(
         FunctionalDependency("c_nation", "c_region", ManyToOne),
         FunctionalDependency("s_nation", "s_region", ManyToOne),

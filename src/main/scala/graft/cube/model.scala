@@ -191,7 +191,29 @@ final case class CubeInfo(
       * a day-grain rollup (Druid's queryGranularity=DAY semantics, but
       * gated by measurement instead of silent truncation)
       */
-    timeDayQuantized: Boolean = false) {
+    timeDayQuantized: Boolean = false,
+    /** DECLARED: date/timestamp cube columns whose lag against the time
+      * dimension is physically bounded (e.g. TPC-H ships every line within
+      * ~4 months of its order date). The bound itself is never trusted from
+      * the declaration — it is MEASURED at cube build into
+      * [[timeLagBounds]].
+      */
+    timeCorrelatedColumns: Seq[String] = Nil,
+    /** MEASURED at cube build: column -> (min, max) of
+      * `timeColumn - column` in epoch micros over all rows where both are
+      * non-NULL. Lets [[graft.plans.TimeBucketPruning]] derive implied
+      * time-bucket bounds from predicates on the correlated column — a
+      * dimension-date slice then prunes partitions even though the cube is
+      * partitioned by the time dimension (zone-map-style correlation
+      * pruning; neither Druid nor stock Spark has this).
+      */
+    timeLagBounds: Map[String, (Long, Long)] = Map.empty,
+    /** MEASURED at cube build: the time column has zero NULLs. Implied
+      * time predicates are only sound under this proof (a row with NULL
+      * time satisfies no derived bound but may satisfy the original
+      * correlated-column predicate).
+      */
+    timeNullFree: Boolean = false) {
 
   val columnByName: Map[String, CubeColumn] = columns.map(c => c.name -> c).toMap
 

@@ -41,7 +41,7 @@ case class TimeBucketPruning(spark: SparkSession)
           val timeAttr = lr.output.find(_.name.equalsIgnoreCase(timeCol))
           if (alreadyPruned || bucketAttr.isEmpty || timeAttr.isEmpty) f
           else {
-            val ivs = intervalsOf(conjuncts, timeAttr.get)
+            val ivs = intervalsOf(conjuncts, timeAttr.get, cube.info, lr.output)
             // intersect with the cube's covered interval (the reference's
             // QueryIntervals vs index intervals): a predicate range disjoint
             // from the DATA folds to the null scan even when the predicates
@@ -57,7 +57,8 @@ case class TimeBucketPruning(spark: SparkSession)
               // interval both tightens loose bounds (t >= 1990 on a cube
               // starting 1995 prunes to 1995's bucket) and closes the open
               // side of one-sided predicates
-              val preds = bucketPredicates(clamped, bucketAttr.get)
+              val preds = bucketPredicates(clamped, bucketAttr.get,
+                cube.info.timeIntervalMicros)
               if (preds.isEmpty) f
               else Filter((conjuncts ++ preds).reduce(And), lr)
             }
@@ -67,9 +68,17 @@ case class TimeBucketPruning(spark: SparkSession)
   }
 
   /** Intersect all time-column comparisons into an interval set (epoch
-    * micros, half-open).
+    * micros, half-open) — plus the intervals IMPLIED by comparisons on
+    * declared-and-measured time-correlated columns: with the build-time
+    * proof that `time - c ∈ [lagMin, lagMax]` for every row (and that the
+    * time column has no NULLs), `c ≥ L` implies `time ≥ L + lagMin` and
+    * `c ≤ U` implies `time ≤ U + lagMax`. The original predicate stays in
+    * the plan; the implied bound only prunes buckets — so a TPC-H Q5-shape
+    * `o_orderdate` slice prunes the `l_shipdate`-partitioned cube
+    * (zone-map-style correlation pruning; Druid has no analog).
     */
-  private def intervalsOf(conjuncts: Seq[Expression], timeAttr: Attribute)
+  private def intervalsOf(conjuncts: Seq[Expression], timeAttr: Attribute,
+                          info: graft.cube.CubeInfo, output: Seq[Attribute])
       : IntervalSet = {
     def litMicros(l: Literal): Option[Long] = l.dataType match {
       case TimestampType | TimestampNTZType => Some(l.value.asInstanceOf[Long])
@@ -86,6 +95,37 @@ case class TimeBucketPruning(spark: SparkSession)
         a.exprId == timeAttr.exprId
       case _ => false
     }
+    // exprId -> measured (lagMin, lagMax) of the correlated columns; the
+    // implication needs the zero-NULL-time proof
+    val lagOf: Map[ExprId, (Long, Long)] =
+      if (!info.timeNullFree) Map.empty
+      else output.flatMap(a =>
+        info.timeLagBounds.get(a.name).orElse(
+          info.timeLagBounds.get(a.name.toLowerCase)).map(a.exprId -> _)).toMap
+    // NOTE: only timestamp-flavor casts unwrap (epoch identity under the
+    // UTC session). Cast-to-DATE truncates, so `CAST(c AS DATE) <= D`
+    // admits c up to D 23:59:59 — deriving a bound from the cast value
+    // would be unsound for upper bounds.
+    def lagged(e: Expression): Option[(Long, Long)] = e match {
+      case a: Attribute => lagOf.get(a.exprId)
+      case Cast(a: Attribute, TimestampType | TimestampNTZType, _, _) =>
+        lagOf.get(a.exprId)
+      case _ => None
+    }
+    // saturating add: date literals near the Long range must not wrap
+    def plus(a: Long, b: Long): Long =
+      try Math.addExact(a, b) catch {
+        case _: ArithmeticException => if (a > 0) Long.MaxValue else Long.MinValue
+      }
+    def implied(op: String, us: Long, lag: (Long, Long)): IntervalSet =
+      op match {
+        case ">=" => IntervalSet.ofComparison(">=", plus(us, lag._1))
+        case ">"  => IntervalSet.ofComparison(">", plus(us, lag._1))
+        case "<=" => IntervalSet.ofComparison("<=", plus(us, lag._2))
+        case "<"  => IntervalSet.ofComparison("<", plus(us, lag._2))
+        case "=" => IntervalSet.ofComparison(">=", plus(us, lag._1))
+          .intersect(IntervalSet.ofComparison("<=", plus(us, lag._2)))
+      }
     conjuncts.foldLeft(IntervalSet.All) { (acc, c) =>
       val ivs = c match {
         case LessThan(t, l: Literal) if isTime(t)           => litMicros(l).map(IntervalSet.ofComparison("<", _))
@@ -98,23 +138,43 @@ case class TimeBucketPruning(spark: SparkSession)
         case GreaterThan(l: Literal, t) if isTime(t)        => litMicros(l).map(IntervalSet.ofComparison("<", _))
         case GreaterThanOrEqual(l: Literal, t) if isTime(t) => litMicros(l).map(IntervalSet.ofComparison("<=", _))
         case EqualTo(l: Literal, t) if isTime(t)            => litMicros(l).map(IntervalSet.ofComparison("=", _))
-        case _                                              => None
+        // implied bounds from correlated columns (literal on either side)
+        case LessThan(e, l: Literal)           => for { lg <- lagged(e); us <- litMicros(l) } yield implied("<", us, lg)
+        case LessThanOrEqual(e, l: Literal)    => for { lg <- lagged(e); us <- litMicros(l) } yield implied("<=", us, lg)
+        case GreaterThan(e, l: Literal)        => for { lg <- lagged(e); us <- litMicros(l) } yield implied(">", us, lg)
+        case GreaterThanOrEqual(e, l: Literal) => for { lg <- lagged(e); us <- litMicros(l) } yield implied(">=", us, lg)
+        case EqualTo(e, l: Literal)            => for { lg <- lagged(e); us <- litMicros(l) } yield implied("=", us, lg)
+        case LessThan(l: Literal, e)           => for { lg <- lagged(e); us <- litMicros(l) } yield implied(">", us, lg)
+        case LessThanOrEqual(l: Literal, e)    => for { lg <- lagged(e); us <- litMicros(l) } yield implied(">=", us, lg)
+        case GreaterThan(l: Literal, e)        => for { lg <- lagged(e); us <- litMicros(l) } yield implied("<", us, lg)
+        case GreaterThanOrEqual(l: Literal, e) => for { lg <- lagged(e); us <- litMicros(l) } yield implied("<=", us, lg)
+        case EqualTo(l: Literal, e)            => for { lg <- lagged(e); us <- litMicros(l) } yield implied("=", us, lg)
+        case _                                 => None
       }
       ivs.map(acc.intersect).getOrElse(acc)
     }
   }
 
-  /** Convert a bounded interval set to predicates on the bucket column. */
-  private def bucketPredicates(ivs: IntervalSet, bucketAttr: Attribute)
+  /** Convert a bounded interval set to predicates on the bucket column.
+    * Bounds that do not narrow below the data's own bucket coverage are
+    * dropped — they would prune nothing and only add plan noise (implied
+    * correlation bounds are often vacuous when the measured lag is wide).
+    */
+  private def bucketPredicates(ivs: IntervalSet, bucketAttr: Attribute,
+                               dataInterval: Option[(Long, Long)])
       : Seq[Expression] = {
     val lo = ivs.min.filter(_ != Long.MinValue).map(TpchCube.bucketOfMicros)
     val hi = ivs.max.filter(_ != Long.MaxValue).map(us => TpchCube.bucketOfMicros(us - 1))
-    (lo, hi) match {
+    val dataLo = dataInterval.map(d => TpchCube.bucketOfMicros(d._1))
+    val dataHi = dataInterval.map(d => TpchCube.bucketOfMicros(d._2))
+    val loN = lo.filter(l => !dataLo.exists(l <= _))
+    val hiN = hi.filter(h => !dataHi.exists(h >= _))
+    (loN, hiN) match {
       case (Some(l), Some(h)) if l == h =>
         Seq(EqualTo(bucketAttr, Literal(l)))
       case _ =>
-        lo.map(l => GreaterThanOrEqual(bucketAttr, Literal(l))).toSeq ++
-          hi.map(h => LessThanOrEqual(bucketAttr, Literal(h))).toSeq
+        loN.map(l => GreaterThanOrEqual(bucketAttr, Literal(l))).toSeq ++
+          hiN.map(h => LessThanOrEqual(bucketAttr, Literal(h))).toSeq
     }
   }
 }
