@@ -83,6 +83,13 @@ object RollupCube {
   /** Q7-shape lattice node (supplier nation x customer nation). */
   val nationsDims: Seq[String] = Seq("s_nation", "c_nation")
 
+  /** Dim-slice lattice node (market segment x supplier nation) — the
+    * "SubQry+filters+range" benchmark shape (the reference's 357x headline,
+    * `BenchMarkDetails.org:144`): segment + nation predicates with a time
+    * interval answer from |segments| x |nations| x buckets cells.
+    */
+  val sliceDims: Seq[String] = Seq("c_mktsegment", "s_nation")
+
   /** TPC-H Q1 lattice node (pricing summary: returnflag × linestatus). */
   val q1Dims: Seq[String] = Seq("l_returnflag", "l_linestatus")
 
@@ -135,6 +142,11 @@ object RollupCube {
     s"/root/repo/target/cubes/tpch_${sf}_rollup_nations_v1"
   }
 
+  def slicePath(sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_slice_v1"
+  }
+
   def q1Path(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
     s"/root/repo/target/cubes/tpch_${sf}_rollup_rf_ls_v3"
@@ -163,6 +175,9 @@ object RollupCube {
 
   def nationsMeta(sfDir: String): RollupMeta =
     meta(sfDir).copy(path = nationsPath(sfDir), dims = nationsDims)
+
+  def sliceMeta(sfDir: String): RollupMeta =
+    meta(sfDir).copy(path = slicePath(sfDir), dims = sliceDims)
 
   /** The Q1 node is DAY grain (Druid `queryGranularity=DAY`, what the
     * reference's benchmark datasource used): TPC-H interval predicates are
@@ -257,6 +272,7 @@ object RollupCube {
           .write.mode("overwrite").partitionBy("g_tbucket").parquet(outPath)
       }
     cascade(coarseDims, coarsePath(sfDir))
+    cascade(sliceDims, slicePath(sfDir))
     // nations node: serves the Q7-shape (supplier nation × customer nation ×
     // year) from |nations|² × buckets rows instead of the near-fact-grain
     // fine node — the reference's flagship 82× query (BenchMarkDetails
@@ -305,7 +321,8 @@ object RollupCube {
     // smallest nodes first: the routing walk stops at the first fit
     // (coarse ~ |coarseDims| x months; q1 ~ 6 x days; fine ~ |dims| x months)
     val registered = cube.copy(rollups =
-      Seq(coarseMeta(sfDir), q1Meta(sfDir), nationsMeta(sfDir), meta(sfDir))
+      Seq(coarseMeta(sfDir), sliceMeta(sfDir), q1Meta(sfDir),
+          nationsMeta(sfDir), meta(sfDir))
         .map(_.copy(kmvExactNdv = exactNdv, exactNullCount = nullCounts,
           totalRows = totalRows)))
     CubeCatalog.register(registered)
