@@ -71,7 +71,14 @@ object Graft {
         if (r.dims.contains(c.name)) Some("group")
         else r.sums.get(c.name).map(s => s"sum:$s")
       }
-      (c.name, role, c.cardinality.getOrElse(-1L), merge.getOrElse(""))
+      // measured lag of a declared time-correlated column, in days — the
+      // bound correlation pruning derives implied time intervals from
+      val lag = cube.info.timeLagBounds.get(c.name).map { case (lo, hi) =>
+        val d = 86400000000L
+        s"lag[${lo / d}d,${hi / d}d]"
+      }
+      (c.name, role, c.cardinality.getOrElse(-1L),
+        (merge.toSeq ++ lag.toSeq).mkString(" "))
     }
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     import classic.implicits._
