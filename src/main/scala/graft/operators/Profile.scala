@@ -30,15 +30,28 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String],
               exact: Boolean = false, topK: Int = 0): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    def ndv(c: String) =
-      if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
+    // exact distinct counts deliberately do NOT ride the main aggregate:
+    // several count(DISTINCT x) over different columns rewrite to an
+    // Expand that pushes |cols|+1 copies of every row through the
+    // aggregation (measured 4x slower at bench scale). Instead each column
+    // gets its own pre-aggregated distinct count — a single-column,
+    // column-pruned scan with map-side partial aggregation — crossjoined
+    // onto the one-row stats result (all sides are scalar).
     val aggs = (count(lit(1)).as("n_rows") +: cols.flatMap { c =>
-      Seq(count(col(c)).as(s"nv_$c"), ndv(c).as(s"nd_$c"),
-        min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+      (if (exact) Nil
+       else Seq(approx_count_distinct(col(c)).as(s"nd_$c"))) ++
+        Seq(count(col(c)).as(s"nv_$c"),
+          min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
     }) ++ (if (topK <= 0) Nil else cols.map { c =>
       org.apache.spark.sql.graft.FreqSketch.freqItems(col(c)).as(s"tv_$c")
     })
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val one =
+      if (!exact) stats
+      else cols.foldLeft(stats) { (acc, c) =>
+        acc.crossJoin(df.select(col(c)).where(col(c).isNotNull).distinct()
+          .agg(count(lit(1)).as(s"nd_$c")))
+      }
     val entries = cols.map { c =>
       // TRY_CAST: numeric min/max pass through, non-numeric columns profile
       // with NULL bounds instead of a cast failure (same on the oracle side)

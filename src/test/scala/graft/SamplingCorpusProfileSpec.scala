@@ -177,12 +177,20 @@ class SamplingCorpusProfileSpec extends AnyFunSuite {
     assert(v.getDouble(4) == 2.0 && v.getDouble(5) == 4.5)
   }
 
-  test("profile approx variant runs one scan without Expand") {
+  test("profile plans without Expand; exact adds per-column distinct passes") {
     val plan = Profile.profile(docs, Seq("doc_id", "lang"))
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Expand"))
+    // exact distincts are separate pre-aggregated scans crossjoined onto
+    // the stats row — NOT the Expand rewrite that pushes |cols|+1 copies
+    // of every row through the aggregation
     val exact = Profile.profile(docs, Seq("doc_id", "lang"), exact = true)
-      .queryExecution.optimizedPlan.toString
-    assert(exact.contains("Expand"))
+      .queryExecution.optimizedPlan
+    assert(!exact.toString.contains("Expand"),
+      "exact distinct counts must not Expand the scan")
+    val joins = exact.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 2, "one scalar crossjoin per profiled column")
   }
 }
