@@ -125,7 +125,7 @@ object TextFunctions {
     * fingerprints; the hash-chain form never overflows (ANSI-mode safe).
     */
   def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+    org.apache.spark.sql.graft.NativeTextExprs.fingerprint64(tokens(text))
 
   /** SQL-portable polynomial rolling-hash fingerprint (Karp–Rabin,
     * winnowing-lite): each token hashes to a base-31 char-code polynomial

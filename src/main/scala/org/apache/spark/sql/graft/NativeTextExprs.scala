@@ -111,6 +111,39 @@ object NativeTextExprs {
       copy(child = newChild)
   }
 
+  /** Order-sensitive 64-bit rolling fingerprint of a token array:
+    * `h = xxhash64(h, token)` folded over the tokens from `h = 0` —
+    * bit-identical to `aggregate(tokens, 0L, (acc, t) => xxhash64(acc, t))`
+    * (each step re-seeds with the accumulator: hash(t, hashLong(acc, 42))),
+    * evaluated in one primitive loop instead of a per-element lambda frame.
+    */
+  case class Fingerprint64Expr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "fingerprint64"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      var acc = 0L
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        // xxhash64(acc, t) = fold over the two children from seed 42; a
+        // NULL child leaves the running hash unchanged (Spark semantics)
+        val seeded = XXH64.hashLong(acc, Seed)
+        acc = if (s == null) seeded else XxHash64Function.hash(s, StringType, seeded)
+        i += 1
+      }
+      acc
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Distinct hashed word-`k`-shingles of a token array, as longs — the
     * shuffle-ready form of the shingle set. Window hashes chain the
     * per-token xxhash64 values (k fold steps per window, order-sensitive)
@@ -234,4 +267,7 @@ object NativeTextExprs {
 
   def simhash64(tokenArray: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(tokenArray)))
+
+  def fingerprint64(tokenArray: Column): Column =
+    ExpressionUtils.column(Fingerprint64Expr(ExpressionUtils.expression(tokenArray)))
 }

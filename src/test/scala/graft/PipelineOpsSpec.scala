@@ -49,6 +49,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     val fps = df.select(TextFunctions.fingerprint(col("t"))).collect().map(_.getLong(0))
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
+    // the native single-pass expression is bit-identical to the composed
+    // lambda fold it replaced (same XxHash64 re-seeding chain)
+    val composed = df.select(aggregate(TextFunctions.tokens(col("t")), lit(0L),
+      (acc, t) => xxhash64(acc, t))).collect().map(_.getLong(0))
+    assert(fps.toSeq == composed.toSeq)
   }
 
   test("native rhp signature agrees with the composed hyperplane dots") {
