@@ -37,7 +37,10 @@ object Graft {
                 c.info.name
               case c if c.rollups.exists(r =>
                   path.contains(graft.cube.CubeCatalog.normalizePath(r.path))) =>
-                c.info.name + " (rollup)"
+                val node = c.rollups.find(r =>
+                  path.contains(graft.cube.CubeCatalog.normalizePath(r.path))).get
+                val nodeName = node.path.split('/').last
+                s"${c.info.name} (rollup node $nodeName: ${node.dims.mkString(",")} x ${node.grain})"
             }
           case _ => None
         }
