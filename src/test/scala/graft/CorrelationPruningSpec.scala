@@ -95,6 +95,39 @@ class CorrelationPruningSpec extends AnyFunSuite {
     } finally CubeCatalog.unregister(cube.info.name)
   }
 
+  test("random correlated-column predicates: pruned results equal vanilla (soundness property)") {
+    Graft.install(spark)
+    val src = s"$base/src"
+    val cube = CubeSource.materialize(spark, cubeInfo, Map("lineitem" -> src),
+      s"$base/cube")
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      val rnd = new scala.util.Random(17)
+      val ops = Seq("<", "<=", ">", ">=", "=")
+      for (i <- 1 to 20) {
+        // random literal across (and beyond) the data's time span, random
+        // op, sometimes a conjunction of two bounds
+        def lit0 = {
+          val day = rnd.nextInt(1200) - 60 // before/inside/after coverage
+          java.time.LocalDate.of(1995, 1, 1).plusDays(day.toLong).toString
+        }
+        def pred() = {
+          val p = s"l_commitdate ${ops(rnd.nextInt(ops.size))} TIMESTAMP '$lit0 00:00:00'"
+          if (rnd.nextBoolean()) p
+          else s"$p AND l_commitdate ${ops(rnd.nextInt(ops.size))} TIMESTAMP '$lit0 00:00:00'"
+        }
+        val where = pred()
+        def agg(df: org.apache.spark.sql.DataFrame) =
+          df.where(where).groupBy("l_returnflag")
+            .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+        val pruned = rows(agg(spark.read.parquet(cube.cubePath)))
+        val vanilla = rows(agg(spark.read.parquet(src)))
+        assert(pruned == vanilla, s"case $i diverged under [$where]")
+      }
+    } finally CubeCatalog.unregister(cube.info.name)
+  }
+
   test("independent columns measure a vacuous bound and the rule emits nothing") {
     Graft.install(spark)
     for (t <- Tables.starTables)
