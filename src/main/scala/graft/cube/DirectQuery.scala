@@ -220,10 +220,12 @@ object DirectQuery {
     // from the lattice bucket column — month-or-coarser never touches facts.
     val timeGroup: Option[Column] = (j \ "granularity") match {
       case JNothing | JString("all") => None
-      case JString(g @ ("day" | "week" | "month" | "quarter" | "year")) =>
+      case JString(g @ ("second" | "minute" | "hour" | "day" | "week" |
+                        "month" | "quarter" | "year")) =>
         Some(date_trunc(g, col(cube.info.timeColumn)).as("g_time"))
       case other => throw new IllegalArgumentException(
-        s"unsupported granularity $other — all/day/week/month/quarter/year")
+        s"unsupported granularity $other — " +
+          "all/second/minute/hour/day/week/month/quarter/year")
     }
 
     // aggregations — the mergeable set (SURVEY.md §2.4). Sums go through

@@ -514,6 +514,12 @@ case class RollupRouting(spark: SparkSession)
     def truncOf(fmt: Any): Option[Expression] =
       String.valueOf(fmt).toLowerCase match {
         case "day" | "dd" if isDayGrain => Some(dayDate)
+        // sub-day truncations are IDENTITIES on day-quantized data (every
+        // value is midnight), so the day node answers them exactly under
+        // the measured proof — Druid's queryGranularity=DAY semantics for
+        // a finer query granularity, gated instead of silently truncating
+        case "hour" | "minute" | "second"
+            if isDayGrain && cube.info.timeDayQuantized => Some(dayDate)
         // week is not month-aligned, so only the day-grain node can serve it
         // (Druid granularity WEEK requires queryGranularity <= DAY the same
         // way); trunc-to-Monday applies natively on the reconstructed date

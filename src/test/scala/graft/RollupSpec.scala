@@ -410,11 +410,20 @@ class RollupSpec extends AnyFunSuite {
     try assert(rows(spark.sql(weekSql)) == weeklyRows, "week serving diverges")
     finally graft.cube.RollupCube.ensure(spark, sf)
 
-    // hour granularity is finer than any lattice node: refuse
-    val hourly = spark.sql(
+    // hour granularity is finer than any lattice node, but the time column
+    // is MEASURED day-quantized (all midnights) — hour-trunc is an identity
+    // there, so the day node serves it exactly (Druid queryGranularity=DAY
+    // answering a finer query granularity) — differential-checked
+    val hourSql =
       """SELECT date_trunc('hour', l_shipdate) AS h, count(*) AS cnt
-        |FROM lineitem GROUP BY 1""".stripMargin)
-    assert(!scansRollup(hourly), "hour granularity must not use the rollup")
+        |FROM lineitem GROUP BY 1""".stripMargin
+    val hourly = spark.sql(hourSql)
+    assert(scansRollup(hourly),
+      "hour granularity over day-quantized data should serve from the day node")
+    val hourlyRows = rows(hourly)
+    CubeCatalog.unregister(cube.info.name)
+    try assert(rows(spark.sql(hourSql)) == hourlyRows, "hour serving diverges")
+    finally graft.cube.RollupCube.ensure(spark, sf)
   }
 
   test("Q1 shape serves from the day-grain node with derived-metric sums") {
