@@ -159,6 +159,16 @@ class GraftSqlParserSpec extends AnyFunSuite {
         |FROM lineitem GROUP BY 1""".stripMargin)
     assert(rows(wk) == rows(wkWant) && wk.count() > 0)
 
+    // hour granularity: finer than the data grain — identity on the
+    // day-quantized testdata, equal to day granularity's row count
+    val hr = graft.cube.DirectQuery.execute(spark, cubeName,
+      """{"queryType": "timeseries", "granularity": "hour",
+        | "aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+    val hrWant = spark.sql(
+      """SELECT date_trunc('hour', l_shipdate) AS g_time, count(*) AS cnt
+        |FROM lineitem GROUP BY 1""".stripMargin)
+    assert(rows(hr) == rows(hrWant) && hr.count() > 0)
+
     val topn = graft.cube.DirectQuery.execute(spark, cubeName,
       """{"queryType": "topN", "dimension": "l_suppkey", "metric": "cnt",
         | "threshold": 5,
