@@ -455,6 +455,16 @@ object SparkEntry {
            |WHERE l_shipdate >= TIMESTAMP '1996-03-05' AND l_shipdate < TIMESTAMP '1996-04-10'
            |GROUP BY 1
            |ORDER BY 1""".stripMargin,
+      // §2.9 disjunctive time intervals (Druid's `intervals` is a LIST):
+      // the OR of two disjoint ranges prunes to two bucket ranges, the gap
+      // between them never scanned
+      "q_time_disjoint" ->
+        s"""SELECT l_returnflag, count(*) AS cnt, ${dec("l_quantity")} AS sum_qty
+           |FROM lineitem
+           |WHERE (l_shipdate >= TIMESTAMP '1995-03-01' AND l_shipdate < TIMESTAMP '1995-06-01')
+           |   OR (l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-04-01')
+           |GROUP BY 1
+           |ORDER BY 1""".stripMargin,
       // §2.9 WEEK granularity (Druid granularity=WEEK) — weeks are not
       // month-aligned, so only the day-grain lattice node can serve this:
       // trunc-to-Monday applies on the reconstructed date, exact

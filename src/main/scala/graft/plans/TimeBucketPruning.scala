@@ -126,32 +126,48 @@ case class TimeBucketPruning(spark: SparkSession)
         case "=" => IntervalSet.ofComparison(">=", plus(us, lag._1))
           .intersect(IntervalSet.ofComparison("<=", plus(us, lag._2)))
       }
-    conjuncts.foldLeft(IntervalSet.All) { (acc, c) =>
-      val ivs = c match {
-        case LessThan(t, l: Literal) if isTime(t)           => litMicros(l).map(IntervalSet.ofComparison("<", _))
-        case LessThanOrEqual(t, l: Literal) if isTime(t)    => litMicros(l).map(IntervalSet.ofComparison("<=", _))
-        case GreaterThan(t, l: Literal) if isTime(t)        => litMicros(l).map(IntervalSet.ofComparison(">", _))
-        case GreaterThanOrEqual(t, l: Literal) if isTime(t) => litMicros(l).map(IntervalSet.ofComparison(">=", _))
-        case EqualTo(t, l: Literal) if isTime(t)            => litMicros(l).map(IntervalSet.ofComparison("=", _))
-        case LessThan(l: Literal, t) if isTime(t)           => litMicros(l).map(IntervalSet.ofComparison(">", _))
-        case LessThanOrEqual(l: Literal, t) if isTime(t)    => litMicros(l).map(IntervalSet.ofComparison(">=", _))
-        case GreaterThan(l: Literal, t) if isTime(t)        => litMicros(l).map(IntervalSet.ofComparison("<", _))
-        case GreaterThanOrEqual(l: Literal, t) if isTime(t) => litMicros(l).map(IntervalSet.ofComparison("<=", _))
-        case EqualTo(l: Literal, t) if isTime(t)            => litMicros(l).map(IntervalSet.ofComparison("=", _))
-        // implied bounds from correlated columns (literal on either side)
-        case LessThan(e, l: Literal)           => for { lg <- lagged(e); us <- litMicros(l) } yield implied("<", us, lg)
-        case LessThanOrEqual(e, l: Literal)    => for { lg <- lagged(e); us <- litMicros(l) } yield implied("<=", us, lg)
-        case GreaterThan(e, l: Literal)        => for { lg <- lagged(e); us <- litMicros(l) } yield implied(">", us, lg)
-        case GreaterThanOrEqual(e, l: Literal) => for { lg <- lagged(e); us <- litMicros(l) } yield implied(">=", us, lg)
-        case EqualTo(e, l: Literal)            => for { lg <- lagged(e); us <- litMicros(l) } yield implied("=", us, lg)
-        case LessThan(l: Literal, e)           => for { lg <- lagged(e); us <- litMicros(l) } yield implied(">", us, lg)
-        case LessThanOrEqual(l: Literal, e)    => for { lg <- lagged(e); us <- litMicros(l) } yield implied(">=", us, lg)
-        case GreaterThan(l: Literal, e)        => for { lg <- lagged(e); us <- litMicros(l) } yield implied("<", us, lg)
-        case GreaterThanOrEqual(l: Literal, e) => for { lg <- lagged(e); us <- litMicros(l) } yield implied("<=", us, lg)
-        case EqualTo(l: Literal, e)            => for { lg <- lagged(e); us <- litMicros(l) } yield implied("=", us, lg)
-        case _                                 => None
+    // one comparison -> interval set (time-column comparisons directly,
+    // correlated-column comparisons through the measured lag implication)
+    def cmpIvs(c: Expression): Option[IntervalSet] = c match {
+      case LessThan(t, l: Literal) if isTime(t)           => litMicros(l).map(IntervalSet.ofComparison("<", _))
+      case LessThanOrEqual(t, l: Literal) if isTime(t)    => litMicros(l).map(IntervalSet.ofComparison("<=", _))
+      case GreaterThan(t, l: Literal) if isTime(t)        => litMicros(l).map(IntervalSet.ofComparison(">", _))
+      case GreaterThanOrEqual(t, l: Literal) if isTime(t) => litMicros(l).map(IntervalSet.ofComparison(">=", _))
+      case EqualTo(t, l: Literal) if isTime(t)            => litMicros(l).map(IntervalSet.ofComparison("=", _))
+      case LessThan(l: Literal, t) if isTime(t)           => litMicros(l).map(IntervalSet.ofComparison(">", _))
+      case LessThanOrEqual(l: Literal, t) if isTime(t)    => litMicros(l).map(IntervalSet.ofComparison(">=", _))
+      case GreaterThan(l: Literal, t) if isTime(t)        => litMicros(l).map(IntervalSet.ofComparison("<", _))
+      case GreaterThanOrEqual(l: Literal, t) if isTime(t) => litMicros(l).map(IntervalSet.ofComparison("<=", _))
+      case EqualTo(l: Literal, t) if isTime(t)            => litMicros(l).map(IntervalSet.ofComparison("=", _))
+      // implied bounds from correlated columns (literal on either side)
+      case LessThan(e, l: Literal)           => for { lg <- lagged(e); us <- litMicros(l) } yield implied("<", us, lg)
+      case LessThanOrEqual(e, l: Literal)    => for { lg <- lagged(e); us <- litMicros(l) } yield implied("<=", us, lg)
+      case GreaterThan(e, l: Literal)        => for { lg <- lagged(e); us <- litMicros(l) } yield implied(">", us, lg)
+      case GreaterThanOrEqual(e, l: Literal) => for { lg <- lagged(e); us <- litMicros(l) } yield implied(">=", us, lg)
+      case EqualTo(e, l: Literal)            => for { lg <- lagged(e); us <- litMicros(l) } yield implied("=", us, lg)
+      case LessThan(l: Literal, e)           => for { lg <- lagged(e); us <- litMicros(l) } yield implied(">", us, lg)
+      case LessThanOrEqual(l: Literal, e)    => for { lg <- lagged(e); us <- litMicros(l) } yield implied(">=", us, lg)
+      case GreaterThan(l: Literal, e)        => for { lg <- lagged(e); us <- litMicros(l) } yield implied("<", us, lg)
+      case GreaterThanOrEqual(l: Literal, e) => for { lg <- lagged(e); us <- litMicros(l) } yield implied("<=", us, lg)
+      case EqualTo(l: Literal, e)            => for { lg <- lagged(e); us <- litMicros(l) } yield implied("=", us, lg)
+      case _                                 => None
+    }
+    // boolean trees over translatable comparisons: Druid's `intervals` is a
+    // LIST — `t < a OR t >= b` selects two segment ranges, so OR maps to
+    // interval union (every operand must translate, else the whole tree is
+    // untranslatable and contributes nothing)
+    def treeIvs(c: Expression): Option[IntervalSet] = c match {
+      case Or(l, r)  => for { a <- treeIvs(l); b <- treeIvs(r) } yield a.union(b)
+      // an AND with one untranslatable side soundly uses the other: dropping
+      // a conjunct only WIDENS the branch's interval (over-covering is fine)
+      case And(l, r) => (treeIvs(l), treeIvs(r)) match {
+        case (Some(a), Some(b)) => Some(a.intersect(b))
+        case (one, other)       => one.orElse(other)
       }
-      ivs.map(acc.intersect).getOrElse(acc)
+      case other     => cmpIvs(other)
+    }
+    conjuncts.foldLeft(IntervalSet.All) { (acc, c) =>
+      treeIvs(c).map(acc.intersect).getOrElse(acc)
     }
   }
 
@@ -159,10 +175,25 @@ case class TimeBucketPruning(spark: SparkSession)
     * Bounds that do not narrow below the data's own bucket coverage are
     * dropped — they would prune nothing and only add plan noise (implied
     * correlation bounds are often vacuous when the measured lag is wide).
+    * A MULTI-interval set (disjunctive time predicates — Druid's interval
+    * LIST) emits an OR of per-interval bucket ranges so the gap between
+    * ranges prunes too; the caller clamps against the data interval first,
+    * so every member interval is finite.
     */
   private def bucketPredicates(ivs: IntervalSet, bucketAttr: Attribute,
                                dataInterval: Option[(Long, Long)])
       : Seq[Expression] = {
+    def rangeOf(startUs: Long, endUs: Long): Expression = {
+      val l = TpchCube.bucketOfMicros(startUs)
+      val h = TpchCube.bucketOfMicros(endUs - 1)
+      if (l == h) EqualTo(bucketAttr, Literal(l))
+      else And(GreaterThanOrEqual(bucketAttr, Literal(l)),
+        LessThanOrEqual(bucketAttr, Literal(h)))
+    }
+    if (ivs.intervals.size >= 2 && ivs.intervals.size <= 16 &&
+        ivs.min.exists(_ != Long.MinValue) && ivs.max.exists(_ != Long.MaxValue))
+      return Seq(ivs.intervals.map(iv => rangeOf(iv.startUs, iv.endUs))
+        .reduceLeft[Expression](Or(_, _)))
     val lo = ivs.min.filter(_ != Long.MinValue).map(TpchCube.bucketOfMicros)
     val hi = ivs.max.filter(_ != Long.MaxValue).map(us => TpchCube.bucketOfMicros(us - 1))
     val dataLo = dataInterval.map(d => TpchCube.bucketOfMicros(d._1))

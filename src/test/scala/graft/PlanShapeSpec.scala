@@ -46,6 +46,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("disjunctive time ranges prune to the union of bucket ranges, gap excluded") {
+    withAqeOff {
+      val cubeScans = scans("q_time_disjoint")
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains("cubes/")))
+      assert(cubeScans.nonEmpty, "expected the query to scan the cube")
+      val s = cubeScans.head
+      assert(s.partitionFilters.nonEmpty, "OR of time ranges must prune buckets")
+      val survivors = s.relation.location.listFiles(s.partitionFilters, Nil).size
+      // two 3-month windows -> at most 6 surviving buckets; the 31-month
+      // gap between them must NOT be scanned (a min/max hull would keep it)
+      assert(survivors <= 6,
+        s"expected <= 6 surviving buckets (two disjoint ranges), got $survivors")
+    }
+  }
+
   test("projection and predicates reach the parquet scan") {
     withAqeOff {
       val s = scans("q_select_push").head
