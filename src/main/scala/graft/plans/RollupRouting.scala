@@ -649,9 +649,18 @@ case class RollupRouting(spark: SparkSession)
       }
     }
 
+    // boolean trees over time comparisons translate exactly when EVERY leaf
+    // does (Druid's interval-list form: `t in r1 OR t in r2` becomes two
+    // bucket ranges). Unlike the pruning rule's widening, serving replaces
+    // the filter on pre-aggregated rows, so no conjunct may be dropped.
+    def timeTree(c: Expression): Option[Expression] = c match {
+      case Or(l, r)  => for { a <- timeTree(l); b <- timeTree(r) } yield Or(a, b)
+      case And(l, r) => for { a <- timeTree(l); b <- timeTree(r) } yield And(a, b)
+      case leaf      => timeFilter(leaf)
+    }
     val newFilters: Seq[Expression] = filters.map(inline).map { c =>
       if (c.references.forall(a => servable(nameOf(a)))) substitute(c)
-      else timeFilter(c).getOrElse(return None)
+      else timeTree(c).getOrElse(return None)
     }
     val newChild: LogicalPlan =
       if (newFilters.isEmpty) rollupPlan
