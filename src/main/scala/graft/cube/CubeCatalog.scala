@@ -74,7 +74,17 @@ final case class RollupMeta(
       * obligation for serving `percentile()` from the sketches losslessly:
       * totalRows <= quantileK means no merged subset of cells can saturate
       */
-    totalRows: Option[Long] = None)
+    totalRows: Option[Long] = None,
+    /** Cube column `timeBucketColumn` buckets, when it is NOT the cube's
+      * primary time dimension — a SECONDARY-time lattice node (e.g. the
+      * TPC-H cube is partitioned by ship date, but order-date-sliced
+      * aggregates roll up under month-of-o_orderdate). `None` = the cube's
+      * own time column. Time filters/groupings on this column translate to
+      * this node's buckets; the cube-level data-interval vacuity and
+      * day-quantization proofs apply only to the primary column and are
+      * not used for secondary-time nodes.
+      */
+    timeColumn: Option[String] = None)
 
 final case class RegisteredCube(
     info: CubeInfo,

@@ -96,7 +96,8 @@ object CubeMeta {
           case (k, v) => k -> JLong(v) }.toList),
         "freqWeighted" -> JArray(r.freqWeighted.map { case (d, w, c) =>
           JArray(List(JString(d), JString(w), JString(c))) }.toList),
-        "totalRows" -> r.totalRows.map(JLong(_): JValue).getOrElse(JNull))).toList))
+        "totalRows" -> r.totalRows.map(JLong(_): JValue).getOrElse(JNull),
+        "timeColumn" -> r.timeColumn.map(JString(_): JValue).getOrElse(JNull))).toList))
     JsonMethods.pretty(JsonMethods.render(j))
   }
 
@@ -188,6 +189,10 @@ object CubeMeta {
           totalRows = r \ "totalRows" match {
             case JNull | JNothing => None
             case v                => Some(lng(v))
+          },
+          timeColumn = r \ "timeColumn" match {
+            case JNull | JNothing => None
+            case v                => Some(str(v))
           })
       })
   }

@@ -144,7 +144,19 @@ object CubeRefresh {
       // aggregated WITHOUT rewrites: the node rebuild must scan the fresh
       // cube slice, never be served from the stale node being rebuilt
       graft.Graft.withoutRewrites(spark) {
-        buildNode(freshSlice, info, ru)
+        if (isSecondary(info, ru)) {
+          // a primary-bucket dirty slice straddles SECONDARY buckets
+          // partially (one order-month receives rows from many ship-
+          // months), so an in-place partition overwrite from the slice
+          // would drop the clean ship-months' contributions — rebuild the
+          // whole node (it is |dims|×buckets small) from the full cube
+          buildNode(spark.read.parquet(cube.cubePath), info, ru)
+            .select(nodeSchema.map(col): _*)
+            .repartition(col(ru.timeBucketColumn))
+            .write.mode("overwrite")
+            .partitionBy(ru.timeBucketColumn)
+            .parquet(ru.path)
+        } else buildNode(freshSlice, info, ru)
           .select(nodeSchema.map(col): _*)
           .repartition(col(bkt))
           .write.mode("overwrite")
@@ -211,15 +223,26 @@ object CubeRefresh {
     * entirely from its [[RollupMeta]] — the same shapes the original build
     * used (DECIMAL(28,6) sums, derived-metric sums, HLL/KMV sketches).
     */
+  /** A node bucketed by a different time column than the cube's own. */
+  private[cube] def isSecondary(info: CubeInfo, ru: RollupMeta): Boolean =
+    ru.timeColumn.exists(!_.equalsIgnoreCase(info.timeColumn))
+
   private[cube] def buildNode(flat: DataFrame, info: CubeInfo,
                               ru: RollupMeta): DataFrame = {
+    val timeSrc = ru.timeColumn.getOrElse(info.timeColumn)
     val withDay =
-      if (ru.grain == "day" && !flat.columns.contains(ru.timeBucketColumn))
-        flat.withColumn(ru.timeBucketColumn,
-          datediff(col(info.timeColumn), lit("1970-01-01").cast("date")))
-      else flat
+      if (!flat.columns.contains(ru.timeBucketColumn)) {
+        if (ru.grain == "day")
+          flat.withColumn(ru.timeBucketColumn,
+            datediff(col(timeSrc), lit("1970-01-01").cast("date")))
+        else flat.withColumn(ru.timeBucketColumn, TpchCube.bucketExpr(timeSrc))
+      } else flat
+    // a secondary-time node is grouped by ITS buckets only: folding the
+    // primary bucket in (the incremental-refresh trick the q1 day node
+    // uses) would split every cell across ~all primary months
     val groupCols =
-      (Seq(info.timeBucketColumn) ++ ru.dims ++ Seq(ru.timeBucketColumn)).distinct
+      if (isSecondary(info, ru)) Seq(ru.timeBucketColumn) ++ ru.dims
+      else (Seq(info.timeBucketColumn) ++ ru.dims ++ Seq(ru.timeBucketColumn)).distinct
     val sums = ru.sums.toSeq.sortBy(_._2).map { case (src, dst) =>
       sum(col(src).cast("decimal(28,6)")).as(dst) }
     val derived = ru.derivedSums.toSeq.sortBy(_._2).map { case (key, dst) =>

@@ -93,6 +93,20 @@ object RollupCube {
   /** TPC-H Q1 lattice node (pricing summary: returnflag × linestatus). */
   val q1Dims: Seq[String] = Seq("l_returnflag", "l_linestatus")
 
+  /** SECONDARY-TIME lattice nodes ([[RollupMeta.timeColumn]]): bucketed by
+    * month-of-`o_orderdate` instead of the cube's ship-date. An order-date
+    * interval (the Q5 shape: region + same-nation predicates over an
+    * order-date year) or an order-year grouping (the Q8 shape: market
+    * share by order year under region/part-type predicates) cannot be
+    * narrowed by ship-date nodes at all — these two serve them from
+    * |dims| × order-months cells. Metrics are the lean re-aggregable core
+    * (count + DECIMAL sums + derived sums + min/max); no sketches — the
+    * cells stay pennies to build and scan.
+    */
+  val ordersNationsDims: Seq[String] =
+    Seq("s_nation", "s_region", "c_nationkey", "s_nationkey")
+  val marketDims: Seq[String] = Seq("p_type", "s_nation", "c_region")
+
   /** Derived metrics materialized at rollup build — computed measures over
     * the fact columns, stored as re-aggregable DECIMAL sums (the rollup
     * analog of Druid's ingestion-time derived metric columns). The plan
@@ -152,6 +166,16 @@ object RollupCube {
     s"/root/repo/target/cubes/tpch_${sf}_rollup_rf_ls_v3"
   }
 
+  def ordersNationsPath(sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_onations_v1"
+  }
+
+  def marketPath(sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_omarket_v1"
+  }
+
   def meta(sfDir: String): RollupMeta = RollupMeta(
     path = rollupPath(sfDir),
     dims = dims,
@@ -193,6 +217,22 @@ object RollupCube {
     meta(sfDir).copy(path = q1Path(sfDir), dims = q1Dims :+ "g_tbucket",
       timeBucketColumn = "g_dbucket", grain = "day",
       freqSketches = Map.empty, freqWeighted = Nil)
+
+  /** Lean secondary-time node: count + sums + derived + min/max, no
+    * sketches, bucketed by month-of-`o_orderdate`.
+    */
+  private def ordersMeta(sfDir: String, nodeDims: Seq[String],
+                         path: String): RollupMeta = RollupMeta(
+    path = path, dims = nodeDims,
+    timeBucketColumn = "g_obucket", countColumn = "cnt",
+    sums = sumMetrics, mins = minMetrics, maxs = maxMetrics,
+    derivedSums = derivedSums, timeColumn = Some("o_orderdate"))
+
+  def ordersNationsMeta(sfDir: String): RollupMeta =
+    ordersMeta(sfDir, ordersNationsDims, ordersNationsPath(sfDir))
+
+  def marketMeta(sfDir: String): RollupMeta =
+    ordersMeta(sfDir, marketDims, marketPath(sfDir))
 
   private val lock = new Object
 
@@ -273,6 +313,19 @@ object RollupCube {
       }
     cascade(coarseDims, coarsePath(sfDir))
     cascade(sliceDims, slicePath(sfDir))
+    // secondary-time nodes (month-of-o_orderdate buckets) are NOT
+    // dim-subsets of any ship-date node — each is one extra lean pass over
+    // the facts, partitioned by its own bucket so order-date intervals
+    // partition-prune it
+    def ordersNode(nodeDims: Seq[String], outPath: String): Unit =
+      if (!new java.io.File(outPath, "_SUCCESS").exists())
+        buildFromFlat(
+          spark.read.parquet(cube.cubePath)
+            .withColumn("g_obucket", TpchCube.bucketExpr("o_orderdate")),
+          nodeDims, outPath, freq = false,
+          bucketCol = "g_obucket", sketches = false)
+    ordersNode(ordersNationsDims, ordersNationsPath(sfDir))
+    ordersNode(marketDims, marketPath(sfDir))
     // nations node: serves the Q7-shape (supplier nation × customer nation ×
     // year) from |nations|² × buckets rows instead of the near-fact-grain
     // fine node — the reference's flagship 82× query (BenchMarkDetails
@@ -322,7 +375,8 @@ object RollupCube {
     // (coarse ~ |coarseDims| x months; q1 ~ 6 x days; fine ~ |dims| x months)
     val registered = cube.copy(rollups =
       Seq(coarseMeta(sfDir), sliceMeta(sfDir), q1Meta(sfDir),
-          nationsMeta(sfDir), meta(sfDir))
+          nationsMeta(sfDir), marketMeta(sfDir), ordersNationsMeta(sfDir),
+          meta(sfDir))
         .map(_.copy(kmvExactNdv = exactNdv, exactNullCount = nullCounts,
           totalRows = totalRows)))
     CubeCatalog.register(registered)
@@ -334,7 +388,9 @@ object RollupCube {
     * DECIMAL sums (plain + derived), min/max, HLL + KMV sketches.
     */
   private def buildFromFlat(flat: DataFrame, groupDims: Seq[String],
-                            outPath: String, freq: Boolean = true): Unit = {
+                            outPath: String, freq: Boolean = true,
+                            bucketCol: String = "g_tbucket",
+                            sketches: Boolean = true): Unit = {
     val sums = sumMetrics.toSeq.sortBy(_._2).map { case (src, dst) =>
       sum(col(src).cast("decimal(28,6)")).as(dst)
     }
@@ -343,26 +399,31 @@ object RollupCube {
     }
     val mins = minMetrics.toSeq.sortBy(_._2).map { case (src, dst) => min(col(src)).as(dst) }
     val maxs = maxMetrics.toSeq.sortBy(_._2).map { case (src, dst) => max(col(src)).as(dst) }
-    val qsks = quantileMetrics.toSeq.sortBy(_._2).map { case (src, dst) =>
-      org.apache.spark.sql.graft.QuantileSketch
-        .qskSketch(col(src), quantileK).as(dst)
-    }
+    val qsks =
+      if (!sketches) Nil
+      else quantileMetrics.toSeq.sortBy(_._2).map { case (src, dst) =>
+        org.apache.spark.sql.graft.QuantileSketch
+          .qskSketch(col(src), quantileK).as(dst)
+      }
     val freqs =
-      if (!freq) Nil
+      if (!freq || !sketches) Nil
       else freqMetrics.toSeq.sortBy(_._2).map { case (src, dst) =>
         org.apache.spark.sql.graft.FreqSketch.freqSketch(col(src), freqK).as(dst)
       } ++ freqWeightedMetrics.sortBy(_._3).map { case (src, w, dst) =>
         org.apache.spark.sql.graft.FreqSketch
           .freqSketchBy(col(src), col(w), freqK).as(dst)
       }
-    flat.groupBy((col("g_tbucket") +: groupDims.map(col)): _*)
+    val distincts =
+      if (!sketches) Nil
+      else Seq(
+        hll_sketch_agg(col("o_custkey")).as("custkey_hll"),
+        org.apache.spark.sql.graft.KmvSketch
+          .kmvSketch(col("o_custkey"), kmvK).as("custkey_kmv"))
+    flat.groupBy((col(bucketCol) +: groupDims.map(col)): _*)
       .agg(count(lit(1)).as("cnt"),
-        (sums ++ derived ++ mins ++ maxs ++ qsks ++ freqs
-          :+ hll_sketch_agg(col("o_custkey")).as("custkey_hll")
-          :+ org.apache.spark.sql.graft.KmvSketch
-              .kmvSketch(col("o_custkey"), kmvK).as("custkey_kmv")): _*)
-      .repartition(col("g_tbucket"))
-      .write.mode("overwrite").partitionBy("g_tbucket").parquet(outPath)
+        (sums ++ derived ++ mins ++ maxs ++ qsks ++ freqs ++ distincts): _*)
+      .repartition(col(bucketCol))
+      .write.mode("overwrite").partitionBy(bucketCol).parquet(outPath)
   }
 
   /** Serve a grouped aggregate from the rollup: `groupCols` must be a

@@ -215,7 +215,8 @@ case class RollupRouting(spark: SparkSession)
       case a: Attribute => rAttr(nameOf(a))
     }
     val newFilters: Seq[Expression] = filters.map { c =>
-      if (c.references.forall(a => servable(nameOf(a)))) substitute(c)
+      if (c.deterministic && c.references.forall(a => servable(nameOf(a))))
+        substitute(c)
       else return None
     }
     val child: LogicalPlan =
@@ -302,7 +303,12 @@ case class RollupRouting(spark: SparkSession)
       rollupPlan.output.map(a => a.name.toLowerCase -> a).toMap
     val cntAttr = rAttr.getOrElse(ru.countColumn.toLowerCase, return None)
     val bucketAttr = rAttr.getOrElse(ru.timeBucketColumn.toLowerCase, return None)
-    val timeColL = cube.info.timeColumn.toLowerCase
+    // secondary-time nodes bucket a different cube column (month-of-
+    // o_orderdate instead of ship date): time translation targets THAT
+    // column, and the cube-level proofs (data-interval vacuity, day
+    // quantization) — measured for the primary column only — don't apply
+    val timeColL = ru.timeColumn.getOrElse(cube.info.timeColumn).toLowerCase
+    val primaryTime = timeColL == cube.info.timeColumn.toLowerCase
 
     // safe: filter references were checked servable, and servable ⊆ rAttr
     def substitute(e: Expression): Expression = e.transformUp {
@@ -369,6 +375,89 @@ case class RollupRouting(spark: SparkSession)
       }.map(k => ru.derivedSums(k).toLowerCase).filter(rAttr.contains)
     }
 
+    // ---- filtered aggregation (the reference's `FilteredAggregationSpec`,
+    // `DruidQuerySpec.scala:362-377` — `sum(if dim = v then m end)` —
+    // declared in its IR but never wired to Catalyst; wired here): a
+    // DETERMINISTIC predicate over rollup dimensions is CONSTANT within a
+    // cell, so a conditionally-summed metric re-aggregates as the same
+    // conditional over the stored per-cell sums. Covers both spellings —
+    // `sum(CASE WHEN p THEN m ELSE 0|NULL END)` and `agg(..) FILTER (WHERE p)`.
+    def servablePred(p: Expression): Option[Expression] =
+      if (p.deterministic && p.references.forall(a => servable(nameOf(a))))
+        Some(substitute(p))
+      else None
+    def stripCasts(e: Expression): Expression = e match {
+      case Cast(u, _, _, _) => stripCasts(u)
+      case u                => u
+    }
+    /** `sum(CASE WHEN p THEN m ELSE else END)` → merged CaseWhen child over
+      * the stored sum column. ELSE must be zero (contributes 0 per row ⇒ 0
+      * per cell) or NULL/absent (row skipped by Sum ⇒ cell skipped).
+      */
+    def filteredSumChild(e: Expression): Option[Expression] = {
+      // the SQL dsum spelling puts the decimal cast OUTSIDE the CASE; it
+      // distributes over the branches (cast of each branch), restoring the
+      // `Cast(m, DECIMAL(28,6))` shape metricOf/derivedOf expect
+      val (pred, thenRaw, elseRaw) = e match {
+        case Cast(CaseWhen(Seq((p, t)), el), DsumType, _, _) =>
+          (p, Cast(t, DsumType), el)
+        case CaseWhen(Seq((p, t)), el) => (p, t, el)
+        case If(p, t, el)              => (p, t, Some(el))
+        case _                         => return None
+      }
+      val zeroElse: Boolean = elseRaw match {
+        case None => false
+        case Some(x) => stripCasts(x) match {
+          case Literal(null, _) => false
+          case Literal(v, _) =>
+            try { if (BigDecimal(v.toString).signum == 0) true else return None }
+            catch { case _: NumberFormatException => return None }
+          case _ => return None
+        }
+      }
+      val storedSum =
+        (if (isDouble(thenRaw)) metricOf(thenRaw, ru.sums, allowDsumCast = true)
+         else None).orElse(derivedOf(thenRaw))
+      for {
+        p <- servablePred(pred)
+        c <- storedSum
+      } yield {
+        val stored = rAttr(c)
+        val branches = Seq((p, stored: Expression))
+        if (zeroElse) CaseWhen(branches, Some(Cast(Literal(0L), stored.dataType)))
+        else CaseWhen(branches, None)
+      }
+    }
+    /** `af FILTER (WHERE p)` with a dim predicate: rows excluded by the
+      * filter are exactly the rows of cells where p is false, so the merge
+      * conditionally includes whole cells (NULL else — Sum/Min/Max skip).
+      */
+    def mergedFiltered(af: AggregateFunction, predR: Expression): Option[Expression] = {
+      def onlyIf(e: Expression): Expression = CaseWhen(Seq((predR, e)), None)
+      af match {
+        case Count(Seq(l: Literal)) if l.value != null =>
+          Some(Coalesce(Seq(
+            Sum(CaseWhen(Seq((predR, cntAttr: Expression)),
+              Some(Literal(0L)))).toAggregateExpression(),
+            Literal(0L))))
+        case s @ Sum(child, _) if isDouble(child) =>
+          metricOf(child, ru.sums, allowDsumCast = true).map(c =>
+            Cast(Sum(onlyIf(rAttr(c))).toAggregateExpression(), s.dataType))
+        case s @ Sum(child, _) =>
+          derivedOf(child).map(c =>
+            Cast(Sum(onlyIf(rAttr(c))).toAggregateExpression(), s.dataType))
+        case Min(child: Attribute) if servable(nameOf(child)) =>
+          Some(Min(onlyIf(rAttr(nameOf(child)))).toAggregateExpression())
+        case Max(child: Attribute) if servable(nameOf(child)) =>
+          Some(Max(onlyIf(rAttr(nameOf(child)))).toAggregateExpression())
+        case Min(child) => metricOf(child, ru.mins, allowDsumCast = false).map(c =>
+          Min(onlyIf(rAttr(c))).toAggregateExpression())
+        case Max(child) => metricOf(child, ru.maxs, allowDsumCast = false).map(c =>
+          Max(onlyIf(rAttr(c))).toAggregateExpression())
+        case _ => None
+      }
+    }
+
     def mergedAgg(af: AggregateFunction): Option[Expression] = af match {
       // count(NULL) is 0 per group, not the group row count — exclude it.
       // coalesce: a GLOBAL aggregate over zero surviving rollup rows must
@@ -382,6 +471,8 @@ case class RollupRouting(spark: SparkSession)
       case s @ Sum(child, _) =>
         derivedOf(child).map(c =>
           Cast(Sum(rAttr(c)).toAggregateExpression(), s.dataType))
+          .orElse(filteredSumChild(child).map(merged =>
+            Cast(Sum(merged).toAggregateExpression(), s.dataType)))
       // min/max over a DIMENSION need no stored metric: every distinct
       // (dims × bucket) combination survives rollup with its dim values,
       // so the extreme over rollup rows IS the extreme over fact rows
@@ -472,9 +563,13 @@ case class RollupRouting(spark: SparkSession)
     }
 
     def mergeAggExpr(ae: AggregateExpression): Option[Expression] =
-      if (ae.filter.nonEmpty) None
-      else if (ae.isDistinct) mergedDistinct(ae.aggregateFunction)
-      else mergedAgg(ae.aggregateFunction)
+      if (ae.isDistinct) {
+        if (ae.filter.nonEmpty) None else mergedDistinct(ae.aggregateFunction)
+      } else ae.filter match {
+        case None    => mergedAgg(ae.aggregateFunction)
+        case Some(p) => servablePred(p).flatMap(pr =>
+          mergedFiltered(ae.aggregateFunction, pr))
+      }
 
     // ---- time granularity over the bucket column (reference
     // `GranularitySpec`, `DruidQuerySpec.scala:140-150`, served from a
@@ -519,7 +614,7 @@ case class RollupRouting(spark: SparkSession)
         // the measured proof — Druid's queryGranularity=DAY semantics for
         // a finer query granularity, gated instead of silently truncating
         case "hour" | "minute" | "second"
-            if isDayGrain && cube.info.timeDayQuantized => Some(dayDate)
+            if isDayGrain && primaryTime && cube.info.timeDayQuantized => Some(dayDate)
         // week is not month-aligned, so only the day-grain node can serve it
         // (Druid granularity WEEK requires queryGranularity <= DAY the same
         // way); trunc-to-Monday applies natively on the reconstructed date
@@ -607,8 +702,8 @@ case class RollupRouting(spark: SparkSession)
         case IsNotNull(t) if isTimeRef(t) => return Some(IsNotNull(bucketAttr))
         case _ => return None
       }
-      val dataLo = cube.info.timeIntervalMicros.map(_._1)
-      val dataHi = cube.info.timeIntervalMicros.map(_._2)
+      val dataLo = if (primaryTime) cube.info.timeIntervalMicros.map(_._1) else None
+      val dataHi = if (primaryTime) cube.info.timeIntervalMicros.map(_._2) else None
       val DayUs = 86400000000L
       norm.flatMap { case (op, u) =>
         // vacuity against the cube's covered data interval (the reference's
@@ -625,7 +720,7 @@ case class RollupRouting(spark: SparkSession)
         // comparison), and NULL times land in the bucket-NULL rollup rows —
         // so the drop must keep the not-null constraint, not become TRUE
         if (vacuous) Some(IsNotNull(bucketAttr))
-        else if (isDayGrain && cube.info.timeDayQuantized) {
+        else if (isDayGrain && primaryTime && cube.info.timeDayQuantized) {
           // every time value is midnight UTC (measured at build), so t is
           // exactly bucket*DayUs and ANY literal translates exactly
           def fl(x: Long) = Math.floorDiv(x, DayUs)
@@ -658,7 +753,12 @@ case class RollupRouting(spark: SparkSession)
       case And(l, r) => for { a <- timeTree(l); b <- timeTree(r) } yield And(a, b)
       case leaf      => timeFilter(leaf)
     }
+    // deterministic only: a nondeterministic predicate (e.g. rand() < p —
+    // empty references, so it would pass the servability check) must
+    // evaluate per FACT ROW; re-evaluating it per rollup cell changes the
+    // sampled population
     val newFilters: Seq[Expression] = filters.map(inline).map { c =>
+      if (!c.deterministic) return None
       if (c.references.forall(a => servable(nameOf(a)))) substitute(c)
       else timeTree(c).getOrElse(return None)
     }

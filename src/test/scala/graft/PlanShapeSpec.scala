@@ -133,6 +133,41 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("Q5 shape serves from the order-date nations node, interval-pruned") {
+    withAqeOff {
+      for (t <- Tables.starTables)
+        Tables.t(spark, sf, t).createOrReplaceTempView(t)
+      graft.cube.RollupCube.ensure(spark, sf)
+      val all = scans("q05_local_supplier")
+      val node = all.filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("_rollup_onations")))
+      assert(node.nonEmpty,
+        "q05 should serve from the SECONDARY-TIME o_orderdate node " +
+          "(region/nation predicates + an order-date interval)")
+      assert(node.head.partitionFilters.nonEmpty,
+        "the o_orderdate interval must prune the node's own buckets")
+      assert(!all.exists(_.relation.location.rootPaths
+          .exists(_.toString.contains("lineitem"))),
+        "q05 must not scan the fact table")
+    }
+  }
+
+  test("Q8 shape (filtered-sum market share) serves from the order-date market node") {
+    withAqeOff {
+      for (t <- Tables.starTables)
+        Tables.t(spark, sf, t).createOrReplaceTempView(t)
+      graft.cube.RollupCube.ensure(spark, sf)
+      val all = scans("q08_market_share")
+      assert(all.exists(_.relation.location.rootPaths
+          .exists(_.toString.contains("_rollup_omarket"))),
+        "q08 should serve from the o_orderdate market node — the CASE " +
+          "numerator merges via the FilteredAggregationSpec rewrite")
+      assert(!all.exists(_.relation.location.rootPaths
+          .exists(_.toString.contains("lineitem"))),
+        "q08 must not scan the fact table")
+    }
+  }
+
   test("DISTINCT dims with a dim predicate serves from the rollup lattice") {
     withAqeOff {
       for (t <- Tables.starTables)

@@ -208,6 +208,51 @@ class RollupSpec extends AnyFunSuite {
     } finally graft.cube.RollupCube.ensure(spark, sf)
   }
 
+  test("filtered aggregations over dims merge from stored sums, bit-equal") {
+    // the reference's FilteredAggregationSpec (DruidQuerySpec.scala:362-377)
+    // in both spellings — sum(CASE WHEN <dim pred> ...) and FILTER (WHERE
+    // <dim pred>) — a dim predicate is constant per rollup cell, so whole
+    // cells conditionally merge. Metric predicates (q_filtered_agg's shape)
+    // must keep refusing the route; dim predicates must serve, exactly.
+    for (t <- Tables.starTables)
+      Tables.t(spark, sf, t).createOrReplaceTempView(t)
+    graft.cube.RollupCube.ensure(spark, sf)
+    val sql =
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(CASE WHEN sn.n_name = 'NATION_3'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS n3_rev,
+        |  count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6)))
+        |    FILTER (WHERE sn.n_name = 'NATION_3') AS DOUBLE) AS n3_qty,
+        |  min(l_quantity) FILTER (WHERE l_returnflag = 'R') AS min_r_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
+    val routed = spark.sql(sql)
+    val plan = routed.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan
+    assert(plan.exists {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains("_rollup"))
+          case _ => false
+        }
+      case _ => false
+    }, s"expected the filtered aggregate to serve from the rollup, got:\n$plan")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    val got = routed.collect().map(key).toSeq
+    val want = Graft.withoutRewrites(spark)(spark.sql(sql).collect()).map(key).toSeq
+    assert(got == want, s"filtered-agg merge diverged:\n got  $got\n want $want")
+    assert(got.nonEmpty)
+  }
+
   test("count(DISTINCT) serves from the KMV sketch when NDV stats prove exactness") {
     import graft.cube.{CubeCatalog, TpchCube}
     for (t <- Tables.starTables)
