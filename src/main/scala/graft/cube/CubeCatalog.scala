@@ -84,7 +84,15 @@ final case class RollupMeta(
       * day-quantization proofs apply only to the primary column and are
       * not used for secondary-time nodes.
       */
-    timeColumn: Option[String] = None)
+    timeColumn: Option[String] = None,
+    /** Dims that Hive-partition the node's layout UNDER the time bucket
+      * (`bucket=B/dim=V/` leaf dirs) — selective dim predicates then
+      * partition-prune the node scan the way intervals prune its buckets
+      * (Druid's single-dim partitioning, chosen per node for its serving
+      * query's filter column). Dynamic partition overwrite by dirty bucket
+      * still works: a bucket's write replaces exactly its leaf dirs.
+      */
+    partitionDims: Seq[String] = Nil)
 
 final case class RegisteredCube(
     info: CubeInfo,

@@ -97,7 +97,8 @@ object CubeMeta {
         "freqWeighted" -> JArray(r.freqWeighted.map { case (d, w, c) =>
           JArray(List(JString(d), JString(w), JString(c))) }.toList),
         "totalRows" -> r.totalRows.map(JLong(_): JValue).getOrElse(JNull),
-        "timeColumn" -> r.timeColumn.map(JString(_): JValue).getOrElse(JNull))).toList))
+        "timeColumn" -> r.timeColumn.map(JString(_): JValue).getOrElse(JNull),
+        "partitionDims" -> JArray(r.partitionDims.map(JString(_): JValue).toList))).toList))
     JsonMethods.pretty(JsonMethods.render(j))
   }
 
@@ -193,6 +194,10 @@ object CubeMeta {
           timeColumn = r \ "timeColumn" match {
             case JNull | JNothing => None
             case v                => Some(str(v))
+          },
+          partitionDims = r \ "partitionDims" match {
+            case JNull | JNothing => Nil
+            case v                => arr(v).map(str)
           })
       })
   }

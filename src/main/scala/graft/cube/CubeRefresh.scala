@@ -154,14 +154,16 @@ object CubeRefresh {
             .select(nodeSchema.map(col): _*)
             .repartition(col(ru.timeBucketColumn))
             .write.mode("overwrite")
-            .partitionBy(ru.timeBucketColumn)
+            .partitionBy(ru.timeBucketColumn +: ru.partitionDims: _*)
             .parquet(ru.path)
         } else buildNode(freshSlice, info, ru)
           .select(nodeSchema.map(col): _*)
           .repartition(col(bkt))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(bkt)
+          // dim partition columns nest UNDER the bucket, so overwriting a
+          // dirty bucket's leaf dirs replaces exactly that bucket's cells
+          .partitionBy(bkt +: ru.partitionDims: _*)
           .parquet(ru.path)
       }
       spark.catalog.refreshByPath(ru.path)

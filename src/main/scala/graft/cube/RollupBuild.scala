@@ -36,7 +36,7 @@ object RollupBuild {
         CubeRefresh.buildNode(flat, cube.info, ru0)
           .repartition(col(ru0.timeBucketColumn))
           .write.mode("overwrite")
-          .partitionBy(ru0.timeBucketColumn)
+          .partitionBy(ru0.timeBucketColumn +: ru0.partitionDims: _*)
           .parquet(ru0.path)
       }
       val ru = withProofs(flat, ru0)

@@ -153,7 +153,7 @@ object RollupCube {
 
   def nationsPath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_nations_v1"
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_nations_v2"
   }
 
   def slicePath(sfDir: String): String = {
@@ -197,8 +197,14 @@ object RollupCube {
   def coarseMeta(sfDir: String): RollupMeta =
     meta(sfDir).copy(path = coarsePath(sfDir), dims = coarseDims)
 
+  // partitioned by s_nation under the bucket: the Q7 shape's nation-pair
+  // disjunction extracts `s_nation IN (a, b)` (Catalyst's
+  // extractPredicatesWithinOutputSet over the OR), so the scan reads
+  // 2/|nations| of the node — the reference's 82× query
+  // (BenchMarkDetails.org:148) was dim-predicate-bound, not time-bound
   def nationsMeta(sfDir: String): RollupMeta =
-    meta(sfDir).copy(path = nationsPath(sfDir), dims = nationsDims)
+    meta(sfDir).copy(path = nationsPath(sfDir), dims = nationsDims,
+      partitionDims = Seq("s_nation"))
 
   def sliceMeta(sfDir: String): RollupMeta =
     meta(sfDir).copy(path = slicePath(sfDir), dims = sliceDims)
@@ -290,7 +296,8 @@ object RollupCube {
     // (decimal sums re-sum, min/max nest, count sums, HLL and KMV sketches
     // union), so the cascade is exactly what a 100 TB build does: one pass
     // over the facts, then pennies per extra lattice node.
-    def cascade(nodeDims: Seq[String], outPath: String): Unit =
+    def cascade(nodeDims: Seq[String], outPath: String,
+                partitionDims: Seq[String] = Nil): Unit =
       if (!new java.io.File(outPath, "_SUCCESS").exists()) {
         val fine = spark.read.parquet(path)
         val sumAgg = (sumMetrics.values ++ derivedSums.values).toSeq.sorted
@@ -309,7 +316,8 @@ object RollupCube {
               :+ org.apache.spark.sql.graft.KmvSketch
                   .kmvUnion(col("custkey_kmv"), kmvK).as("custkey_kmv")): _*)
           .repartition(1)
-          .write.mode("overwrite").partitionBy("g_tbucket").parquet(outPath)
+          .write.mode("overwrite")
+          .partitionBy("g_tbucket" +: partitionDims: _*).parquet(outPath)
       }
     cascade(coarseDims, coarsePath(sfDir))
     cascade(sliceDims, slicePath(sfDir))
@@ -330,7 +338,7 @@ object RollupCube {
     // year) from |nations|² × buckets rows instead of the near-fact-grain
     // fine node — the reference's flagship 82× query (BenchMarkDetails
     // .org:148) gets its own lattice node for pennies (one cascade pass)
-    cascade(nationsDims, nationsPath(sfDir))
+    cascade(nationsDims, nationsPath(sfDir), partitionDims = Seq("s_nation"))
     // EXACT distinct + NULL counts of the sketched columns (one tiny pass
     // over the flat cube, persisted) — the lossless count(DISTINCT) and
     // TopN-from-sketch rewrites may only fire when the TRUE cardinality
