@@ -168,12 +168,12 @@ object RollupCube {
 
   def ordersNationsPath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_onations_v1"
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_onations_v2"
   }
 
   def marketPath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_omarket_v1"
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_omarket_v2"
   }
 
   def meta(sfDir: String): RollupMeta = RollupMeta(
@@ -228,17 +228,25 @@ object RollupCube {
     * sketches, bucketed by month-of-`o_orderdate`.
     */
   private def ordersMeta(sfDir: String, nodeDims: Seq[String],
-                         path: String): RollupMeta = RollupMeta(
+                         path: String,
+                         partitionDims: Seq[String] = Nil): RollupMeta = RollupMeta(
     path = path, dims = nodeDims,
     timeBucketColumn = "g_obucket", countColumn = "cnt",
     sums = sumMetrics, mins = minMetrics, maxs = maxMetrics,
-    derivedSums = derivedSums, timeColumn = Some("o_orderdate"))
+    derivedSums = derivedSums, timeColumn = Some("o_orderdate"),
+    partitionDims = partitionDims)
 
+  // each secondary-time node partitions under its bucket by the region
+  // column its serving shape filters on (Q5: s_region, Q8: c_region) —
+  // 5-way leaf dirs, so an equality predicate partition-prunes 4/5 of
+  // the node before any row group is opened
   def ordersNationsMeta(sfDir: String): RollupMeta =
-    ordersMeta(sfDir, ordersNationsDims, ordersNationsPath(sfDir))
+    ordersMeta(sfDir, ordersNationsDims, ordersNationsPath(sfDir),
+      partitionDims = Seq("s_region"))
 
   def marketMeta(sfDir: String): RollupMeta =
-    ordersMeta(sfDir, marketDims, marketPath(sfDir))
+    ordersMeta(sfDir, marketDims, marketPath(sfDir),
+      partitionDims = Seq("c_region"))
 
   private val lock = new Object
 
@@ -325,15 +333,17 @@ object RollupCube {
     // dim-subsets of any ship-date node — each is one extra lean pass over
     // the facts, partitioned by its own bucket so order-date intervals
     // partition-prune it
-    def ordersNode(nodeDims: Seq[String], outPath: String): Unit =
+    def ordersNode(nodeDims: Seq[String], outPath: String,
+                   partitionDims: Seq[String]): Unit =
       if (!new java.io.File(outPath, "_SUCCESS").exists())
         buildFromFlat(
           spark.read.parquet(cube.cubePath)
             .withColumn("g_obucket", TpchCube.bucketExpr("o_orderdate")),
           nodeDims, outPath, freq = false,
-          bucketCol = "g_obucket", sketches = false)
-    ordersNode(ordersNationsDims, ordersNationsPath(sfDir))
-    ordersNode(marketDims, marketPath(sfDir))
+          bucketCol = "g_obucket", sketches = false,
+          partitionDims = partitionDims)
+    ordersNode(ordersNationsDims, ordersNationsPath(sfDir), Seq("s_region"))
+    ordersNode(marketDims, marketPath(sfDir), Seq("c_region"))
     // nations node: serves the Q7-shape (supplier nation × customer nation ×
     // year) from |nations|² × buckets rows instead of the near-fact-grain
     // fine node — the reference's flagship 82× query (BenchMarkDetails
@@ -398,7 +408,8 @@ object RollupCube {
   private def buildFromFlat(flat: DataFrame, groupDims: Seq[String],
                             outPath: String, freq: Boolean = true,
                             bucketCol: String = "g_tbucket",
-                            sketches: Boolean = true): Unit = {
+                            sketches: Boolean = true,
+                            partitionDims: Seq[String] = Nil): Unit = {
     val sums = sumMetrics.toSeq.sortBy(_._2).map { case (src, dst) =>
       sum(col(src).cast("decimal(28,6)")).as(dst)
     }
@@ -431,7 +442,8 @@ object RollupCube {
       .agg(count(lit(1)).as("cnt"),
         (sums ++ derived ++ mins ++ maxs ++ qsks ++ freqs ++ distincts): _*)
       .repartition(col(bucketCol))
-      .write.mode("overwrite").partitionBy(bucketCol).parquet(outPath)
+      .write.mode("overwrite")
+      .partitionBy(bucketCol +: partitionDims: _*).parquet(outPath)
   }
 
   /** Serve a grouped aggregate from the rollup: `groupCols` must be a
