@@ -150,9 +150,14 @@ object CubeMeta {
       timeDayQuantized = (j \ "timeDayQuantized") == JBool(true),
       timeNullFree = (j \ "timeNullFree") == JBool(true),
       timeCorrelatedColumns = arr(j \ "timeCorrelatedColumns").map(str),
-      timeLagBounds = obj(j \ "timeLagBounds").map { case (c, v) =>
-        val List(lo, hi) = arr(v)
-        c -> ((lng(lo), lng(hi)))
+      timeLagBounds = obj(j \ "timeLagBounds").flatMap { case (c, v) =>
+        // A malformed entry (hand-edited sidecar) drops that column's lag
+        // bounds — correlation pruning quietly disables — instead of failing
+        // the whole cube registration with a MatchError.
+        arr(v) match {
+          case List(lo, hi) => Some(c -> ((lng(lo), lng(hi))))
+          case _            => None
+        }
       }.toMap)
     RegisteredCube(
       info = info,

@@ -20,9 +20,16 @@ object CubeStats {
         val txt = new String(java.nio.file.Files.readAllBytes(sidecar.toPath), "UTF-8")
         val m = "\"([^\"]+)\"\\s*:\\s*(-?\\d+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toLong).toMap
-        // regenerate older-format sidecars (missing time-range/quantization
-        // or the correlation-lag measurements)
-        if (m.contains("__time_subday") && m.contains("__time_nulls")) Some(m)
+        // regenerate older-format sidecars: missing time-range/quantization
+        // keys, OR missing lag measurements for any currently-declared
+        // correlated column (an all-NULL column leaves a `__lag_null_<c>`
+        // sentinel, so its absence still distinguishes "measured" from
+        // "sidecar predates the declaration")
+        val lagCovered = info.timeCorrelatedColumns
+          .filter(info.columnByName.contains)
+          .forall(c => m.contains(s"__lag_min_us_$c") || m.contains(s"__lag_null_$c"))
+        if (m.contains("__time_subday") && m.contains("__time_nulls") && lagCovered)
+          Some(m)
         else None
       }
     existing.getOrElse {
@@ -45,7 +52,8 @@ object CubeStats {
         .head() }
       val lagStats = corr.zipWithIndex.flatMap { case (c, i) =>
         val base = dims.size + 4 + 2 * i
-        if (row.isNullAt(base) || row.isNullAt(base + 1)) Nil // all-NULL column
+        if (row.isNullAt(base) || row.isNullAt(base + 1))
+          Seq(s"__lag_null_$c" -> 1L) // all-NULL column: sentinel, no bounds
         else Seq(s"__lag_min_us_$c" -> row.getLong(base),
           s"__lag_max_us_$c" -> row.getLong(base + 1))
       }

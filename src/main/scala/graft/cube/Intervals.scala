@@ -61,10 +61,18 @@ object IntervalSet {
     */
   def ofComparison(op: String, us: Long): IntervalSet = op match {
     case "<"  => IntervalSet(Interval(Long.MinValue, us))
-    case "<=" => IntervalSet(Interval(Long.MinValue, us + 1))
-    case ">"  => IntervalSet(Interval(us + 1, Long.MaxValue))
+    case "<=" => IntervalSet(Interval(Long.MinValue, succ(us)))
+    case ">"  => IntervalSet(Interval(succ(us), Long.MaxValue))
     case ">=" => IntervalSet(Interval(us, Long.MaxValue))
-    case "="  => IntervalSet(Interval(us, us + 1))
+    case "="  => if (us == Long.MaxValue) All // point at the end sentinel:
+                 else IntervalSet(Interval(us, succ(us))) // degrade, don't prune
     case _    => All
   }
+
+  // Saturating successor: the universe is half-open with Long.MaxValue as
+  // its end sentinel (Interval.All), so an upper bound at MaxValue (e.g. a
+  // saturated lag implication) must degrade to the full interval — a wrapped
+  // `us + 1` would instead produce an EMPTY interval and a wrong null scan.
+  private def succ(us: Long): Long =
+    if (us == Long.MaxValue) Long.MaxValue else us + 1
 }

@@ -171,10 +171,14 @@ object Corpus {
     *
     * Shape at scale: lines explode inside codegen (no shuffle); ONE shuffle
     * counts occurrences per line hash; the boilerplate set — only lines
-    * with `count >= minDf`, a tiny fraction of distinct lines — broadcasts
-    * back as a left-anti join (the corpus side never shuffles for the
-    * membership test); one final shuffle on the document id reassembles
-    * ordered survivors. Lines travel as 8-byte xxhash64 keys, never as
+    * with `count >= minDf`, normally a tiny fraction of distinct lines —
+    * joins back as a left-anti membership test. The join strategy is left
+    * to AQE: on a normal corpus the runtime size of the boilerplate side is
+    * small and AQE converts to broadcast (the corpus side never shuffles);
+    * on a pathological corpus where most distinct lines meet `minDf`, the
+    * set can exceed driver/broadcast memory, and AQE keeps the shuffled
+    * join instead of failing the job on a forced hint. One final shuffle on
+    * the document id reassembles ordered survivors. Lines travel as 8-byte xxhash64 keys, never as
     * strings, on both shuffles. A 64-bit collision could only *drop* an
     * innocent line that collides with boilerplate (~n_distinct/2^64 — the
     * standard trade, same as the shingle pipeline).
@@ -189,7 +193,7 @@ object Corpus {
       .agg(count(lit(1)).as("g_n"))
       .filter(col("g_n") >= minDf)
       .select("g_h")
-    val kept = lines.join(broadcast(boiler), Seq("g_h"), "left_anti")
+    val kept = lines.join(boiler, Seq("g_h"), "left_anti")
     // every input document appears in the output, even if all its lines
     // were boilerplate: re-attach survivors to the full id list
     val assembled = kept.groupBy("g_id")

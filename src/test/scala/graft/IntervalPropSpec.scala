@@ -128,4 +128,20 @@ class IntervalPropSpec extends AnyFunSuite {
         assert(member(IntervalSet.ofComparison("=", lo), p) == (p == lo))
     }
   }
+
+  test("ofComparison saturates at Long.MaxValue: upper bounds degrade to " +
+       "All, never wrap to an empty set") {
+    val m = Long.MaxValue
+    // `<=` / `=` at the universe end must NOT produce an empty interval (a
+    // wrapped `us + 1` would): a saturated lag implication near the max
+    // representable timestamp degrades to no-pruning, not a wrong null scan.
+    assert(IntervalSet.ofComparison("<=", m) == IntervalSet.All)
+    assert(!IntervalSet.ofComparison("=", m).isEmpty)
+    assert(member(IntervalSet.ofComparison("<=", m), m - 1))
+    // `>` / `>=` at the end are genuinely empty (half-open universe: the
+    // end sentinel itself is not a representable member) — sound, since
+    // lower bounds only ever saturate DOWN (to MinValue) on overflow.
+    assert(IntervalSet.ofComparison(">", m).isEmpty)
+    assert(IntervalSet.ofComparison(">=", m).isEmpty)
+  }
 }
