@@ -93,6 +93,21 @@ object RollupCube {
   /** TPC-H Q1 lattice node (pricing summary: returnflag × linestatus). */
   val q1Dims: Seq[String] = Seq("l_returnflag", "l_linestatus")
 
+  /** Q3-shape PROJECTION node — order-key grain. The Q3 shape
+    * (`GROUP BY l_orderkey, o_orderdate` under segment + two date
+    * predicates) groups at near-fact cardinality, so no coarse rollup can
+    * serve it; the reference answered it from its raw-grain Druid index
+    * with inverted indexes (25×, `BenchMarkDetails.org:146` — every column
+    * indexed, no pre-aggregation advantage, `:685-699`). The Spark-native
+    * analog is a *projection index*: the same day-grain rows, but only the
+    * five key columns + re-aggregable metrics (a fraction of the flat
+    * cube's width), pre-joined, Hive-partitioned by `c_mktsegment` under
+    * the ship-month dir so the segment equality prunes 4/5 of the node at
+    * directory level, with the ship-day bucket column giving exact
+    * day-literal translation + row-group skipping inside each month.
+    */
+  val q3Dims: Seq[String] = Seq("l_orderkey", "o_orderdate", "c_mktsegment")
+
   /** SECONDARY-TIME lattice nodes ([[RollupMeta.timeColumn]]): bucketed by
     * month-of-`o_orderdate` instead of the cube's ship-date. An order-date
     * interval (the Q5 shape: region + same-nation predicates over an
@@ -166,6 +181,11 @@ object RollupCube {
     s"/root/repo/target/cubes/tpch_${sf}_rollup_rf_ls_v3"
   }
 
+  def q3Path(sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_okey_v1"
+  }
+
   def ordersNationsPath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
     s"/root/repo/target/cubes/tpch_${sf}_rollup_onations_v2"
@@ -223,6 +243,19 @@ object RollupCube {
     meta(sfDir).copy(path = q1Path(sfDir), dims = q1Dims :+ "g_tbucket",
       timeBucketColumn = "g_dbucket", grain = "day",
       freqSketches = Map.empty, freqWeighted = Nil)
+
+  /** Order-key projection node: day grain like [[q1Meta]] (ship-day bucket
+    * column inside ship-month dirs), metrics limited to the lean
+    * re-aggregable core — at order-key grain any sketch column would dwarf
+    * the node itself, and the shape it serves needs only sums.
+    */
+  def q3Meta(sfDir: String): RollupMeta =
+    meta(sfDir).copy(path = q3Path(sfDir), dims = q3Dims :+ "g_tbucket",
+      timeBucketColumn = "g_dbucket", grain = "day",
+      partitionDims = Seq("c_mktsegment"),
+      kmvSketches = Map.empty, hllSketches = Map.empty,
+      quantileSketches = Map.empty, freqSketches = Map.empty,
+      freqWeighted = Nil)
 
   /** Lean secondary-time node: count + sums + derived + min/max, no
     * sketches, bucketed by month-of-`o_orderdate`.
@@ -299,6 +332,16 @@ object RollupCube {
         q1Dims :+ "g_dbucket",
         q1Path(sfDir),
         freq = false)
+    // order-key projection node (the Q3 shape): day grain, lean metrics,
+    // mktsegment leaf partitions under each ship-month dir
+    if (!new java.io.File(q3Path(sfDir), "_SUCCESS").exists())
+      buildFromFlat(
+        spark.read.parquet(cube.cubePath)
+          .withColumn("g_dbucket", datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))),
+        q3Dims :+ "g_dbucket",
+        q3Path(sfDir),
+        freq = false, sketches = false,
+        partitionDims = Seq("c_mktsegment"))
     // Cascade: the coarse lattice node is re-aggregated FROM the fine
     // rollup, never from the fact table — every stored metric is mergeable
     // (decimal sums re-sum, min/max nest, count sums, HLL and KMV sketches
@@ -394,7 +437,7 @@ object RollupCube {
     val registered = cube.copy(rollups =
       Seq(coarseMeta(sfDir), sliceMeta(sfDir), q1Meta(sfDir),
           nationsMeta(sfDir), marketMeta(sfDir), ordersNationsMeta(sfDir),
-          meta(sfDir))
+          meta(sfDir), q3Meta(sfDir))
         .map(_.copy(kmvExactNdv = exactNdv, exactNullCount = nullCounts,
           totalRows = totalRows)))
     CubeCatalog.register(registered)

@@ -724,14 +724,45 @@ case class RollupRouting(spark: SparkSession)
           // every time value is midnight UTC (measured at build), so t is
           // exactly bucket*DayUs and ANY literal translates exactly
           def fl(x: Long) = Math.floorDiv(x, DayUs)
+          // Day-grain nodes lay their files inside MONTH partition dirs
+          // (the cube's own bucket column, kept as a dim). A day-bucket
+          // predicate skips their row groups via footer stats, but only a
+          // predicate on the month column prunes at DIRECTORY level — at
+          // scale that's the difference between listing-and-opening every
+          // file's footer and never listing the dir. Emit the implied
+          // month bound alongside the day bound. (Redundant conjunct:
+          // month(t) >= month(day lo) is implied by day(t) >= lo.)
+          val monthAttr: Option[Attribute] =
+            rAttr.get(cube.info.timeBucketColumn.toLowerCase)
+              .filterNot(_.exprId == bucketAttr.exprId)
+          def monthOfDay(d: Long): Option[Int] =
+            try Some(graft.cube.TpchCube.bucketOfMicros(Math.multiplyExact(d, DayUs)))
+            catch { case _: ArithmeticException => None }
+          def withMonth(dayPred: Expression, dayBound: Long,
+                        mk: (Attribute, Literal) => Expression): Expression =
+            (for { m <- monthAttr; b <- monthOfDay(dayBound) }
+              yield And(dayPred, mk(m, Literal(b)))).getOrElse(dayPred)
           op match {
-            case ">=" => Some(GreaterThanOrEqual(bucketAttr, Literal(fl(u + DayUs - 1).toInt)))
-            case ">"  => Some(GreaterThanOrEqual(bucketAttr, Literal((fl(u) + 1).toInt)))
-            case "<=" => Some(LessThanOrEqual(bucketAttr, Literal(fl(u).toInt)))
-            case "<"  => Some(LessThanOrEqual(bucketAttr, Literal(fl(u - 1).toInt)))
+            case ">=" =>
+              val b = fl(u + DayUs - 1)
+              Some(withMonth(GreaterThanOrEqual(bucketAttr, Literal(b.toInt)), b,
+                GreaterThanOrEqual(_, _)))
+            case ">" =>
+              val b = fl(u) + 1
+              Some(withMonth(GreaterThanOrEqual(bucketAttr, Literal(b.toInt)), b,
+                GreaterThanOrEqual(_, _)))
+            case "<=" =>
+              val b = fl(u)
+              Some(withMonth(LessThanOrEqual(bucketAttr, Literal(b.toInt)), b,
+                LessThanOrEqual(_, _)))
+            case "<" =>
+              val b = fl(u - 1)
+              Some(withMonth(LessThanOrEqual(bucketAttr, Literal(b.toInt)), b,
+                LessThanOrEqual(_, _)))
             case "=" =>
               if (Math.floorMod(u, DayUs) == 0L)
-                Some(EqualTo(bucketAttr, Literal(fl(u).toInt)))
+                Some(withMonth(EqualTo(bucketAttr, Literal(fl(u).toInt)), fl(u),
+                  EqualTo(_, _)))
               else Some(Literal.FalseLiteral)
           }
         } else op match {

@@ -152,6 +152,35 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("Q3 shape serves from the order-key projection node, segment + month partition-pruned") {
+    withAqeOff {
+      for (t <- Tables.starTables)
+        Tables.t(spark, sf, t).createOrReplaceTempView(t)
+      graft.cube.RollupCube.ensure(spark, sf)
+      val all = scans("q03_shipping_priority")
+      val node = all.filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("_rollup_okey")))
+      assert(node.nonEmpty,
+        "q03 groups at order-key grain — only the projection node can serve it")
+      val s = node.head
+      // the segment equality must prune the node's leaf dirs, and the
+      // ship-date day literal must imply a month-dir bound (directory-level
+      // pruning, not just row-group footer stats)
+      def partRefs = s.partitionFilters.flatMap(_.references.map(_.name.toLowerCase))
+      assert(partRefs.contains("c_mktsegment"),
+        s"segment equality should be a partition filter, got: ${s.partitionFilters}")
+      assert(partRefs.contains("g_tbucket"),
+        s"day bound should imply a month partition bound, got: ${s.partitionFilters}")
+      val survivors = s.relation.location.listFiles(s.partitionFilters, Nil).size
+      val all2 = s.relation.location.listFiles(Nil, Nil).size
+      assert(survivors * 4 <= all2,
+        s"partition pruning kept $survivors of $all2 leaf dirs")
+      assert(!all.exists(_.relation.location.rootPaths
+          .exists(_.toString.contains("lineitem"))),
+        "q03 must not scan the fact table")
+    }
+  }
+
   test("Q8 shape (filtered-sum market share) serves from the order-date market node") {
     withAqeOff {
       for (t <- Tables.starTables)
