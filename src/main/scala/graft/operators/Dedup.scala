@@ -190,19 +190,25 @@ object Dedup {
     }
     def unpackId(x: Column) = call_function("shiftright", x, lit(SzBits))
     def unpackSz(x: Column) = x.bitwiseAND((1L << SzBits) - 1)
+    // The size-ratio prune (`J <= min/max`) runs INSIDE the expansion, on
+    // the packed sizes, so pairs that cannot reach the threshold are never
+    // struct-packed and never leave Generate — at corpus scale the
+    // boilerplate shingles shared across wildly different-length documents
+    // are exactly the ones this drops before they become rows.
     val pairs = capped
       .filter(size(col("g_docs")) >= 2)
       .select(explode(let1(col("g_docs")) { docs =>
         flatten(transform(docs, (a, i) =>
-          transform(slice(docs, i + 2, greatest(size(docs) - i - 1, lit(0))),
+          transform(
+            filter(slice(docs, i + 2, greatest(size(docs) - i - 1, lit(0))),
+              b => least(unpackSz(a), unpackSz(b)).cast("double") >=
+                greatest(unpackSz(a), unpackSz(b)) * threshold),
             b => struct(least(a, b).as("pA"), greatest(a, b).as("pB")))))
       }).as("g_p"))
       .select(
         unpackId(col("g_p.pA")).as("idA"), unpackId(col("g_p.pB")).as("idB"),
         unpackSz(col("g_p.pA")).as("g_szA"), unpackSz(col("g_p.pB")).as("g_szB"))
     pairs
-      .filter(least(col("g_szA"), col("g_szB")).cast("double") >=
-        greatest(col("g_szA"), col("g_szB")) * threshold)
       .groupBy("idA", "idB", "g_szA", "g_szB")
       .agg(count(lit(1)).as("g_common"))
       .select(col("idA"), col("idB"),
