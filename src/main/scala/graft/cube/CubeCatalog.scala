@@ -92,7 +92,14 @@ final case class RollupMeta(
       * query's filter column). Dynamic partition overwrite by dirty bucket
       * still works: a bucket's write replaces exactly its leaf dirs.
       */
-    partitionDims: Seq[String] = Nil)
+    partitionDims: Seq[String] = Nil,
+    /** Dims the build SORTS rows by inside each leaf (after
+      * `partitionDims`) — Druid's secondary sort: tight parquet min/max
+      * per row group turn the serving shape's residual predicate into
+      * row-group skips. Pure layout (no serving semantics); recorded so
+      * [[CubeRefresh]] rebuilds preserve the clustering.
+      */
+    clusterDims: Seq[String] = Nil)
 
 final case class RegisteredCube(
     info: CubeInfo,

@@ -98,7 +98,8 @@ object CubeMeta {
           JArray(List(JString(d), JString(w), JString(c))) }.toList),
         "totalRows" -> r.totalRows.map(JLong(_): JValue).getOrElse(JNull),
         "timeColumn" -> r.timeColumn.map(JString(_): JValue).getOrElse(JNull),
-        "partitionDims" -> JArray(r.partitionDims.map(JString(_): JValue).toList))).toList))
+        "partitionDims" -> JArray(r.partitionDims.map(JString(_): JValue).toList),
+        "clusterDims" -> JArray(r.clusterDims.map(JString(_): JValue).toList))).toList))
     JsonMethods.pretty(JsonMethods.render(j))
   }
 
@@ -201,6 +202,10 @@ object CubeMeta {
             case v                => Some(str(v))
           },
           partitionDims = r \ "partitionDims" match {
+            case JNull | JNothing => Nil
+            case v                => arr(v).map(str)
+          },
+          clusterDims = r \ "clusterDims" match {
             case JNull | JNothing => Nil
             case v                => arr(v).map(str)
           })

@@ -143,6 +143,11 @@ object CubeRefresh {
       val nodeSchema = spark.read.parquet(ru.path).schema.fieldNames
       // aggregated WITHOUT rewrites: the node rebuild must scan the fresh
       // cube slice, never be served from the stale node being rebuilt
+      // rebuilds preserve the node's declared leaf clustering (tight
+      // row-group min/max on the serving shape's residual column)
+      def clustered(df: org.apache.spark.sql.DataFrame) =
+        if (ru.clusterDims.isEmpty) df
+        else df.sortWithinPartitions((ru.partitionDims ++ ru.clusterDims).map(col): _*)
       graft.Graft.withoutRewrites(spark) {
         if (isSecondary(info, ru)) {
           // a primary-bucket dirty slice straddles SECONDARY buckets
@@ -150,15 +155,15 @@ object CubeRefresh {
           // months), so an in-place partition overwrite from the slice
           // would drop the clean ship-months' contributions — rebuild the
           // whole node (it is |dims|×buckets small) from the full cube
-          buildNode(spark.read.parquet(cube.cubePath), info, ru)
+          clustered(buildNode(spark.read.parquet(cube.cubePath), info, ru)
             .select(nodeSchema.map(col): _*)
-            .repartition(col(ru.timeBucketColumn))
+            .repartition(col(ru.timeBucketColumn)))
             .write.mode("overwrite")
             .partitionBy(ru.timeBucketColumn +: ru.partitionDims: _*)
             .parquet(ru.path)
-        } else buildNode(freshSlice, info, ru)
+        } else clustered(buildNode(freshSlice, info, ru)
           .select(nodeSchema.map(col): _*)
-          .repartition(col(bkt))
+          .repartition(col(bkt)))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           // dim partition columns nest UNDER the bucket, so overwriting a

@@ -33,9 +33,13 @@ object RollupBuild {
     graft.Graft.withoutRewrites(spark) {
       val flat = spark.read.parquet(cube.cubePath)
       if (!new java.io.File(ru0.path, "_SUCCESS").exists()) {
-        CubeRefresh.buildNode(flat, cube.info, ru0)
+        val node = CubeRefresh.buildNode(flat, cube.info, ru0)
           .repartition(col(ru0.timeBucketColumn))
-          .write.mode("overwrite")
+        val clustered =
+          if (ru0.clusterDims.isEmpty) node
+          else node.sortWithinPartitions(
+            (ru0.partitionDims ++ ru0.clusterDims).map(col): _*)
+        clustered.write.mode("overwrite")
           .partitionBy(ru0.timeBucketColumn +: ru0.partitionDims: _*)
           .parquet(ru0.path)
       }
@@ -70,9 +74,15 @@ object RollupBuild {
     * [[fromRecommendation]] and the `MATERIALIZE GRAFT ROLLUP` SQL command.
     */
   def defaultMeta(cubeName: String, dims: Seq[String],
-                  sketchCols: Seq[String], path: String): RollupMeta = {
+                  sketchCols: Seq[String], path: String,
+                  partitionDims: Seq[String] = Nil,
+                  clusterDims: Seq[String] = Nil): RollupMeta = {
     val cube = CubeCatalog.get(cubeName).getOrElse(throw new IllegalArgumentException(
       s"no registered cube named $cubeName — materialize/attach the cube first"))
+    require(partitionDims.forall(dims.contains),
+      s"PARTITION BY columns must be node dimensions; got ${partitionDims.mkString(",")}")
+    require(clusterDims.forall(dims.contains),
+      s"CLUSTER BY columns must be node dimensions; got ${clusterDims.mkString(",")}")
     val metrics = cube.info.columns
       .filter(_.role == ColumnRole.Metric).map(_.name)
     RollupMeta(
@@ -83,7 +93,9 @@ object RollupBuild {
       sums = metrics.map(m => m -> s"sum_$m").toMap,
       mins = metrics.map(m => m -> s"min_$m").toMap,
       maxs = metrics.map(m => m -> s"max_$m").toMap,
-      kmvSketches = sketchCols.map(c => c -> s"${c}_kmv").toMap)
+      kmvSketches = sketchCols.map(c => c -> s"${c}_kmv").toMap,
+      partitionDims = partitionDims,
+      clusterDims = clusterDims)
   }
 
   /** Measure the exactness proofs for a node's sketched columns. */

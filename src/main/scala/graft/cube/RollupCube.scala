@@ -183,7 +183,8 @@ object RollupCube {
 
   def q3Path(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_okey_v1"
+    // v2: rows clustered by o_orderdate inside each segment leaf
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_okey_v2"
   }
 
   def ordersNationsPath(sfDir: String): String = {
@@ -193,7 +194,8 @@ object RollupCube {
 
   def marketPath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_omarket_v2"
+    // v3: rows clustered by p_type inside each c_region leaf
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_omarket_v3"
   }
 
   def meta(sfDir: String): RollupMeta = RollupMeta(
@@ -253,6 +255,7 @@ object RollupCube {
     meta(sfDir).copy(path = q3Path(sfDir), dims = q3Dims :+ "g_tbucket",
       timeBucketColumn = "g_dbucket", grain = "day",
       partitionDims = Seq("c_mktsegment"),
+      clusterDims = Seq("o_orderdate"),
       kmvSketches = Map.empty, hllSketches = Map.empty,
       quantileSketches = Map.empty, freqSketches = Map.empty,
       freqWeighted = Nil)
@@ -262,12 +265,13 @@ object RollupCube {
     */
   private def ordersMeta(sfDir: String, nodeDims: Seq[String],
                          path: String,
-                         partitionDims: Seq[String] = Nil): RollupMeta = RollupMeta(
+                         partitionDims: Seq[String] = Nil,
+                         clusterDims: Seq[String] = Nil): RollupMeta = RollupMeta(
     path = path, dims = nodeDims,
     timeBucketColumn = "g_obucket", countColumn = "cnt",
     sums = sumMetrics, mins = minMetrics, maxs = maxMetrics,
     derivedSums = derivedSums, timeColumn = Some("o_orderdate"),
-    partitionDims = partitionDims)
+    partitionDims = partitionDims, clusterDims = clusterDims)
 
   // each secondary-time node partitions under its bucket by the region
   // column its serving shape filters on (Q5: s_region, Q8: c_region) —
@@ -279,7 +283,7 @@ object RollupCube {
 
   def marketMeta(sfDir: String): RollupMeta =
     ordersMeta(sfDir, marketDims, marketPath(sfDir),
-      partitionDims = Seq("c_region"))
+      partitionDims = Seq("c_region"), clusterDims = Seq("p_type"))
 
   private val lock = new Object
 
@@ -341,7 +345,8 @@ object RollupCube {
         q3Dims :+ "g_dbucket",
         q3Path(sfDir),
         freq = false, sketches = false,
-        partitionDims = Seq("c_mktsegment"))
+        partitionDims = Seq("c_mktsegment"),
+        clusterDims = Seq("o_orderdate"))
     // Cascade: the coarse lattice node is re-aggregated FROM the fine
     // rollup, never from the fact table — every stored metric is mergeable
     // (decimal sums re-sum, min/max nest, count sums, HLL and KMV sketches
@@ -377,16 +382,20 @@ object RollupCube {
     // the facts, partitioned by its own bucket so order-date intervals
     // partition-prune it
     def ordersNode(nodeDims: Seq[String], outPath: String,
-                   partitionDims: Seq[String]): Unit =
+                   partitionDims: Seq[String],
+                   clusterDims: Seq[String] = Nil): Unit =
       if (!new java.io.File(outPath, "_SUCCESS").exists())
         buildFromFlat(
           spark.read.parquet(cube.cubePath)
             .withColumn("g_obucket", TpchCube.bucketExpr("o_orderdate")),
           nodeDims, outPath, freq = false,
           bucketCol = "g_obucket", sketches = false,
-          partitionDims = partitionDims)
+          partitionDims = partitionDims, clusterDims = clusterDims)
     ordersNode(ordersNationsDims, ordersNationsPath(sfDir), Seq("s_region"))
-    ordersNode(marketDims, marketPath(sfDir), Seq("c_region"))
+    // p_type is the Q8 shape's row-group predicate inside each c_region
+    // leaf — cluster on it so its min/max stats are tight per row group
+    ordersNode(marketDims, marketPath(sfDir), Seq("c_region"),
+      clusterDims = Seq("p_type"))
     // nations node: serves the Q7-shape (supplier nation × customer nation ×
     // year) from |nations|² × buckets rows instead of the near-fact-grain
     // fine node — the reference's flagship 82× query (BenchMarkDetails
@@ -452,7 +461,8 @@ object RollupCube {
                             outPath: String, freq: Boolean = true,
                             bucketCol: String = "g_tbucket",
                             sketches: Boolean = true,
-                            partitionDims: Seq[String] = Nil): Unit = {
+                            partitionDims: Seq[String] = Nil,
+                            clusterDims: Seq[String] = Nil): Unit = {
     val sums = sumMetrics.toSeq.sortBy(_._2).map { case (src, dst) =>
       sum(col(src).cast("decimal(28,6)")).as(dst)
     }
@@ -481,11 +491,20 @@ object RollupCube {
         hll_sketch_agg(col("o_custkey")).as("custkey_hll"),
         org.apache.spark.sql.graft.KmvSketch
           .kmvSketch(col("o_custkey"), kmvK).as("custkey_kmv"))
-    flat.groupBy((col(bucketCol) +: groupDims.map(col)): _*)
+    val agged = flat.groupBy((col(bucketCol) +: groupDims.map(col)): _*)
       .agg(count(lit(1)).as("cnt"),
         (sums ++ derived ++ mins ++ maxs ++ qsks ++ freqs ++ distincts): _*)
       .repartition(col(bucketCol))
-      .write.mode("overwrite")
+    // Cluster rows inside each leaf by the serving shape's row-group
+    // predicate column (Druid's secondary sort): sorting by the partition
+    // dims first keeps each leaf's rows contiguous in the writer task, then
+    // clusterDims give tight parquet min/max per row group — invisible at
+    // sf0.1 (one row group per leaf) but the pushed-footer-predicate skip
+    // at 100 TB file sizes.
+    val clustered =
+      if (clusterDims.isEmpty) agged
+      else agged.sortWithinPartitions((partitionDims ++ clusterDims).map(col): _*)
+    clustered.write.mode("overwrite")
       .partitionBy(bucketCol +: partitionDims: _*).parquet(outPath)
   }
 

@@ -39,6 +39,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val MaterializeRe =
     ("(?is)\\s*MATERIALIZE\\s+GRAFT\\s+ROLLUP\\s+ON\\s+([\\w.]+)\\s+" +
       "DIMENSIONS\\s*\\(([^)]*)\\)\\s*(?:SKETCH\\s*\\(([^)]*)\\)\\s*)?" +
+      "(?:PARTITION\\s+BY\\s*\\(([^)]*)\\)\\s*)?" +
+      "(?:CLUSTER\\s+BY\\s*\\(([^)]*)\\)\\s*)?" +
       "AT\\s+'([^']+)'\\s*;?\\s*").r
   private val ExecuteRe =
     "(?is)\\s*ON\\s+GRAFT\\s+CUBE\\s+([\\w.]+)\\s+EXECUTE\\s+QUERY\\s+'([^']+)'\\s*;?\\s*".r
@@ -52,10 +54,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ClearRe()        => ClearGraftCacheCommand()
     case StatsRe()        => ShowGraftStatsCommand()
     case RegisterRe(path) => RegisterGraftCubeCommand(path)
-    case MaterializeRe(cube, dims, sketches, path) =>
+    case MaterializeRe(cube, dims, sketches, partDims, clusDims, path) =>
       def split(s: String): Seq[String] =
         Option(s).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      MaterializeGraftRollupCommand(cube, split(dims), split(sketches), path)
+      MaterializeGraftRollupCommand(cube, split(dims), split(sketches),
+        split(partDims), split(clusDims), path)
     // raw query-spec execution (reference `ON DRUIDDATASOURCE ds EXECUTE
     // QUERY <json>`, `SparklineDataParser.scala:113-119`): the descriptor
     // builds a DataFrame plan directly — dynamic schema, and still subject
@@ -149,15 +152,19 @@ case class RegisterGraftCubeCommand(path: String) extends LeafRunnableCommand {
 }
 
 /** `MATERIALIZE GRAFT ROLLUP ON <cube> DIMENSIONS (d, ...) [SKETCH (c, ...)]
-  * AT '<path>'` — declare-an-index as a SQL statement: builds the lattice
-  * node (count + sum/min/max of every metric, KMV sketches with measured
-  * exactness proofs for the SKETCH columns) and attaches it so matching
-  * aggregates route to it. The SQL twin of [[graft.cube.RollupBuild]];
-  * the reference's equivalent surface is its datasource DDL options
-  * (`DefaultSource.scala:197-308`).
+  * [PARTITION BY (d, ...)] [CLUSTER BY (d, ...)] AT '<path>'` — declare-an-
+  * index as a SQL statement: builds the lattice node (count + sum/min/max of
+  * every metric, KMV sketches with measured exactness proofs for the SKETCH
+  * columns) and attaches it so matching aggregates route to it. PARTITION BY
+  * Hive-partitions leaves under the time bucket by the named dims (dir-level
+  * pruning); CLUSTER BY sorts rows inside each leaf (Druid's secondary sort
+  * — tight parquet row-group min/max). The SQL twin of
+  * [[graft.cube.RollupBuild]]; the reference's equivalent surface is its
+  * datasource DDL options (`DefaultSource.scala:197-308`).
   */
 case class MaterializeGraftRollupCommand(cube: String, dims: Seq[String],
-    sketchCols: Seq[String], path: String) extends LeafRunnableCommand {
+    sketchCols: Seq[String], partitionDims: Seq[String],
+    clusterDims: Seq[String], path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("cube", StringType, nullable = false)(),
     AttributeReference("rollup", StringType, nullable = false)(),
@@ -165,7 +172,8 @@ case class MaterializeGraftRollupCommand(cube: String, dims: Seq[String],
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.cube.{CubeCatalog, RollupBuild}
     val attached = RollupBuild.materialize(spark, cube,
-      RollupBuild.defaultMeta(cube, dims, sketchCols, path))
+      RollupBuild.defaultMeta(cube, dims, sketchCols, path,
+        partitionDims = partitionDims, clusterDims = clusterDims))
     val rows = spark.read.parquet(path).count()
     Seq(Row(attached.info.name, s"${dims.mkString("+")}@$path", rows.toString))
   }

@@ -70,6 +70,29 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(graft.cube.CubeCatalog.all.nonEmpty)
   }
 
+  test("MATERIALIZE GRAFT ROLLUP parses PARTITION BY and CLUSTER BY layout clauses") {
+    val cmd = parser.parsePlan(
+      """MATERIALIZE GRAFT ROLLUP ON some_cube
+        |DIMENSIONS (c_region, p_type, g_year)
+        |PARTITION BY (c_region)
+        |CLUSTER BY (p_type)
+        |AT '/tmp/x'""".stripMargin)
+      .asInstanceOf[graft.plans.MaterializeGraftRollupCommand]
+    assert(cmd.dims == Seq("c_region", "p_type", "g_year"))
+    assert(cmd.sketchCols.isEmpty)
+    assert(cmd.partitionDims == Seq("c_region"))
+    assert(cmd.clusterDims == Seq("p_type"))
+    // layout clauses are optional and independent
+    val bare = parser.parsePlan(
+      "MATERIALIZE GRAFT ROLLUP ON c DIMENSIONS (a) AT '/tmp/y'")
+      .asInstanceOf[graft.plans.MaterializeGraftRollupCommand]
+    assert(bare.partitionDims.isEmpty && bare.clusterDims.isEmpty)
+    val clusterOnly = parser.parsePlan(
+      "MATERIALIZE GRAFT ROLLUP ON c DIMENSIONS (a, b) CLUSTER BY (b) AT '/tmp/z'")
+      .asInstanceOf[graft.plans.MaterializeGraftRollupCommand]
+    assert(clusterOnly.partitionDims.isEmpty && clusterOnly.clusterDims == Seq("b"))
+  }
+
   test("MATERIALIZE GRAFT ROLLUP builds, proves and attaches the node") {
     init()
     val cubeName = graft.cube.CubeCatalog.all
