@@ -837,15 +837,20 @@ object SparkEntry {
           .orderBy("predicted")
       },
       // Gopher-style quality rules (Rae et al. 2021 §A1.1): scalar
-      // well-formedness ratios + word-bigram repetition statistics
+      // well-formedness ratios + word-bigram repetition statistics, all in
+      // ONE projection over one scan (the repetition stats are per-row
+      // column algebra, so no join re-attaches them by id)
       "q_text_gopher" -> { (s, dir) =>
-        val docs = Tables.t(s, dir, "documents")
-        docs.select(col("doc_id"),
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
             Quality.meanWordLength(col("text")).as("mean_word_len"),
             Quality.alphaWordRatio(col("text")).as("alpha_word_ratio"),
-            Quality.symbolWordRatio(col("text")).as("symbol_word_ratio"))
-          .join(Quality.ngramRepetition(docs, "doc_id", "text", n = 2),
-            Seq("doc_id"))
+            Quality.symbolWordRatio(col("text")).as("symbol_word_ratio"),
+            Quality.ngramRepetitionCols(col("text"), n = 2).as("g_rep"))
+          .select(col("doc_id"), col("mean_word_len"),
+            col("alpha_word_ratio"), col("symbol_word_ratio"),
+            col("g_rep.top_ngram_char_frac").as("top_ngram_char_frac"),
+            col("g_rep.dup_ngram_char_frac").as("dup_ngram_char_frac"))
           .orderBy("doc_id")
       },
       // int8 embedding quantization (per-vector symmetric scale): scalar

@@ -31,8 +31,37 @@ object Tables {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    tableCache.getOrElseUpdate((spark, path(sfDir, name)),
-      spark.read.parquet(path(sfDir, name)))
+    tableCache.getOrElseUpdate((spark, path(sfDir, name)), {
+      val df = spark.read.parquet(path(sfDir, name))
+      if (extraTables.contains(name)) rebalanced(spark, df) else df
+    })
+
+  /** Scan-parallelism guard for the compute-dense pipeline tables
+    * (documents / events / embeddings): parquet can only split at ROW-GROUP
+    * boundaries, so a table written as one row group scans as ONE partition
+    * — and every tokenizer / shingle / minhash / quality stage before the
+    * first shuffle then runs on a single core regardless of cluster size.
+    * Byte-based split sizing (`spark.sql.files.maxPartitionBytes`) cannot
+    * fix this: the cost of these stages is per-row compute, not scan bytes,
+    * and splits cannot subdivide a row group anyway. When the scan's split
+    * count is far below the core count, a round-robin rebalance (a few MB
+    * of narrow shuffle) buys full parallelism for everything downstream.
+    * At production scale the condition is simply false — thousands of
+    * row groups already out-split the executors — and the rebalance
+    * vanishes from the plan. Filters and column pruning still push through
+    * `Repartition` to the scan, so pushdown is unaffected.
+    *
+    * The TPC-H star tables are deliberately NOT rebalanced: their heavy
+    * queries route to the materialized cube (written time-partitioned =
+    * many files = parallel), and the star-join collapse patterns match the
+    * bare relation plans.
+    */
+  private def rebalanced(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    // physical planning only (no job) — resolved once per cached table
+    val scanParts = df.rdd.getNumPartitions
+    if (scanParts * 2 <= cores) df.repartition(cores) else df
+  }
 
   /** Drop the cached analyzed plans — required after overwriting a table
     * path in place (the cached file index is eager and would read stale
@@ -47,7 +76,7 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(sfDir, "events"))
+    t(spark, sfDir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 

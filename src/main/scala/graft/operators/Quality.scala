@@ -113,29 +113,36 @@ object Quality {
     * hygiene the exploded formulation needed against gram-key skew.)
     */
   def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
-                      n: Int): DataFrame = {
+                      n: Int): DataFrame =
+    df.select(col(idCol),
+        ngramRepetitionCols(col(textCol), n).as("g_rep"))
+      .select(col(idCol),
+        col("g_rep.top_ngram_char_frac").as("top_ngram_char_frac"),
+        col("g_rep.dup_ngram_char_frac").as("dup_ngram_char_frac"))
+
+  /** Column form of [[ngramRepetition]]: a single struct column
+    * `(top_ngram_char_frac, dup_ngram_char_frac)` computable alongside the
+    * scalar rules in ONE projection — a caller combining several quality
+    * signals gets one scan of the corpus with no join re-attaching
+    * per-document stats by id.
+    */
+  def ngramRepetitionCols(text: Column, n: Int): Column = {
     require(n >= 1, s"ngram size must be >= 1, got $n")
-    val id = col(idCol)
     // tokens have no whitespace, so a gram's character count is
     // length(gram) - (n-1) joining spaces; grams exist only when m >= n
-    val base = df.select(id,
-        TextFunctions.tokens(col(textCol)).as("g_toks"))
-      .withColumn("g_total",
-        aggregate(col("g_toks"), lit(0L), (a, w) => a + length(w)))
-      .withColumn("g_m", size(col("g_toks")))
-      .withColumn("g_ngs",
-        when(col("g_m") >= n,
-          transform(sequence(lit(1), col("g_m") - (n - 1)),
-            i => concat_ws(" ", slice(col("g_toks"), i, lit(n)))))
-        .otherwise(array().cast("array<string>")))
-
+    let1(TextFunctions.tokens(text)) { toks =>
+    let1(aggregate(toks, lit(0L), (a, w) => a + length(w))) { total =>
+    let1(size(toks)) { m =>
+    let1(when(m >= n,
+        transform(sequence(lit(1), m - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))) { ngs =>
+    let1(array_sort(ngs)) { sorted =>
     // most frequent gram = longest run in the sorted gram array; updating
     // `best` only on strictly-greater run length keeps the first (= the
     // lexicographically smallest) gram on ties — the (count desc, gram asc)
     // order of the exploded formulation
-    val folded = base
-      .withColumn("g_sorted", array_sort(col("g_ngs")))
-      .withColumn("g_fold", aggregate(col("g_sorted"),
+    let1(aggregate(sorted,
         struct(lit("").as("prev"), lit(0L).as("run"),
           lit(0L).as("bestCnt"), lit("").as("bestNg")),
         (acc, x) => {
@@ -146,10 +153,10 @@ object Quality {
               .otherwise(acc.getField("bestCnt")).as("bestCnt"),
             when(run > acc.getField("bestCnt"), x)
               .otherwise(acc.getField("bestNg")).as("bestNg"))
-        }))
-      // grams occurring more than once: appended exactly when a run
-      // reaches length 2 (sorted order ⇒ one append per distinct gram)
-      .withColumn("g_dups", aggregate(col("g_sorted"),
+        })) { fold =>
+    // grams occurring more than once: appended exactly when a run
+    // reaches length 2 (sorted order ⇒ one append per distinct gram)
+    let1(aggregate(sorted,
         struct(lit("").as("prev"), lit(0L).as("run"),
           array().cast("array<string>").as("ds")),
         (acc, x) => {
@@ -158,32 +165,31 @@ object Quality {
           struct(x.as("prev"), run.as("run"),
             when(run === 2, concat(acc.getField("ds"), array(x)))
               .otherwise(acc.getField("ds")).as("ds"))
-        }).getField("ds"))
-
+        }).getField("ds")) { dups =>
     // coverage union: token position p lies inside a duplicated gram iff
     // some gram start q in [p-n+1, p] (clamped to valid starts) is
     // duplicated; sum the token lengths of covered positions
-    val covered = folded.withColumn("g_cov",
-      when(col("g_total") > 0 && size(col("g_dups")) > 0,
-        aggregate(sequence(lit(1), col("g_m")), lit(0L), (a, p) =>
+    let1(
+      when(total > 0 && size(dups) > 0,
+        aggregate(sequence(lit(1), m), lit(0L), (a, p) =>
           a + when(
             exists(
               sequence(greatest(lit(1), p - (n - 1)),
-                least(p, col("g_m") - (n - 1))),
-              q => array_contains(col("g_dups"), element_at(col("g_ngs"), q))),
-            length(element_at(col("g_toks"), p)).cast("long"))
+                least(p, m - (n - 1))),
+              q => array_contains(dups, element_at(ngs, q))),
+            length(element_at(toks, p)).cast("long"))
             .otherwise(lit(0L))))
-        .otherwise(lit(0L)))
-
-    covered.select(id,
-      when(col("g_total") > 0 && col("g_fold").getField("bestCnt") > 0,
+        .otherwise(lit(0L))) { cov =>
+    struct(
+      when(total > 0 && fold.getField("bestCnt") > 0,
         least(lit(1.0),
-          (col("g_fold").getField("bestCnt") *
-            (length(col("g_fold").getField("bestNg")) - (n - 1)).cast("long"))
-            .cast("double") / col("g_total").cast("double")))
+          (fold.getField("bestCnt") *
+            (length(fold.getField("bestNg")) - (n - 1)).cast("long"))
+            .cast("double") / total.cast("double")))
         .otherwise(lit(0.0)).as("top_ngram_char_frac"),
-      when(col("g_total") > 0,
-        col("g_cov").cast("double") / col("g_total").cast("double"))
+      when(total > 0,
+        cov.cast("double") / total.cast("double"))
         .otherwise(lit(0.0)).as("dup_ngram_char_frac"))
+    }}}}}}}}
   }
 }

@@ -162,40 +162,27 @@ case class StarJoinElimination(spark: SparkSession)
                              required: AttributeSet,
                              groupingExprs: Option[Seq[Expression]]): Option[LogicalPlan] = {
     val (leaves, conjuncts) = collectTree(cube, child).getOrElse(return None)
-    // A bare fact-table scan routes to the cube when a time predicate
-    // exists (that is where bucket partitioning wins — pruning), OR when
-    // the grouping dims are a subset of some rollup node's dims: the cube
-    // scan is row/column-equivalent to the raw one under column pruning,
-    // and the next fixed-point iteration can then serve the aggregate from
-    // the lattice (RollupRouting) — the reference gets both for free
-    // because its relation IS the index.
+    // EVERY aggregate over a bare fact-table scan routes to the cube (the
+    // reference's relation IS the Druid index, so every fact query runs
+    // against it, `DruidRelation.scala:94-126`): the cube scan is
+    // row/column-equivalent to the raw one under column pruning, and
+    // strictly better-laid-out — time-bucket partition dirs (interval
+    // pruning + many-way scan parallelism where a raw fact extract may be
+    // a handful of files) with dimension-clustered row groups inside each
+    // bucket. When the grouping also fits a lattice node, the next
+    // fixed-point iteration serves the aggregate from the rollup
+    // (RollupRouting). Non-aggregate select-detail routes only under a
+    // time predicate (where pruning pays): the Project case also matches
+    // the fact leaf INSIDE a refused join tree during descent, and an
+    // unconditional swap there would trade a dim-joined raw scan for a
+    // wider one with no benefit signal.
     val factRole = cube.info.starSchema.factTable
     val singleFactRole = leaves.size == 1 &&
       cube.info.roleOfTable.get(leaves.head.table).exists(_.contains(factRole))
     lazy val hasTimeFilter = leaves.head.filters.exists(
       _.references.exists(_.name.equalsIgnoreCase(cube.info.timeColumn)))
-    lazy val rollupServableGrouping = groupingExprs.exists { gs =>
-      cube.rollups.nonEmpty && {
-        // grouped: the grouping dims must fit a node's dimension set;
-        // global (ungrouped): the aggregated columns must all be stored
-        // node metrics — then `count(*)/sum/min/max/...` merge from
-        // |dims|×buckets pre-aggregated rows
-        val names =
-          (if (gs.nonEmpty) gs.flatMap(_.references.toSeq) else required.toSeq)
-            .map(_.name).distinct
-        val mapped = names.map(n => cube.info.mapped(factRole, n))
-        mapped.forall(_.isDefined) && cube.rollups.exists { ru =>
-          val servable =
-            (if (gs.nonEmpty) ru.dims :+ cube.info.timeColumn
-             else (ru.sums.keys ++ ru.mins.keys ++ ru.maxs.keys ++
-               ru.kmvSketches.keys ++ ru.quantileSketches.keys).toSeq ++
-               ru.dims :+ cube.info.timeColumn)
-            .map(_.toLowerCase).toSet
-          mapped.flatten.forall(c => servable(c.toLowerCase))
-        }
-      }
-    }
-    val singleFactLeaf = singleFactRole && (hasTimeFilter || rollupServableGrouping)
+    val singleFactLeaf = singleFactRole &&
+      (groupingExprs.isDefined || hasTimeFilter)
     if (leaves.size < 2 && !singleFactLeaf) return None
 
     val byExprId: Map[ExprId, Int] = (for {

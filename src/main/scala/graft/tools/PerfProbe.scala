@@ -28,9 +28,14 @@ object PerfProbe {
       println("=== OPTIMIZED ===\n" + qe.optimizedPlan.treeString)
       println("=== PHYSICAL ===\n" + qe.executedPlan.treeString)
     }
+    // PROBE_NOOP=1 times the noop-sink full evaluation (what Bench times —
+    // includes any final sort, which .count() elides via EliminateSorts)
+    val noop = sys.env.contains("PROBE_NOOP")
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val n =
+        if (noop) { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); -1L }
+        else fn(spark, sfDir).count()
       println(f"[probe] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
     }
     spark.stop()

@@ -36,7 +36,9 @@ class FormatSourceSpec extends AnyFunSuite {
     df.filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
         col("ts") < lit("2024-02-10").cast("timestamp"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      // dsum (decimal) — a raw double sum depends on partition merge order,
+      // and the three sources legitimately partition differently
+      .agg(count(lit(1)).as("cnt"), Tables.dsum(col("value")).as("sum_value"))
       .collect().map(_.toString).sorted.toSeq
 
   test("CSV and JSON sources materialize the same cube and still route") {

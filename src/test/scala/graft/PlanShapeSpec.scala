@@ -221,11 +221,20 @@ class PlanShapeSpec extends AnyFunSuite {
     body
   }
 
+  // the pipeline tables ship as one row group at test scale, so Tables.t
+  // inserts a round-robin input rebalance (scan-parallelism guard — see
+  // Tables.rebalanced); it is the one exchange these locks tolerate beyond
+  // what the operator itself needs
+  private def nonRebalanceShuffles(plan: org.apache.spark.sql.execution.SparkPlan) =
+    plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if !e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => e
+    }
+
   test("quantization is a pure projection: no shuffle except the output sort") {
     withAqeOff { withUncachedEmbeddings {
-      val shuffles = qe("q_vec_quant").executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }
+      val shuffles = nonRebalanceShuffles(qe("q_vec_quant").executedPlan)
       // one range exchange for the ORDER BY; the quantize/summarize math
       // itself must stay row-local
       assert(shuffles.size <= 1,
@@ -244,9 +253,7 @@ class PlanShapeSpec extends AnyFunSuite {
         case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
       }
       assert(topk.nonEmpty, "rank+limit must plan as TakeOrderedAndProject")
-      val shuffles = plan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }
+      val shuffles = nonRebalanceShuffles(plan)
       assert(shuffles.isEmpty,
         s"bucket filter + top-k needs no exchange, got ${shuffles.size}")
     } }
