@@ -30,14 +30,17 @@ object Tables {
   private val tableCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  // see rebalanced() — the compute-dense pipeline tables
+  private val rebalancedTables = Set("documents", "embeddings")
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     tableCache.getOrElseUpdate((spark, path(sfDir, name)), {
       val df = spark.read.parquet(path(sfDir, name))
-      if (extraTables.contains(name)) rebalanced(spark, df) else df
+      if (rebalancedTables(name)) rebalanced(spark, df) else df
     })
 
   /** Scan-parallelism guard for the compute-dense pipeline tables
-    * (documents / events / embeddings): parquet can only split at ROW-GROUP
+    * (documents / embeddings): parquet can only split at ROW-GROUP
     * boundaries, so a table written as one row group scans as ONE partition
     * — and every tokenizer / shingle / minhash / quality stage before the
     * first shuffle then runs on a single core regardless of cluster size.
@@ -51,10 +54,14 @@ object Tables {
     * vanishes from the plan. Filters and column pruning still push through
     * `Repartition` to the scan, so pushdown is unaffected.
     *
-    * The TPC-H star tables are deliberately NOT rebalanced: their heavy
-    * queries route to the materialized cube (written time-partitioned =
-    * many files = parallel), and the star-join collapse patterns match the
-    * bare relation plans.
+    * Applied ONLY where the first stage is compute-dense. Measured at
+    * sf0.1: documents/embeddings pipelines gain 2-3× (minhash 1.9→0.6 s);
+    * `events` queries LOSE ~2× (sessionize 0.96→1.49 s) — their first
+    * stage is a trivial projection feeding a hash shuffle the query needs
+    * anyway, so the rebalance is a pure extra exchange. The TPC-H star
+    * tables are also NOT rebalanced: their heavy queries route to the
+    * materialized cube (written time-partitioned = many files = parallel),
+    * and the star-join collapse patterns match the bare relation plans.
     */
   private def rebalanced(spark: SparkSession, df: DataFrame): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
