@@ -142,12 +142,15 @@ object CubeRefresh {
     cube.rollups.foreach { ru =>
       val nodeSchema = spark.read.parquet(ru.path).schema.fieldNames
       // aggregated WITHOUT rewrites: the node rebuild must scan the fresh
-      // cube slice, never be served from the stale node being rebuilt
-      // rebuilds preserve the node's declared leaf clustering (tight
-      // row-group min/max on the serving shape's residual column)
-      def clustered(df: org.apache.spark.sql.DataFrame) =
+      // cube slice, never be served from the stale node being rebuilt.
+      // Rebuilds preserve the node's declared leaf clustering (tight
+      // row-group min/max on the serving shape's residual column); the
+      // sort must lead with the branch's WRITE partition columns or the
+      // dynamic-partition writer re-sorts (unstably) and drops it.
+      def clustered(df: org.apache.spark.sql.DataFrame, bucket: String) =
         if (ru.clusterDims.isEmpty) df
-        else df.sortWithinPartitions((ru.partitionDims ++ ru.clusterDims).map(col): _*)
+        else df.sortWithinPartitions(
+          ((bucket +: ru.partitionDims) ++ ru.clusterDims).map(col): _*)
       graft.Graft.withoutRewrites(spark) {
         if (isSecondary(info, ru)) {
           // a primary-bucket dirty slice straddles SECONDARY buckets
@@ -157,13 +160,13 @@ object CubeRefresh {
           // whole node (it is |dims|×buckets small) from the full cube
           clustered(buildNode(spark.read.parquet(cube.cubePath), info, ru)
             .select(nodeSchema.map(col): _*)
-            .repartition(col(ru.timeBucketColumn)))
+            .repartition(col(ru.timeBucketColumn)), ru.timeBucketColumn)
             .write.mode("overwrite")
             .partitionBy(ru.timeBucketColumn +: ru.partitionDims: _*)
             .parquet(ru.path)
         } else clustered(buildNode(freshSlice, info, ru)
           .select(nodeSchema.map(col): _*)
-          .repartition(col(bkt)))
+          .repartition(col(bkt)), bkt)
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           // dim partition columns nest UNDER the bucket, so overwriting a

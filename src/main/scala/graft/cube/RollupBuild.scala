@@ -35,10 +35,13 @@ object RollupBuild {
       if (!new java.io.File(ru0.path, "_SUCCESS").exists()) {
         val node = CubeRefresh.buildNode(flat, cube.info, ru0)
           .repartition(col(ru0.timeBucketColumn))
+        // sort prefix = the write's partition columns, or the dynamic-
+        // partition writer re-sorts (unstably) and drops the clustering
         val clustered =
           if (ru0.clusterDims.isEmpty) node
           else node.sortWithinPartitions(
-            (ru0.partitionDims ++ ru0.clusterDims).map(col): _*)
+            ((ru0.timeBucketColumn +: ru0.partitionDims) ++ ru0.clusterDims)
+              .map(col): _*)
         clustered.write.mode("overwrite")
           .partitionBy(ru0.timeBucketColumn +: ru0.partitionDims: _*)
           .parquet(ru0.path)

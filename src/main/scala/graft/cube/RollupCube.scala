@@ -183,8 +183,9 @@ object RollupCube {
 
   def q3Path(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    // v2: rows clustered by o_orderdate inside each segment leaf
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_okey_v2"
+    // v3: clustering sort leads with the write's partition columns (v2's
+    // sort was re-sorted away by the dynamic-partition writer)
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_okey_v3"
   }
 
   def ordersNationsPath(sfDir: String): String = {
@@ -194,8 +195,9 @@ object RollupCube {
 
   def marketPath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    // v3: rows clustered by p_type inside each c_region leaf
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_omarket_v3"
+    // v4: clustering sort leads with the write's partition columns (v3's
+    // sort was re-sorted away by the dynamic-partition writer)
+    s"/root/repo/target/cubes/tpch_${sf}_rollup_omarket_v4"
   }
 
   def meta(sfDir: String): RollupMeta = RollupMeta(
@@ -496,14 +498,17 @@ object RollupCube {
         (sums ++ derived ++ mins ++ maxs ++ qsks ++ freqs ++ distincts): _*)
       .repartition(col(bucketCol))
     // Cluster rows inside each leaf by the serving shape's row-group
-    // predicate column (Druid's secondary sort): sorting by the partition
-    // dims first keeps each leaf's rows contiguous in the writer task, then
-    // clusterDims give tight parquet min/max per row group — invisible at
-    // sf0.1 (one row group per leaf) but the pushed-footer-predicate skip
-    // at 100 TB file sizes.
+    // predicate column (Druid's secondary sort) — invisible at sf0.1 (one
+    // row group per leaf) but the pushed-footer-predicate skip at 100 TB
+    // file sizes. The sort MUST lead with the write's partition columns:
+    // the dynamic-partition writer requires rows ordered by them and
+    // inserts its own (unstable) sort when the incoming ordering is not a
+    // prefix-match — which would silently destroy the clustering
+    // (CubeRefreshSpec locks per-file monotonicity against this).
     val clustered =
       if (clusterDims.isEmpty) agged
-      else agged.sortWithinPartitions((partitionDims ++ clusterDims).map(col): _*)
+      else agged.sortWithinPartitions(
+        ((bucketCol +: partitionDims) ++ clusterDims).map(col): _*)
     clustered.write.mode("overwrite")
       .partitionBy(bucketCol +: partitionDims: _*).parquet(outPath)
   }

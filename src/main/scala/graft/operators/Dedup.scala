@@ -226,18 +226,22 @@ object Dedup {
     * works this way in practice: candidate generation is the expensive
     * pass, and the keep/drop decision, cluster audit, and reporting
     * queries all re-read its output rather than re-shingling the corpus.
-    * Writes exactly once per path (idempotent under concurrent callers via
-    * the marker check; Spark's job commit protocol makes the write itself
-    * atomic-visible).
+    * Writes exactly once per path — same-JVM callers serialize on a lock
+    * (parallel test suites share the session), and the `_SUCCESS` marker
+    * makes re-entry a pure read.
     */
   def materializedNgramPairs(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double, path: String): DataFrame = {
     val spark = df.sparkSession
-    if (!new java.io.File(path, "_SUCCESS").exists())
-      ngramJaccardDupPairs(df, idCol, textCol, threshold)
-        .write.mode("overwrite").parquet(path)
+    buildLock.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        ngramJaccardDupPairs(df, idCol, textCol, threshold)
+          .write.mode("overwrite").parquet(path)
+    }
     spark.read.parquet(path)
   }
+
+  private val buildLock = new Object
 
   /** SimHash near-duplicate pairs: 64-bit SimHash per doc, candidates share
     * at least one of the four 16-bit blocks (guaranteeing recall for

@@ -110,5 +110,28 @@ class CubeRefreshSpec extends AnyFunSuite {
     // idempotent: a second refresh finds nothing dirty
     val again = CubeRefresh.refresh(spark, after, Tables.flat(spark, workDir))
     assert(again.dirtyBuckets.isEmpty)
+
+    // rebuilds preserve declared leaf clustering: inside every parquet file
+    // of a clusterDims node, the cluster column must be non-decreasing —
+    // that monotonicity is exactly what makes row-group min/max stats
+    // skippable. (Checked per FILE: split packing may put several small
+    // files in one partition, and sortedness across files is not claimed.)
+    for (ru <- after.rollups if ru.clusterDims.nonEmpty) {
+      val c = ru.clusterDims.head
+      val violations = spark.read.parquet(ru.path)
+        .select(input_file_name().as("f"), col(c).cast("string").as("v"))
+        .rdd.mapPartitions { it =>
+          var prevFile = ""; var prev = ""; var bad = 0L
+          it.foreach { r =>
+            val f = r.getString(0)
+            val v = if (r.isNullAt(1)) "" else r.getString(1)
+            if (f == prevFile && v < prev) bad += 1
+            prevFile = f; prev = v
+          }
+          Iterator.single(bad)
+        }.sum()
+      assert(violations == 0,
+        s"node ${ru.path} lost its $c clustering after refresh")
+    }
   }
 }
