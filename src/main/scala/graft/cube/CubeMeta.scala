@@ -51,6 +51,8 @@ object CubeMeta {
         JArray(List(JLong(lo), JLong(hi))) }.getOrElse(JNull),
       "timeDayQuantized" -> JBool(info.timeDayQuantized),
       "timeNullFree" -> JBool(info.timeNullFree),
+      "clusterDims" -> JArray(
+        info.clusterDims.map(JString(_): JValue).toList),
       "timeCorrelatedColumns" -> JArray(
         info.timeCorrelatedColumns.map(JString(_): JValue).toList),
       "timeLagBounds" -> JObject(info.timeLagBounds.toSeq.sortBy(_._1).map {
@@ -150,6 +152,10 @@ object CubeMeta {
       },
       timeDayQuantized = (j \ "timeDayQuantized") == JBool(true),
       timeNullFree = (j \ "timeNullFree") == JBool(true),
+      clusterDims = j \ "clusterDims" match {
+        case JNull | JNothing => Nil
+        case v                => arr(v).map(str)
+      },
       timeCorrelatedColumns = arr(j \ "timeCorrelatedColumns").map(str),
       timeLagBounds = obj(j \ "timeLagBounds").flatMap { case (c, v) =>
         // A malformed entry (hand-edited sidecar) drops that column's lag

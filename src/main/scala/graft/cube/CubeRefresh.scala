@@ -115,10 +115,17 @@ object CubeRefresh {
       .filter(col(bkt).isin(dirty: _*))
       .select(cubeSchema.map(col): _*)
     // written WITHOUT rewrites: the flattening join must read the raw
-    // sources, never collapse onto the stale cube it is replacing
+    // sources, never collapse onto the stale cube it is replacing.
+    // Rewritten buckets keep the cube's DECLARED intra-bucket clustering
+    // (CubeInfo.clusterDims) — the sort leads with the partition column so
+    // the dynamic-partition writer reuses it instead of re-sorting the
+    // slice by bucket alone and silently flattening the layout.
     graft.Graft.withoutRewrites(spark) {
-      slice
-        .repartition(col(bkt))
+      val repart = slice.repartition(col(bkt))
+      val clusteredSlice =
+        if (info.clusterDims.isEmpty) repart
+        else repart.sortWithinPartitions((bkt +: info.clusterDims).map(col): _*)
+      clusteredSlice
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(bkt)

@@ -118,6 +118,9 @@ object TpchCube {
       // lag bounds, and o_orderdate slices (Q3/Q4/Q5/Q8/Q10 shapes) then
       // prune the l_shipdate-partitioned cube
       timeCorrelatedColumns = Seq("o_orderdate"),
+      // intra-bucket row clustering (see CubeInfo.clusterDims): the
+      // most-filtered dimensions, in selectivity order
+      clusterDims = Seq("c_mktsegment", "s_nation", "c_nation"),
       functionalDeps = Seq(
         FunctionalDependency("c_nation", "c_region", ManyToOne),
         FunctionalDependency("s_nation", "s_region", ManyToOne),
@@ -152,17 +155,19 @@ object TpchCube {
     val path = cubePath(sfDir)
     val marker = new java.io.File(path, "_SUCCESS")
     if (!marker.exists()) {
-      // rows within each time bucket are CLUSTERED by the most-filtered
-      // dimensions — the layout-level stand-in for Druid's per-dimension
-      // inverted indexes: parquet row-group/page min-max stats on a sorted
-      // column actually skip IO for dim-sliced queries. Locally a bucket is
-      // one row group (no visible effect); at 100 TB a month holds
-      // thousands of row groups and a `c_mktsegment = X AND s_nation = Y`
-      // slice reads ~1/|segment| of them instead of all.
+      // rows within each time bucket are CLUSTERED by the declared
+      // clusterDims (CubeInfo) — the layout-level stand-in for Druid's
+      // per-dimension inverted indexes: parquet row-group/page min-max
+      // stats on a sorted column actually skip IO for dim-sliced queries.
+      // Locally a bucket is one row group (no visible effect); at 100 TB a
+      // month holds thousands of row groups and a `c_mktsegment = X AND
+      // s_nation = Y` slice reads ~1/|segment| of them instead of all.
+      // The sort leads with the partition column so the dynamic-partition
+      // writer reuses it instead of re-sorting (see CubeRefresh).
       Tables.flat(spark, sfDir)
         .withColumn("g_tbucket", bucketExpr("l_shipdate"))
         .repartition(col("g_tbucket"))
-        .sortWithinPartitions("g_tbucket", "c_mktsegment", "s_nation", "c_nation")
+        .sortWithinPartitions(("g_tbucket" +: info.clusterDims).map(col): _*)
         .write.mode("overwrite").partitionBy("g_tbucket").parquet(path)
     }
     val tablePaths = roleOfTable.keys.map { t =>

@@ -213,7 +213,16 @@ final case class CubeInfo(
       * time satisfies no derived bound but may satisfy the original
       * correlated-column predicate).
       */
-    timeNullFree: Boolean = false) {
+    timeNullFree: Boolean = false,
+    /** DECLARED layout: dimensions the build sorts rows by inside each
+      * time-bucket partition (Druid's secondary sort at the cube level) —
+      * parquet row-group min/max on a sorted column turns dim slices into
+      * IO skips, the layout stand-in for per-dimension inverted indexes.
+      * Recorded in metadata so [[CubeRefresh]] re-applies the clustering
+      * when it rewrites dirty buckets (the dynamic-partition writer
+      * otherwise re-sorts by the partition column alone and destroys it).
+      */
+    clusterDims: Seq[String] = Nil) {
 
   val columnByName: Map[String, CubeColumn] = columns.map(c => c.name -> c).toMap
 

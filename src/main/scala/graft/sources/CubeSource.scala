@@ -127,11 +127,18 @@ object CubeSource {
                   schemas: Map[String, StructType] = Map.empty): RegisteredCube = {
     graft.Graft.forceUtc(spark)
     if (!new java.io.File(destPath, "_SUCCESS").exists()) {
-      flatten(spark, info, tablePaths, schemas)
+      val bucketed = flatten(spark, info, tablePaths, schemas)
         .withColumn(info.timeBucketColumn,
           (year(col(info.timeColumn)) - 1970) * 12 + month(col(info.timeColumn)) - 1)
         .repartition(col(info.timeBucketColumn))
-        .write.mode("overwrite").partitionBy(info.timeBucketColumn).parquet(destPath)
+      // declared intra-bucket clustering (CubeInfo.clusterDims); the sort
+      // leads with the partition column so the writer reuses it
+      val clustered =
+        if (info.clusterDims.isEmpty) bucketed
+        else bucketed.sortWithinPartitions(
+          (info.timeBucketColumn +: info.clusterDims).map(col): _*)
+      clustered.write.mode("overwrite")
+        .partitionBy(info.timeBucketColumn).parquet(destPath)
     }
     val stats = CubeStats.ensure(spark, info, destPath)
     val cube = RegisteredCube(CubeStats.withStats(info, stats), destPath,

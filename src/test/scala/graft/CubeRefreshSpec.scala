@@ -116,9 +116,8 @@ class CubeRefreshSpec extends AnyFunSuite {
     // that monotonicity is exactly what makes row-group min/max stats
     // skippable. (Checked per FILE: split packing may put several small
     // files in one partition, and sortedness across files is not claimed.)
-    for (ru <- after.rollups if ru.clusterDims.nonEmpty) {
-      val c = ru.clusterDims.head
-      val violations = spark.read.parquet(ru.path)
+    def firstColViolations(path: String, c: String): Long =
+      spark.read.parquet(path)
         .select(input_file_name().as("f"), col(c).cast("string").as("v"))
         .rdd.mapPartitions { it =>
           var prevFile = ""; var prev = ""; var bad = 0L
@@ -129,9 +128,14 @@ class CubeRefreshSpec extends AnyFunSuite {
             prevFile = f; prev = v
           }
           Iterator.single(bad)
-        }.sum()
-      assert(violations == 0,
-        s"node ${ru.path} lost its $c clustering after refresh")
-    }
+        }.fold(0L)(_ + _)
+    for (ru <- after.rollups if ru.clusterDims.nonEmpty)
+      assert(firstColViolations(ru.path, ru.clusterDims.head) == 0,
+        s"node ${ru.path} lost its ${ru.clusterDims.head} clustering after refresh")
+    // the fact cube's own declared clustering survives the dirty-bucket
+    // rewrite too (CubeInfo.clusterDims)
+    assert(after.info.clusterDims.nonEmpty)
+    assert(firstColViolations(after.cubePath, after.info.clusterDims.head) == 0,
+      "fact cube lost its intra-bucket clustering after refresh")
   }
 }
