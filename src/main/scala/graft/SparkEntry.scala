@@ -669,10 +669,15 @@ object SparkEntry {
     /** Materialized n-gram near-dup pair index over `documents` — see
       * [[graft.operators.Dedup.materializedNgramPairs]].
       */
-    def ngramPairsIndex(s: SparkSession, dir: String): DataFrame =
+    def ngramPairsIndex(s: SparkSession, dir: String): DataFrame = {
+      val t = 0.8
+      // the path encodes the index identity (corpus + threshold) — the
+      // artifact is never parameter-checked after it exists
       Dedup.materializedNgramPairs(Tables.t(s, dir, "documents"),
-        "doc_id", "text", threshold = 0.8,
-        path = s"/root/repo/target/indexes/ngram_pairs_${new java.io.File(dir).getName}_v1")
+        "doc_id", "text", threshold = t,
+        path = s"/root/repo/target/indexes/ngram_pairs_" +
+          s"${new java.io.File(dir).getName}_t${(t * 100).toInt}_v1")
+    }
 
     /** DuckDB list literal of a marker set, kept in lockstep with
       * [[graft.functions.TextFunctions.langMarkers]].

@@ -229,6 +229,12 @@ object Dedup {
     * Writes exactly once per path — same-JVM callers serialize on a lock
     * (parallel test suites share the session), and the `_SUCCESS` marker
     * makes re-entry a pure read.
+    *
+    * The `path` IS the artifact's identity: once built, the parameters and
+    * input frame are not re-checked (exactly like a materialized cube
+    * path). Callers must encode everything that distinguishes one index
+    * from another — corpus, threshold, shingle size — in the path, or two
+    * different requests will silently share one artifact.
     */
   def materializedNgramPairs(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double, path: String): DataFrame = {

@@ -164,7 +164,14 @@ case class StarJoinElimination(spark: SparkSession)
     val (leaves, conjuncts) = collectTree(cube, child).getOrElse(return None)
     // EVERY aggregate over a bare fact-table scan routes to the cube (the
     // reference's relation IS the Druid index, so every fact query runs
-    // against it, `DruidRelation.scala:94-126`): the cube scan is
+    // against it, `DruidRelation.scala:94-126`). FRESHNESS CONTRACT: like
+    // every cube/rollup route (including the long-standing time-filtered
+    // bare-fact path), the served data is as fresh as the last
+    // materialize/CubeRefresh — exactly the reference's model, where
+    // queries read the index, not the source extract. A session that must
+    // see un-refreshed source rows disables the route
+    // (`spark.graft.starJoin.enabled=false` / `Graft.withoutRewrites`).
+    // Under that contract the cube scan is
     // row/column-equivalent to the raw one under column pruning, and
     // strictly better-laid-out — time-bucket partition dirs (interval
     // pruning + many-way scan parallelism where a raw fact extract may be

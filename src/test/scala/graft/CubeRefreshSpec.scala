@@ -116,9 +116,16 @@ class CubeRefreshSpec extends AnyFunSuite {
     // that monotonicity is exactly what makes row-group min/max stats
     // skippable. (Checked per FILE: split packing may put several small
     // files in one partition, and sortedness across files is not claimed.)
-    def firstColViolations(path: String, c: String): Long =
-      spark.read.parquet(path)
-        .select(input_file_name().as("f"), col(c).cast("string").as("v"))
+    def firstColViolations(path: String, c: String): Long = {
+      val df = spark.read.parquet(path)
+      // numeric cluster dims must compare numerically — "10" < "9"
+      // lexicographically would flag correctly sorted files
+      val v = df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          format_string("%020.6f", col(c).cast("double"))
+        case _ => col(c).cast("string")
+      }
+      df.select(input_file_name().as("f"), v.as("v"))
         .rdd.mapPartitions { it =>
           var prevFile = ""; var prev = ""; var bad = 0L
           it.foreach { r =>
@@ -129,6 +136,7 @@ class CubeRefreshSpec extends AnyFunSuite {
           }
           Iterator.single(bad)
         }.fold(0L)(_ + _)
+    }
     for (ru <- after.rollups if ru.clusterDims.nonEmpty)
       assert(firstColViolations(ru.path, ru.clusterDims.head) == 0,
         s"node ${ru.path} lost its ${ru.clusterDims.head} clustering after refresh")
