@@ -161,6 +161,20 @@ class StarRewriteSpec extends AnyFunSuite {
         |GROUP BY c_mktsegment""".stripMargin, expectRewrite = false)
   }
 
+  test("bare fact-table grouped aggregate routes to the cube without a time filter") {
+    // the relation-IS-the-index contract: ANY aggregate over a bare fact
+    // scan serves from the (parallel, clustered) cube layout, fresh as of
+    // the last materialize/refresh
+    differential(
+      """SELECT l_linenumber, count(*) AS cnt, sum(l_orderkey % 97) AS s_mod
+        |FROM lineitem
+        |GROUP BY l_linenumber""".stripMargin, expectRewrite = true)
+    // non-aggregate select-detail WITHOUT a time predicate keeps the raw
+    // plan (no benefit signal; protects fact leaves in refused join trees)
+    val detail = spark.sql("SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 49")
+    assert(!scansCube(detail), "unfiltered select-detail must stay on the raw table")
+  }
+
   test("bare fact-table interval aggregate routes to the cube and partition-prunes") {
     differential(
       """SELECT year(l_shipdate) AS y, count(*) AS cnt
