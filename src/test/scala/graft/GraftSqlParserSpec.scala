@@ -93,6 +93,57 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(clusterOnly.partitionDims.isEmpty && clusterOnly.clusterDims == Seq("b"))
   }
 
+  test("MATERIALIZE GRAFT ROLLUP with PARTITION BY / CLUSTER BY lays out the node") {
+    init()
+    val cubeName = graft.cube.CubeCatalog.all
+      .find(_.info.name.startsWith("tpch_flat")).get.info.name
+    val path = "/root/repo/target/cubes/parser_rollup_layout"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    val cmd = parser.parsePlan(
+      s"""MATERIALIZE GRAFT ROLLUP ON $cubeName
+         |DIMENSIONS (l_returnflag, l_linestatus)
+         |PARTITION BY (l_returnflag)
+         |CLUSTER BY (l_linestatus)
+         |AT '$path'""".stripMargin)
+      .asInstanceOf[graft.plans.MaterializeGraftRollupCommand]
+    try {
+      cmd.run(spark)
+      // dim partitions nest under the time bucket as Hive leaf dirs
+      val bucketDirs = new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("g_tbucket="))
+      assert(bucketDirs.nonEmpty, "expected g_tbucket=* dirs")
+      assert(bucketDirs.head.listFiles()
+        .exists(f => f.isDirectory && f.getName.startsWith("l_returnflag=")),
+        "expected l_returnflag=* leaf dirs under each bucket")
+      // CLUSTER BY reached the files: l_linestatus is monotone per file
+      import org.apache.spark.sql.functions.{col, input_file_name}
+      val violations = spark.read.parquet(path)
+        .select(input_file_name().as("f"), col("l_linestatus").as("v"))
+        .rdd.mapPartitions { it =>
+          var pf = ""; var pv = ""; var bad = 0L
+          it.foreach { r =>
+            val f = r.getString(0); val v = r.getString(1)
+            if (f == pf && v < pv) bad += 1
+            pf = f; pv = v
+          }
+          Iterator.single(bad)
+        }.fold(0L)(_ + _)
+      assert(violations == 0, "CLUSTER BY ordering must survive the write")
+      val ru = graft.cube.CubeCatalog.get(cubeName).get.rollups
+        .find(_.path == path).get
+      assert(ru.partitionDims == Seq("l_returnflag"))
+      assert(ru.clusterDims == Seq("l_linestatus"))
+    } finally {
+      val cube = graft.cube.CubeCatalog.get(cubeName).get
+      graft.cube.CubeCatalog.register(cube.copy(
+        rollups = cube.rollups.filterNot(_.path == path)))
+      graft.cube.CubeMeta.save(graft.cube.CubeCatalog.get(cubeName).get)
+    }
+  }
+
   test("MATERIALIZE GRAFT ROLLUP builds, proves and attaches the node") {
     init()
     val cubeName = graft.cube.CubeCatalog.all
