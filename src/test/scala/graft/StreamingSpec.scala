@@ -40,6 +40,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("text quality pipeline runs unchanged on a stream and matches batch") {
+    // the corpus-ingest shape at 100 TB: quality scoring, language ID and
+    // fingerprinting are pure codegen projections, so the SAME column
+    // expressions run per-microbatch on a document stream with zero state —
+    // no operator rewrite, no separate streaming implementation
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    import graft.functions.TextFunctions
+    import graft.operators.Quality
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "foo bar foo bar foo bar foo bar"),
+      (3L, "el rapido zorro marron salta sobre el perro"),
+      (4L, ""),
+      (5L, "### ... symbols ### everywhere ... ###"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("_1").as("doc_id"),
+        TextFunctions.langId(col("_2")).as("lang"),
+        Quality.meanWordLength(col("_2")).as("mwl"),
+        Quality.alphaWordRatio(col("_2")).as("awr"),
+        Quality.ngramRepetitionCols(col("_2"), n = 2).as("rep"),
+        TextFunctions.fingerprint(col("_2")).as("fp"))
+    val stream = MemoryStream[(Long, String)]
+    val q = pipeline(stream.toDF())
+      .writeStream.format("memory").queryName("textq")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM textq").collect().map(_.toString).toSet
+      val want = pipeline(docs.toDF()).collect().map(_.toString).toSet
+      assert(got == want)
+      assert(want.size == docs.size)
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits closed sessions equal to the batch window version") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
