@@ -77,14 +77,26 @@ object Tables {
     */
   def invalidateCache(): Unit = tableCache.clear()
 
-  /** The `events` table, whose parquet `ts` is TIMESTAMP(NANOS) — a type
-    * Spark refuses by default. Read nanos as long and truncate to a
-    * microsecond timestamp (exactly what DuckDB's reader does).
+  /** The `events` table. Driver generations have varied the parquet type of
+    * `ts`: TIMESTAMP(NANOS) (which Spark refuses by default — read as long
+    * via `nanosAsLong` and truncate to micros, exactly what DuckDB's reader
+    * does) vs plain TIMESTAMP(MICROS) (read natively). Adapt to whichever
+    * this dataset carries instead of assuming one.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = t(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet TIMESTAMP(isAdjustedToUTC=false) infers as NTZ in Spark 4;
+        // the engine's time functions (unix_millis, session_window, interval
+        // pruning) want TIMESTAMP. Session TZ is pinned UTC everywhere, so
+        // the cast keeps the same wall-clock instants DuckDB sees.
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** Exact, order-independent sum of a double column: route through a wide
