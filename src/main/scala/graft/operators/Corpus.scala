@@ -121,10 +121,21 @@ object Corpus {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val spark = docs.sparkSession
     import org.apache.spark.sql.expressions.Window
-    val ranged = docs
-      .withColumn("n_tokens", size(terms(col(textCol))).cast("long"))
+    // the range repartition below is this operator's own shuffle — a
+    // round-robin rebalance directly upstream (Tables.rebalanced's scan
+    // parallelism guard) would be a second, pure-overhead exchange. Drop
+    // it and tokenize AFTER the range exchange, so per-row compute still
+    // runs on the full range-partition parallelism.
+    val base = docs.queryExecution.logical match {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
+          if r.shuffle =>
+        org.apache.spark.sql.graft.PlanDataset.ofRows(spark, r.child)
+      case _ => docs
+    }
+    val ranged = base
       .repartitionByRange(col(orderCol))
       .sortWithinPartitions(col(orderCol))
+      .withColumn("n_tokens", size(terms(col(textCol))).cast("long"))
     // per-partition exclusive running sum as an order-preserving fold: a
     // Window.partitionBy(spark_partition_id) would re-SHUFFLE every row by
     // the very key they are already partitioned on — mapPartitions keeps

@@ -188,8 +188,30 @@ case class StarJoinElimination(spark: SparkSession)
       cube.info.roleOfTable.get(leaves.head.table).exists(_.contains(factRole))
     lazy val hasTimeFilter = leaves.head.filters.exists(
       _.references.exists(_.name.equalsIgnoreCase(cube.info.timeColumn)))
-    val singleFactLeaf = singleFactRole &&
-      (groupingExprs.isDefined || hasTimeFilter)
+    // Benefit signal for the bare-fact aggregate route. Without a time
+    // filter (interval pruning) the cube extract is only a win when a
+    // lattice node can later serve the aggregate (RollupRouting): the
+    // extract's many time-bucket leaf files are strictly worse than the
+    // raw fact table's layout for a full scan. Necessary condition mirrors
+    // RollupRouting's own checks — grouping columns inside a node's
+    // dims/time, every other referenced column inside its stored
+    // dims/metrics/sketches. Pure-metric sweeps (e.g. per-column exact
+    // distinct profiling) therefore stay on the raw, narrower scan.
+    lazy val rollupMayServe = groupingExprs.exists { gs =>
+      val groupNames = gs.flatMap(_.references.toSeq).map(_.name.toLowerCase).toSet
+      val aggNames = required.map(_.name.toLowerCase).toSet -- groupNames
+      cube.rollups.exists { ru =>
+        val dimsL = ru.dims.map(_.toLowerCase).toSet ++
+          ru.timeColumn.map(_.toLowerCase) +
+          ru.timeBucketColumn.toLowerCase + cube.info.timeColumn.toLowerCase
+        val metricsL = (ru.sums.keys ++ ru.mins.keys ++ ru.maxs.keys ++
+          ru.kmvSketches.keys ++ ru.hllSketches.keys ++
+          ru.quantileSketches.keys ++ ru.freqSketches.keys)
+          .map(_.toLowerCase).toSet
+        groupNames.subsetOf(dimsL) && aggNames.subsetOf(dimsL ++ metricsL)
+      }
+    }
+    val singleFactLeaf = singleFactRole && (hasTimeFilter || rollupMayServe)
     if (leaves.size < 2 && !singleFactLeaf) return None
 
     val byExprId: Map[ExprId, Int] = (for {

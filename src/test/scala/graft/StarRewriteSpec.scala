@@ -161,14 +161,22 @@ class StarRewriteSpec extends AnyFunSuite {
         |GROUP BY c_mktsegment""".stripMargin, expectRewrite = false)
   }
 
-  test("bare fact-table grouped aggregate routes to the cube without a time filter") {
-    // the relation-IS-the-index contract: ANY aggregate over a bare fact
-    // scan serves from the (parallel, clustered) cube layout, fresh as of
-    // the last materialize/refresh
+  test("bare fact-table grouped aggregate routes to the cube when a rollup may serve") {
+    // relation-IS-the-index, gated by a benefit signal: without a time
+    // filter the route only pays when a lattice node can serve the
+    // aggregate. Grouping by a rollup dim over rollup metrics routes.
+    graft.cube.RollupCube.ensure(spark, sf)
+    differential(
+      """SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS s_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin, expectRewrite = true)
+    // a pure-metric sweep (grouping outside every node's dims) keeps the
+    // raw scan: the cube extract's many time-bucket files are strictly
+    // worse for a full scan with no rollup serve to recoup it
     differential(
       """SELECT l_linenumber, count(*) AS cnt, sum(l_orderkey % 97) AS s_mod
         |FROM lineitem
-        |GROUP BY l_linenumber""".stripMargin, expectRewrite = true)
+        |GROUP BY l_linenumber""".stripMargin, expectRewrite = false)
     // non-aggregate select-detail WITHOUT a time predicate keeps the raw
     // plan (no benefit signal; protects fact leaves in refused join trees)
     val detail = spark.sql("SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 49")
