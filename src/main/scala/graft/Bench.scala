@@ -112,13 +112,21 @@ object Bench {
           ioBytes.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
     }
     spark.sparkContext.addSparkListener(ioListener)
-    def measureIo(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Long = {
+    // returns (recordsRead, footer-measured column bytes) — the byte figure
+    // is partition- and column-pruning aware (ScanBytes), making the
+    // baseline's "narrow index columns vs wide raw extract" byte ratio a
+    // measured field instead of an estimate.
+    def measureIo(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Long, Long) = {
       // drain listener events from earlier queries, then isolate this one's
       org.apache.spark.sql.graft.ListenerBusUtil.waitUntilEmpty(spark)
       ioBytes.set(0L)
-      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+      val df = fn(spark, sfDir)
+      try exec(df) catch { case _: Throwable => () }
       org.apache.spark.sql.graft.ListenerBusUtil.waitUntilEmpty(spark)
-      ioBytes.get()
+      val bytes =
+        try org.apache.spark.sql.graft.ScanBytes.of(df)
+        catch { case _: Throwable => 0L }
+      (ioBytes.get(), bytes)
     }
     val engineIo = headline.flatMap { name =>
       SparkEntry.queries.get(name).map(fn => name -> measureIo(fn))
@@ -145,16 +153,20 @@ object Bench {
       .mkString("{", ",", "}")
     // [engineRows, rawRows] per headline query, compact
     val ioJs = headline.filter(k => engineIo.contains(k) && rawIo.contains(k))
-      .map(k => s"\"$k\":[${engineIo(k)},${rawIo(k)}]")
+      .map(k => s"\"$k\":[${engineIo(k)._1},${rawIo(k)._1}]")
+      .mkString("{", ",", "}")
+    // [engineBytes, rawBytes] per headline query (footer column sizes)
+    val bytesJs = headline.filter(k => engineIo.contains(k) && rawIo.contains(k))
+      .map(k => s"\"$k\":[${engineIo(k)._2},${rawIo(k)._2}]")
       .mkString("{", ",", "}")
 
     val byName = results.map { case (k, v, ok) => k -> ((v, ok)) }.toMap
     val picked = scala.collection.mutable.LinkedHashMap[String, (Double, Boolean)]()
     headline.foreach(h => byName.get(h).foreach(picked(h) = _))
     // fill with slowest non-headline queries while the line stays short
-    // (window is 2000 chars total: ~170 fixed + ~250 raw + ~300 io + ~70
-    // sbt success line leaves ~1200 — keep 800 for slack)
-    val budget = 800
+    // (window is 2000 chars total: ~170 fixed + ~250 raw + ~300 io rows +
+    // ~350 io bytes + ~70 sbt success line leaves ~850 — keep 600 for slack)
+    val budget = 600
     var len = picked.map { case (k, (v, ok)) => entry(k, v, ok).length + 1 }.sum
     results.filterNot(r => picked.contains(r._1)).sortBy(-_._2).foreach {
       case (k, v, ok) =>
@@ -162,7 +174,7 @@ object Bench {
         if (len + e <= budget) { picked(k) = ((v, ok)); len += e }
     }
     val qs = picked.map { case (k, (v, ok)) => entry(k, v, ok) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"raw":$rawJs,"scan_rows":$ioJs,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"raw":$rawJs,"scan_rows":$ioJs,"scan_bytes":$bytesJs,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
