@@ -151,6 +151,11 @@ object Graft {
 
   def install(spark: SparkSession): Unit = {
     forceUtc(spark)
+    // engine-written parquet (cube extracts, lattice nodes) must carry
+    // INT64 micros timestamps: the INT96 default has no usable row-group
+    // min/max statistics and no filter pushdown, which would silently
+    // disable every footer time-skip on materialized layouts.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     excludeGenerateFilterInference(spark)
     graft.functions.DateTimeCompat.register(spark)
     org.apache.spark.sql.graft.KmvSketch.register(spark)
@@ -169,6 +174,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule { s =>
       Graft.forceUtc(s); Graft.excludeGenerateFilterInference(s)
+      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       graft.functions.DateTimeCompat.register(s)
       org.apache.spark.sql.graft.KmvSketch.register(s)
       org.apache.spark.sql.graft.QuantileSketch.register(s)

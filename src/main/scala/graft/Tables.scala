@@ -35,6 +35,15 @@ object Tables {
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     tableCache.getOrElseUpdate((spark, path(sfDir, name)), {
+      // testdata timestamps are NTZ-annotated parquet
+      // (isAdjustedToUTC=false). Spark 4 would infer TimestampNTZType —
+      // but parquet filter conversion produces NO row-group statistics
+      // predicate for NTZ columns, silently disabling every footer
+      // min/max time skip (measured: a below-min range predicate read
+      // 100% of a sorted file). Inferring TimestampType instead keeps
+      // pushdown + stats skipping; with the session pinned to UTC the
+      // wall-clock instants are identical.
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       val df = spark.read.parquet(path(sfDir, name))
       if (rebalancedTables(name)) rebalanced(spark, df) else df
     })

@@ -139,7 +139,7 @@ object TpchCube {
   def cubePath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
     // v2: dimension-clustered row order within each time bucket
-    s"/root/repo/target/cubes/tpch_${sf}_v2"
+    s"/root/repo/target/cubes/tpch_${sf}_v3"
   }
 
   private val lock = new Object
