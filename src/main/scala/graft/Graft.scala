@@ -99,17 +99,29 @@ object Graft {
     graft.cube.RollupAdvisor.recommend(spark, cube, workload)
   }
 
-  /** The engine's time semantics are UTC throughout: `g_tbucket` is
-    * computed with session-TZ `year()/month()` at cube build, while
-    * [[graft.plans.TimeBucketPruning]] converts predicate literals to
-    * buckets in UTC ([[graft.cube.TpchCube.bucketOfMicros]]). A non-UTC
-    * session would make materialization and pruning disagree by up to a
-    * month and silently drop rows — so every engine entry point forces UTC
-    * (the reference pins a zone the same way via `spark.sparklinedata.tz.id`,
-    * `DruidPlanner.scala:73-76`).
+  /** The engine's MATERIALIZED time semantics are UTC (like Druid
+    * segments; the reference pins a zone via `spark.sparklinedata.tz.id`,
+    * `DruidPlanner.scala:73-76`): `g_tbucket`/`g_dbucket` are computed
+    * with UTC-fixed arithmetic at build
+    * ([[graft.cube.TpchCube.bucketExpr]]), matching the pruning side
+    * ([[graft.cube.TpchCube.bucketOfMicros]]) under ANY session time zone.
+    * The USER's session zone is never overridden: instant-based interval
+    * pruning stays active in every zone, while session-TZ-dependent
+    * translations (serving `year()/month()/date_trunc` groupings or
+    * cast-to-date predicates from bucket columns) are gated on
+    * [[sessionIsUtc]] and fall back to raw evaluation elsewhere.
     */
   def forceUtc(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+  /** True when the session time zone denotes UTC — the precondition for
+    * serving calendar-valued time expressions from UTC bucket numbers.
+    */
+  def sessionIsUtc(spark: SparkSession): Boolean = {
+    val id = spark.sessionState.conf.sessionLocalTimeZone
+    try java.time.ZoneId.of(id).normalized() == java.time.ZoneOffset.UTC
+    catch { case _: java.time.DateTimeException => false }
+  }
 
   /** Run `body` with every graft rewrite disabled. The engine's OWN
     * maintenance reads (dirty-bucket detection, NDV/totalRows proof
@@ -150,7 +162,6 @@ object Graft {
   }
 
   def install(spark: SparkSession): Unit = {
-    forceUtc(spark)
     // engine-written parquet (cube extracts, lattice nodes) must carry
     // INT64 micros timestamps: the INT96 default has no usable row-group
     // min/max statistics and no filter pushdown, which would silently
@@ -173,7 +184,7 @@ object Graft {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule { s =>
-      Graft.forceUtc(s); Graft.excludeGenerateFilterInference(s)
+      Graft.excludeGenerateFilterInference(s)
       s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       graft.functions.DateTimeCompat.register(s)
       org.apache.spark.sql.graft.KmvSketch.register(s)

@@ -241,7 +241,6 @@ object CubeMeta {
   def attach(spark: org.apache.spark.sql.SparkSession, cubePath: String): RegisteredCube = {
     val cube = load(cubePath).getOrElse(throw new IllegalArgumentException(
       s"no $SidecarName under $cubePath — materialize the cube first"))
-    graft.Graft.forceUtc(spark)
     CubeCatalog.register(cube)
     cube
   }

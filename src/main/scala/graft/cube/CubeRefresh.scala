@@ -91,7 +91,6 @@ object CubeRefresh {
   def refresh(spark: SparkSession, cube: RegisteredCube,
               flatFn: => DataFrame,
               explicitDirty: Option[Seq[Int]] = None): Result = {
-    graft.Graft.forceUtc(spark)
     val info = cube.info
     val bkt = info.timeBucketColumn
 
@@ -250,8 +249,7 @@ object CubeRefresh {
     val withDay =
       if (!flat.columns.contains(ru.timeBucketColumn)) {
         if (ru.grain == "day")
-          flat.withColumn(ru.timeBucketColumn,
-            datediff(col(timeSrc), lit("1970-01-01").cast("date")))
+          flat.withColumn(ru.timeBucketColumn, TpchCube.dayBucketExpr(timeSrc))
         else flat.withColumn(ru.timeBucketColumn, TpchCube.bucketExpr(timeSrc))
       } else flat
     // a secondary-time node is grouped by ITS buckets only: folding the

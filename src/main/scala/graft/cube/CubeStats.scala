@@ -47,7 +47,10 @@ object CubeStats {
         .select((dims.map(c => approx_count_distinct(col(c)).as(c))
           :+ unix_micros(min(tcol).cast("timestamp")).as("tmin")
           :+ unix_micros(max(tcol).cast("timestamp")).as("tmax")
-          :+ max(when(tcol =!= date_trunc("day", tcol), 1L).otherwise(0L)).as("subday")
+          // UTC-day quantization (pure epoch arithmetic, session-TZ-free:
+          // a session-TZ date_trunc would certify "midnight in Kolkata")
+          :+ max(when(pmod(unix_micros(tcol.cast("timestamp")),
+              lit(86400000000L)) =!= 0L, 1L).otherwise(0L)).as("subday")
           :+ count(when(tcol.isNull, 1)).as("tnulls")) ++ lagAggs: _*)
         .head() }
       val lagStats = corr.zipWithIndex.flatMap { case (c, i) =>

@@ -334,7 +334,7 @@ object RollupCube {
     if (!new java.io.File(q1Path(sfDir), "_SUCCESS").exists())
       buildFromFlat(
         spark.read.parquet(cube.cubePath)
-          .withColumn("g_dbucket", datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))),
+          .withColumn("g_dbucket", TpchCube.dayBucketExpr("l_shipdate")),
         q1Dims :+ "g_dbucket",
         q1Path(sfDir),
         freq = false)
@@ -343,7 +343,7 @@ object RollupCube {
     if (!new java.io.File(q3Path(sfDir), "_SUCCESS").exists())
       buildFromFlat(
         spark.read.parquet(cube.cubePath)
-          .withColumn("g_dbucket", datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))),
+          .withColumn("g_dbucket", TpchCube.dayBucketExpr("l_shipdate")),
         q3Dims :+ "g_dbucket",
         q3Path(sfDir),
         freq = false, sketches = false,

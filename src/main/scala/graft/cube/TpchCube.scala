@@ -21,9 +21,31 @@ object TpchCube {
     * 100 TB this is the cube-build ETL's partitioning key; locally it makes
     * Catalyst partition-prune interval queries exactly like the reference's
     * Druid segment/interval selection.
+    *
+    * UTC-FIXED regardless of the session time zone (the reference pins its
+    * extraction zone via `spark.sparklinedata.tz.id`,
+    * `DruidPlanner.scala:73-76`; Druid segments are UTC): the instant's
+    * epoch micros floor to a UTC day number, and `year`/`month` apply to
+    * the resulting DateType value, which is time-zone-free. A session-TZ
+    * `year(timestamp)` here would make a Kolkata-session build disagree
+    * with [[bucketOfMicros]] by up to a month and silently drop rows.
     */
-  def bucketExpr(timeCol: String) =
-    ((year(col(timeCol)) - 1970) * 12 + month(col(timeCol)) - 1)
+  def bucketExpr(timeCol: String) = {
+    val d = expr(s"date_add(DATE'1970-01-01', ${dayNumSql(timeCol)})")
+    ((year(d) - 1970) * 12 + month(d) - 1)
+  }
+
+  /** Day bucket: days since epoch (UTC) of the time dimension — same
+    * UTC-fixed arithmetic as the serving side's `floorDiv(us, DayUs)`.
+    */
+  def dayBucketExpr(timeCol: String) = expr(dayNumSql(timeCol))
+
+  private def dayNumSql(timeCol: String): String = {
+    val us = s"unix_micros(CAST(`$timeCol` AS TIMESTAMP))"
+    s"CAST((($us - pmod($us, ${DayUs}L)) div ${DayUs}L) AS INT)"
+  }
+
+  private val DayUs = 86400000000L
 
   def bucketOfMicros(us: Long): Int = {
     val ldt = java.time.Instant.ofEpochSecond(
@@ -148,10 +170,9 @@ object TpchCube {
     * Idempotent; the parquet write happens once per scale factor.
     */
   def ensure(spark: SparkSession, sfDir: String): RegisteredCube = lock.synchronized {
-    // bucketExpr's year()/month() are session-TZ dependent on a timestamp
-    // column; the pruning side (bucketOfMicros) is fixed to UTC — force the
-    // build side to match so they can never disagree (see Graft.forceUtc).
-    graft.Graft.forceUtc(spark)
+    // bucketExpr is UTC-fixed, so the build is correct under any session
+    // time zone — no session override needed (or wanted: flipping the
+    // user's TZ as a side effect would change their query semantics).
     val path = cubePath(sfDir)
     val marker = new java.io.File(path, "_SUCCESS")
     if (!marker.exists()) {

@@ -578,9 +578,17 @@ case class RollupRouting(spark: SparkSession)
     // (months-since-epoch, UTC), so time-bucketed aggregates group the
     // small rollup instead of the fact table. All arithmetic is
     // floor-based, valid for negative (pre-1970) buckets too.
+    // Calendar-valued translations (year/month/trunc groupings,
+    // cast-to-date comparisons) equate session-TZ calendar fields with
+    // UTC bucket numbers — sound only when the session zone IS UTC.
+    // Instant-based comparisons on the bare time attribute stay servable
+    // in any zone (bucket boundaries are instants), so only the cast
+    // unwrap and timeGrouping are gated, mirroring the reference's
+    // tz-threaded extraction (`DruidPlanner.scala:73-76`).
+    val tzServable = graft.Graft.sessionIsUtc(spark)
     def isTimeRef(e: Expression): Boolean = e match {
       case a: Attribute     => nameOf(a) == timeColL
-      case Cast(u, _, _, _) => isTimeRef(u)
+      case Cast(u, _, _, _) => tzServable && isTimeRef(u)
       case _                => false
     }
     // date_trunc unit -> months per group (month=1, quarter=3, year=12)
@@ -624,7 +632,7 @@ case class RollupRouting(spark: SparkSession)
           else Some(AddMonths(epochDate, bucketFloor(monthsOf(f).get)))
         case _ => None
       }
-    def timeGrouping(e: Expression): Option[Expression] = e match {
+    def timeGrouping(e: Expression): Option[Expression] = if (!tzServable) None else e match {
       case TruncTimestamp(f: Literal, t, _) if isTimeRef(t) =>
         truncOf(f.value).map(d => Cast(d, TimestampType, tzId))
       case TruncDate(t, f: Literal) if isTimeRef(t) => truncOf(f.value)

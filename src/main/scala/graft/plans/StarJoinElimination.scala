@@ -33,7 +33,21 @@ import graft.cube.{CubeCatalog, RegisteredCube}
 case class StarJoinElimination(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
-  import StarJoinElimination.{gateRefusedTag, granCount}
+  import StarJoinElimination.granCount
+
+  /** Cardinality-gate veto scope. STRICTLY per-`apply`-invocation: plan
+    * leaves are SHARED tree instances (table/plan caches, reused
+    * DataFrames), so a persistent mark — e.g. a TreeNode tag — on a
+    * refused subtree would leak the veto into every later query that
+    * scans the same relation and silently disable routing session-wide.
+    */
+  private val refusedScope =
+    new ThreadLocal[java.util.Set[LogicalPlan]] {
+      override def initialValue(): java.util.Set[LogicalPlan] =
+        java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean])
+    }
+  private def refused: java.util.Set[LogicalPlan] = refusedScope.get()
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (CubeCatalog.isEmpty) return plan
@@ -41,6 +55,7 @@ case class StarJoinElimination(spark: SparkSession)
     // `DruidPlanner.scala:59-160`)
     if (!spark.conf.get("spark.graft.starJoin.enabled", "true").toBoolean)
       return plan
+    refused.clear()
     RewriteStats.counted("starJoinElimination", plan)(_.transformDown {
       // complex grouping keys: the analyzer's PullOutGroupingExpressions
       // puts them in a Project below the Aggregate; the cardinality gate
@@ -48,7 +63,7 @@ case class StarJoinElimination(spark: SparkSession)
       // references), or the collapse would later happen through the
       // gateless Project case below
       case a @ Aggregate(_, _, p @ Project(projList, gchild), _)
-          if a.getTagValue(gateRefusedTag).isEmpty &&
+          if !refused.contains(a) &&
             projList.exists {
               case al: Alias => !al.child.isInstanceOf[Attribute]
               case _         => false
@@ -61,7 +76,7 @@ case class StarJoinElimination(spark: SparkSession)
         })
         rewrite(gchild, p.references, Some(inlined))
           .map(c => a.copy(child = p.copy(child = c))).getOrElse(a)
-      case p @ Project(_, child) if p.getTagValue(gateRefusedTag).isEmpty =>
+      case p @ Project(_, child) if !refused.contains(p) =>
         rewrite(child, p.references, None).map(c => p.copy(child = c)).getOrElse(p)
       // grouping sets / cube / rollup arrive as Aggregate over Expand
       // (reference: one Druid query per Expand projection,
@@ -69,14 +84,14 @@ case class StarJoinElimination(spark: SparkSession)
       // native Expand, no per-projection re-scan). The gate sees the
       // per-projection values of the slots the aggregate actually groups
       // by — the real grouping keys of the finest grouping set.
-      case a @ Aggregate(_, _, e: Expand, _) if a.getTagValue(gateRefusedTag).isEmpty =>
+      case a @ Aggregate(_, _, e: Expand, _) if !refused.contains(a) =>
         val gSlots = a.groupingExpressions.flatMap(_.references.toSeq)
           .map(at => e.output.indexWhere(_.exprId == at.exprId)).filter(_ >= 0)
         val gVals = gSlots.flatMap(i => e.projections.map(_(i)))
           .filterNot(_.isInstanceOf[Literal]).distinct
         rewrite(e.child, e.references, Some(gVals))
           .map(c => a.copy(child = e.copy(child = c))).getOrElse(a)
-      case a: Aggregate if a.getTagValue(gateRefusedTag).isEmpty =>
+      case a: Aggregate if !refused.contains(a) =>
         rewrite(a.child, a.references, Some(a.groupingExpressions))
           .map(c => a.copy(child = c)).getOrElse(a)
     })
@@ -137,7 +152,7 @@ case class StarJoinElimination(spark: SparkSession)
     // a gate refusal anywhere in this subtree vetoes every enclosing match
     // (the Project case carries no grouping information, so without this a
     // refused aggregate would collapse through it ungated)
-    if (child.exists(_.getTagValue(gateRefusedTag).isDefined)) return None
+    if (child.exists(refused.contains)) return None
     // worth attempting for join subtrees AND bare fact-table scans (the
     // latter routes e.g. `Aggregate(Filter(lineitem))` onto the
     // time-bucket-partitioned cube so interval queries partition-prune —
@@ -368,7 +383,7 @@ case class StarJoinElimination(spark: SparkSession)
         if (est > maxCard) {
           // reference semantics: the whole query stays in Spark — also veto
           // nested Project-level collapses of this join subtree
-          child.foreach(_.setTagValue(gateRefusedTag, true))
+          child.foreach(refused.add)
           return None
         }
       }
@@ -390,7 +405,6 @@ case class StarJoinElimination(spark: SparkSession)
 }
 
 object StarJoinElimination {
-  import org.apache.spark.sql.catalyst.trees.TreeNodeTag
   /** Distinct-bucket count of a `date_trunc` unit over the data interval. */
   private def granCount(fmt: String, days: Long, months: Long): Option[Long] =
     fmt.toLowerCase match {
@@ -402,8 +416,4 @@ object StarJoinElimination {
       case _                      => None
     }
 
-  /** Set on every node of a join subtree whose rewrite the cardinality gate
-    * refused, so nested matches don't partially collapse it.
-    */
-  val gateRefusedTag: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.gateRefused")
 }

@@ -87,12 +87,15 @@ case class TimeBucketPruning(spark: SparkSession)
     }
     // The time attribute, possibly cast between timestamp flavors (a
     // TIMESTAMP_NTZ parquet column compared to a TIMESTAMP literal arrives
-    // as Cast(col) before UnwrapCastInBinaryComparison runs). With the
-    // session in UTC the cast is an identity on the epoch value.
+    // as Cast(col) before UnwrapCastInBinaryComparison runs). ONLY in a
+    // UTC session is that cast an identity on the epoch value — under any
+    // other zone it shifts the instant, so the unwrap is gated and only
+    // bare-attribute comparisons extract (still instant-correct).
+    val tzServable = graft.Graft.sessionIsUtc(spark)
     def isTime(e: Expression): Boolean = e match {
       case a: Attribute => a.exprId == timeAttr.exprId
       case Cast(a: Attribute, TimestampType | TimestampNTZType, _, _) =>
-        a.exprId == timeAttr.exprId
+        tzServable && a.exprId == timeAttr.exprId
       case _ => false
     }
     // exprId -> measured (lagMin, lagMax) of the correlated columns; the
@@ -108,7 +111,8 @@ case class TimeBucketPruning(spark: SparkSession)
     // would be unsound for upper bounds.
     def lagged(e: Expression): Option[(Long, Long)] = e match {
       case a: Attribute => lagOf.get(a.exprId)
-      case Cast(a: Attribute, TimestampType | TimestampNTZType, _, _) =>
+      case Cast(a: Attribute, TimestampType | TimestampNTZType, _, _)
+          if tzServable =>
         lagOf.get(a.exprId)
       case _ => None
     }

@@ -125,11 +125,10 @@ object CubeSource {
   def materialize(spark: SparkSession, info: CubeInfo,
                   tablePaths: Map[String, String], destPath: String,
                   schemas: Map[String, StructType] = Map.empty): RegisteredCube = {
-    graft.Graft.forceUtc(spark)
     if (!new java.io.File(destPath, "_SUCCESS").exists()) {
       val bucketed = flatten(spark, info, tablePaths, schemas)
         .withColumn(info.timeBucketColumn,
-          (year(col(info.timeColumn)) - 1970) * 12 + month(col(info.timeColumn)) - 1)
+          graft.cube.TpchCube.bucketExpr(info.timeColumn))
         .repartition(col(info.timeBucketColumn))
       // declared intra-bucket clustering (CubeInfo.clusterDims); the sort
       // leads with the partition column so the writer reuses it

@@ -49,6 +49,14 @@ object ScanBytes {
       case f: FileSourceScanExec    => Seq(f)
     }.flatten
 
+  /** All parquet scans of an executed frame, descending through AQE
+    * stages and subqueries (a bare `executedPlan.collect` sees none of
+    * them once AQE wraps the plan).
+    */
+  def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    scansOf(df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan)
+      .distinct
+
   /** Bytes the frame's parquet scans must read, post partition- and
     * column-pruning. Call AFTER executing the frame so AQE's final plan
     * (with reused/materialized stages) is in place.
@@ -56,7 +64,7 @@ object ScanBytes {
   def of(df: DataFrame): Long = {
     val classicDs = df.asInstanceOf[classic.Dataset[_]]
     val conf = classicDs.sparkSession.sessionState.newHadoopConf()
-    scansOf(classicDs.queryExecution.executedPlan).distinct.map { scan =>
+    scans(df).map { scan =>
       val cols = scan.requiredSchema.fieldNames.map(_.toLowerCase).toSet
       val files = scan.relation.location
         .listFiles(scan.partitionFilters, scan.dataFilters)
