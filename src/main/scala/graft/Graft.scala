@@ -63,12 +63,14 @@ object Graft {
     * rollup preserves it) — the reference's metadata views
     * (`DruidMetadataViews`, `SPLSessionCatalog.lookupRelation`) as an API.
     */
-  def describeCube(spark: SparkSession, name: String): org.apache.spark.sql.DataFrame = {
-    val cube = graft.cube.CubeCatalog.get(name)
-      .getOrElse(throw new IllegalArgumentException(s"no cube named $name; " +
-        s"registered: ${graft.cube.CubeCatalog.all.map(_.info.name).mkString(",")}"))
+  /** (column, role, ndv, rollup-merge descriptor) rows of one cube —
+    * shared by `DESCRIBE GRAFT CUBE` and the `graft_columns` view so the
+    * two surfaces can never drift apart.
+    */
+  private def columnRows(cube: graft.cube.RegisteredCube)
+      : Seq[(String, String, Long, String)] = {
     val ru = cube.rollup
-    val rows = cube.info.columns.sortBy(_.name).map { c =>
+    cube.info.columns.sortBy(_.name).map { c =>
       val role = c.role.toString
       val merge = ru.flatMap { r =>
         if (r.dims.contains(c.name)) Some("group")
@@ -83,9 +85,65 @@ object Graft {
       (c.name, role, c.cardinality.getOrElse(-1L),
         (merge.toSeq ++ lag.toSeq).mkString(" "))
     }
+  }
+
+  def describeCube(spark: SparkSession, name: String): org.apache.spark.sql.DataFrame = {
+    val cube = graft.cube.CubeCatalog.get(name)
+      .getOrElse(throw new IllegalArgumentException(s"no cube named $name; " +
+        s"registered: ${graft.cube.CubeCatalog.all.map(_.info.name).mkString(",")}"))
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     import classic.implicits._
-    rows.toDF("column", "role", "ndv", "rollup")
+    columnRows(cube).toDF("column", "role", "ndv", "rollup")
+  }
+
+  /** Queryable metadata relations — the reference exposes its datasource /
+    * star-schema metadata as DataFrame views a BI tool can SELECT and join
+    * (`metadata/DruidMetadataViews.scala`, `StarSchemaMetadataTest.scala`).
+    * Registers/refreshes three temp views snapshotting the catalog:
+    *
+    *   - `graft_cubes(cube, fact_table, time_column, time_bucket_column,
+    *      path, max_result_cardinality, day_quantized, n_rollups)`
+    *   - `graft_columns(cube, column, role, ndv, rollup)` — same rows as
+    *      `DESCRIBE GRAFT CUBE`
+    *   - `graft_rollups(cube, ordinal, path, dims, grain,
+    *      time_bucket_column, time_column, count_column, n_sums, sketches,
+    *      partition_dims, cluster_dims, total_rows)`
+    *
+    * Snapshot semantics (as in the reference): re-run after registering
+    * new cubes — `REGISTER GRAFT VIEWS` is the SQL surface for that.
+    */
+  def registerMetadataViews(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val cubes = graft.cube.CubeCatalog.all.sortBy(_.info.name)
+    cubes.map { c =>
+      (c.info.name, c.info.starSchema.factTable, c.info.timeColumn,
+        c.info.timeBucketColumn, c.cubePath, c.info.maxResultCardinality,
+        c.info.timeDayQuantized, c.rollups.size)
+    }.toDF("cube", "fact_table", "time_column", "time_bucket_column",
+        "path", "max_result_cardinality", "day_quantized", "n_rollups")
+      .createOrReplaceTempView("graft_cubes")
+    cubes.flatMap { c =>
+      columnRows(c).map { case (col, role, ndv, ru) =>
+        (c.info.name, col, role, ndv, ru)
+      }
+    }.toDF("cube", "column", "role", "ndv", "rollup")
+      .createOrReplaceTempView("graft_columns")
+    cubes.flatMap { c =>
+      c.rollups.zipWithIndex.map { case (r, i) =>
+        (c.info.name, i, r.path, r.dims.mkString(","), r.grain,
+          r.timeBucketColumn, r.timeColumn.getOrElse(c.info.timeColumn),
+          r.countColumn, r.sums.size,
+          (r.kmvSketches.keys ++ r.hllSketches.keys ++
+            r.quantileSketches.keys ++ r.freqSketches.keys)
+            .toSeq.distinct.sorted.mkString(","),
+          r.partitionDims.mkString(","), r.clusterDims.mkString(","),
+          r.totalRows.getOrElse(-1L))
+      }
+    }.toDF("cube", "ordinal", "path", "dims", "grain", "time_bucket_column",
+        "time_column", "count_column", "n_sums", "sketches",
+        "partition_dims", "cluster_dims", "total_rows")
+      .createOrReplaceTempView("graft_rollups")
   }
 
   /** Workload-driven lattice design: analyze a set of SQL texts against a

@@ -21,6 +21,8 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *   - `CLEAR GRAFT CACHE`            — drop registrations + plan cache
   *   - `REGISTER GRAFT CUBE FROM '<path>'` — attach a materialized cube
   *     from its descriptor sidecar ([[graft.cube.CubeMeta]])
+  *   - `REGISTER GRAFT VIEWS`         — snapshot the catalog into the
+  *     joinable `graft_cubes`/`graft_columns`/`graft_rollups` views
   *
   * Anything else delegates verbatim to Spark's own parser.
   */
@@ -46,6 +48,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     "(?is)\\s*ON\\s+GRAFT\\s+CUBE\\s+([\\w.]+)\\s+EXECUTE\\s+QUERY\\s+'([^']+)'\\s*;?\\s*".r
   private val StatsRe =
     "(?is)\\s*SHOW\\s+GRAFT\\s+STATS\\s*;?\\s*".r
+  private val ViewsRe =
+    "(?is)\\s*REGISTER\\s+GRAFT\\s+VIEWS\\s*;?\\s*".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case ExplainRe(inner) => ExplainGraftRewriteCommand(inner.trim.stripSuffix(";"))
@@ -53,6 +57,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DescRe(name)     => DescribeGraftCubeCommand(name)
     case ClearRe()        => ClearGraftCacheCommand()
     case StatsRe()        => ShowGraftStatsCommand()
+    case ViewsRe()        => RegisterGraftViewsCommand()
     case RegisterRe(path) => RegisterGraftCubeCommand(path)
     case MaterializeRe(cube, dims, sketches, partDims, clusDims, path) =>
       def split(s: String): Seq[String] =
@@ -107,6 +112,19 @@ case class ShowGraftCubesCommand() extends LeafRunnableCommand {
         c.cubePath,
         c.rollups.map(r => s"${r.dims.mkString("+")}@${r.path}").mkString("; "))
     }
+}
+
+/** `REGISTER GRAFT VIEWS` — (re)snapshot the catalog into the queryable
+  * `graft_cubes` / `graft_columns` / `graft_rollups` temp views (the
+  * reference's metadata views, `metadata/DruidMetadataViews.scala`).
+  */
+case class RegisterGraftViewsCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("view", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.Graft.registerMetadataViews(spark)
+    Seq("graft_cubes", "graft_columns", "graft_rollups").map(Row(_))
+  }
 }
 
 /** The reference's `CLEAR DRUID CACHE` — drops cube registrations and

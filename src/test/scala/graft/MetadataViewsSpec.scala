@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cube.{RollupCube, TpchCube}
+
+/** Queryable metadata relations (the reference's
+  * `metadata/DruidMetadataViews.scala`, `StarSchemaMetadataTest.scala`):
+  * catalog state exposed as `graft_cubes` / `graft_columns` /
+  * `graft_rollups` temp views a BI tool can SELECT and JOIN, plus the
+  * `REGISTER GRAFT VIEWS` SQL surface that refreshes the snapshot.
+  */
+class MetadataViewsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val init: Unit = {
+    TpchCube.ensure(spark, sf)
+    RollupCube.ensure(spark, sf)
+    Graft.registerMetadataViews(spark)
+  }
+
+  test("graft_cubes lists the registered cube with its lattice size") {
+    init
+    val rows = spark.sql(
+      """SELECT cube, fact_table, time_column, n_rollups
+        |FROM graft_cubes WHERE fact_table = 'lineitem'""".stripMargin).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("time_column") == "l_shipdate")
+    assert(rows.head.getAs[Int]("n_rollups") >= 3)
+  }
+
+  test("graft_columns joins to graft_cubes and matches DESCRIBE GRAFT CUBE") {
+    init
+    val name = spark.sql("SELECT cube FROM graft_cubes WHERE fact_table = 'lineitem'")
+      .collect().head.getString(0)
+    val joined = spark.sql(
+      s"""SELECT c.column, c.role, c.ndv, c.rollup
+         |FROM graft_columns c JOIN graft_cubes b ON c.cube = b.cube
+         |WHERE b.cube = '$name' ORDER BY c.column""".stripMargin).collect()
+    val described = Graft.describeCube(spark, name).orderBy("column").collect()
+    assert(joined.length == described.length && joined.length > 10)
+    assert(joined.map(_.toSeq).toSeq == described.map(_.toSeq).toSeq,
+      "graft_columns must carry exactly the DESCRIBE rows")
+  }
+
+  test("graft_rollups exposes lattice layout columns for planning audits") {
+    init
+    val rows = spark.sql(
+      """SELECT cube, ordinal, dims, grain, partition_dims, cluster_dims, total_rows
+        |FROM graft_rollups ORDER BY ordinal""".stripMargin).collect()
+    assert(rows.length >= 3)
+    // at least one node is day-grain and at least one carries a layout
+    assert(rows.exists(_.getAs[String]("grain") == "day"))
+    assert(rows.exists(r => r.getAs[String]("partition_dims").nonEmpty ||
+      r.getAs[String]("cluster_dims").nonEmpty))
+    assert(rows.forall(_.getAs[Long]("total_rows") != 0L))
+  }
+
+  test("REGISTER GRAFT VIEWS refreshes the snapshot through the parser") {
+    init
+    // same wiring as GraftSqlParserSpec: the parser class GraftExtensions
+    // injects, exercised directly against the session parser as delegate
+    val parser = new graft.plans.GraftSqlParser(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.sqlParser)
+    val cmd = parser.parsePlan("REGISTER GRAFT VIEWS")
+      .asInstanceOf[graft.plans.RegisterGraftViewsCommand]
+    val out = cmd.run(spark).map(_.getString(0)).toSet
+    assert(out == Set("graft_cubes", "graft_columns", "graft_rollups"))
+    // the refreshed views are immediately queryable
+    assert(spark.sql("SELECT count(*) FROM graft_rollups").collect().head.getLong(0) >= 3)
+  }
+}
