@@ -1174,11 +1174,18 @@ object SparkEntry {
             percentile(col("l_extendedprice"), lit(0.25)).as("price_p25"))
           .orderBy("l_returnflag")
       },
+      // cross-engine document fingerprints: order-sensitive chain fold +
+      // 31-bit SimHash, both over portable polynomial token hashes so the
+      // whole row is oracle-checked (the production xxhash64 twins —
+      // fingerprint()/simhash() — keep their ScalaTest differentials and
+      // serve q_line_dedup / q_dedup_simhash)
+      // (subword counting — lookaround regex, inexpressible in the
+      // oracle's RE2 — is unit-locked in QualitySpec instead)
       "q_doc_fingerprint" -> { (s, dir) =>
         Tables.t(s, dir, "documents")
-          .select(col("doc_id"), fingerprint(col("text")).as("fp"),
-            simhash(col("text")).as("sh"),
-            subwordCount(col("text")).as("subwords"))
+          .select(col("doc_id"),
+            chainFingerprintPoly(col("text")).as("fp"),
+            simhashPoly(col("text")).as("sh"))
           .orderBy("doc_id")
       },
       // sessionization: batch window-function form (the streaming stateful
@@ -1241,7 +1248,11 @@ object SparkEntry {
               RollupCube.merge.avgOf("l_extendedprice")))
           .orderBy("c_mktsegment", "l_returnflag")
       },
-      // merged HLL sketches (approximate -> rows-only)
+      // merged HLL sketches: DataSketches HLL stays in exact coupon
+      // LIST/SET mode below its promotion threshold, and the per-segment
+      // customer NDV at oracle scale (~300) sits well under it — so the
+      // estimate is exact and carries a count(DISTINCT) oracle, like the
+      // KMV route (accuracy beyond the exact regime is spec-gated)
       "q_rollup_hll" -> { (s, dir) =>
         import graft.cube.RollupCube
         RollupCube.reaggregate(s, dir, Seq("c_mktsegment"),
@@ -1705,6 +1716,21 @@ object SparkEntry {
           |  WHEN len(th) = 0 THEN 0
           |  ELSE list_reduce(th, (a, h) -> (a*131 + h) % 2147483647) END AS fp
           |FROM t ORDER BY doc_id""".stripMargin,
+      "q_doc_fingerprint" ->
+        """WITH t AS (SELECT doc_id,
+          |  CASE WHEN len(trim(text)) = 0 THEN []
+          |  ELSE list_transform(string_split_regex(trim(text), '\s+'),
+          |    t -> list_reduce(list_transform(string_split_regex(t, ''), c -> CAST(ord(c) AS BIGINT)),
+          |                     (h, c) -> (h*31 + c) % 2147483647)) END AS th
+          |FROM documents)
+          |SELECT doc_id,
+          |  CASE WHEN len(th) = 0 THEN 0
+          |  ELSE list_reduce(th, (a, h) -> (a*131 + h) % 2147483647) END AS fp,
+          |  CAST(CASE WHEN len(th) = 0 THEN 0
+          |  ELSE list_sum(list_transform(range(0, 31), b ->
+          |    CASE WHEN 2 * len(list_filter(th, h -> ((h >> b) & 1) = 1)) >= len(th)
+          |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) END AS BIGINT) AS sh
+          |FROM t ORDER BY doc_id""".stripMargin,
       "q_events_hop" ->
         s"""WITH h AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS w1, event_type, value FROM events),
            |u AS (SELECT w1 AS wstart, event_type, value FROM h
@@ -2165,6 +2191,12 @@ object SparkEntry {
     "q_rollup_theta" -> withFlat(
       """SELECT c_mktsegment, count(*) AS cnt,
         |  count(DISTINCT o_custkey) AS n_cust
+        |FROM olps
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin),
+    "q_rollup_hll" -> withFlat(
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |  count(DISTINCT o_custkey) AS n_cust_approx
         |FROM olps
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin),

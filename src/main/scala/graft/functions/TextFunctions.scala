@@ -149,6 +149,41 @@ object TextFunctions {
     }
   }
 
+  /** SQL-portable SimHash: 31-bit majority vote over the tokens'
+    * polynomial char-code hashes — the cross-engine restatement of
+    * [[simhash]] (whose xxhash64 token hash has no oracle). Bit `b` is set
+    * iff at least half the token hashes have bit `b` set (ties set the
+    * bit); an empty token list yields 0. Every intermediate fits 64-bit
+    * integer arithmetic, so any engine recomputes it bit-for-bit.
+    */
+  def simhashPoly(text: Column): Column = {
+    val M = 2147483647L
+    let1(transform(tokens(text), t =>
+        aggregate(split(t, ""), lit(0L), (h, c) => (h * 31L + ascii(c)) % M))) { th =>
+      when(size(th) === 0, lit(0L)).otherwise(
+        aggregate(sequence(lit(0), lit(30)), lit(0L), (acc, b) => {
+          // (h >> b) & 1 via exact double pow (h < 2^31 keeps it integral)
+          val p = pow(lit(2.0), b.cast("double")).cast("long")
+          val setCount = aggregate(th, lit(0L), (s, h) =>
+            s + pmod((h.cast("double") / p.cast("double")).cast("long"), lit(2L)))
+          acc + when(setCount * 2 >= size(th).cast("long"), p).otherwise(lit(0L))
+        }))
+    }
+  }
+
+  /** SQL-portable order-sensitive chain fingerprint: base-131 fold of the
+    * tokens' polynomial hashes mod 2^31-1 — the cross-engine restatement
+    * of the xxhash64 chain in [[fingerprint]] (same structure, portable
+    * hash), complementing [[polyFingerprint]]'s windowed minimum.
+    */
+  def chainFingerprintPoly(text: Column): Column = {
+    val M = 2147483647L
+    let1(transform(tokens(text), t =>
+        aggregate(split(t, ""), lit(0L), (h, c) => (h * 31L + ascii(c)) % M))) { th =>
+      aggregate(th, lit(0L), (a, h) => (a * 131L + h) % M)
+    }
+  }
+
   /** Canonical text form for exact-match layers: lower-cased, whitespace
     * runs collapsed to one space, trimmed. Pure projection (codegen'd
     * regexp), no UDF.

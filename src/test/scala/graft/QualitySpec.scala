@@ -80,4 +80,23 @@ class QualitySpec extends AnyFunSuite {
     assert(got(1L)._1 == 42.0 / 55.0)
     assert(got(2L)._2 == 0.0)
   }
+
+  test("subwordCount: boundary splits and long-run pieces, hand-computed") {
+    // moved out of q_doc_fingerprint (lookaround regex has no RE2 oracle);
+    // this unit lock carries its coverage instead
+    val df = docsDF(
+      1L -> "ab",             // 1 piece
+      2L -> "ab12cd",         // letter/digit boundaries -> ab|12|cd = 3
+      3L -> "hello,world",    // punct lookahead -> hello|,world (2 pieces, each 5+ chars: +1 +1)
+      4L -> "abcdefgh",       // 8-char run: 1 piece + (8-1)/4 = 1 extra
+      5L -> "")               // empty -> 0
+    val got = df.select(col("doc_id"),
+        graft.functions.TextFunctions.subwordCount(col("text")).as("sw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L)
+    assert(got(2L) == 3L)
+    assert(got(3L) == 2L + 2L)
+    assert(got(4L) == 1L + 1L)
+    assert(got(5L) == 0L)
+  }
 }
