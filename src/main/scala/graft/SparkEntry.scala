@@ -1069,6 +1069,22 @@ object SparkEntry {
             |   "c_mktsegment", "l_returnflag"]},
             | "intervals": ["1994-01-01/1997-01-01"]}""".stripMargin)
       },
+      // topN with a lexicographic metric spec + previousStop pagination
+      // (reference TopNMetricSpec, `DruidQuerySpec.scala:478-508`): the
+      // dimension values after the stop, ascending — Druid's paged
+      // dimension walk, exact here
+      "q_direct_topn_lex" -> { (s, dir) =>
+        engine(s, dir)
+        val cube = TpchCube.ensure(s, dir)
+        graft.cube.DirectQuery.execute(s, cube.info.name,
+          """{"queryType": "topN", "dimension": "c_mktsegment",
+            | "metric": {"type": "lexicographic", "previousStop": "AUTOMOBILE"},
+            | "threshold": 3,
+            | "aggregations": [
+            |   {"type": "count", "name": "cnt"},
+            |   {"type": "doubleSum", "fieldName": "l_quantity", "name": "sum_qty"}],
+            | "intervals": ["1994-01-01/1997-01-01"]}""".stripMargin)
+      },
       // native session_window sessions, batch form (same declaration runs
       // streaming; note the boundary: a gap of EXACTLY 30min starts a new
       // session — [start, last+gap) windows — where the custom sessionizer
@@ -1772,6 +1788,18 @@ object SparkEntry {
            |  AND l_shipdate < TIMESTAMP '1998-01-01'
            |GROUP BY 1, 2
            |ORDER BY 1, 2""".stripMargin,
+      "q_direct_topn_lex" ->
+        s"""SELECT c_mktsegment, count(*) AS cnt,
+           |  ${dec("l_quantity")} AS sum_qty
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment > 'AUTOMOBILE'
+           |  AND l_shipdate >= TIMESTAMP '1994-01-01'
+           |  AND l_shipdate < TIMESTAMP '1997-01-01'
+           |GROUP BY 1
+           |ORDER BY c_mktsegment
+           |LIMIT 3""".stripMargin,
       "q_direct_select" ->
         """SELECT CAST(epoch_ms(l_shipdate) AS BIGINT) AS ts_ms,
           |  l_returnflag, l_linestatus, l_quantity, l_extendedprice

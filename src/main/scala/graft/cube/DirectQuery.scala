@@ -321,17 +321,47 @@ object DirectQuery {
 
     queryType match {
       case "topN" =>
-        // Druid topN: one dimension ranked by one metric, `threshold` rows.
-        // Ours is EXACT (TakeOrderedAndProject; SURVEY.md §2.6) — and when
-        // the dimension carries a heavy-hitter sketch with proofs, the
+        // Druid topN: one dimension ranked by a TopNMetricSpec, `threshold`
+        // rows. Ours is EXACT (TakeOrderedAndProject; SURVEY.md §2.6) — and
+        // when the dimension carries a heavy-hitter sketch with proofs, the
         // aggregate itself serves from the lattice (RollupRouting.serveTopN).
-        val metric = str(j \ "metric")
+        //
+        // Metric spec forms (reference `DruidQuerySpec.scala:478-508`):
+        //   "m"                                — numeric shorthand, desc
+        //   {"type":"numeric","metric":"m"}    — metric desc
+        //   {"type":"lexicographic"[,"previousStop":"v"]}
+        //       — dimension asc, resuming strictly after `previousStop`
+        //   {"type":"inverted","metric":<spec>} — reverse the nested order
+        //       (bottomN for numeric; dim desc + previousStop upper bound
+        //        for lexicographic — Druid's pagination in reverse)
         val threshold = (j \ "threshold") match {
           case JInt(n)    => n.toInt
           case JNothing   => throw new IllegalArgumentException("topN needs threshold")
           case other => throw new IllegalArgumentException(s"bad threshold: $other")
         }
-        havinged.orderBy(col(metric).desc, col(dims.head)).limit(threshold)
+        val dim = col(dims.head)
+        def ordered(spec: JValue, inverted: Boolean): org.apache.spark.sql.DataFrame =
+          spec match {
+            case JString(m) =>
+              val rank = if (inverted) col(m).asc else col(m).desc
+              havinged.orderBy(rank, dim)
+            case o if (o \ "type") == JString("numeric") =>
+              ordered(JString(str(o \ "metric")), inverted)
+            case o if (o \ "type") == JString("lexicographic") =>
+              val resumed = (o \ "previousStop") match {
+                case JString(stop) =>
+                  if (inverted) havinged.filter(dim < lit(stop))
+                  else havinged.filter(dim > lit(stop))
+                case _ => havinged
+              }
+              resumed.orderBy(if (inverted) dim.desc else dim.asc)
+            case o if (o \ "type") == JString("inverted") =>
+              ordered(o \ "metric", !inverted)
+            case other =>
+              throw new IllegalArgumentException(
+                s"unsupported topN metric spec: $other")
+          }
+        ordered(j \ "metric", inverted = false).limit(threshold)
       case _ =>
         // limitSpec (`DruidQuerySpec.scala:437-456`): order-by columns
         // (dimension or aggregation names, per-column direction) plus an

@@ -253,6 +253,64 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(rows(topn) == rows(topnWant) && topn.count() == 5)
   }
 
+  test("topN metric specs: numeric object, lexicographic with previousStop, inverted") {
+    // reference TopNMetricSpec orderings (`DruidQuerySpec.scala:478-508`)
+    init()
+    val cubeName = graft.cube.CubeCatalog.all
+      .find(_.info.name.startsWith("tpch_flat")).get.info.name
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // {"type":"numeric"} object form ≡ the string shorthand
+    val num = graft.cube.DirectQuery.execute(spark, cubeName,
+      """{"queryType": "topN", "dimension": "l_returnflag",
+        | "metric": {"type": "numeric", "metric": "cnt"}, "threshold": 2,
+        | "aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+    val numWant = spark.sql(
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+        |GROUP BY 1 ORDER BY cnt DESC, l_returnflag LIMIT 2""".stripMargin)
+    assert(rows(num) == rows(numWant) && num.count() == 2)
+
+    // lexicographic: dimension ascending, resuming strictly after the stop
+    val lex = graft.cube.DirectQuery.execute(spark, cubeName,
+      """{"queryType": "topN", "dimension": "c_mktsegment",
+        | "metric": {"type": "lexicographic", "previousStop": "BUILDING"},
+        | "threshold": 3,
+        | "aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+    val lexWant = spark.sql(
+      """SELECT c_mktsegment, count(*) AS cnt FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment > 'BUILDING'
+        |GROUP BY 1 ORDER BY c_mktsegment LIMIT 3""".stripMargin)
+    assert(rows(lex) == rows(lexWant) && lex.count() == 3)
+
+    // inverted(numeric) = bottomN; inverted(lexicographic) = dim desc
+    val bottom = graft.cube.DirectQuery.execute(spark, cubeName,
+      """{"queryType": "topN", "dimension": "l_returnflag",
+        | "metric": {"type": "inverted", "metric": {"type": "numeric", "metric": "cnt"}},
+        | "threshold": 2,
+        | "aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+    val bottomWant = spark.sql(
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+        |GROUP BY 1 ORDER BY cnt ASC, l_returnflag LIMIT 2""".stripMargin)
+    assert(rows(bottom) == rows(bottomWant) && bottom.count() == 2)
+
+    val lexDesc = graft.cube.DirectQuery.execute(spark, cubeName,
+      """{"queryType": "topN", "dimension": "c_mktsegment",
+        | "metric": {"type": "inverted",
+        |            "metric": {"type": "lexicographic", "previousStop": "HOUSEHOLD"}},
+        | "threshold": 2,
+        | "aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+    val lexDescWant = spark.sql(
+      """SELECT c_mktsegment, count(*) AS cnt FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment < 'HOUSEHOLD'
+        |GROUP BY 1 ORDER BY c_mktsegment DESC LIMIT 2""".stripMargin)
+    assert(rows(lexDesc) == rows(lexDescWant) && lexDesc.count() == 2)
+  }
+
   test("select, search and segmentMetadata descriptors execute, equal to their SQL forms") {
     init()
     val cubeName = graft.cube.CubeCatalog.all
