@@ -735,6 +735,28 @@ object SparkEntry {
          |FROM ch GROUP BY source ORDER BY source""".stripMargin
     }
 
+    /** DuckDB FNV-1a over a blob alias `bytes`, as unsigned 64-bit in a
+      * HUGEINT (DuckDB BIGINT mults raise on overflow; 128-bit arithmetic
+      * reduced mod 2^64 reproduces Scala's wraparound Long exactly —
+      * [[graft.operators.Multimodal.StubCodec.contentHash]]). Byte values
+      * come from the hex rendering: DuckDB has no blob→byte-list primitive.
+      */
+    private val fnvSql: String =
+      """list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(octet_length(bytes)),
+        |          i -> CAST(strpos('0123456789ABCDEF', substr(hex(bytes), CAST(2*i+1 AS INT), 1))*16
+        |                  + strpos('0123456789ABCDEF', substr(hex(bytes), CAST(2*i+2 AS INT), 1)) - 17 AS HUGEINT))),
+        |      (acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)""".stripMargin
+
+    /** `StubCodec.decode`'s `mix(k)` over alias `fnv` (splitmix-style:
+      * xor with k·0x9e3779b97f4a7c15, multiply by 0x2545f4914f6cdd1d, both
+      * mod 2^64).
+      */
+    private def mixSql(k: Int): String =
+      s"(xor(fnv, ($k * 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT)" +
+        " * 2685821657736338717::HUGEINT) % 18446744073709551616::HUGEINT"
+
     /** DuckDB 3-token shingle-set expression over alias `w` (token list). */
     private val shingleSql =
       """CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
@@ -797,6 +819,55 @@ object SparkEntry {
     private def dotSql(a: String, b: String): String =
       s"""list_sum(list_transform(generate_series(1, len($a)),
          |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+
+    /** `(a * c) mod 2^64` in DuckDB HUGEINT without overflowing INT128:
+      * `a` can be any value < 2^64, so `a * c` for a 64-bit constant would
+      * need 128 magnitude bits — split the constant hi/lo at 2^32 instead
+      * (each partial stays < 2^96).
+      */
+    private def mulModSql(a: String, c: BigInt): String = {
+      val hi = c >> 32
+      val lo = c & 0xffffffffL
+      s"((($a) * $lo::HUGEINT) % 18446744073709551616::HUGEINT + " +
+        s"(((($a) * $hi::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT))" +
+        " % 18446744073709551616::HUGEINT"
+    }
+
+    /** The splitmix64 hyperplane component over aliases `b` (bit) and `d`
+      * (dimension) — the cross-engine restatement of
+      * [[org.apache.spark.sql.graft.VectorExprs]]' `plane(42, b, d)`,
+      * nested single-element-list lets standing in for local bindings.
+      * Unsigned 64-bit state lives in HUGEINT; the final value converts to
+      * SIGNED before the double division, matching Scala's `Long.toDouble`.
+      */
+    private val planeSql: String = {
+      val m = "18446744073709551616::HUGEINT"
+      s"""list_transform([(42*4294967297::HUGEINT + b*65537 + d + 11400714819323198485::HUGEINT) % $m], z0 ->
+         | list_transform([${mulModSql("xor(z0, z0 // 1073741824::HUGEINT)", BigInt("bf58476d1ce4e5b9", 16))}], z1 ->
+         |  list_transform([${mulModSql("xor(z1, z1 // 134217728::HUGEINT)", BigInt("94d049bb133111eb", 16))}], z2 ->
+         |   list_transform([xor(z2, z2 // 2147483648::HUGEINT)], z3 ->
+         |     (CASE WHEN z3 >= 9223372036854775808::HUGEINT THEN CAST(z3 - $m AS DOUBLE) ELSE CAST(z3 AS DOUBLE) END)
+         |       / 9.223372036854776e18 / 2.0)[1])[1])[1])[1]""".stripMargin
+    }
+
+    /** CTE body computing each embedding's `nBits`-bit random-hyperplane
+      * sign signature — bucket equality in the engine's xxhash64 LSH is
+      * slice equality here, so the oracle needs no hash at all.
+      */
+    private def rhpSigsSql(nBits: Int): String =
+      s"""SELECT vec_id, embedding,
+         |    list_transform(range($nBits), b ->
+         |      CASE WHEN list_sum(list_transform(range(len(embedding)), d ->
+         |        CAST(embedding[CAST(d+1 AS INT)] AS DOUBLE) * $planeSql)) >= 0 THEN 1 ELSE 0 END) AS sig
+         |  FROM embeddings""".stripMargin
+
+    /** CosineExpr restated: the one-pass ab/aa/bb fold equals three
+      * sequential list_sum folds, with the same zero-denominator guard.
+      */
+    private def cosineSql(a: String, b: String): String =
+      s"""CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) = 0 THEN 0.0
+         |    ELSE ${dotSql(a, b)} /
+         |      (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END""".stripMargin
 
     private val simTopkOracle: String =
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -950,12 +1021,17 @@ object SparkEntry {
           .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
           .orderBy("kmod")
       },
-      // ---- hash-based / approximate: no DuckDB equivalent (rows-only) ----
+      // SimHash LSH dedup over the portable 31-bit polynomial signature:
+      // pigeonhole blocking is recall-exact at hamming<=3 and the verify is
+      // exact, so the LSH result EQUALS brute-force all-pairs — the oracle
+      // restates it as an O(n²) cross join. (The native 64-bit xxhash64
+      // SimHash twin keeps its ScalaTest differential in DedupSpec.)
       "q_dedup_simhash" -> { (s, dir) =>
-        Dedup.simhashDupPairs(Tables.t(s, dir, "documents"),
+        Dedup.simhashDupPairsPoly(Tables.t(s, dir, "documents"),
             "doc_id", "text", maxHamming = 3)
           .orderBy("idA", "idB")
       },
+      // ---- hash-based / approximate: no DuckDB equivalent (rows-only) ----
       "q_dedup_embedding" -> { (s, dir) =>
         Dedup.embeddingDupPairs(Tables.t(s, dir, "embeddings"),
             "vec_id", "embedding", threshold = 0.9)
@@ -1128,7 +1204,8 @@ object SparkEntry {
           .orderBy("band")
       },
       // exact batched k-NN join (brute-force baseline; the LSH q_knn_join
-      // below is the approximate scale path, rows-only checked)
+      // below is the approximate scale path — its oracle REPLAYS the
+      // splitmix hyperplanes and band joins, so both paths hash-verify)
       "q_knn_exact" -> { (s, dir) =>
         val embs = Tables.t(s, dir, "embeddings")
         val queries = embs.filter(col("vec_id") < 5L)
@@ -1154,7 +1231,13 @@ object SparkEntry {
       },
       // IVF with trained (deterministic k-means) centroids — the other ANN
       // scale path; centroid training is index-build ETL, memoized like the
-      // cube materialization
+      // cube materialization. The ONLY remaining rows-only query: Lloyd
+      // training sums in DECIMAL(30,15), and Spark's double→decimal cast
+      // rounds the shortest-repr string while DuckDB rounds the exact
+      // binary value — bit-divergent at scale 15 on float-derived doubles,
+      // so no cross-engine restatement exists without changing training
+      // semantics. PipelineOpsSpec's differentials (bit-reproducible
+      // training, full-probe==exact) lock it instead.
       "q_ann_kmeans" -> { (s, dir) =>
         val embs = Tables.t(s, dir, "embeddings")
         val cents = kmeansCentroids(s, dir)
@@ -1163,8 +1246,8 @@ object SparkEntry {
         Similarity.ivfKmeansTopK(embs, "vec_id", "embedding", q, k = 10,
           cents, nprobe = 3)
       },
-      // cross-engine rolling-hash fingerprint (the xxhash64 chain in
-      // q_doc_fingerprint below stays rows-only; this one is oracle-backed)
+      // cross-engine rolling-hash fingerprint (q_doc_fingerprint carries
+      // the portable chain + simhash oracle)
       "q_fingerprint_poly" -> { (s, dir) =>
         Tables.t(s, dir, "documents")
           .select(col("doc_id"), polyFingerprint(col("text")).as("fp"))
@@ -1194,7 +1277,7 @@ object SparkEntry {
       // 31-bit SimHash, both over portable polynomial token hashes so the
       // whole row is oracle-checked (the production xxhash64 twins —
       // fingerprint()/simhash() — keep their ScalaTest differentials and
-      // serve q_line_dedup / q_dedup_simhash)
+      // serve q_line_dedup)
       // (subword counting — lookaround regex, inexpressible in the
       // oracle's RE2 — is unit-locked in QualitySpec instead)
       "q_doc_fingerprint" -> { (s, dir) =>
@@ -1224,8 +1307,8 @@ object SparkEntry {
           .drop("g_sess")
           .orderBy("user_id", "start_ms")
       },
-      // video frame sampling: flatMap fan-out per blob (stub codec,
-      // deterministic -> rows-only gate on shape + stability)
+      // video frame sampling: flatMap fan-out per blob (the stub codec is
+      // pure 64-bit arithmetic, so the oracle recomputes it in HUGEINT)
       "q_multimodal_frames" -> { (s, dir) =>
         import graft.operators.Multimodal
         implicit val sp: SparkSession = s
@@ -1747,6 +1830,53 @@ object SparkEntry {
           |    CASE WHEN 2 * len(list_filter(th, h -> ((h >> b) & 1) = 1)) >= len(th)
           |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) END AS BIGINT) AS sh
           |FROM t ORDER BY doc_id""".stripMargin,
+      // brute-force restatement of the SimHash LSH dedup: pigeonhole
+      // blocking at hamming<=3 is recall-exact, so LSH output == all-pairs
+      "q_dedup_simhash" ->
+        """WITH t AS (SELECT doc_id,
+          |  CASE WHEN len(trim(text)) = 0 THEN []
+          |  ELSE list_transform(string_split_regex(trim(text), '\s+'),
+          |    t -> list_reduce(list_transform(string_split_regex(t, ''), c -> CAST(ord(c) AS BIGINT)),
+          |                     (h, c) -> (h*31 + c) % 2147483647)) END AS th
+          |FROM documents),
+          |s AS (SELECT doc_id,
+          |  CAST(CASE WHEN len(th) = 0 THEN 0
+          |  ELSE list_sum(list_transform(range(0, 31), b ->
+          |    CASE WHEN 2 * len(list_filter(th, h -> ((h >> b) & 1) = 1)) >= len(th)
+          |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) END AS BIGINT) AS sh
+          |FROM t)
+          |SELECT a.doc_id AS idA, b.doc_id AS idB,
+          |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+          |FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+          |ORDER BY idA, idB""".stripMargin,
+      // the multimodal stub codec is pure 64-bit arithmetic (FNV-1a over
+      // the payload bytes + splitmix-style mixes), so DuckDB recomputes it
+      // bit-for-bit with HUGEINT wraparound — the whole decode/resize/frame
+      // plumbing is oracle-checked, only the codec MATH is the stub
+      "q_multimodal_decode" ->
+        s"""WITH b AS (SELECT doc_id, ['image','audio','video'][CAST(doc_id % 3 AS INT)+1] AS kind,
+           |            encode(text) AS bytes FROM documents),
+           |h AS (SELECT doc_id, kind, octet_length(bytes) AS sz, $fnvSql AS fnv FROM b),
+           |f AS (SELECT kind, sz,
+           |   CASE WHEN kind = 'audio' THEN 0 ELSE 64 + CAST(${mixSql(1)} % 512 AS INT) END AS w,
+           |   CASE WHEN kind = 'audio' THEN 0 ELSE 64 + CAST(${mixSql(2)} % 512 AS INT) END AS hgt,
+           |   CASE WHEN kind <> 'image' THEN 1000 + CAST(${mixSql(4)} % 65536 AS BIGINT) ELSE 0 END AS dur
+           | FROM h),
+           |r AS (SELECT kind, sz, dur,
+           |   CASE WHEN w > 0 THEN GREATEST(CAST(FLOOR(w * LEAST(256.0/GREATEST(w,1), 256.0/GREATEST(hgt,1), 1.0)) AS INT), 1) ELSE w END AS w2
+           | FROM f)
+           |SELECT kind, count(*) AS cnt, CAST(sum(sz) AS BIGINT) AS total_bytes,
+           |  max(w2) AS max_w, max(dur) AS max_dur
+           |FROM r GROUP BY kind ORDER BY kind""".stripMargin,
+      "q_multimodal_frames" ->
+        s"""WITH b AS (SELECT doc_id, ['image','audio','video'][CAST(doc_id % 3 AS INT)+1] AS kind,
+           |            encode(text) AS bytes FROM documents),
+           |h AS (SELECT doc_id, kind, bytes, $fnvSql AS fnv FROM b)
+           |SELECT doc_id AS media_id, CAST(4 AS BIGINT) AS n_frames,
+           |  1000 + CAST(${mixSql(4)} % 65536 AS BIGINT) AS max_pts,
+           |  CAST(4 * LEAST(16, octet_length(bytes)) AS BIGINT) AS payload_bytes
+           |FROM h WHERE kind = 'video' ORDER BY media_id""".stripMargin,
       "q_events_hop" ->
         s"""WITH h AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS w1, event_type, value FROM events),
            |u AS (SELECT w1 AS wstart, event_type, value FROM h
@@ -1902,6 +2032,42 @@ object SparkEntry {
            |FROM c)
            |SELECT qid_q, vec_id_n, cosine, rank FROM r WHERE rank <= 3
            |ORDER BY qid_q, rank""".stripMargin,
+      // FULL restatement of the banded-LSH k-NN join (not just its exact
+      // twin): the hyperplanes are splitmix64 arithmetic (planeSql), band
+      // buckets join on raw sign slices (bucket equality == slice equality
+      // — the engine's xxhash64 only compresses the key), candidates rerank
+      // by the same sequential-fold cosine. The ORACLE replays the
+      // approximation, so recall loss vs q_knn_exact is verified as
+      // *deterministic* behavior, not waved through rows-only.
+      "q_knn_join" ->
+        s"""WITH sigs AS (
+           |  ${rhpSigsSql(16)}),
+           |qb AS (SELECT vec_id AS qid, b AS band, array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], ',') AS slice
+           |       FROM sigs, range(4) t(b) WHERE vec_id < 5),
+           |cb AS (SELECT vec_id AS nid, b AS band, array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], ',') AS slice
+           |       FROM sigs, range(4) t(b)),
+           |cand AS (SELECT DISTINCT qid, nid FROM qb JOIN cb USING (band, slice)),
+           |sc AS (SELECT c.qid, c.nid,
+           |    ${cosineSql("q.embedding", "n.embedding")} AS cosine
+           |  FROM cand c JOIN embeddings q ON q.vec_id = c.qid JOIN embeddings n ON n.vec_id = c.nid),
+           |rk AS (SELECT qid, nid, cosine,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rank FROM sc)
+           |SELECT qid AS qid_q, nid AS vec_id_n, cosine, rank FROM rk WHERE rank <= 3
+           |ORDER BY qid_q, rank""".stripMargin,
+      // same treatment for the Hamming-ball IVF probe (sign signature,
+      // >=4 of 6 matching bits, exact cosine top-10)
+      "q_ann_ivf" ->
+        s"""WITH sigs AS (
+           |  ${rhpSigsSql(6)}),
+           |q AS (SELECT sig AS qsig, embedding AS qvec FROM sigs WHERE vec_id = 0),
+           |probe AS (
+           |  SELECT s.vec_id, s.embedding, q.qvec
+           |  FROM sigs s, q
+           |  WHERE len(list_filter(list_transform(generate_series(1, 6), i ->
+           |          CASE WHEN s.sig[i] = q.qsig[i] THEN 1 ELSE 0 END), x -> x = 1)) >= 4),
+           |sc AS (SELECT vec_id, ${cosineSql("embedding", "qvec")} AS cosine
+           |  FROM probe)
+           |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
       // brute-force all-pairs restatement of embeddingDupPairs: confirms the
       // LSH+verify path is exact on this corpus — including that an empty
       // answer really is empty (the data's max pairwise cosine is ~0.51, so

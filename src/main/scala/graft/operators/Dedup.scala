@@ -255,18 +255,43 @@ object Dedup {
     * distance <= maxHamming. Output: (idA, idB, hamming).
     */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3): DataFrame =
+    simhashDupPairsOf(df, idCol, simhash(col(textCol)),
+      blockBits = 16, maxHamming = maxHamming)
+
+  /** [[simhashDupPairs]] over the SQL-portable 31-bit polynomial SimHash
+    * ([[graft.functions.TextFunctions.simhashPoly]]) instead of the native
+    * 64-bit xxhash64 signature. Same LSH structure (4 blocks, here 8 bits
+    * each covering bits 0..31 — bit 31 is always 0); because the pigeonhole
+    * blocking is recall-exact for Hamming <= 3 and the verify is exact, the
+    * result EQUALS brute-force all-pairs, so a cross-engine oracle can
+    * restate it as an O(n²) join without replicating the blocking.
+    *
+    * Scale note: 8-bit blocks give only 256 bucket values per block, so
+    * in-bucket candidate sets grow ~quadratically with corpus size much
+    * sooner than the 64-bit variant's 65,536-value blocks. This flavor is
+    * the cross-engine-verifiable one; at production scale prefer
+    * [[simhashDupPairs]].
+    */
+  def simhashDupPairsPoly(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame =
+    simhashDupPairsOf(df, idCol, simhashPoly(col(textCol)),
+      blockBits = 8, maxHamming = maxHamming)
+
+  private def simhashDupPairsOf(df: DataFrame, idCol: String, sig: Column,
+                                blockBits: Int, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-block SimHash LSH guarantees recall only for hamming <= 3")
     // each bucket's (id, signature) pairs are collected and expanded
     // in-list (i < j): the signature is computed ONCE per document and the
     // verify hamming comes straight out of the expansion — no self-join,
     // no recomputation per join side
+    val mask = (1L << blockBits) - 1
     val blocked = df
-      .select(col(idCol).as("g_id"), simhash(col(textCol)).as("g_sim"))
+      .select(col(idCol).as("g_id"), sig.as("g_sim"))
       .select(col("g_id"), col("g_sim"),
         posexplode(let1(col("g_sim")) { s =>
           transform(sequence(lit(0), lit(3)),
-            b => call_function("shiftright", s, b * 16).bitwiseAND(0xffffL))
+            b => call_function("shiftright", s, b * blockBits).bitwiseAND(mask))
         }).as(Seq("g_block", "g_bits")))
     blocked.groupBy("g_block", "g_bits")
       .agg(collect_list(struct(col("g_id"), col("g_sim"))).as("g_docs"))
