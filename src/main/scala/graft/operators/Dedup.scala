@@ -356,14 +356,28 @@ object Dedup {
     // graphs keep the distributed path.
     val localThreshold =
       spark.conf.get("spark.graft.cc.localEdgeThreshold", "500000").toLong
+    // Edge count alone under-bounds driver memory: 500k edges can still
+    // carry ~1M distinct node objects into the union-find HashMap. Gate on
+    // the node count too — approximate (±2% at HLL defaults) is fine for a
+    // memory guard, and the sketch rides the materialized checkpoint, no
+    // extra pass over the candidate pipeline.
+    val localNodeThreshold =
+      spark.conf.get("spark.graft.cc.localNodeThreshold", "1000000").toLong
     val nodeType = edges0.schema("g_src").dataType
     val localOrderable = nodeType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.StringType => true
       case _ => false
     }
-    if (edgeCount <= localThreshold && localOrderable)
-      return ccLocal(edges0, nodeType)
+    if (edgeCount <= localThreshold && localOrderable) {
+      // both orientations are present in edges0, so distinct g_src == the
+      // full node set
+      val approxNodes = edges0
+        .agg(approx_count_distinct(col("g_src")).as("n"))
+        .head().getLong(0)
+      if (approxNodes <= localNodeThreshold)
+        return ccLocal(edges0, nodeType)
+    }
     val defaultP = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val p = math.min(defaultP.toLong,
       edgeCount / 500000L + 1L).toInt

@@ -111,6 +111,20 @@ class JoinsSpec extends AnyFunSuite {
       case Some(v) => spark.conf.set("spark.graft.cc.localEdgeThreshold", v)
       case None    => spark.conf.unset("spark.graft.cc.localEdgeThreshold")
     }
+    // the NODE bound must force the distributed path on its own: the edge
+    // count here is under the edge threshold, but a node threshold of 0
+    // must still refuse the driver union-find (it bounds driver memory by
+    // distinct nodes, not edges) and yield the identical labeling
+    val prevN = spark.conf.getOption("spark.graft.cc.localNodeThreshold")
+    spark.conf.set("spark.graft.cc.localNodeThreshold", "0")
+    try {
+      val dist = graft.operators.Dedup.connectedComponents(pairs, "idA", "idB")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == got, "node-bounded distributed path diverged")
+    } finally prevN match {
+      case Some(v) => spark.conf.set("spark.graft.cc.localNodeThreshold", v)
+      case None    => spark.conf.unset("spark.graft.cc.localNodeThreshold")
+    }
   }
 
   test("knnJoinExact equals per-query brute-force top-k") {
