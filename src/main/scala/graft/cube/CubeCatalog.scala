@@ -130,7 +130,22 @@ object CubeCatalog {
     * disk; the next `ensure`/`register` rebuilds metadata from it.
     */
   def clear(): Unit = { cubes.clear(); planCache.clear() }
-  def get(name: String): Option[RegisteredCube] = cubes.get(name)
+
+  /** Resolve a cube by name, database-qualified or bare (the reference
+    * serves `db.table` datasources — `MultiDBTest.scala`). Exact match
+    * wins; a bare name also resolves a qualified registration when exactly
+    * one cube's last name segment matches (Spark's current-database
+    * convenience without its ambiguity: two candidates resolve to none).
+    */
+  def get(name: String): Option[RegisteredCube] = cubes.get(name).orElse {
+    if (name.contains(".")) None
+    else cubes.collect {
+      case (k, c) if k.contains(".") && k.substring(k.lastIndexOf('.') + 1) == name => c
+    }.toList match {
+      case c :: Nil => Some(c)
+      case _        => None
+    }
+  }
   def all: Seq[RegisteredCube] = cubes.values.toSeq
   def isEmpty: Boolean = cubes.isEmpty
 

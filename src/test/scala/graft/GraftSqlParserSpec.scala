@@ -57,6 +57,30 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(byCol("l_quantity") == "Metric")
   }
 
+  test("db-qualified cube names register, DESCRIBE and resolve bare (multi-DB)") {
+    // reference `MultiDBTest.scala`: datasources addressable as db.table.
+    // A cube registered under a qualified name must serve the qualified
+    // DESCRIBE and the raw-descriptor path, and an unambiguous bare name
+    // resolves to it; re-qualifying a bare registration does NOT.
+    init()
+    val base = graft.cube.CubeCatalog.all.head
+    val qualified = base.copy(info = base.info.copy(name = "analytics.q_flat"))
+    graft.cube.CubeCatalog.register(qualified)
+    try {
+      val rows = parser.parsePlan("DESCRIBE GRAFT CUBE analytics.q_flat")
+        .asInstanceOf[DescribeGraftCubeCommand].run(spark)
+      assert(rows.map(_.getString(0)).contains("l_quantity"))
+      // bare suffix resolves the single qualified registration
+      assert(graft.cube.CubeCatalog.get("q_flat").exists(_.info.name == "analytics.q_flat"))
+      // a qualified request never falls back to a bare registration
+      assert(graft.cube.CubeCatalog.get(s"otherdb.${base.info.name}").isEmpty)
+      // raw descriptor execution addresses the qualified name too
+      val df = graft.cube.DirectQuery.execute(spark, "analytics.q_flat",
+        """{"queryType":"segmentMetadata"}""")
+      assert(df.collect().nonEmpty)
+    } finally graft.cube.CubeCatalog.unregister("analytics.q_flat")
+  }
+
   test("CLEAR GRAFT CACHE empties the catalog; ensure re-registers") {
     init()
     assert(graft.cube.CubeCatalog.all.nonEmpty)

@@ -236,6 +236,40 @@ class StarRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("db-qualified star tables still collapse (multi-DB)") {
+    // the reference serves datasources whose base tables live in a
+    // non-default database (MultiDBTest.scala); our matching is path-based,
+    // so catalog tables registered under another database over the SAME
+    // parquet paths must collapse exactly like the temp views
+    init
+    TpchCube.ensure(spark, sf)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graftdb")
+    for (t <- Seq("lineitem", "orders", "customer"))
+      spark.sql(s"CREATE TABLE IF NOT EXISTS graftdb.$t USING parquet " +
+        s"LOCATION '${Tables.path(sf, t)}'")
+    try {
+      val qualified = spark.sql(
+        """SELECT c_mktsegment, sum(l_quantity) AS qty
+          |FROM graftdb.lineitem
+          |JOIN graftdb.orders ON l_orderkey = o_orderkey
+          |JOIN graftdb.customer ON o_custkey = c_custkey
+          |GROUP BY 1""".stripMargin)
+      assert(scansCube(qualified), "qualified-table star join must collapse")
+      assert(!hasJoin(qualified))
+      val viaViews = rows(spark.sql(
+        """SELECT c_mktsegment, sum(l_quantity) AS qty
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1""".stripMargin))
+      assert(rows(qualified) == viaViews, "qualified/unqualified results diverged")
+    } finally {
+      for (t <- Seq("lineitem", "orders", "customer"))
+        spark.sql(s"DROP TABLE IF EXISTS graftdb.$t")
+      spark.sql("DROP DATABASE IF EXISTS graftdb")
+    }
+  }
+
   test("cardinality gate refuses rewrites whose grouped result explodes") {
     init
     val cube = TpchCube.ensure(spark, sf)
