@@ -108,6 +108,9 @@ object Graft {
     *   - `graft_rollups(cube, ordinal, path, dims, grain,
     *      time_bucket_column, time_column, count_column, n_sums, sketches,
     *      partition_dims, cluster_dims, total_rows)`
+    *   - `graft_query_history(id, at, action, served, duration_ms,
+    *      plan_head)` — executed-query log ([[graft.plans.QueryHistory]];
+    *      the reference's `DruidQueryHistory` introspection)
     *
     * Snapshot semantics (as in the reference): re-run after registering
     * new cubes — `REGISTER GRAFT VIEWS` is the SQL surface for that.
@@ -144,6 +147,11 @@ object Graft {
         "time_column", "count_column", "n_sums", "sketches",
         "partition_dims", "cluster_dims", "total_rows")
       .createOrReplaceTempView("graft_rollups")
+    graft.plans.QueryHistory.snapshot.map { e =>
+      (e.id, new java.sql.Timestamp(e.atMs), e.action, e.served,
+        e.durationMs, e.planHead)
+    }.toDF("id", "at", "action", "served", "duration_ms", "plan_head")
+      .createOrReplaceTempView("graft_query_history")
   }
 
   /** Workload-driven lattice design: analyze a set of SQL texts against a
@@ -226,6 +234,7 @@ object Graft {
     // disable every footer time-skip on materialized layouts.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     excludeGenerateFilterInference(spark)
+    graft.plans.QueryHistory.install(spark)
     graft.functions.DateTimeCompat.register(spark)
     org.apache.spark.sql.graft.KmvSketch.register(spark)
     org.apache.spark.sql.graft.QuantileSketch.register(spark)

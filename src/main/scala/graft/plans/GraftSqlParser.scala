@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *   - `REGISTER GRAFT CUBE FROM '<path>'` — attach a materialized cube
   *     from its descriptor sidecar ([[graft.cube.CubeMeta]])
   *   - `REGISTER GRAFT VIEWS`         — snapshot the catalog into the
-  *     joinable `graft_cubes`/`graft_columns`/`graft_rollups` views
+  *     joinable `graft_cubes`/`graft_columns`/`graft_rollups`/
+  *     `graft_query_history` views
+  *   - `SHOW GRAFT HISTORY`           — the executed-query log
+  *     (reference `metadata/DruidQueryHistory.scala`)
   *
   * Anything else delegates verbatim to Spark's own parser.
   */
@@ -48,6 +51,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     "(?is)\\s*ON\\s+GRAFT\\s+CUBE\\s+([\\w.]+)\\s+EXECUTE\\s+QUERY\\s+'([^']+)'\\s*;?\\s*".r
   private val StatsRe =
     "(?is)\\s*SHOW\\s+GRAFT\\s+STATS\\s*;?\\s*".r
+  private val HistoryRe =
+    "(?is)\\s*SHOW\\s+GRAFT\\s+HISTORY\\s*;?\\s*".r
   private val ViewsRe =
     "(?is)\\s*REGISTER\\s+GRAFT\\s+VIEWS\\s*;?\\s*".r
 
@@ -57,6 +62,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DescRe(name)     => DescribeGraftCubeCommand(name)
     case ClearRe()        => ClearGraftCacheCommand()
     case StatsRe()        => ShowGraftStatsCommand()
+    case HistoryRe()      => ShowGraftHistoryCommand()
     case ViewsRe()        => RegisterGraftViewsCommand()
     case RegisterRe(path) => RegisterGraftCubeCommand(path)
     case MaterializeRe(cube, dims, sketches, partDims, clusDims, path) =>
@@ -123,7 +129,8 @@ case class RegisterGraftViewsCommand() extends LeafRunnableCommand {
     Seq(AttributeReference("view", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     graft.Graft.registerMetadataViews(spark)
-    Seq("graft_cubes", "graft_columns", "graft_rollups").map(Row(_))
+    Seq("graft_cubes", "graft_columns", "graft_rollups",
+      "graft_query_history").map(Row(_))
   }
 }
 
@@ -153,6 +160,24 @@ case class ShowGraftStatsCommand() extends LeafRunnableCommand {
     AttributeReference("fires", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     RewriteStats.snapshot.map { case (r, n) => Row(r, n.toString) }
+}
+
+/** `SHOW GRAFT HISTORY` — the executed-query log: what each completed
+  * action was served by (rollup node / cube extract / raw scans) and how
+  * long it ran (reference `metadata/DruidQueryHistory.scala`; the joinable
+  * snapshot twin is the `graft_query_history` view).
+  */
+case class ShowGraftHistoryCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("id", StringType, nullable = false)(),
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("served", StringType, nullable = false)(),
+    AttributeReference("duration_ms", StringType, nullable = false)(),
+    AttributeReference("plan_head", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    QueryHistory.snapshot.map { e =>
+      Row(e.id.toString, e.action, e.served, e.durationMs.toString, e.planHead)
+    }
 }
 
 /** Attach a previously materialized cube from its `_graft_cube.json`

@@ -1,0 +1,104 @@
+package graft.plans
+
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Per-query execution history — the reference records every Druid query
+  * issued on behalf of a SQL statement and exposes it for introspection
+  * (`metadata/DruidQueryHistory.scala`, thriftserver UI tab). The Spark
+  * analog: a `QueryExecutionListener` classifies each completed action by
+  * what SERVED it (a rollup node, the flat cube, or raw sources) and
+  * appends to a bounded in-memory ring, queryable as the
+  * `graft_query_history` view (`REGISTER GRAFT VIEWS`) or via
+  * `SHOW GRAFT HISTORY`.
+  *
+  * The ring is driver-local metadata (like [[RewriteStats]]): a few hundred
+  * small rows, no executor involvement — history introspection must never
+  * cost a shuffle at any scale.
+  */
+object QueryHistory {
+
+  final case class Entry(
+      id: Long,
+      atMs: Long,
+      /** listener funcName — the action that triggered execution */
+      action: String,
+      /** `rollup:<cube>[<ordinal>]`, `cube:<name>`, or `raw` */
+      served: String,
+      durationMs: Long,
+      /** head of the optimized plan, truncated — enough to recognize the
+        * query without retaining whole plan trees
+        */
+      planHead: String)
+
+  private val nextId = new AtomicLong(0L)
+  private val maxEntries = 256
+  private val ring = mutable.ArrayDeque.empty[Entry]
+
+  def record(e: Entry): Unit = ring.synchronized {
+    ring.append(e)
+    if (ring.size > maxEntries) { ring.removeHead(); () }
+  }
+
+  def snapshot: Seq[Entry] = ring.synchronized(ring.toSeq)
+
+  def clear(): Unit = ring.synchronized { ring.clear() }
+
+  /** What served this plan: the first scan that maps to a registered rollup
+    * node or cube extract wins; anything else is `raw`.
+    */
+  private[graft] def servedBy(qe: QueryExecution): String = {
+    val paths = qe.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(p => graft.cube.CubeCatalog.normalizePath(p.toString))
+        case _ => Nil
+      }
+    }.flatten
+    val cubes = graft.cube.CubeCatalog.all
+    val byRollup = paths.iterator.flatMap { p =>
+      cubes.iterator.flatMap { c =>
+        c.rollups.zipWithIndex.collectFirst {
+          case (r, i) if graft.cube.CubeCatalog.normalizePath(r.path) == p =>
+            s"rollup:${c.info.name}[$i]"
+        }
+      }
+    }.toSeq.headOption
+    def byCube = paths.iterator.flatMap { p =>
+      cubes.iterator.collectFirst {
+        case c if graft.cube.CubeCatalog.normalizePath(c.cubePath) == p =>
+          s"cube:${c.info.name}"
+      }
+    }.toSeq.headOption
+    byRollup.orElse(byCube).getOrElse("raw")
+  }
+
+  private final class Listener extends QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution,
+                           durationNs: Long): Unit = {
+      val head = qe.optimizedPlan.toString.linesIterator.take(4)
+        .mkString(" | ").take(300)
+      record(Entry(nextId.incrementAndGet(), System.currentTimeMillis(),
+        funcName, servedBy(qe), durationNs / 1000000L, head))
+    }
+    override def onFailure(funcName: String, qe: QueryExecution,
+                           exception: Exception): Unit = ()
+  }
+
+  // one listener per session — install() is called per query entrypoint,
+  // registration must stay idempotent
+  private val installed =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  def install(spark: SparkSession): Unit =
+    if (installed.put(spark, java.lang.Boolean.TRUE) == null) {
+      spark.listenerManager.register(new Listener)
+    }
+}

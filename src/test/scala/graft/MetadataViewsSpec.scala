@@ -66,8 +66,45 @@ class MetadataViewsSpec extends AnyFunSuite {
     val cmd = parser.parsePlan("REGISTER GRAFT VIEWS")
       .asInstanceOf[graft.plans.RegisterGraftViewsCommand]
     val out = cmd.run(spark).map(_.getString(0)).toSet
-    assert(out == Set("graft_cubes", "graft_columns", "graft_rollups"))
+    assert(out == Set("graft_cubes", "graft_columns", "graft_rollups",
+      "graft_query_history"))
     // the refreshed views are immediately queryable
     assert(spark.sql("SELECT count(*) FROM graft_rollups").collect().head.getLong(0) >= 3)
+  }
+
+  test("query history records what served each action; view + SHOW surface it") {
+    init
+    for (t <- Tables.starTables)
+      Tables.t(spark, sf, t).createOrReplaceTempView(t)
+    // a cube-served star aggregate: the listener classifies it by scan path
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS cnt, sum(l_quantity) AS q
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin).collect()
+    // QueryExecutionListener delivery is async on the listener bus — poll
+    val deadline = System.currentTimeMillis() + 10000
+    def entries = graft.plans.QueryHistory.snapshot
+    while (!entries.exists(_.served != "raw") &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(entries.exists(e => e.served.startsWith("rollup:") ||
+      e.served.startsWith("cube:")),
+      s"no cube/rollup-served entry in ${entries.map(_.served).distinct}")
+    assert(entries.forall(_.durationMs >= 0))
+    // the snapshot view joins like any relation
+    Graft.registerMetadataViews(spark)
+    val viewRows = spark.sql(
+      """SELECT served, count(*) AS n FROM graft_query_history
+        |GROUP BY served""".stripMargin).collect()
+    assert(viewRows.map(_.getString(0)).exists(s =>
+      s.startsWith("rollup:") || s.startsWith("cube:")))
+    // ... and the SQL command surface returns the same log
+    val parser = new graft.plans.GraftSqlParser(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.sqlParser)
+    val shown = parser.parsePlan("SHOW GRAFT HISTORY")
+      .asInstanceOf[graft.plans.ShowGraftHistoryCommand].run(spark)
+    assert(shown.nonEmpty && shown.head.length == 5)
   }
 }
