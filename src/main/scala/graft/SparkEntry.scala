@@ -1021,7 +1021,7 @@ object SparkEntry {
           .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
           .orderBy("kmod")
       },
-      // SimHash LSH dedup over the portable 31-bit polynomial signature:
+      // SimHash LSH dedup over the portable 62-bit double-poly signature:
       // pigeonhole blocking is recall-exact at hamming<=3 and the verify is
       // exact, so the LSH result EQUALS brute-force all-pairs — the oracle
       // restates it as an O(n²) cross join. (The native 64-bit xxhash64
@@ -1831,7 +1831,9 @@ object SparkEntry {
           |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) END AS BIGINT) AS sh
           |FROM t ORDER BY doc_id""".stripMargin,
       // brute-force restatement of the SimHash LSH dedup: pigeonhole
-      // blocking at hamming<=3 is recall-exact, so LSH output == all-pairs
+      // blocking at hamming<=3 is recall-exact, so LSH output == all-pairs.
+      // The 62-bit signature = two 31-bit majority votes over Lehmer²-mixed
+      // token hashes (salts 1 and 2 after the +1 seed), packed low+high*2^31
       "q_dedup_simhash" ->
         """WITH t AS (SELECT doc_id,
           |  CASE WHEN len(trim(text)) = 0 THEN []
@@ -1839,12 +1841,21 @@ object SparkEntry {
           |    t -> list_reduce(list_transform(string_split_regex(t, ''), c -> CAST(ord(c) AS BIGINT)),
           |                     (h, c) -> (h*31 + c) % 2147483647)) END AS th
           |FROM documents),
+          |m AS (SELECT doc_id,
+          |  list_transform(th, h -> ((h + 1) * 48271 % 2147483647) * 48271 % 2147483647) AS th1,
+          |  list_transform(th, h -> ((h + 2) * 48271 % 2147483647) * 48271 % 2147483647) AS th2
+          |FROM t),
           |s AS (SELECT doc_id,
-          |  CAST(CASE WHEN len(th) = 0 THEN 0
+          |  CAST(CASE WHEN len(th1) = 0 THEN 0
           |  ELSE list_sum(list_transform(range(0, 31), b ->
-          |    CASE WHEN 2 * len(list_filter(th, h -> ((h >> b) & 1) = 1)) >= len(th)
+          |    CASE WHEN 2 * len(list_filter(th1, h -> ((h >> b) & 1) = 1)) >= len(th1)
+          |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) END AS BIGINT)
+          |  + 2147483648 *
+          |  CAST(CASE WHEN len(th2) = 0 THEN 0
+          |  ELSE list_sum(list_transform(range(0, 31), b ->
+          |    CASE WHEN 2 * len(list_filter(th2, h -> ((h >> b) & 1) = 1)) >= len(th2)
           |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) END AS BIGINT) AS sh
-          |FROM t)
+          |FROM m)
           |SELECT a.doc_id AS idA, b.doc_id AS idB,
           |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
           |FROM s a JOIN s b ON a.doc_id < b.doc_id

@@ -149,25 +149,62 @@ object TextFunctions {
     }
   }
 
+  /** 31-bit majority vote over a token-hash array column: bit `b` is set
+    * iff at least half the hashes have bit `b` set (ties set the bit); an
+    * empty list yields 0.
+    */
+  private def majorityVote31(th: Column): Column =
+    when(size(th) === 0, lit(0L)).otherwise(
+      aggregate(sequence(lit(0), lit(30)), lit(0L), (acc, b) => {
+        // (h >> b) & 1 via exact double pow (h < 2^31 keeps it integral)
+        val p = pow(lit(2.0), b.cast("double")).cast("long")
+        val setCount = aggregate(th, lit(0L), (s, h) =>
+          s + pmod((h.cast("double") / p.cast("double")).cast("long"), lit(2L)))
+        acc + when(setCount * 2 >= size(th).cast("long"), p).otherwise(lit(0L))
+      }))
+
   /** SQL-portable SimHash: 31-bit majority vote over the tokens'
     * polynomial char-code hashes — the cross-engine restatement of
-    * [[simhash]] (whose xxhash64 token hash has no oracle). Bit `b` is set
-    * iff at least half the token hashes have bit `b` set (ties set the
-    * bit); an empty token list yields 0. Every intermediate fits 64-bit
-    * integer arithmetic, so any engine recomputes it bit-for-bit.
+    * [[simhash]] (whose xxhash64 token hash has no oracle). Every
+    * intermediate fits 64-bit integer arithmetic, so any engine recomputes
+    * it bit-for-bit.
     */
   def simhashPoly(text: Column): Column = {
     val M = 2147483647L
     let1(transform(tokens(text), t =>
         aggregate(split(t, ""), lit(0L), (h, c) => (h * 31L + ascii(c)) % M))) { th =>
-      when(size(th) === 0, lit(0L)).otherwise(
-        aggregate(sequence(lit(0), lit(30)), lit(0L), (acc, b) => {
-          // (h >> b) & 1 via exact double pow (h < 2^31 keeps it integral)
-          val p = pow(lit(2.0), b.cast("double")).cast("long")
-          val setCount = aggregate(th, lit(0L), (s, h) =>
-            s + pmod((h.cast("double") / p.cast("double")).cast("long"), lit(2L)))
-          acc + when(setCount * 2 >= size(th).cast("long"), p).otherwise(lit(0L))
-        }))
+      majorityVote31(th)
+    }
+  }
+
+  /** 62-bit SQL-portable SimHash: two independent 31-bit majority votes
+    * over Lehmer²-mixed token hashes (the [[graft.operators.Sampling]]
+    * bucket arithmetic, salts 0/1), packed as `low + high * 2^31`.
+    *
+    * Why the mixing: the raw base-31 polynomial hash is LINEAR in the
+    * char codes, so related tokens get correlated bit patterns and a
+    * single 31-bit vote saturates on template-heavy corpora (measured:
+    * 10,763 "duplicate" pairs at sf0.01 where the 64-bit xxhash signature
+    * finds 17). Two decorrelated votes restore 62 bits of discrimination
+    * (20 pairs) while every intermediate stays under 2^47 — exact in any
+    * 64-bit-integer engine, ANSI-safe in Spark.
+    */
+  def simhashPoly62(text: Column): Column =
+    org.apache.spark.sql.graft.NativeTextExprs.simhashPoly62(tokens(text))
+
+  /** The composed-Column reference form of [[simhashPoly62]] — kept as the
+    * differential-spec twin of the native single-pass expression (the
+    * native evaluation must stay bit-identical to this chain, which is
+    * what the DuckDB oracle restates).
+    */
+  private[graft] def simhashPoly62Composed(text: Column): Column = {
+    val M = 2147483647L
+    def mixed(th: Column, salt: Long): Column =
+      transform(th, h =>
+        pmod(pmod((h + lit(salt + 1L)) * 48271L, lit(M)) * 48271L, lit(M)))
+    let1(transform(tokens(text), t =>
+        aggregate(split(t, ""), lit(0L), (h, c) => (h * 31L + ascii(c)) % M))) { th =>
+      majorityVote31(mixed(th, 0)) + majorityVote31(mixed(th, 1)) * 2147483648L
     }
   }
 

@@ -259,24 +259,20 @@ object Dedup {
     simhashDupPairsOf(df, idCol, simhash(col(textCol)),
       blockBits = 16, maxHamming = maxHamming)
 
-  /** [[simhashDupPairs]] over the SQL-portable 31-bit polynomial SimHash
-    * ([[graft.functions.TextFunctions.simhashPoly]]) instead of the native
-    * 64-bit xxhash64 signature. Same LSH structure (4 blocks, here 8 bits
-    * each covering bits 0..31 — bit 31 is always 0); because the pigeonhole
-    * blocking is recall-exact for Hamming <= 3 and the verify is exact, the
-    * result EQUALS brute-force all-pairs, so a cross-engine oracle can
-    * restate it as an O(n²) join without replicating the blocking.
-    *
-    * Scale note: 8-bit blocks give only 256 bucket values per block, so
-    * in-bucket candidate sets grow ~quadratically with corpus size much
-    * sooner than the 64-bit variant's 65,536-value blocks. This flavor is
-    * the cross-engine-verifiable one; at production scale prefer
-    * [[simhashDupPairs]].
+  /** [[simhashDupPairs]] over the SQL-portable 62-bit double-polynomial
+    * SimHash ([[graft.functions.TextFunctions.simhashPoly62]]) instead of
+    * the native 64-bit xxhash64 signature. Same LSH structure (4 16-bit
+    * blocks; bits 62-63 are always 0); because the pigeonhole blocking is
+    * recall-exact for Hamming <= 3 and the verify is exact, the result
+    * EQUALS brute-force all-pairs, so a cross-engine oracle can restate it
+    * as an O(n²) join without replicating the blocking. Discrimination is
+    * comparable to the 64-bit signature (the naive single-31-bit variant
+    * measured 700× more candidate pairs — see simhashPoly62's scaladoc).
     */
   def simhashDupPairsPoly(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame =
-    simhashDupPairsOf(df, idCol, simhashPoly(col(textCol)),
-      blockBits = 8, maxHamming = maxHamming)
+    simhashDupPairsOf(df, idCol, simhashPoly62(col(textCol)),
+      blockBits = 16, maxHamming = maxHamming)
 
   private def simhashDupPairsOf(df: DataFrame, idCol: String, sig: Column,
                                 blockBits: Int, maxHamming: Int): DataFrame = {

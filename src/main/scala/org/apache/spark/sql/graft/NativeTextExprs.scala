@@ -111,6 +111,76 @@ object NativeTextExprs {
       copy(child = newChild)
   }
 
+  /** 62-bit SQL-portable SimHash over a token array — the single-pass
+    * evaluation of [[graft.functions.TextFunctions.simhashPoly62]]'s
+    * composed form (which remains the spec reference): per token a base-31
+    * polynomial hash of the UTF-16 code units mod 2^31-1 (matching the
+    * `split(t,"") -> ascii` column chain and DuckDB's `ord`), two Lehmer²
+    * mixes (salts 1/2), 31-bit majority votes (ties SET the bit, `>=`),
+    * packed `low + high * 2^31`. Integer arithmetic only — bit-identical
+    * to the oracle restatement by construction.
+    */
+  case class SimHashPoly62Expr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash_poly62"
+
+    private val M = 2147483647L
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return 0L
+      val c1 = new Array[Int](31)
+      val c2 = new Array[Int](31)
+      var i = 0
+      var counted = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        if (s != null) {
+          val str = s.toString
+          var h = 0L
+          var j = 0
+          // code points, not chars: split(t,"") keeps surrogate pairs
+          // together (Java regex splits between code points) and ascii()
+          // returns codePointAt(0) — as does DuckDB's ord()
+          while (j < str.length) {
+            val cp = str.codePointAt(j)
+            h = (h * 31L + cp) % M
+            j += Character.charCount(cp)
+          }
+          val t1 = ((h + 1L) * 48271L % M) * 48271L % M
+          val t2 = ((h + 2L) * 48271L % M) * 48271L % M
+          var b = 0
+          while (b < 31) {
+            if (((t1 >>> b) & 1L) == 1L) c1(b) += 1
+            if (((t2 >>> b) & 1L) == 1L) c2(b) += 1
+            b += 1
+          }
+          counted += 1
+        }
+        i += 1
+      }
+      // the composed form's size(th) counts every array slot; tokens()
+      // never yields nulls, so counted == n in practice — still vote
+      // against n for exact parity with the column chain
+      var lo = 0L
+      var hi = 0L
+      var b = 0
+      while (b < 31) {
+        if (c1(b) * 2 >= n) lo |= (1L << b)
+        if (c2(b) * 2 >= n) hi |= (1L << b)
+        b += 1
+      }
+      lo + hi * 2147483648L
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Order-sensitive 64-bit rolling fingerprint of a token array:
     * `h = xxhash64(h, token)` folded over the tokens from `h = 0` —
     * bit-identical to `aggregate(tokens, 0L, (acc, t) => xxhash64(acc, t))`
@@ -267,6 +337,9 @@ object NativeTextExprs {
 
   def simhash64(tokenArray: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(tokenArray)))
+
+  def simhashPoly62(tokenArray: Column): Column =
+    ExpressionUtils.column(SimHashPoly62Expr(ExpressionUtils.expression(tokenArray)))
 
   def fingerprint64(tokenArray: Column): Column =
     ExpressionUtils.column(Fingerprint64Expr(ExpressionUtils.expression(tokenArray)))

@@ -115,6 +115,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"df-capped join lost ${full -- capped} / gained ${capped -- full}")
   }
 
+  test("native simhashPoly62 equals the composed-Column reference chain") {
+    import graft.functions.TextFunctions
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    // corpus docs + adversarial cases: empty, whitespace-only, single
+    // token, non-ASCII (multi-byte), and an astral (surrogate-pair) char —
+    // the native code-point loop must match split("")+ascii exactly
+    val edge = Seq("", "   ", "one", "héllo wörld", "emoji 🌀 token",
+      "a b c d e f g h").toDF("text")
+    for (df <- Seq(docs.select(col("text")), edge)) {
+      val diff = df.select(
+          TextFunctions.simhashPoly62(col("text")).as("n"),
+          TextFunctions.simhashPoly62Composed(col("text")).as("c"))
+        .filter(col("n") =!= col("c")).count()
+      assert(diff == 0, "native simhashPoly62 diverged from the composed form")
+    }
+  }
+
   test("simhash near-dup pairs have genuinely similar texts") {
     val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 3)
     val found = pairs.collect()
