@@ -74,7 +74,7 @@ case class StarJoinElimination(spark: SparkSession)
         val inlined = a.groupingExpressions.map(_.transformUp {
           case at: Attribute if aliasMap.contains(at.exprId) => aliasMap(at.exprId)
         })
-        rewrite(gchild, p.references, Some(inlined))
+        rewrite(gchild, p.references, Some(inlined), aggExprsOf(a))
           .map(c => a.copy(child = p.copy(child = c))).getOrElse(a)
       case p @ Project(_, child) if !refused.contains(p) =>
         rewrite(child, p.references, None).map(c => p.copy(child = c)).getOrElse(p)
@@ -89,13 +89,21 @@ case class StarJoinElimination(spark: SparkSession)
           .map(at => e.output.indexWhere(_.exprId == at.exprId)).filter(_ >= 0)
         val gVals = gSlots.flatMap(i => e.projections.map(_(i)))
           .filterNot(_.isInstanceOf[Literal]).distinct
-        rewrite(e.child, e.references, Some(gVals))
+        rewrite(e.child, e.references, Some(gVals), aggExprsOf(a))
           .map(c => a.copy(child = e.copy(child = c))).getOrElse(a)
       case a: Aggregate if !refused.contains(a) =>
-        rewrite(a.child, a.references, Some(a.groupingExpressions))
+        rewrite(a.child, a.references, Some(a.groupingExpressions), aggExprsOf(a))
           .map(c => a.copy(child = c)).getOrElse(a)
     })
   }
+
+  /** The aggregate functions an Aggregate computes — the bare-fact benefit
+    * gate checks each one against a lattice node's serve capabilities.
+    */
+  private def aggExprsOf(a: Aggregate): Seq[aggregate.AggregateExpression] =
+    a.aggregateExpressions.flatMap(_.collect {
+      case ae: aggregate.AggregateExpression => ae
+    })
 
   /** One base-table scan leaf of the join tree (`output` is the leaf's
     * attribute set as seen by the surrounding plan — the relation's own
@@ -147,7 +155,8 @@ case class StarJoinElimination(spark: SparkSession)
   }
 
   private def rewrite(child: LogicalPlan, required: AttributeSet,
-                      groupingExprs: Option[Seq[Expression]])
+                      groupingExprs: Option[Seq[Expression]],
+                      aggFuncs: Seq[aggregate.AggregateExpression] = Nil)
       : Option[LogicalPlan] = {
     // a gate refusal anywhere in this subtree vetoes every enclosing match
     // (the Project case carries no grouping information, so without this a
@@ -170,12 +179,14 @@ case class StarJoinElimination(spark: SparkSession)
     }
     if (!candidate) return None
     CubeCatalog.all.view
-      .flatMap(c => rewriteForCube(c, child, required, groupingExprs)).headOption
+      .flatMap(c => rewriteForCube(c, child, required, groupingExprs, aggFuncs))
+      .headOption
   }
 
   private def rewriteForCube(cube: RegisteredCube, child: LogicalPlan,
                              required: AttributeSet,
-                             groupingExprs: Option[Seq[Expression]]): Option[LogicalPlan] = {
+                             groupingExprs: Option[Seq[Expression]],
+                             aggFuncs: Seq[aggregate.AggregateExpression]): Option[LogicalPlan] = {
     val (leaves, conjuncts) = collectTree(cube, child).getOrElse(return None)
     // EVERY aggregate over a bare fact-table scan routes to the cube (the
     // reference's relation IS the Druid index, so every fact query runs
@@ -208,25 +219,71 @@ case class StarJoinElimination(spark: SparkSession)
     // lattice node can later serve the aggregate (RollupRouting): the
     // extract's many time-bucket leaf files are strictly worse than the
     // raw fact table's layout for a full scan. Necessary condition mirrors
-    // RollupRouting's own checks — grouping columns inside a node's
-    // dims/time, every other referenced column inside its stored
-    // dims/metrics/sketches. Pure-metric sweeps (e.g. per-column exact
-    // distinct profiling) therefore stay on the raw, narrower scan.
+    // RollupRouting's own checks per aggregate FUNCTION — column coverage
+    // alone routed q_percentile's EXACT percentile over metric columns to
+    // the wide cube with zero rollup benefit (+36% at sf0.1). Pure-metric
+    // sweeps (per-column exact-distinct profiling, exact percentiles over
+    // un-sketched columns) therefore stay on the raw, narrower scan.
     lazy val rollupMayServe = groupingExprs.exists { gs =>
       val groupNames = gs.flatMap(_.references.toSeq).map(_.name.toLowerCase).toSet
-      val aggNames = required.map(_.name.toLowerCase).toSet -- groupNames
       cube.rollups.exists { ru =>
         val dimsL = ru.dims.map(_.toLowerCase).toSet ++
           ru.timeColumn.map(_.toLowerCase) +
           ru.timeBucketColumn.toLowerCase + cube.info.timeColumn.toLowerCase
-        val metricsL = (ru.sums.keys ++ ru.mins.keys ++ ru.maxs.keys ++
-          ru.kmvSketches.keys ++ ru.hllSketches.keys ++
-          ru.quantileSketches.keys ++ ru.freqSketches.keys)
-          .map(_.toLowerCase).toSet
-        groupNames.subsetOf(dimsL) && aggNames.subsetOf(dimsL ++ metricsL)
+        val sumsL = ru.sums.keys.map(_.toLowerCase).toSet
+        def refs(e: Expression): Set[String] =
+          e.references.map(_.name.toLowerCase).toSet
+        def fnServable(ae: aggregate.AggregateExpression): Boolean =
+          if (ae.isDistinct)
+            // count(DISTINCT dim) serves from surviving dim combinations
+            // or the KMV sketch (exact-below-k proof checked at serve)
+            refs(ae).subsetOf(dimsL ++ ru.kmvSketches.keys.map(_.toLowerCase))
+          else ae.aggregateFunction match {
+            case aggregate.Count(_) => true
+            case s: aggregate.Sum => refs(s).subsetOf(dimsL ++ sumsL)
+            case a: aggregate.Average => refs(a).subsetOf(sumsL)
+            case m: aggregate.Min =>
+              refs(m).subsetOf(dimsL ++ ru.mins.keys.map(_.toLowerCase))
+            case m: aggregate.Max =>
+              refs(m).subsetOf(dimsL ++ ru.maxs.keys.map(_.toLowerCase))
+            case h: aggregate.HyperLogLogPlusPlus =>
+              refs(h).subsetOf(dimsL ++ ru.hllSketches.keys.map(_.toLowerCase))
+            case p: aggregate.Percentile =>
+              !p.reverse && ru.totalRows.exists(_ <= ru.quantileK) &&
+                refs(p.child).subsetOf(
+                  ru.quantileSketches.keys.map(_.toLowerCase).toSet)
+            case _ => false
+          }
+        groupNames.subsetOf(dimsL) &&
+          aggFuncs.nonEmpty && aggFuncs.forall(fnServable)
       }
     }
-    val singleFactLeaf = singleFactRole && (hasTimeFilter || rollupMayServe)
+    // Second benefit signal: scan-layout parallelism for COMPUTE-bound
+    // aggregates. A raw fact extract written as few row groups scans as
+    // few partitions; a non-codegen aggregate (TypedImperativeAggregate —
+    // percentile, collect, mode: per-row object updates outside
+    // whole-stage codegen) then bottlenecks on those cores, and the cube's
+    // many time-bucket files win on parallelism alone even when no rollup
+    // serves (measured: exact-percentile 1.5s raw single-split vs 1.2s
+    // cube at sf0.1). Codegen'd aggregates are scan-bound — for them the
+    // narrow raw file beats the wide extract's per-file overhead (the
+    // q_profile regression that motivated the rollup gate), so they do
+    // NOT take this path. At production scale raw tables out-split the
+    // executors and the signal goes inert.
+    lazy val computeBoundUnderSplit = {
+      val computeBound = aggFuncs.exists(
+        _.aggregateFunction.isInstanceOf[aggregate.TypedImperativeAggregate[_]])
+      def underSplit = child.collectFirst {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.length
+          case _ => Int.MaxValue
+        }
+      }.exists(_ * 2 <= spark.sparkContext.defaultParallelism)
+      computeBound && underSplit
+    }
+    val singleFactLeaf = singleFactRole &&
+      (hasTimeFilter || rollupMayServe || computeBoundUnderSplit)
     if (leaves.size < 2 && !singleFactLeaf) return None
 
     val byExprId: Map[ExprId, Int] = (for {

@@ -181,6 +181,20 @@ class StarRewriteSpec extends AnyFunSuite {
     // plan (no benefit signal; protects fact leaves in refused join trees)
     val detail = spark.sql("SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 49")
     assert(!scansCube(detail), "unfiltered select-detail must stay on the raw table")
+    // an EXACT percentile over an un-sketched column can't be rollup-served
+    // (function-level gate), but it IS a TypedImperativeAggregate and the
+    // raw extract is a single file here — the compute-bound under-split
+    // signal routes it to the cube's parallel bucket layout
+    differential(
+      """SELECT l_returnflag, percentile(l_quantity, 0.5) AS p50
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      expectRewrite = true)
+    // the same shape with only codegen'd aggregates over un-stored columns
+    // has neither signal -> raw (the narrow file beats the wide extract)
+    differential(
+      """SELECT l_linenumber, sum(l_orderkey % 97) AS s_mod
+        |FROM lineitem GROUP BY l_linenumber""".stripMargin,
+      expectRewrite = false)
   }
 
   test("bare fact-table interval aggregate routes to the cube and partition-prunes") {
