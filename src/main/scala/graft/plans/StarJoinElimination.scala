@@ -271,8 +271,18 @@ case class StarJoinElimination(spark: SparkSession)
     // NOT take this path. At production scale raw tables out-split the
     // executors and the signal goes inert.
     lazy val computeBoundUnderSplit = {
-      val computeBound = aggFuncs.exists(
-        _.aggregateFunction.isInstanceOf[aggregate.TypedImperativeAggregate[_]])
+      val computeBound = aggFuncs.exists { ae =>
+        ae.aggregateFunction.isInstanceOf[aggregate.TypedImperativeAggregate[_]] ||
+          // wide-decimal aggregation (the engine's own DECIMAL(28,6) exact
+          // -sum idiom): precision beyond Decimal.MAX_LONG_DIGITS leaves
+          // the compact-long representation — per-row BigDecimal objects,
+          // ~10x long arithmetic even inside codegen
+          (ae.aggregateFunction.dataType match {
+            case d: org.apache.spark.sql.types.DecimalType =>
+              d.precision > org.apache.spark.sql.types.Decimal.MAX_LONG_DIGITS
+            case _ => false
+          })
+      }
       def underSplit = child.collectFirst {
         case lr: LogicalRelation => lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
