@@ -72,7 +72,9 @@ object DirectQuery {
     }
 
     // filter tree: selector (=), bound (lower/upper, strict flags), in,
-    // not, and/or — the reference's FilterSpec surface minus the JS escape
+    // not, and/or, regex, like, search (contains / insensitive_contains /
+    // fragment), interval — the reference's FilterSpec surface minus the
+    // JS escape (any Catalyst expression is native here)
     def filterOf(f: JValue): Column = (f \ "type") match {
       case JString("selector") =>
         col(str(f \ "dimension")) === lit(str(f \ "value"))
@@ -101,6 +103,55 @@ object DirectQuery {
         }
         if ((f \ "type") == JString("and")) fields.reduce(_ && _)
         else fields.reduce(_ || _)
+      // Druid regex filter (`DruidQuerySpec.scala` RegexFilterSpec): the
+      // pattern MATCHES anywhere in the value (java.util.regex find), which
+      // is Spark's rlike semantics exactly
+      case JString("regex") =>
+        col(str(f \ "dimension")).rlike(str(f \ "pattern"))
+      // Druid like filter: SQL LIKE with optional custom escape
+      case JString("like") =>
+        val c = col(str(f \ "dimension"))
+        (f \ "escape").toOption.map(str) match {
+          case Some(e) if e.nonEmpty =>
+            call_function("like", c, lit(str(f \ "pattern")), lit(e))
+          case _ => c.like(str(f \ "pattern"))
+        }
+      // search FILTER (same specs as the search query type): contains /
+      // insensitive_contains / fragment over one dimension's value
+      case JString("search") =>
+        val c = col(str(f \ "dimension"))
+        val q = f \ "query"
+        (q \ "type") match {
+          case JString("contains") =>
+            val v = str(q \ "value")
+            if ((q \ "caseSensitive") == JBool(true)) c.contains(v)
+            else lower(c).contains(v.toLowerCase(java.util.Locale.ROOT))
+          case JString("insensitive_contains") =>
+            lower(c).contains(str(q \ "value").toLowerCase(java.util.Locale.ROOT))
+          case JString("fragment") =>
+            val frags = (q \ "values") match {
+              case JArray(vs) => vs.map(str)
+              case other => throw new IllegalArgumentException(s"bad fragment values: $other")
+            }
+            require(frags.nonEmpty, "fragment search needs values")
+            frags.map(v => lower(c).contains(v.toLowerCase(java.util.Locale.ROOT)))
+              .reduce(_ && _)
+          case other => throw new IllegalArgumentException(s"unsupported search query spec $other")
+        }
+      // Druid interval filter: ISO-interval disjunction over a time-typed
+      // column (usually __time; any timestamp column of the cube works)
+      case JString("interval") =>
+        val c = col(str(f \ "dimension"))
+        val ivs = (f \ "intervals") match {
+          case JArray(xs) => xs.map(str)
+          case other => throw new IllegalArgumentException(s"bad intervals: $other")
+        }
+        require(ivs.nonEmpty, "interval filter needs intervals")
+        ivs.map { iso =>
+          val parts = iso.split("/", 2)
+          require(parts.length == 2, s"interval must be start/end: $iso")
+          c >= lit(parts(0)).cast("timestamp") && c < lit(parts(1)).cast("timestamp")
+        }.reduce(_ || _)
       case other => throw new IllegalArgumentException(s"unsupported filter type $other")
     }
     (j \ "filter") match {

@@ -232,6 +232,50 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("regex, like, search and interval filter specs equal their SQL forms") {
+    init()
+    val cubeName = graft.cube.CubeCatalog.all
+      .find(_.info.name.startsWith("tpch_flat")).get.info.name
+    def run(json: String): Seq[String] =
+      graft.cube.DirectQuery.execute(spark, cubeName, json)
+        .collect().map(_.toString).sorted.toSeq
+    def sql(where: String): Seq[String] = spark.sql(
+      s"""SELECT c_mktsegment, count(*) AS cnt
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE $where GROUP BY 1""".stripMargin)
+      .collect().map(_.toString).sorted.toSeq
+    def gb(filter: String): String =
+      s"""{"queryType": "groupBy", "dimensions": ["c_mktsegment"],
+         | "aggregations": [{"type": "count", "name": "cnt"}],
+         | "filter": $filter}""".stripMargin
+
+    val regex = run(gb("""{"type": "regex", "dimension": "p_type", "pattern": "^ECO.*MY$"}"""))
+    assert(regex == sql("p_type RLIKE '^ECO.*MY$'") && regex.nonEmpty)
+
+    val like = run(gb("""{"type": "like", "dimension": "p_type", "pattern": "%DARD"}"""))
+    assert(like == sql("p_type LIKE '%DARD'") && like.nonEmpty)
+
+    val search = run(gb("""{"type": "search", "dimension": "p_type",
+      | "query": {"type": "insensitive_contains", "value": "medi"}}""".stripMargin))
+    assert(search == sql("lower(p_type) LIKE '%medi%'") && search.nonEmpty)
+
+    val frag = run(gb("""{"type": "search", "dimension": "p_type",
+      | "query": {"type": "fragment", "values": ["eco", "nomy"]}}""".stripMargin))
+    assert(frag == sql("lower(p_type) LIKE '%eco%' AND lower(p_type) LIKE '%nomy%'")
+      && frag.nonEmpty)
+
+    val iv = run(gb(
+      """{"type": "interval", "dimension": "l_shipdate",
+        | "intervals": ["1995-01-01/1995-07-01", "1996-01-01/1996-07-01"]}""".stripMargin))
+    assert(iv == sql(
+      """(l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-07-01')
+        | OR (l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01')""".stripMargin)
+      && iv.nonEmpty)
+  }
+
   test("timeseries and topN descriptors execute, equal to their SQL forms") {
     init()
     graft.cube.RollupCube.ensure(spark, sf)
