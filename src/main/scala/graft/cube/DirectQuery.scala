@@ -260,9 +260,56 @@ object DirectQuery {
       case _ => ()
     }
 
-    val dims: Seq[String] = queryType match {
-      case "topN" => Seq(str(j \ "dimension"))
-      case _ => strList(j \ "dimensions", "dimensions")
+    // dimensionSpecs (`DruidQuerySpec.scala` DimensionSpec): a bare string,
+    // {"type":"default","dimension":d,"outputName":o}, or an extraction
+    // spec applying a value transform before grouping. Extraction fns are
+    // ordinary projections here (substring / regex group-1 / timeFormat /
+    // upper / lower / strlen), so Catalyst folds and pushes them like any
+    // expression — the JS extraction escape is unnecessary.
+    def dimSpecOf(v: JValue): (Column, String) = v match {
+      case JString(d) => (col(d), d)
+      case o =>
+        val d = str(o \ "dimension")
+        val out = (o \ "outputName").toOption.map(str).getOrElse(d)
+        val c = (o \ "type") match {
+          case JString("default") | JNothing => col(d)
+          case JString("extraction") =>
+            val fn = o \ "extractionFn"
+            (fn \ "type") match {
+              case JString("substring") =>
+                val idx = (fn \ "index") match {
+                  case JInt(n) => n.toInt
+                  case JNothing => 0
+                  case other => throw new IllegalArgumentException(s"bad substring index: $other")
+                }
+                (fn \ "length") match {
+                  case JInt(len) => substring(col(d), idx + 1, len.toInt)
+                  case JNothing  => col(d).substr(lit(idx + 1), length(col(d)))
+                  case other => throw new IllegalArgumentException(s"bad substring length: $other")
+                }
+              case JString("regex") =>
+                // Druid regex extraction: capture group 1 of the pattern
+                regexp_extract(col(d), str(fn \ "expr"), 1)
+              case JString("timeFormat") =>
+                date_format(col(d), str(fn \ "format"))
+              case JString("upper")  => upper(col(d))
+              case JString("lower")  => lower(col(d))
+              case JString("strlen") => length(col(d)).cast("string")
+              case other => throw new IllegalArgumentException(
+                s"unsupported extraction fn $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"unsupported dimension spec type $other")
+        }
+        (c.as(out), out)
+    }
+    val dimSpecs: Seq[(Column, String)] = queryType match {
+      case "topN" => Seq(dimSpecOf(j \ "dimension"))
+      case _ => (j \ "dimensions") match {
+        case JArray(xs) => xs.map(dimSpecOf)
+        case JNothing   => Nil
+        case other => throw new IllegalArgumentException(s"bad dimensions: $other")
+      }
     }
 
     // granularity: Druid's time bucketing (timeseries and bucketed groupBy;
@@ -301,7 +348,7 @@ object DirectQuery {
     }
     require(aggs.nonEmpty, "query spec needs at least one aggregation")
 
-    val groupCols: Seq[Column] = timeGroup.toSeq ++ dims.map(col)
+    val groupCols: Seq[Column] = timeGroup.toSeq ++ dimSpecs.map(_._1)
     val grouped =
       if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
@@ -390,7 +437,7 @@ object DirectQuery {
           case JNothing   => throw new IllegalArgumentException("topN needs threshold")
           case other => throw new IllegalArgumentException(s"bad threshold: $other")
         }
-        val dim = col(dims.head)
+        val dim = col(dimSpecs.head._2)
         def ordered(spec: JValue, inverted: Boolean): org.apache.spark.sql.DataFrame =
           spec match {
             case JString(m) =>

@@ -276,6 +276,50 @@ class GraftSqlParserSpec extends AnyFunSuite {
       && iv.nonEmpty)
   }
 
+  test("extraction dimension specs (substring/regex/timeFormat/lower) equal SQL") {
+    init()
+    val cubeName = graft.cube.CubeCatalog.all
+      .find(_.info.name.startsWith("tpch_flat")).get.info.name
+    def run(json: String): Seq[String] =
+      graft.cube.DirectQuery.execute(spark, cubeName, json)
+        .collect().map(_.toString).sorted.toSeq
+    def gb(dimSpec: String): String =
+      s"""{"queryType": "groupBy", "dimensions": [$dimSpec],
+         | "aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin
+    def sql(select: String): Seq[String] = spark.sql(
+      s"""SELECT $select, count(*) AS cnt
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1""".stripMargin)
+      .collect().map(_.toString).sorted.toSeq
+
+    val sub = run(gb("""{"type": "extraction", "dimension": "p_type",
+      | "outputName": "t3",
+      | "extractionFn": {"type": "substring", "index": 0, "length": 3}}""".stripMargin))
+    assert(sub == sql("substring(p_type, 1, 3) AS t3") && sub.nonEmpty)
+
+    val rex = run(gb("""{"type": "extraction", "dimension": "c_mktsegment",
+      | "outputName": "seg",
+      | "extractionFn": {"type": "regex", "expr": "^(..)"}}""".stripMargin))
+    assert(rex == sql("regexp_extract(c_mktsegment, '^(..)', 1) AS seg") && rex.nonEmpty)
+
+    val tf = run(gb("""{"type": "extraction", "dimension": "l_shipdate",
+      | "outputName": "ym",
+      | "extractionFn": {"type": "timeFormat", "format": "yyyy-MM"}}""".stripMargin))
+    assert(tf == sql("date_format(l_shipdate, 'yyyy-MM') AS ym") && tf.nonEmpty)
+
+    val lo = run(gb("""{"type": "extraction", "dimension": "c_mktsegment",
+      | "outputName": "lseg", "extractionFn": {"type": "lower"}}""".stripMargin))
+    assert(lo == sql("lower(c_mktsegment) AS lseg") && lo.nonEmpty)
+
+    // default spec renames without transforming
+    val ren = run(gb("""{"type": "default", "dimension": "c_mktsegment",
+      | "outputName": "seg2"}""".stripMargin))
+    assert(ren == sql("c_mktsegment AS seg2") && ren.nonEmpty)
+  }
+
   test("timeseries and topN descriptors execute, equal to their SQL forms") {
     init()
     graft.cube.RollupCube.ensure(spark, sf)
