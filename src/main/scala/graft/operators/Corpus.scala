@@ -204,22 +204,22 @@ object Corpus {
       .agg(count(lit(1)).as("g_n"))
       .filter(col("g_n") >= minDf)
       .select("g_h")
-    val kept = lines.join(boiler, Seq("g_h"), "left_anti")
-    // every input document appears in the output, even if all its lines
-    // were boilerplate: re-attach survivors to the full id list
-    val assembled = kept.groupBy("g_id")
-      .agg(sort_array(collect_list(struct(col("g_pos"), col("g_line"))))
-        .as("g_ls"))
-      .select(col("g_id"),
+    // LEFT join with a boilerplate marker instead of an anti-join: the
+    // surviving lines and the per-document total then come out of ONE
+    // grouped pass (collect_list skips the nulled boilerplate entries, the
+    // count keeps them) — no second scan of `docs` and no re-attach join.
+    // Every document has >= 1 line row (split yields at least one
+    // element), so all-boilerplate documents still appear, empty.
+    val marked = lines.join(boiler.withColumn("g_b", lit(1)), Seq("g_h"), "left_outer")
+    marked.groupBy("g_id")
+      .agg(
+        sort_array(collect_list(when(col("g_b").isNull,
+          struct(col("g_pos"), col("g_line"))))).as("g_ls"),
+        count(lit(1)).as("g_total"))
+      .select(col("g_id").as(idCol),
         array_join(transform(col("g_ls"), x => x("g_line")), "\n")
           .as("text_clean"),
-        size(col("g_ls")).cast("long").as("n_kept"))
-    docs.select(col(idCol).as("g_id"),
-        size(split(col(textCol), "\n")).cast("long").as("g_total"))
-      .join(assembled, Seq("g_id"), "left_outer")
-      .select(col("g_id").as(idCol),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("g_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        size(col("g_ls")).cast("long").as("n_kept"),
+        (col("g_total") - size(col("g_ls"))).as("n_dropped"))
   }
 }
