@@ -330,16 +330,55 @@ object DirectQuery {
     // the exact DECIMAL(28,6) shape so results are reproducible and the
     // lattice's stored sums can serve them.
     def aggOf(a: JValue): Column = {
-      val name = str(a \ "name")
       def field = col(str(a \ "fieldName"))
-      (str(a \ "type") match {
+      def bare(t: String): Column = t match {
         case "count"                  => count(lit(1))
         case "longSum"                => sum(field.cast("long"))
         case "doubleSum"              => graft.Tables.dsum(field)
         case "longMin" | "doubleMin"  => min(field)
         case "longMax" | "doubleMax"  => max(field)
+        // Druid's approximate distinct aggregators (hyperUnique over a
+        // pre-built column, cardinality over dimensions) — both map to
+        // approx_count_distinct; RollupRouting can still swap in a stored
+        // HLL sketch union when one covers the column
+        case "hyperUnique" => approx_count_distinct(field)
+        case "cardinality" =>
+          val ds = (a \ "fields") match {
+            case JArray(fs) => fs.map(str)
+            case JNothing   => Seq(str(a \ "fieldName"))
+            case other => throw new IllegalArgumentException(s"bad cardinality fields: $other")
+          }
+          require(ds.nonEmpty, "cardinality needs fields")
+          if (ds.size == 1) approx_count_distinct(col(ds.head))
+          else approx_count_distinct(struct(ds.map(col): _*))
         case t => throw new IllegalArgumentException(s"unsupported aggregation type $t")
-      }).as(name)
+      }
+      (str(a \ "type") match {
+        // Druid filtered aggregator (`DruidQuerySpec.scala:362-377` — the
+        // reference declares the IR but never plans into it; here any
+        // filter spec gates any aggregator): rows failing the filter
+        // contribute the aggregator's identity
+        case "filtered" =>
+          val inner = (a \ "aggregator")
+          val pred = filterOf(a \ "filter")
+          def ifield = col(str(inner \ "fieldName"))
+          str(inner \ "type") match {
+            case "count"   => count(when(pred, lit(1)))
+            case "longSum" => sum(when(pred, ifield.cast("long")))
+            case "doubleSum" =>
+              graft.Tables.dsum(when(pred, ifield).otherwise(lit(null)))
+            case "longMin" | "doubleMin" => min(when(pred, ifield))
+            case "longMax" | "doubleMax" => max(when(pred, ifield))
+            case t => throw new IllegalArgumentException(
+              s"unsupported filtered aggregator type $t")
+          }
+        case t => bare(t)
+      }).as((a \ "name") match {
+        // Druid puts the output name on the filtered wrapper OR the inner
+        // aggregator — accept either
+        case JString(n) => n
+        case _          => str(a \ "aggregator" \ "name")
+      })
     }
     val aggs: Seq[Column] = (j \ "aggregations") match {
       case JArray(as) => as.map(aggOf)

@@ -320,6 +320,39 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(ren == sql("c_mktsegment AS seg2") && ren.nonEmpty)
   }
 
+  test("filtered and cardinality aggregators equal their SQL forms") {
+    init()
+    val cubeName = graft.cube.CubeCatalog.all
+      .find(_.info.name.startsWith("tpch_flat")).get.info.name
+    val json =
+      """{"queryType": "groupBy", "dimensions": ["c_mktsegment"],
+        | "aggregations": [
+        |   {"type": "filtered",
+        |    "filter": {"type": "selector", "dimension": "l_returnflag", "value": "R"},
+        |    "aggregator": {"type": "doubleSum", "fieldName": "l_quantity", "name": "r_qty"}},
+        |   {"type": "filtered", "name": "r_cnt",
+        |    "filter": {"type": "bound", "dimension": "l_quantity", "lower": "25"},
+        |    "aggregator": {"type": "count"}},
+        |   {"type": "cardinality", "name": "seg_parts", "fields": ["p_brand"]},
+        |   {"type": "hyperUnique", "fieldName": "s_name", "name": "u_supp"}]}""".stripMargin
+    val got = graft.cube.DirectQuery.execute(spark, cubeName, json)
+      .collect().map(_.toString).sorted.toSeq
+    val want = spark.sql(
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity END AS DECIMAL(28,6))) AS DOUBLE) AS r_qty,
+        |  count(CASE WHEN l_quantity >= 25 THEN 1 END) AS r_cnt,
+        |  approx_count_distinct(p_brand) AS seg_parts,
+        |  approx_count_distinct(s_name) AS u_supp
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("timeseries and topN descriptors execute, equal to their SQL forms") {
     init()
     graft.cube.RollupCube.ensure(spark, sf)
