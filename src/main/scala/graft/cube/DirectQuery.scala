@@ -152,6 +152,32 @@ object DirectQuery {
           require(parts.length == 2, s"interval must be start/end: $iso")
           c >= lit(parts(0)).cast("timestamp") && c < lit(parts(1)).cast("timestamp")
         }.reduce(_ || _)
+      // Druid spatial filter (`DruidQuerySpec.scala:255-281`): Druid packs
+      // both coordinates into one encoded spatial dimension; our cubes keep
+      // plain coordinate COLUMNS, so the descriptor names the pair as
+      // "xcol,ycol" and the bound becomes two pushdown-friendly range
+      // predicates per axis (what the R-tree bought — see SpatialFunctions)
+      case JString("spatial") =>
+        val dims = str(f \ "dimension").split(",").map(_.trim)
+        require(dims.length == 2, "spatial dimension must name 'xcol,ycol'")
+        def coords(v: JValue, what: String): Seq[Double] = v match {
+          case JArray(xs) => xs.map {
+            case JInt(n)     => n.toDouble
+            case JDouble(d)  => d
+            case JDecimal(d) => d.toDouble
+            case other => throw new IllegalArgumentException(s"bad $what coord: $other")
+          }
+          case other => throw new IllegalArgumentException(s"bad $what: $other")
+        }
+        val b = f \ "bound"
+        require((b \ "type") == JString("rectangular"),
+          "only rectangular spatial bounds are supported")
+        val lo = coords(b \ "minCoords", "minCoords")
+        val hi = coords(b \ "maxCoords", "maxCoords")
+        require(lo.length == 2 && hi.length == 2, "rectangular bound needs 2-d coords")
+        graft.functions.SpatialFunctions.rectContains(
+          col(dims(0)), col(dims(1)),
+          graft.functions.SpatialFunctions.Rect(lo(0), hi(0), lo(1), hi(1)))
       case other => throw new IllegalArgumentException(s"unsupported filter type $other")
     }
     (j \ "filter") match {
@@ -295,6 +321,21 @@ object DirectQuery {
               case JString("upper")  => upper(col(d))
               case JString("lower")  => lower(col(d))
               case JString("strlen") => length(col(d)).cast("string")
+              // inline map lookup (Druid lookup extraction, map type): the
+              // mapping ships as ONE map literal in the plan — a broadcast
+              // join in miniature, no shuffle
+              case JString("lookup") =>
+                val m = (fn \ "lookup" \ "map") match {
+                  case JObject(kvs) => kvs.map { case (k, v) => k -> str(v) }.toMap
+                  case other => throw new IllegalArgumentException(s"bad lookup map: $other")
+                }
+                require(m.nonEmpty, "lookup extraction needs a non-empty map")
+                val looked = element_at(typedLit(m), col(d))
+                if ((fn \ "retainMissingValue") == JBool(true)) coalesce(looked, col(d))
+                else (fn \ "replaceMissingValueWith").toOption.map(str) match {
+                  case Some(w) => coalesce(looked, lit(w))
+                  case None    => looked
+                }
               case other => throw new IllegalArgumentException(
                 s"unsupported extraction fn $other")
             }

@@ -320,6 +320,64 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(ren == sql("c_mktsegment AS seg2") && ren.nonEmpty)
   }
 
+  test("spatial filter and lookup extraction specs equal their SQL forms") {
+    init()
+    val cubeName = graft.cube.CubeCatalog.all
+      .find(_.info.name.startsWith("tpch_flat")).get.info.name
+    def run(json: String): Seq[String] =
+      graft.cube.DirectQuery.execute(spark, cubeName, json)
+        .collect().map(_.toString).sorted.toSeq
+
+    val spatial = run(
+      """{"queryType": "groupBy", "dimensions": ["c_mktsegment"],
+        | "aggregations": [{"type": "count", "name": "cnt"}],
+        | "filter": {"type": "spatial", "dimension": "c_acctbal,s_acctbal",
+        |   "bound": {"type": "rectangular",
+        |     "minCoords": [0.0, 1000.0], "maxCoords": [5000.0, 8000.0]}}}""".stripMargin)
+    val spatialWant = spark.sql(
+      """SELECT c_mktsegment, count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE c_acctbal >= 0.0 AND c_acctbal < 5000.0
+        |  AND s_acctbal >= 1000.0 AND s_acctbal < 8000.0
+        |GROUP BY 1""".stripMargin).collect().map(_.toString).sorted.toSeq
+    assert(spatial == spatialWant && spatial.nonEmpty)
+
+    val lookup = run(
+      """{"queryType": "groupBy",
+        | "dimensions": [{"type": "extraction", "dimension": "l_returnflag",
+        |   "outputName": "flag",
+        |   "extractionFn": {"type": "lookup",
+        |     "lookup": {"type": "map", "map": {"R": "returned", "A": "accepted"}},
+        |     "replaceMissingValueWith": "other"}}],
+        | "aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+    val lookupWant = spark.sql(
+      """SELECT CASE l_returnflag WHEN 'R' THEN 'returned'
+        |            WHEN 'A' THEN 'accepted' ELSE 'other' END AS flag,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1""".stripMargin)
+      .collect().map(_.toString).sorted.toSeq
+    assert(lookup == lookupWant && lookup.nonEmpty)
+
+    // retainMissingValue keeps the original value
+    val retained = run(
+      """{"queryType": "groupBy",
+        | "dimensions": [{"type": "extraction", "dimension": "l_returnflag",
+        |   "outputName": "flag",
+        |   "extractionFn": {"type": "lookup",
+        |     "lookup": {"type": "map", "map": {"R": "returned"}},
+        |     "retainMissingValue": true}}],
+        | "aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+    val retainedWant = spark.sql(
+      """SELECT CASE l_returnflag WHEN 'R' THEN 'returned'
+        |            ELSE l_returnflag END AS flag, count(*) AS cnt
+        |FROM lineitem GROUP BY 1""".stripMargin)
+      .collect().map(_.toString).sorted.toSeq
+    assert(retained == retainedWant && retained.nonEmpty)
+  }
+
   test("filtered and cardinality aggregators equal their SQL forms") {
     init()
     val cubeName = graft.cube.CubeCatalog.all
