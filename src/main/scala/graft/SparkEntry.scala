@@ -1077,6 +1077,31 @@ object SparkEntry {
             | "intervals": ["1993-01-01/1998-01-01"]}""".stripMargin)
           .orderBy("c_mktsegment", "l_returnflag")
       },
+      // round-7 descriptor surface in one gate query: extraction dimension
+      // (substring), lookup-mapped dimension, a filtered aggregator, and a
+      // regex filter — all restated in the DuckDB oracle (the approximate
+      // cardinality/hyperUnique aggregators stay spec-locked: Spark's
+      // HLL++ estimate has no cross-engine restatement)
+      "q_direct_extraction" -> { (s, dir) =>
+        engine(s, dir)
+        val cube = TpchCube.ensure(s, dir)
+        graft.cube.DirectQuery.execute(s, cube.info.name,
+          """{"queryType": "groupBy",
+            | "dimensions": [
+            |   {"type": "extraction", "dimension": "p_type", "outputName": "t3",
+            |    "extractionFn": {"type": "substring", "index": 0, "length": 3}},
+            |   {"type": "extraction", "dimension": "l_returnflag", "outputName": "flag",
+            |    "extractionFn": {"type": "lookup",
+            |      "lookup": {"type": "map", "map": {"R": "returned", "A": "accepted"}},
+            |      "replaceMissingValueWith": "other"}}],
+            | "aggregations": [
+            |   {"type": "count", "name": "cnt"},
+            |   {"type": "filtered",
+            |    "filter": {"type": "bound", "dimension": "l_quantity", "lower": "25"},
+            |    "aggregator": {"type": "doubleSum", "fieldName": "l_quantity", "name": "hi_qty"}}],
+            | "filter": {"type": "regex", "dimension": "c_mktsegment", "pattern": "^(BU|MA)"}}""".stripMargin)
+          .orderBy("t3", "flag")
+      },
       // Druid Select query: a raw event page (time + dims + metrics, paging
       // threshold); deterministic page via full-column ordering — same
       // multiset both engines, so it oracle-checks
@@ -1927,6 +1952,19 @@ object SparkEntry {
            |WHERE l_returnflag >= 'N'
            |  AND l_shipdate >= TIMESTAMP '1993-01-01'
            |  AND l_shipdate < TIMESTAMP '1998-01-01'
+           |GROUP BY 1, 2
+           |ORDER BY 1, 2""".stripMargin,
+      "q_direct_extraction" ->
+        s"""SELECT substring(p_type, 1, 3) AS t3,
+           |  CASE l_returnflag WHEN 'R' THEN 'returned'
+           |       WHEN 'A' THEN 'accepted' ELSE 'other' END AS flag,
+           |  count(*) AS cnt,
+           |  ${dec("CASE WHEN l_quantity >= 25 THEN l_quantity END")} AS hi_qty
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN part ON l_partkey = p_partkey
+           |WHERE regexp_matches(c_mktsegment, '^(BU|MA)')
            |GROUP BY 1, 2
            |ORDER BY 1, 2""".stripMargin,
       "q_direct_topn_lex" ->
