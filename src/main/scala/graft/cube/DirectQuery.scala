@@ -71,6 +71,14 @@ object DirectQuery {
       case other => throw new IllegalArgumentException(s"bad intervals: $other")
     }
 
+    // Druid's reserved `__time` dimension name addresses the datasource's
+    // time column; map it to the cube's declared one everywhere a
+    // descriptor names a dimension
+    def dimName(d: String): String =
+      if (d == "__time") cube.info.timeColumn else d
+    def col(d: String): Column =
+      org.apache.spark.sql.functions.col(dimName(d))
+
     // filter tree: selector (=), bound (lower/upper, strict flags), in,
     // not, and/or, regex, like, search (contains / insensitive_contains /
     // fragment), interval — the reference's FilterSpec surface minus the
@@ -293,7 +301,9 @@ object DirectQuery {
     // upper / lower / strlen), so Catalyst folds and pushes them like any
     // expression — the JS extraction escape is unnecessary.
     def dimSpecOf(v: JValue): (Column, String) = v match {
-      case JString(d) => (col(d), d)
+      // identity alias keeps the DESCRIPTOR's name on the output (matters
+      // for `__time`, whose underlying column is the cube's time column)
+      case JString(d) => (col(d).as(d), d)
       case o =>
         val d = str(o \ "dimension")
         val out = (o \ "outputName").toOption.map(str).getOrElse(d)
@@ -362,9 +372,46 @@ object DirectQuery {
       case JString(g @ ("second" | "minute" | "hour" | "day" | "week" |
                         "month" | "quarter" | "year")) =>
         Some(date_trunc(g, col(cube.info.timeColumn)).as("g_time"))
+      // duration / period granularity objects (Druid GranularitySpec):
+      // fixed-length buckets anchored at an optional origin —
+      // floor((t - origin) / dur) * dur + origin, in millis. The session
+      // is pinned UTC, so ISO periods (PT15M, P1D, P2W) are fixed-length
+      // too and reduce to the same arithmetic.
+      case o: JObject =>
+        val durMs: Long = (o \ "type") match {
+          case JString("duration") => (o \ "duration") match {
+            case JInt(ms) => ms.toLong
+            case other => throw new IllegalArgumentException(s"bad duration: $other")
+          }
+          case JString("period") =>
+            val p = str(o \ "period").toUpperCase(java.util.Locale.ROOT)
+            if (p.startsWith("PT")) java.time.Duration.parse(p).toMillis
+            else {
+              val per = java.time.Period.parse(p)
+              require(per.getYears == 0 && per.getMonths == 0,
+                "month/year periods are calendar-variable — use granularity " +
+                  "\"month\"/\"year\" instead")
+              (per.getDays.toLong) * 86400000L
+            }
+          case other => throw new IllegalArgumentException(
+            s"unsupported granularity object type $other")
+        }
+        require(durMs > 0, s"granularity duration must be positive, got $durMs")
+        val originMs: Long = (o \ "origin").toOption.map(str) match {
+          case Some(iso) => java.time.Instant.parse(
+            if (iso.endsWith("Z")) iso else iso + "Z").toEpochMilli
+          case None => 0L
+        }
+        // exact integer bucket floor (pmod keeps pre-origin timestamps
+        // correct — no double rounding anywhere)
+        val t = unix_millis(col(cube.info.timeColumn).cast("timestamp"))
+        val off = t - originMs
+        Some(timestamp_millis(off - pmod(off, lit(durMs)) + originMs)
+          .as("g_time"))
       case other => throw new IllegalArgumentException(
         s"unsupported granularity $other — " +
-          "all/second/minute/hour/day/week/month/quarter/year")
+          "all/second/minute/hour/day/week/month/quarter/year or a " +
+          "duration/period object")
     }
 
     // aggregations — the mergeable set (SURVEY.md §2.4). Sums go through

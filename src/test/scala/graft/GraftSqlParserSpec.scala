@@ -378,6 +378,55 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(retained == retainedWant && retained.nonEmpty)
   }
 
+  test("duration/period granularities and __time equal their SQL forms") {
+    init()
+    val cubeName = graft.cube.CubeCatalog.all
+      .find(_.info.name.startsWith("tpch_flat")).get.info.name
+    def run(json: String): Seq[String] =
+      graft.cube.DirectQuery.execute(spark, cubeName, json)
+        .collect().map(_.toString).sorted.toSeq
+
+    // 14-day buckets anchored at an origin, addressed through a __time
+    // interval filter — floor((t-origin)/dur)*dur + origin in millis
+    val dur = run(
+      """{"queryType": "timeseries",
+        | "granularity": {"type": "duration", "duration": 1209600000,
+        |                 "origin": "1995-01-02T00:00:00"},
+        | "aggregations": [{"type": "count", "name": "cnt"}],
+        | "filter": {"type": "interval", "dimension": "__time",
+        |   "intervals": ["1995-03-01/1995-06-01"]}}""".stripMargin)
+    val durWant = spark.sql(
+      """SELECT timestamp_millis(o - pmod(o, 1209600000) + 789004800000) AS g_time,
+        |       count(*) AS cnt
+        |FROM (SELECT unix_millis(l_shipdate) - 789004800000 AS o FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+        |        AND l_shipdate < TIMESTAMP '1995-06-01')
+        |GROUP BY 1""".stripMargin).collect().map(_.toString).sorted.toSeq
+    assert(dur == durWant && dur.nonEmpty)
+
+    // PT6H period == 21600000 ms duration (UTC-fixed)
+    val per = run(
+      """{"queryType": "timeseries",
+        | "granularity": {"type": "period", "period": "P2D"},
+        | "aggregations": [{"type": "count", "name": "cnt"}],
+        | "intervals": ["1995-03-01/1995-04-01"]}""".stripMargin)
+    val perWant = spark.sql(
+      """SELECT timestamp_millis(o - pmod(o, 172800000)) AS g_time, count(*) AS cnt
+        |FROM (SELECT unix_millis(l_shipdate) AS o FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+        |        AND l_shipdate < TIMESTAMP '1995-04-01')
+        |GROUP BY 1""".stripMargin).collect().map(_.toString).sorted.toSeq
+    assert(per == perWant && per.nonEmpty)
+
+    // calendar-variable periods refuse instead of silently fixing a length
+    val err = intercept[IllegalArgumentException] {
+      run("""{"queryType": "timeseries",
+            | "granularity": {"type": "period", "period": "P1M"},
+            | "aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+    }
+    assert(err.getMessage.contains("calendar-variable"))
+  }
+
   test("filtered and cardinality aggregators equal their SQL forms") {
     init()
     val cubeName = graft.cube.CubeCatalog.all
