@@ -367,11 +367,14 @@ object DirectQuery {
     // `GranularitySpec`, `DruidQuerySpec.scala:140-150`). Truncations of
     // the time column are exactly what RollupRouting's time-grouping serves
     // from the lattice bucket column — month-or-coarser never touches facts.
-    val timeGroup: Option[Column] = (j \ "granularity") match {
-      case JNothing | JString("all") => None
+    sealed trait Gran
+    case object AllGran extends Gran
+    case class NamedGran(g: String) extends Gran
+    case class FixedGran(durMs: Long, originMs: Long) extends Gran
+    val gran: Gran = (j \ "granularity") match {
+      case JNothing | JString("all") => AllGran
       case JString(g @ ("second" | "minute" | "hour" | "day" | "week" |
-                        "month" | "quarter" | "year")) =>
-        Some(date_trunc(g, col(cube.info.timeColumn)).as("g_time"))
+                        "month" | "quarter" | "year")) => NamedGran(g)
       // duration / period granularity objects (Druid GranularitySpec):
       // fixed-length buckets anchored at an optional origin —
       // floor((t - origin) / dur) * dur + origin, in millis. The session
@@ -402,16 +405,23 @@ object DirectQuery {
             if (iso.endsWith("Z")) iso else iso + "Z").toEpochMilli
           case None => 0L
         }
+        FixedGran(durMs, originMs)
+      case other => throw new IllegalArgumentException(
+        s"unsupported granularity $other — " +
+          "all/second/minute/hour/day/week/month/quarter/year or a " +
+          "duration/period object")
+    }
+    val timeGroup: Option[Column] = gran match {
+      case AllGran => None
+      case NamedGran(g) =>
+        Some(date_trunc(g, col(cube.info.timeColumn)).as("g_time"))
+      case FixedGran(durMs, originMs) =>
         // exact integer bucket floor (pmod keeps pre-origin timestamps
         // correct — no double rounding anywhere)
         val t = unix_millis(col(cube.info.timeColumn).cast("timestamp"))
         val off = t - originMs
         Some(timestamp_millis(off - pmod(off, lit(durMs)) + originMs)
           .as("g_time"))
-      case other => throw new IllegalArgumentException(
-        s"unsupported granularity $other — " +
-          "all/second/minute/hour/day/week/month/quarter/year or a " +
-          "duration/period object")
     }
 
     // aggregations — the mergeable set (SURVEY.md §2.4). Sums go through
@@ -512,10 +522,75 @@ object DirectQuery {
           s"unsupported post-aggregation fn $fn")
       }
     }
+    // Druid timeseries zero-fills every granularity bucket inside the
+    // queried intervals unless `context.skipEmptyBuckets` — emit the full
+    // bucket sequence (one array expression per interval; bucket count is
+    // bounded by interval/step exactly as in Druid) and left-join the
+    // aggregate onto it. count/sums/approx-distinct fill with 0 (the
+    // reference-era engine's zero-fill); min/max stay NULL.
+    val filled: org.apache.spark.sql.DataFrame =
+      if (queryType != "timeseries" || gran == AllGran ||
+          (j \ "context" \ "skipEmptyBuckets") == JBool(true)) grouped
+      else (j \ "intervals") match {
+        case JArray(ivSpecs) if ivSpecs.nonEmpty =>
+          val arrays: Seq[Column] = ivSpecs.map(str).map { iv =>
+            val parts = iv.split("/", 2)
+            val st = lit(parts(0)).cast("timestamp")
+            val en = lit(parts(1)).cast("timestamp")
+            gran match {
+              case NamedGran(g) =>
+                val step =
+                  if (g == "quarter") expr("INTERVAL 3 MONTH")
+                  else expr(s"INTERVAL 1 ${g.toUpperCase(java.util.Locale.ROOT)}")
+                sequence(date_trunc(g, st),
+                  timestamp_millis(unix_millis(en) - 1), step)
+              case FixedGran(d, o) =>
+                val off = unix_millis(st) - o
+                val b0 = off - pmod(off, lit(d)) + o
+                transform(sequence(b0, unix_millis(en) - 1, lit(d)),
+                  m => timestamp_millis(m))
+              case AllGran => throw new IllegalStateException("unreachable")
+            }
+          }
+          val buckets = spark.range(1)
+            .select(explode(flatten(array(arrays: _*))).as("g_time"))
+            .distinct()
+          def aggTypeOf(a: JValue): (String, String) = {
+            val name = (a \ "name") match {
+              case JString(n) => n
+              case _          => str(a \ "aggregator" \ "name")
+            }
+            val t = (a \ "type") match {
+              case JString("filtered") => str(a \ "aggregator" \ "type")
+              case JString(t0)         => t0
+              case other => throw new IllegalArgumentException(s"bad agg type: $other")
+            }
+            name -> t
+          }
+          val fills: Map[String, Column] = ((j \ "aggregations") match {
+            case JArray(as) => as
+            case _          => Nil
+          }).flatMap { a =>
+            aggTypeOf(a) match {
+              case (n, "count" | "longSum" | "cardinality" | "hyperUnique") =>
+                Some(n -> lit(0L))
+              case (n, "doubleSum") => Some(n -> lit(0.0))
+              case _                => None
+            }
+          }.toMap
+          val joined = buckets.join(grouped, Seq("g_time"), "left_outer")
+          joined.select(grouped.columns.toSeq.map { c =>
+            fills.get(c)
+              .map(f => coalesce(org.apache.spark.sql.functions.col(c), f).as(c))
+              .getOrElse(org.apache.spark.sql.functions.col(c))
+          }: _*)
+        case _ => grouped // interval-less timeseries: no bucket domain to fill
+      }
+
     val postAgged = (j \ "postAggregations") match {
-      case JArray(ps) => ps.foldLeft(grouped)((d, p) =>
+      case JArray(ps) => ps.foldLeft(filled)((d, p) =>
         d.withColumn(str(p \ "name"), postArithOf(p)))
-      case JNothing => grouped
+      case JNothing => filled
       case other => throw new IllegalArgumentException(s"bad postAggregations: $other")
     }
 

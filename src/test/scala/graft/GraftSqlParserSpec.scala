@@ -427,6 +427,35 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(err.getMessage.contains("calendar-variable"))
   }
 
+  test("timeseries zero-fills empty buckets; skipEmptyBuckets opts out") {
+    init()
+    val cubeName = graft.cube.CubeCatalog.all
+      .find(_.info.name.startsWith("tpch_flat")).get.info.name
+    // ship dates are date-grained, so hour buckets past 00:00 are all
+    // EMPTY — Druid's default zero-fills them, count 0, sums 0
+    def q(ctx: String): String =
+      s"""{"queryType": "timeseries", "granularity": "hour",
+         | "aggregations": [
+         |   {"type": "count", "name": "cnt"},
+         |   {"type": "doubleSum", "fieldName": "l_quantity", "name": "qty"},
+         |   {"type": "doubleMax", "fieldName": "l_quantity", "name": "mx"}],
+         | "intervals": ["1995-03-05/1995-03-07"]$ctx}""".stripMargin
+    val rows = graft.cube.DirectQuery.execute(spark, cubeName, q(""))
+      .orderBy("g_time").collect()
+    assert(rows.length == 48, s"expected 48 hourly buckets, got ${rows.length}")
+    val empty = rows.filter(_.getLong(1) == 0L)
+    assert(empty.length >= 46, "hour buckets past midnight must zero-fill")
+    // zero-filled buckets: count 0, sum 0.0, max NULL
+    assert(empty.forall(r => r.getDouble(2) == 0.0 && r.isNullAt(3)))
+    val some = rows.filter(_.getLong(1) > 0L)
+    assert(some.nonEmpty, "the midnight buckets must carry the day's rows")
+    // opting out returns only non-empty buckets (the pre-fill behavior)
+    val skipped = graft.cube.DirectQuery.execute(spark, cubeName,
+      q(""", "context": {"skipEmptyBuckets": true}"""))
+      .orderBy("g_time").collect()
+    assert(skipped.map(_.toString).toSeq == some.map(_.toString).toSeq)
+  }
+
   test("filtered and cardinality aggregators equal their SQL forms") {
     init()
     val cubeName = graft.cube.CubeCatalog.all
