@@ -46,11 +46,11 @@ object DirectQuery {
     }
     val queryType = (j \ "queryType") match {
       case JString(t @ ("groupBy" | "timeseries" | "topN" | "select" |
-                        "search" | "segmentMetadata")) => t
+                        "search" | "segmentMetadata" | "timeBoundary")) => t
       case JNothing => "groupBy"
       case other => throw new IllegalArgumentException(
         s"unsupported queryType $other — groupBy, timeseries, topN, " +
-          "select, search or segmentMetadata")
+          "select, search, segmentMetadata or timeBoundary")
     }
 
     // the cube relation by path: CubeCatalog matches scans of this path, so
@@ -290,6 +290,21 @@ object DirectQuery {
             unix_micros(min(t).cast("timestamp")).as("t_min_us"),
             unix_micros(max(t).cast("timestamp")).as("t_max_us"))
           .orderBy("segment")
+
+      case "timeBoundary" =>
+        // Druid TimeBoundary query: the datasource's min/max event time —
+        // the reference's metadata/interval-discovery call
+        // (`client/DruidClient.scala:402-427`). `bound` narrows to one
+        // side. A parquet-stats-only aggregate: no dimension columns read.
+        val t = col(cube.info.timeColumn).cast("timestamp")
+        return (j \ "bound") match {
+          case JString("minTime") => df.agg(min(t).as("min_time"))
+          case JString("maxTime") => df.agg(max(t).as("max_time"))
+          case JNothing =>
+            df.agg(min(t).as("min_time"), max(t).as("max_time"))
+          case other => throw new IllegalArgumentException(
+            s"unsupported timeBoundary bound $other — minTime or maxTime")
+        }
 
       case _ => ()
     }

@@ -427,6 +427,21 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(err.getMessage.contains("calendar-variable"))
   }
 
+  test("timeBoundary returns the datasource time cover, equal to SQL") {
+    init()
+    val cubeName = graft.cube.CubeCatalog.all
+      .find(_.info.name.startsWith("tpch_flat")).get.info.name
+    val both = graft.cube.DirectQuery.execute(spark, cubeName,
+      """{"queryType": "timeBoundary"}""").collect()
+    val want = spark.sql(
+      "SELECT min(l_shipdate) AS min_time, max(l_shipdate) AS max_time FROM lineitem")
+      .collect()
+    assert(both.map(_.toString).toSeq == want.map(_.toString).toSeq)
+    val mx = graft.cube.DirectQuery.execute(spark, cubeName,
+      """{"queryType": "timeBoundary", "bound": "maxTime"}""").collect()
+    assert(mx.head.getTimestamp(0) == want.head.getTimestamp(1))
+  }
+
   test("timeseries zero-fills empty buckets; skipEmptyBuckets opts out") {
     init()
     val cubeName = graft.cube.CubeCatalog.all
