@@ -1510,6 +1510,23 @@ object SparkEntry {
             docs.filter(col("source") === "src0"), "text", n = 4)
           .orderBy("doc_id")
       },
+      // exact duplicated-span removal (Lee et al. 2022): windows are
+      // hash-keyed in Spark, string-keyed in the oracle — equality of the
+      // rebuilt text proves the hash path collision-free on this corpus
+      "q_span_dedup" -> { (s, dir) =>
+        Dedup.spanDedup(Tables.t(s, dir, "documents"), "doc_id", "text",
+            k = 8)
+          .orderBy("doc_id")
+      },
+      // hashed-bigram linear quality scorer (fastText-style inference;
+      // deterministic stand-in weights, bit-exact cross-engine arithmetic)
+      "q_quality_model" -> { (s, dir) =>
+        Tables.t(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            Quality.linearScore(col("text")).as("score"))
+          .orderBy("doc_id")
+      },
       // multimodal decode plumbing (stub codec — deterministic, rows-only)
       "q_multimodal_decode" -> { (s, dir) =>
         import graft.operators.Multimodal
@@ -2525,6 +2542,60 @@ object SparkEntry {
         |  lower(trim(regexp_replace(s_name, '\s+', ' ', 'g'))) AS name_norm
         |FROM supplier
         |ORDER BY s_suppkey""".stripMargin,
+    // duplicated-span removal: the oracle keys windows by their literal
+    // 8-token text (positions are 1-based; Spark's 0-based positions cancel
+    // out of the rebuilt output)
+    "q_span_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+        |kg AS (
+        |  SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS g
+        |  FROM base, unnest(generate_series(1, len(w) - 7)) t(i)
+        |  WHERE len(w) >= 8),
+        |dup AS (SELECT g FROM kg GROUP BY g HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT doc_id, list_sort(list(DISTINCT p)) cl
+        |  FROM (SELECT k.doc_id, s.p
+        |        FROM kg k JOIN dup USING (g),
+        |             unnest(generate_series(k.pos, k.pos + 7)) s(p))
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  coalesce(array_to_string(list_filter(list_transform(
+        |    generate_series(1, len(b.w)),
+        |    i -> CASE WHEN c.cl IS NOT NULL AND list_contains(c.cl, i)
+        |         THEN NULL ELSE b.w[i] END),
+        |    x -> x IS NOT NULL), ' '), '') AS text_kept,
+        |  len(b.w) AS n_tokens,
+        |  coalesce(len(c.cl), 0) AS n_dropped
+        |FROM base b LEFT JOIN cov c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // hashed-bigram linear scorer: token poly-hash -> bigram bucket ->
+    // integer pseudo-weight sum -> one double division + rational squash;
+    // every step exactly rounded, so the doubles hash-match cross-engine
+    "q_quality_model" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      t -> list_reduce(
+        |        list_transform(string_split_regex(t, ''), c -> CAST(ord(c) AS BIGINT)),
+        |        (h, c) -> (h*31 + c) % 2147483647)) AS th
+        |  FROM documents WHERE doc_id < 200),
+        |b AS (
+        |  SELECT doc_id, th,
+        |    list_transform(generate_series(1, len(th)-1),
+        |      i -> (th[i]*131 + th[i+1]) % 2147483647 % 4096) AS bs
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(th) < 2 THEN NULL ELSE
+        |      (CAST(list_reduce(list_transform(bs, x -> (x+1) * 506952114 % 2147483647),
+        |                        (a, x) -> a + x) AS DOUBLE)
+        |       / CAST(len(bs) AS DOUBLE)) / 2147483647.0 * 2.0 - 1.0 END AS margin
+        |  FROM b)
+        |SELECT doc_id,
+        |  CASE WHEN margin IS NULL THEN 0.5
+        |       ELSE 0.5 + 0.5 * margin / (1.0 + abs(margin)) END AS score
+        |FROM m ORDER BY doc_id""".stripMargin,
     // decontamination: same 4-gram shingling as graft.functions.TextFunctions
     // .shingles (docs shorter than n tokens contribute their whole token
     // sequence as one shingle)

@@ -493,6 +493,67 @@ object Dedup {
     * Hash collisions can only *add* a spurious hit at ~2^-64 per candidate
     * pair — the standard trade for not shuffling raw shingle text.
     */
+  /** Exact duplicated-span removal (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022): delete from every
+    * document the token positions covered by a length-`k` window whose
+    * exact token sequence occurs at least `minCount` times corpus-wide
+    * (occurrences in the SAME document count too — self-repetition is
+    * boilerplate like any other). Doc-level dedup ([[exactTextDedup]],
+    * [[minhashDupPairs]]) misses partially-copied documents; line-level
+    * ([[graft.operators.Corpus]] line dedup) misses spans that cross line
+    * boundaries — this is the substring-grain member of the family.
+    *
+    * Output: one row per input document —
+    * (idCol, text_kept, n_tokens, n_dropped) with `text_kept` the
+    * uncovered tokens in original order ('' when fully covered) and
+    * `n_dropped` the number of deleted token positions. Documents shorter
+    * than `k` tokens are never touched (no window fits — the Lee et al.
+    * minimum-match-length semantics).
+    *
+    * Shape at scale (the suffix-array pass of the paper, re-expressed as
+    * two hash aggregations): window keys are 8-byte xxhash64 values, never
+    * strings; pass 1 counts occurrences per key (map-side partial combine
+    * absorbs the Zipf head), keys reaching `minCount` survive — a set
+    * proportional to the DUPLICATED text, far smaller than the corpus;
+    * pass 2 equi-joins windows against that set (AQE broadcasts it when
+    * small) and folds matches back per document. Everything after the two
+    * key shuffles is per-document array work, bounded by document length.
+    * Collisions can only over-delete at ~2^-64 per window pair — the
+    * standard trade for not shuffling raw text.
+    */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 8, minCount: Int = 2): DataFrame = {
+    require(k >= 1, s"window must be at least 1 token, got $k")
+    require(minCount >= 2, s"minCount below 2 would delete everything, got $minCount")
+    val toks = docs.select(col(idCol).as("g_id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("g_toks"))
+    // (doc, 0-based window start, window hash); slice() is 1-based
+    val kgrams = toks
+      .filter(size(col("g_toks")) >= k)
+      .select(col("g_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("g_toks")) - lit(k - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("g_toks"), i, lit(k))))))
+          .as(Seq("g_pos", "g_h")))
+    val dup = kgrams.groupBy("g_h")
+      .agg(count(lit(1)).as("g_cnt"))
+      .filter(col("g_cnt") >= minCount)
+      .select("g_h")
+    val covered = kgrams.join(dup, "g_h")
+      .select(col("g_id"),
+        explode(sequence(col("g_pos"), col("g_pos") + lit(k - 1))).as("g_cpos"))
+      .groupBy("g_id")
+      .agg(array_sort(collect_set(col("g_cpos"))).as("g_cov"))
+    toks.join(covered, Seq("g_id"), "left")
+      .select(col("g_id").as(idCol),
+        concat_ws(" ", filter(col("g_toks"),
+          (_, i) => !array_contains(
+            coalesce(col("g_cov"), array().cast("array<int>")), i)))
+          .as("text_kept"),
+        size(col("g_toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("g_cov")), lit(0)).cast("long").as("n_dropped"))
+  }
+
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String,
                     n: Int = 8): DataFrame = {

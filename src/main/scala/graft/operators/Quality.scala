@@ -192,4 +192,56 @@ object Quality {
         .otherwise(lit(0.0)).as("dup_ngram_char_frac"))
     }}}}}}}}
   }
+
+  /** Hashed-bigram linear quality scorer — fastText-style classifier
+    * INFERENCE as pure column algebra (Joulin et al. 2016, "Bag of Tricks
+    * for Efficient Text Classification"): each token-bigram hashes into one
+    * of `numBuckets` feature buckets, the document margin is the mean
+    * bucket weight, and the score squashes the margin into (0, 1). This is
+    * the model-based quality-filter stage of a training pipeline (CCNet /
+    * LLaMA-style "looks like Wikipedia" scoring) with the same contract as
+    * [[graft.operators.Multimodal]]'s codec: the WEIGHTS are a documented
+    * deterministic stand-in (no trained artifact ships in this sandbox),
+    * the distributed inference plumbing is real — hashing, bucket lookup,
+    * accumulation and squashing are one codegen'd projection, zero
+    * shuffles, scan pruning intact, per-row cost linear in document length.
+    * Swap [[pseudoWeight]] for a `typedLit` weight-vector lookup to serve a
+    * real model.
+    *
+    * Every step is integer arithmetic below 2^53 followed by
+    * exactly-rounded double ops (one division, the rational squash
+    * `m/(1+|m|)` — never libm), so any engine reproduces the score
+    * bit-for-bit: the classifier has a cross-engine oracle, which a
+    * `sigmoid`/`exp` formulation would not.
+    *
+    * Documents with fewer than 2 tokens have no bigram features and score
+    * a neutral 0.5.
+    */
+  def linearScore(text: Column, numBuckets: Int = 4096): Column = {
+    require(numBuckets >= 2, s"need at least 2 feature buckets, got $numBuckets")
+    val M = 2147483647L // 2^31 - 1 (token-hash modulus, poly family)
+    val A = 2654435761L % M // Knuth multiplicative constant, reduced
+    // portable per-token polynomial hash (the polyFingerprint family)
+    val th = transform(TextFunctions.tokens(text), t =>
+      aggregate(split(t, ""), lit(0L), (h, c) => (h * 31L + ascii(c)) % M))
+    let1(th) { hs =>
+      val n = size(hs)
+      // bigram i -> feature bucket in [0, numBuckets)
+      val buckets = transform(sequence(lit(1), n - 1), i =>
+        (element_at(hs, i) * 131L + element_at(hs, i + 1)) % M % numBuckets)
+      // deterministic stand-in weight, integer-valued in [0, M): real
+      // deployments replace this with element_at(typedLit(weights), b+1)
+      def pseudoWeight(b: Column): Column = (b + 1L) * A % M
+      when(n < 2, lit(0.5)).otherwise(let1(buckets) { bs =>
+        // integer accumulation: exact below 2^53 for docs < ~4M tokens
+        val sumW = aggregate(bs, lit(0L), (a, b) => a + pseudoWeight(b))
+        // margin in (-1, 1): mean weight rescaled off its M/2 midpoint
+        val margin =
+          (sumW.cast("double") / size(bs).cast("double")) / lit(M.toDouble) *
+            lit(2.0) - lit(1.0)
+        // rational squash (exactly rounded, unlike exp): (0, 1)
+        lit(0.5) + lit(0.5) * margin / (lit(1.0) + abs(margin))
+      })
+    }
+  }
 }

@@ -78,6 +78,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept == Map("aaa" -> 2L, "bbb" -> 3L))
   }
 
+  test("spanDedup removes exactly the corpus-duplicated k-token windows") {
+    val df = spark.createDataFrame(Seq(
+      // d1/d2 share the 8-gram "a b c d e f g h" at different offsets
+      (1L, "a b c d e f g h i j"),
+      (2L, "x a b c d e f g h z"),
+      (3L, "p q"),                                   // shorter than k: untouched
+      (4L, "m n o p q r s t m n o p q r s t"))).toDF("doc_id", "text") // self-repeat
+    val got = Dedup.spanDedup(df, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("i j", 10L, 8L)))
+    assert(got(2L) == (("x z", 10L, 8L)))
+    assert(got(3L) == (("p q", 2L, 0L)))
+    // windows at offsets 0 and 8 are identical -> every position covered
+    assert(got(4L) == (("", 16L, 16L)))
+  }
+
   test("minhash estimated jaccard tracks exact jaccard on near-dups") {
     val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.8)
     val found = pairs.collect()

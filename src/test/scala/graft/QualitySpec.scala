@@ -99,4 +99,35 @@ class QualitySpec extends AnyFunSuite {
     assert(got(4L) == 1L + 1L)
     assert(got(5L) == 0L)
   }
+
+  test("linearScore matches an independent scalar reimplementation") {
+    val M = 2147483647L
+    val A = 2654435761L % M
+    val D = 4096
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((h, c) => (h * 31L + c.toLong) % M)
+    def expected(text: String): Double = {
+      val th = text.trim.split("\\s+").filter(_.nonEmpty).map(tokHash)
+      if (th.length < 2) 0.5
+      else {
+        val ws = th.sliding(2).map { case Array(a, b) =>
+          val bucket = (a * 131L + b) % M % D
+          (bucket + 1L) * A % M
+        }.toSeq
+        val margin = (ws.sum.toDouble / ws.size) / M.toDouble * 2.0 - 1.0
+        0.5 + 0.5 * margin / (1.0 + math.abs(margin))
+      }
+    }
+    val texts = Seq("the quick brown fox", "hello", "a a a a a a",
+      "Mixed CASE tokens 123 !!", "one two")
+    val df = docsDF(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val got = df.select(col("doc_id"), Quality.linearScore(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == expected(t), s"score mismatch for '$t'")
+    }
+    // scores are probabilities and single-token docs are neutral
+    assert(got.values.forall(s => s > 0.0 && s < 1.0))
+    assert(got(1L) == 0.5)
+  }
 }
