@@ -42,16 +42,43 @@ object Bench {
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (investigation aid;
+    // the driver never sets it, so driver rounds always time the full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // SPARK_GRAFT_BENCH_WARM_ALL=1: warm the FULL set even when ONLY
+    // restricts the timed loop — isolates warm-pass session contamination
+    val warmSet = if (sys.env.contains("SPARK_GRAFT_BENCH_WARM_ALL"))
+      SparkEntry.queries.toSeq.sortBy(_._1) else selected
+    warmSet.foreach { case (_, fn) =>
       try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
+    // Settle the JVM before timing: the warm pass allocates ~100 queries'
+    // worth of plans/broadcasts/codegen classes, and the first major-GC
+    // cycle it provokes otherwise lands INSIDE the first timed queries —
+    // measured as a roaming ~2s outlier (q11 one run, q01 the next) that
+    // min-of-3 cannot remove because the cycle spans all three reps. Two
+    // explicit full GCs here pay that debt outside the timed section, so
+    // per-query numbers measure the query, not the warm pass's garbage.
+    org.apache.spark.sql.graft.ListenerBusUtil.waitUntilEmpty(spark)
+    System.gc(); Thread.sleep(500); System.gc(); Thread.sleep(500)
 
     // best of 3 timed executions per query: single-run numbers on a shared
     // box carry multi-× scheduler/GC outliers (round 3 reported 4× blips on
     // queries that re-measure flat); the min of repeated identical runs
     // measures the query, not the co-tenant noise
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.zipWithIndex.map { case ((name, fn), qIdx) =>
+      // re-settle periodically: the timed loop itself re-accumulates GC
+      // debt (~100 executions' plans/broadcasts), and the resulting major
+      // cycle otherwise lands inside whichever query it strikes — a
+      // roaming outlier that moved (q11 → q01 → q_dedup_exact) across
+      // runs. A bounded number of explicit GCs keeps it out of the
+      // measurements for ~10 s of untimed wall clock.
+      if (qIdx % 12 == 0) { System.gc(); Thread.sleep(200) }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =

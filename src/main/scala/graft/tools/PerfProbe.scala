@@ -31,13 +31,19 @@ object PerfProbe {
     // PROBE_NOOP=1 times the noop-sink full evaluation (what Bench times —
     // includes any final sort, which .count() elides via EliminateSorts)
     val noop = sys.env.contains("PROBE_NOOP")
-    for (i <- 1 to reps) {
+    // PROBE_RAW=1 re-times with every graft rewrite disabled (Bench's
+    // "raw" mode) so a routing decision can be judged engine-vs-raw.
+    def once(): Long =
+      if (noop) { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); -1L }
+      else fn(spark, sfDir).count()
+    def timeIt(tag: String): Unit = for (i <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n =
-        if (noop) { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); -1L }
-        else fn(spark, sfDir).count()
-      println(f"[probe] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      val n = once()
+      println(f"[probe$tag] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
     }
+    timeIt("")
+    if (sys.env.contains("PROBE_RAW"))
+      graft.Graft.withoutRewrites(spark) { timeIt("-raw") }
     spark.stop()
   }
 }
