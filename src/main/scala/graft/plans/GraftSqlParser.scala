@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 /** SQL command entry points, as a parser extension — the reference's
   * `SPLParser` (`hive/sparklinedata/SparklineDataParser.scala:42-124`)
@@ -33,6 +33,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val ExplainRe =
     "(?is)\\s*EXPLAIN\\s+GRAFT\\s+REWRITE\\s+(.+)".r
+  private val CostRe =
+    "(?is)\\s*EXPLAIN\\s+GRAFT\\s+COST\\s+(.+)".r
   private val ShowRe =
     "(?is)\\s*SHOW\\s+GRAFT\\s+CUBES\\s*;?\\s*".r
   private val DescRe =
@@ -58,6 +60,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case ExplainRe(inner) => ExplainGraftRewriteCommand(inner.trim.stripSuffix(";"))
+    case CostRe(inner)    => ExplainGraftCostCommand(inner.trim.stripSuffix(";"))
     case ShowRe()         => ShowGraftCubesCommand()
     case DescRe(name)     => DescribeGraftCubeCommand(name)
     case ClearRe()        => ClearGraftCacheCommand()
@@ -103,6 +106,21 @@ case class ExplainGraftRewriteCommand(sql: String) extends LeafRunnableCommand {
     Seq(AttributeReference("plan", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     graft.Graft.explainRewrite(spark, sql).linesIterator.map(Row(_)).toSeq
+}
+
+/** `EXPLAIN GRAFT COST <sql>` — planned-scan pricing of the rewritten vs
+  * raw route plus the FD-closure cardinality estimate (the reference's
+  * `DruidQueryCostModel` surface; see [[CostReport]]).
+  */
+case class ExplainGraftCostCommand(sql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("section", StringType, nullable = false)(),
+    AttributeReference("route", StringType, nullable = false)(),
+    AttributeReference("source", StringType, nullable = false)(),
+    AttributeReference("files", LongType, nullable = true)(),
+    AttributeReference("est_rows", LongType, nullable = true)(),
+    AttributeReference("est_bytes", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = CostReport.rows(spark, sql)
 }
 
 case class ShowGraftCubesCommand() extends LeafRunnableCommand {

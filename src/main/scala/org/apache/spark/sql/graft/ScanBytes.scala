@@ -57,6 +57,49 @@ object ScanBytes {
     scansOf(df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan)
       .distinct
 
+  /** (file path, mtime) -> footer row count. */
+  private val rowCache = TrieMap.empty[(String, Long), Long]
+
+  private def fileRows(conf: org.apache.hadoop.conf.Configuration,
+                       path: Path, mtime: Long): Long =
+    rowCache.getOrElseUpdate((path.toString, mtime), {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+      try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally reader.close()
+    })
+
+  /** One parquet scan's planned IO: root paths, selected file count, and
+    * footer-measured rows/bytes after static partition pruning + column
+    * pruning. Usable BEFORE execution (the initial AQE plan already
+    * carries the scans); runtime/dynamic pruning is not reflected, so the
+    * figures are the upper bound a cost gate should price.
+    */
+  final case class ScanCost(rootPaths: Seq[String], files: Long,
+                            rows: Long, bytes: Long)
+
+  /** Planned IO of every parquet scan of a (not necessarily executed)
+    * frame — the measured half of `EXPLAIN GRAFT COST`.
+    */
+  def costs(df: DataFrame): Seq[ScanCost] = {
+    val classicDs = df.asInstanceOf[classic.Dataset[_]]
+    val conf = classicDs.sparkSession.sessionState.newHadoopConf()
+    scans(df).map { scan =>
+      val cols = scan.requiredSchema.fieldNames.map(_.toLowerCase).toSet
+      val files = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+        .flatMap(_.files)
+      val (rows, bytes) = files.foldLeft((0L, 0L)) { case ((r, b), f) =>
+        try {
+          val cb = columnBytes(conf, f.getPath, f.getModificationTime)
+            .filter { case (c, _) => cols.contains(c) }.values.sum
+          (r + fileRows(conf, f.getPath, f.getModificationTime), b + cb)
+        } catch { case _: Throwable => (r, b) }
+      }
+      ScanCost(scan.relation.location.rootPaths.map(_.toString),
+        files.length.toLong, rows, bytes)
+    }
+  }
+
   /** Bytes the frame's parquet scans must read, post partition- and
     * column-pruning. Call AFTER executing the frame so AQE's final plan
     * (with reused/materialized stages) is in place.

@@ -62,6 +62,7 @@ class StreamingSpec extends AnyFunSuite {
         Quality.meanWordLength(col("_2")).as("mwl"),
         Quality.alphaWordRatio(col("_2")).as("awr"),
         Quality.ngramRepetitionCols(col("_2"), n = 2).as("rep"),
+        Quality.linearScore(col("_2")).as("model_score"),
         TextFunctions.fingerprint(col("_2")).as("fp"))
     val stream = MemoryStream[(Long, String)]
     val q = pipeline(stream.toDF())
