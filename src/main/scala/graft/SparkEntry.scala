@@ -793,6 +793,29 @@ object SparkEntry {
          |SELECT node AS doc_id, min(lbl) AS cluster_rep
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin
 
+    /** Leakage-safe split restatement: the same cluster CTE, split hash
+      * keyed on `coalesce(cluster representative, doc_id)`.
+      */
+    private val splitLeakageOracle: String =
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct($shingleSql) s FROM toks),
+         |pairs AS (SELECT a.doc_id AS idA, b.doc_id AS idB
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8),
+         |edges AS (SELECT idA AS a, idB AS b FROM pairs
+         |          UNION SELECT idB AS a, idA AS b FROM pairs),
+         |cc AS (
+         |  SELECT DISTINCT a AS node, a AS lbl FROM edges
+         |  UNION
+         |  SELECT e.a AS node, c.lbl AS lbl FROM edges e JOIN cc c ON e.b = c.node),
+         |reps AS (SELECT node, min(lbl) AS rep FROM cc GROUP BY node)
+         |SELECT d.doc_id,
+         |  ${graft.operators.Sampling.assignSplitSql("coalesce(r.rep, d.doc_id)",
+             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), 11)} AS split
+         |FROM documents d LEFT JOIN reps r ON r.node = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+
     private val corpusDedupOracle: String =
       s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
          |sh AS (SELECT doc_id, list_distinct($shingleSql) s FROM toks),
@@ -1563,6 +1586,17 @@ object SparkEntry {
           .agg(count(lit(1)).as("cnt"))
           .orderBy("split", "lang")
       },
+      // leakage-safe split: near-dup cluster members share one split (the
+      // split hash keys on the cluster representative, not the document)
+      "q_split_leakage" -> { (s, dir) =>
+        val clusters = Dedup.connectedComponents(
+          ngramPairsIndex(s, dir), "idA", "idB")
+        Sampling.leakageSafeSplit(Tables.t(s, dir, "documents"), "doc_id",
+            clusters, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            salt = 11)
+          .select("doc_id", "split")
+          .orderBy("doc_id")
+      },
       "q_mix_weighted" -> { (s, dir) =>
         val docs = Tables.t(s, dir, "documents")
         graft.operators.Sampling.weightedMix(
@@ -1835,6 +1869,7 @@ object SparkEntry {
       "q_dedup_minhash" -> ngramPairsOracle,
       "q_dedup_clusters" -> dedupClustersOracle,
       "q_corpus_dedup" -> corpusDedupOracle,
+      "q_split_leakage" -> splitLeakageOracle,
       "q_sim_topk" -> simTopkOracle,
       "q_events_window" ->
         s"""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,

@@ -128,6 +128,29 @@ object Sampling {
     s"CASE $whens ELSE '${weights.last._1}' END"
   }
 
+  /** Leakage-safe train/val/test split: every member of a near-duplicate
+    * cluster lands in the SAME split. Splitting by document id leaks
+    * near-duplicates across the train/eval boundary (the eval-inflation
+    * failure Lee et al. 2022 §6 measure); keying the split hash on the
+    * cluster REPRESENTATIVE (own id when unclustered) makes the boundary
+    * respect duplicate structure while staying deterministic and
+    * append-stable like [[assignSplit]].
+    *
+    * `clusters` is [[Dedup.connectedComponents]] output — (node,
+    * component) pairs, one row per clustered document. It is proportional
+    * to the DUPLICATE count, orders of magnitude smaller than the corpus,
+    * so the lookup broadcasts; the corpus side flows through unshuffled.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       weights: Seq[(String, Double)],
+                       salt: Long = 0L): DataFrame = {
+    val reps = clusters.select(col("node").as("g_n"), col("component").as("g_rep"))
+    df.join(broadcast(reps), df(idCol) === col("g_n"), "left")
+      .withColumn("split",
+        assignSplit(coalesce(col("g_rep"), col(idCol)), weights, salt))
+      .drop("g_n", "g_rep")
+  }
+
   /** Deterministic weighted mix of corpora: each source is hash-sampled at
     * its own rate and tagged with its name — the "data mixture" step of a
     * training pipeline (e.g. 50% web, 30% code, 20% books), reproducible

@@ -36,6 +36,26 @@ class SamplingCorpusProfileSpec extends AnyFunSuite {
     assert(smaller.subsetOf(ids1))
   }
 
+  test("leakageSafeSplit keeps near-dup cluster members in one split") {
+    val df = spark.createDataFrame(
+      (1L to 8L).map(i => (i, s"doc $i"))).toDF("doc_id", "text")
+    // two clusters: {1,2} rep 1, {5,6} rep 5 (connectedComponents shape)
+    val clusters = spark.createDataFrame(Seq(
+      (1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))).toDF("node", "component")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.leakageSafeSplit(df, "doc_id", clusters, w, salt = 11)
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 8)
+    assert(got(1L) == got(2L) && got(5L) == got(6L))
+    // clustered docs take the REP's hash; unclustered take their own
+    val ofKey = df.select(col("doc_id"),
+        Sampling.assignSplit(col("doc_id"), w, salt = 11).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(2L) == ofKey(1L) && got(6L) == ofKey(5L))
+    assert(Seq(3L, 4L, 7L, 8L).forall(i => got(i) == ofKey(i)))
+  }
+
   test("stratifiedSample applies per-stratum rates") {
     val out = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
       Map("zh" -> 1.0, "en" -> 0.0), defaultFraction = 0.5, salt = 1)
