@@ -280,6 +280,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("span dedup joins hash-keyed with no cartesian and bounded exchanges") {
+    withAqeOff {
+      val plan = qe("q_span_dedup").executedPlan
+      val cartesian = plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(cartesian.isEmpty, "window matching must equi-join on the hash")
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // window-count agg + covered-per-doc agg + final sort, plus up to
+      // three scan-parallelism rebalances — never a per-pair blowup
+      assert(shuffles.size <= 6,
+        s"span dedup must shuffle only hash keys, got ${shuffles.size} exchanges")
+    }
+  }
+
   test("selective dim filter injects a runtime bloom filter on the fact side") {
     // the non-star fallback path at 100 TB: when a join does NOT collapse
     // into the cube, a selective dimension predicate must still reach the
