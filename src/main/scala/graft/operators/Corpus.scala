@@ -58,7 +58,11 @@ object Corpus {
     */
   def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol)
-    val df_ = vocabulary(docs, idCol, textCol).select("term", "df")
+    // df derives from the SAME tf frame (each (doc, term) row counts once)
+    // rather than from a second vocabulary() pass: the df branch's subplan
+    // then contains tf's aggregate verbatim, so Spark's ReusedExchange
+    // runs the corpus tokenize/explode/shuffle once for both branches
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     tf.join(broadcast(df_), Seq("term"))
       .crossJoin(broadcast(n))
