@@ -249,6 +249,96 @@ object Dedup {
 
   private val buildLock = new Object
 
+  /** Near-duplicate pairs INVOLVING newly-ingested documents only — the
+    * incremental counterpart of [[ngramJaccardDupPairs]] (output is its
+    * subset with at least one side satisfying `isNew`). The full-corpus
+    * index then refreshes as `existing ∪ delta`: ingest cost is
+    * proportional to the NEW data, not to history — the same refresh
+    * economics [[graft.cube.CubeRefresh]] gives the cube layer, extended
+    * to the dedup index artifact.
+    *
+    * Shape at scale: the new docs' distinct shingle-hash set is small
+    * (one day's ingest vs years of corpus) and broadcasts; the old corpus
+    * side is semi-joined against it BEFORE the posting-list shuffle, so
+    * the shuffle carries only shingles some new document actually has.
+    * Jaccard stays exact for every emitted pair: a (new, old) pair's
+    * common shingles are all shingles of the new side — none are pruned —
+    * and full set sizes travel in the packing.
+    */
+  def ngramJaccardDupPairsDelta(df: DataFrame, idCol: String, textCol: String,
+                                isNew: Column, threshold: Double,
+                                shingleK: Int = 3,
+                                maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("g_id"),
+      isNew.cast("boolean").as("g_isnew"),
+      org.apache.spark.sql.graft.NativeTextExprs
+        .shingleHashSet(tokens(col(textCol)), shingleK).as("g_sh"))
+    val newShingles = sh.filter(col("g_isnew"))
+      .select(explode(col("g_sh")).as("g_shingle")).distinct()
+    val inv = sh.select(col("g_id"), col("g_isnew"),
+        size(col("g_sh")).as("g_sz"), explode(col("g_sh")).as("g_shingle"))
+      .join(broadcast(newShingles), "g_shingle")
+    // packing as in ngramJaccardDupPairs plus a newness bit between the id
+    // and the size: id-major ordering (pair orientation) is preserved
+    val SzBits = 20
+    val packed = inv.select(col("g_shingle"),
+      (col("g_id") * (1L << (SzBits + 1)) +
+        col("g_isnew").cast("long") * (1L << SzBits) + col("g_sz")).as("g_doc"))
+    val postings = packed.groupBy("g_shingle")
+      .agg(collect_list(col("g_doc")).as("g_docs"))
+    val capped = maxShingleDf match {
+      case None      => postings
+      case Some(cap) => postings.filter(size(col("g_docs")) <= cap)
+    }
+    def unpackId(x: Column) = call_function("shiftright", x, lit(SzBits + 1))
+    def unpackNew(x: Column) =
+      call_function("shiftright", x, lit(SzBits)).bitwiseAND(1L)
+    def unpackSz(x: Column) = x.bitwiseAND((1L << SzBits) - 1)
+    val pairs = capped
+      .filter(size(col("g_docs")) >= 2)
+      .select(explode(let1(col("g_docs")) { docs =>
+        flatten(transform(docs, (a, i) =>
+          transform(
+            filter(slice(docs, i + 2, greatest(size(docs) - i - 1, lit(0))),
+              b => (unpackNew(a) + unpackNew(b) >= 1) &&
+                least(unpackSz(a), unpackSz(b)).cast("double") >=
+                  greatest(unpackSz(a), unpackSz(b)) * threshold),
+            b => struct(least(a, b).as("pA"), greatest(a, b).as("pB")))))
+      }).as("g_p"))
+      .select(
+        unpackId(col("g_p.pA")).as("idA"), unpackId(col("g_p.pB")).as("idB"),
+        unpackSz(col("g_p.pA")).as("g_szA"), unpackSz(col("g_p.pB")).as("g_szB"))
+    pairs
+      .groupBy("idA", "idB", "g_szA", "g_szB")
+      .agg(count(lit(1)).as("g_common"))
+      .select(col("idA"), col("idB"),
+        (col("g_common").cast("double") /
+          (col("g_szA") + col("g_szB") - col("g_common")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Bring a materialized pair index ([[materializedNgramPairs]]) up to
+    * date after the corpus grew: computes the delta pairs for documents
+    * satisfying `isNew` and APPENDS them to the artifact — history is
+    * never re-shingled, matching [[graft.cube.CubeRefresh]]'s
+    * dirty-slice-only economics. The caller owns refresh bookkeeping
+    * exactly as it owns the path identity: `isNew` must select documents
+    * not covered by any earlier build or refresh of this path (re-running
+    * with the same `isNew` would append the same pairs twice).
+    */
+  def refreshNgramPairs(df: DataFrame, idCol: String, textCol: String,
+                        isNew: Column, threshold: Double,
+                        path: String): DataFrame = {
+    val spark = df.sparkSession
+    buildLock.synchronized {
+      require(new java.io.File(path, "_SUCCESS").exists(),
+        s"no pair index at $path — build with materializedNgramPairs first")
+      ngramJaccardDupPairsDelta(df, idCol, textCol, isNew, threshold)
+        .write.mode("append").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
   /** SimHash near-duplicate pairs: 64-bit SimHash per doc, candidates share
     * at least one of the four 16-bit blocks (guaranteeing recall for
     * Hamming distance <= 3 by pigeonhole), verified by exact Hamming

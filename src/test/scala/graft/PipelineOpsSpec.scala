@@ -95,6 +95,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(4L) == (("", 16L, 16L)))
   }
 
+  test("delta pairs + old index reconstruct the full pair index exactly") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val old = docs.filter(col("doc_id") < 400)
+    val isNew = col("doc_id") >= 400
+    val full = pairSet(Dedup.ngramJaccardDupPairs(docs, "doc_id", "text", 0.8))
+    val oldPairs = pairSet(Dedup.ngramJaccardDupPairs(old, "doc_id", "text", 0.8))
+    val delta = pairSet(
+      Dedup.ngramJaccardDupPairsDelta(docs, "doc_id", "text", isNew, 0.8))
+    assert(delta.forall { case (a, b, _) => a >= 400 || b >= 400 },
+      "delta must only contain pairs involving a new document")
+    assert((oldPairs & delta).isEmpty)
+    assert(oldPairs ++ delta == full,
+      s"missing ${full -- oldPairs -- delta}, extra ${(oldPairs ++ delta) -- full}")
+
+    // materialized refresh: build on the old corpus, append the delta,
+    // the artifact then serves the full index
+    val path = java.nio.file.Files
+      .createTempDirectory("pairs_refresh").resolve("idx").toString
+    Dedup.materializedNgramPairs(old, "doc_id", "text", 0.8, path)
+    val refreshed = Dedup.refreshNgramPairs(docs, "doc_id", "text",
+      isNew, 0.8, path)
+    assert(pairSet(refreshed.select("idA", "idB", "jaccard")) == full)
+  }
+
   test("minhash estimated jaccard tracks exact jaccard on near-dups") {
     val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.8)
     val found = pairs.collect()
