@@ -613,16 +613,30 @@ object Dedup {
     */
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 8, minCount: Int = 2): DataFrame = {
-    require(k >= 1, s"window must be at least 1 token, got $k")
     require(minCount >= 2, s"minCount below 2 would delete everything, got $minCount")
-    val toks = docs.select(col(idCol).as("g_id"),
+    val toks = spanToks(docs, idCol, textCol)
+    val kgrams = spanKgrams(toks, k)
+    val dup = kgrams.groupBy("g_h")
+      .agg(count(lit(1)).as("g_cnt"))
+      .filter(col("g_cnt") >= minCount)
+      .select("g_h")
+    spanApply(toks, kgrams, dup, k, idCol)
+  }
+
+  private def spanToks(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    docs.select(col(idCol).as("g_id"),
       graft.functions.TextFunctions.tokens(col(textCol)).as("g_toks"))
-    // (doc, 0-based window start, window hash); slice() is 1-based. The
-    // window key is xxhash64 over the ARRAY of per-token xxhash64 values:
-    // each token's characters are hashed once per scan and every window
-    // re-hashes just k longs, vs. ~k× string building + full re-hashing
-    // for a concat-the-window key (measured 1.6 → 1.1 s at sf0.1).
-    val kgrams = toks
+
+  /** (doc, 0-based window start, window hash); slice() is 1-based. The
+    * window key is xxhash64 over the ARRAY of per-token xxhash64 values:
+    * each token's characters are hashed once per scan and every window
+    * re-hashes just k longs, vs. ~k× string building + full re-hashing
+    * for a concat-the-window key (measured 1.6 → 1.1 s at sf0.1).
+    */
+  private def spanKgrams(toks: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"window must be at least 1 token, got $k")
+    toks
       .filter(size(col("g_toks")) >= k)
       .select(col("g_id"),
         posexplode(graft.functions.TextFunctions.let1(
@@ -631,10 +645,11 @@ object Dedup {
             sequence(lit(1), size(th) - lit(k - 1)),
             i => xxhash64(slice(th, i, lit(k))))
         }).as(Seq("g_pos", "g_h")))
-    val dup = kgrams.groupBy("g_h")
-      .agg(count(lit(1)).as("g_cnt"))
-      .filter(col("g_cnt") >= minCount)
-      .select("g_h")
+  }
+
+  /** Delete the positions covered by `dup`-keyed windows and rebuild. */
+  private def spanApply(toks: DataFrame, kgrams: DataFrame, dup: DataFrame,
+                        k: Int, idCol: String): DataFrame = {
     val covered = kgrams.join(dup, "g_h")
       .select(col("g_id"),
         explode(sequence(col("g_pos"), col("g_pos") + lit(k - 1))).as("g_cpos"))
@@ -653,6 +668,43 @@ object Dedup {
         keptText.as("text_kept"),
         size(col("g_toks")).cast("long").as("n_tokens"),
         coalesce(size(col("g_cov")), lit(0)).cast("long").as("n_dropped"))
+  }
+
+  /** Append one batch's window-hash COUNT PARTIALS to an on-disk store —
+    * the incremental/streaming face of [[spanDedup]]'s first pass. Counts
+    * are mergeable partial sums (`sum` over appended files ≡ one global
+    * count), the same append-only algebra
+    * [[graft.streaming.EventPipeline.rollupIngest]] uses for the cube
+    * lattice; wire it per-microbatch through `writeStream.foreachBatch`.
+    * Each batch writes its pre-aggregated (hash, cnt) rows — shuffle
+    * bounded by the batch's distinct windows, never by history.
+    */
+  def spanCountsIngest(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, destDir: String): Unit = {
+    spanKgrams(spanToks(docs, idCol, textCol), k)
+      .groupBy("g_h").agg(count(lit(1)).as("g_cnt"))
+      .write.mode("append").parquet(destDir)
+    ()
+  }
+
+  /** [[spanDedup]] against an ingested count store instead of an inline
+    * count pass: windows duplicated ACROSS THE WHOLE INGEST HISTORY are
+    * deleted, so a late re-ingest of boilerplate already seen months ago
+    * still scrubs it — the store is the corpus memory a pure per-batch
+    * pass cannot have. Serving merges the partials (sum per hash) and
+    * proceeds exactly like the batch operator.
+    */
+  def spanDedupServe(docs: DataFrame, idCol: String, textCol: String,
+                     countsDir: String, k: Int = 8,
+                     minCount: Int = 2): DataFrame = {
+    require(minCount >= 2, s"minCount below 2 would delete everything, got $minCount")
+    val toks = spanToks(docs, idCol, textCol)
+    val kgrams = spanKgrams(toks, k)
+    val dup = docs.sparkSession.read.parquet(countsDir)
+      .groupBy("g_h").agg(sum(col("g_cnt")).as("g_cnt"))
+      .filter(col("g_cnt") >= minCount)
+      .select("g_h")
+    spanApply(toks, kgrams, dup, k, idCol)
   }
 
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,

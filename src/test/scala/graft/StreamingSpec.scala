@@ -40,6 +40,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed span-count ingest serves span dedup equal to the batch pass") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    import graft.operators.Dedup
+    // the duplicated 8-gram spans batch 1 (docs 1,2) and batch 2 (doc 3):
+    // only a store with cross-batch memory can see the duplication
+    val b1 = Seq((1L, "a b c d e f g h i j"), (2L, "p q r s t u v w x y"))
+    val b2 = Seq((3L, "z a b c d e f g h w"), (4L, "one two"))
+    val dir = java.nio.file.Files.createTempDirectory("span_counts")
+    val counts = dir.resolve("counts").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Dedup.spanCountsIngest(batch, "doc_id", "text", k = 8, counts)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    val served = rows(Dedup.spanDedupServe(all, "doc_id", "text", counts, k = 8))
+    val batch = rows(Dedup.spanDedup(all, "doc_id", "text", k = 8))
+    assert(served == batch)
+    // and the cross-batch duplicate really was caught
+    assert(served.exists { case (id, _, dropped) => id == 3L && dropped == 8L })
+  }
+
   test("text quality pipeline runs unchanged on a stream and matches batch") {
     // the corpus-ingest shape at 100 TB: quality scoring, language ID and
     // fingerprinting are pure codegen projections, so the SAME column
