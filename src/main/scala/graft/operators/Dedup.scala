@@ -687,6 +687,33 @@ object Dedup {
     ()
   }
 
+  /** Compact the span-count store: merge all appended partials into one
+    * (hash, total) row each and atomically swap the directory — serve
+    * cost stays proportional to distinct windows instead of growing with
+    * every ingested batch (the pipeline-layer twin of
+    * [[graft.streaming.EventPipeline.compactPartials]]). Write-then-swap
+    * because the store is unpartitioned (no partition column to
+    * dynamic-overwrite); on a production filesystem the rename is the
+    * same atomic-promote used for any staged output. Callers serialize
+    * compaction against ingest, as with every artifact refresh here.
+    * Returns the number of distinct windows retained.
+    */
+  def spanCountsCompact(spark: org.apache.spark.sql.SparkSession,
+                        destDir: String): Long = {
+    val tmp = destDir.stripSuffix("/") + ".compacting"
+    spark.read.parquet(destDir)
+      .groupBy("g_h").agg(sum(col("g_cnt")).as("g_cnt"))
+      .write.mode("overwrite").parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(destDir))
+    require(new java.io.File(tmp).renameTo(new java.io.File(destDir)),
+      s"could not promote compacted store $tmp -> $destDir")
+    org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+    spark.read.parquet(destDir).count()
+  }
+
   /** [[spanDedup]] against an ingested count store instead of an inline
     * count pass: windows duplicated ACROSS THE WHOLE INGEST HISTORY are
     * deleted, so a late re-ingest of boilerplate already seen months ago

@@ -72,6 +72,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(served == batch)
     // and the cross-batch duplicate really was caught
     assert(served.exists { case (id, _, dropped) => id == 3L && dropped == 8L })
+    // compaction merges the two batches' partials and serves identically
+    def parquetFiles() = Option(new java.io.File(counts).listFiles())
+      .toSeq.flatten.count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    Dedup.spanCountsCompact(spark, counts)
+    assert(parquetFiles() < before, "compaction must shrink the file count")
+    assert(rows(Dedup.spanDedupServe(all, "doc_id", "text", counts, k = 8)) == batch)
   }
 
   test("text quality pipeline runs unchanged on a stream and matches batch") {
