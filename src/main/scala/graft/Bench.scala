@@ -71,6 +71,10 @@ object Bench {
     // queries that re-measure flat); the min of repeated identical runs
     // measures the query, not the co-tenant noise
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // driver rounds only keep the tail of stdout, so a failed query's
+    // exception would be unrecoverable next session — persist every failure
+    // (name + first stack frames) to a file that survives the round
+    val failLog = new StringBuilder
     val results = selected.zipWithIndex.map { case ((name, fn), qIdx) =>
       // re-settle periodically: the timed loop itself re-accumulates GC
       // debt (~100 executions' plans/broadcasts), and the resulting major
@@ -84,12 +88,20 @@ object Bench {
         val ok =
           try { exec(fn(spark, sfDir)); true }
           catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failLog.append(s"$name: $e\n")
+            e.getStackTrace.take(8).foreach(f => failLog.append(s"    at $f\n"))
+            false
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val anyFail = times.exists(!_._2)
       (name, times.filter(_._2).map(_._1).minOption.getOrElse(0.0), !anyFail)
+    }
+    if (failLog.nonEmpty) {
+      new java.io.File("target").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_failures.log"), failLog.toString)
     }
     // a failed query must not pass as a fast success: report it as negative
     // time and list it under "failed".

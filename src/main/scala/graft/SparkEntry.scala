@@ -666,6 +666,51 @@ object SparkEntry {
         Similarity.trainKmeansCentroids(
           Tables.t(s, dir, "embeddings"), "embedding", k = 16, iters = 3))
 
+    /** DuckDB restatement of `q_ann_kmeans`, buildable only after training
+      * ran: the Lloyd iterations are deterministic but seed by xxhash64
+      * order, which has no SQL restatement — so the TRAINED centroids are
+      * inlined as double literals (shortest-round-trip formatting, which
+      * both engines parse back to the identical bits). Verify executes
+      * every query before dumping `oracleSql`, so the memo holds exactly
+      * the centroids of the run's sf dir. Everything downstream — nprobe
+      * centroid choice, argmin bucket assignment (first-min tie-break),
+      * exact cosine rerank — is replayed in SQL, so the IVF approximation
+      * itself is differentially verified instead of rows-only. Emitted
+      * only when the memo is unambiguous (exactly one trained dir).
+      */
+    def annKmeansOracle: Option[(String, String)] =
+      (if (kmeansMemo.size == 1) kmeansMemo.values.headOption else None)
+        .map { cents =>
+          val rows = cents.zipWithIndex
+            .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
+            .mkString(",\n  ")
+          "q_ann_kmeans" ->
+            s"""WITH cents(cid, cv) AS (VALUES
+               |  $rows),
+               |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+               |probed AS (SELECT cid FROM cents, q
+               |  ORDER BY ${sqDistSql("q.qvec", "cv")}, cid LIMIT 3),
+               |d AS (SELECT e.vec_id, e.embedding, c.cid,
+               |    ${sqDistSql("e.embedding", "c.cv")} AS dist
+               |  FROM embeddings e CROSS JOIN cents c),
+               |a AS (SELECT vec_id, embedding, cid,
+               |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               |  FROM d),
+               |sel AS (SELECT vec_id, embedding FROM a
+               |  WHERE rn = 1 AND cid IN (SELECT cid FROM probed))
+               |SELECT s.vec_id, ${cosineSql("s.embedding", "q.qvec")} AS cosine
+               |FROM sel s, q
+               |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+        }
+
+    /** [[graft.operators.Vectors.sqDist]] restated: the sequential
+      * `acc + (a_i-b_i)^2` fold equals DuckDB's in-order list_sum.
+      */
+    private def sqDistSql(a: String, b: String): String =
+      s"""list_sum(list_transform(generate_series(1, len($a)),
+         |  i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+         |       (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
+
     /** Materialized n-gram near-dup pair index over `documents` — see
       * [[graft.operators.Dedup.materializedNgramPairs]].
       */
@@ -2412,7 +2457,8 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = StarQueries.all ++ ScalarQueries.all ++
-    CompatQueries.oracles ++ PipelineQueries.oracles ++ Map(
+    CompatQueries.oracles ++ PipelineQueries.oracles ++
+    PipelineQueries.annKmeansOracle ++ Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,

@@ -84,29 +84,52 @@ object Tables {
     * file lists). Driver testdata never changes; mutable-source workflows
     * (e.g. [[graft.cube.CubeRefresh]] specs) do.
     */
-  def invalidateCache(): Unit = tableCache.clear()
+  def invalidateCache(): Unit = { tableCache.clear(); eventsCache.clear() }
 
   /** The `events` table. Driver generations have varied the parquet type of
-    * `ts`: TIMESTAMP(NANOS) (which Spark refuses by default — read as long
-    * via `nanosAsLong` and truncate to micros, exactly what DuckDB's reader
-    * does) vs plain TIMESTAMP(MICROS) (read natively). Adapt to whichever
-    * this dataset carries instead of assuming one.
+    * `ts` round to round: TIMESTAMP(NANOS) (which Spark refuses by default —
+    * read as long via `nanosAsLong` and truncate to micros, exactly what
+    * DuckDB's reader does), plain TIMESTAMP(MICROS) (read natively),
+    * NTZ-annotated micros, and in round 6 an encoding that made every
+    * events-touching query fail in both Verify and Bench. Adapt to whichever
+    * this dataset carries instead of assuming one: for raw INT64 the epoch
+    * unit is sniffed from the magnitude of one sampled value (epoch-now is
+    * ~1.7e9 s / 1.7e12 ms / 1.7e15 us / 1.7e18 ns — four decades apart, so
+    * the decode is unambiguous for any timestamp within ±200 years), and
+    * string/date columns are parsed/cast. The converted frame is memoized
+    * per (session, path) because the sniff costs one tiny job.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = t(spark, sfDir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        // parquet TIMESTAMP(isAdjustedToUTC=false) infers as NTZ in Spark 4;
-        // the engine's time functions (unix_millis, session_window, interval
-        // pruning) want TIMESTAMP. Session TZ is pinned UTC everywhere, so
-        // the cast keeps the same wall-clock instants DuckDB sees.
-        df.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => df
-    }
-  }
+  private val eventsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    eventsCache.getOrElseUpdate((spark, path(sfDir, "events")), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = t(spark, sfDir, "events")
+      import org.apache.spark.sql.types._
+      df.schema("ts").dataType match {
+        case LongType =>
+          val sample = df.select(max(abs(col("ts")))).head()
+          val mag = if (sample.isNullAt(0)) 0L else sample.getLong(0)
+          val toMicros =
+            if (mag > 100000000000000000L) "ts div 1000"  // nanos
+            else if (mag > 100000000000000L) "ts"          // micros
+            else if (mag > 100000000000L) "ts * 1000"      // millis
+            else "ts * 1000000"                            // seconds
+          df.withColumn("ts", expr(s"timestamp_micros($toMicros)"))
+        case TimestampNTZType =>
+          // parquet TIMESTAMP(isAdjustedToUTC=false) infers as NTZ in Spark 4;
+          // the engine's time functions (unix_millis, session_window, interval
+          // pruning) want TIMESTAMP. Session TZ is pinned UTC everywhere, so
+          // the cast keeps the same wall-clock instants DuckDB sees.
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case StringType =>
+          df.withColumn("ts", to_timestamp(col("ts")))
+        case DateType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    })
 
   /** Exact, order-independent sum of a double column: route through a wide
     * decimal so Spark and any ANSI-SQL oracle (DuckDB) produce bit-identical

@@ -15,6 +15,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = new StringBuilder
     SparkEntry.queries.foreach { case (name, fn) =>
       // drop any stale dump first so a failed query can't masquerade as a
       // (wrong) result from an earlier run
@@ -29,7 +30,15 @@ object Verify {
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // driver rounds keep only a tail of the output — persist failures
+        // (with stack) to a file that survives into the next session
+        failures.append(s"$name: $e\n")
+        e.getStackTrace.take(8).foreach(f => failures.append(s"    at $f\n"))
       }
+    }
+    if (failures.nonEmpty) {
+      new java.io.File("target").mkdirs()
+      Files.writeString(Paths.get("target/verify_failures.log"), failures.toString)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
