@@ -652,7 +652,7 @@ object SparkEntry {
     */
   object PipelineQueries {
     import graft.functions.TextFunctions._
-    import graft.operators.{Corpus, Dedup, Profile, Quality, Sampling, Similarity, Vectors}
+    import graft.operators.{Bpe, Corpus, Dedup, Profile, Quality, Sampling, Similarity, Vectors}
 
     private def dec(expr: String) = s"CAST(sum(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
 
@@ -710,6 +710,48 @@ object SparkEntry {
       s"""list_sum(list_transform(generate_series(1, len($a)),
          |  i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
          |       (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
+
+    /** Learned BPE merge table per sf dir — tokenizer-training ETL,
+      * deterministic, so the memo never changes a result.
+      */
+    private val bpeMemo =
+      scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+    def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+      bpeMemo.getOrElseUpdate(dir,
+        Bpe.learnMerges(Tables.t(s, dir, "documents"), "text",
+          nMerges = 24, minFreq = 2))
+
+    /** DuckDB restatement of `q_bpe_encode`, buildable only after training
+      * ran (same pattern as [[annKmeansOracle]]): the learned merges are
+      * inlined and the ENTIRE encode — per-char symbolize, sentinel
+      * prefixes, the rank-ordered `replace` chain — replays in SQL, so the
+      * whole tokenization (not just counts) is hash-verified. Possible
+      * because both engines' `replace` is left-to-right non-overlapping,
+      * which IS BPE's greedy merge order.
+      */
+    def bpeOracle: Option[(String, String)] =
+      (if (bpeMemo.size == 1) bpeMemo.values.headOption else None)
+        .map { merges =>
+          val s = Bpe.S
+          def esc(x: String) = x.replace("'", "''")
+          val chain = merges.foldLeft("sym") { case (acc, (l, r)) =>
+            s"replace($acc, '$s${esc(l)} $s${esc(r)}', '$s${esc(l)}${esc(r)}')"
+          }
+          "q_bpe_encode" ->
+            s"""WITH t AS (SELECT doc_id,
+               |    string_split_regex(lower(trim(replace(text, '$s', ''))), '\\s+') AS toks
+               |  FROM documents WHERE doc_id < 100),
+               |sy AS (SELECT doc_id,
+               |    CASE WHEN len(toks) = 1 AND toks[1] = '' THEN ''
+               |    ELSE array_to_string(list_transform(toks, w ->
+               |      array_to_string(list_transform(regexp_split_to_array(w, ''),
+               |        c -> '$s' || c), ' ') || ' $s</w>'), ' ') END AS sym
+               |  FROM t),
+               |e AS (SELECT doc_id, $chain AS bpe_sym FROM sy)
+               |SELECT doc_id, bpe_sym,
+               |  CAST(length(bpe_sym) - length(replace(bpe_sym, '$s', '')) AS BIGINT) AS n_bpe
+               |FROM e ORDER BY doc_id""".stripMargin
+        }
 
     /** Materialized n-gram near-dup pair index over `documents` — see
       * [[graft.operators.Dedup.materializedNgramPairs]].
@@ -817,6 +859,26 @@ object SparkEntry {
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
          |      CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8
          |ORDER BY idA, idB""".stripMargin
+
+    /** Containment restated all-pairs: `|A∩B| / min(|A|,|B|)`, quote side =
+      * the size-smaller document (ties: smaller id) — the independent
+      * check of [[graft.operators.Dedup.ngramContainmentPairs]]'s inverted
+      * index (at oracle scale no shingle exceeds the df cap, so the index
+      * path is exact).
+      */
+    private val containmentOracle: String =
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct($shingleSql) s FROM toks),
+         |p AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+         |    len(a.s) AS szA, len(b.s) AS szB,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    CAST(least(len(a.s), len(b.s)) AS DOUBLE) AS containment
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT CASE WHEN szA <= szB THEN idA ELSE idB END AS quoteId,
+         |  CASE WHEN szA <= szB THEN idB ELSE idA END AS containerId,
+         |  containment
+         |FROM p WHERE containment >= 0.9
+         |ORDER BY quoteId, containerId""".stripMargin
 
     /** Duplicate clusters from the exact n-gram pairs: transitive closure by
       * a recursive CTE (min reachable id per node) — the independent
@@ -1033,6 +1095,13 @@ object SparkEntry {
         Dedup.ngramJaccardDupPairs(Tables.t(s, dir, "documents"),
             "doc_id", "text", threshold = 0.8)
           .orderBy("idA", "idB")
+      },
+      // asymmetric containment (quote detection): smaller doc's shingles
+      // mostly inside the larger — the pairs symmetric Jaccard misses
+      "q_dedup_containment" -> { (s, dir) =>
+        Dedup.ngramContainmentPairs(Tables.t(s, dir, "documents"),
+            "doc_id", "text", threshold = 0.9)
+          .orderBy("quoteId", "containerId")
       },
       "q_dedup_minhash" -> { (s, dir) =>
         Dedup.minhashDupPairs(Tables.t(s, dir, "documents"),
@@ -1631,6 +1700,15 @@ object SparkEntry {
           .agg(count(lit(1)).as("cnt"))
           .orderBy("split", "lang")
       },
+      // quality-weighted sampling: keep probability = the document's
+      // lexical-diversity score — deterministic in the key, scan-pushable,
+      // bit-equal across engines (explicit floor; see importanceSample)
+      "q_sample_importance" -> { (s, dir) =>
+        Sampling.importanceSample(Tables.t(s, dir, "documents"),
+            col("doc_id"), distinctTokenRatio(col("text")), salt = 19)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
       // leakage-safe split: near-dup cluster members share one split (the
       // split hash keys on the cluster representative, not the document)
       "q_split_leakage" -> { (s, dir) =>
@@ -1659,6 +1737,19 @@ object SparkEntry {
         Corpus.vocabulary(Tables.t(s, dir, "documents"), "doc_id", "text")
           .orderBy(col("tf").desc, col("term"))
           .limit(25)
+      },
+      // distributed BPE: merges learned over the full corpus (one
+      // corpus-scale shuffle, then vocabulary-sized iterations — memoized
+      // index-build ETL like the k-means centroids), then the encode — a
+      // codegen'd replace chain, no shuffle — replayed verbatim by the
+      // oracle over the inlined merge table
+      "q_bpe_encode" -> { (s, dir) =>
+        val m = bpeMerges(s, dir)
+        Tables.t(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), Bpe.encode(col("text"), m).as("bpe_sym"))
+          .select(col("doc_id"), col("bpe_sym"),
+            Bpe.bpeTokenCount(col("bpe_sym")).as("n_bpe"))
+          .orderBy("doc_id")
       },
       "q_tfidf" -> { (s, dir) =>
         Corpus.tfIdf(Tables.t(s, dir, "documents"), "doc_id", "text")
@@ -1772,6 +1863,15 @@ object SparkEntry {
                Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), 3)} AS split,
            |  lang, count(*) AS cnt
            |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q_sample_importance" ->
+        s"""WITH d AS (SELECT doc_id, lang,
+           |    CASE WHEN trim(text) = '' THEN 0.0
+           |      ELSE CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) /
+           |           CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) END AS w
+           |  FROM documents)
+           |SELECT doc_id, lang FROM d
+           |WHERE ${Sampling.importanceSampleSql("doc_id", "w", 19)}
+           |ORDER BY doc_id""".stripMargin,
       "q_mix_weighted" ->
         s"""WITH m AS (
            |  SELECT 'web' AS mix_source, doc_id FROM documents
@@ -1911,6 +2011,7 @@ object SparkEntry {
           |SELECT d.doc_id, d.lang, d.source FROM documents d
           |JOIN k ON d.doc_id = k.doc_id ORDER BY d.doc_id""".stripMargin,
       "q_dedup_ngram" -> ngramPairsOracle,
+      "q_dedup_containment" -> containmentOracle,
       "q_dedup_minhash" -> ngramPairsOracle,
       "q_dedup_clusters" -> dedupClustersOracle,
       "q_corpus_dedup" -> corpusDedupOracle,
@@ -2458,7 +2559,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = StarQueries.all ++ ScalarQueries.all ++
     CompatQueries.oracles ++ PipelineQueries.oracles ++
-    PipelineQueries.annKmeansOracle ++ Map(
+    PipelineQueries.annKmeansOracle ++ PipelineQueries.bpeOracle ++ Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,

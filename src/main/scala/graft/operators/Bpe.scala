@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding: learn a merge table over a corpus and
+  * encode text with it — the tokenizer-training step of an LLM data
+  * pipeline, expressed Spark-first.
+  *
+  * Representation: a document is one string of sentinel-prefixed symbols —
+  * every symbol starts with `\u0001` and symbols are space-separated, each
+  * word closed by the `\u0001</w>` end marker:
+  * {{{ \u0001l \u0001o \u0001w \u0001</w> \u0001l ... }}}
+  * A merge of pair (a, b) is then EXACTLY the plain string replacement
+  * `"\u0001a \u0001b" -> "\u0001ab"`: the sentinel anchors matches to
+  * symbol starts (no mid-symbol false hits), and `replace`'s left-to-right
+  * non-overlapping semantics are precisely BPE's greedy merge order. That
+  * one representation choice buys three things at once:
+  *   - encoding is a chain of native `replace` calls — whole-stage
+  *     codegen, zero shuffle, no UDF;
+  *   - the SAME chain replays in any ANSI engine (DuckDB `replace` has
+  *     identical semantics), so encoding is differentially verifiable;
+  *   - token count is `countChar(sym, \u0001)` — no re-parse.
+  *
+  * Training scale shape: ONE corpus-scale shuffle total (the word-frequency
+  * aggregate — map-side combined, vocabulary-sized output). Every Lloyd-like
+  * iteration after that runs on the persisted word table: adjacent-pair
+  * explode → partial-aggregated sum → 1-row argmax collect. At 100 TB the
+  * word table is ~10⁸ rows (web-scale vocabulary) spread across the
+  * cluster; per-iteration shuffle volume is pair-vocabulary-sized, and the
+  * driver holds only the merge table (`nMerges` strings).
+  *
+  * The reference engine has no tokenizer layer; this extends the
+  * beyond-parity training-data surface like [[Corpus]] / [[Quality]].
+  */
+object Bpe {
+
+  /** Symbol sentinel: anchors every symbol start inside the symstring. */
+  val S = "\u0001"
+  /** Word-end marker symbol (standard BPE `</w>`). */
+  val EndWord = "</w>"
+
+  /** Per-character symbol split of one word (no sentinel yet). Spark's
+    * `split(w, "")` appends one trailing empty string (Java `Pattern.split`
+    * with limit −1); drop it with a filter so the symbol list is exactly
+    * the characters.
+    */
+  private def chars(word: Column): Column =
+    filter(split(word, ""), c => c =!= "")
+
+  /** One word as a sentinel-prefixed symbol string:
+    * `"\u0001h \u0001i \u0001</w>"`.
+    */
+  private[operators] def wordSym(word: Column): Column =
+    concat(
+      array_join(transform(chars(word), c => concat(lit(S), c)), " "),
+      lit(" " + S + EndWord))
+
+  /** A whole document as one symstring (words in order, each closed by the
+    * end marker). Empty text → empty string. The sentinel is stripped from
+    * the input first, so a document cannot forge symbol boundaries.
+    */
+  def symbolize(text: Column): Column = {
+    val toks = Corpus.terms(replace(text, lit(S)))
+    when(size(toks) === 0, lit(""))
+      .otherwise(array_join(transform(toks, wordSym(_)), " "))
+  }
+
+  /** Apply a learned merge table (rank order) to a symstring column — a
+    * codegen'd chain of plain `replace` calls, one per merge.
+    */
+  def applyMerges(sym: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(sym) { case (c, (l, r)) =>
+      replace(c, lit(S + l + " " + S + r), lit(S + l + r))
+    }
+
+  /** Encode text: symbolize then merge. The result stays in symstring form
+    * (sentinel-prefixed, space-separated) — split on spaces and strip the
+    * sentinel for readable tokens, or count tokens with [[bpeTokenCount]].
+    */
+  def encode(text: Column, merges: Seq[(String, String)]): Column =
+    applyMerges(symbolize(text), merges)
+
+  /** Token count of an encoded symstring = number of sentinels. */
+  def bpeTokenCount(sym: Column): Column =
+    (length(sym) - length(replace(sym, lit(S)))).cast("long")
+
+  /** Learn `nMerges` merges. Deterministic: ties on pair frequency break by
+    * (left, right) lexicographic order. Stops early when the best pair
+    * occurs fewer than `minFreq` times (weighted by word frequency).
+    *
+    * The returned pairs are in merge-rank order, ready for [[applyMerges]].
+    */
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                  minFreq: Long = 2L): Seq[(String, String)] = {
+    require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    // the ONLY corpus-scale pass: word frequencies (map-side combined)
+    val words = docs
+      .select(explode(Corpus.terms(col(textCol))).as("g_w"))
+      .groupBy("g_w").agg(count(lit(1)).as("g_wc"))
+      .select(wordSym(col("g_w")).as("g_s"), col("g_wc"))
+      .persist()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (merges.size < nMerges && !done) {
+        // current symstrings = persisted base + the merge chain so far (a
+        // narrow projection — recomputing it per iteration is cheaper than
+        // re-persisting the table every round)
+        val cur = words.select(
+          applyMerges(col("g_s"), merges.toSeq).as("g_s"), col("g_wc"))
+        val arr = split(col("g_s"), " ")
+        val best = cur
+          .filter(size(arr) >= 2)
+          .select(col("g_wc"), explode(transform(
+            sequence(lit(0), size(arr) - 2),
+            i => struct(
+              element_at(arr, i + 1).as("l"),
+              element_at(arr, i + 2).as("r")))).as("g_p"))
+          .groupBy(col("g_p.l").as("l"), col("g_p.r").as("r"))
+          .agg(sum(col("g_wc")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        best.headOption match {
+          case Some(row) if row.getLong(2) >= minFreq =>
+            // strip the sentinel prefix the symstring carries
+            merges += ((row.getString(0).substring(1),
+              row.getString(1).substring(1)))
+          case _ => done = true
+        }
+      }
+      merges.toSeq
+    } finally { words.unpersist(); () }
+  }
+}

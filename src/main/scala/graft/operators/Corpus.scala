@@ -58,11 +58,15 @@ object Corpus {
     */
   def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol)
-    // df derives from the SAME tf frame (each (doc, term) row counts once)
-    // rather than from a second vocabulary() pass: the df branch's subplan
-    // then contains tf's aggregate verbatim, so Spark's ReusedExchange
-    // runs the corpus tokenize/explode/shuffle once for both branches
-    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df = how many documents contain each term. Dedup WITHIN the document
+    // in the array domain (array_distinct before explode): the branch then
+    // needs only ONE shuffle — map-side partial counts keyed by term,
+    // vocabulary-sized per partition — instead of shuffling every exploded
+    // (doc, term) row twice (once to dedup, once to count). At corpus scale
+    // the (doc, term) shuffle is the branch's whole cost; this removes it.
+    val df_ = docs
+      .select(explode(array_distinct(terms(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     tf.join(broadcast(df_), Seq("term"))
       .crossJoin(broadcast(n))

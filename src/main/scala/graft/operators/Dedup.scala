@@ -152,29 +152,52 @@ object Dedup {
     */
   def ngramJaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
                            threshold: Double, shingleK: Int = 3,
-                           maxShingleDf: Option[Int] = None): DataFrame = {
-    // Shingles travel as xxhash64 longs, not strings: an 8-byte fixed-width
-    // shuffle key instead of a ~30-byte string, produced by the single-pass
-    // native expression with zero string materialization. Identical output
-    // barring a 64-bit hash collision between two distinct shingles of one
-    // document pair (probability ~ (shingles/doc)^2 / 2^64 — negligible
-    // even at billions of documents).
+                           maxShingleDf: Option[Int] = None): DataFrame =
+    coOccurringPairs(df, idCol, textCol, shingleK, maxShingleDf,
+        sizeRatioPrune = Some(threshold))
+      .select(col("idA"), col("idB"),
+        (col("g_common").cast("double") /
+          (col("g_szA") + col("g_szB") - col("g_common")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Shared candidate machinery of the n-gram family: inverted index on
+    * hashed shingles → in-list positional pair expansion → per-pair common
+    * count. Returns one row per co-occurring document pair:
+    * `(idA, idB, g_szA, g_szB, g_common)` with `idA < idB`.
+    *
+    * Shingles travel as xxhash64 longs, not strings: an 8-byte fixed-width
+    * shuffle key instead of a ~30-byte string, produced by the single-pass
+    * native expression with zero string materialization. Identical output
+    * barring a 64-bit hash collision between two distinct shingles of one
+    * document pair (probability ~ (shingles/doc)^2 / 2^64 — negligible
+    * even at billions of documents).
+    *
+    * One shuffle builds the posting list per shingle; pairs are expanded
+    * positionally (i < j) INSIDE each list, so the tokenize+shingle subtree
+    * is evaluated once (a self-join would recompute it per side) and a
+    * shingle shared by d docs costs d(d-1)/2 rows, not a d x d join.
+    * Skew guard for corpus scale (`maxShingleDf`): drop ultra-common
+    * shingles whose posting lists would explode (one shingle shared by 1M
+    * docs is 10^12 candidate pairs — and an unbounded in-memory list).
+    * Near-duplicates share MANY shingles including rare ones, so recall
+    * loss is confined to pairs related only through boilerplate; surviving
+    * pairs keep their full set sizes, so only the common-count of capped
+    * pairs shrinks.
+    *
+    * `sizeRatioPrune = Some(t)` drops pairs that cannot reach Jaccard `t`
+    * (`J <= min/max`) INSIDE the expansion, on the packed sizes, so they
+    * are never struct-packed and never leave Generate. Containment search
+    * passes None — a tiny document fully quoted inside a huge one is
+    * exactly a pair the ratio prune would drop.
+    */
+  private def coOccurringPairs(df: DataFrame, idCol: String, textCol: String,
+                               shingleK: Int, maxShingleDf: Option[Int],
+                               sizeRatioPrune: Option[Double]): DataFrame = {
     val sh = df.select(col(idCol).as("g_id"),
       org.apache.spark.sql.graft.NativeTextExprs
         .shingleHashSet(tokens(col(textCol)), shingleK).as("g_sh"))
     val inv = sh.select(col("g_id"), size(col("g_sh")).as("g_sz"),
       explode(col("g_sh")).as("g_shingle"))
-    // One shuffle builds the posting list per shingle; pairs are expanded
-    // positionally (i < j) INSIDE each list, so the tokenize+shingle subtree
-    // is evaluated once (a self-join would recompute it per side) and a
-    // shingle shared by d docs costs d(d-1)/2 rows, not a d x d join.
-    // Skew guard for corpus scale: drop ultra-common shingles whose posting
-    // lists would explode (one shingle shared by 1M docs is 10^12 candidate
-    // pairs — and an unbounded in-memory list). Near-duplicates share MANY
-    // shingles including rare ones, so recall loss is confined to pairs
-    // related only through boilerplate; surviving pairs keep their full set
-    // sizes, so only the common-count (and thus the reported Jaccard) of
-    // capped pairs shrinks.
     // posting lists carry (id, size) packed into one long (id in the high
     // bits, size below 2^20) so collect_list aggregates a primitive array,
     // not boxed structs; ids stay ordered under the packing because size
@@ -190,19 +213,18 @@ object Dedup {
     }
     def unpackId(x: Column) = call_function("shiftright", x, lit(SzBits))
     def unpackSz(x: Column) = x.bitwiseAND((1L << SzBits) - 1)
-    // The size-ratio prune (`J <= min/max`) runs INSIDE the expansion, on
-    // the packed sizes, so pairs that cannot reach the threshold are never
-    // struct-packed and never leave Generate — at corpus scale the
-    // boilerplate shingles shared across wildly different-length documents
-    // are exactly the ones this drops before they become rows.
+    def ratioOk(a: Column, b: Column): Column = sizeRatioPrune match {
+      case Some(t) => least(unpackSz(a), unpackSz(b)).cast("double") >=
+        greatest(unpackSz(a), unpackSz(b)) * t
+      case None => lit(true)
+    }
     val pairs = capped
       .filter(size(col("g_docs")) >= 2)
       .select(explode(let1(col("g_docs")) { docs =>
         flatten(transform(docs, (a, i) =>
           transform(
             filter(slice(docs, i + 2, greatest(size(docs) - i - 1, lit(0))),
-              b => least(unpackSz(a), unpackSz(b)).cast("double") >=
-                greatest(unpackSz(a), unpackSz(b)) * threshold),
+              b => ratioOk(a, b)),
             b => struct(least(a, b).as("pA"), greatest(a, b).as("pB")))))
       }).as("g_p"))
       .select(
@@ -211,11 +233,36 @@ object Dedup {
     pairs
       .groupBy("idA", "idB", "g_szA", "g_szB")
       .agg(count(lit(1)).as("g_common"))
-      .select(col("idA"), col("idB"),
-        (col("g_common").cast("double") /
-          (col("g_szA") + col("g_szB") - col("g_common")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
+
+  /** Asymmetric near-duplication — quote/containment detection: pairs where
+    * the SMALLER document's shingle set is mostly inside the larger one
+    * (`containment = |A∩B| / min(|A|,|B|) >= threshold`). Symmetric Jaccard
+    * misses these by construction (a 50-word quote inside a 5,000-word page
+    * has J ≈ 0.01), yet they are what decontamination and excerpt-dedup
+    * actually hunt. Output: `(quoteId, containerId, containment)` with the
+    * size-smaller document first (ties: smaller id).
+    *
+    * Same single-expansion inverted-index shape as
+    * [[ngramJaccardDupPairs]], but with NO size-ratio prune — containment
+    * pairs are exactly the ones that prune drops — so `maxShingleDf`
+    * (default 1000) is the load-bearing skew guard at corpus scale.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            threshold: Double, shingleK: Int = 3,
+                            maxShingleDf: Option[Int] = Some(1000)): DataFrame =
+    coOccurringPairs(df, idCol, textCol, shingleK, maxShingleDf,
+        sizeRatioPrune = None)
+      .select(col("idA"), col("idB"), col("g_szA"), col("g_szB"),
+        (col("g_common").cast("double") /
+          least(col("g_szA"), col("g_szB")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+      .select(
+        when(col("g_szA") <= col("g_szB"), col("idA")).otherwise(col("idB"))
+          .as("quoteId"),
+        when(col("g_szA") <= col("g_szB"), col("idB")).otherwise(col("idA"))
+          .as("containerId"),
+        col("containment"))
 
   /** Materialized near-duplicate pair index: build [[ngramJaccardDupPairs]]
     * once, persist it as parquet behind a `_SUCCESS` marker, and serve

@@ -93,6 +93,33 @@ object Sampling {
     df.filter(bucket(key, salt) < threshold)
   }
 
+  /** Quality-weighted (importance) sampling: keep each row with
+    * probability `clamp(weight, 0, 1)`, decided only by its key — the
+    * weight is typically a per-document quality score, so high-quality
+    * text survives at a higher rate while membership stays deterministic
+    * under reruns, repartitioning, and appends (unlike `rand()`-gated
+    * filters). Still a scan-pushable one-pass filter: no shuffle, and at
+    * 100 TB only the kept rows materialize past the scan.
+    *
+    * Rounding is explicit `floor` (not a cast) because engines disagree on
+    * double→int casts (Spark truncates, DuckDB rounds half-even);
+    * `floor` + the shared bucket arithmetic make the kept set bit-equal
+    * across engines ([[importanceSampleSql]]).
+    */
+  def importanceSample(df: DataFrame, key: Column, weight: Column,
+                       salt: Long = 0L): DataFrame = {
+    val clamped = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    df.filter(bucket(key, salt) <
+      floor(clamped * lit(Modulus.toDouble)).cast("long"))
+  }
+
+  /** The same keep-predicate as ANSI SQL (oracle restatement). */
+  def importanceSampleSql(keyExpr: String, weightExpr: String,
+                          salt: Long = 0L): String =
+    s"(${bucketSql(keyExpr, salt)}) < CAST(floor(" +
+      s"least(greatest(CAST($weightExpr AS DOUBLE), 0.0), 1.0) * " +
+      s"$Modulus.0) AS BIGINT)"
+
   /** Deterministic split assignment (e.g. train/val/test). `weights` are
     * (name, weight) pairs; each row lands in exactly one split with
     * probability weight/total, decided only by its key — so membership is

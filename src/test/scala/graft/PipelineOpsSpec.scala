@@ -78,6 +78,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept == Map("aaa" -> 2L, "bbb" -> 3L))
   }
 
+  test("containment finds a quote inside a long page that Jaccard misses") {
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val page = ("alpha beta gamma delta " * 20) + quote +
+      (" epsilon zeta eta theta" * 20)
+    val df = spark.createDataFrame(Seq(
+      (1L, quote), (2L, page), (3L, "completely unrelated words here")))
+      .toDF("doc_id", "text")
+    // symmetric Jaccard at 0.5 sees nothing…
+    assert(Dedup.ngramJaccardDupPairs(df, "doc_id", "text", 0.5).count() == 0)
+    // …containment flags (quote=1, container=2) at full strength
+    val got = Dedup.ngramContainmentPairs(df, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)), s"got ${got.toSeq}")
+  }
+
   test("spanDedup removes exactly the corpus-duplicated k-token windows") {
     val df = spark.createDataFrame(Seq(
       // d1/d2 share the 8-gram "a b c d e f g h" at different offsets

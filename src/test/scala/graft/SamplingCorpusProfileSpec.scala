@@ -22,6 +22,24 @@ class SamplingCorpusProfileSpec extends AnyFunSuite {
     assert(b1.forall(b => b >= 0 && b < Sampling.Modulus))
   }
 
+  test("importanceSample: weight 1 keeps all, 0 keeps none, rate tracks weight") {
+    val n = docs.count()
+    assert(Sampling.importanceSample(docs, col("doc_id"), lit(1.0)).count() == n)
+    assert(Sampling.importanceSample(docs, col("doc_id"), lit(0.0)).count() == 0)
+    // out-of-range weights clamp instead of exploding
+    assert(Sampling.importanceSample(docs, col("doc_id"), lit(7.5)).count() == n)
+    assert(Sampling.importanceSample(docs, col("doc_id"), lit(-3.0)).count() == 0)
+    val kept = Sampling.importanceSample(docs, col("doc_id"), lit(0.3), salt = 5)
+      .count().toDouble
+    assert(math.abs(kept / n - 0.3) < 0.1, s"kept ${kept / n} for weight 0.3")
+    // deterministic: the same call yields the same membership
+    val a = Sampling.importanceSample(docs, col("doc_id"), lit(0.3), salt = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.importanceSample(docs, col("doc_id"), lit(0.3), salt = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("sample keeps roughly the requested fraction and is stable") {
     val n = docs.count().toDouble
     val s1 = Sampling.sample(docs, col("doc_id"), 0.3, salt = 5)
