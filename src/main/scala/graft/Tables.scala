@@ -79,6 +79,19 @@ object Tables {
     if (scanParts * 2 <= cores) df.repartition(cores) else df
   }
 
+  /** Inverse of [[rebalanced]] for consumers where the guard exchange is
+    * pure overhead: operators that immediately shuffle on their own key
+    * (their exchange restores parallelism anyway) and zero-column scans
+    * (`count(*)` reads no data worth rebalancing). Strips ONLY a top-level
+    * shuffling `Repartition` node — any other plan passes through.
+    */
+  def unrebalanced(df: DataFrame): DataFrame = df.queryExecution.logical match {
+    case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
+        if r.shuffle =>
+      org.apache.spark.sql.graft.PlanDataset.ofRows(df.sparkSession, r.child)
+    case _ => df
+  }
+
   /** Drop the cached analyzed plans — required after overwriting a table
     * path in place (the cached file index is eager and would read stale
     * file lists). Driver testdata never changes; mutable-source workflows

@@ -67,7 +67,9 @@ object Corpus {
     val df_ = docs
       .select(explode(array_distinct(terms(col(textCol)))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.select(count(lit(1)).as("n_docs"))
+    // count-only branch: the scan-parallelism rebalance would shuffle the
+    // full table just to count rows — strip it (the count reads no columns)
+    val n = graft.Tables.unrebalanced(docs).select(count(lit(1)).as("n_docs"))
     tf.join(broadcast(df_), Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score",
@@ -134,12 +136,7 @@ object Corpus {
     // parallelism guard) would be a second, pure-overhead exchange. Drop
     // it and tokenize AFTER the range exchange, so per-row compute still
     // runs on the full range-partition parallelism.
-    val base = docs.queryExecution.logical match {
-      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
-          if r.shuffle =>
-        org.apache.spark.sql.graft.PlanDataset.ofRows(spark, r.child)
-      case _ => docs
-    }
+    val base = graft.Tables.unrebalanced(docs)
     val ranged = base
       .repartitionByRange(col(orderCol))
       .sortWithinPartitions(col(orderCol))

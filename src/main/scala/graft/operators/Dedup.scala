@@ -784,6 +784,35 @@ object Dedup {
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String,
                     n: Int = 8): DataFrame = {
+    val docNg = contaminatedNgrams(docs, idCol, textCol, bench, benchTextCol, n)
+    docNg
+      .groupBy("g_id")
+      .agg(count_distinct(col("g_h")).as("n_hits"))
+      .select(col("g_id").as(idCol), col("n_hits"))
+  }
+
+  /** Streaming twin of [[decontaminate]] — the same hashed-shingle
+    * stream-static equi-join (the benchmark side is always a static,
+    * broadcastable set), with the distinct-hit count restated as
+    * `dropDuplicates` + count because streaming aggregation forbids
+    * `count_distinct`. In batch the two forms are identical; on a stream
+    * the dedup becomes keyed state — bound it with a watermark upstream
+    * when the ingest is continuous (`dropDuplicatesWithinWatermark`
+    * semantics); at test/demo scale the unbounded state is fine.
+    */
+  def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
+                          bench: DataFrame, benchTextCol: String,
+                          n: Int = 8): DataFrame =
+    contaminatedNgrams(docs, idCol, textCol, bench, benchTextCol, n)
+      .dropDuplicates("g_id", "g_h")
+      .groupBy("g_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("g_id").as(idCol), col("n_hits"))
+
+  /** Shared core: one row per (document, benchmark-shingle-hash hit). */
+  private def contaminatedNgrams(docs: DataFrame, idCol: String,
+                                 textCol: String, bench: DataFrame,
+                                 benchTextCol: String, n: Int): DataFrame = {
     val docNg = docs.select(col(idCol).as("g_id"),
         explode(shingles(col(textCol), n)).as("g_ng"))
       .select(col("g_id"), xxhash64(col("g_ng")).as("g_h"))
@@ -792,8 +821,5 @@ object Dedup {
       .select(xxhash64(col("g_ng")).as("g_h"))
       .distinct()
     docNg.join(benchNg, "g_h")
-      .groupBy("g_id")
-      .agg(count_distinct(col("g_h")).as("n_hits"))
-      .select(col("g_id").as(idCol), col("n_hits"))
   }
 }

@@ -81,6 +81,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(Dedup.spanDedupServe(all, "doc_id", "text", counts, k = 8)) == batch)
   }
 
+  test("decontamination on a document stream matches the batch operator") {
+    // stream-static shape: the benchmark shingle set is the static side of
+    // the equi-join; the distinct-hit count runs as dropDuplicates state +
+    // a plain streaming aggregation (count_distinct is not streamable)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    import graft.operators.Dedup
+    val bench = Seq(
+      "what is the capital of france paris is the capital",
+      "two plus two equals four in base ten arithmetic")
+      .toDF("question")
+    val docs = Seq(
+      (1L, "trivia dump what is the capital of france paris is the capital end"),
+      (2L, "two plus two equals four in base ten arithmetic obviously"),
+      (3L, "completely clean document with no benchmark overlap at all yes"),
+      // two distinct contaminated spans in one document
+      (4L, "what is the capital of france paris is the capital and also " +
+        "two plus two equals four in base ten arithmetic"))
+    val stream = MemoryStream[(Long, String)]
+    val q = Dedup.decontaminateStream(
+        stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+        "doc_id", "text", bench, "question")
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("complete").start()
+    try {
+      // two batches, so cross-batch duplicate shingle hits get deduped by
+      // the streaming state, not within one microbatch
+      stream.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM decon").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = Dedup.decontaminate(docs.toDF("doc_id", "text"),
+          "doc_id", "text", bench, "question").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+      assert(want.map(_._1) == Set(1L, 2L, 4L)) // doc 3 is clean
+    } finally q.stop()
+  }
+
   test("text quality pipeline runs unchanged on a stream and matches batch") {
     // the corpus-ingest shape at 100 TB: quality scoring, language ID and
     // fingerprinting are pure codegen projections, so the SAME column
