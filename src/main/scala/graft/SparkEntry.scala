@@ -1757,6 +1757,15 @@ object SparkEntry {
           .select("doc_id", "term", "tf", "score")
           .orderBy("doc_id", "term")
       },
+      // corpus-trained bigram LM quality scoring: mean conditional
+      // probability (ratio+decimal domain — no libm log, so the trained
+      // model itself is oracle-verified end to end)
+      "q_quality_lm" -> { (s, dir) =>
+        val docs = Tables.t(s, dir, "documents")
+        Quality.bigramLmScore(docs.filter(col("doc_id") < 100),
+            "doc_id", "text", Quality.bigramLm(docs, "text"))
+          .orderBy("doc_id")
+      },
       // ---- column profiling (data-quality sweep) -----------------------
       "q_profile" -> { (s, dir) =>
         Profile.profile(Tables.t(s, dir, "lineitem"),
@@ -2751,6 +2760,23 @@ object SparkEntry {
         |  coalesce(len(c.cl), 0) AS n_dropped
         |FROM base b LEFT JOIN cov c USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // corpus-trained bigram LM: counts from the full corpus, scored docs'
+    // mean conditional probability in ratio+decimal domain (no libm)
+    "q_quality_lm" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') w
+         |  FROM documents),
+         |bg AS (SELECT doc_id, w[i] AS a, w[i+1] AS b
+         |  FROM toks, unnest(generate_series(1, len(w)-1)) AS t(i)),
+         |c2 AS (SELECT a, b, count(*) AS cnt FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT a, sum(cnt) AS ctx FROM c2 GROUP BY 1),
+         |sc AS (SELECT g.doc_id,
+         |    coalesce(CAST(c2.cnt AS DOUBLE) / CAST(c1.ctx AS DOUBLE), 0.0) AS p
+         |  FROM bg g LEFT JOIN c2 ON c2.a = g.a AND c2.b = g.b
+         |            LEFT JOIN c1 ON c1.a = g.a
+         |  WHERE g.doc_id < 100)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  ${Tables.dsumSql("p")} / CAST(count(*) AS DOUBLE) AS lm_score
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     // hashed-bigram linear scorer: token poly-hash -> bigram bucket ->
     // integer pseudo-weight sum -> one double division + rational squash;
     // every step exactly rounded, so the doubles hash-match cross-engine

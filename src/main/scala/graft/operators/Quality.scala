@@ -217,6 +217,68 @@ object Quality {
     * Documents with fewer than 2 tokens have no bigram features and score
     * a neutral 0.5.
     */
+  /** Empty-safe adjacent-bigram structs of a token array (`slice`+`zip`
+    * instead of `sequence`, whose descending ranges explode on short docs).
+    */
+  private def bigramsOf(t: Column): Column = {
+    val n1 = greatest(size(t) - 1, lit(0))
+    zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+      (a, b) => struct(a.as("g_a"), b.as("g_b")))
+  }
+
+  /** Corpus-trained bigram language-model counts: one row per (context,
+    * next) token pair with its count and the context's total — the trained
+    * artifact behind [[bigramLmScore]]. Unlike [[linearScore]]'s documented
+    * stand-in weights, this IS a real trained model: the counts come from
+    * the corpus, deterministically. One corpus-scale shuffle (map-side
+    * combined, output bounded by the realized bigram vocabulary); the
+    * context totals derive from the pair counts (no second corpus pass).
+    */
+  def bigramLm(docs: DataFrame, textCol: String): DataFrame = {
+    val pairs = docs
+      .select(explode(bigramsOf(Corpus.terms(col(textCol)))).as("g_bg"))
+      .select(col("g_bg.g_a").as("g_a"), col("g_bg.g_b").as("g_b"))
+    val c2 = pairs.groupBy("g_a", "g_b").agg(count(lit(1)).as("g_cnt"))
+    val c1 = c2.groupBy("g_a").agg(sum("g_cnt").as("g_ctx"))
+    c2.join(c1, "g_a")
+  }
+
+  /** Statistical LM quality scoring (the CCNet-perplexity pipeline stage):
+    * each document's score is the MEAN conditional probability
+    * `p(w_i | w_{i-1}) = c(ab)/c(a·)` of its bigrams under a trained
+    * [[bigramLm]]; unseen bigrams contribute 0. The mean-probability form
+    * (not log-perplexity) is deliberate: every step is a count ratio (one
+    * exactly-rounded IEEE division) + the decimal-routed mean, so any ANSI
+    * engine reproduces the score bit-for-bit — `ln`/`exp` are correctly
+    * rounded in no libm and would leak last-ulp drift into the oracle. The
+    * ranking is what the filter consumes, and mean-p ranks fluency the
+    * same direction as perplexity.
+    *
+    * Join shape: scored bigrams equi-join the counts table on the pair key
+    * — AQE broadcasts it while it fits, shuffle-joins beyond; either way
+    * cost is proportional to (scored tokens + bigram vocabulary), never
+    * corpus². Documents with fewer than 2 tokens have no bigrams and are
+    * absent from the output (nothing to score).
+    *
+    * Output: (idCol, n_bigrams, lm_score).
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    lm: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col(idCol), explode(bigramsOf(Corpus.terms(col(textCol))))
+        .as("g_bg"))
+      .select(col(idCol), col("g_bg.g_a").as("g_a"), col("g_bg.g_b").as("g_b"))
+    pairs
+      .join(lm, Seq("g_a", "g_b"), "left")
+      .select(col(idCol),
+        coalesce(col("g_cnt").cast("double") / col("g_ctx").cast("double"),
+          lit(0.0)).as("g_p"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        (graft.Tables.dsum(col("g_p")) /
+          count(lit(1)).cast("double")).as("lm_score"))
+  }
+
   def linearScore(text: Column, numBuckets: Int = 4096): Column = {
     require(numBuckets >= 2, s"need at least 2 feature buckets, got $numBuckets")
     val M = 2147483647L // 2^31 - 1 (token-hash modulus, poly family)

@@ -100,6 +100,26 @@ class QualitySpec extends AnyFunSuite {
     assert(got(5L) == 0L)
   }
 
+  test("bigram LM scores in-distribution text above scrambled text") {
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    val corpus = docsDF(
+      (1L, fluent),
+      (2L, "the cat sat on the rug and the dog sat on the mat"),
+      (3L, "a bird sat on the mat near the dog and the cat"))
+    val lm = Quality.bigramLm(corpus, "text")
+    // same tokens as doc 1, order destroyed -> mostly unseen bigrams
+    val scrambled = "mat the dog sat cat the on and rug the sat on the"
+    val scored = Quality.bigramLmScore(
+        docsDF((1L, fluent), (9L, scrambled)), "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(1L) > scored(9L),
+      s"fluent ${scored(1L)} should beat scrambled ${scored(9L)}")
+    assert(scored(1L) > 0.3 && scored(1L) <= 1.0)
+    // short docs produce no bigrams and are absent, not zero-scored
+    val short = Quality.bigramLmScore(docsDF((7L, "single")), "doc_id", "text", lm)
+    assert(short.count() == 0)
+  }
+
   test("linearScore matches an independent scalar reimplementation") {
     val M = 2147483647L
     val A = 2654435761L % M
