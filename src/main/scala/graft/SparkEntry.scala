@@ -1256,6 +1256,22 @@ object SparkEntry {
             col("l_returnflag"), col("l_linestatus"),
             col("l_quantity"), col("l_extendedprice"))
       },
+      // Druid Scan query (Select's streaming successor): explicit column
+      // list, limit, descending time order
+      "q_direct_scan" -> { (s, dir) =>
+        engine(s, dir)
+        val cube = TpchCube.ensure(s, dir)
+        graft.cube.DirectQuery.execute(s, cube.info.name,
+          """{"queryType": "scan",
+            | "columns": ["__time", "l_returnflag", "l_quantity"],
+            | "filter": {"type": "selector", "dimension": "l_linestatus", "value": "F"},
+            | "intervals": ["1995-06-01/1995-06-05"],
+            | "order": "descending",
+            | "batchSize": 4096,
+            | "limit": 30}""".stripMargin)
+          .select(unix_millis(col("l_shipdate").cast("timestamp")).as("ts_ms"),
+            col("l_returnflag"), col("l_quantity"))
+      },
       // Druid Search query: dimension values matching a substring spec,
       // with match counts — one scan for all searched dimensions
       "q_direct_search" -> { (s, dir) =>
@@ -2196,6 +2212,15 @@ object SparkEntry {
           |ORDER BY l_shipdate, l_returnflag, l_linestatus, l_quantity,
           |  l_extendedprice
           |LIMIT 200""".stripMargin,
+      "q_direct_scan" ->
+        """SELECT CAST(epoch_ms(l_shipdate) AS BIGINT) AS ts_ms,
+          |  l_returnflag, l_quantity
+          |FROM lineitem
+          |WHERE l_linestatus = 'F'
+          |  AND l_shipdate >= TIMESTAMP '1995-06-01'
+          |  AND l_shipdate < TIMESTAMP '1995-06-05'
+          |ORDER BY l_shipdate DESC, l_returnflag, l_quantity
+          |LIMIT 30""".stripMargin,
       "q_direct_search" ->
         """SELECT dimension, value, cnt FROM (
           |  SELECT 'c_mktsegment' AS dimension, c_mktsegment AS value,

@@ -46,11 +46,12 @@ object DirectQuery {
     }
     val queryType = (j \ "queryType") match {
       case JString(t @ ("groupBy" | "timeseries" | "topN" | "select" |
-                        "search" | "segmentMetadata" | "timeBoundary")) => t
+                        "search" | "segmentMetadata" | "timeBoundary" |
+                        "scan")) => t
       case JNothing => "groupBy"
       case other => throw new IllegalArgumentException(
         s"unsupported queryType $other — groupBy, timeseries, topN, " +
-          "select, search, segmentMetadata or timeBoundary")
+          "select, scan, search, segmentMetadata or timeBoundary")
     }
 
     // the cube relation by path: CubeCatalog matches scans of this path, so
@@ -235,6 +236,35 @@ object DirectQuery {
         return df.select(outCols.distinct.map(col): _*)
           .orderBy(tOrd +: (selDims ++ selMets).map(col(_).asc): _*)
           .limit(threshold)
+
+      case "scan" =>
+        // Druid Scan query — Select's streaming successor (Druid ≥0.11;
+        // beyond the reference's 0.8 surface, kept for clients that moved
+        // on): explicit `columns` list (dims and metrics mixed, `__time`
+        // aliases the time column), optional `limit`, `order` by time
+        // (`ascending` / `descending`; `none` is storage order in Druid —
+        // deterministically ascending here). `batchSize`/`resultFormat`
+        // shape the wire protocol, not the rows — accepted and ignored.
+        val scanCols = strList(j \ "columns", "columns") match {
+          case Nil => cube.info.columns.map(_.name)
+          case cs => cs.map(c => if (c == "__time") cube.info.timeColumn else c)
+        }
+        val tOrdScan = (j \ "order") match {
+          case JString("descending") => col(cube.info.timeColumn).desc
+          case JString("ascending") | JString("none") | JNothing =>
+            col(cube.info.timeColumn).asc
+          case other => throw new IllegalArgumentException(s"bad order: $other")
+        }
+        // time + projected columns as tiebreakers: a limited page is a
+        // deterministic multiset (Druid's own page order is storage-bound)
+        val ordered = df.select(scanCols.distinct.map(col): _*)
+          .orderBy(tOrdScan +: scanCols.filter(_ != cube.info.timeColumn)
+            .map(col(_).asc): _*)
+        return (j \ "limit") match {
+          case JInt(n) => ordered.limit(n.toInt)
+          case JNothing => ordered
+          case other => throw new IllegalArgumentException(s"bad limit: $other")
+        }
 
       case "search" =>
         // Druid Search query (`DruidQuerySpec.scala:59-60`, SURVEY.md §4.2
