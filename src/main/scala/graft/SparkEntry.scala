@@ -739,7 +739,7 @@ object SparkEntry {
           }
           "q_bpe_encode" ->
             s"""WITH t AS (SELECT doc_id,
-               |    string_split_regex(lower(trim(replace(text, '$s', ''))), '\\s+') AS toks
+               |    list_filter(string_split_regex(lower(replace(text, '$s', '')), '\\s+'), x -> x <> '') AS toks
                |  FROM documents WHERE doc_id < 100),
                |sy AS (SELECT doc_id,
                |    CASE WHEN len(toks) = 1 AND toks[1] = '' THEN ''
@@ -781,7 +781,7 @@ object SparkEntry {
         s"len(list_filter(w, t -> list_contains(${sqlList(langMarkers(l))}, t))) s_$l").mkString(",\n  ")
       val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
       val picks = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
-      s"""WITH s AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
+      s"""WITH s AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') w FROM documents),
          |sc AS (SELECT doc_id, text,
          |  $scores
          |FROM s)
@@ -801,18 +801,18 @@ object SparkEntry {
         s"len(list_filter(w, t -> list_contains(${sqlList(langMarkers(l))}, t))) s_$l").mkString(",\n  ")
       val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
       val picks = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
-      s"""WITH s AS (SELECT doc_id, text, source, string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
+      s"""WITH s AS (SELECT doc_id, text, source, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') w FROM documents),
          |sc AS (SELECT doc_id, text, source, $scores FROM s),
          |lang AS (SELECT doc_id, text, source FROM sc
          |  WHERE (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
          |    WHEN $best = 0 THEN 'und' $picks END) = 'en'),
          |good AS (SELECT * FROM lang
-         |  WHERE CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) /
-         |        CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) >= 0.5),
+         |  WHERE CAST(len(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS DOUBLE) /
+         |        CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE) >= 0.5),
          |kept AS (SELECT g.doc_id, g.text, g.source FROM good g
          |  JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM good GROUP BY 1) k
          |    ON g.doc_id = k.doc_id),
-         |t AS (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM kept),
+         |t AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM kept),
          |ch AS (SELECT doc_id, source, len(toks) AS n,
          |    unnest(generate_series(0,
          |      CAST(greatest(1, ceil(len(toks) / 64.0)) AS BIGINT) - 1)) AS i
@@ -850,7 +850,7 @@ object SparkEntry {
         |  ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' ')) END""".stripMargin
 
     private val ngramPairsOracle: String =
-      s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') w FROM documents),
          |sh AS (SELECT doc_id, list_distinct($shingleSql) s FROM toks)
          |SELECT a.doc_id AS idA, b.doc_id AS idB,
          |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
@@ -867,7 +867,7 @@ object SparkEntry {
       * path is exact).
       */
     private val containmentOracle: String =
-      s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') w FROM documents),
          |sh AS (SELECT doc_id, list_distinct($shingleSql) s FROM toks),
          |p AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
          |    len(a.s) AS szA, len(b.s) AS szB,
@@ -885,7 +885,7 @@ object SparkEntry {
       * restatement of [[graft.operators.Dedup.connectedComponents]].
       */
     private val dedupClustersOracle: String =
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') w FROM documents),
          |sh AS (SELECT doc_id, list_distinct($shingleSql) s FROM toks),
          |pairs AS (SELECT a.doc_id AS idA, b.doc_id AS idB
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -904,7 +904,7 @@ object SparkEntry {
       * keyed on `coalesce(cluster representative, doc_id)`.
       */
     private val splitLeakageOracle: String =
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') w FROM documents),
          |sh AS (SELECT doc_id, list_distinct($shingleSql) s FROM toks),
          |pairs AS (SELECT a.doc_id AS idA, b.doc_id AS idB
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -924,7 +924,7 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin
 
     private val corpusDedupOracle: String =
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') w FROM documents),
          |sh AS (SELECT doc_id, list_distinct($shingleSql) s FROM toks),
          |pairs AS (SELECT a.doc_id AS idA, b.doc_id AS idB
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1891,8 +1891,8 @@ object SparkEntry {
       "q_sample_importance" ->
         s"""WITH d AS (SELECT doc_id, lang,
            |    CASE WHEN trim(text) = '' THEN 0.0
-           |      ELSE CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) /
-           |           CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) END AS w
+           |      ELSE CAST(len(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS DOUBLE) /
+           |           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE) END AS w
            |  FROM documents)
            |SELECT doc_id, lang FROM d
            |WHERE ${Sampling.importanceSampleSql("doc_id", "w", 19)}
@@ -1938,7 +1938,7 @@ object SparkEntry {
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q_text_quality" ->
         s"""SELECT source, count(*) AS n_docs,
-           |  ${dec("CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)")} AS sum_diversity,
+           |  ${dec("CAST(len(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS DOUBLE) / CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE)")} AS sum_diversity,
            |  ${dec("CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)")} AS sum_punct
            |FROM documents GROUP BY source ORDER BY source""".stripMargin,
       "q_lang_id" -> langIdOracle,
@@ -2788,7 +2788,7 @@ object SparkEntry {
     // corpus-trained bigram LM: counts from the full corpus, scored docs'
     // mean conditional probability in ratio+decimal domain (no libm)
     "q_quality_lm" ->
-      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') w
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') w
          |  FROM documents),
          |bg AS (SELECT doc_id, w[i] AS a, w[i+1] AS b
          |  FROM toks, unnest(generate_series(1, len(w)-1)) AS t(i)),

@@ -27,12 +27,17 @@ object TextFunctions {
   def let1(value: Column)(body: Column => Column): Column =
     element_at(transform(array(value), body), 1)
 
-  /** Whitespace tokens of a document (empty string → empty array). */
-  def tokens(text: Column): Column = {
-    val trimmed = trim(text)
-    when(length(trimmed) === 0, array().cast("array<string>"))
-      .otherwise(split(trimmed, "\\s+"))
-  }
+  /** Whitespace tokens of a document: the non-empty `\s+`-split pieces of
+    * the RAW text (empty / whitespace-only → empty array; null → null).
+    * The filter — not a `trim` — is load-bearing: SQL `trim` strips only
+    * spaces, so tab- or newline-edged text would otherwise produce phantom
+    * empty tokens (found by NullRobustnessSpec on a `"\t"` document); the
+    * oracle restatement is `list_filter(string_split_regex(text, '\s+'),
+    * x -> x <> '')` — the same semantics on any input, not just on text
+    * whose edges happen to be spaces.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -43,8 +48,10 @@ object TextFunctions {
     * computable without any vocabulary.
     */
   def subwordCount(text: Column): Column = {
-    val pieces = when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])"))
+    // filter, not trim: SQL trim strips only spaces (see [[tokens]])
+    val pieces = filter(
+      split(text, "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])"),
+      p => p =!= "")
     val extra = aggregate(
       pieces, lit(0L),
       (acc, p) => acc + greatest(lit(0L), ((length(p) - 1) / 4).cast("long")))
