@@ -734,18 +734,20 @@ object SparkEntry {
         .map { merges =>
           val s = Bpe.S
           def esc(x: String) = x.replace("'", "''")
+          // symbols are space-TERMINATED (see Bpe.wordSym): pattern and
+          // replacement carry the trailing space so matches are bounded on
+          // both sides
           val chain = merges.foldLeft("sym") { case (acc, (l, r)) =>
-            s"replace($acc, '$s${esc(l)} $s${esc(r)}', '$s${esc(l)}${esc(r)}')"
+            s"replace($acc, '$s${esc(l)} $s${esc(r)} ', '$s${esc(l)}${esc(r)} ')"
           }
           "q_bpe_encode" ->
             s"""WITH t AS (SELECT doc_id,
                |    list_filter(string_split_regex(lower(replace(text, '$s', '')), '\\s+'), x -> x <> '') AS toks
                |  FROM documents WHERE doc_id < 100),
                |sy AS (SELECT doc_id,
-               |    CASE WHEN len(toks) = 1 AND toks[1] = '' THEN ''
-               |    ELSE array_to_string(list_transform(toks, w ->
+               |    array_to_string(list_transform(toks, w ->
                |      array_to_string(list_transform(regexp_split_to_array(w, ''),
-               |        c -> '$s' || c), ' ') || ' $s</w>'), ' ') END AS sym
+               |        c -> '$s' || c || ' '), '') || '$s</w> '), '') AS sym
                |  FROM t),
                |e AS (SELECT doc_id, $chain AS bpe_sym FROM sy)
                |SELECT doc_id, bpe_sym,

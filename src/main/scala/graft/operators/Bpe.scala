@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
   * encode text with it — the tokenizer-training step of an LLM data
   * pipeline, expressed Spark-first.
   *
-  * Representation: a document is one string of sentinel-prefixed symbols —
-  * every symbol starts with `\u0001` and symbols are space-separated, each
-  * word closed by the `\u0001</w>` end marker:
+  * Representation: a document is one string of sentinel-prefixed,
+  * space-terminated symbols — every symbol starts with `\u0001` and ends
+  * with a space, each word closed by the `\u0001</w>` end marker:
   * {{{ \u0001l \u0001o \u0001w \u0001</w> \u0001l ... }}}
   * A merge of pair (a, b) is then EXACTLY the plain string replacement
-  * `"\u0001a \u0001b" -> "\u0001ab"`: the sentinel anchors matches to
-  * symbol starts (no mid-symbol false hits), and `replace`'s left-to-right
-  * non-overlapping semantics are precisely BPE's greedy merge order. That
-  * one representation choice buys three things at once:
+  * `"\u0001a \u0001b " -> "\u0001ab "`: the sentinel anchors the match
+  * to the left symbol's start, the trailing space closes the right
+  * symbol's end (both boundaries are part of the pattern — no prefix or
+  * mid-symbol false hits), and `replace`'s left-to-right non-overlapping
+  * semantics are precisely BPE's greedy merge order. That one
+  * representation choice buys three things at once:
   *   - encoding is a chain of native `replace` calls — whole-stage
   *     codegen, zero shuffle, no UDF;
   *   - the SAME chain replays in any ANSI engine (DuckDB `replace` has
@@ -48,13 +50,19 @@ object Bpe {
   private def chars(word: Column): Column =
     filter(split(word, ""), c => c =!= "")
 
-  /** One word as a sentinel-prefixed symbol string:
-    * `"\u0001h \u0001i \u0001</w>"`.
+  /** One word as a sentinel-prefixed, space-TERMINATED symbol string:
+    * `"\u0001h \u0001i \u0001</w> "`. Every symbol ends with a space, so
+    * a merge pattern `"\u0001l \u0001r "` is bounded on BOTH sides: the
+    * sentinel anchors the left symbol's start, the trailing space closes
+    * the right symbol's end. Without the terminator, the pattern
+    * `"\u0001a \u0001b"` would also match the PREFIX of a longer symbol
+    * (`"\u0001a \u0001bc"`) and merge `a` with a piece of `bc` — found
+    * by BpePropSpec's naive-reference differential on a random corpus.
     */
   private[operators] def wordSym(word: Column): Column =
     concat(
-      array_join(transform(chars(word), c => concat(lit(S), c)), " "),
-      lit(" " + S + EndWord))
+      array_join(transform(chars(word), c => concat(lit(S), c, lit(" "))), ""),
+      lit(S + EndWord + " "))
 
   /** A whole document as one symstring (words in order, each closed by the
     * end marker). Empty text → empty string. The sentinel is stripped from
@@ -63,7 +71,7 @@ object Bpe {
   def symbolize(text: Column): Column = {
     val toks = Corpus.terms(replace(text, lit(S)))
     when(size(toks) === 0, lit(""))
-      .otherwise(array_join(transform(toks, wordSym(_)), " "))
+      .otherwise(array_join(transform(toks, wordSym(_)), ""))
   }
 
   /** Apply a learned merge table (rank order) to a symstring column — a
@@ -71,7 +79,7 @@ object Bpe {
     */
   def applyMerges(sym: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(sym) { case (c, (l, r)) =>
-      replace(c, lit(S + l + " " + S + r), lit(S + l + r))
+      replace(c, lit(S + l + " " + S + r + " "), lit(S + l + r + " "))
     }
 
   /** Encode text: symbolize then merge. The result stays in symstring form
@@ -109,7 +117,9 @@ object Bpe {
         // re-persisting the table every round)
         val cur = words.select(
           applyMerges(col("g_s"), merges.toSeq).as("g_s"), col("g_wc"))
-        val arr = split(col("g_s"), " ")
+        // symbols are space-TERMINATED, so a plain split leaves one
+        // trailing empty piece — drop it or it pairs with the last symbol
+        val arr = filter(split(col("g_s"), " "), x => x =!= "")
         val best = cur
           .filter(size(arr) >= 2)
           .select(col("g_wc"), explode(transform(
