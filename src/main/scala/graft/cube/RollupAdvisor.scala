@@ -51,7 +51,14 @@ object RollupAdvisor {
     val plan: LogicalPlan =
       try classic.sql(sql).queryExecution.analyzed
       catch { case _: Exception => return None }
+    analyzePlan(cube, plan, sql)
+  }
 
+  /** Classify an already-analyzed plan (the form [[graft.plans.QueryHistory]]
+    * hands over at record time — no SQL text survives into the history).
+    */
+  def analyzePlan(cube: RegisteredCube, plan: LogicalPlan,
+                  label: String): Option[QueryNeed] = {
     val info = cube.info
     val timeCol = info.timeColumn.toLowerCase
     val dimCols = info.columns.filter(_.role != ColumnRole.Metric)
@@ -118,7 +125,7 @@ object RollupAdvisor {
         }
     } && plan.collect { case f: Filter => f }.forall(f => addServable(f.condition))
 
-    if (ok) Some(QueryNeed(sql, dims, sketches)) else None
+    if (ok) Some(QueryNeed(label, dims, sketches)) else None
   }
 
   /** Recommend lattice nodes for a workload. Candidates are each query's
@@ -127,8 +134,16 @@ object RollupAdvisor {
     */
   def recommend(spark: SparkSession, cube: RegisteredCube,
                 workload: Seq[String],
-                maxRowsPerBucket: Long = 10000000L): Seq[Recommendation] = {
-    val needs = workload.flatMap(analyzeQuery(spark, cube, _))
+                maxRowsPerBucket: Long = 10000000L): Seq[Recommendation] =
+    recommendFromNeeds(cube, workload.flatMap(analyzeQuery(spark, cube, _)),
+      maxRowsPerBucket)
+
+  /** The recommendation core over pre-classified needs — the entry point
+    * for history-driven advice (`ADVISE GRAFT ROLLUP`), where queries were
+    * classified at execution time and only their needs were retained.
+    */
+  def recommendFromNeeds(cube: RegisteredCube, needs: Seq[QueryNeed],
+                         maxRowsPerBucket: Long = 10000000L): Seq[Recommendation] = {
     if (needs.isEmpty) return Nil
     val ndv: Map[String, Long] = cube.info.columns
       .flatMap(c => c.cardinality.map(c.name.toLowerCase -> _)).toMap

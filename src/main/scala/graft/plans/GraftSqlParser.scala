@@ -55,6 +55,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     "(?is)\\s*SHOW\\s+GRAFT\\s+STATS\\s*;?\\s*".r
   private val HistoryRe =
     "(?is)\\s*SHOW\\s+GRAFT\\s+HISTORY\\s*;?\\s*".r
+  private val AdviseRe =
+    "(?is)\\s*ADVISE\\s+GRAFT\\s+ROLLUP\\s+ON\\s+([\\w.]+)\\s*;?\\s*".r
   private val ViewsRe =
     "(?is)\\s*REGISTER\\s+GRAFT\\s+VIEWS\\s*;?\\s*".r
 
@@ -66,6 +68,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ClearRe()        => ClearGraftCacheCommand()
     case StatsRe()        => ShowGraftStatsCommand()
     case HistoryRe()      => ShowGraftHistoryCommand()
+    case AdviseRe(cube)   => AdviseGraftRollupCommand(cube)
     case ViewsRe()        => RegisterGraftViewsCommand()
     case RegisterRe(path) => RegisterGraftCubeCommand(path)
     case MaterializeRe(cube, dims, sketches, partDims, clusDims, path) =>
@@ -185,6 +188,40 @@ case class ShowGraftStatsCommand() extends LeafRunnableCommand {
   * long it ran (reference `metadata/DruidQueryHistory.scala`; the joinable
   * snapshot twin is the `graft_query_history` view).
   */
+/** `ADVISE GRAFT ROLLUP ON <cube>` — workload-driven lattice advice from
+  * the session's recorded query history: every executed query was
+  * classified against the registered cubes at record time
+  * ([[QueryHistory]]), so the advisor runs over what the session actually
+  * ran, with no SQL retained. Each recommendation row carries the
+  * ready-to-run `MATERIALIZE GRAFT ROLLUP` statement, closing the loop
+  * history → advice → build.
+  */
+case class AdviseGraftRollupCommand(cube: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("dimensions", StringType, nullable = false)(),
+    AttributeReference("sketch_cols", StringType, nullable = false)(),
+    AttributeReference("est_rows_per_bucket", StringType, nullable = false)(),
+    AttributeReference("queries_served", StringType, nullable = false)(),
+    AttributeReference("materialize_sql", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val c = graft.cube.CubeCatalog.get(cube).getOrElse(
+      throw new IllegalArgumentException(s"no registered cube named $cube"))
+    val needs = QueryHistory.snapshot.flatMap(_.needs.collect {
+      case (n, dims, sk) if n == c.info.name =>
+        graft.cube.RollupAdvisor.QueryNeed("<history>", dims, sk)
+    })
+    graft.cube.RollupAdvisor.recommendFromNeeds(c, needs).map { r =>
+      val sketch = if (r.sketchCols.isEmpty) ""
+        else s" SKETCH (${r.sketchCols.mkString(", ")})"
+      val ddl = s"MATERIALIZE GRAFT ROLLUP ON ${c.info.name} " +
+        s"DIMENSIONS (${r.dims.mkString(", ")})$sketch " +
+        s"AT '<rollup-path>'"
+      Row(r.dims.mkString(","), r.sketchCols.mkString(","),
+        r.estRowsPerBucket.toString, r.queriesServed.toString, ddl)
+    }
+  }
+}
+
 case class ShowGraftHistoryCommand() extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("id", StringType, nullable = false)(),

@@ -35,7 +35,13 @@ object QueryHistory {
       /** head of the optimized plan, truncated — enough to recognize the
         * query without retaining whole plan trees
         */
-      planHead: String)
+      planHead: String,
+      /** advisor classification, computed at record time (no SQL text or
+        * plan tree survives into the ring): per registered cube, the
+        * dimension + sketch columns a rollup would need to serve this
+        * query. Empty when no cube can serve it.
+        */
+      needs: Seq[(String, Set[String], Set[String])] = Nil)
 
   private val nextId = new AtomicLong(0L)
   private val maxEntries = 256
@@ -84,8 +90,18 @@ object QueryHistory {
                            durationNs: Long): Unit = {
       val head = qe.optimizedPlan.toString.linesIterator.take(4)
         .mkString(" | ").take(300)
+      // classify against every registered cube NOW — the static analysis is
+      // a plan collect (no execution), and retaining the compact need
+      // instead of the plan keeps the ring cheap while making the history
+      // feed ADVISE GRAFT ROLLUP directly
+      val needs = try {
+        graft.cube.CubeCatalog.all.flatMap { c =>
+          graft.cube.RollupAdvisor.analyzePlan(c, qe.analyzed, head)
+            .map(n => (c.info.name, n.dims, n.sketchCols))
+        }
+      } catch { case _: Exception => Nil }
       record(Entry(nextId.incrementAndGet(), System.currentTimeMillis(),
-        funcName, servedBy(qe), durationNs / 1000000L, head))
+        funcName, servedBy(qe), durationNs / 1000000L, head, needs))
     }
     override def onFailure(funcName: String, qe: QueryExecution,
                            exception: Exception): Unit = ()

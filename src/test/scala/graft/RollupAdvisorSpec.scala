@@ -67,6 +67,39 @@ class RollupAdvisorSpec extends AnyFunSuite {
     assert(n.get.sketchCols == Set("c_nation", "s_nation"))
   }
 
+  test("ADVISE GRAFT ROLLUP feeds on recorded history and emits runnable DDL") {
+    val c = cube()
+    Graft.install(spark) // query-history listener + parser
+    graft.plans.QueryHistory.clear()
+    // run the workload for real — the listener classifies each plan at
+    // record time; no SQL text is retained
+    for (q <- servable ++ unservable) spark.sql(q).collect()
+    org.apache.spark.sql.graft.ListenerBusUtil.waitUntilEmpty(spark)
+    // the listener fires asynchronously; wait for the needs to land
+    var tries = 0
+    def needsCount() = graft.plans.QueryHistory.snapshot.count(_.needs.nonEmpty)
+    while (needsCount() < servable.size && tries < 100) {
+      Thread.sleep(50); tries += 1
+    }
+    assert(needsCount() >= servable.size)
+    // TestSpark's session predates extension injection — drive the same
+    // parser class directly, as GraftSqlParserSpec does
+    val parser = new graft.plans.GraftSqlParser(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.sqlParser)
+    val cmd = parser.parsePlan(s"ADVISE GRAFT ROLLUP ON ${c.info.name}")
+      .asInstanceOf[graft.plans.AdviseGraftRollupCommand]
+    val rows = cmd.run(spark)
+    assert(rows.nonEmpty)
+    val top = rows.head
+    assert(top.getString(3).toInt >= servable.size)
+    // the emitted MATERIALIZE statement must parse (path placeholder swapped)
+    val ddl = top.getString(4).replace("<rollup-path>",
+      "/root/repo/target/advised_rollup_spec")
+    val parsed = parser.parsePlan(ddl)
+    assert(parsed.getClass.getSimpleName.contains("Materialize"), ddl)
+  }
+
   test("recommend returns a Pareto front covering the workload") {
     val c = cube()
     val recs = RollupAdvisor.recommend(spark, c, servable ++ unservable)
