@@ -766,6 +766,36 @@ object SparkEntry {
                |FROM e ORDER BY doc_id""".stripMargin
         }
 
+    /** Full replay of BPE-budget sequence packing (same memo gate as
+      * [[bpeOracle]]): per-document BPE token counts from the inlined
+      * merge chain feed the exclusive-prefix-sum bin assignment — the
+      * whole encode→count→pack composition is hash-verified.
+      */
+    def bpePackOracle: Option[(String, String)] =
+      bpeOracle.map { case (_, _) =>
+        val merges = bpeMemo.values.head
+        val s = Bpe.S
+        def esc(x: String) = x.replace("'", "''")
+        val chain = merges.foldLeft("sym") { case (acc, (l, r)) =>
+          s"replace($acc, '$s${esc(l)} $s${esc(r)} ', '$s${esc(l)}${esc(r)} ')"
+        }
+        "q_pack_bpe" ->
+          s"""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(replace(text, '$s', '')), '\\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |sy AS (SELECT doc_id,
+             |    array_to_string(list_transform(toks, w ->
+             |      array_to_string(list_transform(regexp_split_to_array(w, ''),
+             |        c -> '$s' || c || ' '), '') || '$s</w> '), '') AS sym
+             |  FROM t),
+             |n AS (SELECT doc_id, CAST(length($chain) - length(replace($chain, '$s', '')) AS BIGINT) AS n_tokens
+             |  FROM sy)
+             |SELECT doc_id, n_tokens,
+             |  CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0) AS BIGINT) AS bin_id
+             |FROM n ORDER BY doc_id""".stripMargin
+      }
+
     /** Materialized n-gram near-dup pair index over `documents` — see
       * [[graft.operators.Dedup.materializedNgramPairs]].
       */
@@ -1780,6 +1810,16 @@ object SparkEntry {
             Bpe.bpeTokenCount(col("bpe_sym")).as("n_bpe"))
           .orderBy("doc_id")
       },
+      // training batch prep, end to end: BPE-encode -> real token budget ->
+      // fixed-capacity bins (packing against the TRAINED tokenizer's
+      // counts, not the whitespace proxy)
+      "q_pack_bpe" -> { (s, dir) =>
+        val m = bpeMerges(s, dir)
+        Corpus.packByCount(Tables.t(s, dir, "documents"), "doc_id",
+            Bpe.bpeTokenCount(Bpe.encode(col("text"), m)), capacity = 4096)
+          .select("doc_id", "n_tokens", "bin_id")
+          .orderBy("doc_id")
+      },
       "q_tfidf" -> { (s, dir) =>
         Corpus.tfIdf(Tables.t(s, dir, "documents"), "doc_id", "text")
           .filter(col("doc_id") < 10)
@@ -1843,13 +1883,13 @@ object SparkEntry {
       * [[graft.operators.Corpus.termFrequencies]]).
       */
     private val tfCte =
-      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
         |  FROM documents),
         |tfd AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)""".stripMargin
 
     val oracles: Map[String, String] = Map(
       "q_doc_chunks" ->
-        """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
           |  FROM documents WHERE doc_id < 100),
           |s AS (SELECT doc_id, toks, len(toks) AS n,
           |    unnest(generate_series(0,
@@ -1861,7 +1901,7 @@ object SparkEntry {
           |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
       "q_seq_pack" ->
         """WITH t AS (SELECT doc_id,
-          |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+          |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
           |  FROM documents)
           |SELECT doc_id, n_tokens,
           |  CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
@@ -1945,8 +1985,8 @@ object SparkEntry {
           "\nORDER BY col_name"),
       "q_text_stats" ->
         """SELECT doc_id,
-          |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-          |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct,
+          |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+          |  len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS n_distinct,
           |  n_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q_text_quality" ->
@@ -1960,7 +2000,7 @@ object SparkEntry {
       // double divisions (bit-identical across engines)
       "q_text_gopher" ->
         """WITH base AS (
-          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks, text
+          |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks, text
           |  FROM documents
           |), stats AS (
           |  SELECT doc_id, toks, text, len(toks) AS m,
@@ -2065,7 +2105,7 @@ object SparkEntry {
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
       "q_fingerprint_poly" ->
         """WITH t AS (SELECT doc_id,
-          |  list_transform(string_split_regex(trim(text), '\s+'),
+          |  list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
           |    t -> list_reduce(list_transform(string_split_regex(t, ''), c -> CAST(ord(c) AS BIGINT)),
           |                     (h, c) -> (h*31 + c) % 2147483647)) AS th
           |FROM documents)
@@ -2079,7 +2119,7 @@ object SparkEntry {
       "q_doc_fingerprint" ->
         """WITH t AS (SELECT doc_id,
           |  CASE WHEN len(trim(text)) = 0 THEN []
-          |  ELSE list_transform(string_split_regex(trim(text), '\s+'),
+          |  ELSE list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
           |    t -> list_reduce(list_transform(string_split_regex(t, ''), c -> CAST(ord(c) AS BIGINT)),
           |                     (h, c) -> (h*31 + c) % 2147483647)) END AS th
           |FROM documents)
@@ -2098,7 +2138,7 @@ object SparkEntry {
       "q_dedup_simhash" ->
         """WITH t AS (SELECT doc_id,
           |  CASE WHEN len(trim(text)) = 0 THEN []
-          |  ELSE list_transform(string_split_regex(trim(text), '\s+'),
+          |  ELSE list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
           |    t -> list_reduce(list_transform(string_split_regex(t, ''), c -> CAST(ord(c) AS BIGINT)),
           |                     (h, c) -> (h*31 + c) % 2147483647)) END AS th
           |FROM documents),
@@ -2606,7 +2646,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = StarQueries.all ++ ScalarQueries.all ++
     CompatQueries.oracles ++ PipelineQueries.oracles ++
-    PipelineQueries.annKmeansOracle ++ PipelineQueries.bpeOracle ++ Map(
+    PipelineQueries.annKmeansOracle ++ PipelineQueries.bpeOracle ++
+    PipelineQueries.bpePackOracle ++ Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,
@@ -2776,7 +2817,7 @@ object SparkEntry {
     // out of the rebuilt output)
     "q_span_dedup" ->
       """WITH base AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') w FROM documents),
         |kg AS (
         |  SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS g
         |  FROM base, unnest(generate_series(1, len(w) - 7)) t(i)
@@ -2821,7 +2862,7 @@ object SparkEntry {
     "q_quality_model" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |    list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
         |      t -> list_reduce(
         |        list_transform(string_split_regex(t, ''), c -> CAST(ord(c) AS BIGINT)),
         |        (h, c) -> (h*31 + c) % 2147483647)) AS th
@@ -2847,7 +2888,7 @@ object SparkEntry {
     // sequence as one shingle)
     "q_decontaminate" ->
       """WITH dw AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws
+        |  SELECT doc_id, source, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
         |  FROM documents),
         |dng AS (
         |  SELECT doc_id, source, array_to_string(list_slice(ws, i, i+3), ' ') AS ng

@@ -127,20 +127,30 @@ object Corpus {
     * back).
     */
   def packSequences(docs: DataFrame, orderCol: String, textCol: String,
-                    capacity: Long): DataFrame = {
+                    capacity: Long): DataFrame =
+    packByCount(docs, orderCol, size(terms(col(textCol))).cast("long"),
+      capacity)
+
+  /** [[packSequences]] generalized to an arbitrary per-document token-count
+    * expression — e.g. [[Bpe.bpeTokenCount]] over a learned merge table, so
+    * bins fill against the REAL training-token budget rather than the
+    * whitespace proxy. Same two-phase prefix sum, same
+    * partitioning-independence guarantee.
+    */
+  def packByCount(docs: DataFrame, orderCol: String, countExpr: Column,
+                  capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val spark = docs.sparkSession
-    import org.apache.spark.sql.expressions.Window
     // the range repartition below is this operator's own shuffle — a
     // round-robin rebalance directly upstream (Tables.rebalanced's scan
     // parallelism guard) would be a second, pure-overhead exchange. Drop
-    // it and tokenize AFTER the range exchange, so per-row compute still
-    // runs on the full range-partition parallelism.
+    // it and evaluate the count AFTER the range exchange, so per-row
+    // compute still runs on the full range-partition parallelism.
     val base = graft.Tables.unrebalanced(docs)
     val ranged = base
       .repartitionByRange(col(orderCol))
       .sortWithinPartitions(col(orderCol))
-      .withColumn("n_tokens", size(terms(col(textCol))).cast("long"))
+      .withColumn("n_tokens", countExpr.cast("long"))
     // per-partition exclusive running sum as an order-preserving fold: a
     // Window.partitionBy(spark_partition_id) would re-SHUFFLE every row by
     // the very key they are already partitioned on — mapPartitions keeps
