@@ -173,6 +173,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"df-capped join lost ${full -- capped} / gained ${capped -- full}")
   }
 
+  test("containment shingle-df cap drops boilerplate-only pairs, keeps quotes") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val boiler = "subscribe to our newsletter for updates and offers today"
+    val quote = "the five boxing wizards jump quickly over the frozen lake"
+    val corpus = (
+      // 20 unrelated pages all carrying the same boilerplate sentence
+      (1L to 20L).map(i => (i, s"$boiler page $i content " +
+        s"unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e")) :+
+      // one genuine quote pair: doc 30 contains doc 31 verbatim
+      ((30L, s"intro words here $quote closing remarks and more text after")) :+
+      ((31L, quote))
+    ).toDF("doc_id", "text")
+    // uncapped: the boilerplate shingles relate every page pairwise at low
+    // containment; the real quote pair is found at 1.0
+    val capped = Dedup.ngramContainmentPairs(corpus, "doc_id", "text",
+        threshold = 0.9, maxShingleDf = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the cap (5 < 20 boilerplate dfs) kills the boilerplate postings, but
+    // the quote's RARE shingles survive — the pair is still found exactly
+    assert(capped.toSeq == Seq((31L, 30L, 1.0)), s"got ${capped.toSeq}")
+  }
+
   test("native simhashPoly62 equals the composed-Column reference chain") {
     import graft.functions.TextFunctions
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
