@@ -93,11 +93,28 @@ class RollupAdvisorSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val top = rows.head
     assert(top.getString(3).toInt >= servable.size)
-    // the emitted MATERIALIZE statement must parse (path placeholder swapped)
-    val ddl = top.getString(4).replace("<rollup-path>",
-      "/root/repo/target/advised_rollup_spec")
-    val parsed = parser.parsePlan(ddl)
-    assert(parsed.getClass.getSimpleName.contains("Materialize"), ddl)
+    // the emitted MATERIALIZE statement must parse (path placeholder
+    // swapped) AND actually build+register a node the workload routes to —
+    // advice → DDL → build → serve, end to end
+    val path = "/root/repo/target/advised_rollup_spec"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    val ddl = top.getString(4).replace("<rollup-path>", path)
+    val before = CubeCatalog.get(c.info.name).get
+    val cmd2 = parser.parsePlan(ddl)
+      .asInstanceOf[org.apache.spark.sql.execution.command.RunnableCommand]
+    val built = cmd2.run(spark)
+    assert(built.nonEmpty && built.head.getString(2).toLong > 0, built)
+    try {
+      val report = Graft.explainRewrite(spark, servable.head)
+      assert(report.contains("rollup"), report.take(400))
+    } finally {
+      // restore the pre-advice registration so other suites' routing locks
+      // see the standard lattice
+      CubeCatalog.register(before)
+    }
   }
 
   test("recommend returns a Pareto front covering the workload") {
