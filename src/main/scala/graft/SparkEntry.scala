@@ -678,13 +678,13 @@ object SparkEntry {
       * itself is differentially verified instead of rows-only. Emitted
       * only when the memo is unambiguous (exactly one trained dir).
       */
-    def annKmeansOracle: Option[(String, String)] =
+    def annKmeansOracle: Map[String, String] =
       (if (kmeansMemo.size == 1) kmeansMemo.values.headOption else None)
         .map { cents =>
           val rows = cents.zipWithIndex
             .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
             .mkString(",\n  ")
-          "q_ann_kmeans" ->
+          val sql =
             s"""WITH cents(cid, cv) AS (VALUES
                |  $rows),
                |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
@@ -701,7 +701,11 @@ object SparkEntry {
                |SELECT s.vec_id, ${cosineSql("s.embedding", "q.qvec")} AS cosine
                |FROM sel s, q
                |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
-        }
+          // the store serves the SAME answer, so the same SQL verifies both
+          // the computed-bucket route (q_ann_kmeans) and the materialized
+          // partition-pruned index route (q_ann_store)
+          Map("q_ann_kmeans" -> sql, "q_ann_store" -> sql)
+        }.getOrElse(Map.empty)
 
     /** [[graft.operators.Vectors.sqDist]] restated: the sequential
       * `acc + (a_i-b_i)^2` fold equals DuckDB's in-order list_sum.
@@ -1465,6 +1469,20 @@ object SparkEntry {
         val q = embs.filter(col("vec_id") === 0L)
           .select("embedding").head().getSeq[Float](0)
         Similarity.ivfKmeansTopK(embs, "vec_id", "embedding", q, k = 10,
+          cents, nprobe = 3)
+      },
+      // the same probe against the MATERIALIZED bucket-partitioned index:
+      // identical answer, but the probe is directory-level partition
+      // pruning (the vector-index analog of the cube's time buckets)
+      "q_ann_store" -> { (s, dir) =>
+        val embs = Tables.t(s, dir, "embeddings")
+        val cents = kmeansCentroids(s, dir)
+        val q = embs.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0)
+        val store = Similarity.materializedIvfIndex(embs, "vec_id",
+          "embedding", cents,
+          s"/root/repo/target/indexes/ivf_${new java.io.File(dir).getName}_k16_v1")
+        Similarity.ivfStoreTopK(store, "vec_id", "embedding", q, k = 10,
           cents, nprobe = 3)
       },
       // cross-engine rolling-hash fingerprint (q_doc_fingerprint carries

@@ -164,7 +164,15 @@ object Similarity {
     */
   def ivfKmeansTopK(df: DataFrame, idCol: String, vecCol: String,
                     query: Seq[Float], k: Int, centroids: Seq[Seq[Double]],
-                    nprobe: Int): DataFrame = {
+                    nprobe: Int): DataFrame =
+    probeTopK(withIvfKmeansBucket(df, vecCol, centroids),
+      idCol, vecCol, query, k, centroids, nprobe)
+
+  /** Centroid buckets nearest the query, ties by index — driver-side
+    * (k×dim arithmetic).
+    */
+  def probedBuckets(query: Seq[Float], centroids: Seq[Seq[Double]],
+                    nprobe: Int): Seq[Int] = {
     require(nprobe >= 1 && centroids.nonEmpty)
     def sq(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
@@ -172,16 +180,58 @@ object Similarity {
       s
     }
     val qd = query.map(_.toDouble)
-    val probed = centroids.zipWithIndex
+    centroids.zipWithIndex
       .sortBy { case (c, i) => (sq(qd, c), i) }
       .take(nprobe).map(_._2)
-    val qLit = typedLit(query)
-    withIvfKmeansBucket(df, vecCol, centroids)
+  }
+
+  private def probeTopK(bucketed: DataFrame, idCol: String, vecCol: String,
+                        query: Seq[Float], k: Int,
+                        centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    val probed = probedBuckets(query, centroids, nprobe)
+    bucketed
       .filter(col("g_ivf_bucket").isin(probed.map(x => x: Any): _*))
-      .select(col(idCol), cosine(col(vecCol), qLit).as("cosine"))
+      .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** MATERIALIZED IVF index: the corpus written Hive-partitioned by its
+    * centroid bucket — the vector-index analog of the cube layer's time
+    * buckets, and the missing piece between [[ivfKmeansTopK]]'s computed
+    * bucket filter (every probe still SCANS the whole corpus to evaluate
+    * the assignment) and a real index. Against the store, the probe is a
+    * PARTITION filter: Catalyst prunes to the `nprobe` bucket directories
+    * at planning time, so a 3-of-16 probe reads ~3/16 of the files —
+    * at billions of vectors, the difference between an index and a scan.
+    * Build-once/serve-many with the `_SUCCESS`-marker discipline of
+    * [[graft.operators.Dedup.materializedNgramPairs]]; the path encodes
+    * the index identity (corpus + centroid training), and streamed ingest
+    * appends by writing new rows through the same bucket assignment.
+    */
+  def materializedIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                           centroids: Seq[Seq[Double]],
+                           path: String): DataFrame = {
+    val spark = df.sparkSession
+    ivfBuildLock.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        withIvfKmeansBucket(df, vecCol, centroids)
+          .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  private val ivfBuildLock = new Object
+
+  /** Top-k against a [[materializedIvfIndex]] store: identical semantics
+    * (and bit-identical output) to [[ivfKmeansTopK]] over the base table,
+    * but the bucket predicate prunes partitions instead of filtering a
+    * computed column.
+    */
+  def ivfStoreTopK(store: DataFrame, idCol: String, vecCol: String,
+                   query: Seq[Float], k: Int, centroids: Seq[Seq[Double]],
+                   nprobe: Int): DataFrame =
+    probeTopK(store, idCol, vecCol, query, k, centroids, nprobe)
 
   /** Batched k-NN join: for every row of `queries`, its top-k neighbors in
     * `corpus` among candidates sharing an LSH band (random-hyperplane

@@ -196,6 +196,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(capped.toSeq == Seq((31L, 30L, 1.0)), s"got ${capped.toSeq}")
   }
 
+  test("materialized IVF store: partition-pruned probe equals the computed-bucket route") {
+    import graft.operators.Similarity
+    val embs = Tables.t(spark, sf, "embeddings")
+    val cents = Similarity.trainKmeansCentroids(embs, "embedding", k = 8, iters = 2)
+    val q = embs.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val store = Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
+      cents, "/root/repo/target/indexes/ivf_spec_k8_v1")
+    val viaStore = Similarity.ivfStoreTopK(store, "vec_id", "embedding", q,
+      k = 5, cents, nprobe = 2)
+    val viaScan = Similarity.ivfKmeansTopK(embs, "vec_id", "embedding", q,
+      k = 5, cents, nprobe = 2)
+    assert(viaStore.collect().toSeq == viaScan.collect().toSeq)
+    // the probe must reach the scan as a PARTITION filter (directory-level
+    // pruning), not a post-scan filter on a computed column
+    val plan = viaStore
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("g_ivf_bucket"), plan.take(800))
+  }
+
   test("native simhashPoly62 equals the composed-Column reference chain") {
     import graft.functions.TextFunctions
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
