@@ -219,6 +219,35 @@ class PipelineOpsSpec extends AnyFunSuite {
         .contains("g_ivf_bucket"), plan.take(800))
   }
 
+  test("IVF store ingest: appended vectors serve through the same probe") {
+    import graft.operators.Similarity
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val embs = Tables.t(spark, sf, "embeddings")
+    val cents = Similarity.trainKmeansCentroids(embs, "embedding", k = 8, iters = 2)
+    val q = embs.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val path = "/root/repo/target/indexes/ivf_ingest_spec_v1"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cents, path)
+    // ingest one new vector == the query itself (cosine 1.0) through the
+    // SAME bucket assignment — the append-only path a stream's
+    // foreachBatch would run per micro-batch
+    val newRow = Seq((999999L, q)).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .select("vec_id", "embedding", "label")
+    Similarity.withIvfKmeansBucket(newRow, "embedding", cents)
+      .write.mode("append").partitionBy("g_ivf_bucket").parquet(path)
+    val store = spark.read.parquet(path)
+    val top = Similarity.ivfStoreTopK(store, "vec_id", "embedding", q,
+      k = 3, cents, nprobe = 2).collect()
+    assert(top.exists(r => r.getLong(0) == 999999L && r.getDouble(1) > 0.999),
+      top.mkString(", "))
+  }
+
   test("native simhashPoly62 equals the composed-Column reference chain") {
     import graft.functions.TextFunctions
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
