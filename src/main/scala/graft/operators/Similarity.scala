@@ -216,6 +216,13 @@ object Similarity {
     ivfBuildLock.synchronized {
       if (!new java.io.File(path, "_SUCCESS").exists())
         withIvfKmeansBucket(df, vecCol, centroids)
+          // shuffle by the bucket BEFORE the partitioned write (the cube
+          // writer's discipline): each output file belongs to one bucket,
+          // so file count is O(buckets), not O(tasks × buckets) — at 1000
+          // executors × 4096 buckets the difference between 4k files and
+          // 4M. AQE splits any skewed bucket's shuffle partition, and
+          // maxRecordsPerFile (if set) re-splits giant buckets on write.
+          .repartition(col("g_ivf_bucket"))
           .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(path)
     }
     spark.read.parquet(path)
