@@ -42,13 +42,16 @@ object Bpe {
   /** Word-end marker symbol (standard BPE `</w>`). */
   val EndWord = "</w>"
 
-  /** Per-character symbol split of one word (no sentinel yet). Spark's
-    * `split(w, "")` appends one trailing empty string (Java `Pattern.split`
-    * with limit −1); drop it with a filter so the symbol list is exactly
-    * the characters.
+  /** Per-character symbol split of one word (no sentinel yet), by CODE
+    * POINT: `split(w, "")` advances by UTF-16 code unit and would break an
+    * astral character (emoji, rare CJK) into two lone surrogates — invalid
+    * strings the oracle engine cannot reproduce (its per-char split is
+    * code-point based). `(?<=.)` splits after each code point (Java regex
+    * `.` consumes a full surrogate pair), and the filter drops the one
+    * trailing empty piece of limit −1 splitting.
     */
   private def chars(word: Column): Column =
-    filter(split(word, ""), c => c =!= "")
+    filter(split(word, "(?<=.)"), c => c =!= "")
 
   /** One word as a sentinel-prefixed, space-TERMINATED symbol string:
     * `"\u0001h \u0001i \u0001</w> "`. Every symbol ends with a space, so

@@ -62,6 +62,17 @@ class BpeSpec extends AnyFunSuite {
     assert(plain.getLong(0) > 0)
   }
 
+  test("astral characters symbolize as whole code points, not surrogates") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val cyclone = new String(Character.toChars(0x1F300))
+    val sym = Seq(Tuple1(s"a${cyclone}b")).toDF("text")
+      .select(Bpe.symbolize(col("text")).as("s")).head().getString(0)
+    val symbols = sym.split(" ").filter(_.nonEmpty).map(_.replace(Bpe.S, ""))
+    // four symbols: a, the full emoji (one piece, 2 UTF-16 units), b, </w>
+    assert(symbols.toSeq == Seq("a", cyclone, "b", Bpe.EndWord), symbols.toSeq)
+  }
+
   test("re-applying the same merge table is a no-op (idempotent encode)") {
     val merges = Seq(("e", "s"), ("es", "t"), ("t", "h"))
     val docs = Tables.t(spark, sf, "documents").limit(50)
