@@ -43,12 +43,14 @@ object Bpe {
   val EndWord = "</w>"
 
   /** Per-character symbol split of one word (no sentinel yet), by CODE
-    * POINT: `split(w, "")` advances by UTF-16 code unit and would break an
-    * astral character (emoji, rare CJK) into two lone surrogates — invalid
-    * strings the oracle engine cannot reproduce (its per-char split is
-    * code-point based). `(?<=.)` splits after each code point (Java regex
-    * `.` consumes a full surrogate pair), and the filter drops the one
-    * trailing empty piece of limit −1 splitting.
+    * POINT — an astral character (emoji, rare CJK) must stay one symbol,
+    * never two lone surrogates (invalid strings whose oracle replay would
+    * diverge: the SQL engine's per-char split is code-point based). The
+    * `(?<=.)` lookbehind splits after each full code point by SPECIFIED
+    * regex semantics (`.` consumes a surrogate pair); Spark's `split(w,
+    * "")` happens to be code-point safe too (UTF8String iteration — unlike
+    * `java.lang.String.split`), but that is an implementation detail, not
+    * a contract. The filter drops empty pieces either form can produce.
     */
   private def chars(word: Column): Column =
     filter(split(word, "(?<=.)"), c => c =!= "")
