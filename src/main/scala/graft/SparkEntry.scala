@@ -736,6 +736,15 @@ object SparkEntry {
         Bpe.learnMerges(Tables.t(s, dir, "documents"), "text",
           nMerges = 24, minFreq = 2))
 
+    /** Trained BPE vocabulary per sf dir (symbol → dense id) — derived
+      * deterministically from the merges + corpus, tokenizer-sized.
+      */
+    private val bpeVocabMemo =
+      scala.collection.concurrent.TrieMap.empty[String, Seq[(String, Int)]]
+    def bpeVocab(s: SparkSession, dir: String): Seq[(String, Int)] =
+      bpeVocabMemo.getOrElseUpdate(dir,
+        Bpe.vocab(Tables.t(s, dir, "documents"), "text", bpeMerges(s, dir)))
+
     /** DuckDB restatement of `q_bpe_encode`, buildable only after training
       * ran (same pattern as [[annKmeansOracle]]): the learned merges are
       * inlined and the ENTIRE encode — per-char symbolize, sentinel
@@ -769,6 +778,44 @@ object SparkEntry {
                |  CAST(length(bpe_sym) - length(replace(bpe_sym, '$s', '')) AS BIGINT) AS n_bpe
                |FROM e ORDER BY doc_id""".stripMargin
         }
+
+    /** Replay of id-encoding (same memo gate): the oracle re-derives the
+      * VOCABULARY itself — distinct symbols of the encoded full corpus,
+      * dense ids in sorted order — then re-encodes the gated docs to ids,
+      * so both the id assignment and the per-position lookup verify.
+      */
+    def bpeIdsOracle: Option[(String, String)] =
+      bpeOracle.map { case (_, _) =>
+        val merges = bpeMemo.values.head
+        val s = Bpe.S
+        def esc(x: String) = x.replace("'", "''")
+        val chain = merges.foldLeft("sym") { case (acc, (l, r)) =>
+          s"replace($acc, '$s${esc(l)} $s${esc(r)} ', '$s${esc(l)}${esc(r)} ')"
+        }
+        "q_bpe_ids" ->
+          s"""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(replace(text, '$s', '')), '\\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |sy AS (SELECT doc_id,
+             |    array_to_string(list_transform(toks, w ->
+             |      array_to_string(list_transform(regexp_split_to_array(w, ''),
+             |        c -> '$s' || c || ' '), '') || '$s</w> '), '') AS sym
+             |  FROM t),
+             |stripped AS (SELECT doc_id,
+             |    list_filter(string_split(replace($chain, '$s', ''), ' '), x -> x <> '') AS syms
+             |  FROM sy),
+             |v AS (SELECT DISTINCT unnest(syms) AS sym FROM stripped),
+             |vid AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS INT) AS id FROM v),
+             |ex AS (SELECT doc_id, i, syms[i] AS sym FROM stripped,
+             |    unnest(generate_series(1, len(syms))) AS u(i)
+             |  WHERE doc_id < 50),
+             |j AS (SELECT ex.doc_id, ex.i, vid.id FROM ex JOIN vid USING (sym)),
+             |agg AS (SELECT doc_id, string_agg(CAST(id AS VARCHAR), ',' ORDER BY i) AS ids_csv
+             |  FROM j GROUP BY doc_id)
+             |SELECT st.doc_id, coalesce(a.ids_csv, '') AS ids_csv
+             |FROM stripped st LEFT JOIN agg a USING (doc_id)
+             |WHERE st.doc_id < 50 ORDER BY st.doc_id""".stripMargin
+      }
 
     /** Full replay of BPE-budget sequence packing (same memo gate as
       * [[bpeOracle]]): per-document BPE token counts from the inlined
@@ -1828,6 +1875,19 @@ object SparkEntry {
             Bpe.bpeTokenCount(col("bpe_sym")).as("n_bpe"))
           .orderBy("doc_id")
       },
+      // the training-ready form: token IDs under the trained merge table +
+      // vocabulary — the oracle re-derives the vocabulary itself (distinct
+      // encoded symbols, dense sorted ids), so the id assignment is
+      // verified, not just the strings
+      "q_bpe_ids" -> { (s, dir) =>
+        val m = bpeMerges(s, dir)
+        val v = bpeVocab(s, dir)
+        Tables.t(s, dir, "documents").filter(col("doc_id") < 50)
+          .select(col("doc_id"),
+            array_join(transform(Bpe.encodeIds(col("text"), m, v),
+              i => i.cast("string")), ",").as("ids_csv"))
+          .orderBy("doc_id")
+      },
       // training batch prep, end to end: BPE-encode -> real token budget ->
       // fixed-capacity bins (packing against the TRAINED tokenizer's
       // counts, not the whitespace proxy)
@@ -2665,7 +2725,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = StarQueries.all ++ ScalarQueries.all ++
     CompatQueries.oracles ++ PipelineQueries.oracles ++
     PipelineQueries.annKmeansOracle ++ PipelineQueries.bpeOracle ++
-    PipelineQueries.bpePackOracle ++ Map(
+    PipelineQueries.bpePackOracle ++ PipelineQueries.bpeIdsOracle ++ Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,

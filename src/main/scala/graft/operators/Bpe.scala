@@ -98,6 +98,34 @@ object Bpe {
   def bpeTokenCount(sym: Column): Column =
     (length(sym) - length(replace(sym, lit(S)))).cast("long")
 
+  /** The trained vocabulary: every symbol the encoded corpus actually
+    * uses, sorted, with dense ids — the (symbol → id) table a training
+    * pipeline ships with its merge list. Bounded by
+    * |distinct characters| + |merges| + 1 (the end marker), so the collect
+    * is tokenizer-sized regardless of corpus size.
+    */
+  def vocab(docs: DataFrame, textCol: String,
+            merges: Seq[(String, String)]): Seq[(String, Int)] =
+    docs.select(explode(split(encode(col(textCol), merges), " ")).as("g_t"))
+      .filter(col("g_t") =!= "")
+      .select(replace(col("g_t"), lit(S)).as("g_sym"))
+      .distinct()
+      .collect().map(_.getString(0)).sorted.zipWithIndex.toSeq
+
+  /** Encode text to token IDS under a merge table + vocabulary — the
+    * training-ready form. One codegen'd projection (the replace chain plus
+    * a literal-map lookup); symbols outside the vocabulary map to -1
+    * (unknown), so serving data with unseen characters degrades loudly,
+    * not silently.
+    */
+  def encodeIds(text: Column, merges: Seq[(String, String)],
+                vocab: Seq[(String, Int)]): Column = {
+    val m = typedLit(vocab.toMap)
+    transform(
+      filter(split(replace(encode(text, merges), lit(S)), " "), t => t =!= ""),
+      t => coalesce(element_at(m, t), lit(-1)))
+  }
+
   /** Learn `nMerges` merges. Deterministic: ties on pair frequency break by
     * (left, right) lexicographic order. Stops early when the best pair
     * occurs fewer than `minFreq` times (weighted by word frequency).

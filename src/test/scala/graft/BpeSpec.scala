@@ -62,6 +62,26 @@ class BpeSpec extends AnyFunSuite {
     assert(plain.getLong(0) > 0)
   }
 
+  test("encodeIds: dense ids round-trip the vocab; unknown symbols are -1") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val merges = Bpe.learnMerges(corpus, "text", nMerges = 5, minFreq = 2)
+    val v = Bpe.vocab(corpus, "text", merges)
+    assert(v.map(_._2) == v.indices, "ids must be dense and 0-based")
+    val byId = v.map(_.swap).toMap
+    val ids = corpus.limit(1)
+      .select(Bpe.encodeIds(lit("low"), merges, v).as("ids"))
+      .head().getSeq[Int](0)
+    // decode back through the vocab and reassemble the word
+    val decoded = ids.map(byId).mkString("")
+    assert(decoded == "low" + Bpe.EndWord, s"ids $ids decoded to $decoded")
+    // a character the corpus never saw maps to -1, loudly
+    val unk = corpus.limit(1)
+      .select(Bpe.encodeIds(lit("zzz9"), merges, v).as("ids"))
+      .head().getSeq[Int](0)
+    assert(unk.contains(-1), s"expected an unknown id in $unk")
+  }
+
   test("astral characters symbolize as whole code points, not surrogates") {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     import classic.implicits._
