@@ -857,7 +857,8 @@ object SparkEntry {
       Dedup.materializedNgramPairs(Tables.t(s, dir, "documents"),
         "doc_id", "text", threshold = t,
         path = s"/root/repo/target/indexes/ngram_pairs_" +
-          s"${new java.io.File(dir).getName}_t${(t * 100).toInt}_v1")
+          s"${new java.io.File(dir).getName}_${Tables.contentTag(dir)}" +
+          s"_t${(t * 100).toInt}_v1")
     }
 
     /** DuckDB list literal of a marker set, kept in lockstep with
@@ -1528,7 +1529,8 @@ object SparkEntry {
           .select("embedding").head().getSeq[Float](0)
         val store = Similarity.materializedIvfIndex(embs, "vec_id",
           "embedding", cents,
-          s"/root/repo/target/indexes/ivf_${new java.io.File(dir).getName}_k16_v1")
+          s"/root/repo/target/indexes/ivf_${new java.io.File(dir).getName}" +
+            s"_${Tables.contentTag(dir)}_k16_v1")
         Similarity.ivfStoreTopK(store, "vec_id", "embedding", q, k = 10,
           cents, nprobe = 3)
       },

@@ -23,6 +23,26 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  /** Short content tag of a testdata dir — (file name, size) pairs hashed —
+    * for embedding in derived-artifact paths (cubes, rollup nodes, dedup
+    * pair indexes, IVF stores). The driver REGENERATES testdata between
+    * rounds and has changed its generator before (round 6 shipped a
+    * different events encoding); an artifact built from last round's bytes
+    * must not serve this round's queries. Size-based (not mtime) so a
+    * byte-identical regeneration — the common case — reuses the artifact,
+    * while any content change re-keys every derived path. Pure file-stat:
+    * no Spark job, memoized per dir.
+    */
+  private val tagMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  def contentTag(sfDir: String): String = tagMemo.getOrElseUpdate(sfDir, {
+    val files = Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
+      .filter(_.isFile).sortBy(_.getName)
+    val h = java.security.MessageDigest.getInstance("MD5").digest(
+      files.map(f => s"${f.getName}:${f.length}").mkString("|")
+        .getBytes("UTF-8"))
+    h.take(4).map(b => f"$b%02x").mkString
+  })
+
   // schema inference (footer reads + file listing) costs ~10-30ms per
   // parquet table; queries re-resolve the same handful of tables over and
   // over, so the analyzed DataFrames are cached per (session, path).

@@ -158,46 +158,46 @@ object RollupCube {
   def rollupPath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
     // v8: adds supplier heavy-hitters sketches (count + price-weighted)
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_v9"
+    s"/root/repo/target/cubes/tpch_${sf}_${graft.Tables.contentTag(sfDir)}_rollup_v9"
   }
 
   def coarsePath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_coarse_v6"
+    s"/root/repo/target/cubes/tpch_${sf}_${graft.Tables.contentTag(sfDir)}_rollup_coarse_v6"
   }
 
   def nationsPath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_nations_v3"
+    s"/root/repo/target/cubes/tpch_${sf}_${graft.Tables.contentTag(sfDir)}_rollup_nations_v3"
   }
 
   def slicePath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_slice_v2"
+    s"/root/repo/target/cubes/tpch_${sf}_${graft.Tables.contentTag(sfDir)}_rollup_slice_v2"
   }
 
   def q1Path(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_rf_ls_v4"
+    s"/root/repo/target/cubes/tpch_${sf}_${graft.Tables.contentTag(sfDir)}_rollup_rf_ls_v4"
   }
 
   def q3Path(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
     // v3: clustering sort leads with the write's partition columns (v2's
     // sort was re-sorted away by the dynamic-partition writer)
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_okey_v4"
+    s"/root/repo/target/cubes/tpch_${sf}_${graft.Tables.contentTag(sfDir)}_rollup_okey_v4"
   }
 
   def ordersNationsPath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_onations_v3"
+    s"/root/repo/target/cubes/tpch_${sf}_${graft.Tables.contentTag(sfDir)}_rollup_onations_v3"
   }
 
   def marketPath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
     // v4: clustering sort leads with the write's partition columns (v3's
     // sort was re-sorted away by the dynamic-partition writer)
-    s"/root/repo/target/cubes/tpch_${sf}_rollup_omarket_v5"
+    s"/root/repo/target/cubes/tpch_${sf}_${graft.Tables.contentTag(sfDir)}_rollup_omarket_v5"
   }
 
   def meta(sfDir: String): RollupMeta = RollupMeta(

@@ -160,8 +160,9 @@ object TpchCube {
 
   def cubePath(sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    // v2: dimension-clustered row order within each time bucket
-    s"/root/repo/target/cubes/tpch_${sf}_v3"
+    // v2: dimension-clustered row order within each time bucket; the
+    // content tag re-keys the artifact whenever the testdata bytes change
+    s"/root/repo/target/cubes/tpch_${sf}_${graft.Tables.contentTag(sfDir)}_v3"
   }
 
   private val lock = new Object
