@@ -1543,6 +1543,16 @@ object SparkEntry {
       },
       // hopping (overlapping) time windows: 1-hour windows sliding every
       // 30 minutes — each event lands in exactly two windows
+      // ordered funnel conversion (view -> click -> purchase): each step's
+      // earliest completion strictly after the previous step, per user
+      "q_events_funnel" -> { (s, dir) =>
+        import graft.streaming.EventPipeline
+        EventPipeline.funnel(Tables.events(s, dir), "user_id", "event_type",
+            "ts", Seq("view", "click", "purchase"))
+          .select(col("user_id"), col("step"),
+            unix_millis(col("ts")).as("ts_ms"))
+          .orderBy("user_id", "step")
+      },
       "q_events_hop" -> { (s, dir) =>
         Tables.events(s, dir)
           .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
@@ -2269,6 +2279,20 @@ object SparkEntry {
            |  1000 + CAST(${mixSql(4)} % 65536 AS BIGINT) AS max_pts,
            |  CAST(4 * LEAST(16, octet_length(bytes)) AS BIGINT) AS payload_bytes
            |FROM h WHERE kind = 'video' ORDER BY media_id""".stripMargin,
+      "q_events_funnel" ->
+        """WITH t0 AS (SELECT user_id, min(ts) AS t FROM events
+          |  WHERE event_type = 'view' GROUP BY 1),
+          |t1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          |  JOIN t0 ON e.user_id = t0.user_id
+          |  WHERE e.event_type = 'click' AND e.ts > t0.t GROUP BY 1),
+          |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          |  JOIN t1 ON e.user_id = t1.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts > t1.t GROUP BY 1)
+          |SELECT user_id, step, CAST(epoch_ms(t) AS BIGINT) AS ts_ms FROM (
+          |  SELECT user_id, 0 AS step, t FROM t0
+          |  UNION ALL SELECT user_id, 1 AS step, t FROM t1
+          |  UNION ALL SELECT user_id, 2 AS step, t FROM t2)
+          |ORDER BY user_id, step""".stripMargin,
       "q_events_hop" ->
         s"""WITH h AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS w1, event_type, value FROM events),
            |u AS (SELECT w1 AS wstart, event_type, value FROM h

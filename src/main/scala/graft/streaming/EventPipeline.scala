@@ -283,4 +283,37 @@ object EventPipeline {
       .outputMode(OutputMode.Append)
       .start()
   }
+
+  /** Ordered funnel analysis: for each user, the earliest time each step
+    * of `steps` completed STRICTLY AFTER the previous step — the classic
+    * product-analytics conversion query. Output: one row per (user,
+    * completed step): `(userCol, step, ts)`; a user appears for steps
+    * 0..j where j is how far they got.
+    *
+    * Shape at scale: k-1 user-keyed equi-joins over per-step MIN
+    * aggregates — each pass shuffles user-level partials (map-side
+    * combined), never raw events twice, and nothing collects a per-user
+    * event array (the fold-over-sorted-events alternative holds a power
+    * user's whole history in one task). Funnels are short (k ≤ ~5), so
+    * the pass count is a constant; every join key is the user id —
+    * co-partitioned end to end, AQE handles the skewed-user case.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var acc = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("g_t0"))
+    var out = acc.select(col(userCol), lit(0).as("step"),
+      col("g_t0").as("ts"))
+    for (k <- 1 until steps.size) {
+      acc = events.filter(col(typeCol) === steps(k))
+        .join(acc, Seq(userCol))
+        .filter(col(tsCol) > col(s"g_t${k - 1}"))
+        .groupBy(col(userCol) +: (0 until k).map(i => col(s"g_t$i")): _*)
+        .agg(min(col(tsCol)).as(s"g_t$k"))
+      out = out.unionByName(acc.select(col(userCol), lit(k).as("step"),
+        col(s"g_t$k").as("ts")))
+    }
+    out
+  }
 }

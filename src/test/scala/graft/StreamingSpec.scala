@@ -81,6 +81,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(Dedup.spanDedupServe(all, "doc_id", "text", counts, k = 8)) == batch)
   }
 
+  test("funnel: strictly-after step ordering, hand-computed") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 completes all three — the click BEFORE the first view must not
+      // count as step 1
+      Event(1, ts(5), 1, "view", 0), Event(2, ts(3), 1, "click", 0),
+      Event(3, ts(20), 1, "click", 0), Event(4, ts(25), 1, "purchase", 0),
+      // u2 never views -> absent entirely
+      Event(5, ts(1), 2, "click", 0), Event(6, ts(2), 2, "purchase", 0),
+      // u3 views only
+      Event(7, ts(4), 3, "view", 0)).toDF()
+    val got = EventPipeline.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2)))
+      .toSet
+    assert(got == Set(
+      (1L, 0, ts(5)), (1L, 1, ts(20)), (1L, 2, ts(25)),
+      (3L, 0, ts(4))), got)
+  }
+
   test("decontamination on a document stream matches the batch operator") {
     // stream-static shape: the benchmark shingle set is the static side of
     // the equi-join; the distinct-hit count runs as dropDuplicates state +
