@@ -1543,6 +1543,14 @@ object SparkEntry {
       },
       // hopping (overlapping) time windows: 1-hour windows sliding every
       // 30 minutes — each event lands in exactly two windows
+      // retention triangle: cohort = month of first event, one count per
+      // (cohort, months-since) cell
+      "q_events_retention" -> { (s, dir) =>
+        import graft.streaming.EventPipeline
+        EventPipeline.retention(Tables.events(s, dir), "user_id", "ts",
+            period = "day")
+          .orderBy("cohort_period", "periods_since")
+      },
       // ordered funnel conversion (view -> click -> purchase): each step's
       // earliest completion strictly after the previous step, per user
       "q_events_funnel" -> { (s, dir) =>
@@ -2279,6 +2287,17 @@ object SparkEntry {
            |  1000 + CAST(${mixSql(4)} % 65536 AS BIGINT) AS max_pts,
            |  CAST(4 * LEAST(16, octet_length(bytes)) AS BIGINT) AS payload_bytes
            |FROM h WHERE kind = 'video' ORDER BY media_id""".stripMargin,
+      "q_events_retention" ->
+        """WITH f AS (SELECT user_id,
+          |    CAST(date_diff('day', DATE '1970-01-01', CAST(min(ts) AS DATE)) AS INT) AS cohort
+          |  FROM events GROUP BY 1),
+          |a AS (SELECT DISTINCT user_id,
+          |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT) AS m
+          |  FROM events)
+          |SELECT f.cohort AS cohort_period, a.m - f.cohort AS periods_since,
+          |  count(*) AS n_users
+          |FROM a JOIN f ON a.user_id = f.user_id
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "q_events_funnel" ->
         """WITH t0 AS (SELECT user_id, min(ts) AS t FROM events
           |  WHERE event_type = 'view' GROUP BY 1),

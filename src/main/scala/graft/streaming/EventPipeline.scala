@@ -284,6 +284,36 @@ object EventPipeline {
       .start()
   }
 
+  /** Cohort retention: users bucketed by the period of their FIRST event
+    * (the cohort), counted once per later period they were active — the
+    * classic retention triangle `(cohort_period, periods_since, n_users)`.
+    * `period` is `"day"`, `"week"` or `"month"`. Two shuffles regardless
+    * of history: a per-user min (map-side combined) and a distinct over
+    * (user, period) pairs — never a per-user timeline array.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                period: String = "day"): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    def periodOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      period match {
+        case "day"   => datediff(c.cast("date"), epoch).cast("int")
+        case "week"  => floor(datediff(c.cast("date"), epoch) / 7).cast("int")
+        case "month" => ((year(c) - 1970) * 12 + month(c) - 1).cast("int")
+        case other => throw new IllegalArgumentException(
+          s"period must be day/week/month, got $other")
+      }
+    val first = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("g_first"))
+      .select(col(userCol), periodOf(col("g_first")).as("g_cohort"))
+    val active = events
+      .select(col(userCol), periodOf(col(tsCol)).as("g_m"))
+      .distinct()
+    active.join(first, Seq(userCol))
+      .groupBy(col("g_cohort").as("cohort_period"),
+        (col("g_m") - col("g_cohort")).as("periods_since"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Ordered funnel analysis: for each user, the earliest time each step
     * of `steps` completed STRICTLY AFTER the previous step — the classic
     * product-analytics conversion query. Output: one row per (user,
