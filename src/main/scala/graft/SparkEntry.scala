@@ -1913,8 +1913,13 @@ object SparkEntry {
       // counts, not the whitespace proxy)
       "q_pack_bpe" -> { (s, dir) =>
         val m = bpeMerges(s, dir)
-        Corpus.packByCount(Tables.t(s, dir, "documents"), "doc_id",
-            Bpe.bpeTokenCount(Bpe.encode(col("text"), m)), capacity = 4096)
+        val docs = Tables.t(s, dir, "documents")
+        // word-level counting (each distinct word encoded once) — same
+        // numbers as encoding every document, at vocabulary cost
+        val counts = Bpe.tokenCountsByWord(docs, "doc_id", "text", m)
+        val withN = docs.join(counts, Seq("doc_id"), "left")
+        Corpus.packByCount(withN, "doc_id",
+            coalesce(col("n_bpe"), lit(0L)), capacity = 4096)
           .select("doc_id", "n_tokens", "bin_id")
           .orderBy("doc_id")
       },
