@@ -2772,6 +2772,14 @@ object SparkEntry {
       })
   }
 
+  /** Oracles whose SQL inlines a TRAINED artifact (centroids, merge
+    * table) and therefore only exists after the queries ran — Verify's
+    * run-then-dump order guarantees it; static tooling (QCheck) should
+    * report these as deferred, not missing.
+    */
+  val deferredOracleNames: Set[String] = Set(
+    "q_ann_kmeans", "q_ann_store", "q_bpe_encode", "q_bpe_ids", "q_pack_bpe")
+
   def oracleSql: Map[String, String] = StarQueries.all ++ ScalarQueries.all ++
     CompatQueries.oracles ++ PipelineQueries.oracles ++
     PipelineQueries.annKmeansOracle ++ PipelineQueries.bpeOracle ++
