@@ -1551,6 +1551,15 @@ object SparkEntry {
             period = "day")
           .orderBy("cohort_period", "periods_since")
       },
+      // windowed variant: each step within 2 hours of the previous one
+      "q_events_funnel_window" -> { (s, dir) =>
+        import graft.streaming.EventPipeline
+        EventPipeline.funnel(Tables.events(s, dir), "user_id", "event_type",
+            "ts", Seq("view", "click", "purchase"), withinMinutes = Some(120))
+          .select(col("user_id"), col("step"),
+            unix_millis(col("ts")).as("ts_ms"))
+          .orderBy("user_id", "step")
+      },
       // ordered funnel conversion (view -> click -> purchase): each step's
       // earliest completion strictly after the previous step, per user
       "q_events_funnel" -> { (s, dir) =>
@@ -2303,6 +2312,22 @@ object SparkEntry {
           |  count(*) AS n_users
           |FROM a JOIN f ON a.user_id = f.user_id
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q_events_funnel_window" ->
+        """WITH t0 AS (SELECT user_id, min(ts) AS t FROM events
+          |  WHERE event_type = 'view' GROUP BY 1),
+          |t1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          |  JOIN t0 ON e.user_id = t0.user_id
+          |  WHERE e.event_type = 'click' AND e.ts > t0.t
+          |    AND epoch_ms(e.ts) - epoch_ms(t0.t) <= 7200000 GROUP BY 1),
+          |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          |  JOIN t1 ON e.user_id = t1.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts > t1.t
+          |    AND epoch_ms(e.ts) - epoch_ms(t1.t) <= 7200000 GROUP BY 1)
+          |SELECT user_id, step, CAST(epoch_ms(t) AS BIGINT) AS ts_ms FROM (
+          |  SELECT user_id, 0 AS step, t FROM t0
+          |  UNION ALL SELECT user_id, 1 AS step, t FROM t1
+          |  UNION ALL SELECT user_id, 2 AS step, t FROM t2)
+          |ORDER BY user_id, step""".stripMargin,
       "q_events_funnel" ->
         """WITH t0 AS (SELECT user_id, min(ts) AS t FROM events
           |  WHERE event_type = 'view' GROUP BY 1),

@@ -329,8 +329,16 @@ object EventPipeline {
     * co-partitioned end to end, AQE handles the skewed-user case.
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
-             tsCol: String, steps: Seq[String]): DataFrame = {
+             tsCol: String, steps: Seq[String],
+             withinMinutes: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // optional conversion window: step k must land within `withinMinutes`
+    // of step k-1 (strictly after either way)
+    def inWindow(prev: org.apache.spark.sql.Column) = withinMinutes match {
+      case Some(m) => col(tsCol) > prev &&
+        unix_millis(col(tsCol)) - unix_millis(prev) <= m * 60000L
+      case None => col(tsCol) > prev
+    }
     var acc = events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("g_t0"))
     var out = acc.select(col(userCol), lit(0).as("step"),
@@ -338,7 +346,7 @@ object EventPipeline {
     for (k <- 1 until steps.size) {
       acc = events.filter(col(typeCol) === steps(k))
         .join(acc, Seq(userCol))
-        .filter(col(tsCol) > col(s"g_t${k - 1}"))
+        .filter(inWindow(col(s"g_t${k - 1}")))
         .groupBy(col(userCol) +: (0 until k).map(i => col(s"g_t$i")): _*)
         .agg(min(col(tsCol)).as(s"g_t$k"))
       out = out.unionByName(acc.select(col(userCol), lit(k).as("step"),
