@@ -22,7 +22,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q_dedup_minhash", "q_corpus_dedup", "q_seq_pack",
     "q_events_sessionize", "q_theta_setops", "q_rollup_quantile",
     "q_sample_importance", "q_bpe_encode", "q_pack_bpe", "q_quality_lm",
-    "q_dedup_containment")
+    "q_dedup_containment", "q_events_funnel_window", "q_events_retention",
+    "q_bpe_ids", "q_ann_store")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
