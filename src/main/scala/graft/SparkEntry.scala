@@ -1534,6 +1534,15 @@ object SparkEntry {
         Similarity.ivfStoreTopK(store, "vec_id", "embedding", q, k = 10,
           cents, nprobe = 3)
       },
+      // class prototypes: per-label mean embedding (k-means update step as
+      // an operator; decimal-routed per-dim sums), re-exploded to scalar
+      // rows for the hash compare
+      "q_vec_mean" -> { (s, dir) =>
+        Vectors.meanByKey(Tables.t(s, dir, "embeddings"), "label", "embedding")
+          .select(col("label"), col("n_vecs"),
+            posexplode(col("mean")).as(Seq("dim", "m")))
+          .orderBy("label", "dim")
+      },
       // cross-engine rolling-hash fingerprint (q_doc_fingerprint carries
       // the portable chain + simhash oracle)
       "q_fingerprint_poly" -> { (s, dir) =>
@@ -2170,6 +2179,16 @@ object SparkEntry {
           |ORDER BY s.doc_id""".stripMargin,
       // int8 quantization restated: floor(x/scale + 0.5) is tie-free and
       // identical across engines; sums fold in index order
+      "q_vec_mean" ->
+        s"""WITH d AS (SELECT label, i - 1 AS dim,
+           |    CAST(embedding[i] AS DOUBLE) AS x
+           |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+           |m AS (SELECT label, dim, count(*) AS n,
+           |    ${Tables.dsumSql("x")} / CAST(count(*) AS DOUBLE) AS m
+           |  FROM d GROUP BY 1, 2)
+           |SELECT label, CAST(max(n) OVER (PARTITION BY label) AS BIGINT) AS n_vecs,
+           |  CAST(dim AS INT) AS dim, m
+           |FROM m ORDER BY label, dim""".stripMargin,
       "q_vec_quant" ->
         """WITH sc AS (
           |  SELECT vec_id, embedding,

@@ -148,4 +148,25 @@ object Vectors {
   def dotInt(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, x) => acc + x)
+
+  /** Per-key mean vector — class prototypes / centroids over an embedding
+    * column. Shape: one (key, dimension) shuffle with map-side partial
+    * sums (never a collect of vectors), means re-assembled per key by a
+    * sorted collect over |dims| rows — the k-means update step as a
+    * standalone operator. Sums route through wide decimal so the per-dim
+    * mean is partitioning- and engine-independent (the [[graft.Tables.dsum]]
+    * discipline applied per dimension); count is rows per key.
+    * Output: (keyCol, n_vecs, mean: array<double>).
+    */
+  def meanByKey(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                vecCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("g_d", "g_x")))
+      .groupBy(col(keyCol), col("g_d"))
+      .agg(count(lit(1)).as("g_n"),
+        (graft.Tables.dsum(col("g_x")) / count(lit(1)).cast("double"))
+          .as("g_m"))
+      .groupBy(col(keyCol))
+      .agg(max(col("g_n")).as("n_vecs"),
+        transform(array_sort(collect_list(struct(col("g_d"), col("g_m")))),
+          s => s.getField("g_m")).as("mean"))
 }
