@@ -37,7 +37,7 @@ object TextFunctions {
     * whose edges happen to be spaces.
     */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    array_remove(split(text, "\\s+"), "")
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -48,10 +48,11 @@ object TextFunctions {
     * computable without any vocabulary.
     */
   def subwordCount(text: Column): Column = {
-    // filter, not trim: SQL trim strips only spaces (see [[tokens]])
-    val pieces = filter(
+    // drop empties, not trim: SQL trim strips only spaces (see [[tokens]]);
+    // array_remove stays inside codegen where a filter() lambda would not
+    val pieces = array_remove(
       split(text, "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])"),
-      p => p =!= "")
+      "")
     val extra = aggregate(
       pieces, lit(0L),
       (acc, p) => acc + greatest(lit(0L), ((length(p) - 1) / 4).cast("long")))

@@ -53,7 +53,7 @@ object Bpe {
     * a contract. The filter drops empty pieces either form can produce.
     */
   private def chars(word: Column): Column =
-    filter(split(word, "(?<=.)"), c => c =!= "")
+    array_remove(split(word, "(?<=.)"), "")
 
   /** One word as a sentinel-prefixed, space-TERMINATED symbol string:
     * `"\u0001h \u0001i \u0001</w> "`. Every symbol ends with a space, so
