@@ -17,6 +17,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the generated-class cache defaults to 100 entries; a 133-query
+      // workload cycles it every pass, so re-executed queries RECOMPILE
+      // their whole-stage code each rep (measured: q_doc_fingerprint 0.8 s
+      // in a fresh session vs 2.6 s after a full warm pass). Size it to
+      // the workload.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -177,7 +177,15 @@ object TextFunctions {
     * intermediate fits 64-bit integer arithmetic, so any engine recomputes
     * it bit-for-bit.
     */
-  def simhashPoly(text: Column): Column = {
+  def simhashPoly(text: Column): Column =
+    org.apache.spark.sql.graft.NativeTextExprs.simhashPoly31(tokens(text))
+
+  /** The composed-Column reference form of [[simhashPoly]] — the
+    * differential-spec twin of the native single-pass expression (the
+    * native evaluation must stay bit-identical to this chain, which is
+    * what the DuckDB oracle restates).
+    */
+  private[graft] def simhashPolyComposed(text: Column): Column = {
     val M = 2147483647L
     let1(transform(tokens(text), t =>
         aggregate(split(t, ""), lit(0L), (h, c) => (h * 31L + ascii(c)) % M))) { th =>
@@ -221,7 +229,13 @@ object TextFunctions {
     * of the xxhash64 chain in [[fingerprint]] (same structure, portable
     * hash), complementing [[polyFingerprint]]'s windowed minimum.
     */
-  def chainFingerprintPoly(text: Column): Column = {
+  def chainFingerprintPoly(text: Column): Column =
+    org.apache.spark.sql.graft.NativeTextExprs.chainFingerprintPoly(tokens(text))
+
+  /** Composed reference twin of [[chainFingerprintPoly]] (see
+    * [[simhashPolyComposed]]).
+    */
+  private[graft] def chainFingerprintPolyComposed(text: Column): Column = {
     val M = 2147483647L
     let1(transform(tokens(text), t =>
         aggregate(split(t, ""), lit(0L), (h, c) => (h * 31L + ascii(c)) % M))) { th =>

@@ -324,6 +324,103 @@ object NativeTextExprs {
       copy(child = newChild)
   }
 
+  /** Single-vote 31-bit poly SimHash — the
+    * [[graft.functions.TextFunctions.simhashPoly]] chain in one primitive
+    * pass (per-token base-31 code-point polynomial mod 2^31−1, then a
+    * 31-bit majority vote against the token count; ties set the bit,
+    * empty → 0). Bit-identical to the composed HOF chain, which the
+    * DuckDB oracle restates; this evaluation avoids its per-character
+    * 1-element string arrays and 31 re-folds of the hash list.
+    */
+  case class SimHashPoly31Expr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash_poly31"
+
+    private val M = 2147483647L
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return 0L
+      val c = new Array[Int](31)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        if (s != null) {
+          val str = s.toString
+          var h = 0L
+          var j = 0
+          while (j < str.length) {
+            val cp = str.codePointAt(j)
+            h = (h * 31L + cp) % M
+            j += Character.charCount(cp)
+          }
+          var b = 0
+          while (b < 31) {
+            if (((h >>> b) & 1L) == 1L) c(b) += 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 31) {
+        if (c(b) * 2 >= n) out |= (1L << b)
+        b += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Order-sensitive chain fingerprint over poly token hashes — the
+    * [[graft.functions.TextFunctions.chainFingerprintPoly]] chain
+    * (`a = (a*131 + h) mod 2^31−1` over the per-token polynomials) in one
+    * pass; empty → 0. Bit-identical to the composed form the oracle
+    * restates.
+    */
+  case class ChainFingerprintPolyExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "chain_fingerprint_poly"
+
+    private val M = 2147483647L
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        var h = 0L
+        if (s != null) {
+          val str = s.toString
+          var j = 0
+          while (j < str.length) {
+            val cp = str.codePointAt(j)
+            h = (h * 31L + cp) % M
+            j += Character.charCount(cp)
+          }
+        }
+        acc = (acc * 131L + h) % M
+        i += 1
+      }
+      acc
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def langIdNative(text: Column, markers: Seq[(String, Seq[String])]): Column =
     ExpressionUtils.column(LangIdExpr(ExpressionUtils.expression(text), markers))
 
@@ -340,6 +437,13 @@ object NativeTextExprs {
 
   def simhashPoly62(tokenArray: Column): Column =
     ExpressionUtils.column(SimHashPoly62Expr(ExpressionUtils.expression(tokenArray)))
+
+  def simhashPoly31(tokenArray: Column): Column =
+    ExpressionUtils.column(SimHashPoly31Expr(ExpressionUtils.expression(tokenArray)))
+
+  def chainFingerprintPoly(tokenArray: Column): Column =
+    ExpressionUtils.column(
+      ChainFingerprintPolyExpr(ExpressionUtils.expression(tokenArray)))
 
   def fingerprint64(tokenArray: Column): Column =
     ExpressionUtils.column(Fingerprint64Expr(ExpressionUtils.expression(tokenArray)))

@@ -248,6 +248,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       top.mkString(", "))
   }
 
+  test("native simhashPoly31 + chainFingerprintPoly equal their composed chains") {
+    import graft.functions.TextFunctions
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val edge = Seq("", "   ", "one", "héllo wörld", "emoji 🌀 token",
+      "a b c d e f g h").toDF("text")
+    for (df <- Seq(docs.select(col("text")), edge)) {
+      val diff = df.select(
+          TextFunctions.simhashPoly(col("text")).as("sn"),
+          TextFunctions.simhashPolyComposed(col("text")).as("sc"),
+          TextFunctions.chainFingerprintPoly(col("text")).as("cn"),
+          TextFunctions.chainFingerprintPolyComposed(col("text")).as("cc"))
+        .filter(col("sn") =!= col("sc") || col("cn") =!= col("cc"))
+      assert(diff.count() == 0)
+    }
+  }
+
   test("native simhashPoly62 equals the composed-Column reference chain") {
     import graft.functions.TextFunctions
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
