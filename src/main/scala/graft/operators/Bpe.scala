@@ -51,9 +51,13 @@ object Bpe {
     * "")` happens to be code-point safe too (UTF8String iteration — unlike
     * `java.lang.String.split`), but that is an implementation detail, not
     * a contract. The filter drops empty pieces either form can produce.
+    * `(?s)` makes `.` match line terminators too (U+2028/U+2029/U+0085
+    * survive `\s+` tokenization; without DOTALL such a character would
+    * fuse with its successor into one symbol, breaking the per-code-point
+    * contract and diverging from an ANSI per-character split).
     */
   private def chars(word: Column): Column =
-    array_remove(split(word, "(?<=.)"), "")
+    array_remove(split(word, "(?s)(?<=.)"), "")
 
   /** One word as a sentinel-prefixed, space-TERMINATED symbol string:
     * `"\u0001h \u0001i \u0001</w> "`. Every symbol ends with a space, so
@@ -158,10 +162,35 @@ object Bpe {
     * occurs fewer than `minFreq` times (weighted by word frequency).
     *
     * The returned pairs are in merge-rank order, ready for [[applyMerges]].
+    *
+    * Per-merge cost is BOUNDED: the live replace chain never exceeds
+    * `rematerializeEvery` merges. Every `rematerializeEvery` iterations the
+    * partially-merged word table is re-materialized (`localCheckpoint`, the
+    * [[Dedup.connectedComponents]] lineage-truncation discipline) and the
+    * chain restarts from it. Without this, iteration i replays merges
+    * 0..i−1 over the base table — O(nMerges² · vocab) total work and an
+    * nMerges-deep plan: a real 32k-merge tokenizer would replay up to 32k
+    * `replace`s per job. With it, total work is O(nMerges · vocab) and plan
+    * depth is capped, at the price of nMerges/rematerializeEvery
+    * vocabulary-sized materializations (the word table, never the corpus).
     */
   def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
-                  minFreq: Long = 2L): Seq[(String, String)] = {
+                  minFreq: Long = 2L,
+                  rematerializeEvery: Int = 64): Seq[(String, String)] =
+    learnMergesProbed(docs, textCol, nMerges, minFreq, rematerializeEvery,
+      _ => ())
+
+  /** [[learnMerges]] with a per-iteration probe reporting the LIVE chain
+    * length (merges applied on top of the last materialized table) — test
+    * instrumentation so BpeSpec can lock the boundedness invariant
+    * structurally instead of with a flaky timing assertion.
+    */
+  private[graft] def learnMergesProbed(
+      docs: DataFrame, textCol: String, nMerges: Int, minFreq: Long,
+      rematerializeEvery: Int, probe: Int => Unit): Seq[(String, String)] = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    require(rematerializeEvery >= 1,
+      s"rematerializeEvery must be >= 1, got $rematerializeEvery")
     // the ONLY corpus-scale pass: word frequencies (map-side combined)
     val words = docs
       .select(explode(Corpus.terms(col(textCol))).as("g_w"))
@@ -170,13 +199,26 @@ object Bpe {
       .persist()
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      // base = word table with all merges up to the last rematerialization
+      // already applied; pending = merges since then (the live chain)
+      var base = words
+      val pending = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       var done = false
       while (merges.size < nMerges && !done) {
-        // current symstrings = persisted base + the merge chain so far (a
-        // narrow projection — recomputing it per iteration is cheaper than
-        // re-persisting the table every round)
-        val cur = words.select(
-          applyMerges(col("g_s"), merges.toSeq).as("g_s"), col("g_wc"))
+        if (pending.size >= rematerializeEvery) {
+          // fold the pending chain into the stored table and truncate
+          // lineage — eager so the old checkpoint blocks can be dropped
+          base = base.select(
+            applyMerges(col("g_s"), pending.toSeq).as("g_s"), col("g_wc"))
+            .localCheckpoint(true)
+          pending.clear()
+        }
+        probe(pending.size)
+        // current symstrings = materialized base + the bounded live chain (a
+        // narrow projection — recomputing a SHORT chain per iteration is
+        // cheaper than re-persisting the table every round)
+        val cur = base.select(
+          applyMerges(col("g_s"), pending.toSeq).as("g_s"), col("g_wc"))
         // symbols are space-TERMINATED, so a plain split leaves one
         // trailing empty piece — drop it or it pairs with the last symbol
         val arr = filter(split(col("g_s"), " "), x => x =!= "")
@@ -194,8 +236,10 @@ object Bpe {
         best.headOption match {
           case Some(row) if row.getLong(2) >= minFreq =>
             // strip the sentinel prefix the symstring carries
-            merges += ((row.getString(0).substring(1),
-              row.getString(1).substring(1)))
+            val m = (row.getString(0).substring(1),
+              row.getString(1).substring(1))
+            merges += m
+            pending += m
           case _ => done = true
         }
       }

@@ -93,6 +93,35 @@ class BpeSpec extends AnyFunSuite {
     assert(symbols.toSeq == Seq("a", cyclone, "b", Bpe.EndWord), symbols.toSeq)
   }
 
+  test("bounded-chain training equals the naive full-replay chain") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val rnd = new scala.util.Random(48112)
+    val alphabet = "abc"
+    def word() = (0 until 1 + rnd.nextInt(5))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val docs = (0 until 12)
+      .map(i => (i.toLong, (0 until 1 + rnd.nextInt(12)).map(_ => word()).mkString(" ")))
+      .toDF("doc_id", "text")
+    // naive = rematerializeEvery larger than nMerges (never triggers);
+    // chunked = rematerialize every 3 merges. Identical merge tables means
+    // the lineage truncation is pure mechanics, zero semantics.
+    val naive = Bpe.learnMerges(docs, "text", nMerges = 11, minFreq = 2,
+      rematerializeEvery = 1000)
+    val chunked = Bpe.learnMerges(docs, "text", nMerges = 11, minFreq = 2,
+      rematerializeEvery = 3)
+    assert(naive.nonEmpty && chunked == naive, s"$chunked != $naive")
+  }
+
+  test("live replace chain never exceeds rematerializeEvery (structural bound)") {
+    var maxChain = -1
+    Bpe.learnMergesProbed(corpus, "text", nMerges = 7, minFreq = 1,
+      rematerializeEvery = 2, len => maxChain = math.max(maxChain, len))
+    // the probe reports the chain length each iteration AFTER any
+    // rematerialization — per-merge work is O(rematerializeEvery), not O(i)
+    assert(maxChain >= 0 && maxChain < 2, s"live chain reached $maxChain")
+  }
+
   test("re-applying the same merge table is a no-op (idempotent encode)") {
     val merges = Seq(("e", "s"), ("es", "t"), ("t", "h"))
     val docs = Tables.t(spark, sf, "documents").limit(50)
