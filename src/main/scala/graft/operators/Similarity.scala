@@ -245,18 +245,24 @@ object Similarity {
     * signature banded like MinHash-LSH). Output:
     * (queryId, neighborId, cosine, rank<=k).
     *
-    * Plan shape: both sides explode to (band, bucket) keys → shuffled
-    * equi-join on the band key → exact cosine on candidates → per-query
-    * window top-k. No cross product at any point.
+    * Plan shape: both sides explode to (id, band, bucket) keys ONLY — the
+    * embedding vectors are dropped before anything shuffles, so the band
+    * join and the pair dedup move 8-byte keys, not 1k-dim float arrays
+    * (the [[graft.operators.Dedup.embeddingDupPairs]] discipline: a
+    * vector-carrying candidate shuffle is ~1000× wider than it needs to
+    * be). Vectors are re-attached only to the surviving distinct pairs —
+    * a pair-side join each vector table serves with a broadcast of the
+    * (small) pair set or a shuffle bounded by survivors, never by
+    * candidates. Exact cosine on survivors → per-query window top-k. No
+    * cross product at any point.
     */
   def knnJoin(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, nBits: Int = 16, bands: Int = 4,
               seed: Int = 42): DataFrame = {
     val rowsPerBand = nBits / bands
-    def banded(df: DataFrame, id: String, vec: String, outId: String,
-               outVec: String): DataFrame =
-      df.select(col(id).as(outId), col(vec).as(outVec),
+    def banded(df: DataFrame, id: String, vec: String, outId: String): DataFrame =
+      df.select(col(id).as(outId),
         posexplode(graft.functions.TextFunctions.let1(
           rhpSignature(col(vec), nBits, seed)) { sig =>
           transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -264,11 +270,17 @@ object Similarity {
               transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
                 x => x.cast("string")), b.cast("string"))))
         }).as(Seq("g_band", "g_bucket")))
-    val c = banded(corpus, corpusId, corpusVec, "g_nid", "g_nvec")
-    val q = banded(queries, queryId, queryVec, "g_qid", "g_qvec")
-    val cands = q.join(c, Seq("g_band", "g_bucket"))
-      .groupBy("g_qid", "g_nid")
-      .agg(first("g_qvec").as("g_qvec"), first("g_nvec").as("g_nvec"))
+    val cVecs = corpus.select(col(corpusId).as("g_nid"),
+      col(corpusVec).as("g_nvec"))
+    val qVecs = queries.select(col(queryId).as("g_qid"),
+      col(queryVec).as("g_qvec"))
+    val pairs = banded(queries, queryId, queryVec, "g_qid")
+      .join(banded(corpus, corpusId, corpusVec, "g_nid"),
+        Seq("g_band", "g_bucket"))
+      .select("g_qid", "g_nid").distinct()
+    val cands = pairs
+      .join(qVecs, "g_qid")
+      .join(cVecs, "g_nid")
       .select(col("g_qid"), col("g_nid"),
         cosine(col("g_qvec"), col("g_nvec")).as("cosine"))
     val w = Window.partitionBy("g_qid").orderBy(col("cosine").desc, col("g_nid"))

@@ -262,6 +262,31 @@ class PlanShapeSpec extends AnyFunSuite {
     } }
   }
 
+  test("knnJoin candidate exchanges carry ids only, never embedding vectors") {
+    withAqeOff { withUncachedEmbeddings {
+      val plan = qe("q_knn_join").executedPlan
+      // candidate-generation exchanges are the multi-key ones: the band
+      // join partitions on (g_band, g_bucket), the pair dedup on
+      // (g_qid, g_nid). Those carry candidate-cardinality rows, so a vector
+      // column crossing them would widen the shuffle ~dim×4 bytes per row
+      // — the re-attach joins (single id key, survivor-bounded or
+      // broadcast) are where arrays are allowed back in.
+      val multiKey = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if (e.outputPartitioning match {
+            case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+              h.expressions.size >= 2
+            case _ => false
+          }) => e
+      }
+      assert(multiKey.nonEmpty, "expected band-join/pair-dedup exchanges")
+      for (e <- multiKey)
+        assert(!e.output.exists(_.dataType
+            .isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+          s"candidate exchange must not carry an array column: ${e.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", ")}")
+    } }
+  }
+
   test("gopher repetition never cross-joins and bounds its shuffle count") {
     withAqeOff {
       val plan = qe("q_text_gopher").executedPlan
