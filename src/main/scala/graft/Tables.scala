@@ -23,24 +23,43 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
-  /** Short content tag of a testdata dir — (file name, size) pairs hashed —
-    * for embedding in derived-artifact paths (cubes, rollup nodes, dedup
-    * pair indexes, IVF stores). The driver REGENERATES testdata between
-    * rounds and has changed its generator before (round 6 shipped a
-    * different events encoding); an artifact built from last round's bytes
-    * must not serve this round's queries. Size-based (not mtime) so a
-    * byte-identical regeneration — the common case — reuses the artifact,
-    * while any content change re-keys every derived path. Pure file-stat:
-    * no Spark job, memoized per dir.
+  /** Short content tag of a testdata dir for embedding in derived-artifact
+    * paths (cubes, rollup nodes, dedup pair indexes, IVF stores). The
+    * driver REGENERATES testdata between rounds and has changed its
+    * generator before (round 6 shipped a different events encoding); an
+    * artifact built from last round's bytes must not serve this round's
+    * queries. Evidence hashed per file: name, size, and the first + last
+    * 8 KiB of bytes — the tail of a parquet file is its footer (row
+    * counts, column min/max stats, schema), so a regeneration whose bytes
+    * change but whose file sizes happen to coincide still re-keys, while a
+    * byte-identical regeneration — the common case — reuses the artifact.
+    * Deliberately NOT mtime (re-copies would spuriously re-key) and NOT a
+    * full-content hash (this must stay cheap: a few stat+16 KiB reads, no
+    * Spark job). Memoized per dir.
     */
   private val tagMemo = scala.collection.concurrent.TrieMap.empty[String, String]
   def contentTag(sfDir: String): String = tagMemo.getOrElseUpdate(sfDir, {
     val files = Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
       .filter(_.isFile).sortBy(_.getName)
-    val h = java.security.MessageDigest.getInstance("MD5").digest(
-      files.map(f => s"${f.getName}:${f.length}").mkString("|")
-        .getBytes("UTF-8"))
-    h.take(4).map(b => f"$b%02x").mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val Chunk = 8192
+    files.foreach { f =>
+      md.update(s"${f.getName}:${f.length}|".getBytes("UTF-8"))
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val head = new Array[Byte](math.min(Chunk.toLong, f.length).toInt)
+        raf.readFully(head)
+        md.update(head)
+        if (f.length > Chunk) {
+          val tail = new Array[Byte](
+            math.min(Chunk.toLong, f.length - Chunk).toInt)
+          raf.seek(f.length - tail.length)
+          raf.readFully(tail)
+          md.update(tail)
+        }
+      } finally raf.close()
+    }
+    md.digest().take(4).map(b => f"$b%02x").mkString
   })
 
   // schema inference (footer reads + file listing) costs ~10-30ms per

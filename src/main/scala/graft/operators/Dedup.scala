@@ -311,6 +311,18 @@ object Dedup {
     * Jaccard stays exact for every emitted pair: a (new, old) pair's
     * common shingles are all shingles of the new side — none are pruned —
     * and full set sizes travel in the packing.
+    *
+    * `maxShingleDf` semantics: the join filters SHINGLES (to those some
+    * new doc has), never documents, so a surviving shingle's posting list
+    * still holds every document containing it — the cap compares against
+    * corpus-wide df exactly as in the full build, and the delta is a
+    * subset of a capped full build over the SAME corpus (DeltaCapSpec).
+    * What a capped `existing ∪ delta` refresh canNOT equal is a capped
+    * full REBUILD: df is measured as of each build, so a shingle that was
+    * under the cap when `existing` was built but has since crossed it
+    * keeps its old pairs in the union while a fresh rebuild would drop
+    * them. That is inherent to append-only refresh with a df-dependent
+    * guard; rebuild when cap-exact semantics matter.
     */
   def ngramJaccardDupPairsDelta(df: DataFrame, idCol: String, textCol: String,
                                 isNew: Column, threshold: Double,
@@ -735,28 +747,40 @@ object Dedup {
   }
 
   /** Compact the span-count store: merge all appended partials into one
-    * (hash, total) row each and atomically swap the directory — serve
-    * cost stays proportional to distinct windows instead of growing with
-    * every ingested batch (the pipeline-layer twin of
+    * (hash, total) row each and swap the directory — serve cost stays
+    * proportional to distinct windows instead of growing with every
+    * ingested batch (the pipeline-layer twin of
     * [[graft.streaming.EventPipeline.compactPartials]]). Write-then-swap
     * because the store is unpartitioned (no partition column to
-    * dynamic-overwrite); on a production filesystem the rename is the
-    * same atomic-promote used for any staged output. Callers serialize
-    * compaction against ingest, as with every artifact refresh here.
+    * dynamic-overwrite). The swap is crash-SAFE, not atomic: the live dir
+    * is renamed aside (`dest -> dest.precompact`), the compacted output
+    * promoted (`tmp -> dest`), and only then is the old copy deleted — at
+    * no instant is the ONLY copy of the store mid-delete, and a crash
+    * between the two renames leaves `dest.precompact` to recover from
+    * (a stale `.precompact` from such a crash is cleared on the next
+    * compaction). A reader racing the swap window can still observe a
+    * missing directory — callers serialize compaction against both ingest
+    * and serve, as with every artifact refresh here; a production
+    * deployment on an object store would stage behind a manifest instead.
     * Returns the number of distinct windows retained.
     */
   def spanCountsCompact(spark: org.apache.spark.sql.SparkSession,
                         destDir: String): Long = {
     val tmp = destDir.stripSuffix("/") + ".compacting"
+    val old = destDir.stripSuffix("/") + ".precompact"
     spark.read.parquet(destDir)
       .groupBy("g_h").agg(sum(col("g_cnt")).as("g_cnt"))
       .write.mode("overwrite").parquet(tmp)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
-    rm(new java.io.File(destDir))
+    rm(new java.io.File(old)) // stale recovery copy from a crashed run
+    require(new java.io.File(destDir).renameTo(new java.io.File(old)),
+      s"could not stage $destDir -> $old")
     require(new java.io.File(tmp).renameTo(new java.io.File(destDir)),
-      s"could not promote compacted store $tmp -> $destDir")
+      s"could not promote compacted store $tmp -> $destDir " +
+        s"(previous store preserved at $old)")
+    rm(new java.io.File(old))
     org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
     spark.read.parquet(destDir).count()
   }

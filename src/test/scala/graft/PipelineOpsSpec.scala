@@ -136,6 +136,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairSet(refreshed.select("idA", "idB", "jaccard")) == full)
   }
 
+  test("delta maxShingleDf measures corpus-wide df, matching the full build") {
+    // boiler's shingles have df=3 only when the NEW doc is counted; with
+    // cap=2 both the full build and the delta must drop them, because the
+    // delta's semi-join filters SHINGLES (to those a new doc has), never
+    // documents — its posting lists still hold every doc per shingle.
+    val df3 = spark.createDataFrame(Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // old, boilerplate
+      (2L, "alpha beta gamma delta epsilon"),   // old, boilerplate
+      (3L, "alpha beta gamma delta epsilon"),   // NEW, boilerplate (df -> 3)
+      (4L, "unique one two three four five"),   // old near-dup of 5
+      (5L, "unique one two three four six")     // NEW near-dup of 4
+    )).toDF("doc_id", "text")
+    val isNew = col("doc_id") >= 3
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairSet(Dedup.ngramJaccardDupPairs(df3, "doc_id", "text",
+      0.5, maxShingleDf = Some(2)))
+    val delta = pairSet(Dedup.ngramJaccardDupPairsDelta(df3, "doc_id", "text",
+      isNew, 0.5, maxShingleDf = Some(2)))
+    assert(delta.subsetOf(full), s"delta $delta not within full $full")
+    // the capped boilerplate trio produced no pairs on either path...
+    assert(!full.exists { case (a, b) => a <= 3 && b <= 3 }, s"full: $full")
+    assert(!delta.exists { case (a, b) => a <= 3 && b <= 3 }, s"delta: $delta")
+    // ...while the under-cap near-dup pair survives in both
+    assert(delta.contains((4L, 5L)) && full.contains((4L, 5L)))
+  }
+
   test("minhash estimated jaccard tracks exact jaccard on near-dups") {
     val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.8)
     val found = pairs.collect()
