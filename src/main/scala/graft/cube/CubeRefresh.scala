@@ -135,6 +135,7 @@ object CubeRefresh {
     // scan cache used by the rewrite rules — invalidate all of them
     spark.catalog.refreshByPath(cube.cubePath)
     org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+    org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
     CubeCatalog.invalidatePlan(cube.cubePath)
     val written = graft.Graft.withoutRewrites(spark) {
       spark.read.parquet(cube.cubePath)
@@ -182,6 +183,7 @@ object CubeRefresh {
       }
       spark.catalog.refreshByPath(ru.path)
       org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+      org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
       CubeCatalog.invalidatePlan(ru.path)
     }
 

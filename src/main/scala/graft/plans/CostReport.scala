@@ -60,7 +60,35 @@ object CostReport {
       Row("summary", "rows_ratio", "raw/engine_pct", null,
         if (engineRows > 0) rawRows * 100L / engineRows else null, null)) ++
       estimateRow(engineDf)
-    section("engine", engine) ++ section("raw", raw) ++ summary
+    section("engine", engine) ++ section("raw", raw) ++
+      lattice(spark, engine) ++ summary
+  }
+
+  /** One row per lattice node (and the fact cube) of every cube the engine
+    * route touched, with the footer-measured stored size the router priced
+    * it at ([[org.apache.spark.sql.graft.ScanBytes.dirCost]]) — "chosen"
+    * marks the node the plan actually scans, so a user can see WHY the
+    * router picked this node over the others (the reference's
+    * `DruidQueryCostModel` comparison, made inspectable).
+    */
+  private def lattice(spark: SparkSession,
+                      engine: Seq[ScanBytes.ScanCost]): Seq[Row] = {
+    val scanned = engine.flatMap(_.rootPaths).map(CubeCatalog.normalizePath).toSet
+    CubeCatalog.all
+      .filter(c => (CubeCatalog.normalizePath(c.cubePath) +:
+        c.rollups.map(r => CubeCatalog.normalizePath(r.path)))
+        .exists(scanned.contains))
+      .flatMap { c =>
+        val nodes = (s"cube:${c.info.name}", c.cubePath) +:
+          c.rollups.map(r => (s"rollup:${tail(r.path)}", r.path))
+        nodes.map { case (label, p) =>
+          val (files, rows, bytes) = ScanBytes.dirCost(spark, p)
+          val marker =
+            if (scanned.contains(CubeCatalog.normalizePath(p))) "chosen"
+            else "candidate"
+          Row("lattice", label, marker, files, rows, bytes)
+        }
+      }
   }
 
   /** FD-closure output-cardinality estimate for the query's top Aggregate,

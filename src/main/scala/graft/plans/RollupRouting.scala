@@ -79,16 +79,54 @@ case class RollupRouting(spark: SparkSession)
     }
     val cube: RegisteredCube = CubeCatalog.cubeOfRelation(lr).getOrElse(return None)
     if (cube.rollups.isEmpty) return None
-    // lattice walk: coarsest (smallest) rollup that can serve wins
-    cube.rollups.view
-      .flatMap(ru => serveFrom(agg, projects, filters, cube, ru, expandOpt))
-      .headOption
+    // Lattice walk, COST-PRICED: every node that can serve is a correct
+    // route, so the choice among them is pure cost — and the cost is
+    // MEASURED, not positional. The reference prices its competing routes
+    // from segment index stats (`DruidQueryCostModel.scala:345-414`); here
+    // each candidate node is priced by its footer-measured stored rows
+    // (bytes tiebreak, registration order last — also the fallback when a
+    // node can't be measured). Registration order alone breaks as soon as
+    // a user declares overlapping nodes out of size order. A node at or
+    // above FACT grain (measured rows > the cube's) is refused outright —
+    // serving from it beats the fact route on nothing and forfeits the
+    // fact cube's layout (the node-vs-pruned-fact choice, same pricing).
+    pickCheapest(cube,
+        cube.rollups.zipWithIndex.flatMap { case (ru, i) =>
+          serveFrom(agg, projects, filters, cube, ru, expandOpt)
+            .map(p => (ru, i, p))
+        })
       .orElse(
         if (expandOpt.nonEmpty) None
         else cube.rollups.view
           .flatMap(ru => serveTopN(agg, projects, filters, cube, ru))
           .headOption)
       .map(pruneScan)
+  }
+
+  /** Choose among servable lattice nodes by measured stored size.
+    * `spark.graft.costRouting.enabled=false` restores the positional walk
+    * (first registered servable node wins).
+    */
+  private def pickCheapest(
+      cube: RegisteredCube,
+      candidates: Seq[(RollupMeta, Int, LogicalPlan)]): Option[LogicalPlan] = {
+    if (candidates.isEmpty) return None
+    if (candidates.size == 1 ||
+        !spark.conf.get("spark.graft.costRouting.enabled", "true").toBoolean)
+      return Some(candidates.head._3)
+    import org.apache.spark.sql.graft.ScanBytes
+    def price(path: String): (Long, Long) = {
+      val (files, rows, bytes) = ScanBytes.dirCost(spark, path)
+      if (files > 0) (rows, bytes) else (Long.MaxValue, Long.MaxValue)
+    }
+    val (factFiles, factRows, _) = ScanBytes.dirCost(spark, cube.cubePath)
+    val belowFactGrain = candidates.filter { case (ru, _, _) =>
+      factFiles == 0 || price(ru.path)._1 <= factRows
+    }
+    val pool = if (belowFactGrain.nonEmpty) belowFactGrain else return None
+    Some(pool.minBy { case (ru, i, _) =>
+      val (r, b) = price(ru.path); (r, b, i)
+    }._3)
   }
 
   /** Serve `GROUP BY <sketched dim> ... count(*)` from the stored

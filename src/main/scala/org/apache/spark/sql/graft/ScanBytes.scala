@@ -100,6 +100,50 @@ object ScanBytes {
     }
   }
 
+  /** Footer-measured totals of a whole parquet artifact directory:
+    * (files, rows, bytes) over every parquet file under `path`,
+    * recursively — the per-NODE stored size the rollup router prices
+    * competing lattice nodes with (the reference's cost model prices
+    * routes from segment index stats the same way;
+    * `DruidQueryCostModel.scala:345-414`). `bytes` is on-disk file length
+    * (whole artifact, not per-column — node choice happens before column
+    * pruning is known). Returns (0, 0, 0) for a missing/empty path —
+    * callers treat that as "unmeasured", not "free". Memoized per path:
+    * artifact paths are content-keyed ([[graft.Tables.contentTag]]), and
+    * in-place refreshes invalidate via [[invalidateDirCosts]]. At cluster
+    * scale the one recursive listing per artifact is the same cost the
+    * file index already pays; a manifest would replace it on an object
+    * store.
+    */
+  private val dirCache = TrieMap.empty[String, (Long, Long, Long)]
+
+  def dirCost(spark: org.apache.spark.sql.SparkSession,
+              path: String): (Long, Long, Long) =
+    dirCache.getOrElseUpdate(path, {
+      try {
+        val conf = spark.asInstanceOf[classic.SparkSession]
+          .sessionState.newHadoopConf()
+        val p = new Path(path)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) (0L, 0L, 0L)
+        else {
+          var files = 0L; var rows = 0L; var bytes = 0L
+          val it = fs.listFiles(p, true)
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+              files += 1
+              rows += fileRows(conf, st.getPath, st.getModificationTime)
+              bytes += st.getLen
+            }
+          }
+          (files, rows, bytes)
+        }
+      } catch { case _: Throwable => (0L, 0L, 0L) }
+    })
+
+  def invalidateDirCosts(): Unit = dirCache.clear()
+
   /** Bytes the frame's parquet scans must read, post partition- and
     * column-pruning. Call AFTER executing the frame so AQE's final plan
     * (with reused/materialized stages) is in place.

@@ -64,6 +64,20 @@ class GraftSqlParserSpec extends AnyFunSuite {
     // the FD-closure estimate bounds the true result size (15 groups)
     val est = byRoute("result_estimate").getLong(4)
     assert(est >= 15, s"estimate $est below true cardinality")
+    // the lattice section shows the priced comparison: every node of the
+    // serving cube with measured stored rows, the scanned one marked
+    // chosen — and no candidate measures smaller than the chosen node
+    val lat = section("lattice")
+    assert(lat.nonEmpty, "expected a lattice pricing section")
+    val chosen = lat.filter(_.getString(2) == "chosen")
+    assert(chosen.size == 1, lat.mkString("; "))
+    val chosenRows = chosen.head.getLong(4)
+    assert(chosenRows > 0)
+    val measured = lat.filter(r => r.getString(2) == "candidate" &&
+      r.getLong(3) > 0).map(_.getLong(4))
+    assert(measured.forall(_ >= chosenRows),
+      s"chosen node ($chosenRows rows) is not the measured-smallest: " +
+        lat.mkString("; "))
   }
 
   test("SHOW GRAFT CUBES lists the registered cube and its lattice") {

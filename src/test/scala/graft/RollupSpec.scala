@@ -73,6 +73,49 @@ class RollupSpec extends AnyFunSuite {
     }
   }
 
+  test("competing lattice nodes are priced by measured stored rows, not order") {
+    for (t <- Tables.starTables)
+      Tables.t(spark, sf, t).createOrReplaceTempView(t)
+    graft.cube.RollupCube.ensure(spark, sf)
+    val cube = graft.cube.CubeCatalog.all.find(_.rollups.nonEmpty).get
+    // servable by at least the coarse {c_mktsegment,l_returnflag}, slice
+    // {c_mktsegment,s_nation}, q3 and fine nodes — the router must take
+    // the measured-smallest (coarse), wherever it sits in the list
+    val sql =
+      """SELECT c_mktsegment, count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
+    def servedPath(): String = {
+      val scans = spark.sql(sql)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(p =>
+                  graft.cube.CubeCatalog.normalizePath(p.toString))
+              case _ => Nil
+            }
+        }.flatten
+      assert(scans.size == 1, s"expected one rollup scan, got $scans")
+      scans.head
+    }
+    val chosen = servedPath()
+    assert(chosen == graft.cube.CubeCatalog.normalizePath(
+        graft.cube.RollupCube.coarsePath(sf)),
+      s"expected the measured-smallest (coarse) node, got $chosen")
+    // flip the registration order (fine/near-grain nodes first): a
+    // positional walk would now stop at a bigger node; the priced walk
+    // must still land on the same measured-smallest one
+    try {
+      graft.cube.CubeCatalog.register(cube.copy(rollups = cube.rollups.reverse))
+      assert(servedPath() == chosen,
+        "node choice must follow measured stored rows, not registration order")
+    } finally graft.cube.CubeCatalog.register(cube)
+  }
+
   test("TopN from heavy-hitter sketches: lossless rewrite, no fact scan") {
     for (t <- Tables.starTables)
       Tables.t(spark, sf, t).createOrReplaceTempView(t)
