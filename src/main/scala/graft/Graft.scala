@@ -109,8 +109,10 @@ object Graft {
     *      time_bucket_column, time_column, count_column, n_sums, sketches,
     *      partition_dims, cluster_dims, total_rows)`
     *   - `graft_query_history(id, at, action, served, duration_ms,
-    *      plan_head)` — executed-query log ([[graft.plans.QueryHistory]];
-    *      the reference's `DruidQueryHistory` introspection)
+    *      scan_files, scan_rows, scan_bytes, plan_head)` — executed-query
+    *      log with the footer-measured IO of each executed plan
+    *      ([[graft.plans.QueryHistory]]; the reference's
+    *      `DruidQueryHistory` + `DruidQueryExecutionMetric` introspection)
     *
     * Snapshot semantics (as in the reference): re-run after registering
     * new cubes — `REGISTER GRAFT VIEWS` is the SQL surface for that.
@@ -149,8 +151,9 @@ object Graft {
       .createOrReplaceTempView("graft_rollups")
     graft.plans.QueryHistory.snapshot.map { e =>
       (e.id, new java.sql.Timestamp(e.atMs), e.action, e.served,
-        e.durationMs, e.planHead)
-    }.toDF("id", "at", "action", "served", "duration_ms", "plan_head")
+        e.durationMs, e.scanFiles, e.scanRows, e.scanBytes, e.planHead)
+    }.toDF("id", "at", "action", "served", "duration_ms",
+        "scan_files", "scan_rows", "scan_bytes", "plan_head")
       .createOrReplaceTempView("graft_query_history")
   }
 

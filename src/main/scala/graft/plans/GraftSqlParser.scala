@@ -228,10 +228,15 @@ case class ShowGraftHistoryCommand() extends LeafRunnableCommand {
     AttributeReference("action", StringType, nullable = false)(),
     AttributeReference("served", StringType, nullable = false)(),
     AttributeReference("duration_ms", StringType, nullable = false)(),
+    AttributeReference("scan_files", StringType, nullable = false)(),
+    AttributeReference("scan_rows", StringType, nullable = false)(),
+    AttributeReference("scan_bytes", StringType, nullable = false)(),
     AttributeReference("plan_head", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     QueryHistory.snapshot.map { e =>
-      Row(e.id.toString, e.action, e.served, e.durationMs.toString, e.planHead)
+      Row(e.id.toString, e.action, e.served, e.durationMs.toString,
+        e.scanFiles.toString, e.scanRows.toString, e.scanBytes.toString,
+        e.planHead)
     }
 }
 

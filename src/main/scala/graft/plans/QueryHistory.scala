@@ -41,7 +41,18 @@ object QueryHistory {
         * dimension + sketch columns a rollup would need to serve this
         * query. Empty when no cube can serve it.
         */
-      needs: Seq[(String, Set[String], Set[String])] = Nil)
+      needs: Seq[(String, Set[String], Set[String])] = Nil,
+      /** planned parquet IO of the EXECUTED plan (post-AQE), measured from
+        * footers after partition + column pruning
+        * ([[org.apache.spark.sql.graft.ScanBytes]]) — the reference's
+        * per-query execution-metrics surface
+        * (`DruidQueryExecutionMetric.scala`, `DruidQueriesPage`) exposed
+        * per history row instead of a UI tab. -1 = unmeasured (non-parquet
+        * sources, or the footer read failed).
+        */
+      scanFiles: Long = -1L,
+      scanRows: Long = -1L,
+      scanBytes: Long = -1L)
 
   private val nextId = new AtomicLong(0L)
   private val maxEntries = 256
@@ -100,8 +111,19 @@ object QueryHistory {
             .map(n => (c.info.name, n.dims, n.sketchCols))
         }
       } catch { case _: Exception => Nil }
+      // footer-measured planned IO of the final (post-AQE) physical plan:
+      // listing + footer reads are metadata-cheap and cached per file, and
+      // this is the one place the session can attribute scan rows/bytes to
+      // an individual executed query
+      val (sf, sr, sb) = try {
+        val cs = org.apache.spark.sql.graft.ScanBytes
+          .costsOf(qe.sparkSession, qe.executedPlan)
+        if (cs.isEmpty) (-1L, -1L, -1L)
+        else (cs.map(_.files).sum, cs.map(_.rows).sum, cs.map(_.bytes).sum)
+      } catch { case _: Exception => (-1L, -1L, -1L) }
       record(Entry(nextId.incrementAndGet(), System.currentTimeMillis(),
-        funcName, servedBy(qe), durationNs / 1000000L, head, needs))
+        funcName, servedBy(qe), durationNs / 1000000L, head, needs,
+        sf, sr, sb))
     }
     override def onFailure(funcName: String, qe: QueryExecution,
                            exception: Exception): Unit = ()

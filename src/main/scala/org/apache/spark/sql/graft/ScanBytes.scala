@@ -82,8 +82,17 @@ object ScanBytes {
     */
   def costs(df: DataFrame): Seq[ScanCost] = {
     val classicDs = df.asInstanceOf[classic.Dataset[_]]
-    val conf = classicDs.sparkSession.sessionState.newHadoopConf()
-    scans(df).map { scan =>
+    costsOf(classicDs.sparkSession, classicDs.queryExecution.executedPlan)
+  }
+
+  /** [[costs]] from a physical plan directly — the form the query-history
+    * listener uses (it has a `QueryExecution`, not a frame).
+    */
+  def costsOf(spark: org.apache.spark.sql.SparkSession,
+              plan: SparkPlan): Seq[ScanCost] = {
+    val conf = spark.asInstanceOf[classic.SparkSession]
+      .sessionState.newHadoopConf()
+    scansOf(plan).distinct.map { scan =>
       val cols = scan.requiredSchema.fieldNames.map(_.toLowerCase).toSet
       val files = scan.relation.location
         .listFiles(scan.partitionFilters, scan.dataFilters)

@@ -105,6 +105,20 @@ class MetadataViewsSpec extends AnyFunSuite {
         .sessionState.sqlParser)
     val shown = parser.parsePlan("SHOW GRAFT HISTORY")
       .asInstanceOf[graft.plans.ShowGraftHistoryCommand].run(spark)
-    assert(shown.nonEmpty && shown.head.length == 5)
+    assert(shown.nonEmpty && shown.head.length == 8)
+    // per-query execution metrics: the rollup/cube-served entry carries
+    // the footer-measured IO its executed plan actually read (the
+    // reference's DruidQueryExecutionMetric surface) — a parquet-scanning
+    // action must report positive files/rows/bytes
+    val servedEntry = entries.find(_.served != "raw").get
+    assert(servedEntry.scanFiles > 0 && servedEntry.scanRows > 0 &&
+      servedEntry.scanBytes > 0,
+      s"expected measured IO, got files=${servedEntry.scanFiles} " +
+        s"rows=${servedEntry.scanRows} bytes=${servedEntry.scanBytes}")
+    val viewIo = spark.sql(
+      """SELECT max(scan_rows) FROM graft_query_history
+        |WHERE served != 'raw'""".stripMargin).collect().head.getLong(0)
+    assert(viewIo == servedEntry.scanRows ||
+      viewIo > 0, s"view scan_rows $viewIo")
   }
 }
