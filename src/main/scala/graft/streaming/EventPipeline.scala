@@ -354,4 +354,119 @@ object EventPipeline {
     }
     out
   }
+
+  /** Streaming twin of [[funnel]]: per-user step-min state folded per
+    * micro-batch. State is exactly `steps.size` longs per user (the
+    * earliest completion time of each step so far — `Long.MaxValue` =
+    * not reached), so state scales with the user population, never with
+    * event volume or history. Emits `(user_id, step, ts)` whenever a
+    * step's completion time is first set or improves (Update semantics:
+    * the latest — equivalently the MIN — row per (user, step) is the
+    * answer, matching [[funnel]]'s output rows).
+    *
+    * Equal to the batch funnel when each user's events are processed in
+    * event-time order across micro-batches (each batch is sorted
+    * internally, so only CROSS-batch reordering matters): completion
+    * times only ever decrease, and a step-j event at time t qualifies
+    * against the running min of step j-1 over events with earlier
+    * timestamps — which under in-order delivery equals the batch
+    * funnel's global min whenever the strict `t > t_{j-1}` test can pass
+    * (StreamingSpec pins the differential). A late event that would have
+    * lowered an already-used predecessor time can under-count relative
+    * to a batch backfill — re-run [[funnel]] over the store for exact
+    * late-data accounting, the same batch-backfill contract as
+    * [[sessionizeBatch]]. Production streams bound the state with a
+    * state-store TTL when the user population is unbounded.
+    */
+  def funnelStream(events: Dataset[Event], steps: Seq[String],
+                   withinMinutes: Option[Long] = None): DataFrame = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val idx: Map[String, Int] = steps.zipWithIndex.toMap
+    val k = steps.size
+    val windowMs = withinMinutes.map(_ * 60000L)
+
+    def fold(userId: Long, it: Iterator[Event],
+             state: GroupState[Seq[Long]]): Iterator[(Long, Int, Timestamp)] = {
+      val cur = state.getOption.map(_.toArray)
+        .getOrElse(Array.fill(k)(Long.MaxValue))
+      val before = cur.clone()
+      for (e <- it.toSeq.sortBy(_.ts.getTime); j <- idx.get(e.event_type)) {
+        val t = e.ts.getTime
+        val qualifies =
+          if (j == 0) true
+          else cur(j - 1) != Long.MaxValue && t > cur(j - 1) &&
+            windowMs.forall(w => t - cur(j - 1) <= w)
+        if (qualifies && t < cur(j)) cur(j) = t
+      }
+      if (!java.util.Arrays.equals(before, cur)) state.update(cur.toSeq)
+      (0 until k).iterator
+        .filter(j => cur(j) != Long.MaxValue && cur(j) != before(j))
+        .map(j => (userId, j, new Timestamp(cur(j))))
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
+      .toDF("user_id", "step", "ts")
+  }
+
+  /** Streaming twin of [[retention]]: per-user state = the cohort period
+    * (period of the user's first event) plus the `periods_since` deltas
+    * already emitted, so each `(user, cohort_period, periods_since)` pair
+    * is emitted exactly once and the retention triangle is a plain
+    * `GROUP BY cohort_period, periods_since COUNT(*)` over the sink —
+    * bit-equal to [[retention]]'s `n_users` (StreamingSpec pins it).
+    * State per user is one int + one int per DISTINCT active period
+    * (days of history at worst); production streams bound it with a
+    * horizon/TTL.
+    *
+    * Requires per-user event-time order ACROSS micro-batches for the
+    * cohort to be final once set (within a batch order is irrelevant —
+    * the batch min is taken). An out-of-order event that lands BEFORE
+    * its user's recorded cohort cannot be merged (already-emitted deltas
+    * would all shift) — it fails the stream loudly rather than diverge
+    * silently; backfill with the batch [[retention]] in that case.
+    */
+  def retentionStream(events: Dataset[Event],
+                      period: String = "day"): DataFrame = {
+    import events.sparkSession.implicits._
+    val periodOf: Timestamp => Int = period match {
+      case "day"  => t => math.floorDiv(t.getTime, 86400000L).toInt
+      case "week" => t => math.floorDiv(math.floorDiv(t.getTime, 86400000L), 7L).toInt
+      case "month" => t => {
+        val d = java.time.Instant.ofEpochMilli(t.getTime)
+          .atZone(java.time.ZoneOffset.UTC)
+        (d.getYear - 1970) * 12 + d.getMonthValue - 1
+      }
+      case other => throw new IllegalArgumentException(
+        s"period must be day/week/month, got $other")
+    }
+
+    def fold(userId: Long, it: Iterator[Event],
+             state: GroupState[(Int, Seq[Int])]): Iterator[(Long, Int, Int)] = {
+      val ps = it.map(e => periodOf(e.ts)).toSeq
+      if (ps.isEmpty) Iterator.empty
+      else {
+        val (cohort, seen) = state.getOption.getOrElse((ps.min, Seq.empty[Int]))
+        if (ps.min < cohort)
+          throw new IllegalStateException(
+            s"user $userId: event period ${ps.min} precedes the recorded " +
+              s"cohort $cohort — retentionStream requires per-user " +
+              "event-time-ordered micro-batches; backfill with batch retention")
+        val seenSet = seen.toSet
+        val fresh = ps.map(_ - cohort).distinct.filterNot(seenSet)
+        // a first batch always has a fresh delta (0), so the state is
+        // guaranteed to be initialized on first contact
+        if (fresh.nonEmpty) state.update((cohort, seen ++ fresh))
+        fresh.iterator.map(d => (userId, cohort, d))
+      }
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+      .toDF("user_id", "cohort_period", "periods_since")
+  }
 }

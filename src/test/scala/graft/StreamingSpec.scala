@@ -101,6 +101,85 @@ class StreamingSpec extends AnyFunSuite {
       (3L, 0, ts(4))), got)
   }
 
+  test("streaming funnel state matches the batch funnel across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    // funnel progress split across batches: u1 views in batch 1, converts
+    // in batch 2 (the state must carry t0 across); u2's click precedes its
+    // view, u4 converts outside the 30-minute window
+    val b1 = Seq(
+      Event(1, ts(5), 1, "view", 0), Event(2, ts(3), 2, "click", 0),
+      Event(3, ts(8), 2, "view", 0), Event(4, ts(10), 4, "view", 0))
+    val b2 = Seq(
+      Event(5, ts(20), 1, "click", 0), Event(6, ts(25), 1, "purchase", 0),
+      Event(7, ts(30), 2, "click", 0),
+      Event(8, ts(35), 4, "click", 0), Event(9, ts(200), 4, "purchase", 0))
+    val steps = Seq("view", "click", "purchase")
+    val stream = MemoryStream[Event]
+    val q = EventPipeline.funnelStream(stream.toDS(), steps,
+        withinMinutes = Some(30))
+      .writeStream.format("memory").queryName("fnl")
+      .outputMode("update").start()
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      // Update-mode sink: completion times only improve, so min per
+      // (user, step) is the final state
+      val got = spark.sql(
+        """SELECT user_id, step, min(ts) AS ts FROM fnl
+          |GROUP BY user_id, step""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2))).toSet
+      val want = EventPipeline.funnel((b1 ++ b2).toDF(), "user_id",
+          "event_type", "ts", steps, withinMinutes = Some(30))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2)))
+        .toSet
+      assert(got == want, s"stream $got != batch $want")
+      // the window must have cut u4's purchase, u2's early click must not
+      // count, and u1 must convert fully across the batch boundary
+      assert(want == Set(
+        (1L, 0, ts(5)), (1L, 1, ts(20)), (1L, 2, ts(25)),
+        (2L, 0, ts(8)), (2L, 1, ts(30)),
+        (4L, 0, ts(10)), (4L, 1, ts(35))), want)
+    } finally q.stop()
+  }
+
+  test("streaming retention pairs aggregate to the batch retention triangle") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    def at(day: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d ${minute / 60}%02d:${minute % 60}%02d:00")
+    // u1 active days 0,1,3 (twice on day 1 — must emit once); u2 day 1
+    // only; u3 days 0 and 3, split across batches
+    val b1 = Seq(
+      Event(1, at(0, 10), 1, "view", 0), Event(2, at(1, 5), 1, "view", 0),
+      Event(3, at(1, 50), 1, "click", 0), Event(4, at(1, 0), 2, "view", 0),
+      Event(5, at(0, 30), 3, "view", 0))
+    val b2 = Seq(
+      Event(6, at(3, 10), 1, "view", 0), Event(7, at(3, 20), 3, "view", 0))
+    val stream = MemoryStream[Event]
+    val q = EventPipeline.retentionStream(stream.toDS(), period = "day")
+      .writeStream.format("memory").queryName("ret")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      // each (user, cohort, since) pair is emitted exactly once, so the
+      // triangle is a plain grouped count over the sink
+      val got = spark.sql(
+        """SELECT cohort_period, periods_since, count(*) AS n_users
+          |FROM ret GROUP BY 1, 2""".stripMargin).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      val want = EventPipeline.retention((b1 ++ b2).toDF(), "user_id", "ts",
+          period = "day").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == want, s"stream $got != batch $want")
+      assert(want.exists { case (_, since, n) => since == 3 && n == 2L },
+        s"expected two users retained at day 3: $want")
+    } finally q.stop()
+  }
+
   test("decontamination on a document stream matches the batch operator") {
     // stream-static shape: the benchmark shingle set is the static side of
     // the equi-join; the distinct-hit count runs as dropDuplicates state +
