@@ -13,9 +13,10 @@ import org.apache.spark.sql.types._
   * Scala analog of `mapInPandas`: one iterator per partition, batch-shaped,
   * no driver involvement, no shuffle). The plumbing — schemas, encoders,
   * partition preservation, flatMap fan-out for frames — is real and tested;
-  * the codec itself is STUBBED with a deterministic fake (this environment
-  * has no image/audio libraries), clearly marked in [[StubCodec]]. Swapping
-  * in a real decoder changes only that object.
+  * the codec itself is an injectable [[MediaCodec]] whose sandbox default
+  * is a deterministic fake (this environment has no image/audio
+  * libraries), clearly marked in [[StubCodec]]. Swapping in a real decoder
+  * means implementing the two-method trait — no operator changes.
   */
 object Multimodal {
 
@@ -35,13 +36,28 @@ object Multimodal {
   case class Frame(media_id: Long, frameIdx: Int, ptsMs: Long,
                    width: Int, height: Int, bytes: Array[Byte])
 
+  /** The codec seam: everything that needs a media library lives behind
+    * this trait, and the operators ([[decodeFeatures]], [[sampleFrames]])
+    * take an instance — so a real JPEG/PCM/video decoder drops in outside
+    * this sandbox by implementing two methods, with zero change to the
+    * Spark plumbing (schemas, encoders, partition-local execution, frame
+    * fan-out). Implementations must be `Serializable` (they ship inside
+    * the task closure to executors) and deterministic per payload (the
+    * operators promise partitioning-independent output).
+    */
+  trait MediaCodec extends Serializable {
+    def decode(blob: MediaBlob): MediaFeatures
+    def sampleFrames(blob: MediaBlob, n: Int): Seq[Frame]
+  }
+
   /** ======== STUB ========
     * Deterministic fake codec: all "decoded" values derive from a 64-bit
     * FNV-1a hash of the payload, so results are stable across runs,
     * partitionings and executors. A real implementation would call an
-    * image/audio library here (and ONLY here).
+    * image/audio library here (and ONLY here). The default [[MediaCodec]]
+    * in this environment (no media libraries are installed).
     */
-  object StubCodec {
+  object StubCodec extends MediaCodec {
     def contentHash(bytes: Array[Byte]): Long = {
       var h = 0xcbf29ce484222325L
       var i = 0
@@ -66,7 +82,7 @@ object Multimodal {
     }
 
     /** Fake frame extraction: `n` evenly spaced frames with payload slices. */
-    def sampleFrames(blob: MediaBlob, n: Int): Seq[Frame] = {
+    override def sampleFrames(blob: MediaBlob, n: Int): Seq[Frame] = {
       val f = decode(blob)
       (0 until n).map { i =>
         val pts = if (n == 1) 0L else f.durationMs * i / (n - 1)
@@ -85,21 +101,26 @@ object Multimodal {
   /** Decode a blob table into per-blob features. Partition-local: one task
     * per input partition, no shuffle; columnar batch shape is preserved by
     * the Dataset encoder. At 100 TB, decode parallelism == file split count.
+    * The codec is injectable ([[MediaCodec]]); [[StubCodec]] is the sandbox
+    * default.
     */
-  def decodeFeatures(blobs: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+  def decodeFeatures(blobs: DataFrame, codec: MediaCodec = StubCodec)
+                    (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     blobs.select("media_id", "kind", "bytes").as[MediaBlob]
-      .mapPartitions(it => it.map(StubCodec.decode))
+      .mapPartitions(it => it.map(codec.decode))
   }
 
   /** Sample `n` frames per video blob (fan-out flatMap; images/audio are
-    * filtered out before decode so no work is wasted on them).
+    * filtered out before decode so no work is wasted on them). Codec
+    * injectable as in [[decodeFeatures]].
     */
-  def sampleFrames(blobs: DataFrame, n: Int)(implicit spark: SparkSession): Dataset[Frame] = {
+  def sampleFrames(blobs: DataFrame, n: Int, codec: MediaCodec = StubCodec)
+                  (implicit spark: SparkSession): Dataset[Frame] = {
     import spark.implicits._
     blobs.filter(col("kind") === "video")
       .select("media_id", "kind", "bytes").as[MediaBlob]
-      .mapPartitions(it => it.flatMap(b => StubCodec.sampleFrames(b, n)))
+      .mapPartitions(it => it.flatMap(b => codec.sampleFrames(b, n)))
   }
 
   /** "Resize": rewrite the metadata of decoded features to the target box,

@@ -55,6 +55,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("codec seam: an alternative codec runs through the same operators") {
+    import Multimodal.{Frame, MediaBlob, MediaCodec, MediaFeatures}
+    // a second fake codec with recognizably different conventions: fixed
+    // 32x32 "thumbnails", 2-dim embeddings of the payload length, one
+    // frame regardless of n — if these surface in the output, the
+    // operator really delegated everything codec-shaped to the instance
+    object AltCodec extends MediaCodec {
+      override def decode(b: MediaBlob): MediaFeatures =
+        MediaFeatures(b.media_id, b.kind, b.bytes.length, 32, 32, 1,
+          8000, 500L, Array(b.bytes.length.toFloat, 1.0f))
+      override def sampleFrames(b: MediaBlob, n: Int): Seq[Frame] =
+        Seq(Frame(b.media_id, 0, 0L, 32, 32, Array.emptyByteArray))
+    }
+    val feats = Multimodal.decodeFeatures(blobs, AltCodec).collect()
+    assert(feats.length == blobs.count())
+    assert(feats.forall(f => f.width == 32 && f.height == 32 &&
+      f.embedding.length == 2 && f.embedding(0) == f.sizeBytes.toFloat))
+    val frames = Multimodal.sampleFrames(blobs, n = 4, AltCodec).collect()
+    assert(frames.length == blobs.filter(col("kind") === "video").count())
+    assert(frames.forall(f => f.frameIdx == 0 && f.width == 32))
+    // and the default is still the stub — same operator, stub conventions
+    val stub = Multimodal.decodeFeatures(blobs).collect()
+    assert(stub.forall(_.embedding.length == 8))
+  }
+
   test("resizeMeta caps the longest side and preserves audio rows") {
     val feats = Multimodal.decodeFeatures(blobs).toDF()
     val resized = Multimodal.resizeMeta(feats, maxDim = 128).collect()
