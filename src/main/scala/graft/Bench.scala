@@ -48,12 +48,26 @@ object Bench {
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    // headline set = BASELINE.md §"TPCH 10G results" rows, in our naming.
+    // These are timed FIRST, immediately after the warm pass's settle GCs:
+    // round-over-round comparability lives or dies on the headline numbers,
+    // and timing them before the ~120-query long tail keeps the session
+    // state (GC debt, code cache, broadcast churn) they see identical
+    // across rounds even as the tail grows.
+    val headline = Seq(
+      "q02_basic_agg", "q_ship_date_range", "q_subqry_filters_range",
+      "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier",
+      "q07_nation_volume", "q08_market_share")
+
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (investigation aid;
     // the driver never sets it, so driver rounds always time the full set)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy { case (n, _) =>
+        val h = headline.indexOf(n); (if (h >= 0) h else headline.size, n)
+      }
 
     // SPARK_GRAFT_BENCH_WARM_ALL=1: warm the FULL set even when ONLY
     // restricts the timed loop — isolates warm-pass session contamination
@@ -102,7 +116,9 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val anyFail = times.exists(!_._2)
-      (name, times.filter(_._2).map(_._1).minOption.getOrElse(0.0), !anyFail)
+      (name, times.filter(_._2).map(_._1), !anyFail)
+    }.map { case (name, ts, ok) =>
+      (name, ts.minOption.getOrElse(0.0), ok, ts)
     }
     if (failLog.nonEmpty) {
       new java.io.File("target").mkdirs()
@@ -123,18 +139,22 @@ object Bench {
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def entry(k: String, v: Double, ok: Boolean): String =
       s"\"" + k + "\":" + fmt(if (ok) v else -v)
-    val failed = results.collect { case (k, _, false) => s"\"$k\"" }
+    val failed = results.collect { case (k, _, false, _) => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _) => v }.sum
 
-    val fullQs = results.map { case (k, v, ok) => entry(k, v, ok) }.mkString("{", ",", "}")
+    val fullQs = results.map { case (k, v, ok, _) => entry(k, v, ok) }.mkString("{", ",", "}")
     println(s"""BENCH_DETAIL {"queries":$fullQs}""")
-
-    // headline set = BASELINE.md §"TPCH 10G results" rows, in our naming
-    val headline = Seq(
-      "q02_basic_agg", "q_ship_date_range", "q_subqry_filters_range",
-      "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier",
-      "q07_nation_volume", "q08_market_share")
+    // every rep of every query, so a cross-round delta can be judged
+    // against the observed within-round spread instead of a bare min
+    // (human/log line — only the final JSON line must stay parseable)
+    val repJs = results.map { case (k, _, _, ts) =>
+      s"\"$k\":[${ts.map(fmt).mkString(",")}]"
+    }.mkString("{", ",", "}")
+    println(s"""BENCH_REPS {"reps":$repJs}""")
+    def median(ts: Seq[Double]): Double =
+      if (ts.isEmpty) 0.0
+      else { val s = ts.sorted; s(s.size / 2) }
 
     // BASELINE.md's target is a RATIO (rewritten vs raw Spark per query), so
     // re-time the headline queries with every graft rewrite disabled — the
@@ -205,21 +225,30 @@ object Bench {
       .map(k => s"\"$k\":[${engineIo(k)._2},${rawIo(k)._2}]")
       .mkString("{", ",", "}")
 
-    val byName = results.map { case (k, v, ok) => k -> ((v, ok)) }.toMap
+    // headline medians: the round-over-round comparison number (min is
+    // kept in "queries" for continuity; median-of-reps in a settled
+    // headline-first session is the stabler cross-round signal)
+    val medJs = results.collect {
+      case (k, _, true, ts) if headline.contains(k) =>
+        s"\"$k\":${fmt(median(ts))}"
+    }.mkString("{", ",", "}")
+
+    val byName = results.map { case (k, v, ok, _) => k -> ((v, ok)) }.toMap
     val picked = scala.collection.mutable.LinkedHashMap[String, (Double, Boolean)]()
     headline.foreach(h => byName.get(h).foreach(picked(h) = _))
     // fill with slowest non-headline queries while the line stays short
     // (window is 2000 chars total: ~170 fixed + ~250 raw + ~300 io rows +
-    // ~350 io bytes + ~70 sbt success line leaves ~850 — keep 600 for slack)
-    val budget = 600
+    // ~350 io bytes + ~230 medians + ~70 sbt success line leaves ~650 —
+    // keep 450 for slack)
+    val budget = 450
     var len = picked.map { case (k, (v, ok)) => entry(k, v, ok).length + 1 }.sum
     results.filterNot(r => picked.contains(r._1)).sortBy(-_._2).foreach {
-      case (k, v, ok) =>
+      case (k, v, ok, _) =>
         val e = entry(k, v, ok).length + 1
         if (len + e <= budget) { picked(k) = ((v, ok)); len += e }
     }
     val qs = picked.map { case (k, (v, ok)) => entry(k, v, ok) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"raw":$rawJs,"scan_rows":$ioJs,"scan_bytes":$bytesJs,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"median":$medJs,"raw":$rawJs,"scan_rows":$ioJs,"scan_bytes":$bytesJs,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1935,7 +1935,11 @@ object SparkEntry {
         // word-level counting (each distinct word encoded once) — same
         // numbers as encoding every document, at vocabulary cost
         val counts = Bpe.tokenCountsByWord(docs, "doc_id", "text", m)
-        val withN = docs.join(counts, Seq("doc_id"), "left")
+        // join on the bare id column, not the documents table: packByCount
+        // range-shuffles its whole input, and dragging the text payload
+        // through that exchange only to drop it in the final select would
+        // shuffle the corpus body for nothing
+        val withN = docs.select("doc_id").join(counts, Seq("doc_id"), "left")
         Corpus.packByCount(withN, "doc_id",
             coalesce(col("n_bpe"), lit(0L)), capacity = 4096)
           .select("doc_id", "n_tokens", "bin_id")
