@@ -944,15 +944,30 @@ object SparkEntry {
       """CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
         |  ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' ')) END""".stripMargin
 
+    /** Shared co-occurrence CTE chain: per-doc distinct shingles unnested
+      * and equi-joined on the shingle STRING (no hashing — independent of
+      * the engine's xxhash64 postings), so `c = |A∩B|` exactly and the
+      * union is `szA + szB − c`. Same integers as the earlier
+      * `len(list_intersect)` all-pairs form, bit-identical doubles — but
+      * index-join cost instead of O(n²·|s|) list intersections, which
+      * kept the sf0.1 once-per-round pass inside its oracle budget
+      * (the all-pairs form exceeded 120 s per query there).
+      */
+    private val pairCtes: String =
+      s"""toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct($shingleSql) s FROM toks),
+         |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+         |com AS (SELECT a.doc_id AS idA, b.doc_id AS idB, a.sz AS szA, b.sz AS szB, count(*) AS c
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
     private val ngramPairsOracle: String =
-      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') w FROM documents),
-         |sh AS (SELECT doc_id, list_distinct($shingleSql) s FROM toks)
-         |SELECT a.doc_id AS idA, b.doc_id AS idB,
-         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |  CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |      CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8
+      s"""WITH $pairCtes
+         |SELECT idA, idB, jaccard FROM (
+         |  SELECT idA, idB,
+         |    CAST(c AS DOUBLE) / CAST(szA + szB - c AS DOUBLE) AS jaccard
+         |  FROM com)
+         |WHERE jaccard >= 0.8
          |ORDER BY idA, idB""".stripMargin
 
     /** Containment restated all-pairs: `|A∩B| / min(|A|,|B|)`, quote side =
@@ -962,17 +977,14 @@ object SparkEntry {
       * path is exact).
       */
     private val containmentOracle: String =
-      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') w FROM documents),
-         |sh AS (SELECT doc_id, list_distinct($shingleSql) s FROM toks),
-         |p AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
-         |    len(a.s) AS szA, len(b.s) AS szB,
-         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |    CAST(least(len(a.s), len(b.s)) AS DOUBLE) AS containment
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      s"""WITH $pairCtes
          |SELECT CASE WHEN szA <= szB THEN idA ELSE idB END AS quoteId,
          |  CASE WHEN szA <= szB THEN idB ELSE idA END AS containerId,
          |  containment
-         |FROM p WHERE containment >= 0.9
+         |FROM (SELECT idA, idB, szA, szB,
+         |    CAST(c AS DOUBLE) / CAST(least(szA, szB) AS DOUBLE) AS containment
+         |  FROM com)
+         |WHERE containment >= 0.9
          |ORDER BY quoteId, containerId""".stripMargin
 
     /** Duplicate clusters from the exact n-gram pairs: transitive closure by
@@ -980,12 +992,9 @@ object SparkEntry {
       * restatement of [[graft.operators.Dedup.connectedComponents]].
       */
     private val dedupClustersOracle: String =
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') w FROM documents),
-         |sh AS (SELECT doc_id, list_distinct($shingleSql) s FROM toks),
-         |pairs AS (SELECT a.doc_id AS idA, b.doc_id AS idB
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |        CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8),
+      s"""WITH RECURSIVE $pairCtes,
+         |pairs AS (SELECT idA, idB FROM com
+         |  WHERE CAST(c AS DOUBLE) / CAST(szA + szB - c AS DOUBLE) >= 0.8),
          |edges AS (SELECT idA AS a, idB AS b FROM pairs
          |          UNION SELECT idB AS a, idA AS b FROM pairs),
          |cc AS (
@@ -999,12 +1008,9 @@ object SparkEntry {
       * keyed on `coalesce(cluster representative, doc_id)`.
       */
     private val splitLeakageOracle: String =
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') w FROM documents),
-         |sh AS (SELECT doc_id, list_distinct($shingleSql) s FROM toks),
-         |pairs AS (SELECT a.doc_id AS idA, b.doc_id AS idB
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |        CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8),
+      s"""WITH RECURSIVE $pairCtes,
+         |pairs AS (SELECT idA, idB FROM com
+         |  WHERE CAST(c AS DOUBLE) / CAST(szA + szB - c AS DOUBLE) >= 0.8),
          |edges AS (SELECT idA AS a, idB AS b FROM pairs
          |          UNION SELECT idB AS a, idA AS b FROM pairs),
          |cc AS (
@@ -1019,12 +1025,9 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin
 
     private val corpusDedupOracle: String =
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') w FROM documents),
-         |sh AS (SELECT doc_id, list_distinct($shingleSql) s FROM toks),
-         |pairs AS (SELECT a.doc_id AS idA, b.doc_id AS idB
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |        CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8),
+      s"""WITH RECURSIVE $pairCtes,
+         |pairs AS (SELECT idA, idB FROM com
+         |  WHERE CAST(c AS DOUBLE) / CAST(szA + szB - c AS DOUBLE) >= 0.8),
          |edges AS (SELECT idA AS a, idB AS b FROM pairs
          |          UNION SELECT idB AS a, idA AS b FROM pairs),
          |cc AS (
