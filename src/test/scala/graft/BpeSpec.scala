@@ -122,6 +122,20 @@ class BpeSpec extends AnyFunSuite {
     assert(maxChain >= 0 && maxChain < 2, s"live chain reached $maxChain")
   }
 
+  test("line separators that survive tokenization stay their own symbol") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    // Java regex \s is [ \t\n\x0B\f\r] only, so U+2028 LINE SEPARATOR
+    // survives \s+ tokenization inside a "word" — and without (?s) the
+    // per-code-point split's `.` would not match it, fusing it with the
+    // following character into one symbol.
+    val sep = "\u2028"
+    val sym = Seq(Tuple1(s"a${sep}b")).toDF("text")
+      .select(Bpe.symbolize(col("text")).as("s")).head().getString(0)
+    val symbols = sym.split(" ").filter(_.nonEmpty).map(_.replace(Bpe.S, ""))
+    assert(symbols.toSeq == Seq("a", sep, "b", Bpe.EndWord), symbols.toSeq)
+  }
+
   test("re-applying the same merge table is a no-op (idempotent encode)") {
     val merges = Seq(("e", "s"), ("es", "t"), ("t", "h"))
     val docs = Tables.t(spark, sf, "documents").limit(50)
