@@ -90,11 +90,19 @@ case class RollupRouting(spark: SparkSession)
     // above FACT grain (measured rows > the cube's) is refused outright —
     // serving from it beats the fact route on nothing and forfeits the
     // fact cube's layout (the node-vs-pruned-fact choice, same pricing).
-    pickCheapest(cube,
+    // lazy when the positional walk decides (flag off): stop at the
+    // first servable node instead of planning all of them
+    val fromLattice =
+      if (!spark.conf.get("spark.graft.costRouting.enabled", "true").toBoolean)
+        cube.rollups.view
+          .flatMap(ru => serveFrom(agg, projects, filters, cube, ru, expandOpt))
+          .headOption
+      else pickCheapest(cube,
         cube.rollups.zipWithIndex.flatMap { case (ru, i) =>
           serveFrom(agg, projects, filters, cube, ru, expandOpt)
             .map(p => (ru, i, p))
         })
+    fromLattice
       .orElse(
         if (expandOpt.nonEmpty) None
         else cube.rollups.view
@@ -103,17 +111,15 @@ case class RollupRouting(spark: SparkSession)
       .map(pruneScan)
   }
 
-  /** Choose among servable lattice nodes by measured stored size.
-    * `spark.graft.costRouting.enabled=false` restores the positional walk
-    * (first registered servable node wins).
+  /** Choose among servable lattice nodes by measured stored size
+    * (`spark.graft.costRouting.enabled=false` short-circuits in [[route]]
+    * before candidates are even gathered).
     */
   private def pickCheapest(
       cube: RegisteredCube,
       candidates: Seq[(RollupMeta, Int, LogicalPlan)]): Option[LogicalPlan] = {
     if (candidates.isEmpty) return None
-    if (candidates.size == 1 ||
-        !spark.conf.get("spark.graft.costRouting.enabled", "true").toBoolean)
-      return Some(candidates.head._3)
+    if (candidates.size == 1) return Some(candidates.head._3)
     import org.apache.spark.sql.graft.ScanBytes
     def price(path: String): (Long, Long) = {
       val (files, rows, bytes) = ScanBytes.dirCost(spark, path)
