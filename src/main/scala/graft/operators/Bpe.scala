@@ -176,13 +176,22 @@ object Bpe {
     * chain restarts from it. Without this, iteration i replays merges
     * 0..i−1 over the base table — O(nMerges² · vocab) total work and an
     * nMerges-deep plan: a real 32k-merge tokenizer would replay up to 32k
-    * `replace`s per job. With it, total work is O(nMerges · vocab) and plan
+    * `replace`s per job (plan analysis alone degrades superlinearly in
+    * that depth). With it, total work is O(nMerges · vocab) and plan
     * depth is capped, at the price of nMerges/rematerializeEvery
     * vocabulary-sized materializations (the word table, never the corpus).
+    *
+    * Default 192, measured not guessed (`tools.BpeTrainProbe`): at gate
+    * scale each checkpoint costs more than the short-chain replay it
+    * saves (106-merge training: bounded-at-64 33 s vs naive 23 s — this
+    * corpus's words fully fuse at 106 merges, so the quadratic term never
+    * dominates there), so the default only kicks in past the depth where
+    * chain replay and analysis cost genuinely bite; a 32k-merge run pays
+    * ~170 amortized vocabulary-sized checkpoints.
     */
   def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
                   minFreq: Long = 2L,
-                  rematerializeEvery: Int = 64): Seq[(String, String)] =
+                  rematerializeEvery: Int = 192): Seq[(String, String)] =
     learnMergesProbed(docs, textCol, nMerges, minFreq, rematerializeEvery,
       _ => ())
 
