@@ -107,7 +107,9 @@ object Graft {
     *      `DESCRIBE GRAFT CUBE`
     *   - `graft_rollups(cube, ordinal, path, dims, grain,
     *      time_bucket_column, time_column, count_column, n_sums, sketches,
-    *      partition_dims, cluster_dims, total_rows)`
+    *      partition_dims, cluster_dims, total_rows, stored_files,
+    *      stored_rows, stored_bytes)` — the stored_* columns are the
+    *      footer-measured node sizes the cost-priced router compares
     *   - `graft_query_history(id, at, action, served, duration_ms,
     *      scan_files, scan_rows, scan_bytes, plan_head)` — executed-query
     *      log with the footer-measured IO of each executed plan
@@ -136,6 +138,10 @@ object Graft {
       .createOrReplaceTempView("graft_columns")
     cubes.flatMap { c =>
       c.rollups.zipWithIndex.map { case (r, i) =>
+        // footer-measured stored size — the number the router prices this
+        // node at (ScanBytes.dirCost, memoized); 0s = unmeasurable path
+        val (sFiles, sRows, sBytes) =
+          org.apache.spark.sql.graft.ScanBytes.dirCost(spark, r.path)
         (c.info.name, i, r.path, r.dims.mkString(","), r.grain,
           r.timeBucketColumn, r.timeColumn.getOrElse(c.info.timeColumn),
           r.countColumn, r.sums.size,
@@ -143,11 +149,12 @@ object Graft {
             r.quantileSketches.keys ++ r.freqSketches.keys)
             .toSeq.distinct.sorted.mkString(","),
           r.partitionDims.mkString(","), r.clusterDims.mkString(","),
-          r.totalRows.getOrElse(-1L))
+          r.totalRows.getOrElse(-1L), sFiles, sRows, sBytes)
       }
     }.toDF("cube", "ordinal", "path", "dims", "grain", "time_bucket_column",
         "time_column", "count_column", "n_sums", "sketches",
-        "partition_dims", "cluster_dims", "total_rows")
+        "partition_dims", "cluster_dims", "total_rows",
+        "stored_files", "stored_rows", "stored_bytes")
       .createOrReplaceTempView("graft_rollups")
     graft.plans.QueryHistory.snapshot.map { e =>
       (e.id, new java.sql.Timestamp(e.atMs), e.action, e.served,

@@ -46,7 +46,8 @@ class MetadataViewsSpec extends AnyFunSuite {
   test("graft_rollups exposes lattice layout columns for planning audits") {
     init
     val rows = spark.sql(
-      """SELECT cube, ordinal, dims, grain, partition_dims, cluster_dims, total_rows
+      """SELECT cube, ordinal, dims, grain, partition_dims, cluster_dims,
+        |  total_rows, stored_files, stored_rows, stored_bytes
         |FROM graft_rollups ORDER BY ordinal""".stripMargin).collect()
     assert(rows.length >= 3)
     // at least one node is day-grain and at least one carries a layout
@@ -54,6 +55,10 @@ class MetadataViewsSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[String]("partition_dims").nonEmpty ||
       r.getAs[String]("cluster_dims").nonEmpty))
     assert(rows.forall(_.getAs[Long]("total_rows") != 0L))
+    // measured stored sizes (what the cost router prices nodes with) are
+    // positive for every built node
+    assert(rows.forall(r => r.getAs[Long]("stored_files") > 0L &&
+      r.getAs[Long]("stored_rows") > 0L && r.getAs[Long]("stored_bytes") > 0L))
   }
 
   test("REGISTER GRAFT VIEWS refreshes the snapshot through the parser") {
