@@ -116,9 +116,14 @@ object QueryHistory {
       // this is the one place the session can attribute scan rows/bytes to
       // an individual executed query
       val (sf, sr, sb) = try {
+        // cap footer reads: a passive listener must stay O(cached listing)
+        // even on a 100k-file scan — over the cap files are counted and
+        // rows/bytes report unmeasured
         val cs = org.apache.spark.sql.graft.ScanBytes
-          .costsOf(qe.sparkSession, qe.executedPlan)
+          .costsOf(qe.sparkSession, qe.executedPlan, footerCap = 2048)
         if (cs.isEmpty) (-1L, -1L, -1L)
+        else if (cs.exists(_.rows < 0))
+          (cs.map(_.files).sum, -1L, -1L)
         else (cs.map(_.files).sum, cs.map(_.rows).sum, cs.map(_.bytes).sum)
       } catch { case _: Exception => (-1L, -1L, -1L) }
       record(Entry(nextId.incrementAndGet(), System.currentTimeMillis(),

@@ -87,9 +87,17 @@ object ScanBytes {
 
   /** [[costs]] from a physical plan directly — the form the query-history
     * listener uses (it has a `QueryExecution`, not a frame).
+    *
+    * `footerCap` bounds the per-call footer reads: measuring rows/bytes
+    * opens each selected file's footer once (cached thereafter), which is
+    * the right price for a bench/EXPLAIN but not for a passive listener on
+    * a 100k-file production scan — past the cap a scan reports its file
+    * count with rows/bytes = -1 (unmeasured), keeping the listener
+    * O(cached listing).
     */
   def costsOf(spark: org.apache.spark.sql.SparkSession,
-              plan: SparkPlan): Seq[ScanCost] = {
+              plan: SparkPlan,
+              footerCap: Int = Int.MaxValue): Seq[ScanCost] = {
     val conf = spark.asInstanceOf[classic.SparkSession]
       .sessionState.newHadoopConf()
     scansOf(plan).distinct.map { scan =>
@@ -97,13 +105,15 @@ object ScanBytes {
       val files = scan.relation.location
         .listFiles(scan.partitionFilters, scan.dataFilters)
         .flatMap(_.files)
-      val (rows, bytes) = files.foldLeft((0L, 0L)) { case ((r, b), f) =>
-        try {
-          val cb = columnBytes(conf, f.getPath, f.getModificationTime)
-            .filter { case (c, _) => cols.contains(c) }.values.sum
-          (r + fileRows(conf, f.getPath, f.getModificationTime), b + cb)
-        } catch { case _: Throwable => (r, b) }
-      }
+      val (rows, bytes) =
+        if (files.length > footerCap) (-1L, -1L)
+        else files.foldLeft((0L, 0L)) { case ((r, b), f) =>
+          try {
+            val cb = columnBytes(conf, f.getPath, f.getModificationTime)
+              .filter { case (c, _) => cols.contains(c) }.values.sum
+            (r + fileRows(conf, f.getPath, f.getModificationTime), b + cb)
+          } catch { case _: Throwable => (r, b) }
+        }
       ScanCost(scan.relation.location.rootPaths.map(_.toString),
         files.length.toLong, rows, bytes)
     }
