@@ -375,25 +375,41 @@ object EventPipeline {
     * lowered an already-used predecessor time can under-count relative
     * to a batch backfill — re-run [[funnel]] over the store for exact
     * late-data accounting, the same batch-backfill contract as
-    * [[sessionizeBatch]]. Production streams bound the state with a
-    * state-store TTL when the user population is unbounded.
+    * [[sessionizeBatch]].
+    *
+    * `expireAfterMinutes` bounds state for an UNBOUNDED user population:
+    * a user idle past the horizon (event time, measured against the
+    * stream's watermark — the input must carry one) has their funnel
+    * state dropped, so a later conversion restarts from scratch — the
+    * product-analytics "conversion horizon" semantics, and the difference
+    * between state that scales with ACTIVE users and state that scales
+    * with all users ever seen. `None` keeps state forever (test/demo
+    * scale, or bounded populations).
     */
   def funnelStream(events: Dataset[Event], steps: Seq[String],
-                   withinMinutes: Option[Long] = None): DataFrame = {
+                   withinMinutes: Option[Long] = None,
+                   expireAfterMinutes: Option[Long] = None): DataFrame = {
     import events.sparkSession.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     val idx: Map[String, Int] = steps.zipWithIndex.toMap
     val k = steps.size
     val windowMs = withinMinutes.map(_ * 60000L)
+    val ttlMs = expireAfterMinutes.map(_ * 60000L)
 
     def fold(userId: Long, it: Iterator[Event],
              state: GroupState[Seq[Long]]): Iterator[(Long, Int, Timestamp)] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
       val cur = state.getOption.map(_.toArray)
         .getOrElse(Array.fill(k)(Long.MaxValue))
       val before = cur.clone()
+      var maxT = Long.MinValue
       for (e <- it.toSeq.sortBy(_.ts.getTime); j <- idx.get(e.event_type)) {
         val t = e.ts.getTime
+        maxT = math.max(maxT, t)
         val qualifies =
           if (j == 0) true
           else cur(j - 1) != Long.MaxValue && t > cur(j - 1) &&
@@ -401,6 +417,13 @@ object EventPipeline {
         if (qualifies && t < cur(j)) cur(j) = t
       }
       if (!java.util.Arrays.equals(before, cur)) state.update(cur.toSeq)
+      ttlMs.foreach { ttl =>
+        // clamp above the watermark: a badly late batch's maxT + ttl could
+        // already be in the past, which Spark rejects
+        if (maxT != Long.MinValue && state.exists)
+          state.setTimeoutTimestamp(
+            math.max(state.getCurrentWatermarkMs() + 1, maxT + ttl))
+      }
       (0 until k).iterator
         .filter(j => cur(j) != Long.MaxValue && cur(j) != before(j))
         .map(j => (userId, j, new Timestamp(cur(j))))
@@ -408,7 +431,9 @@ object EventPipeline {
 
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
+      .flatMapGroupsWithState(OutputMode.Update,
+        if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fold)
       .toDF("user_id", "step", "ts")
   }
 
@@ -418,9 +443,12 @@ object EventPipeline {
     * is emitted exactly once and the retention triangle is a plain
     * `GROUP BY cohort_period, periods_since COUNT(*)` over the sink —
     * bit-equal to [[retention]]'s `n_users` (StreamingSpec pins it).
-    * State per user is one int + one int per DISTINCT active period
-    * (days of history at worst); production streams bound it with a
-    * horizon/TTL.
+    * State per user is one int + one int per DISTINCT active period —
+    * days of history at worst, so `maxPeriods` is the production bound:
+    * activity beyond the horizon emits nothing and is never tracked
+    * (state stays <= maxPeriods + 1 ints per user), matching the batch
+    * triangle filtered to `periods_since <= maxPeriods` — retention
+    * analyses always have a horizon; `None` tracks forever.
     *
     * Requires per-user event-time order ACROSS micro-batches for the
     * cohort to be final once set (within a batch order is irrelevant —
@@ -430,7 +458,8 @@ object EventPipeline {
     * silently; backfill with the batch [[retention]] in that case.
     */
   def retentionStream(events: Dataset[Event],
-                      period: String = "day"): DataFrame = {
+                      period: String = "day",
+                      maxPeriods: Option[Int] = None): DataFrame = {
     import events.sparkSession.implicits._
     val periodOf: Timestamp => Int = period match {
       case "day"  => t => math.floorDiv(t.getTime, 86400000L).toInt
@@ -457,6 +486,7 @@ object EventPipeline {
               "event-time-ordered micro-batches; backfill with batch retention")
         val seenSet = seen.toSet
         val fresh = ps.map(_ - cohort).distinct.filterNot(seenSet)
+          .filter(d => maxPeriods.forall(d <= _))
         // a first batch always has a fresh delta (0), so the state is
         // guaranteed to be initialized on first contact
         if (fresh.nonEmpty) state.update((cohort, seen ++ fresh))

@@ -144,6 +144,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel state TTL drops idle users at the event-time horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val steps = Seq("view", "click")
+    def run(ttl: Option[Long]): Set[(Long, Int)] = {
+      val name = s"fnlttl${ttl.getOrElse(0L)}"
+      val stream = MemoryStream[Event]
+      val q = EventPipeline.funnelStream(
+          stream.toDS().withWatermark("ts", "0 seconds"), steps,
+          expireAfterMinutes = ttl)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        // b1: user 7 views; b2 advances the watermark far past 7's
+        // horizon via another user; b3 (no data for 7) fires the timeout;
+        // b4: 7's click — with a 30-minute TTL the state was dropped, so
+        // the click is a fresh funnel with no view and step 1 never
+        // completes; without a TTL it converts
+        stream.addData(Event(1, ts(5), 7, "view", 0)); q.processAllAvailable()
+        stream.addData(Event(2, ts(100), 99, "view", 0)); q.processAllAvailable()
+        stream.addData(Event(3, ts(101), 99, "view", 0)); q.processAllAvailable()
+        stream.addData(Event(4, ts(105), 7, "click", 0)); q.processAllAvailable()
+        spark.sql(s"SELECT user_id, step FROM $name").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+      } finally q.stop()
+    }
+    val withTtl = run(Some(30L))
+    assert(withTtl.contains((7L, 0)) && !withTtl.contains((7L, 1)),
+      s"TTL should have dropped user 7's state: $withTtl")
+    val without = run(None)
+    assert(without.contains((7L, 1)),
+      s"without TTL the click must convert: $without")
+  }
+
+  test("retention horizon bounds state and matches the filtered batch triangle") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    def at(day: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d ${minute / 60}%02d:${minute % 60}%02d:00")
+    val evs = Seq(
+      Event(1, at(0, 10), 1, "view", 0), Event(2, at(1, 5), 1, "view", 0),
+      Event(3, at(5, 0), 1, "view", 0),   // beyond the 2-day horizon
+      Event(4, at(0, 30), 2, "view", 0), Event(5, at(2, 0), 2, "view", 0))
+    val stream = MemoryStream[Event]
+    val q = EventPipeline.retentionStream(stream.toDS(), period = "day",
+        maxPeriods = Some(2))
+      .writeStream.format("memory").queryName("reth")
+      .outputMode("append").start()
+    try {
+      stream.addData(evs: _*); q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT cohort_period, periods_since, count(*) AS n_users
+          |FROM reth GROUP BY 1, 2""".stripMargin).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      val want = EventPipeline.retention(evs.toDF(), "user_id", "ts", "day")
+        .filter(col("periods_since") <= 2).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == want, s"stream $got != batch-filtered $want")
+      assert(!got.exists(_._2 > 2), s"beyond-horizon pair leaked: $got")
+    } finally q.stop()
+  }
+
   test("streaming retention pairs aggregate to the batch retention triangle") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
