@@ -1040,6 +1040,30 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT node FROM dropped)
          |ORDER BY doc_id""".stripMargin
 
+    /** Quality-chosen representative restatement: same cluster closure as
+      * [[corpusDedupOracle]], winner per component by
+      * (length(text) DESC, id) — the independent check of
+      * [[graft.operators.Dedup.keptByQuality]].
+      */
+    private val corpusDedupBestOracle: String =
+      s"""WITH RECURSIVE $pairCtes,
+         |pairs AS (SELECT idA, idB FROM com
+         |  WHERE CAST(c AS DOUBLE) / CAST(szA + szB - c AS DOUBLE) >= 0.8),
+         |edges AS (SELECT idA AS a, idB AS b FROM pairs
+         |          UNION SELECT idB AS a, idA AS b FROM pairs),
+         |cc AS (
+         |  SELECT DISTINCT a AS node, a AS lbl FROM edges
+         |  UNION
+         |  SELECT e.a AS node, c.lbl AS lbl FROM edges e JOIN cc c ON e.b = c.node),
+         |members AS (SELECT node, min(lbl) AS comp FROM cc GROUP BY node),
+         |ranked AS (SELECT m.node,
+         |    row_number() OVER (PARTITION BY m.comp
+         |      ORDER BY length(d.text) DESC, m.node) AS rn
+         |  FROM members m JOIN documents d ON d.doc_id = m.node)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)
+         |ORDER BY doc_id""".stripMargin
+
     /** Sequential-fold double dot product of two DuckDB float lists —
       * DuckDB's `list_sum` folds in index order, matching
       * [[graft.operators.Vectors.dot]] bit for bit.
@@ -1228,6 +1252,17 @@ object SparkEntry {
           .filter(col("node") =!= col("component"))
           .select(col("node").as("doc_id"))
         docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      // quality-chosen representatives: keep the LONGEST member of each
+      // near-dup cluster (ties: smallest id) — the curation-grade keep
+      // decision, vs q_corpus_dedup's min-id convention
+      "q_corpus_dedup_best" -> { (s, dir) =>
+        val docs = Tables.t(s, dir, "documents")
+        val clusters = Dedup.connectedComponents(
+          ngramPairsIndex(s, dir), "idA", "idB")
+        Dedup.keptByQuality(docs, "doc_id", length(col("text")), clusters)
           .select(col("doc_id"), col("lang"))
           .orderBy("doc_id")
       },
@@ -1874,6 +1909,17 @@ object SparkEntry {
           .select("doc_id", "lang")
           .orderBy("doc_id")
       },
+      // token-budget mixture: per-language corpora sampled to TOKEN
+      // budgets (not row fractions) in the portable hash order
+      "q_sample_budget" -> { (s, dir) =>
+        Sampling.tokenBudgetSample(Tables.t(s, dir, "documents"),
+            "doc_id", "lang",
+            graft.functions.TextFunctions.tokenCount(col("text")),
+            budgets = Map("en" -> 5000L, "zh" -> 2000L),
+            defaultBudget = 1500L)
+          .select("doc_id", "lang", "n_tok")
+          .orderBy("doc_id")
+      },
       // leakage-safe split: near-dup cluster members share one split (the
       // split hash keys on the cluster representative, not the document)
       "q_split_leakage" -> { (s, dir) =>
@@ -2231,6 +2277,19 @@ object SparkEntry {
       "q_dedup_minhash" -> ngramPairsOracle,
       "q_dedup_clusters" -> dedupClustersOracle,
       "q_corpus_dedup" -> corpusDedupOracle,
+      "q_corpus_dedup_best" -> corpusDedupBestOracle,
+      "q_sample_budget" ->
+        s"""WITH t AS (SELECT doc_id, lang,
+           |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+           |    ${Sampling.bucketSql("doc_id")} AS g_ord
+           |  FROM documents),
+           |c AS (SELECT doc_id, lang, n_tok,
+           |    coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY g_ord, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           |  FROM t)
+           |SELECT doc_id, lang, n_tok FROM c
+           |WHERE cum < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000 ELSE 1500 END
+           |ORDER BY doc_id""".stripMargin,
       "q_split_leakage" -> splitLeakageOracle,
       "q_sim_topk" -> simTopkOracle,
       "q_events_window" ->

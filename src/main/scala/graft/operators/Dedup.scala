@@ -18,6 +18,36 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Quality-aware corpus keep: one representative per near-dup cluster,
+    * chosen by HIGHEST score (ties: smallest id) instead of the min-id
+    * convention — real curation keeps the best member of a duplicate
+    * group (longest, highest quality score, canonical source), not the
+    * one with the luckiest id. `clusters` is [[connectedComponents]]
+    * output (`node`, `component`); documents in no cluster are their own
+    * representative and always survive. Returns the kept rows of `docs`.
+    *
+    * Scale shape: the cluster frame is duplicate-sized (orders of
+    * magnitude below the corpus); scores join onto IT, never the corpus
+    * onto the window; the ranking window partitions by component —
+    * near-dup groups are small by construction, so no single task sees
+    * more than a group; and the loser set broadcasts into a left-anti
+    * join, leaving the corpus unshuffled (the same shape as the min-id
+    * keep).
+    */
+  def keptByQuality(docs: DataFrame, idCol: String, score: Column,
+                    clusters: DataFrame): DataFrame = {
+    val scored = docs.select(col(idCol).as("g_node"), score.as("g_q"))
+    val members = clusters
+      .select(col("node").as("g_node"), col("component").as("g_comp"))
+      .join(scored, "g_node")
+    val w = Window.partitionBy("g_comp")
+      .orderBy(col("g_q").desc, col("g_node"))
+    val losers = members.withColumn("g_r", row_number().over(w))
+      .filter(col("g_r") > 1)
+      .select(col("g_node").as(idCol))
+    docs.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
   /** Exact dedup: keep the row with the smallest `idCol` per distinct value
     * of `keys` (content columns or hashes of them). One shuffle on the key.
     */

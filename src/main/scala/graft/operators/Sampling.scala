@@ -191,4 +191,97 @@ object Sampling {
         .select(lit(name).as("mix_source") +: select.map(col): _*)
     }.reduce(_.unionAll(_))
   }
+
+  /** TOKEN-budget sampling: keep documents from each group (source /
+    * language) in a deterministic pseudo-random order until the group's
+    * token budget is exhausted — the mixture-building step of a real
+    * training run specifies budgets in TOKENS ("200B web, 30B code"),
+    * not row fractions, and per-document token counts vary by orders of
+    * magnitude. A row is kept iff the EXCLUSIVE running token sum of the
+    * rows ordered before it (portable [[bucket]] order, id tiebreak) is
+    * still below the group's budget — so a positive budget always keeps
+    * at least one document, and the kept token total overshoots by at
+    * most one document. Groups without a configured budget use
+    * `defaultBudget`. Membership is deterministic under reruns and
+    * repartitioning; unlike [[sample]], it is a SNAPSHOT decision — an
+    * appended document can hash into the kept prefix of the order and
+    * displace the tail, so pin a corpus version when stability across
+    * appends matters.
+    *
+    * Scale shape (the two-phase distributed prefix sum of
+    * [[Corpus.packSequences]], keyed by group): range-partition by
+    * (group, order) so every partition holds a contiguous slice of the
+    * global per-group order; one partition-local streaming fold computes
+    * local exclusive sums (resetting at group boundaries); the
+    * per-(partition, group) totals — at most #partitions + #groups rows —
+    * collect to the driver for cross-partition exclusive offsets, which
+    * broadcast back as the final filter. No per-group single-task window
+    * (the classic scale trap: `sum() OVER (PARTITION BY group)` funnels a
+    * group's whole corpus through one task), no corpus-wide sort.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, groupCol: String,
+                        tokens: Column, budgets: Map[String, Long],
+                        defaultBudget: Long = 0L,
+                        salt: Long = 0L): DataFrame = {
+    require(budgets.values.forall(_ >= 0L) && defaultBudget >= 0L,
+      "budgets must be non-negative")
+    val spark = df.sparkSession
+    val base = graft.Tables.unrebalanced(df)
+      .withColumn("g_ord", bucket(col(idCol), salt))
+      .withColumn("g_tok", coalesce(tokens.cast("long"), lit(0L)))
+    val ranged = base
+      .repartitionByRange(col(groupCol), col("g_ord"), col(idCol))
+      .sortWithinPartitions(col(groupCol), col("g_ord"), col(idCol))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+        org.apache.spark.sql.types.StructField("g_pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false) :+
+        org.apache.spark.sql.types.StructField("g_local",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val gIdx = ranged.schema.fieldIndex(groupCol)
+    val tIdx = ranged.schema.fieldIndex("g_tok")
+    val local = ranged
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cur: Any = null
+        var started = false
+        var acc = 0L
+        it.map { r =>
+          val g = r.get(gIdx)
+          if (!started || g != cur) { cur = g; acc = 0L; started = true }
+          val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ acc)
+          acc += r.getLong(tIdx)
+          out
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
+    // per-(partition, group) totals -> cross-partition exclusive offsets
+    val totals = local.groupBy(col("g_pid"), col(groupCol))
+      .agg(sum("g_tok").as("g_total"))
+      .collect()
+      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+        .map { case (pid, off) => (pid, g, off) }
+    }
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val offDf = offsets
+      .map { case (pid, g, off) =>
+        (pid, Option(g).map(String.valueOf).orNull, off)
+      }
+      .toDF("g_pid", "g_grp", "g_offset")
+    val budgetCol = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (value, b)) =>
+        when(col(groupCol) === lit(value), lit(b)).otherwise(acc)
+    }
+    local
+      .join(broadcast(offDf),
+        local("g_pid") === offDf("g_pid") &&
+          local(groupCol).cast("string") <=> offDf("g_grp"))
+      .filter(col("g_local") + col("g_offset") < budgetCol)
+      .select(df.columns.map(col) :+ col("g_tok").as("n_tok"): _*)
+  }
 }

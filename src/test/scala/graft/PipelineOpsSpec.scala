@@ -163,6 +163,56 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(delta.contains((4L, 5L)) && full.contains((4L, 5L)))
   }
 
+  test("keptByQuality keeps the best-scoring cluster member, not the min id") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "short", 10.0), (2L, "longest member", 30.0), (3L, "mid", 20.0),
+      (4L, "singleton survives", 1.0))).toDF("doc_id", "text", "q")
+    val clusters = spark.createDataFrame(Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L))).toDF("node", "component")
+    val kept = Dedup.keptByQuality(df, "doc_id", col("q"), clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 2 wins its cluster on score (min-id would keep doc 1); the
+    // unclustered doc 4 always survives
+    assert(kept == Set(2L, 4L), kept)
+    // ties break to the smaller id
+    val tied = Dedup.keptByQuality(
+        df.withColumn("q", lit(5.0)), "doc_id", col("q"), clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tied == Set(1L, 4L), tied)
+  }
+
+  test("tokenBudgetSample: budget semantics, determinism, partition invariance") {
+    import graft.operators.Sampling
+    import graft.functions.TextFunctions
+    val base = Tables.t(spark, sf, "documents")
+    val budgets = Map("en" -> 5000L, "zh" -> 2000L)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.tokenBudgetSample(df, "doc_id", "lang",
+          TextFunctions.tokenCount(col("text")), budgets, defaultBudget = 1500L)
+        .select("doc_id", "lang", "n_tok")
+    val kept = run(base).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(kept.nonEmpty)
+    // identical membership under a different physical layout — the keyed
+    // two-phase prefix sum must not depend on partitioning
+    val rekept = run(base.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(kept.toSet == rekept.toSet, "partitioning changed the kept set")
+    // per-group bound: exclusive prefix < budget means total kept tokens
+    // minus the largest kept doc stays under budget, and every group with
+    // a positive budget keeps at least one doc
+    val byLang = kept.groupBy(_._2)
+    for ((lang, rows) <- byLang) {
+      val budget = budgets.getOrElse(lang, 1500L)
+      val total = rows.map(_._3).sum
+      val maxDoc = rows.map(_._3).max
+      assert(total - maxDoc < budget, s"$lang kept $total tokens over $budget")
+      assert(rows.nonEmpty)
+    }
+    // all five langs are present (each budget keeps at least one doc)
+    assert(byLang.keySet == Set("de", "en", "es", "fr", "zh"), byLang.keySet)
+  }
+
   test("minhash estimated jaccard tracks exact jaccard on near-dups") {
     val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.8)
     val found = pairs.collect()
