@@ -211,6 +211,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     // all five langs are present (each budget keeps at least one doc)
     assert(byLang.keySet == Set("de", "en", "es", "fr", "zh"), byLang.keySet)
+
+    // null group + null text: the null group is its own budget bucket
+    // (defaultBudget) and a null text counts zero tokens — neither NPEs
+    // nor silently drops
+    val withNulls = spark.createDataFrame(Seq(
+      (9001L, Some("one two three"), None: Option[String]),
+      (9002L, None: Option[String], None: Option[String]),
+      (9003L, Some("uno dos"), Some("es"))))
+      .toDF("doc_id", "text", "lang")
+    val keptN = Sampling.tokenBudgetSample(withNulls, "doc_id", "lang",
+        TextFunctions.tokenCount(col("text")), Map.empty, defaultBudget = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptN == Set(9001L, 9002L, 9003L), keptN)
   }
 
   test("minhash estimated jaccard tracks exact jaccard on near-dups") {
