@@ -129,7 +129,11 @@ object Bpe {
     // (doc, word) frequencies before the join; that spent a full extra
     // corpus-scale exchange to shrink a join that was already
     // broadcast-shuffle-free (measured at sf0.1: 2.3 -> 1.5 s on the
-    // pack query).
+    // pack query). The double evaluation of `toks` (distinct + join) is
+    // DELIBERATE: checkpointing the word occurrences to share one
+    // evaluation stores wide strings and measured 1.5x SLOWER than
+    // re-running the cheap codegen'd tokenize (unlike spanDedup's
+    // narrow-long window table, where the same trick wins).
     toks.join(lens, "g_w")
       .groupBy(idCol)
       .agg(sum(col("g_len")).as("n_bpe"))
