@@ -286,6 +286,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(capped.toSeq == Seq((31L, 30L, 1.0)), s"got ${capped.toSeq}")
   }
 
+  test("IVF recall degrades monotonically with nprobe and is exact at full probe") {
+    import graft.operators.Similarity
+    val embs = Tables.t(spark, sf, "embeddings")
+    val k = 8
+    val cents = Similarity.trainKmeansCentroids(embs, "embedding", k, iters = 2)
+    // three deterministic query vectors; everything downstream is
+    // deterministic (centroids, assignment, ranking), so the recall
+    // values are fixed constants for this data — assertable, not flaky
+    val queries = Seq(0L, 7L, 23L).map(id =>
+      embs.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    for (q <- queries) {
+      val exact = ids(Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10))
+      val recalls = Seq(1, 2, 4, k).map { nprobe =>
+        val got = ids(Similarity.ivfKmeansTopK(embs, "vec_id", "embedding",
+          q, 10, cents, nprobe))
+        (exact intersect got).size.toDouble / exact.size
+      }
+      // more probes can only widen the candidate set -> recall must be
+      // non-decreasing, and the full probe is the exact scan
+      assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+        s"recall not monotone: $recalls")
+      assert(recalls.last == 1.0, s"full probe must be exact: $recalls")
+      assert(recalls.head > 0.0, s"single probe found nothing: $recalls")
+    }
+  }
+
   test("materialized IVF store: partition-pruned probe equals the computed-bucket route") {
     import graft.operators.Similarity
     val embs = Tables.t(spark, sf, "embeddings")
