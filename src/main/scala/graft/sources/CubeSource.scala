@@ -26,9 +26,11 @@ object CubeSource {
   /** Read one source table, dispatching on the path's extension — the
     * format-agnostic ingest edge (the reference reads its test data through
     * `com.databricks.spark.csv`, `BaseTest.scala:163`; ours reads parquet,
-    * CSV, and JSON-lines natively). An explicit schema skips inference:
-    * at 100 TB, CSV/JSON schema inference is a wasted full scan, so
-    * production ingest should always pass one (parquet carries its own).
+    * ORC, CSV, and JSON-lines natively). An explicit schema skips
+    * inference: at 100 TB, CSV/JSON schema inference is a wasted full
+    * scan, so production ingest should always pass one (parquet and ORC
+    * carry their own, plus footer stats, so they keep predicate pushdown
+    * and column pruning through this edge).
     */
   def readTable(spark: SparkSession, path: String,
                 schema: Option[StructType] = None): DataFrame = {
@@ -41,6 +43,7 @@ object CubeSource {
       (if (schema.isEmpty) base.option("inferSchema", "true") else base)
         .option("header", "true").csv(path)
     else if (lower.endsWith(".json") || lower.endsWith(".jsonl")) base.json(path)
+    else if (lower.endsWith(".orc") || lower.endsWith(".orc.d")) base.orc(path)
     else base.parquet(path)
   }
 

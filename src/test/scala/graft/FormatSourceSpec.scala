@@ -7,9 +7,9 @@ import graft.cube._
 import graft.sources.CubeSource
 
 /** The ingest edge is format-agnostic (§2.1: the reference loads its test
-  * data from CSV): the same events cube materializes from parquet, CSV, and
-  * JSON-lines sources, raw scans over the non-parquet sources still route
-  * to the cube, and results are identical across formats.
+  * data from CSV): the same events cube materializes from parquet, ORC,
+  * CSV, and JSON-lines sources, raw scans over the non-parquet sources
+  * still route to the cube, and results are identical across formats.
   */
 class FormatSourceSpec extends AnyFunSuite {
   import TestSpark._
@@ -41,17 +41,20 @@ class FormatSourceSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("cnt"), Tables.dsum(col("value")).as("sum_value"))
       .collect().map(_.toString).sorted.toSeq
 
-  test("CSV and JSON sources materialize the same cube and still route") {
+  test("CSV, JSON and ORC sources materialize the same cube and still route") {
     val csvSrc = s"$base/events.csv"
     val jsonSrc = s"$base/events.json"
+    val orcSrc = s"$base/events.orc"
     if (!new java.io.File(csvSrc, "_SUCCESS").exists())
       srcEvents.write.mode("overwrite").option("header", "true").csv(csvSrc)
     if (!new java.io.File(jsonSrc, "_SUCCESS").exists())
       srcEvents.write.mode("overwrite").json(jsonSrc)
+    if (!new java.io.File(orcSrc, "_SUCCESS").exists())
+      srcEvents.write.mode("overwrite").orc(orcSrc)
     val schema = srcEvents.schema
     val want = agg(srcEvents)
 
-    for ((src, fmt) <- Seq(csvSrc -> "csv", jsonSrc -> "json")) {
+    for ((src, fmt) <- Seq(csvSrc -> "csv", jsonSrc -> "json", orcSrc -> "orc")) {
       val cube = CubeSource.materialize(spark, cubeInfo(s"events_$fmt"),
         Map("events" -> src), s"$base/cube_$fmt",
         schemas = Map("events" -> schema))
