@@ -65,15 +65,33 @@ object CostReport {
   }
 
   /** One row per lattice node (and the fact cube) of every cube the engine
-    * route touched, with the footer-measured stored size the router priced
-    * it at ([[org.apache.spark.sql.graft.ScanBytes.dirCost]]) — "chosen"
-    * marks the node the plan actually scans, so a user can see WHY the
-    * router picked this node over the others (the reference's
-    * `DruidQueryCostModel` comparison, made inspectable).
+    * route touched, with the price the router compared — the query's
+    * POST-PRUNING files/rows/bytes per candidate when this query's
+    * routing decision was recorded ([[RollupRouting.latestPricing]]; the
+    * reference's interval-ratio input estimate,
+    * `DruidQueryCostModel.scala:660-689`, made inspectable), falling back
+    * to whole-node stored size
+    * ([[org.apache.spark.sql.graft.ScanBytes.dirCost]]) for nodes the
+    * router never priced (unservable for this query) or when no decision
+    * matches the plan. "chosen" marks the node the plan actually scans;
+    * "refused" a candidate pricing above the fact route's own pruned
+    * scan; "unservable" a node that could not serve this query at all.
     */
   private def lattice(spark: SparkSession,
                       engine: Seq[ScanBytes.ScanCost]): Seq[Row] = {
     val scanned = engine.flatMap(_.rootPaths).map(CubeCatalog.normalizePath).toSet
+    // trust the recorded pricing only if its outcome matches THIS plan
+    // (concurrent sessions / non-cost-routed queries leave stale records)
+    val pricing = RollupRouting.latestPricing.filter(p =>
+      p.chosenPath.map(CubeCatalog.normalizePath) match {
+        case Some(cp) => scanned.contains(cp)
+        case None => scanned.contains(CubeCatalog.normalizePath(p.fact.path))
+      })
+    val priceOf: Map[String, RollupRouting.NodePrice] = pricing match {
+      case Some(p) => (p.fact +: p.nodes)
+        .map(n => CubeCatalog.normalizePath(n.path) -> n).toMap
+      case None => Map.empty
+    }
     CubeCatalog.all
       .filter(c => (CubeCatalog.normalizePath(c.cubePath) +:
         c.rollups.map(r => CubeCatalog.normalizePath(r.path)))
@@ -82,11 +100,18 @@ object CostReport {
         val nodes = (s"cube:${c.info.name}", c.cubePath) +:
           c.rollups.map(r => (s"rollup:${tail(r.path)}", r.path))
         nodes.map { case (label, p) =>
-          val (files, rows, bytes) = ScanBytes.dirCost(spark, p)
-          val marker =
-            if (scanned.contains(CubeCatalog.normalizePath(p))) "chosen"
-            else "candidate"
-          Row("lattice", label, marker, files, rows, bytes)
+          val norm = CubeCatalog.normalizePath(p)
+          priceOf.get(norm) match {
+            case Some(n) =>
+              Row("lattice", label, n.verdict, n.files, n.rows, n.bytes)
+            case None =>
+              val (files, rows, bytes) = ScanBytes.dirCost(spark, p)
+              val marker =
+                if (scanned.contains(norm)) "chosen"
+                else if (pricing.isDefined) "unservable"
+                else "candidate"
+              Row("lattice", label, marker, files, rows, bytes)
+          }
         }
       }
   }

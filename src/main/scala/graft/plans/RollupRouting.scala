@@ -27,6 +27,28 @@ import graft.cube.{CubeCatalog, RegisteredCube, RollupMeta}
   * cube in one iteration and onto the rollup in the next — at 100 TB the
   * final scan is |dims|×buckets rows instead of the fact table.
   */
+object RollupRouting {
+  /** One priced route of a cost-routing decision: the node's path and the
+    * query's post-pruning (files, rows, bytes) — -1 = unmeasured.
+    */
+  final case class NodePrice(path: String, files: Long, rows: Long,
+                             bytes: Long, verdict: String)
+  /** The full pricing table of one routing decision: every candidate, the
+    * fact route's own pruned price, and the chosen node (None = route
+    * declined, fact wins).
+    */
+  final case class Pricing(chosenPath: Option[String], fact: NodePrice,
+                           nodes: Seq[NodePrice])
+
+  // Observability only (EXPLAIN GRAFT COST's lattice section): the most
+  // recent decision in this JVM. Concurrent sessions may interleave, so
+  // consumers must check the recorded chosen path against the plan they
+  // are reporting on before trusting the numbers (CostReport does).
+  private val last = new java.util.concurrent.atomic.AtomicReference[Option[Pricing]](None)
+  private[plans] def recordPricing(p: Pricing): Unit = last.set(Some(p))
+  def latestPricing: Option[Pricing] = last.get()
+}
+
 case class RollupRouting(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -81,23 +103,26 @@ case class RollupRouting(spark: SparkSession)
     if (cube.rollups.isEmpty) return None
     // Lattice walk, COST-PRICED: every node that can serve is a correct
     // route, so the choice among them is pure cost — and the cost is
-    // MEASURED, not positional. The reference prices its competing routes
-    // from segment index stats (`DruidQueryCostModel.scala:345-414`); here
-    // each candidate node is priced by its footer-measured stored rows
-    // (bytes tiebreak, registration order last — also the fallback when a
-    // node can't be measured). Registration order alone breaks as soon as
-    // a user declares overlapping nodes out of size order. A node at or
-    // above FACT grain (measured rows > the cube's) is refused outright —
+    // MEASURED and POST-PRUNING, not positional. The reference prices its
+    // competing routes on the query's actual slice of each index —
+    // interval ratio × segment stats (`DruidQueryCostModel.scala:345-414`,
+    // `estimateInput` `:660-689`) — and so does [[pickCheapest]]: each
+    // candidate's served plan already carries the translated bucket /
+    // partition-dim predicates, so its price is the partition-pruned
+    // listing's footer rows (bytes tiebreak, registration order last).
+    // Whole-directory pricing would over-price a well-partitioned node by
+    // the inverse of its pruned fraction — exactly the case where a user
+    // declares a broad partitioned node next to a narrow specialized one.
+    // A node pricing above the fact route's own pruned scan is refused —
     // serving from it beats the fact route on nothing and forfeits the
-    // fact cube's layout (the node-vs-pruned-fact choice, same pricing).
-    // lazy when the positional walk decides (flag off): stop at the
-    // first servable node instead of planning all of them
+    // fact cube's layout. lazy when the positional walk decides (flag
+    // off): stop at the first servable node instead of planning all
     val fromLattice =
       if (!spark.conf.get("spark.graft.costRouting.enabled", "true").toBoolean)
         cube.rollups.view
           .flatMap(ru => serveFrom(agg, projects, filters, cube, ru, expandOpt))
           .headOption
-      else pickCheapest(cube,
+      else pickCheapest(cube, lr, filters,
         cube.rollups.zipWithIndex.flatMap { case (ru, i) =>
           serveFrom(agg, projects, filters, cube, ru, expandOpt)
             .map(p => (ru, i, p))
@@ -111,28 +136,93 @@ case class RollupRouting(spark: SparkSession)
       .map(pruneScan)
   }
 
-  /** Choose among servable lattice nodes by measured stored size
-    * (`spark.graft.costRouting.enabled=false` short-circuits in [[route]]
-    * before candidates are even gathered).
+  /** Choose among servable lattice nodes by the query's measured
+    * POST-PRUNING scan cost (`spark.graft.costRouting.enabled=false`
+    * short-circuits in [[route]] before candidates are even gathered).
+    *
+    * Each candidate's served plan carries its own translated filter, whose
+    * partition-column conjuncts (time bucket + declared partition dims)
+    * prune the node's listing exactly as `FileSourceStrategy` will — the
+    * price is the footer rows/bytes of the surviving files
+    * ([[org.apache.spark.sql.graft.ScanBytes.prunedCost]]). The fact route
+    * is priced the same way from the original scan's filters (which, by
+    * this point in the batch, include [[TimeBucketPruning]]'s derived
+    * bucket bounds), so the node-vs-fact refusal compares like with like:
+    * a node whose pruned slice still exceeds the pruned fact scan is
+    * refused — uniformly, for one candidate or many.
+    *
+    * Unmeasurable candidates (listing/footer hiccup — [[ScanBytes]] never
+    * memoizes failures) are not silently refused: when no measured
+    * candidate survives, the walk falls back to registration order among
+    * the unmeasured ones, the documented positional fallback. Only when
+    * every candidate measured and all priced above the fact scan does the
+    * route decline entirely.
+    *
+    * Every pricing decision is recorded ([[RollupRouting.latestPricing]])
+    * so `EXPLAIN GRAFT COST`'s lattice section can show the per-candidate
+    * pruned numbers the choice was actually made on.
     */
   private def pickCheapest(
       cube: RegisteredCube,
+      factLr: LogicalRelation,
+      factFilters: Seq[Expression],
       candidates: Seq[(RollupMeta, Int, LogicalPlan)]): Option[LogicalPlan] = {
     if (candidates.isEmpty) return None
-    if (candidates.size == 1) return Some(candidates.head._3)
     import org.apache.spark.sql.graft.ScanBytes
-    def price(path: String): (Long, Long) = {
-      val (files, rows, bytes) = ScanBytes.dirCost(spark, path)
-      if (files > 0) (rows, bytes) else (Long.MaxValue, Long.MaxValue)
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+
+    // the served plan's scan + the conjuncts directly above it (pre-order:
+    // the Filter, when present, is seen before its child relation)
+    def scanWithFilters(p: LogicalPlan): Option[(HadoopFsRelation, Seq[Expression])] =
+      p.collectFirst {
+        case Filter(cond, lr: LogicalRelation)
+            if lr.relation.isInstanceOf[HadoopFsRelation] =>
+          (lr.relation.asInstanceOf[HadoopFsRelation],
+            splitConjunctivePredicates(cond))
+        case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+          (lr.relation.asInstanceOf[HadoopFsRelation], Seq.empty[Expression])
+      }
+    def priceOf(p: LogicalPlan): Option[(Long, Long, Long)] =
+      scanWithFilters(p).flatMap { case (rel, preds) =>
+        ScanBytes.prunedCost(spark, rel, preds)
+      }
+
+    val factPrice: Option[(Long, Long, Long)] = factLr.relation match {
+      case fs: HadoopFsRelation => ScanBytes.prunedCost(spark, fs, factFilters)
+      case _                    => None
     }
-    val (factFiles, factRows, _) = ScanBytes.dirCost(spark, cube.cubePath)
-    val belowFactGrain = candidates.filter { case (ru, _, _) =>
-      factFiles == 0 || price(ru.path)._1 <= factRows
+    val priced = candidates.map { case c @ (_, _, plan) => (c, priceOf(plan)) }
+    val measured = priced.collect { case ((ru, i, p), Some(cost)) => (ru, i, p, cost) }
+    val unmeasured = priced.collect { case (c, None) => c }
+    // fact-grain refusal only applies between two MEASURED prices
+    val pool = measured.filter { case (_, _, _, (_, rows, _)) =>
+      factPrice.forall { case (_, factRows, _) => rows <= factRows }
     }
-    val pool = if (belowFactGrain.nonEmpty) belowFactGrain else return None
-    Some(pool.minBy { case (ru, i, _) =>
-      val (r, b) = price(ru.path); (r, b, i)
-    }._3)
+    val chosen: Option[(RollupMeta, LogicalPlan)] =
+      if (pool.nonEmpty)
+        Some(pool.minBy { case (_, i, _, (_, r, b)) => (r, b, i) })
+          .map { case (ru, _, p, _) => (ru, p) }
+      else unmeasured.sortBy(_._2).headOption.map { case (ru, _, p) => (ru, p) }
+
+    RollupRouting.recordPricing(RollupRouting.Pricing(
+      chosenPath = chosen.map(_._1.path),
+      fact = RollupRouting.NodePrice(cube.cubePath,
+        factPrice.map(_._1).getOrElse(-1L), factPrice.map(_._2).getOrElse(-1L),
+        factPrice.map(_._3).getOrElse(-1L),
+        if (chosen.isEmpty) "chosen" else "candidate"),
+      nodes = priced.map { case ((ru, _, _), cost) =>
+        val verdict =
+          if (chosen.exists(_._1.path == ru.path)) "chosen"
+          else cost match {
+            case None => "unmeasured"
+            case Some((_, rows, _)) =>
+              if (factPrice.exists(_._2 < rows)) "refused" else "candidate"
+          }
+        RollupRouting.NodePrice(ru.path,
+          cost.map(_._1).getOrElse(-1L), cost.map(_._2).getOrElse(-1L),
+          cost.map(_._3).getOrElse(-1L), verdict)
+      }))
+    chosen.map(_._2)
   }
 
   /** Serve `GROUP BY <sketched dim> ... count(*)` from the stored

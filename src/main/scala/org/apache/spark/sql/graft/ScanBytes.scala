@@ -138,30 +138,96 @@ object ScanBytes {
 
   def dirCost(spark: org.apache.spark.sql.SparkSession,
               path: String): (Long, Long, Long) =
-    dirCache.getOrElseUpdate(path, {
+    dirCache.get(path).getOrElse {
+      // only SUCCESSFUL observations are memoized (including a genuinely
+      // missing/empty dir — refresh invalidates those): a transient
+      // listing/footer exception returns unmeasured for THIS call only,
+      // so one hiccup cannot pin the session to unmeasured prices
       try {
         val conf = spark.asInstanceOf[classic.SparkSession]
           .sessionState.newHadoopConf()
         val p = new Path(path)
         val fs = p.getFileSystem(conf)
-        if (!fs.exists(p)) (0L, 0L, 0L)
-        else {
-          var files = 0L; var rows = 0L; var bytes = 0L
-          val it = fs.listFiles(p, true)
-          while (it.hasNext) {
-            val st = it.next()
-            if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-              files += 1
-              rows += fileRows(conf, st.getPath, st.getModificationTime)
-              bytes += st.getLen
+        val v =
+          if (!fs.exists(p)) (0L, 0L, 0L)
+          else {
+            var files = 0L; var rows = 0L; var bytes = 0L
+            val it = fs.listFiles(p, true)
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+                files += 1
+                rows += fileRows(conf, st.getPath, st.getModificationTime)
+                bytes += st.getLen
+              }
             }
+            (files, rows, bytes)
           }
-          (files, rows, bytes)
-        }
-      } catch { case _: Throwable => (0L, 0L, 0L) }
-    })
+        dirCache.putIfAbsent(path, v)
+        v
+      } catch { case scala.util.control.NonFatal(_) => (0L, 0L, 0L) }
+    }
 
-  def invalidateDirCosts(): Unit = dirCache.clear()
+  def invalidateDirCosts(): Unit = { dirCache.clear(); prunedCache.clear() }
+
+  /** (root paths, name-normalized partition predicates) -> pruned cost. */
+  private val prunedCache = TrieMap.empty[(String, String), (Long, Long, Long)]
+
+  /** Post-pruning footer cost of a planned scan over `relation`: the
+    * query's partition-column predicates applied to the relation's file
+    * listing (the same pruning `FileSourceStrategy` performs), then
+    * footer-measured rows and on-disk bytes of exactly the surviving
+    * files. This is the query's actual slice of the artifact — the
+    * reference prices competing routes on it (interval ratio × index
+    * stats, `DruidQueryCostModel.scala:660-689` `estimateInput`), not on
+    * whole-datasource size, and so does the lattice router here.
+    *
+    * `filters` may be any conjunct set: predicates that are
+    * nondeterministic, carry a subquery, or reference a non-partition
+    * column are dropped (pruning with a subset of the predicates is
+    * always an over-approximation, never wrong). Returns None when the
+    * listing or footer reads fail — "unmeasured", which callers must
+    * treat as neither free nor infinite. Successful prices are memoized
+    * per (root path, name-keyed predicate set) — the listing itself is
+    * the relation's in-memory file index, so a miss costs footer reads of
+    * the surviving files only (each cached per file thereafter);
+    * [[invalidateDirCosts]] clears this cache too.
+    */
+  def prunedCost(spark: org.apache.spark.sql.SparkSession,
+                 relation: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+                 filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[(Long, Long, Long)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, PlanExpression}
+    val partCols = relation.partitionSchema.fieldNames.map(_.toLowerCase).toSet
+    val partPreds = filters.filter { c =>
+      c.deterministic &&
+        c.find(_.isInstanceOf[PlanExpression[_]]).isEmpty &&
+        c.references.nonEmpty &&
+        c.references.forall(a => partCols.contains(a.name.toLowerCase))
+    }
+    // cache key by column NAME, not exprId — the same predicate arrives
+    // with fresh ids on every query instance
+    def keyOf(e: Expression): String =
+      e.transform { case a: Attribute => UnresolvedAttribute(Seq(a.name)) }.toString
+    val key = (relation.location.rootPaths.map(_.toString).sorted.mkString(","),
+      partPreds.map(keyOf).sorted.mkString(" & "))
+    prunedCache.get(key).map(Some(_)).getOrElse {
+      try {
+        val conf = spark.asInstanceOf[classic.SparkSession]
+          .sessionState.newHadoopConf()
+        val files = relation.location.listFiles(partPreds, Nil).flatMap(_.files)
+        var rows = 0L; var bytes = 0L
+        files.foreach { f =>
+          rows += fileRows(conf, f.getPath, f.getModificationTime)
+          bytes += f.getLen
+        }
+        val v = (files.length.toLong, rows, bytes)
+        prunedCache.putIfAbsent(key, v)
+        Some(v)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
 
   /** Bytes the frame's parquet scans must read, post partition- and
     * column-pruning. Call AFTER executing the frame so AQE's final plan

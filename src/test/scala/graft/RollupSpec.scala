@@ -116,6 +116,75 @@ class RollupSpec extends AnyFunSuite {
     } finally graft.cube.CubeCatalog.register(cube)
   }
 
+  test("route pricing is POST-pruning: a big partitioned node beats a small unpartitioned one under a narrow slice") {
+    // The reference prices competing routes on the query's actual slice
+    // (interval ratio × index stats, DruidQueryCostModel.scala:660-689),
+    // not whole-datasource size. Lock the same here: a node that is
+    // smaller in total but unpartitioned must LOSE to a larger
+    // bucket-partitioned node once a narrow time slice prunes the latter
+    // below the former — whole-dir pricing (and registration order, which
+    // lists the small node first) would both pick wrong.
+    for (t <- Tables.starTables)
+      Tables.t(spark, sf, t).createOrReplaceTempView(t)
+    graft.cube.RollupCube.ensure(spark, sf)
+    val cube = graft.cube.CubeCatalog.all.find(_.rollups.nonEmpty).get
+    val finePath = graft.cube.RollupCube.rollupPath(sf)
+    val fine = cube.rollups.find(_.path == finePath).get
+    // small unpartitioned competitor: the coarse cells rewritten as one
+    // flat dir — g_tbucket demoted to a data column, so a time slice
+    // cannot prune it at all
+    val unPath = s"/root/repo/target/cubes/test_unpart_${new java.io.File(sf).getName}_${Tables.contentTag(sf)}"
+    if (!new java.io.File(unPath, "_SUCCESS").exists())
+      spark.read.parquet(graft.cube.RollupCube.coarsePath(sf))
+        .repartition(1).write.mode("overwrite").parquet(unPath)
+    val unMeta = cube.rollups.find(_.path == graft.cube.RollupCube.coarsePath(sf))
+      .get.copy(path = unPath)
+    val sql =
+      """SELECT c_mktsegment, count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_shipdate >= DATE '1995-03-01' AND l_shipdate < DATE '1995-04-01'
+        |GROUP BY c_mktsegment""".stripMargin
+    def servedPaths(): Seq[String] = spark.sql(sql)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(p =>
+                graft.cube.CubeCatalog.normalizePath(p.toString))
+            case _ => Nil
+          }
+      }.flatten
+    try {
+      // the small node FIRST: a positional walk and whole-dir pricing
+      // would both stop at it
+      graft.cube.CubeCatalog.register(cube.copy(rollups = Seq(unMeta, fine)))
+      // precondition making the case adversarial: whole-dir ordering is
+      // inverted (the unpartitioned node IS the smaller artifact)
+      val sb = org.apache.spark.sql.graft.ScanBytes
+      assert(sb.dirCost(spark, unPath)._2 < sb.dirCost(spark, finePath)._2,
+        "setup: unpartitioned node must be smaller whole-dir")
+      val chosen = servedPaths()
+      assert(chosen == Seq(graft.cube.CubeCatalog.normalizePath(finePath)),
+        s"expected the partitioned fine node after pruning, got $chosen")
+      // the recorded pricing table shows WHY: the fine node's pruned
+      // slice measured below the unpartitioned node's full listing
+      val pricing = graft.plans.RollupRouting.latestPricing.get
+      val byPath = pricing.nodes.map(n => n.path -> n).toMap
+      assert(pricing.chosenPath.contains(finePath), pricing.toString)
+      assert(byPath(finePath).rows >= 0 &&
+        byPath(finePath).rows < byPath(unPath).rows, pricing.toString)
+      // and the result is still exactly the raw aggregate
+      val got = spark.sql(sql).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      val want = Graft.withoutRewrites(spark)(spark.sql(sql).collect())
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got == want && got.nonEmpty)
+    } finally graft.cube.CubeCatalog.register(cube)
+  }
+
   test("TopN from heavy-hitter sketches: lossless rewrite, no fact scan") {
     for (t <- Tables.starTables)
       Tables.t(spark, sf, t).createOrReplaceTempView(t)
