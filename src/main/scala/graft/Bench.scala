@@ -248,6 +248,24 @@ object Bench {
         if (len + e <= budget) { picked(k) = ((v, ok)); len += e }
     }
     val qs = picked.map { case (k, (v, ok)) => entry(k, v, ok) }.mkString("{", ",", "}")
+    // Persist the FULL per-query detail (min/median/every rep + headline
+    // raw/io) to a file: the harness keeps only the last ~2000 chars of
+    // stdout, so the BENCH_DETAIL/BENCH_REPS lines above die with the log
+    // and a tail regression could otherwise only be judged against the
+    // within-run spread by re-running the whole bench. The file is
+    // committed per round (BENCH_DETAIL_r<N>.json), making tail deltas
+    // adjudicable from the repo.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL_OUT",
+      "BENCH_DETAIL_LATEST.json")
+    val perQ = results.map { case (k, v, ok, ts) =>
+      s""" "$k":{"min":${fmt(if (ok) v else -v)},"median":${fmt(median(ts))},"reps":[${ts.map(fmt).mkString(",")}]}"""
+    }.mkString("{\n", ",\n", "\n}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(detailPath),
+      s"""{"sf":"$sfDir","n_queries":${results.size},"total":${fmt(total)},"failed":$failed,\n"raw":$rawJs,\n"scan_rows":$ioJs,\n"scan_bytes":$bytesJs,\n"queries":$perQ}\n""")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: $e")
+    }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"median":$medJs,"raw":$rawJs,"scan_rows":$ioJs,"scan_bytes":$bytesJs,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
