@@ -38,6 +38,11 @@ object CostReport {
   /** (section, route, source, files, est_rows, est_bytes) rows. */
   def rows(spark: SparkSession, sql: String): Seq[Row] = {
     val engineDf = spark.sql(sql)
+    // pricing records are trusted only if stamped AFTER this snapshot —
+    // i.e. recorded while THIS query planned — so a TopN/sketch route, a
+    // positional walk, or a direct parquet read over the same node can
+    // never inherit a previous query's pricing numbers
+    val seqBefore = RollupRouting.pricingSeq
     val engine = ScanBytes.costs(engineDf)
     val raw = graft.Graft.withoutRewrites(spark) {
       ScanBytes.costs(spark.sql(sql))
@@ -61,7 +66,7 @@ object CostReport {
         if (engineRows > 0) rawRows * 100L / engineRows else null, null)) ++
       estimateRow(engineDf)
     section("engine", engine) ++ section("raw", raw) ++
-      lattice(spark, engine) ++ summary
+      lattice(spark, engine, seqBefore) ++ summary
   }
 
   /** One row per lattice node (and the fact cube) of every cube the engine
@@ -78,25 +83,34 @@ object CostReport {
     * scan; "unservable" a node that could not serve this query at all.
     */
   private def lattice(spark: SparkSession,
-                      engine: Seq[ScanBytes.ScanCost]): Seq[Row] = {
+                      engine: Seq[ScanBytes.ScanCost],
+                      seqBefore: Long): Seq[Row] = {
     val scanned = engine.flatMap(_.rootPaths).map(CubeCatalog.normalizePath).toSet
-    // trust the recorded pricing only if its outcome matches THIS plan
-    // (concurrent sessions / non-cost-routed queries leave stale records)
-    val pricing = RollupRouting.latestPricing.filter(p =>
+    // trust only decisions recorded while THIS query planned (seq stamp)
+    // whose outcome matches the plan being reported on (chosen/declined
+    // path is among the scans) — one record per routed aggregate, so a
+    // multi-cube plan keeps every cube's own pricing table
+    val pricings = RollupRouting.pricingsSince(seqBefore).filter(p =>
       p.chosenPath.map(CubeCatalog.normalizePath) match {
         case Some(cp) => scanned.contains(cp)
         case None => scanned.contains(CubeCatalog.normalizePath(p.fact.path))
       })
-    val priceOf: Map[String, RollupRouting.NodePrice] = pricing match {
-      case Some(p) => (p.fact +: p.nodes)
-        .map(n => CubeCatalog.normalizePath(n.path) -> n).toMap
-      case None => Map.empty
-    }
     CubeCatalog.all
       .filter(c => (CubeCatalog.normalizePath(c.cubePath) +:
         c.rollups.map(r => CubeCatalog.normalizePath(r.path)))
         .exists(scanned.contains))
       .flatMap { c =>
+        // the 'unservable' marker only means anything relative to a
+        // decision made FOR this cube — other cubes' nodes in the same
+        // plan fall back to stored size, not a foreign verdict
+        val pricing = pricings.find(p =>
+          CubeCatalog.normalizePath(p.fact.path) ==
+            CubeCatalog.normalizePath(c.cubePath))
+        val priceOf: Map[String, RollupRouting.NodePrice] = pricing match {
+          case Some(p) => (p.fact +: p.nodes)
+            .map(n => CubeCatalog.normalizePath(n.path) -> n).toMap
+          case None => Map.empty
+        }
         val nodes = (s"cube:${c.info.name}", c.cubePath) +:
           c.rollups.map(r => (s"rollup:${tail(r.path)}", r.path))
         nodes.map { case (label, p) =>

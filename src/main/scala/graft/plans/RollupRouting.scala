@@ -35,18 +35,77 @@ object RollupRouting {
                              bytes: Long, verdict: String)
   /** The full pricing table of one routing decision: every candidate, the
     * fact route's own pruned price, and the chosen node (None = route
-    * declined, fact wins).
+    * declined, fact wins). `seq` is the JVM-global decision number
+    * ([[pricingSeq]]) — consumers that must not inherit a PREVIOUS
+    * query's numbers (CostReport) snapshot the counter before planning
+    * and accept only records stamped after it.
     */
   final case class Pricing(chosenPath: Option[String], fact: NodePrice,
-                           nodes: Seq[NodePrice])
+                           nodes: Seq[NodePrice], seq: Long = 0L)
 
   // Observability only (EXPLAIN GRAFT COST's lattice section): the most
-  // recent decision in this JVM. Concurrent sessions may interleave, so
-  // consumers must check the recorded chosen path against the plan they
-  // are reporting on before trusting the numbers (CostReport does).
-  private val last = new java.util.concurrent.atomic.AtomicReference[Option[Pricing]](None)
-  private[plans] def recordPricing(p: Pricing): Unit = last.set(Some(p))
-  def latestPricing: Option[Pricing] = last.get()
+  // recent decisions in this JVM — a bounded ring, because one plan with
+  // several routed aggregates (or several cubes) records one decision
+  // EACH, and keeping only the last would mislabel the others
+  // 'unservable'. Concurrent sessions may interleave, so consumers must
+  // check both the seq stamp and the recorded chosen path against the
+  // plan they are reporting on before trusting the numbers.
+  private val recent =
+    new java.util.concurrent.atomic.AtomicReference[List[Pricing]](Nil)
+  private val seqCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Current decision counter; records stamped later have `seq` > this. */
+  def pricingSeq: Long = seqCounter.get()
+
+  private[plans] def recordPricing(p0: Pricing): Unit = {
+    val p = p0.copy(seq = seqCounter.incrementAndGet())
+    recent.updateAndGet(l => (p :: l).take(32))
+  }
+  def latestPricing: Option[Pricing] = recent.get().headOption
+
+  /** Decisions recorded after counter snapshot `since`, newest first. */
+  def pricingsSince(since: Long): Seq[Pricing] =
+    recent.get().filter(_.seq > since)
+
+  /** The route choice given measured and unmeasured candidate prices —
+    * pure, so the refusal/fallback contract is unit-lockable. Measured
+    * candidates pricing above the fact route's own pruned rows are
+    * refused; among survivors the cheapest (rows, bytes, registration
+    * order) wins. Unmeasured candidates (transient listing/footer
+    * failure) are a fallback ONLY when nothing measured at all: when
+    * measurements exist and all were refused, the route declines rather
+    * than picking a node every actual measurement said should lose.
+    */
+  private[graft] def choose[A](
+      measured: Seq[(A, Int, (Long, Long, Long))],
+      unmeasured: Seq[(A, Int)],
+      factRows: Option[Long]): Option[A] = {
+    val pool = measured.filter { case (_, _, (_, rows, _)) =>
+      factRows.forall(rows <= _)
+    }
+    if (pool.nonEmpty)
+      Some(pool.minBy { case (_, i, (_, r, b)) => (r, b, i) }._1)
+    else if (measured.isEmpty) unmeasured.sortBy(_._2).headOption.map(_._1)
+    else None
+  }
+
+  /** The served plan's parquet scan + every conjunct above it. Collected
+    * through any Project/Filter chain (`PhysicalOperation`, which also
+    * substitutes aliases into the conjuncts), not just a Filter sitting
+    * directly on the relation — an interposed Project must not silently
+    * degrade a candidate to whole-node pricing, which is exactly the
+    * mis-ranking post-pruning pricing exists to kill.
+    */
+  private[graft] def scanWithFilters(p: LogicalPlan)
+      : Option[(org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+                Seq[Expression])] = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    p.collectFirst {
+      case PhysicalOperation(_, conjuncts, lr: LogicalRelation)
+          if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        (lr.relation.asInstanceOf[HadoopFsRelation], conjuncts)
+    }
+  }
 }
 
 case class RollupRouting(spark: SparkSession)
@@ -152,11 +211,19 @@ case class RollupRouting(spark: SparkSession)
     * refused — uniformly, for one candidate or many.
     *
     * Unmeasurable candidates (listing/footer hiccup — [[ScanBytes]] never
-    * memoizes failures) are not silently refused: when no measured
-    * candidate survives, the walk falls back to registration order among
-    * the unmeasured ones, the documented positional fallback. Only when
-    * every candidate measured and all priced above the fact scan does the
-    * route decline entirely.
+    * memoizes failures) are a fallback ONLY when nothing measured at all
+    * (registration order, the documented positional fallback). When
+    * measured candidates exist and every one priced above the fact scan,
+    * the route DECLINES — routing to a node of unknown cost when every
+    * actual measurement said the fact route wins would let one transient
+    * failure override the measurements ([[RollupRouting.choose]] locks
+    * this contract).
+    *
+    * Footer opens per pricing call are bounded by
+    * `spark.graft.costRouting.footerCap` (default 64): past the cap a
+    * node's bytes come free from the pruned listing and rows from a
+    * sampled rows-per-byte ratio ([[ScanBytes.prunedCost]]) — first
+    * contact with a 100k-file artifact stays O(cap) on the driver.
     *
     * Every pricing decision is recorded ([[RollupRouting.latestPricing]])
     * so `EXPLAIN GRAFT COST`'s lattice section can show the per-candidate
@@ -171,45 +238,42 @@ case class RollupRouting(spark: SparkSession)
     import org.apache.spark.sql.graft.ScanBytes
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 
-    // the served plan's scan + the conjuncts directly above it (pre-order:
-    // the Filter, when present, is seen before its child relation)
-    def scanWithFilters(p: LogicalPlan): Option[(HadoopFsRelation, Seq[Expression])] =
-      p.collectFirst {
-        case Filter(cond, lr: LogicalRelation)
-            if lr.relation.isInstanceOf[HadoopFsRelation] =>
-          (lr.relation.asInstanceOf[HadoopFsRelation],
-            splitConjunctivePredicates(cond))
-        case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-          (lr.relation.asInstanceOf[HadoopFsRelation], Seq.empty[Expression])
-      }
+    val footerCap =
+      spark.conf.get("spark.graft.costRouting.footerCap", "64").toInt
     def priceOf(p: LogicalPlan): Option[(Long, Long, Long)] =
-      scanWithFilters(p).flatMap { case (rel, preds) =>
-        ScanBytes.prunedCost(spark, rel, preds)
+      RollupRouting.scanWithFilters(p).flatMap { case (rel, preds) =>
+        ScanBytes.prunedCost(spark, rel, preds, footerCap)
       }
 
     val factPrice: Option[(Long, Long, Long)] = factLr.relation match {
-      case fs: HadoopFsRelation => ScanBytes.prunedCost(spark, fs, factFilters)
-      case _                    => None
+      case fs: HadoopFsRelation =>
+        ScanBytes.prunedCost(spark, fs, factFilters, footerCap)
+      case _ => None
     }
     val priced = candidates.map { case c @ (_, _, plan) => (c, priceOf(plan)) }
-    val measured = priced.collect { case ((ru, i, p), Some(cost)) => (ru, i, p, cost) }
-    val unmeasured = priced.collect { case (c, None) => c }
-    // fact-grain refusal only applies between two MEASURED prices
-    val pool = measured.filter { case (_, _, _, (_, rows, _)) =>
-      factPrice.forall { case (_, factRows, _) => rows <= factRows }
+    val measured = priced.collect {
+      case ((ru, i, p), Some(cost)) => ((ru, p), i, cost)
     }
+    val unmeasured = priced.collect { case ((ru, i, p), None) => ((ru, p), i) }
+    // fact-grain refusal only applies between two MEASURED prices
     val chosen: Option[(RollupMeta, LogicalPlan)] =
-      if (pool.nonEmpty)
-        Some(pool.minBy { case (_, i, _, (_, r, b)) => (r, b, i) })
-          .map { case (ru, _, p, _) => (ru, p) }
-      else unmeasured.sortBy(_._2).headOption.map { case (ru, _, p) => (ru, p) }
+      RollupRouting.choose(measured, unmeasured, factPrice.map(_._2))
+    val chosenMeasured = chosen.exists { case (ru, _) =>
+      measured.exists(_._1._1.path == ru.path)
+    }
 
     RollupRouting.recordPricing(RollupRouting.Pricing(
       chosenPath = chosen.map(_._1.path),
       fact = RollupRouting.NodePrice(cube.cubePath,
         factPrice.map(_._1).getOrElse(-1L), factPrice.map(_._2).getOrElse(-1L),
         factPrice.map(_._3).getOrElse(-1L),
-        if (chosen.isEmpty) "chosen" else "candidate"),
+        // "chosen": the route declined, fact wins. "outpriced": a node's
+        // MEASURED pruned price beat the fact's. "baseline": a node was
+        // taken on the unmeasured fallback — the fact price was never
+        // actually beaten, only bypassed.
+        if (chosen.isEmpty) "chosen"
+        else if (chosenMeasured) "outpriced"
+        else "baseline"),
       nodes = priced.map { case ((ru, _, _), cost) =>
         val verdict =
           if (chosen.exists(_._1.path == ru.path)) "chosen"

@@ -26,6 +26,13 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
   */
 object ScanBytes {
 
+  /** Actual parquet footer opens performed by this JVM (cache misses
+    * only) — the observable cost of every measurement path here, so specs
+    * can assert plan-time bounds (footer opens ≤ cap) instead of trusting
+    * the cap by inspection.
+    */
+  val footerReads = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** (file path, mtime) -> per-top-level-column compressed bytes. */
   private val footerCache =
     TrieMap.empty[(String, Long), Map[String, Long]]
@@ -33,6 +40,7 @@ object ScanBytes {
   private def columnBytes(conf: org.apache.hadoop.conf.Configuration,
                           path: Path, mtime: Long): Map[String, Long] =
     footerCache.getOrElseUpdate((path.toString, mtime), {
+      footerReads.incrementAndGet()
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
       try {
         reader.getFooter.getBlocks.asScala
@@ -63,6 +71,7 @@ object ScanBytes {
   private def fileRows(conf: org.apache.hadoop.conf.Configuration,
                        path: Path, mtime: Long): Long =
     rowCache.getOrElseUpdate((path.toString, mtime), {
+      footerReads.incrementAndGet()
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
       try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       finally reader.close()
@@ -185,20 +194,42 @@ object ScanBytes {
     * `filters` may be any conjunct set: predicates that are
     * nondeterministic, carry a subquery, or reference a non-partition
     * column are dropped (pruning with a subset of the predicates is
-    * always an over-approximation, never wrong). Returns None when the
+    * always an over-approximation, never wrong) — EXCEPT a foldable
+    * always-false/null conjunct (e.g. the `Literal(false)` a non-midnight
+    * time-equality translation emits), which proves the scan empty and
+    * short-circuits to (0, 0, 0) before any IO. Returns None when the
     * listing or footer reads fail — "unmeasured", which callers must
     * treat as neither free nor infinite. Successful prices are memoized
     * per (root path, name-keyed predicate set) — the listing itself is
     * the relation's in-memory file index, so a miss costs footer reads of
     * the surviving files only (each cached per file thereafter);
     * [[invalidateDirCosts]] clears this cache too.
+    *
+    * `footerCap` bounds the plan-time footer opens per call — the same
+    * discipline [[costsOf]] applies at the listener. When the pruned
+    * listing exceeds the cap, bytes stay EXACT (the listing's `getLen`
+    * sum is free) and rows are estimated from a rows-per-byte ratio
+    * sampled over `footerCap` evenly-spaced surviving files. The
+    * reference prices routes from segment stats without ever opening
+    * segments (`DruidQueryCostModel.scala:660-689`); past the cap this
+    * does the moral equivalent, keeping first-contact pricing O(cap) on
+    * the driver at 100k-file artifact sizes.
     */
   def prunedCost(spark: org.apache.spark.sql.SparkSession,
                  relation: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
-                 filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+                 filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                 footerCap: Int = Int.MaxValue)
       : Option[(Long, Long, Long)] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, PlanExpression}
+    // a provably-empty scan is free regardless of partition columns:
+    // WHERE false (and WHERE null) select no rows
+    val provablyEmpty = filters.exists { c =>
+      c.deterministic && c.foldable &&
+        (try { val v = c.eval(null); v == null || v == false }
+         catch { case scala.util.control.NonFatal(_) => false })
+    }
+    if (provablyEmpty) return Some((0L, 0L, 0L))
     val partCols = relation.partitionSchema.fieldNames.map(_.toLowerCase).toSet
     val partPreds = filters.filter { c =>
       c.deterministic &&
@@ -217,11 +248,21 @@ object ScanBytes {
         val conf = spark.asInstanceOf[classic.SparkSession]
           .sessionState.newHadoopConf()
         val files = relation.location.listFiles(partPreds, Nil).flatMap(_.files)
-        var rows = 0L; var bytes = 0L
-        files.foreach { f =>
-          rows += fileRows(conf, f.getPath, f.getModificationTime)
-          bytes += f.getLen
-        }
+        val bytes = files.map(_.getLen).sum
+        val rows =
+          if (files.length <= footerCap)
+            files.map(f => fileRows(conf, f.getPath, f.getModificationTime)).sum
+          else {
+            // evenly-spaced sample of `footerCap` footers -> rows/byte,
+            // extrapolated over the exact listing-byte total
+            val step = files.length.toDouble / footerCap
+            val sample = (0 until footerCap).map(i => files((i * step).toInt))
+            val sRows = sample.map(f =>
+              fileRows(conf, f.getPath, f.getModificationTime)).sum
+            val sBytes = sample.map(_.getLen).sum
+            if (sBytes <= 0L) 0L
+            else math.round(bytes.toDouble * sRows / sBytes)
+          }
         val v = (files.length.toLong, rows, bytes)
         prunedCache.putIfAbsent(key, v)
         Some(v)

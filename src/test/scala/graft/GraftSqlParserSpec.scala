@@ -78,6 +78,10 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(measured.forall(_ >= chosenRows),
       s"chosen node ($chosenRows rows) is not the measured-smallest: " +
         lat.mkString("; "))
+    // the fact route's verdict is unambiguous: when a rollup won on a
+    // MEASURED price the fact reads "outpriced", never a vague "candidate"
+    assert(lat.exists(r => r.getString(1).startsWith("cube:") &&
+      r.getString(2) == "outpriced"), lat.mkString("; "))
   }
 
   test("SHOW GRAFT CUBES lists the registered cube and its lattice") {

@@ -185,6 +185,123 @@ class RollupSpec extends AnyFunSuite {
     } finally graft.cube.CubeCatalog.register(cube)
   }
 
+  test("route pricing is O(footerCap): more files than the cap still price (bytes exact, rows sampled) and route correctly") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    for (t <- Tables.starTables)
+      Tables.t(spark, sf, t).createOrReplaceTempView(t)
+    graft.cube.RollupCube.ensure(spark, sf)
+    val sb = org.apache.spark.sql.graft.ScanBytes
+    // a fresh 12-file copy of the coarse cells no other test footer-reads
+    val manyPath = s"/root/repo/target/cubes/test_manyfiles_${new java.io.File(sf).getName}_${Tables.contentTag(sf)}"
+    if (!new java.io.File(manyPath, "_SUCCESS").exists())
+      spark.read.parquet(graft.cube.RollupCube.coarsePath(sf))
+        .repartition(12).write.mode("overwrite").parquet(manyPath)
+    val rel = spark.read.parquet(manyPath)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation.asInstanceOf[HadoopFsRelation]
+      }.head
+    // the query-history listener measures the artifact WRITE's scans
+    // asynchronously — wait for the counter to go quiet so its footer
+    // reads don't land inside the measurement window
+    def quiesce(): Unit = {
+      var last = sb.footerReads.get(); var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val now = sb.footerReads.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    }
+    sb.invalidateDirCosts()
+    quiesce()
+    val before = sb.footerReads.get()
+    val (files, rows, bytes) =
+      sb.prunedCost(spark, rel, Nil, footerCap = 4).get
+    val opens = sb.footerReads.get() - before
+    assert(files == 12, s"expected the 12-file listing, got $files")
+    assert(opens <= 4, s"plan-time footer opens must be <= cap, got $opens")
+    // bytes stay EXACT past the cap (the listing's getLen sum is free)
+    val exactBytes = new java.io.File(manyPath).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    assert(bytes == exactBytes, s"bytes $bytes vs on-disk $exactBytes")
+    // rows are sampled rows-per-byte over <=cap footers — tight here
+    // because repartition yields near-uniform files
+    val trueRows = spark.read.parquet(manyPath).count()
+    assert(math.abs(rows - trueRows) <= math.max(1L, trueRows / 5),
+      s"sampled estimate $rows vs true $trueRows")
+
+    // and the router still lands on the right node when a candidate's
+    // listing exceeds the cap: the 12-file unpartitioned copy (priced via
+    // sampling) must LOSE to the bucket-partitioned fine node under a
+    // narrow slice, exactly as with exhaustive footer pricing
+    val cube = graft.cube.CubeCatalog.all.find(_.rollups.nonEmpty).get
+    val finePath = graft.cube.RollupCube.rollupPath(sf)
+    val fine = cube.rollups.find(_.path == finePath).get
+    val manyMeta = cube.rollups
+      .find(_.path == graft.cube.RollupCube.coarsePath(sf)).get
+      .copy(path = manyPath)
+    val sql =
+      """SELECT c_mktsegment, count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_shipdate >= DATE '1995-03-01' AND l_shipdate < DATE '1995-04-01'
+        |GROUP BY c_mktsegment""".stripMargin
+    try {
+      spark.conf.set("spark.graft.costRouting.footerCap", "4")
+      graft.cube.CubeCatalog.register(cube.copy(rollups = Seq(manyMeta, fine)))
+      sb.invalidateDirCosts()
+      quiesce()
+      val capBefore = sb.footerReads.get()
+      spark.sql(sql).asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.optimizedPlan
+      val pricing = graft.plans.RollupRouting.latestPricing.get
+      assert(pricing.chosenPath.contains(finePath), pricing.toString)
+      val many = pricing.nodes.find(_.path == manyPath).get
+      assert(many.rows >= 0 && many.verdict != "unmeasured",
+        s"the >cap node must still be PRICED, not unmeasured: $pricing")
+      // the whole decision (fact + 2 candidates) stayed O(cap) in opens
+      val totalOpens = sb.footerReads.get() - capBefore
+      assert(totalOpens <= 3 * 4,
+        s"routing decision opened $totalOpens footers; cap is 4 per node")
+    } finally {
+      spark.conf.set("spark.graft.costRouting.footerCap", "64")
+      graft.cube.CubeCatalog.register(cube)
+    }
+  }
+
+  test("choose: measured refusals are never overridden by an unmeasured fallback") {
+    import graft.plans.RollupRouting.choose
+    // every measurement said the fact wins; an unmeasured candidate must
+    // NOT be routed to on the strength of a listing hiccup
+    assert(choose(Seq(("big", 0, (10L, 1000L, 1L))), Seq(("mystery", 1)),
+      Some(100L)).isEmpty)
+    // nothing measured at all -> documented positional fallback
+    assert(choose(Seq.empty[(String, Int, (Long, Long, Long))],
+      Seq(("b", 1), ("a", 0)), Some(100L)).contains("a"))
+    // a measured survivor always beats unmeasured, regardless of order
+    assert(choose(Seq(("ok", 5, (1L, 50L, 7L))), Seq(("m", 0)),
+      Some(100L)).contains("ok"))
+    // cheapest by (rows, bytes, registration order)
+    assert(choose(Seq(("x", 1, (1L, 10L, 5L)), ("y", 0, (1L, 10L, 5L))),
+      Nil, None).contains("y"))
+  }
+
+  test("candidate pricing sees through an interposed Project to the scan's filters") {
+    graft.cube.RollupCube.ensure(spark, sf)
+    val df = spark.read.parquet(graft.cube.RollupCube.coarsePath(sf))
+    // Filter over Project over relation — the shape that silently priced
+    // the WHOLE node before PhysicalOperation-based collection
+    val plan = df.select(df.columns.map(col).toIndexedSeq: _*)
+      .filter(col("c_mktsegment") === "MACHINERY")
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+    val got = graft.plans.RollupRouting.scanWithFilters(plan)
+    assert(got.isDefined, s"expected a scan under:\n$plan")
+    assert(got.get._2.nonEmpty,
+      s"conjuncts must survive the interposed Project:\n$plan")
+  }
+
   test("TopN from heavy-hitter sketches: lossless rewrite, no fact scan") {
     for (t <- Tables.starTables)
       Tables.t(spark, sf, t).createOrReplaceTempView(t)
