@@ -1877,6 +1877,69 @@ object SparkEntry {
             max(col("durationMs")).as("max_dur"))
           .orderBy("kind")
       },
+      // REAL in-sandbox decode (BuiltinCodec): BMP payloads are ENCODED
+      // from document columns, so the oracle can restate what a correct
+      // parse must recover — the engine only gets the bytes and must read
+      // geometry from the DIB header and the luminance histogram from the
+      // actual BGR pixel rows (incl. 4-byte row padding at widths 1..5)
+      "q_media_bmp" -> { (s, dir) =>
+        import graft.operators.Multimodal
+        import Multimodal.{BuiltinCodec, Encode, MediaBlob}
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val blobs = Tables.t(s, dir, "documents")
+          .filter(col("doc_id") < 120)
+          .select(col("doc_id"), length(col("text")).cast("int").as("len"))
+          .as[(Long, Int)]
+          .map { case (id, len) => MediaBlob(id, "image",
+            Encode.bmpGray((id % 5).toInt + 1, 2, len % 256)) }
+          .toDF()
+        Multimodal.decodeFeatures(blobs, BuiltinCodec)
+          .map(f => (f.media_id, f.width, f.height, f.channels,
+            f.embedding.indexWhere(_ == 1.0f)))
+          .toDF("media_id", "width", "height", "channels", "luma_bin")
+          .orderBy("media_id")
+      },
+      // REAL PCM WAV decode: fmt-chunk fields and data-chunk duration,
+      // plus the amplitude bin of the constant 16-bit samples
+      "q_media_wav" -> { (s, dir) =>
+        import graft.operators.Multimodal
+        import Multimodal.{BuiltinCodec, Encode, MediaBlob}
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val blobs = Tables.t(s, dir, "documents")
+          .filter(col("doc_id") < 120)
+          .select(col("doc_id"), length(col("text")).cast("int").as("len"))
+          .as[(Long, Int)]
+          .map { case (id, len) => MediaBlob(id, "audio",
+            Encode.wavPcm16(8000, (id % 2).toInt + 1, (len % 100 + 1) * 80,
+              ((id % 8) * 4096).toShort)) }
+          .toDF()
+        Multimodal.decodeFeatures(blobs, BuiltinCodec)
+          .map(f => (f.media_id, f.channels, f.sampleRate, f.durationMs,
+            f.embedding.indexWhere(_ == 1.0f)))
+          .toDF("media_id", "channels", "sample_rate", "duration_ms", "amp_bin")
+          .orderBy("media_id")
+      },
+      // REAL Y4M frame sampling: evenly-spaced true frames with their
+      // header-derived presentation timestamps and raw plane sizes
+      "q_media_y4m" -> { (s, dir) =>
+        import graft.operators.Multimodal
+        import Multimodal.{BuiltinCodec, Encode, MediaBlob}
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val blobs = Tables.t(s, dir, "documents")
+          .filter(col("doc_id") < 120)
+          .select(col("doc_id")).as[Long]
+          .map { id => MediaBlob(id, "video",
+            Encode.y4m(4, 2, 10, 1,
+              Seq.tabulate((id % 3).toInt + 2)(i => (i * 40) % 256))) }
+          .toDF()
+        Multimodal.sampleFrames(blobs, n = 2, BuiltinCodec)
+          .map(f => (f.media_id, f.frameIdx, f.ptsMs, f.bytes.length))
+          .toDF("media_id", "frame_idx", "pts_ms", "frame_bytes")
+          .orderBy("media_id", "frame_idx")
+      },
       // ---- deterministic sampling (training-data mixture ops) ----------
       "q_sample_uniform" -> { (s, dir) =>
         Sampling.sample(Tables.t(s, dir, "lineitem"),
@@ -2386,6 +2449,26 @@ object SparkEntry {
            |  1000 + CAST(${mixSql(4)} % 65536 AS BIGINT) AS max_pts,
            |  CAST(4 * LEAST(16, octet_length(bytes)) AS BIGINT) AS payload_bytes
            |FROM h WHERE kind = 'video' ORDER BY media_id""".stripMargin,
+      // the REAL-decode gates: the oracle restates the encoder's inputs;
+      // the engine sees only bytes and must parse them back (BMP DIB
+      // header + pixel rows, WAV fmt/data chunks, Y4M stream header)
+      "q_media_bmp" ->
+        """SELECT doc_id AS media_id, CAST(doc_id % 5 AS INT) + 1 AS width,
+          |  2 AS height, 3 AS channels,
+          |  CAST(FLOOR((length(text) % 256) / 32.0) AS INT) AS luma_bin
+          |FROM documents WHERE doc_id < 120 ORDER BY media_id""".stripMargin,
+      "q_media_wav" ->
+        """SELECT doc_id AS media_id, CAST(doc_id % 2 AS INT) + 1 AS channels,
+          |  8000 AS sample_rate,
+          |  CAST((length(text) % 100 + 1) * 10 AS BIGINT) AS duration_ms,
+          |  CAST(doc_id % 8 AS INT) AS amp_bin
+          |FROM documents WHERE doc_id < 120 ORDER BY media_id""".stripMargin,
+      "q_media_y4m" ->
+        """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+          |  CAST(i * (CAST(doc_id % 3 AS INT) + 1) * 100 AS BIGINT) AS pts_ms,
+          |  12 AS frame_bytes
+          |FROM documents, range(2) t(i)
+          |WHERE doc_id < 120 ORDER BY media_id, frame_idx""".stripMargin,
       "q_events_retention" ->
         """WITH f AS (SELECT user_id,
           |    CAST(date_diff('day', DATE '1970-01-01', CAST(min(ts) AS DATE)) AS INT) AS cohort

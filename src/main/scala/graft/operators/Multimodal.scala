@@ -93,6 +93,263 @@ object Multimodal {
     }
   }
 
+  /** REAL pure-JVM codec for three self-describing uncompressed formats —
+    * no native libraries, every value parsed from the payload bytes:
+    *
+    *   - BMP (24-bit uncompressed `BITMAPINFOHEADER`): width/height/
+    *     channels from the DIB header, pixels walked bottom-up with
+    *     4-byte row padding; the embedding is the real 8-bin luminance
+    *     histogram (BT.601 integer luma) over every decoded pixel.
+    *   - WAV (RIFF PCM, 8- or 16-bit): channels/sampleRate/bitsPerSample
+    *     from the `fmt ` chunk, duration from the `data` chunk length;
+    *     the embedding is the 8-bin amplitude-magnitude histogram over
+    *     every decoded sample.
+    *   - Y4M (YUV4MPEG2, C420/C444/Cmono): geometry and frame rate from
+    *     the stream header, frames counted by walking `FRAME` markers;
+    *     the embedding is the 8-bin luma histogram over all Y planes, and
+    *     [[sampleFrames]] returns n evenly-spaced REAL frames with their
+    *     true presentation timestamps and raw plane bytes.
+    *
+    * Anything else throws `IllegalArgumentException` — this codec never
+    * fakes a decode ([[StubCodec]] stays the explicit default for
+    * arbitrary payloads in this sandbox).
+    */
+  object BuiltinCodec extends MediaCodec {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def i32(b: Array[Byte], o: Int): Int = u32(b, o).toInt
+    private def ascii(b: Array[Byte], o: Int, n: Int): String =
+      new String(b, o, n, java.nio.charset.StandardCharsets.US_ASCII)
+    private def hist8(counts: Array[Long]): Array[Float] = {
+      val total = counts.sum.toDouble
+      counts.map(c => if (total == 0) 0f else (c / total).toFloat)
+    }
+
+    private def isBmp(b: Array[Byte]) =
+      b.length >= 54 && b(0) == 'B' && b(1) == 'M'
+    private def isWav(b: Array[Byte]) =
+      b.length >= 44 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE"
+    private def isY4m(b: Array[Byte]) =
+      b.length >= 10 && ascii(b, 0, 9) == "YUV4MPEG2"
+
+    def decode(blob: MediaBlob): MediaFeatures = {
+      val b = blob.bytes
+      if (isBmp(b)) decodeBmp(blob)
+      else if (isWav(b)) decodeWav(blob)
+      else if (isY4m(b)) decodeY4m(blob)
+      else throw new IllegalArgumentException(
+        s"media_id=${blob.media_id}: BuiltinCodec decodes BMP/WAV/Y4M " +
+          "payloads only; use an injected codec (or StubCodec) for others")
+    }
+
+    private def decodeBmp(blob: MediaBlob): MediaFeatures = {
+      val b = blob.bytes
+      val dataOff = u32(b, 10).toInt
+      val width = i32(b, 18)
+      val heightRaw = i32(b, 22)
+      val height = math.abs(heightRaw)
+      val bpp = u16(b, 28)
+      val compression = u32(b, 30)
+      require(bpp == 24 && compression == 0,
+        s"BMP support is 24-bit uncompressed; got bpp=$bpp comp=$compression")
+      val rowSize = ((bpp * width + 31) / 32) * 4
+      val bins = new Array[Long](8)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        val row = dataOff + y * rowSize
+        while (x < width) {
+          val p = row + x * 3
+          val blu = b(p) & 0xff; val grn = b(p + 1) & 0xff
+          val red = b(p + 2) & 0xff
+          // BT.601 integer luma; exact v for gray pixels (1000v/1000)
+          val luma = (299 * red + 587 * grn + 114 * blu) / 1000
+          bins(math.min(7, luma / 32)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(blob.media_id, blob.kind, b.length, width, height,
+        channels = 3, sampleRate = 0, durationMs = 0L, embedding = hist8(bins))
+    }
+
+    private def decodeWav(blob: MediaBlob): MediaFeatures = {
+      val b = blob.bytes
+      var off = 12
+      var channels = 0; var sampleRate = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= b.length) {
+        val id = ascii(b, off, 4); val size = u32(b, off + 4).toInt
+        if (id == "fmt ") {
+          require(u16(b, off + 8) == 1, "WAV support is PCM (format 1)")
+          channels = u16(b, off + 10)
+          sampleRate = u32(b, off + 12).toInt
+          bits = u16(b, off + 22)
+        } else if (id == "data") { dataOff = off + 8; dataLen = size }
+        off += 8 + size + (size & 1) // RIFF chunks pad to even length
+      }
+      require(channels > 0 && sampleRate > 0 && dataOff >= 0 &&
+        (bits == 8 || bits == 16), s"malformed WAV (bits=$bits)")
+      val bytesPerSample = bits / 8
+      val nSamples = dataLen / bytesPerSample
+      val frames = nSamples / channels
+      val bins = new Array[Long](8)
+      var i = 0
+      while (i < nSamples) {
+        val mag =
+          if (bits == 16) math.abs(u16(b, dataOff + i * 2).toShort.toInt)
+          else math.abs((b(dataOff + i) & 0xff) - 128) * 256
+        bins(math.min(7, mag * 8 / 32768)) += 1
+        i += 1
+      }
+      MediaFeatures(blob.media_id, blob.kind, b.length, width = 0,
+        height = 0, channels = channels, sampleRate = sampleRate,
+        durationMs = frames * 1000L / sampleRate, embedding = hist8(bins))
+    }
+
+    /** Parsed Y4M geometry + the byte offset and true pts of each frame's
+      * plane data.
+      */
+    private case class Y4mStream(width: Int, height: Int, fpsNum: Int,
+                                 fpsDen: Int, frameSize: Int, lumaSize: Int,
+                                 frameOffsets: Seq[Int])
+
+    private def parseY4m(b: Array[Byte]): Y4mStream = {
+      var hdrEnd = 0
+      while (b(hdrEnd) != '\n') hdrEnd += 1
+      val tokens = ascii(b, 0, hdrEnd).split(' ')
+      var w = 0; var h = 0; var num = 25; var den = 1; var cs = "420"
+      tokens.drop(1).foreach { t =>
+        if (t.nonEmpty) t.charAt(0) match {
+          case 'W' => w = t.drop(1).toInt
+          case 'H' => h = t.drop(1).toInt
+          case 'F' =>
+            val p = t.drop(1).split(':'); num = p(0).toInt; den = p(1).toInt
+          case 'C' => cs = t.drop(1)
+          case _   => ()
+        }
+      }
+      require(w > 0 && h > 0, s"malformed Y4M header")
+      val luma = w * h
+      val frameSize =
+        if (cs.startsWith("mono")) luma
+        else if (cs.startsWith("444")) luma * 3
+        else if (cs.startsWith("422")) luma * 2
+        else luma * 3 / 2 // 420 family
+      val offsets = Seq.newBuilder[Int]
+      var off = hdrEnd + 1
+      while (off + 5 <= b.length && ascii(b, off, 5) == "FRAME") {
+        var e = off
+        while (b(e) != '\n') e += 1
+        offsets += (e + 1)
+        off = e + 1 + frameSize
+      }
+      Y4mStream(w, h, num, den, frameSize, luma, offsets.result())
+    }
+
+    private def decodeY4m(blob: MediaBlob): MediaFeatures = {
+      val b = blob.bytes
+      val s = parseY4m(b)
+      val bins = new Array[Long](8)
+      s.frameOffsets.foreach { fo =>
+        var i = 0
+        while (i < s.lumaSize) { bins((b(fo + i) & 0xff) / 32) += 1; i += 1 }
+      }
+      MediaFeatures(blob.media_id, blob.kind, b.length, s.width, s.height,
+        channels = if (s.frameSize == s.lumaSize) 1 else 3, sampleRate = 0,
+        durationMs = s.frameOffsets.size * 1000L * s.fpsDen / s.fpsNum,
+        embedding = hist8(bins))
+    }
+
+    override def sampleFrames(blob: MediaBlob, n: Int): Seq[Frame] = {
+      val b = blob.bytes
+      require(isY4m(b),
+        s"media_id=${blob.media_id}: frame sampling needs a Y4M payload")
+      val s = parseY4m(b)
+      val total = s.frameOffsets.size
+      if (total == 0) return Seq.empty
+      val picks =
+        if (n >= total) 0 until total
+        else if (n == 1) Seq(0)
+        else (0 until n).map(i => (total - 1).toLong * i / (n - 1)).map(_.toInt)
+      picks.distinct.zipWithIndex.map { case (idx, outIdx) =>
+        Frame(blob.media_id, outIdx, idx * 1000L * s.fpsDen / s.fpsNum,
+          s.width, s.height,
+          java.util.Arrays.copyOfRange(b, s.frameOffsets(idx),
+            s.frameOffsets(idx) + s.frameSize))
+      }
+    }
+  }
+
+  /** Deterministic ENCODERS for the formats [[BuiltinCodec]] decodes —
+    * fixture builders for specs and the oracle-gated real-decode queries
+    * (the oracle restates header fields in SQL; the engine must recover
+    * them by actually parsing the bytes).
+    */
+  object Encode {
+    /** 24-bit uncompressed BMP filled with one gray level. */
+    def bmpGray(width: Int, height: Int, gray: Int): Array[Byte] = {
+      val rowSize = ((24 * width + 31) / 32) * 4
+      val dataSize = rowSize * height
+      val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+        .putInt(0).putInt(54)
+      out.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+        .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      val g = (gray & 0xff).toByte
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { out.put(g).put(g).put(g); x += 1 }
+        var pad = rowSize - width * 3
+        while (pad > 0) { out.put(0.toByte); pad -= 1 }
+        y += 1
+      }
+      out.array()
+    }
+
+    /** 16-bit PCM WAV with the given constant sample value. */
+    def wavPcm16(sampleRate: Int, channels: Int, nFrames: Int,
+                 value: Short): Array[Byte] = {
+      val dataLen = nFrames * channels * 2
+      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      out.put("fmt ".getBytes).putInt(16).putShort(1)
+        .putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+        .putShort(16)
+      out.put("data".getBytes).putInt(dataLen)
+      var i = 0
+      while (i < nFrames * channels) { out.putShort(value); i += 1 }
+      out.array()
+    }
+
+    /** Y4M (C420) stream of constant-luma frames. */
+    def y4m(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+            lumas: Seq[Int]): Array[Byte] = {
+      val hdr = s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C420\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val frameSize = width * height * 3 / 2
+      val buf = new java.io.ByteArrayOutputStream(
+        hdr.length + lumas.size * (6 + frameSize))
+      buf.write(hdr)
+      lumas.foreach { l =>
+        buf.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        val f = new Array[Byte](frameSize)
+        java.util.Arrays.fill(f, 0, width * height, (l & 0xff).toByte)
+        java.util.Arrays.fill(f, width * height, frameSize, 128.toByte)
+        buf.write(f)
+      }
+      buf.toByteArray
+    }
+  }
+
   val blobSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),

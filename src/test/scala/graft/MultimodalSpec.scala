@@ -89,4 +89,87 @@ class MultimodalSpec extends AnyFunSuite {
       else assert(w <= 128 && h <= 128 && w >= 1 && h >= 1)
     }
   }
+
+  // ---- BuiltinCodec: REAL decode of real bytes, verified values --------
+
+  test("BuiltinCodec decodes a real 24-bit BMP: geometry and per-pixel luminance") {
+    import Multimodal.{BuiltinCodec, Encode, MediaBlob}
+    // uniform gray 200: bin 200/32 = 6 holds every pixel
+    val gray = BuiltinCodec.decode(
+      MediaBlob(1, "image", Encode.bmpGray(3, 2, 200)))
+    assert(gray.width == 3 && gray.height == 2 && gray.channels == 3)
+    assert(gray.embedding(6) == 1.0f && gray.embedding.sum == 1.0f)
+    // hand-edited pixels: a 2x1 BMP, pixel 0 black, pixel 1 white — the
+    // histogram must split 50/50 between the darkest and brightest bins,
+    // which requires actually reading BGR bytes at the right offsets
+    val bytes = Encode.bmpGray(2, 1, 0)
+    bytes(54 + 3) = 0xff.toByte // pixel 1: B
+    bytes(54 + 4) = 0xff.toByte //          G
+    bytes(54 + 5) = 0xff.toByte //          R
+    val bw = BuiltinCodec.decode(MediaBlob(2, "image", bytes))
+    assert(bw.embedding(0) == 0.5f && bw.embedding(7) == 0.5f,
+      bw.embedding.mkString(","))
+    // odd width exercises the 4-byte row padding (w=1: 3 data + 1 pad)
+    val thin = BuiltinCodec.decode(
+      MediaBlob(3, "image", Encode.bmpGray(1, 4, 40)))
+    assert(thin.width == 1 && thin.height == 4 && thin.embedding(1) == 1.0f)
+  }
+
+  test("BuiltinCodec decodes a real PCM WAV: format chunk and sample amplitudes") {
+    import Multimodal.{BuiltinCodec, Encode, MediaBlob}
+    val f = BuiltinCodec.decode(MediaBlob(1, "audio",
+      Encode.wavPcm16(sampleRate = 8000, channels = 1, nFrames = 4000,
+        value = 16384)))
+    assert(f.sampleRate == 8000 && f.channels == 1)
+    assert(f.durationMs == 500L, s"4000 frames @8kHz = 500ms, got ${f.durationMs}")
+    // |16384| * 8 / 32768 = bin 4, for every decoded sample
+    assert(f.embedding(4) == 1.0f, f.embedding.mkString(","))
+    val stereo = BuiltinCodec.decode(MediaBlob(2, "audio",
+      Encode.wavPcm16(44100, channels = 2, nFrames = 44100, value = 0)))
+    assert(stereo.channels == 2 && stereo.durationMs == 1000L &&
+      stereo.embedding(0) == 1.0f)
+  }
+
+  test("BuiltinCodec decodes a real Y4M stream: header, frame count, true pts") {
+    import Multimodal.{BuiltinCodec, Encode, MediaBlob}
+    val blob = MediaBlob(1, "video",
+      Encode.y4m(4, 2, fpsNum = 10, fpsDen = 1, lumas = Seq(10, 100, 250)))
+    val f = BuiltinCodec.decode(blob)
+    assert(f.width == 4 && f.height == 2 && f.channels == 3)
+    assert(f.durationMs == 300L, s"3 frames @10fps = 300ms, got ${f.durationMs}")
+    // three constant-luma frames -> thirds in bins 0, 3, 7
+    assert(f.embedding(0) == f.embedding(3) && f.embedding(3) == f.embedding(7),
+      f.embedding.mkString(","))
+    // evenly-spaced REAL frames with true timestamps and raw plane bytes
+    val frames = BuiltinCodec.sampleFrames(blob, 2)
+    assert(frames.map(_.ptsMs) == Seq(0L, 200L))
+    assert(frames.head.bytes.length == 4 * 2 * 3 / 2)
+    assert(frames.head.bytes.take(8).forall(_ == 10.toByte),
+      "first frame's Y plane must be the first FRAME payload")
+    assert(frames(1).bytes.take(8).forall(b => (b & 0xff) == 250),
+      "last frame's Y plane must be the last FRAME payload")
+    // asking for more frames than exist returns them all
+    assert(BuiltinCodec.sampleFrames(blob, 10).size == 3)
+  }
+
+  test("BuiltinCodec refuses payloads it cannot really decode, and runs through the Spark operators") {
+    import Multimodal.{BuiltinCodec, Encode, MediaBlob}
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      BuiltinCodec.decode(MediaBlob(1, "image", "not media".getBytes))
+    }
+    // the same partition-local operator plumbing, real codec injected
+    val mixed = Seq(
+      MediaBlob(1, "image", Encode.bmpGray(5, 3, 64)),
+      MediaBlob(2, "audio", Encode.wavPcm16(16000, 1, 1600, 100)),
+      MediaBlob(3, "video", Encode.y4m(2, 2, 25, 1, Seq(30, 60))))
+      .toDS().toDF()
+    val feats = Multimodal.decodeFeatures(mixed, BuiltinCodec)
+      .collect().sortBy(_.media_id)
+    assert(feats(0).width == 5 && feats(0).height == 3)
+    assert(feats(1).sampleRate == 16000 && feats(1).durationMs == 100L)
+    assert(feats(2).durationMs == 80L)
+    val frames = Multimodal.sampleFrames(mixed, 2, BuiltinCodec).collect()
+    assert(frames.length == 2 && frames.forall(_.media_id == 3))
+  }
 }
