@@ -321,6 +321,7 @@ object Dedup {
         ngramJaccardDupPairs(df, idCol, textCol, threshold)
           .write.mode("overwrite").parquet(path)
     }
+    graft.plans.QueryHistory.registerArtifact("pair_index", path)
     spark.read.parquet(path)
   }
 
@@ -425,6 +426,7 @@ object Dedup {
       ngramJaccardDupPairsDelta(df, idCol, textCol, isNew, threshold)
         .write.mode("append").parquet(path)
     }
+    graft.plans.QueryHistory.registerArtifact("pair_index", path)
     spark.read.parquet(path)
   }
 
@@ -779,7 +781,7 @@ object Dedup {
     spanKgrams(spanToks(docs, idCol, textCol), k)
       .groupBy("g_h").agg(count(lit(1)).as("g_cnt"))
       .write.mode("append").parquet(destDir)
-    ()
+    graft.plans.QueryHistory.registerArtifact("span_store", destDir)
   }
 
   /** Compact the span-count store: merge all appended partials into one
@@ -832,6 +834,7 @@ object Dedup {
                      countsDir: String, k: Int = 8,
                      minCount: Int = 2): DataFrame = {
     require(minCount >= 2, s"minCount below 2 would delete everything, got $minCount")
+    graft.plans.QueryHistory.registerArtifact("span_store", countsDir)
     val toks = spanToks(docs, idCol, textCol)
     val kgrams = spanKgrams(toks, k)
     val dup = docs.sparkSession.read.parquet(countsDir)

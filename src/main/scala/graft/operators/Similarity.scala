@@ -225,6 +225,8 @@ object Similarity {
           .repartition(col("g_ivf_bucket"))
           .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(path)
     }
+    // make the store visible to query history / ADVISE as artifact:ivf
+    graft.plans.QueryHistory.registerArtifact("ivf", path)
     spark.read.parquet(path)
   }
 

@@ -67,8 +67,24 @@ object QueryHistory {
 
   def clear(): Unit = ring.synchronized { ring.clear() }
 
+  /** Materialized PIPELINE artifacts — IVF vector stores, n-gram pair
+    * indexes, span-count stores — registered by their builders
+    * (path -> kind), so history attributes scans of them instead of
+    * classifying the pipeline half of the engine `raw`. Driver-local
+    * metadata like the ring itself; registration is idempotent and
+    * re-registering a rebuilt path just refreshes the kind.
+    */
+  private val artifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def registerArtifact(kind: String, path: String): Unit = {
+    artifacts.put(graft.cube.CubeCatalog.normalizePath(path), kind)
+    ()
+  }
+
   /** What served this plan: the first scan that maps to a registered rollup
-    * node or cube extract wins; anything else is `raw`.
+    * node, cube extract, or materialized pipeline artifact wins; anything
+    * else is `raw`.
     */
   private[graft] def servedBy(qe: QueryExecution): String = {
     val paths = qe.optimizedPlan.collect {
@@ -93,7 +109,10 @@ object QueryHistory {
           s"cube:${c.info.name}"
       }
     }.toSeq.headOption
-    byRollup.orElse(byCube).getOrElse("raw")
+    def byArtifact = paths.iterator
+      .flatMap(p => Option(artifacts.get(p)).map(k => s"artifact:$k"))
+      .toSeq.headOption
+    byRollup.orElse(byCube).orElse(byArtifact).getOrElse("raw")
   }
 
   private final class Listener extends QueryExecutionListener {

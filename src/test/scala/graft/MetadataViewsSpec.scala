@@ -126,4 +126,27 @@ class MetadataViewsSpec extends AnyFunSuite {
     assert(viewIo == servedEntry.scanRows ||
       viewIo > 0, s"view scan_rows $viewIo")
   }
+
+  test("materialized pipeline artifacts classify in history as artifact:<kind>") {
+    init
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val embs = Tables.t(spark, sf, "embeddings")
+    val cents = Similarity.trainKmeansCentroids(embs, "embedding", k = 8, iters = 2)
+    val q = embs.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    // build-or-reuse registers the store with history as artifact:ivf
+    val store = Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
+      cents, "/root/repo/target/indexes/ivf_history_spec_v1")
+    val before = graft.plans.QueryHistory.snapshot.map(_.id).maxOption.getOrElse(0L)
+    Similarity.ivfStoreTopK(store, "vec_id", "embedding", q,
+      k = 5, cents, nprobe = 2).collect()
+    // listener delivery is async — poll for the new entry
+    val deadline = System.currentTimeMillis() + 10000
+    def fresh = graft.plans.QueryHistory.snapshot.filter(_.id > before)
+    while (!fresh.exists(_.served == "artifact:ivf") &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(fresh.exists(_.served == "artifact:ivf"),
+      s"expected an artifact:ivf-served entry, got ${fresh.map(_.served).distinct}")
+  }
 }
