@@ -30,9 +30,14 @@ object Dedup {
     * magnitude below the corpus); scores join onto IT, never the corpus
     * onto the window; the ranking window partitions by component —
     * near-dup groups are small by construction, so no single task sees
-    * more than a group; and the loser set broadcasts into a left-anti
-    * join, leaving the corpus unshuffled (the same shape as the min-id
-    * keep).
+    * more than a group. The loser set joins left-anti WITHOUT a forced
+    * broadcast: losers scale with total duplicate VOLUME, not cluster
+    * count — on a 100 TB corpus with a 30% duplicate rate that is
+    * billions of ids, far past any driver broadcast budget — so the
+    * planner must stay free to pick broadcast (AQE does, whenever the
+    * measured set fits `autoBroadcastJoinThreshold`) or fall back to a
+    * shuffled anti join priced by the duplicate volume itself
+    * (DedupSpec-locked equal either way).
     */
   def keptByQuality(docs: DataFrame, idCol: String, score: Column,
                     clusters: DataFrame): DataFrame = {
@@ -45,7 +50,7 @@ object Dedup {
     val losers = members.withColumn("g_r", row_number().over(w))
       .filter(col("g_r") > 1)
       .select(col("g_node").as(idCol))
-    docs.join(broadcast(losers), Seq(idCol), "left_anti")
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Exact dedup: keep the row with the smallest `idCol` per distinct value

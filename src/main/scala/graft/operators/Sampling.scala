@@ -256,8 +256,21 @@ object Sampling {
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF()
-    // per-(partition, group) totals -> cross-partition exclusive offsets
-    val totals = local.groupBy(col("g_pid"), col(groupCol))
+    // per-(partition, group) totals -> cross-partition exclusive offsets.
+    // Totals come from `ranged`, NOT from `local`: a plain sum per
+    // (partition, group) needs neither the sort (EliminateSorts drops it
+    // under the aggregate) nor the streaming fold, so the fold runs
+    // exactly once — in the final serving job — instead of twice with no
+    // persist. The range exchange's map stage is shared by both jobs
+    // (shuffle files are reused by the scheduler), so the input is
+    // scanned once and this totals pass is a post-shuffle hash aggregate
+    // over at most #partitions + #groups result rows — no corpus-sized
+    // persist/localCheckpoint needed, which at 100 TB would pin input-
+    // sized executor storage. spark_partition_id() on the same exchange
+    // yields the same pids the fold's TaskContext sees.
+    val totals = ranged
+      .withColumn("g_pid", spark_partition_id())
+      .groupBy(col("g_pid"), col(groupCol))
       .agg(sum("g_tok").as("g_total"))
       .collect()
       .map(r => (r.getInt(0), r.get(1), r.getLong(2)))

@@ -27,6 +27,16 @@ object EventPipeline {
 
   /** Tumbling-window per-type aggregate. Works unchanged on a batch or a
     * streaming DataFrame; on a stream the 2h watermark bounds state.
+    *
+    * LATE-DATA CONTRACT (StreamingSpec "late events beyond the watermark
+    * are dropped..." locks it): in Append mode a window is finalized and
+    * emitted once the watermark passes its end; an event arriving with
+    * event time older than the watermark is DROPPED — the emitted counts
+    * never include it and the window is never re-emitted. Exact late-data
+    * accounting is a batch re-run of this same operator over the event
+    * store (it is batch/stream polymorphic by construction) — the
+    * backfill contract shared by [[funnelStream]], [[retentionStream]]
+    * and [[sessionizeBatch]].
     */
   def windowedTypeCounts(events: DataFrame): DataFrame =
     events
@@ -461,12 +471,22 @@ object EventPipeline {
                       period: String = "day",
                       maxPeriods: Option[Int] = None): DataFrame = {
     import events.sparkSession.implicits._
+    // period boundaries follow the SESSION time zone, exactly like the
+    // batch twin's `cast(ts as date)` (which Spark evaluates in
+    // spark.sql.session.timeZone) — a fixed-UTC floor would shift day/
+    // week/month edges for any non-UTC session and the twins would
+    // diverge on boundary-straddling events (TimezoneSpec locks the
+    // differential). Captured once at operator-call time and shipped in
+    // the closure; ZoneId is Serializable.
+    val zone = java.time.ZoneId.of(
+      events.sparkSession.conf.get("spark.sql.session.timeZone"))
+    def localDate(t: Timestamp): java.time.LocalDate =
+      t.toInstant.atZone(zone).toLocalDate
     val periodOf: Timestamp => Int = period match {
-      case "day"  => t => math.floorDiv(t.getTime, 86400000L).toInt
-      case "week" => t => math.floorDiv(math.floorDiv(t.getTime, 86400000L), 7L).toInt
+      case "day"  => t => localDate(t).toEpochDay.toInt
+      case "week" => t => math.floorDiv(localDate(t).toEpochDay, 7L).toInt
       case "month" => t => {
-        val d = java.time.Instant.ofEpochMilli(t.getTime)
-          .atZone(java.time.ZoneOffset.UTC)
+        val d = localDate(t)
         (d.getYear - 1970) * 12 + d.getMonthValue - 1
       }
       case other => throw new IllegalArgumentException(

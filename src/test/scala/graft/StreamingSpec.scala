@@ -244,6 +244,80 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late events beyond the watermark are dropped; batch re-run backfills them") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    def at(h: Int, m: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val onTime = Event(1, at(10, 0), 1, "view", 1.0)
+    val advance = Event(2, at(15, 0), 1, "view", 1.0)  // watermark -> 13:00
+    val kick = Event(3, at(15, 30), 1, "view", 1.0)
+    val late = Event(4, at(10, 30), 2, "view", 1.0)    // behind the watermark
+    val stream = MemoryStream[Event]
+    val q = EventPipeline.windowedTypeCounts(stream.toDF())
+      .writeStream.format("memory").queryName("latewin")
+      .outputMode("append").start()
+    try {
+      // watermark updates apply on the NEXT trigger: batch 1 ingests and
+      // advances, batch 2 finalizes + emits the 10:00 window
+      stream.addData(onTime, advance); q.processAllAvailable()
+      stream.addData(kick); q.processAllAvailable()
+      def win10 = spark.sql(
+        """SELECT cnt FROM latewin
+          |WHERE ws = TIMESTAMP '2024-01-01 10:00:00'""".stripMargin)
+        .collect().map(_.getLong(0)).toSeq
+      assert(win10 == Seq(1L), s"10:00 window must finalize with 1 row: $win10")
+      // the late event is older than the watermark: DROPPED — the window
+      // is neither re-emitted nor its count revised
+      stream.addData(late); q.processAllAvailable()
+      assert(win10 == Seq(1L),
+        s"late event must not revise or re-emit the finalized window: $win10")
+      // exact late accounting = the documented batch backfill: the SAME
+      // operator over the full store counts the late event
+      val backfill = EventPipeline.windowedTypeCounts(
+          Seq(onTime, advance, kick, late).toDF())
+        .filter(col("ws") === at(10, 0)).collect()
+      assert(backfill.map(_.getAs[Long]("cnt")).toSeq == Seq(2L),
+        s"batch backfill must include the late event: ${backfill.mkString}")
+    } finally q.stop()
+  }
+
+  test("retentionStream period edges follow the session time zone, matching batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try {
+      def utc(s: String): Timestamp =
+        Timestamp.from(java.time.Instant.parse(s))
+      // in Asia/Kolkata (+05:30): e1 and e2 share local day Jan 2, e3 is
+      // local Jan 3 — a fixed-UTC day floor would put e1 on Jan 1 and
+      // shift the cohort down one period
+      val evs = Seq(
+        Event(1, utc("2024-01-01T19:00:00Z"), 1, "view", 0), // Kolkata Jan 2 00:30
+        Event(2, utc("2024-01-02T10:00:00Z"), 1, "view", 0), // Kolkata Jan 2 15:30
+        Event(3, utc("2024-01-02T19:30:00Z"), 1, "view", 0)) // Kolkata Jan 3 01:00
+      val stream = MemoryStream[Event]
+      val q = EventPipeline.retentionStream(stream.toDS(), period = "day")
+        .writeStream.format("memory").queryName("rettz")
+        .outputMode("append").start()
+      try {
+        stream.addData(evs: _*); q.processAllAvailable()
+        val got = spark.sql("SELECT cohort_period, periods_since FROM rettz")
+          .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+        val want = EventPipeline.retention(evs.toDF(), "user_id", "ts", "day")
+          .select("cohort_period", "periods_since").collect()
+          .map(r => (r.getInt(0), r.getInt(1))).toSet
+        assert(got == want, s"stream $got != batch $want under Asia/Kolkata")
+        val kolkataDay2 = java.time.LocalDate.of(2024, 1, 2).toEpochDay.toInt
+        assert(got == Set((kolkataDay2, 0), (kolkataDay2, 1)),
+          s"expected cohort on LOCAL Jan 2 with one retained local day: $got")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.session.timeZone", old)
+  }
+
   test("decontamination on a document stream matches the batch operator") {
     // stream-static shape: the benchmark shingle set is the static side of
     // the equi-join; the distinct-hit count runs as dropDuplicates state +
