@@ -1295,7 +1295,7 @@ object SparkEntry {
       // pigeonhole blocking is recall-exact at hamming<=3 and the verify is
       // exact, so the LSH result EQUALS brute-force all-pairs — the oracle
       // restates it as an O(n²) cross join. (The native 64-bit xxhash64
-      // SimHash twin keeps its ScalaTest differential in DedupSpec.)
+      // SimHash twin keeps its ScalaTest differential in PipelineOpsSpec.)
       "q_dedup_simhash" -> { (s, dir) =>
         Dedup.simhashDupPairsPoly(Tables.t(s, dir, "documents"),
             "doc_id", "text", maxHamming = 3)

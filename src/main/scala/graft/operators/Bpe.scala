@@ -199,6 +199,40 @@ object Bpe {
     learnMergesProbed(docs, textCol, nMerges, minFreq, rematerializeEvery,
       _ => ())
 
+  /** [[learnMerges]] with up to `batch` pairwise symbol-DISJOINT merges
+    * taken per count round — the 32k-vocabulary job-count bound. The
+    * sequential trainer runs one count job (plus a driver `collect` of
+    * one row) PER MERGE: 32k merges = 32k scheduled jobs, and at the
+    * measured ~0.20 s/job of pure per-job overhead (BpeTrainProbe,
+    * local[32] at sf0.01 — cluster schedulers are no faster) that is
+    * ~107 minutes of scheduling alone before any real work. Batching
+    * takes the top pairs of ONE count round greedily, skipping any pair
+    * sharing a symbol with one already taken this round: disjointness
+    * proves the later pair's count could not have been changed by the
+    * earlier merges (adjacency only changes around the merged symbols),
+    * so each taken pair carries its true sequential count. Job count
+    * drops to ~nMerges/batch (BpeSpec locks the measured bound: a
+    * batch=8 run schedules well under half the jobs of batch=1 for the
+    * same merge table). With batch=256, a 32k-merge run is ~125 count
+    * rounds — minutes, not hours, of scheduling.
+    *
+    * Fidelity: `batch = 1` is EXACTLY [[learnMerges]] (BpeSpec locks
+    * equality). For `batch > 1` the one divergence from sequential order
+    * is that a pair involving a symbol CREATED by an earlier merge of
+    * the same round (e.g. ("th","e") right after ("t","h")) cannot be
+    * seen until the next round's recount, so it may be ranked up to
+    * `batch-1` positions later than a strictly sequential trainer would
+    * place it — the standard throughput/fidelity knob of fast BPE
+    * trainers. Merge tables stay deterministic for a given (corpus,
+    * batch).
+    */
+  def learnMergesBatched(docs: DataFrame, textCol: String, nMerges: Int,
+                         minFreq: Long = 2L,
+                         rematerializeEvery: Int = 192,
+                         batch: Int = 256): Seq[(String, String)] =
+    learnMergesProbed(docs, textCol, nMerges, minFreq, rematerializeEvery,
+      _ => (), batch)
+
   /** [[learnMerges]] with a per-iteration probe reporting the LIVE chain
     * length (merges applied on top of the last materialized table) — test
     * instrumentation so BpeSpec can lock the boundedness invariant
@@ -206,10 +240,12 @@ object Bpe {
     */
   private[graft] def learnMergesProbed(
       docs: DataFrame, textCol: String, nMerges: Int, minFreq: Long,
-      rematerializeEvery: Int, probe: Int => Unit): Seq[(String, String)] = {
+      rematerializeEvery: Int, probe: Int => Unit,
+      batch: Int = 1): Seq[(String, String)] = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
     require(rematerializeEvery >= 1,
       s"rematerializeEvery must be >= 1, got $rematerializeEvery")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     // the ONLY corpus-scale pass: word frequencies (map-side combined)
     val words = docs
       .select(explode(Corpus.terms(col(textCol))).as("g_w"))

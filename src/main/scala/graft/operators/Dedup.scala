@@ -37,7 +37,7 @@ object Dedup {
     * planner must stay free to pick broadcast (AQE does, whenever the
     * measured set fits `autoBroadcastJoinThreshold`) or fall back to a
     * shuffled anti join priced by the duplicate volume itself
-    * (DedupSpec-locked equal either way).
+    * (PipelineOpsSpec-locked equal either way).
     */
   def keptByQuality(docs: DataFrame, idCol: String, score: Column,
                     clusters: DataFrame): DataFrame = {

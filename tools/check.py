@@ -22,6 +22,16 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Declared APPROXIMATE queries: sketch estimates (HLL / theta / KMV) whose
+# oracle restates the EXACT answer. At sf0.01 the NDV proofs make them
+# exact and they hash-match; at larger scale they diverge BY DESIGN within
+# the sketch's error bound. Numeric columns compare within the relative
+# bound below and report "OK~ (within N%)" instead of a misleading FAIL.
+APPROX_BOUNDS = {
+    "q_rollup_hll": 0.05,
+    "q_theta_distinct": 0.05,
+}
+
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -53,14 +63,24 @@ def main(sf_dir: str, out_dir: str, budget: float = 0.0) -> int:
             continue
         timer = None
         timed_out = []
+        done = [False]
+        lock = threading.Lock()
         if budget > 0:
             def cancel():
-                timed_out.append(True)
-                con.interrupt()
+                # never interrupt after the query finished: a timer firing
+                # between query end and cancel() would otherwise leave a
+                # pending interrupt that kills the NEXT query (reported
+                # FAIL instead of SKIP)
+                with lock:
+                    if not done[0]:
+                        timed_out.append(True)
+                        con.interrupt()
             timer = threading.Timer(budget, cancel)
             timer.start()
+        ok_exec = False
         try:
             exp = con.execute(sql).df()
+            ok_exec = True
         except Exception as e:
             if timed_out:
                 print(f"SKIP {name}: oracle over {budget:.0f}s budget")
@@ -70,8 +90,18 @@ def main(sf_dir: str, out_dir: str, budget: float = 0.0) -> int:
                 n_bad += 1
             continue
         finally:
+            with lock:
+                done[0] = True
             if timer:
                 timer.cancel()
+            if timed_out and ok_exec:
+                # the interrupt landed after the query completed: absorb
+                # the pending flag on a throwaway statement so the next
+                # query starts clean
+                try:
+                    con.execute("SELECT 1")
+                except Exception:
+                    pass
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
@@ -94,7 +124,35 @@ def main(sf_dir: str, out_dir: str, budget: float = 0.0) -> int:
                     break
             if bad:
                 break
-        if bad:
+        if bad and name in APPROX_BOUNDS:
+            # declared approximate: numeric columns within the relative
+            # bound pass as OK~, everything else must still match exactly
+            bound = APPROX_BOUNDS[name]
+            def within(a, b):
+                try:
+                    fa, fb = float(a), float(b)
+                except (TypeError, ValueError):
+                    return str(a) == str(b)
+                if math.isnan(fa) and math.isnan(fb):
+                    return True
+                return abs(fa - fb) <= bound * max(abs(fa), abs(fb), 1.0)
+            approx_bad = None
+            for c in g.columns:
+                for i, (a, b) in enumerate(zip(g[c].tolist(), e[c].tolist())):
+                    if not within(a, b):
+                        approx_bad = (c, i, a, b)
+                        break
+                if approx_bad:
+                    break
+            if approx_bad:
+                print(f"FAIL {name}: col={approx_bad[0]} row={approx_bad[1]} "
+                      f"spark={approx_bad[2]!r} duck={approx_bad[3]!r} "
+                      f"(outside {bound:.0%} approx bound)")
+                n_bad += 1
+            else:
+                print(f"OK~  {name} ({len(g)} rows, within {bound:.0%} sketch bound)")
+                n_ok += 1
+        elif bad:
             print(f"FAIL {name}: col={bad[0]} row={bad[1]} spark={bad[2]!r} duck={bad[3]!r}")
             n_bad += 1
         else:
