@@ -191,7 +191,9 @@ object Bpe {
     * corpus's words fully fuse at 106 merges, so the quadratic term never
     * dominates there), so the default only kicks in past the depth where
     * chain replay and analysis cost genuinely bite; a 32k-merge run pays
-    * ~170 amortized vocabulary-sized checkpoints.
+    * ~170 amortized vocabulary-sized checkpoints. For the per-merge JOB
+    * COUNT at 32k (one count round per merge, ~0.20 s of scheduling
+    * each), see [[learnMergesBatched]] — the measured batching lever.
     */
   def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
                   minFreq: Long = 2L,
@@ -213,8 +215,10 @@ object Bpe {
     * so each taken pair carries its true sequential count. Job count
     * drops to ~nMerges/batch (BpeSpec locks the measured bound: a
     * batch=8 run schedules well under half the jobs of batch=1 for the
-    * same merge table). With batch=256, a 32k-merge run is ~125 count
-    * rounds — minutes, not hours, of scheduling.
+    * same merge table). Measured (BpeTrainProbe, 96 merges, sf0.01
+    * local[32]): sequential 19 s (~0.20 s/round), batch=8 3.6 s,
+    * batch=32 2.3 s — a 32k-merge run drops from ~1.8 h of per-merge
+    * rounds to minutes (batch=256 ≈ 125 count rounds).
     *
     * Fidelity: `batch = 1` is EXACTLY [[learnMerges]] (BpeSpec locks
     * equality). For `batch > 1` the one divergence from sequential order
@@ -277,6 +281,10 @@ object Bpe {
         // symbols are space-TERMINATED, so a plain split leaves one
         // trailing empty piece — drop it or it pairs with the last symbol
         val arr = filter(split(col("g_s"), " "), x => x =!= "")
+        // top of the count table: 1 row for the sequential trainer; a
+        // small over-fetch for the batched one (conflicting pairs are
+        // skipped, so more than `batch` candidates may be scanned)
+        val fetch = if (batch == 1) 1 else math.max(batch * 4, 16)
         val best = cur
           .filter(size(arr) >= 2)
           .select(col("g_wc"), explode(transform(
@@ -287,16 +295,28 @@ object Bpe {
           .groupBy(col("g_p.l").as("l"), col("g_p.r").as("r"))
           .agg(sum(col("g_wc")).as("cnt"))
           .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
-        best.headOption match {
-          case Some(row) if row.getLong(2) >= minFreq =>
-            // strip the sentinel prefix the symstring carries
-            val m = (row.getString(0).substring(1),
-              row.getString(1).substring(1))
+          .limit(fetch).collect()
+        // greedy disjoint selection in rank order: a pair sharing a
+        // symbol with one already taken THIS round is skipped (its count
+        // may have changed; next round's recount re-ranks it) — a pair
+        // disjoint from every earlier taken pair provably carries its
+        // true sequential count. batch == 1 degenerates to exactly the
+        // sequential argmax.
+        val used = scala.collection.mutable.Set.empty[String]
+        var took = 0
+        val room = math.min(batch, nMerges - merges.size)
+        for (row <- best.iterator
+               if took < room && row.getLong(2) >= minFreq) {
+          val (l, r) = (row.getString(0), row.getString(1))
+          if (!used(l) && !used(r)) {
+            val m = (l.substring(1), r.substring(1)) // strip the sentinel
             merges += m
             pending += m
-          case _ => done = true
+            used += l; used += r
+            took += 1
+          }
         }
+        if (took == 0) done = true
       }
       merges.toSeq
     } finally { words.unpersist(); () }

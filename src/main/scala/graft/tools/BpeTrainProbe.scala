@@ -39,6 +39,16 @@ object BpeTrainProbe {
     val bounded = time(s"bounded(every=$chunk)", chunk)
     val naive = time("naive(full replay)", 0)
     println(s"[bpe-train] equal merge tables: ${bounded == naive}")
+    // the job-count lever for 32k-vocabulary runs: one count round per
+    // BATCH of disjoint merges instead of per merge
+    for (b <- Seq(8, 32)) {
+      val t0 = System.nanoTime()
+      val m = graft.operators.Bpe.learnMergesBatched(docs, "text", nMerges,
+        minFreq = minFreq, rematerializeEvery = chunk, batch = b)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val label = s"batched(b=$b)"
+      println(f"[bpe-train] $label%-18s nMerges=$nMerges learned=${m.size} ${secs}%.1f s")
+    }
     spark.stop()
   }
 }

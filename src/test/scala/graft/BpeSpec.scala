@@ -113,6 +113,53 @@ class BpeSpec extends AnyFunSuite {
     assert(naive.nonEmpty && chunked == naive, s"$chunked != $naive")
   }
 
+  test("batched trainer at batch=1 is exactly the sequential trainer") {
+    val seq1 = Bpe.learnMerges(corpus, "text", nMerges = 8, minFreq = 2)
+    val b1 = Bpe.learnMergesBatched(corpus, "text", nMerges = 8,
+      minFreq = 2, batch = 1)
+    assert(seq1.nonEmpty && b1 == seq1, s"$b1 != $seq1")
+  }
+
+  test("batched trainer bounds the scheduled job count (~nMerges/batch rounds)") {
+    val docs = Tables.t(spark, sf, "documents").limit(50).cache()
+    docs.count()
+    val sc = spark.sparkContext
+    def jobsOf(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      // the status store updates asynchronously — poll until stable
+      var last = -1
+      var cur = sc.statusTracker.getJobIdsForGroup(group).length
+      while (cur != last) {
+        last = cur; Thread.sleep(200)
+        cur = sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      cur
+    }
+    var seqTable: Seq[(String, String)] = Seq.empty
+    var batchTable: Seq[(String, String)] = Seq.empty
+    val seqJobs = jobsOf("bpe-seq") {
+      seqTable = Bpe.learnMerges(docs, "text", nMerges = 24, minFreq = 2)
+    }
+    val batchJobs = jobsOf("bpe-batch") {
+      batchTable = Bpe.learnMergesBatched(docs, "text", nMerges = 24,
+        minFreq = 2, batch = 8)
+    }
+    assert(seqTable.size == 24 && batchTable.size == 24,
+      s"seq=${seqTable.size} batch=${batchTable.size}")
+    // the 32k bound: one count job per ROUND, not per merge — with
+    // batch=8 the batched run must schedule well under half the
+    // sequential run's jobs (coarse bound; AQE may add jobs per round)
+    assert(batchJobs * 2 < seqJobs,
+      s"batched scheduled $batchJobs jobs vs sequential $seqJobs")
+    // deterministic for a given (corpus, batch)
+    val again = Bpe.learnMergesBatched(docs, "text", nMerges = 24,
+      minFreq = 2, batch = 8)
+    assert(again == batchTable)
+    docs.unpersist()
+    ()
+  }
+
   test("live replace chain never exceeds rematerializeEvery (structural bound)") {
     var maxChain = -1
     Bpe.learnMergesProbed(corpus, "text", nMerges = 7, minFreq = 1,
