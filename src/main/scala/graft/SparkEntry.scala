@@ -753,31 +753,51 @@ object SparkEntry {
       * because both engines' `replace` is left-to-right non-overlapping,
       * which IS BPE's greedy merge order.
       */
+    /** The encode-replay SQL shared by [[bpeOracle]] and
+      * [[bpeBatchedOracle]]: symbolize + the rank-ordered `replace` chain
+      * of an inlined merge table, over the gated docs.
+      */
+    private def encodeReplaySql(merges: Seq[(String, String)]): String = {
+      val s = Bpe.S
+      def esc(x: String) = x.replace("'", "''")
+      // symbols are space-TERMINATED (see Bpe.wordSym): pattern and
+      // replacement carry the trailing space so matches are bounded on
+      // both sides
+      val chain = merges.foldLeft("sym") { case (acc, (l, r)) =>
+        s"replace($acc, '$s${esc(l)} $s${esc(r)} ', '$s${esc(l)}${esc(r)} ')"
+      }
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(replace(text, '$s', '')), '\\s+'), x -> x <> '') AS toks
+         |  FROM documents WHERE doc_id < 100),
+         |sy AS (SELECT doc_id,
+         |    array_to_string(list_transform(toks, w ->
+         |      array_to_string(list_transform(regexp_split_to_array(w, ''),
+         |        c -> '$s' || c || ' '), '') || '$s</w> '), '') AS sym
+         |  FROM t),
+         |e AS (SELECT doc_id, $chain AS bpe_sym FROM sy)
+         |SELECT doc_id, bpe_sym,
+         |  CAST(length(bpe_sym) - length(replace(bpe_sym, '$s', '')) AS BIGINT) AS n_bpe
+         |FROM e ORDER BY doc_id""".stripMargin
+    }
+
     def bpeOracle: Option[(String, String)] =
       (if (bpeMemo.size == 1) bpeMemo.values.headOption else None)
-        .map { merges =>
-          val s = Bpe.S
-          def esc(x: String) = x.replace("'", "''")
-          // symbols are space-TERMINATED (see Bpe.wordSym): pattern and
-          // replacement carry the trailing space so matches are bounded on
-          // both sides
-          val chain = merges.foldLeft("sym") { case (acc, (l, r)) =>
-            s"replace($acc, '$s${esc(l)} $s${esc(r)} ', '$s${esc(l)}${esc(r)} ')"
-          }
-          "q_bpe_encode" ->
-            s"""WITH t AS (SELECT doc_id,
-               |    list_filter(string_split_regex(lower(replace(text, '$s', '')), '\\s+'), x -> x <> '') AS toks
-               |  FROM documents WHERE doc_id < 100),
-               |sy AS (SELECT doc_id,
-               |    array_to_string(list_transform(toks, w ->
-               |      array_to_string(list_transform(regexp_split_to_array(w, ''),
-               |        c -> '$s' || c || ' '), '') || '$s</w> '), '') AS sym
-               |  FROM t),
-               |e AS (SELECT doc_id, $chain AS bpe_sym FROM sy)
-               |SELECT doc_id, bpe_sym,
-               |  CAST(length(bpe_sym) - length(replace(bpe_sym, '$s', '')) AS BIGINT) AS n_bpe
-               |FROM e ORDER BY doc_id""".stripMargin
-        }
+        .map(merges => "q_bpe_encode" -> encodeReplaySql(merges))
+
+    /** BATCHED-trainer merges per sf dir (batch=8): the job-count-bounded
+      * trainer's table, oracle-gated exactly like the sequential one —
+      * the whole batched encode replays in SQL over its inlined table.
+      */
+    private val bpeBatchedMemo =
+      scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+    def bpeBatchedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+      bpeBatchedMemo.getOrElseUpdate(dir,
+        Bpe.learnMergesBatched(Tables.t(s, dir, "documents"), "text",
+          nMerges = 24, minFreq = 2, batch = 8))
+
+    def bpeBatchedOracle: Option[(String, String)] =
+      (if (bpeBatchedMemo.size == 1) bpeBatchedMemo.values.headOption else None)
+        .map(merges => "q_bpe_batched" -> encodeReplaySql(merges))
 
     /** Replay of id-encoding (same memo gate): the oracle re-derives the
       * VOCABULARY itself — distinct symbols of the encoded full corpus,
@@ -2025,6 +2045,18 @@ object SparkEntry {
             Bpe.bpeTokenCount(col("bpe_sym")).as("n_bpe"))
           .orderBy("doc_id")
       },
+      // the job-count-bounded trainer (disjoint-pair batching, batch=8):
+      // its merge table is learned in ~nMerges/8 count rounds and the
+      // encode under it replays verbatim in the oracle — the 32k-scale
+      // training path is hash-gated, not just spec-locked
+      "q_bpe_batched" -> { (s, dir) =>
+        val m = bpeBatchedMerges(s, dir)
+        Tables.t(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), Bpe.encode(col("text"), m).as("bpe_sym"))
+          .select(col("doc_id"), col("bpe_sym"),
+            Bpe.bpeTokenCount(col("bpe_sym")).as("n_bpe"))
+          .orderBy("doc_id")
+      },
       // the training-ready form: token IDs under the trained merge table +
       // vocabulary — the oracle re-derives the vocabulary itself (distinct
       // encoded symbols, dense sorted ids), so the id assignment is
@@ -2971,11 +3003,13 @@ object SparkEntry {
     * report these as deferred, not missing.
     */
   val deferredOracleNames: Set[String] = Set(
-    "q_ann_kmeans", "q_ann_store", "q_bpe_encode", "q_bpe_ids", "q_pack_bpe")
+    "q_ann_kmeans", "q_ann_store", "q_bpe_encode", "q_bpe_batched",
+    "q_bpe_ids", "q_pack_bpe")
 
   def oracleSql: Map[String, String] = StarQueries.all ++ ScalarQueries.all ++
     CompatQueries.oracles ++ PipelineQueries.oracles ++
     PipelineQueries.annKmeansOracle ++ PipelineQueries.bpeOracle ++
+    PipelineQueries.bpeBatchedOracle ++
     PipelineQueries.bpePackOracle ++ PipelineQueries.bpeIdsOracle ++ Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
