@@ -219,7 +219,8 @@ object Multimodal {
 
     private def parseY4m(b: Array[Byte]): Y4mStream = {
       var hdrEnd = 0
-      while (b(hdrEnd) != '\n') hdrEnd += 1
+      while (hdrEnd < b.length && b(hdrEnd) != '\n') hdrEnd += 1
+      require(hdrEnd < b.length, "malformed Y4M: unterminated stream header")
       val tokens = ascii(b, 0, hdrEnd).split(' ')
       var w = 0; var h = 0; var num = 25; var den = 1; var cs = "420"
       tokens.drop(1).foreach { t =>
@@ -243,7 +244,9 @@ object Multimodal {
       var off = hdrEnd + 1
       while (off + 5 <= b.length && ascii(b, off, 5) == "FRAME") {
         var e = off
-        while (b(e) != '\n') e += 1
+        while (e < b.length && b(e) != '\n') e += 1
+        require(e < b.length && e + 1 + frameSize <= b.length,
+          "malformed Y4M: truncated frame")
         offsets += (e + 1)
         off = e + 1 + frameSize
       }

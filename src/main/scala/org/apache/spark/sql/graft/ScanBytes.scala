@@ -213,7 +213,10 @@ object ScanBytes {
     * reference prices routes from segment stats without ever opening
     * segments (`DruidQueryCostModel.scala:660-689`); past the cap this
     * does the moral equivalent, keeping first-contact pricing O(cap) on
-    * the driver at 100k-file artifact sizes.
+    * the driver at 100k-file artifact sizes. The memo key ignores the
+    * cap — the first observation per (path, predicate set) wins, exact
+    * or sampled; both are valid prices of the same slice and routing
+    * only compares them ordinally.
     */
   def prunedCost(spark: org.apache.spark.sql.SparkSession,
                  relation: org.apache.spark.sql.execution.datasources.HadoopFsRelation,

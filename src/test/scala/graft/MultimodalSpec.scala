@@ -158,6 +158,16 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       BuiltinCodec.decode(MediaBlob(1, "image", "not media".getBytes))
     }
+    // truncated payloads refuse cleanly, never index out of bounds
+    intercept[IllegalArgumentException] {
+      BuiltinCodec.decode(MediaBlob(2, "video",
+        "YUV4MPEG2 W4 H2 F10:1".getBytes)) // unterminated header
+    }
+    intercept[IllegalArgumentException] {
+      val cut = Encode.y4m(4, 2, 10, 1, Seq(10, 100))
+      BuiltinCodec.decode(MediaBlob(3, "video",
+        java.util.Arrays.copyOfRange(cut, 0, cut.length - 4)))
+    }
     // the same partition-local operator plumbing, real codec injected
     val mixed = Seq(
       MediaBlob(1, "image", Encode.bmpGray(5, 3, 64)),
