@@ -115,6 +115,9 @@ object Graft {
     *      log with the footer-measured IO of each executed plan
     *      ([[graft.plans.QueryHistory]]; the reference's
     *      `DruidQueryHistory` + `DruidQueryExecutionMetric` introspection)
+    *   - `graft_artifacts(kind, path, stored_files, stored_rows,
+    *      stored_bytes)` — registered pipeline artifacts (IVF stores,
+    *      pair indexes, span stores) with footer-measured stored size
     *
     * Snapshot semantics (as in the reference): re-run after registering
     * new cubes — `REGISTER GRAFT VIEWS` is the SQL surface for that.
@@ -162,6 +165,15 @@ object Graft {
     }.toDF("id", "at", "action", "served", "duration_ms",
         "scan_files", "scan_rows", "scan_bytes", "plan_head")
       .createOrReplaceTempView("graft_query_history")
+    // materialized pipeline artifacts (IVF stores, pair indexes, span
+    // stores) with their footer-measured stored size — the pipeline
+    // half's counterpart of graft_rollups' stored_* columns
+    graft.plans.QueryHistory.artifactsSnapshot.map { case (kind, path) =>
+      val (files, rows, bytes) =
+        org.apache.spark.sql.graft.ScanBytes.dirCost(spark, path)
+      (kind, path, files, rows, bytes)
+    }.toDF("kind", "path", "stored_files", "stored_rows", "stored_bytes")
+      .createOrReplaceTempView("graft_artifacts")
   }
 
   /** Workload-driven lattice design: analyze a set of SQL texts against a

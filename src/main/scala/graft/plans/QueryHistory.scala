@@ -82,6 +82,14 @@ object QueryHistory {
     ()
   }
 
+  /** (kind, normalized path) of every registered artifact — the
+    * `graft_artifacts` metadata view's source.
+    */
+  def artifactsSnapshot: Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    artifacts.asScala.toSeq.map { case (p, k) => (k, p) }.sortBy(identity)
+  }
+
   /** What served this plan: the first scan that maps to a registered rollup
     * node, cube extract, or materialized pipeline artifact wins; anything
     * else is `raw`.

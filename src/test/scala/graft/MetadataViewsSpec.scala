@@ -148,5 +148,13 @@ class MetadataViewsSpec extends AnyFunSuite {
       System.currentTimeMillis() < deadline) Thread.sleep(50)
     assert(fresh.exists(_.served == "artifact:ivf"),
       s"expected an artifact:ivf-served entry, got ${fresh.map(_.served).distinct}")
+    // ... and the artifact registry is queryable with measured sizes
+    Graft.registerMetadataViews(spark)
+    val arts = spark.sql(
+      """SELECT kind, stored_files, stored_rows, stored_bytes
+        |FROM graft_artifacts WHERE kind = 'ivf'""".stripMargin).collect()
+    assert(arts.nonEmpty, "expected the ivf store in graft_artifacts")
+    assert(arts.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0 &&
+      r.getLong(3) > 0), arts.mkString("; "))
   }
 }
