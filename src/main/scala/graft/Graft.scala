@@ -142,9 +142,11 @@ object Graft {
     cubes.flatMap { c =>
       c.rollups.zipWithIndex.map { case (r, i) =>
         // footer-measured stored size — the number the router prices this
-        // node at (ScanBytes.dirCost, memoized); 0s = unmeasurable path
+        // node at (ScanBytes.dirCost, memoized); 0s = unmeasurable path.
+        // Capped: a metadata view must never cost O(files) footer reads
         val (sFiles, sRows, sBytes) =
-          org.apache.spark.sql.graft.ScanBytes.dirCost(spark, r.path)
+          org.apache.spark.sql.graft.ScanBytes.dirCost(spark, r.path,
+            footerCap = 64)
         (c.info.name, i, r.path, r.dims.mkString(","), r.grain,
           r.timeBucketColumn, r.timeColumn.getOrElse(c.info.timeColumn),
           r.countColumn, r.sums.size,
@@ -169,8 +171,11 @@ object Graft {
     // stores) with their footer-measured stored size — the pipeline
     // half's counterpart of graft_rollups' stored_* columns
     graft.plans.QueryHistory.artifactsSnapshot.map { case (kind, path) =>
+      // capped like the rollup rows above: a 100k-file pair index must
+      // not cost 100k driver footer opens to appear in a view
       val (files, rows, bytes) =
-        org.apache.spark.sql.graft.ScanBytes.dirCost(spark, path)
+        org.apache.spark.sql.graft.ScanBytes.dirCost(spark, path,
+          footerCap = 64)
       (kind, path, files, rows, bytes)
     }.toDF("kind", "path", "stored_files", "stored_rows", "stored_bytes")
       .createOrReplaceTempView("graft_artifacts")

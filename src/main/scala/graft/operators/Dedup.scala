@@ -35,9 +35,11 @@ object Dedup {
     * count — on a 100 TB corpus with a 30% duplicate rate that is
     * billions of ids, far past any driver broadcast budget — so the
     * planner must stay free to pick broadcast (AQE does, whenever the
-    * measured set fits `autoBroadcastJoinThreshold`) or fall back to a
-    * shuffled anti join priced by the duplicate volume itself
-    * (PipelineOpsSpec-locked equal either way).
+    * measured set fits `autoBroadcastJoinThreshold`; verified the plan
+    * still broadcasts at gate scale) or fall back to a shuffled anti
+    * join. The fallback shuffles BOTH sides on the id — corpus included —
+    * so at that scale the right layout is id-bucketed docs co-located
+    * with the loser shuffle, not a bigger driver.
     */
   def keptByQuality(docs: DataFrame, idCol: String, score: Column,
                     clusters: DataFrame): DataFrame = {

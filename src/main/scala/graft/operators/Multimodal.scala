@@ -156,6 +156,12 @@ object Multimodal {
       require(bpp == 24 && compression == 0,
         s"BMP support is 24-bit uncompressed; got bpp=$bpp comp=$compression")
       val rowSize = ((bpp * width + 31) / 32) * 4
+      // refuse truncated/corrupt payloads cleanly — the codec contract is
+      // IllegalArgumentException, never an out-of-bounds pixel walk
+      require(width > 0 && height > 0 && dataOff >= 54 &&
+        dataOff.toLong + rowSize.toLong * height <= b.length,
+        s"malformed BMP: ${width}x$height@$dataOff needs " +
+          s"${dataOff.toLong + rowSize.toLong * height} bytes, have ${b.length}")
       val bins = new Array[Long](8)
       var y = 0
       while (y < height) {
@@ -183,7 +189,14 @@ object Multimodal {
       var dataOff = -1; var dataLen = 0
       while (off + 8 <= b.length) {
         val id = ascii(b, off, 4); val size = u32(b, off + 4).toInt
+        // a corrupt/negative size field must refuse, not stall the chunk
+        // walk (size = -8 would make the offset stop advancing) or read
+        // past the payload
+        require(size >= 0 && off + 8 + size.toLong <= b.length,
+          s"malformed WAV: chunk '$id' declares $size bytes at $off " +
+            s"of a ${b.length}-byte payload")
         if (id == "fmt ") {
+          require(size >= 16, s"malformed WAV: fmt chunk of $size bytes")
           require(u16(b, off + 8) == 1, "WAV support is PCM (format 1)")
           channels = u16(b, off + 10)
           sampleRate = u32(b, off + 12).toInt

@@ -103,14 +103,24 @@ object CostReport {
         // the 'unservable' marker only means anything relative to a
         // decision made FOR this cube — other cubes' nodes in the same
         // plan fall back to stored size, not a foreign verdict
-        val pricing = pricings.find(p =>
+        val cubeDecisions = pricings.filter(p =>
           CubeCatalog.normalizePath(p.fact.path) ==
             CubeCatalog.normalizePath(c.cubePath))
-        val priceOf: Map[String, RollupRouting.NodePrice] = pricing match {
-          case Some(p) => (p.fact +: p.nodes)
+        // several aggregates over the SAME cube record one decision each
+        // (newest first): merge newest-wins, then overlay any node an
+        // OLDER decision chose that this plan actually scans — without
+        // the overlay, a node chosen by aggregate 1 but refused by
+        // aggregate 2 would read 'refused' while the plan scans it
+        val priceOf: Map[String, RollupRouting.NodePrice] =
+          cubeDecisions.reverse.foldLeft(
+            Map.empty[String, RollupRouting.NodePrice]) { (m, p) =>
+            m ++ (p.fact +: p.nodes)
+              .map(n => CubeCatalog.normalizePath(n.path) -> n)
+          } ++ cubeDecisions.flatMap(p => (p.fact +: p.nodes)
+            .filter(n => n.verdict == "chosen" &&
+              scanned.contains(CubeCatalog.normalizePath(n.path))))
             .map(n => CubeCatalog.normalizePath(n.path) -> n).toMap
-          case None => Map.empty
-        }
+        val pricing = cubeDecisions.headOption
         val nodes = (s"cube:${c.info.name}", c.cubePath) +:
           c.rollups.map(r => (s"rollup:${tail(r.path)}", r.path))
         nodes.map { case (label, p) =>
@@ -119,7 +129,7 @@ object CostReport {
             case Some(n) =>
               Row("lattice", label, n.verdict, n.files, n.rows, n.bytes)
             case None =>
-              val (files, rows, bytes) = ScanBytes.dirCost(spark, p)
+              val (files, rows, bytes) = ScanBytes.dirCost(spark, p, 64)
               val marker =
                 if (scanned.contains(norm)) "chosen"
                 else if (pricing.isDefined) "unservable"

@@ -145,8 +145,15 @@ object ScanBytes {
     */
   private val dirCache = TrieMap.empty[String, (Long, Long, Long)]
 
+  /** `footerCap` bounds the footer opens exactly as in [[prunedCost]]:
+    * past the cap, bytes stay exact (listing lengths) and rows are a
+    * rows-per-byte ratio sampled over `footerCap` evenly-spaced files —
+    * a 100k-file artifact must never cost 100k driver footer reads just
+    * to show up in a metadata view. Non-positive caps floor to 1.
+    */
   def dirCost(spark: org.apache.spark.sql.SparkSession,
-              path: String): (Long, Long, Long) =
+              path: String,
+              footerCap: Int = Int.MaxValue): (Long, Long, Long) =
     dirCache.get(path).getOrElse {
       // only SUCCESSFUL observations are memoized (including a genuinely
       // missing/empty dir — refresh invalidates those): a transient
@@ -160,17 +167,28 @@ object ScanBytes {
         val v =
           if (!fs.exists(p)) (0L, 0L, 0L)
           else {
-            var files = 0L; var rows = 0L; var bytes = 0L
+            val files = scala.collection.mutable.ArrayBuffer
+              .empty[(Path, Long, Long)] // (path, mtime, len)
             val it = fs.listFiles(p, true)
             while (it.hasNext) {
               val st = it.next()
-              if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-                files += 1
-                rows += fileRows(conf, st.getPath, st.getModificationTime)
-                bytes += st.getLen
-              }
+              if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+                files += ((st.getPath, st.getModificationTime, st.getLen))
             }
-            (files, rows, bytes)
+            val cap = math.max(1, footerCap)
+            val bytes = files.map(_._3).sum
+            val rows =
+              if (files.length <= cap)
+                files.map(f => fileRows(conf, f._1, f._2)).sum
+              else {
+                val step = files.length.toDouble / cap
+                val sample = (0 until cap).map(i => files((i * step).toInt))
+                val sRows = sample.map(f => fileRows(conf, f._1, f._2)).sum
+                val sBytes = sample.map(_._3).sum
+                if (sBytes <= 0L) 0L
+                else math.round(bytes.toDouble * sRows / sBytes)
+              }
+            (files.length.toLong, rows, bytes)
           }
         dirCache.putIfAbsent(path, v)
         v
@@ -216,13 +234,16 @@ object ScanBytes {
     * the driver at 100k-file artifact sizes. The memo key ignores the
     * cap — the first observation per (path, predicate set) wins, exact
     * or sampled; both are valid prices of the same slice and routing
-    * only compares them ordinally.
+    * only compares them ordinally. A non-positive `footerCap` is floored
+    * to 1 — a cap of zero would make every multi-file node price rows=0
+    * (an empty sample), i.e. look FREE to the router, and memoize that.
     */
   def prunedCost(spark: org.apache.spark.sql.SparkSession,
                  relation: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
                  filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
                  footerCap: Int = Int.MaxValue)
       : Option[(Long, Long, Long)] = {
+    val cap = math.max(1, footerCap)
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, PlanExpression}
     // a provably-empty scan is free regardless of partition columns:
@@ -253,13 +274,13 @@ object ScanBytes {
         val files = relation.location.listFiles(partPreds, Nil).flatMap(_.files)
         val bytes = files.map(_.getLen).sum
         val rows =
-          if (files.length <= footerCap)
+          if (files.length <= cap)
             files.map(f => fileRows(conf, f.getPath, f.getModificationTime)).sum
           else {
-            // evenly-spaced sample of `footerCap` footers -> rows/byte,
+            // evenly-spaced sample of `cap` footers -> rows/byte,
             // extrapolated over the exact listing-byte total
-            val step = files.length.toDouble / footerCap
-            val sample = (0 until footerCap).map(i => files((i * step).toInt))
+            val step = files.length.toDouble / cap
+            val sample = (0 until cap).map(i => files((i * step).toInt))
             val sRows = sample.map(f =>
               fileRows(conf, f.getPath, f.getModificationTime)).sum
             val sBytes = sample.map(_.getLen).sum

@@ -168,6 +168,22 @@ class MultimodalSpec extends AnyFunSuite {
       BuiltinCodec.decode(MediaBlob(3, "video",
         java.util.Arrays.copyOfRange(cut, 0, cut.length - 4)))
     }
+    intercept[IllegalArgumentException] { // truncated BMP pixel data
+      val cut = Encode.bmpGray(3, 2, 100)
+      BuiltinCodec.decode(MediaBlob(4, "image",
+        java.util.Arrays.copyOfRange(cut, 0, 60)))
+    }
+    intercept[IllegalArgumentException] { // WAV data chunk overruns payload
+      val cut = Encode.wavPcm16(8000, 1, 100, 5)
+      BuiltinCodec.decode(MediaBlob(5, "audio",
+        java.util.Arrays.copyOfRange(cut, 0, cut.length - 10)))
+    }
+    intercept[IllegalArgumentException] { // corrupt negative chunk size:
+      val bad = Encode.wavPcm16(8000, 1, 10, 5) // must refuse, never hang
+      bad(40) = 0xf8.toByte; bad(41) = 0xff.toByte
+      bad(42) = 0xff.toByte; bad(43) = 0xff.toByte // data size = -8
+      BuiltinCodec.decode(MediaBlob(6, "audio", bad))
+    }
     // the same partition-local operator plumbing, real codec injected
     val mixed = Seq(
       MediaBlob(1, "image", Encode.bmpGray(5, 3, 64)),

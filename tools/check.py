@@ -82,7 +82,12 @@ def main(sf_dir: str, out_dir: str, budget: float = 0.0) -> int:
             exp = con.execute(sql).df()
             ok_exec = True
         except Exception as e:
-            if timed_out:
+            # classify by the EXCEPTION, not just the timer flag: a timer
+            # firing concurrently with a genuine oracle error must not
+            # turn that error into a SKIP (hiding a correctness break)
+            is_interrupt = (type(e).__name__ == "InterruptException"
+                            or "INTERRUPT" in str(e).upper())
+            if timed_out and is_interrupt:
                 print(f"SKIP {name}: oracle over {budget:.0f}s budget")
                 n_skip += 1
             else:
@@ -94,10 +99,11 @@ def main(sf_dir: str, out_dir: str, budget: float = 0.0) -> int:
                 done[0] = True
             if timer:
                 timer.cancel()
-            if timed_out and ok_exec:
-                # the interrupt landed after the query completed: absorb
-                # the pending flag on a throwaway statement so the next
-                # query starts clean
+            if timed_out:
+                # the timer fired but its interrupt was not consumed by a
+                # query abort (query completed, or failed on its own):
+                # absorb the pending flag on a throwaway statement so the
+                # NEXT query starts clean
                 try:
                     con.execute("SELECT 1")
                 except Exception:
