@@ -34,4 +34,38 @@ class ScanBytesSpec extends AnyFunSuite {
     // this only locks that the call is safe and bounded by the full width
     assert(ScanBytes.of(none) <= new java.io.File(Tables.path(sf, "lineitem")).length())
   }
+
+  test("dirCost past the footerCap: bytes exact, rows sampled, opens bounded") {
+    val dir = s"/root/repo/target/cubes/test_dircost_${new java.io.File(sf).getName}_${Tables.contentTag(sf)}"
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      Tables.t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+        .repartition(10).write.mode("overwrite").parquet(dir)
+    // wait out the async query-history listener before counting opens
+    def quiesce(): Unit = {
+      var last = ScanBytes.footerReads.get(); var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val now = ScanBytes.footerReads.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    }
+    ScanBytes.invalidateDirCosts()
+    quiesce()
+    val before = ScanBytes.footerReads.get()
+    val (files, rows, bytes) = ScanBytes.dirCost(spark, dir, footerCap = 3)
+    val opens = ScanBytes.footerReads.get() - before
+    assert(files == 10, s"expected 10 files, got $files")
+    assert(opens <= 3, s"footer opens must be <= cap, got $opens")
+    val exactBytes = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    assert(bytes == exactBytes)
+    val trueRows = Tables.t(spark, sf, "lineitem").count()
+    assert(math.abs(rows - trueRows) <= math.max(1L, trueRows / 5),
+      s"sampled $rows vs true $trueRows")
+    // a pathological non-positive cap still measures (floored to 1),
+    // never reports a multi-file dir as free
+    ScanBytes.invalidateDirCosts()
+    val (_, rows0, _) = ScanBytes.dirCost(spark, dir, footerCap = 0)
+    assert(rows0 > 0, s"cap=0 must floor to 1, not price rows=0 (got $rows0)")
+  }
 }
