@@ -1941,6 +1941,30 @@ object SparkEntry {
           .toDF("media_id", "channels", "sample_rate", "duration_ms", "amp_bin")
           .orderBy("media_id")
       },
+      // REAL pixel resize: BMP payloads re-encoded by nearest-neighbor
+      // downscale, then re-DECODED — the oracle restates the scaled
+      // geometry and the (gray-preserving) luminance bin a correct
+      // resample must produce from the actual output pixels
+      "q_media_resize" -> { (s, dir) =>
+        import graft.operators.Multimodal
+        import Multimodal.{BuiltinCodec, Encode, MediaBlob}
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val blobs = Tables.t(s, dir, "documents")
+          .filter(col("doc_id") < 120)
+          .select(col("doc_id"), length(col("text")).cast("int").as("len"))
+          .as[(Long, Int)]
+          .map { case (id, len) => MediaBlob(id, "image",
+            Encode.bmpGray((id % 6).toInt + 2, (id % 4).toInt + 1, len % 256)) }
+          .toDF()
+        Multimodal.decodeFeatures(
+            Multimodal.resizeBlobs(blobs, maxDim = 3, BuiltinCodec).toDF(),
+            BuiltinCodec)
+          .map(f => (f.media_id, f.width, f.height,
+            f.embedding.indexWhere(_ == 1.0f)))
+          .toDF("media_id", "width", "height", "luma_bin")
+          .orderBy("media_id")
+      },
       // REAL Y4M frame sampling: evenly-spaced true frames with their
       // header-derived presentation timestamps and raw plane sizes
       "q_media_y4m" -> { (s, dir) =>
@@ -2495,6 +2519,18 @@ object SparkEntry {
           |  CAST((length(text) % 100 + 1) * 10 AS BIGINT) AS duration_ms,
           |  CAST(doc_id % 8 AS INT) AS amp_bin
           |FROM documents WHERE doc_id < 120 ORDER BY media_id""".stripMargin,
+      "q_media_resize" ->
+        """WITH g AS (SELECT doc_id,
+          |    CAST(doc_id % 6 AS INT) + 2 AS w, CAST(doc_id % 4 AS INT) + 1 AS h,
+          |    length(text) % 256 AS gray
+          |  FROM documents WHERE doc_id < 120),
+          |s AS (SELECT doc_id, gray,
+          |    LEAST(3.0 / w, 3.0 / h, 1.0) AS sc, w, h FROM g)
+          |SELECT doc_id AS media_id,
+          |  GREATEST(CAST(FLOOR(w * sc) AS INT), 1) AS width,
+          |  GREATEST(CAST(FLOOR(h * sc) AS INT), 1) AS height,
+          |  CAST(FLOOR(gray / 32.0) AS INT) AS luma_bin
+          |FROM s ORDER BY media_id""".stripMargin,
       "q_media_y4m" ->
         """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
           |  CAST(i * (CAST(doc_id % 3 AS INT) + 1) * 100 AS BIGINT) AS pts_ms,

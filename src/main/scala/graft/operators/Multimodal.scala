@@ -48,6 +48,14 @@ object Multimodal {
   trait MediaCodec extends Serializable {
     def decode(blob: MediaBlob): MediaFeatures
     def sampleFrames(blob: MediaBlob, n: Int): Seq[Frame]
+
+    /** REAL pixel resize where the codec supports the format; the default
+      * passes the payload through unchanged (audio, unsupported formats,
+      * already-small images). [[BuiltinCodec]] overrides with a
+      * nearest-neighbor BMP downscale; [[resizeMeta]] stays the
+      * metadata-only alternative when payloads must not be rewritten.
+      */
+    def resize(blob: MediaBlob, maxDim: Int): MediaBlob = blob
   }
 
   /** ======== STUB ========
@@ -298,6 +306,34 @@ object Multimodal {
             s.frameOffsets(idx) + s.frameSize))
       }
     }
+
+    /** REAL nearest-neighbor downscale for 24-bit BMP: the payload is
+      * re-encoded at `max(1, floor(dim * scale))` per side (the same
+      * formula as [[resizeMeta]]), each target pixel sampling the source
+      * at the floored back-projection. Non-BMP and already-small payloads
+      * pass through unchanged — resize never fakes and never upscales.
+      */
+    override def resize(blob: MediaBlob, maxDim: Int): MediaBlob = {
+      val b = blob.bytes
+      if (!isBmp(b)) return blob
+      val dataOff = u32(b, 10).toInt
+      val w = i32(b, 18); val h = math.abs(i32(b, 22))
+      if (u16(b, 28) != 24 || u32(b, 30) != 0) return blob
+      val rowSize = ((24 * w + 31) / 32) * 4
+      require(w > 0 && h > 0 && dataOff >= 54 &&
+        dataOff.toLong + rowSize.toLong * h <= b.length,
+        s"malformed BMP: ${w}x$h@$dataOff of ${b.length} bytes")
+      val scale =
+        math.min(math.min(maxDim.toDouble / w, maxDim.toDouble / h), 1.0)
+      val tw = math.max(math.floor(w * scale).toInt, 1)
+      val th = math.max(math.floor(h * scale).toInt, 1)
+      if (tw == w && th == h) return blob
+      val out = Encode.bmp(tw, th) { (x, y) =>
+        val p = dataOff + (y * h / th) * rowSize + (x * w / tw) * 3
+        (b(p), b(p + 1), b(p + 2))
+      }
+      blob.copy(bytes = out)
+    }
   }
 
   /** Deterministic ENCODERS for the formats [[BuiltinCodec]] decodes —
@@ -306,8 +342,13 @@ object Multimodal {
     * them by actually parsing the bytes).
     */
   object Encode {
-    /** 24-bit uncompressed BMP filled with one gray level. */
-    def bmpGray(width: Int, height: Int, gray: Int): Array[Byte] = {
+    /** 24-bit uncompressed BMP from a per-pixel BGR supplier. `bgr` takes
+      * FILE-ORDER coordinates (row 0 = the first stored row, which BMP
+      * renders bottom-up) — a resampler reading and writing file order
+      * preserves orientation without flipping.
+      */
+    def bmp(width: Int, height: Int)
+           (bgr: (Int, Int) => (Byte, Byte, Byte)): Array[Byte] = {
       val rowSize = ((24 * width + 31) / 32) * 4
       val dataSize = rowSize * height
       val out = java.nio.ByteBuffer.allocate(54 + dataSize)
@@ -317,16 +358,25 @@ object Multimodal {
       out.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
         .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
         .putInt(0).putInt(0)
-      val g = (gray & 0xff).toByte
       var y = 0
       while (y < height) {
         var x = 0
-        while (x < width) { out.put(g).put(g).put(g); x += 1 }
+        while (x < width) {
+          val (bb, gg, rr) = bgr(x, y)
+          out.put(bb).put(gg).put(rr)
+          x += 1
+        }
         var pad = rowSize - width * 3
         while (pad > 0) { out.put(0.toByte); pad -= 1 }
         y += 1
       }
       out.array()
+    }
+
+    /** 24-bit uncompressed BMP filled with one gray level. */
+    def bmpGray(width: Int, height: Int, gray: Int): Array[Byte] = {
+      val g = (gray & 0xff).toByte
+      bmp(width, height)((_, _) => (g, g, g))
     }
 
     /** 16-bit PCM WAV with the given constant sample value. */
@@ -394,6 +444,19 @@ object Multimodal {
     blobs.filter(col("kind") === "video")
       .select("media_id", "kind", "bytes").as[MediaBlob]
       .mapPartitions(it => it.flatMap(b => codec.sampleFrames(b, n)))
+  }
+
+  /** REAL payload resize: rewrite each blob with the codec's pixel
+    * resampler ([[MediaCodec.resize]]; pass-through where the codec has
+    * none). Partition-local like [[decodeFeatures]] — at 100 TB, resize
+    * parallelism == file split count, no shuffle.
+    */
+  def resizeBlobs(blobs: DataFrame, maxDim: Int,
+                  codec: MediaCodec = StubCodec)
+                 (implicit spark: SparkSession): Dataset[MediaBlob] = {
+    import spark.implicits._
+    blobs.select("media_id", "kind", "bytes").as[MediaBlob]
+      .mapPartitions(it => it.map(b => codec.resize(b, maxDim)))
   }
 
   /** "Resize": rewrite the metadata of decoded features to the target box,

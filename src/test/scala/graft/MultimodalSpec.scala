@@ -152,6 +152,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(BuiltinCodec.sampleFrames(blob, 10).size == 3)
   }
 
+  test("BuiltinCodec.resize really resamples pixels (nearest neighbor)") {
+    import Multimodal.{BuiltinCodec, Encode, MediaBlob}
+    // 2x1 black|white -> 1x1 keeps the floored back-projection (left) pixel
+    val bytes = Encode.bmpGray(2, 1, 0)
+    bytes(54 + 3) = 0xff.toByte
+    bytes(54 + 4) = 0xff.toByte
+    bytes(54 + 5) = 0xff.toByte
+    val f = BuiltinCodec.decode(BuiltinCodec.resize(MediaBlob(1, "image", bytes), 1))
+    assert(f.width == 1 && f.height == 1 && f.embedding(0) == 1.0f,
+      s"${f.width}x${f.height} ${f.embedding.mkString(",")}")
+    // gray survives the resample exactly; dims follow the resizeMeta formula
+    val fg = BuiltinCodec.decode(BuiltinCodec.resize(
+      MediaBlob(2, "image", Encode.bmpGray(6, 3, 200)), 3))
+    assert(fg.width == 3 && fg.height == 1 && fg.embedding(6) == 1.0f)
+    // never upscales; non-BMP passes through untouched
+    val same = Encode.bmpGray(2, 2, 10)
+    assert(BuiltinCodec.resize(MediaBlob(3, "image", same), 64).bytes eq same)
+    val wav = Encode.wavPcm16(8000, 1, 10, 5)
+    assert(BuiltinCodec.resize(MediaBlob(4, "audio", wav), 1).bytes eq wav)
+  }
+
   test("BuiltinCodec refuses payloads it cannot really decode, and runs through the Spark operators") {
     import Multimodal.{BuiltinCodec, Encode, MediaBlob}
     import spark.implicits._
