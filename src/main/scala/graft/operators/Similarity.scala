@@ -232,6 +232,44 @@ object Similarity {
 
   private val ivfBuildLock = new Object
 
+  /** Compact an appended IVF store: merge each bucket's accumulated
+    * ingest files into one file per bucket and swap the directory — the
+    * vector-index twin of [[graft.operators.Dedup.spanCountsCompact]].
+    * Streamed ingest ([[materializedIvfIndex]]'s append path) writes one
+    * file per (batch, touched bucket); after B batches a probe of
+    * `nprobe` buckets opens O(B·nprobe) files, and at production ingest
+    * rates the store becomes a small-file swamp whose listing/open cost
+    * dwarfs the read. Compaction restores file count = bucket count
+    * (probe cost = `nprobe` opens) without touching bucket assignment —
+    * rows are reshuffled WITHIN their bucket directory only, so probe
+    * results are bit-identical (spec-locked). Same crash-SAFE
+    * write-then-swap as the span store: at no instant is the only copy
+    * mid-delete, and a crash between the renames leaves `.precompact` to
+    * recover from. Callers serialize compaction against ingest and
+    * serve, as with every artifact refresh here. Returns the row count.
+    */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Long = {
+    val tmp = path.stripSuffix("/") + ".compacting"
+    val old = path.stripSuffix("/") + ".precompact"
+    spark.read.parquet(path)
+      .repartition(col("g_ivf_bucket"))
+      .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(old)) // stale recovery copy from a crashed run
+    require(new java.io.File(path).renameTo(new java.io.File(old)),
+      s"could not stage $path -> $old")
+    require(new java.io.File(tmp).renameTo(new java.io.File(path)),
+      s"could not promote compacted store $tmp -> $path " +
+        s"(previous store preserved at $old)")
+    rm(new java.io.File(old))
+    org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+    org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
+    spark.read.parquet(path).count()
+  }
+
   /** Top-k against a [[materializedIvfIndex]] store: identical semantics
     * (and bit-identical output) to [[ivfKmeansTopK]] over the base table,
     * but the bucket predicate prunes partitions instead of filtering a

@@ -367,6 +367,48 @@ class PipelineOpsSpec extends AnyFunSuite {
       top.mkString(", "))
   }
 
+  test("IVF store compaction: one file per bucket, probe results bit-identical") {
+    import graft.operators.Similarity
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val embs = Tables.t(spark, sf, "embeddings")
+    val cents = Similarity.trainKmeansCentroids(embs, "embedding", k = 8, iters = 2)
+    val q = embs.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val path = "/root/repo/target/indexes/ivf_compact_spec_v1"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cents, path)
+    // two ingest batches: each writes its own file(s) into touched buckets
+    for (i <- 0 until 2) {
+      val newRow = Seq((999990L + i, q)).toDF("vec_id", "embedding")
+        .withColumn("label", lit(0)).select("vec_id", "embedding", "label")
+      Similarity.withIvfKmeansBucket(newRow, "embedding", cents)
+        .write.mode("append").partitionBy("g_ivf_bucket").parquet(path)
+    }
+    def filesPerBucket: Map[String, Int] = new java.io.File(path).listFiles
+      .filter(d => d.isDirectory && d.getName.startsWith("g_ivf_bucket="))
+      .map(d => d.getName ->
+        d.listFiles.count(_.getName.endsWith(".parquet"))).toMap
+    assert(filesPerBucket.values.exists(_ > 1),
+      s"setup: appends should leave a multi-file bucket, got $filesPerBucket")
+    val before = Similarity.ivfStoreTopK(spark.read.parquet(path),
+      "vec_id", "embedding", q, k = 5, cents, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    val n = Similarity.ivfCompact(spark, path)
+    assert(n > 0)
+    assert(filesPerBucket.values.forall(_ == 1),
+      s"compaction must leave ONE file per bucket, got $filesPerBucket")
+    val after = Similarity.ivfStoreTopK(spark.read.parquet(path),
+      "vec_id", "embedding", q, k = 5, cents, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, s"probe changed across compaction:\n$before\n$after")
+    assert(after.exists(_.head == 999990L) || after.exists(_.head == 999991L),
+      "ingested vectors must stay probeable after compaction")
+  }
+
   test("native simhashPoly31 + chainFingerprintPoly equal their composed chains") {
     import graft.functions.TextFunctions
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
