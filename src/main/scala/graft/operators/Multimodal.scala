@@ -312,6 +312,9 @@ object Multimodal {
       * formula as [[resizeMeta]]), each target pixel sampling the source
       * at the floored back-projection. Non-BMP and already-small payloads
       * pass through unchanged — resize never fakes and never upscales.
+      * Sampling and writing both use FILE order; the output always
+      * declares bottom-up rows, so a (rare) top-down source — negative
+      * DIB height — comes out vertically flipped.
       */
     override def resize(blob: MediaBlob, maxDim: Int): MediaBlob = {
       val b = blob.bytes
