@@ -797,36 +797,17 @@ object Dedup {
     * ingested batch (the pipeline-layer twin of
     * [[graft.streaming.EventPipeline.compactPartials]]). Write-then-swap
     * because the store is unpartitioned (no partition column to
-    * dynamic-overwrite). The swap is crash-SAFE, not atomic: the live dir
-    * is renamed aside (`dest -> dest.precompact`), the compacted output
-    * promoted (`tmp -> dest`), and only then is the old copy deleted — at
-    * no instant is the ONLY copy of the store mid-delete, and a crash
-    * between the two renames leaves `dest.precompact` to recover from
-    * (a stale `.precompact` from such a crash is cleared on the next
-    * compaction). A reader racing the swap window can still observe a
-    * missing directory — callers serialize compaction against both ingest
-    * and serve, as with every artifact refresh here; a production
-    * deployment on an object store would stage behind a manifest instead.
+    * dynamic-overwrite); the crash-safety and serialization contract is
+    * [[Artifacts.writeThenSwap]], shared with [[Similarity.ivfCompact]].
     * Returns the number of distinct windows retained.
     */
   def spanCountsCompact(spark: org.apache.spark.sql.SparkSession,
                         destDir: String): Long = {
-    val tmp = destDir.stripSuffix("/") + ".compacting"
-    val old = destDir.stripSuffix("/") + ".precompact"
-    spark.read.parquet(destDir)
-      .groupBy("g_h").agg(sum(col("g_cnt")).as("g_cnt"))
-      .write.mode("overwrite").parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    Artifacts.writeThenSwap(spark, destDir) { tmp =>
+      spark.read.parquet(destDir)
+        .groupBy("g_h").agg(sum(col("g_cnt")).as("g_cnt"))
+        .write.mode("overwrite").parquet(tmp)
     }
-    rm(new java.io.File(old)) // stale recovery copy from a crashed run
-    require(new java.io.File(destDir).renameTo(new java.io.File(old)),
-      s"could not stage $destDir -> $old")
-    require(new java.io.File(tmp).renameTo(new java.io.File(destDir)),
-      s"could not promote compacted store $tmp -> $destDir " +
-        s"(previous store preserved at $old)")
-    rm(new java.io.File(old))
-    org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
     spark.read.parquet(destDir).count()
   }
 

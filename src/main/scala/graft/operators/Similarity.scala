@@ -250,23 +250,11 @@ object Similarity {
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession,
                  path: String): Long = {
-    val tmp = path.stripSuffix("/") + ".compacting"
-    val old = path.stripSuffix("/") + ".precompact"
-    spark.read.parquet(path)
-      .repartition(col("g_ivf_bucket"))
-      .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    Artifacts.writeThenSwap(spark, path) { tmp =>
+      spark.read.parquet(path)
+        .repartition(col("g_ivf_bucket"))
+        .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(tmp)
     }
-    rm(new java.io.File(old)) // stale recovery copy from a crashed run
-    require(new java.io.File(path).renameTo(new java.io.File(old)),
-      s"could not stage $path -> $old")
-    require(new java.io.File(tmp).renameTo(new java.io.File(path)),
-      s"could not promote compacted store $tmp -> $path " +
-        s"(previous store preserved at $old)")
-    rm(new java.io.File(old))
-    org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
-    org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
     spark.read.parquet(path).count()
   }
 
