@@ -736,6 +736,23 @@ object SparkEntry {
         Bpe.learnMerges(Tables.t(s, dir, "documents"), "text",
           nMerges = 24, minFreq = 2))
 
+    /** Fixture blobs for the real-codec media gates: one payload per
+      * gated document, ENCODED from its (doc_id, text length) so the
+      * DuckDB oracle can restate exactly what a correct parse of the
+      * bytes must recover.
+      */
+    def mediaBlobs(s: SparkSession, dir: String)
+                  (mk: (Long, Int) => graft.operators.Multimodal.MediaBlob)
+        : DataFrame = {
+      import s.implicits._
+      Tables.t(s, dir, "documents")
+        .filter(col("doc_id") < 120)
+        .select(col("doc_id"), length(col("text")).cast("int").as("len"))
+        .as[(Long, Int)]
+        .map { case (id, len) => mk(id, len) }
+        .toDF()
+    }
+
     /** Trained BPE vocabulary per sf dir (symbol → dense id) — derived
       * deterministically from the merges + corpus, tokenizer-sized.
       */
@@ -1907,13 +1924,8 @@ object SparkEntry {
         import Multimodal.{BuiltinCodec, Encode, MediaBlob}
         implicit val sp: SparkSession = s
         import s.implicits._
-        val blobs = Tables.t(s, dir, "documents")
-          .filter(col("doc_id") < 120)
-          .select(col("doc_id"), length(col("text")).cast("int").as("len"))
-          .as[(Long, Int)]
-          .map { case (id, len) => MediaBlob(id, "image",
-            Encode.bmpGray((id % 5).toInt + 1, 2, len % 256)) }
-          .toDF()
+        val blobs = mediaBlobs(s, dir) { (id, len) => MediaBlob(id, "image",
+          Encode.bmpGray((id % 5).toInt + 1, 2, len % 256)) }
         Multimodal.decodeFeatures(blobs, BuiltinCodec)
           .map(f => (f.media_id, f.width, f.height, f.channels,
             f.embedding.indexWhere(_ == 1.0f)))
@@ -1927,14 +1939,9 @@ object SparkEntry {
         import Multimodal.{BuiltinCodec, Encode, MediaBlob}
         implicit val sp: SparkSession = s
         import s.implicits._
-        val blobs = Tables.t(s, dir, "documents")
-          .filter(col("doc_id") < 120)
-          .select(col("doc_id"), length(col("text")).cast("int").as("len"))
-          .as[(Long, Int)]
-          .map { case (id, len) => MediaBlob(id, "audio",
-            Encode.wavPcm16(8000, (id % 2).toInt + 1, (len % 100 + 1) * 80,
-              ((id % 8) * 4096).toShort)) }
-          .toDF()
+        val blobs = mediaBlobs(s, dir) { (id, len) => MediaBlob(id, "audio",
+          Encode.wavPcm16(8000, (id % 2).toInt + 1, (len % 100 + 1) * 80,
+            ((id % 8) * 4096).toShort)) }
         Multimodal.decodeFeatures(blobs, BuiltinCodec)
           .map(f => (f.media_id, f.channels, f.sampleRate, f.durationMs,
             f.embedding.indexWhere(_ == 1.0f)))
@@ -1950,13 +1957,8 @@ object SparkEntry {
         import Multimodal.{BuiltinCodec, Encode, MediaBlob}
         implicit val sp: SparkSession = s
         import s.implicits._
-        val blobs = Tables.t(s, dir, "documents")
-          .filter(col("doc_id") < 120)
-          .select(col("doc_id"), length(col("text")).cast("int").as("len"))
-          .as[(Long, Int)]
-          .map { case (id, len) => MediaBlob(id, "image",
-            Encode.bmpGray((id % 6).toInt + 2, (id % 4).toInt + 1, len % 256)) }
-          .toDF()
+        val blobs = mediaBlobs(s, dir) { (id, len) => MediaBlob(id, "image",
+          Encode.bmpGray((id % 6).toInt + 2, (id % 4).toInt + 1, len % 256)) }
         Multimodal.decodeFeatures(
             Multimodal.resizeBlobs(blobs, maxDim = 3, BuiltinCodec).toDF(),
             BuiltinCodec)
@@ -1972,13 +1974,9 @@ object SparkEntry {
         import Multimodal.{BuiltinCodec, Encode, MediaBlob}
         implicit val sp: SparkSession = s
         import s.implicits._
-        val blobs = Tables.t(s, dir, "documents")
-          .filter(col("doc_id") < 120)
-          .select(col("doc_id")).as[Long]
-          .map { id => MediaBlob(id, "video",
-            Encode.y4m(4, 2, 10, 1,
-              Seq.tabulate((id % 3).toInt + 2)(i => (i * 40) % 256))) }
-          .toDF()
+        val blobs = mediaBlobs(s, dir) { (id, _) => MediaBlob(id, "video",
+          Encode.y4m(4, 2, 10, 1,
+            Seq.tabulate((id % 3).toInt + 2)(i => (i * 40) % 256))) }
         Multimodal.sampleFrames(blobs, n = 2, BuiltinCodec)
           .map(f => (f.media_id, f.frameIdx, f.ptsMs, f.bytes.length))
           .toDF("media_id", "frame_idx", "pts_ms", "frame_bytes")

@@ -153,29 +153,39 @@ object Multimodal {
           "payloads only; use an injected codec (or StubCodec) for others")
     }
 
-    private def decodeBmp(blob: MediaBlob): MediaFeatures = {
-      val b = blob.bytes
+    /** Parsed + bounds-validated 24-bit BMP geometry. Refusing truncated
+      * or corrupt payloads here keeps the codec contract — clean
+      * `IllegalArgumentException`, never an out-of-bounds pixel walk —
+      * in ONE place for decode and resize alike.
+      */
+    private case class BmpInfo(dataOff: Int, width: Int, height: Int,
+                               rowSize: Int)
+
+    private def parseBmp(b: Array[Byte]): BmpInfo = {
       val dataOff = u32(b, 10).toInt
       val width = i32(b, 18)
-      val heightRaw = i32(b, 22)
-      val height = math.abs(heightRaw)
+      val height = math.abs(i32(b, 22))
       val bpp = u16(b, 28)
       val compression = u32(b, 30)
       require(bpp == 24 && compression == 0,
         s"BMP support is 24-bit uncompressed; got bpp=$bpp comp=$compression")
       val rowSize = ((bpp * width + 31) / 32) * 4
-      // refuse truncated/corrupt payloads cleanly — the codec contract is
-      // IllegalArgumentException, never an out-of-bounds pixel walk
       require(width > 0 && height > 0 && dataOff >= 54 &&
         dataOff.toLong + rowSize.toLong * height <= b.length,
         s"malformed BMP: ${width}x$height@$dataOff needs " +
           s"${dataOff.toLong + rowSize.toLong * height} bytes, have ${b.length}")
+      BmpInfo(dataOff, width, height, rowSize)
+    }
+
+    private def decodeBmp(blob: MediaBlob): MediaFeatures = {
+      val b = blob.bytes
+      val i = parseBmp(b)
       val bins = new Array[Long](8)
       var y = 0
-      while (y < height) {
+      while (y < i.height) {
         var x = 0
-        val row = dataOff + y * rowSize
-        while (x < width) {
+        val row = i.dataOff + y * i.rowSize
+        while (x < i.width) {
           val p = row + x * 3
           val blu = b(p) & 0xff; val grn = b(p + 1) & 0xff
           val red = b(p + 2) & 0xff
@@ -186,7 +196,7 @@ object Multimodal {
         }
         y += 1
       }
-      MediaFeatures(blob.media_id, blob.kind, b.length, width, height,
+      MediaFeatures(blob.media_id, blob.kind, b.length, i.width, i.height,
         channels = 3, sampleRate = 0, durationMs = 0L, embedding = hist8(bins))
     }
 
@@ -318,21 +328,18 @@ object Multimodal {
       */
     override def resize(blob: MediaBlob, maxDim: Int): MediaBlob = {
       val b = blob.bytes
-      if (!isBmp(b)) return blob
-      val dataOff = u32(b, 10).toInt
-      val w = i32(b, 18); val h = math.abs(i32(b, 22))
-      if (u16(b, 28) != 24 || u32(b, 30) != 0) return blob
-      val rowSize = ((24 * w + 31) / 32) * 4
-      require(w > 0 && h > 0 && dataOff >= 54 &&
-        dataOff.toLong + rowSize.toLong * h <= b.length,
-        s"malformed BMP: ${w}x$h@$dataOff of ${b.length} bytes")
-      val scale =
-        math.min(math.min(maxDim.toDouble / w, maxDim.toDouble / h), 1.0)
-      val tw = math.max(math.floor(w * scale).toInt, 1)
-      val th = math.max(math.floor(h * scale).toInt, 1)
-      if (tw == w && th == h) return blob
+      // only 24-bit uncompressed BMPs are resizable; other formats (and
+      // other BMP flavors) pass through rather than refuse
+      if (!isBmp(b) || u16(b, 28) != 24 || u32(b, 30) != 0) return blob
+      val i = parseBmp(b)
+      val scale = math.min(math.min(
+        maxDim.toDouble / i.width, maxDim.toDouble / i.height), 1.0)
+      val tw = math.max(math.floor(i.width * scale).toInt, 1)
+      val th = math.max(math.floor(i.height * scale).toInt, 1)
+      if (tw == i.width && th == i.height) return blob
       val out = Encode.bmp(tw, th) { (x, y) =>
-        val p = dataOff + (y * h / th) * rowSize + (x * w / tw) * 3
+        val p = i.dataOff + (y * i.height / th) * i.rowSize +
+          (x * i.width / tw) * 3
         (b(p), b(p + 1), b(p + 2))
       }
       blob.copy(bytes = out)

@@ -68,6 +68,25 @@ object ScanBytes {
   /** (file path, mtime) -> footer row count. */
   private val rowCache = TrieMap.empty[(String, Long), Long]
 
+  /** Rows of a file set under a footer-open budget: exact sum when the
+    * set fits `cap`, else a rows-per-byte ratio sampled over `cap`
+    * evenly-spaced files and extrapolated over the exact byte total.
+    * Files are (path, mtime, len); `bytes` is the full set's length sum.
+    */
+  private def cappedRows(conf: org.apache.hadoop.conf.Configuration,
+                         files: IndexedSeq[(Path, Long, Long)],
+                         bytes: Long, cap: Int): Long =
+    if (files.length <= cap)
+      files.map(f => fileRows(conf, f._1, f._2)).sum
+    else {
+      val step = files.length.toDouble / cap
+      val sample = (0 until cap).map(i => files((i * step).toInt))
+      val sRows = sample.map(f => fileRows(conf, f._1, f._2)).sum
+      val sBytes = sample.map(_._3).sum
+      if (sBytes <= 0L) 0L
+      else math.round(bytes.toDouble * sRows / sBytes)
+    }
+
   private def fileRows(conf: org.apache.hadoop.conf.Configuration,
                        path: Path, mtime: Long): Long =
     rowCache.getOrElseUpdate((path.toString, mtime), {
@@ -175,19 +194,9 @@ object ScanBytes {
               if (st.isFile && st.getPath.getName.endsWith(".parquet"))
                 files += ((st.getPath, st.getModificationTime, st.getLen))
             }
-            val cap = math.max(1, footerCap)
             val bytes = files.map(_._3).sum
-            val rows =
-              if (files.length <= cap)
-                files.map(f => fileRows(conf, f._1, f._2)).sum
-              else {
-                val step = files.length.toDouble / cap
-                val sample = (0 until cap).map(i => files((i * step).toInt))
-                val sRows = sample.map(f => fileRows(conf, f._1, f._2)).sum
-                val sBytes = sample.map(_._3).sum
-                if (sBytes <= 0L) 0L
-                else math.round(bytes.toDouble * sRows / sBytes)
-              }
+            val rows = cappedRows(conf, files.toIndexedSeq, bytes,
+              math.max(1, footerCap))
             (files.length.toLong, rows, bytes)
           }
         dirCache.putIfAbsent(path, v)
@@ -272,21 +281,9 @@ object ScanBytes {
         val conf = spark.asInstanceOf[classic.SparkSession]
           .sessionState.newHadoopConf()
         val files = relation.location.listFiles(partPreds, Nil).flatMap(_.files)
-        val bytes = files.map(_.getLen).sum
-        val rows =
-          if (files.length <= cap)
-            files.map(f => fileRows(conf, f.getPath, f.getModificationTime)).sum
-          else {
-            // evenly-spaced sample of `cap` footers -> rows/byte,
-            // extrapolated over the exact listing-byte total
-            val step = files.length.toDouble / cap
-            val sample = (0 until cap).map(i => files((i * step).toInt))
-            val sRows = sample.map(f =>
-              fileRows(conf, f.getPath, f.getModificationTime)).sum
-            val sBytes = sample.map(_.getLen).sum
-            if (sBytes <= 0L) 0L
-            else math.round(bytes.toDouble * sRows / sBytes)
-          }
+          .map(f => (f.getPath, f.getModificationTime, f.getLen)).toIndexedSeq
+        val bytes = files.map(_._3).sum
+        val rows = cappedRows(conf, files, bytes, cap)
         val v = (files.length.toLong, rows, bytes)
         prunedCache.putIfAbsent(key, v)
         Some(v)

@@ -16,6 +16,21 @@ object TestSpark {
     s
   }
   val sf = "/root/testdata/sf0.001"
+
+  /** Wait for [[org.apache.spark.sql.graft.ScanBytes.footerReads]] to go
+    * quiet: the query-history listener measures scans ASYNC after any
+    * action, so a spec counting footer opens must not let listener reads
+    * land inside its measurement window.
+    */
+  def quiesceFooterReads(): Unit = {
+    val counter = org.apache.spark.sql.graft.ScanBytes.footerReads
+    var last = counter.get(); var stable = 0
+    while (stable < 3) {
+      Thread.sleep(100)
+      val now = counter.get()
+      if (now == last) stable += 1 else { stable = 0; last = now }
+    }
+  }
 }
 
 class QueriesSpec extends AnyFunSuite {

@@ -201,19 +201,8 @@ class RollupSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.collect {
         case lr: LogicalRelation => lr.relation.asInstanceOf[HadoopFsRelation]
       }.head
-    // the query-history listener measures the artifact WRITE's scans
-    // asynchronously — wait for the counter to go quiet so its footer
-    // reads don't land inside the measurement window
-    def quiesce(): Unit = {
-      var last = sb.footerReads.get(); var stable = 0
-      while (stable < 3) {
-        Thread.sleep(100)
-        val now = sb.footerReads.get()
-        if (now == last) stable += 1 else { stable = 0; last = now }
-      }
-    }
     sb.invalidateDirCosts()
-    quiesce()
+    TestSpark.quiesceFooterReads()
     val before = sb.footerReads.get()
     val (files, rows, bytes) =
       sb.prunedCost(spark, rel, Nil, footerCap = 4).get
@@ -251,7 +240,7 @@ class RollupSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.costRouting.footerCap", "4")
       graft.cube.CubeCatalog.register(cube.copy(rollups = Seq(manyMeta, fine)))
       sb.invalidateDirCosts()
-      quiesce()
+      TestSpark.quiesceFooterReads()
       val capBefore = sb.footerReads.get()
       spark.sql(sql).asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
         .queryExecution.optimizedPlan

@@ -40,17 +40,8 @@ class ScanBytesSpec extends AnyFunSuite {
     if (!new java.io.File(dir, "_SUCCESS").exists())
       Tables.t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
         .repartition(10).write.mode("overwrite").parquet(dir)
-    // wait out the async query-history listener before counting opens
-    def quiesce(): Unit = {
-      var last = ScanBytes.footerReads.get(); var stable = 0
-      while (stable < 3) {
-        Thread.sleep(100)
-        val now = ScanBytes.footerReads.get()
-        if (now == last) stable += 1 else { stable = 0; last = now }
-      }
-    }
     ScanBytes.invalidateDirCosts()
-    quiesce()
+    TestSpark.quiesceFooterReads()
     val before = ScanBytes.footerReads.get()
     val (files, rows, bytes) = ScanBytes.dirCost(spark, dir, footerCap = 3)
     val opens = ScanBytes.footerReads.get() - before
