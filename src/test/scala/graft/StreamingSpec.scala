@@ -244,6 +244,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hopping-window stream aggregates equal the batch hop windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    def at(d: Int, h: Int, m: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-0$d $h%02d:$m%02d:00")
+    val evs = Seq(
+      Event(1, at(1, 10, 5), 1, "view", 2.0),
+      Event(2, at(1, 10, 40), 2, "click", 1.0),
+      Event(3, at(1, 11, 10), 1, "view", 3.0),
+      Event(4, at(1, 11, 45), 3, "view", 1.0),
+      Event(5, at(1, 15, 0), 1, "view", 1.0))
+    val finalize1 = Event(6, at(1, 20, 0), 1, "view", 0.5)
+    val finalize2 = Event(7, at(2, 0, 30), 1, "view", 0.0) // wm -> 22:30
+    def hop(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("cnt"), col("sum_value"))
+    val stream = MemoryStream[Event]
+    val q = hop(stream.toDF().withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName("hopstream")
+      .outputMode("append").start()
+    try {
+      // each batch's events advance the watermark for the NEXT trigger,
+      // finalizing all hop windows of the earlier events
+      stream.addData(evs: _*); q.processAllAvailable()
+      stream.addData(finalize1); q.processAllAvailable()
+      stream.addData(finalize2); q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT ws, event_type, cnt, sum_value FROM hopstream").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      // batch twin over the finalized prefix (finalize2's own windows are
+      // still open on the stream side, so it stays out of the batch input)
+      val want = hop((evs :+ finalize1).toDF()).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got == want, s"stream $got != batch $want")
+      // hop semantics: every event lands in exactly two 1h/30m windows
+      assert(got.toSeq.map(_._3).sum == 2L * (evs.size + 1), got.toString)
+    } finally q.stop()
+  }
+
   test("late events beyond the watermark are dropped; batch re-run backfills them") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
