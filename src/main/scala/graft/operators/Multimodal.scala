@@ -169,12 +169,16 @@ object Multimodal {
       val compression = u32(b, 30)
       require(bpp == 24 && compression == 0,
         s"BMP support is 24-bit uncompressed; got bpp=$bpp comp=$compression")
-      val rowSize = ((bpp * width + 31) / 32) * 4
-      require(width > 0 && height > 0 && dataOff >= 54 &&
-        dataOff.toLong + rowSize.toLong * height <= b.length,
+      // Long arithmetic: a hostile header declaring width ~1.8e8 would
+      // overflow 24*width in Int, yielding a garbage rowSize that slips
+      // past the byte-length bound and walks out of the array later.
+      require(width > 0 && height > 0 && dataOff >= 54,
+        s"malformed BMP header: ${width}x$height@$dataOff")
+      val rowSizeL = ((bpp.toLong * width + 31) / 32) * 4
+      require(dataOff.toLong + rowSizeL * height <= b.length,
         s"malformed BMP: ${width}x$height@$dataOff needs " +
-          s"${dataOff.toLong + rowSize.toLong * height} bytes, have ${b.length}")
-      BmpInfo(dataOff, width, height, rowSize)
+          s"${dataOff.toLong + rowSizeL * height} bytes, have ${b.length}")
+      BmpInfo(dataOff, width, height, rowSizeL.toInt)
     }
 
     private def decodeBmp(blob: MediaBlob): MediaFeatures = {
@@ -265,6 +269,9 @@ object Multimodal {
         }
       }
       require(w > 0 && h > 0, s"malformed Y4M header")
+      // an F0:1 / F10:0 token would otherwise surface as a divide-by-zero
+      // in pts/duration math instead of the contractual clean refusal
+      require(num > 0 && den > 0, s"malformed Y4M frame rate $num:$den")
       val luma = w * h
       val frameSize =
         if (cs.startsWith("mono")) luma

@@ -240,10 +240,22 @@ object Sampling {
           org.apache.spark.sql.types.LongType, nullable = false))
     val gIdx = ranged.schema.fieldIndex(groupCol)
     val tIdx = ranged.schema.fieldIndex("g_tok")
-    val local = ranged
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // Drop to ONE RDD lineage for both the totals job and the serving
+    // job. Two Dataset actions each re-plan and create their own
+    // ShuffleDependency, so the corpus would be scanned and
+    // range-shuffled twice; the DAG scheduler only skips a map stage for
+    // the SAME RDD instance. With a single `.rdd`, the scan + range
+    // exchange run once (in the totals job below) and the serving job
+    // reuses the shuffle files — the only repeated work is the
+    // post-shuffle partition-local sort + fold, not the 100-TB input
+    // read. No corpus-sized persist/localCheckpoint needed, which would
+    // pin input-sized executor storage.
+    val rangedRdd = ranged
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+      .rdd
+    val local = classic.createDataFrame(
+      rangedRdd.mapPartitionsWithIndex { (pid, it) =>
         var cur: Any = null
         var started = false
         var acc = 0L
@@ -254,32 +266,30 @@ object Sampling {
           acc += r.getLong(tIdx)
           out
         }
-      }(org.apache.spark.sql.Encoders.row(outSchema))
-      .toDF()
+      }, outSchema)
     // per-(partition, group) totals -> cross-partition exclusive offsets.
-    // Totals come from `ranged`, NOT from `local`: a plain sum per
-    // (partition, group) needs neither the sort (EliminateSorts drops it
-    // under the aggregate) nor the streaming fold, so the fold runs
-    // exactly once — in the final serving job — instead of twice with no
-    // persist. The range exchange's map stage is shared by both jobs
-    // (shuffle files are reused by the scheduler), so the input is
-    // scanned once and this totals pass is a post-shuffle hash aggregate
-    // over at most #partitions + #groups result rows — no corpus-sized
-    // persist/localCheckpoint needed, which at 100 TB would pin input-
-    // sized executor storage. spark_partition_id() on the same exchange
-    // yields the same pids the fold's TaskContext sees.
-    val totals = ranged
-      .withColumn("g_pid", spark_partition_id())
-      .groupBy(col("g_pid"), col(groupCol))
-      .agg(sum("g_tok").as("g_total"))
-      .collect()
-      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    // Partitions arrive sorted by (group, ord), so totals stream in one
+    // pass with a group-boundary reset — at most #partitions + #groups
+    // rows collect to the driver.
+    val totals = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Long)]
+      var cur: Any = null
+      var started = false
+      var acc = 0L
+      it.foreach { r =>
+        val g = r.get(gIdx)
+        if (!started) { cur = g; started = true }
+        else if (g != cur) { out += ((pid, cur, acc)); cur = g; acc = 0L }
+        acc += r.getLong(tIdx)
+      }
+      if (started) out += ((pid, cur, acc))
+      out.iterator
+    }.collect()
     val offsets = totals.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
       val sorted = rows.sortBy(_._1)
       sorted.map(_._1).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
         .map { case (pid, off) => (pid, g, off) }
     }
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     import classic.implicits._
     val offDf = offsets
       .map { case (pid, g, off) =>

@@ -116,7 +116,7 @@ object CostReport {
             Map.empty[String, RollupRouting.NodePrice]) { (m, p) =>
             m ++ (p.fact +: p.nodes)
               .map(n => CubeCatalog.normalizePath(n.path) -> n)
-          } ++ cubeDecisions.flatMap(p => (p.fact +: p.nodes)
+          } ++ cubeDecisions.reverse.flatMap(p => (p.fact +: p.nodes)
             .filter(n => n.verdict == "chosen" &&
               scanned.contains(CubeCatalog.normalizePath(n.path))))
             .map(n => CubeCatalog.normalizePath(n.path) -> n).toMap

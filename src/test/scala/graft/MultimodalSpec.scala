@@ -205,6 +205,21 @@ class MultimodalSpec extends AnyFunSuite {
       bad(42) = 0xff.toByte; bad(43) = 0xff.toByte // data size = -8
       BuiltinCodec.decode(MediaBlob(6, "audio", bad))
     }
+    intercept[IllegalArgumentException] { // hostile width: 24*width would
+      val bad = Encode.bmpGray(3, 2, 100)  // overflow Int and sneak a tiny
+      val w = 180000000                    // rowSize past the length bound
+      bad(18) = (w & 0xff).toByte; bad(19) = ((w >> 8) & 0xff).toByte
+      bad(20) = ((w >> 16) & 0xff).toByte; bad(21) = ((w >> 24) & 0xff).toByte
+      BuiltinCodec.decode(MediaBlob(7, "image", bad))
+    }
+    intercept[IllegalArgumentException] { // zero frame rate must refuse,
+      BuiltinCodec.decode(MediaBlob(8, "video", // not divide by zero
+        Encode.y4m(2, 2, 10, 0, Seq(30))))
+    }
+    intercept[IllegalArgumentException] {
+      BuiltinCodec.decode(MediaBlob(9, "video",
+        Encode.y4m(2, 2, 0, 1, Seq(30))))
+    }
     // the same partition-local operator plumbing, real codec injected
     val mixed = Seq(
       MediaBlob(1, "image", Encode.bmpGray(5, 3, 64)),
