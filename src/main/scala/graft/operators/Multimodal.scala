@@ -13,10 +13,13 @@ import org.apache.spark.sql.types._
   * Scala analog of `mapInPandas`: one iterator per partition, batch-shaped,
   * no driver involvement, no shuffle). The plumbing — schemas, encoders,
   * partition preservation, flatMap fan-out for frames — is real and tested;
-  * the codec itself is an injectable [[MediaCodec]] whose sandbox default
-  * is a deterministic fake (this environment has no image/audio
-  * libraries), clearly marked in [[StubCodec]]. Swapping in a real decoder
-  * means implementing the two-method trait — no operator changes.
+  * the codec itself is an injectable [[MediaCodec]]. The default is
+  * [[SniffingCodec]]: payloads whose magic bytes name a format
+  * [[BuiltinCodec]] really parses (BMP / RIFF-WAVE / YUV4MPEG2) get a REAL
+  * pure-JVM decode; anything else falls back to the deterministic fake
+  * [[StubCodec]] (this environment has no general image/audio libraries).
+  * Swapping in a full decoder means implementing the two-method trait — no
+  * operator changes.
   */
 object Multimodal {
 
@@ -62,8 +65,9 @@ object Multimodal {
     * Deterministic fake codec: all "decoded" values derive from a 64-bit
     * FNV-1a hash of the payload, so results are stable across runs,
     * partitionings and executors. A real implementation would call an
-    * image/audio library here (and ONLY here). The default [[MediaCodec]]
-    * in this environment (no media libraries are installed).
+    * image/audio library here (and ONLY here). The [[SniffingCodec]]
+    * default's FALLBACK for formats [[BuiltinCodec]] cannot really parse
+    * (no general media libraries are installed in this environment).
     */
   object StubCodec extends MediaCodec {
     def contentHash(bytes: Array[Byte]): Long = {
@@ -119,8 +123,8 @@ object Multimodal {
     *     true presentation timestamps and raw plane bytes.
     *
     * Anything else throws `IllegalArgumentException` — this codec never
-    * fakes a decode ([[StubCodec]] stays the explicit default for
-    * arbitrary payloads in this sandbox).
+    * fakes a decode (the [[SniffingCodec]] default routes non-magic
+    * payloads to [[StubCodec]] instead of here).
     */
   object BuiltinCodec extends MediaCodec {
     private def u16(b: Array[Byte], o: Int): Int =
@@ -142,6 +146,17 @@ object Multimodal {
       b.length >= 44 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE"
     private def isY4m(b: Array[Byte]) =
       b.length >= 10 && ascii(b, 0, 9) == "YUV4MPEG2"
+
+    /** Magic-byte sniff: does this payload CLAIM a format this codec
+      * really decodes? A true answer is a routing decision, not a
+      * validity promise — a payload with a BMP/RIFF/Y4M magic but a
+      * corrupt body still refuses with `IllegalArgumentException`
+      * (claiming a real format buys a real parse, not a silent stub).
+      */
+    def canDecode(b: Array[Byte]): Boolean = isBmp(b) || isWav(b) || isY4m(b)
+
+    /** Frame sampling is Y4M-only (images/audio have no frames). */
+    def canSampleFrames(b: Array[Byte]): Boolean = isY4m(b)
 
     def decode(blob: MediaBlob): MediaFeatures = {
       val b = blob.bytes
@@ -433,6 +448,33 @@ object Multimodal {
     }
   }
 
+  /** The DEFAULT codec: sniffs magic bytes and routes payloads
+    * [[BuiltinCodec]] really decodes (BMP / RIFF-WAVE / YUV4MPEG2) to the
+    * real parser, everything else to `fallback` ([[StubCodec]] here —
+    * this sandbox has no general media libraries). Real decode is the
+    * normal path, the stub is the fallback for unknown formats — and a
+    * payload that CLAIMS a real format but is corrupt refuses cleanly
+    * rather than silently degrading to the stub ([[BuiltinCodec.canDecode]]).
+    * Explicit injection of either codec (or a user's own) still works at
+    * every operator.
+    */
+  final case class SniffingCodec(fallback: MediaCodec = StubCodec)
+      extends MediaCodec {
+    def decode(blob: MediaBlob): MediaFeatures =
+      if (BuiltinCodec.canDecode(blob.bytes)) BuiltinCodec.decode(blob)
+      else fallback.decode(blob)
+    override def sampleFrames(blob: MediaBlob, n: Int): Seq[Frame] =
+      if (BuiltinCodec.canSampleFrames(blob.bytes))
+        BuiltinCodec.sampleFrames(blob, n)
+      else fallback.sampleFrames(blob, n)
+    override def resize(blob: MediaBlob, maxDim: Int): MediaBlob =
+      if (BuiltinCodec.canDecode(blob.bytes)) BuiltinCodec.resize(blob, maxDim)
+      else fallback.resize(blob, maxDim)
+  }
+
+  /** Shared default instance for the operator signatures. */
+  val DefaultCodec: MediaCodec = SniffingCodec()
+
   val blobSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
@@ -441,10 +483,10 @@ object Multimodal {
   /** Decode a blob table into per-blob features. Partition-local: one task
     * per input partition, no shuffle; columnar batch shape is preserved by
     * the Dataset encoder. At 100 TB, decode parallelism == file split count.
-    * The codec is injectable ([[MediaCodec]]); [[StubCodec]] is the sandbox
-    * default.
+    * The codec is injectable ([[MediaCodec]]); [[DefaultCodec]] (the
+    * magic-byte [[SniffingCodec]]) is the default.
     */
-  def decodeFeatures(blobs: DataFrame, codec: MediaCodec = StubCodec)
+  def decodeFeatures(blobs: DataFrame, codec: MediaCodec = DefaultCodec)
                     (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     blobs.select("media_id", "kind", "bytes").as[MediaBlob]
@@ -455,7 +497,7 @@ object Multimodal {
     * filtered out before decode so no work is wasted on them). Codec
     * injectable as in [[decodeFeatures]].
     */
-  def sampleFrames(blobs: DataFrame, n: Int, codec: MediaCodec = StubCodec)
+  def sampleFrames(blobs: DataFrame, n: Int, codec: MediaCodec = DefaultCodec)
                   (implicit spark: SparkSession): Dataset[Frame] = {
     import spark.implicits._
     blobs.filter(col("kind") === "video")
@@ -469,7 +511,7 @@ object Multimodal {
     * parallelism == file split count, no shuffle.
     */
   def resizeBlobs(blobs: DataFrame, maxDim: Int,
-                  codec: MediaCodec = StubCodec)
+                  codec: MediaCodec = DefaultCodec)
                  (implicit spark: SparkSession): Dataset[MediaBlob] = {
     import spark.implicits._
     blobs.select("media_id", "kind", "bytes").as[MediaBlob]

@@ -234,4 +234,47 @@ class MultimodalSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(mixed, 2, BuiltinCodec).collect()
     assert(frames.length == 2 && frames.forall(_.media_id == 3))
   }
+
+  test("SniffingCodec default: real formats really decode, alien payloads stub, corrupt magic refuses") {
+    import Multimodal.{BuiltinCodec, DefaultCodec, Encode, MediaBlob, StubCodec}
+    import spark.implicits._
+    val alien = "definitely not media bytes".getBytes
+    val mixed = Seq(
+      MediaBlob(1, "image", Encode.bmpGray(5, 3, 64)),
+      MediaBlob(2, "audio", Encode.wavPcm16(16000, 1, 1600, 100)),
+      MediaBlob(3, "video", Encode.y4m(2, 2, 25, 1, Seq(30, 60))),
+      MediaBlob(4, "image", alien)).toDS().toDF()
+    // DEFAULT codec (no injection): magic-byte payloads hit the REAL parser
+    val feats = Multimodal.decodeFeatures(mixed)(spark)
+      .collect().sortBy(_.media_id)
+    assert(feats(0).width == 5 && feats(0).height == 3) // real BMP header
+    assert(feats(1).sampleRate == 16000 && feats(1).durationMs == 100L)
+    assert(feats(2).durationMs == 80L) // 2 frames @ 25fps, really counted
+    // ...and the alien payload gets exactly StubCodec's deterministic fake
+    val stub = StubCodec.decode(MediaBlob(4, "image", alien))
+    assert(feats(3).width == stub.width && feats(3).height == stub.height &&
+      feats(3).embedding.sameElements(stub.embedding))
+    // default frame sampling: real Y4M frames for video, stub for non-Y4M
+    val frames = Multimodal.sampleFrames(mixed, 2)(spark).collect()
+    assert(frames.count(_.media_id == 3) == 2 &&
+      frames.filter(_.media_id == 3).forall(_.width == 2))
+    // default resize really downscales the BMP, passes the alien through
+    val resized = Multimodal.resizeBlobs(mixed, maxDim = 3)(spark)
+      .collect().sortBy(_.media_id)
+    assert(BuiltinCodec.decode(resized(0)).width == 3)
+    assert(resized(3).bytes.sameElements(alien))
+    // a payload CLAIMING a real format but corrupt refuses, never stubs
+    intercept[org.apache.spark.SparkException] {
+      val lying = Seq(MediaBlob(9, "image",
+        java.util.Arrays.copyOfRange(Encode.bmpGray(3, 2, 100), 0, 60)))
+        .toDS().toDF()
+      Multimodal.decodeFeatures(lying)(spark).collect()
+    }
+    // sniff predicates are exposed and honest
+    assert(BuiltinCodec.canDecode(Encode.bmpGray(1, 1, 0)) &&
+      !BuiltinCodec.canDecode(alien) &&
+      BuiltinCodec.canSampleFrames(Encode.y4m(2, 2, 1, 1, Seq(0))) &&
+      !BuiltinCodec.canSampleFrames(Encode.bmpGray(1, 1, 0)))
+    assert(DefaultCodec.isInstanceOf[Multimodal.SniffingCodec])
+  }
 }
