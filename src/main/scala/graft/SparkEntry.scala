@@ -2142,6 +2142,12 @@ object SparkEntry {
             exact = true, topK = 3)
           .orderBy("col_name")
       },
+      // join-key skew profile: top keys + row share from ONE input pass
+      // (total = sum of the per-key counts over the reused exchange)
+      "q_skew_profile" -> { (s, dir) =>
+        graft.operators.Skew.keySkewProfile(
+          Tables.t(s, dir, "lineitem"), col("l_suppkey"), n = 10)
+      },
       // context-window chunking: generator + array slice, zero shuffle
       "q_doc_chunks" -> { (s, dir) =>
         Corpus.chunk(Tables.t(s, dir, "documents")
@@ -2274,6 +2280,14 @@ object SparkEntry {
         (Profile.profileSql("lineitem",
           Seq("l_returnflag", "l_suppkey", "l_linenumber"), topK = 3) +
           "\nORDER BY col_name"),
+      // share = long/long-count double division: identical IEEE operands in
+      // both engines, so the hash compare is exact
+      "q_skew_profile" ->
+        """SELECT l_suppkey AS key, count(*) AS "rows",
+          |  CAST(count(*) AS DOUBLE) /
+          |    (SELECT CAST(count(*) AS DOUBLE) FROM lineitem) AS share
+          |FROM lineitem GROUP BY 1
+          |ORDER BY "rows" DESC, key LIMIT 10""".stripMargin,
       "q_text_stats" ->
         """SELECT doc_id,
           |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,

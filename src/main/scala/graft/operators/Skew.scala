@@ -40,13 +40,25 @@ object Skew {
   /** Frequency profile of a join key: the top-`n` heaviest keys and the
     * share of rows they cover — the measurement that decides whether
     * salting (and which salt factor) is warranted.
+    *
+    * Single input pass: the grand total is the SUM of the per-key counts,
+    * so both consumers — the top-n branch and the total branch — sit on
+    * the IDENTICAL groupBy subtree and ReuseExchange dedupes its shuffle
+    * within the one plan (a separate `df.count()` would re-scan the
+    * input — two jobs over 100 TB for a diagnostic; a `sum() OVER ()`
+    * window would funnel every distinct key through one task). The total
+    * branch only re-reads the shuffled per-key counts (#keys rows) and
+    * joins back as a broadcast scalar.
     */
   def keySkewProfile(df: DataFrame, key: Column, n: Int = 10): DataFrame = {
-    val total = df.count().toDouble
-    df.groupBy(key.as("key"))
-      .agg(count(lit(1)).as("rows"))
-      .orderBy(col("rows").desc)
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("rows"))
+    val total = counts.agg(sum("rows").cast("double").as("g_total"))
+    counts
+      // key tiebreak: deterministic top-n membership under count ties
+      .orderBy(col("rows").desc, col("key"))
       .limit(n)
-      .withColumn("share", col("rows") / total)
+      .crossJoin(broadcast(total))
+      .withColumn("share", col("rows") / col("g_total"))
+      .drop("g_total")
   }
 }

@@ -25,9 +25,22 @@ class SkewAndConfSpec extends AnyFunSuite {
       .select("k", "v", "name").collect().map(_.toString).sorted.toSeq
     assert(salted == plain)
 
-    val profile = Skew.keySkewProfile(large, col("k")).collect()
+    val profileDf = Skew.keySkewProfile(large, col("k"))
+    val profile = profileDf.collect()
     assert(profile.head.getInt(0) == 7)
     assert(profile.head.getDouble(2) > 0.8)
+    // single input pass: the grand total comes from the SAME rollup
+    // aggregation as the per-key counts (reused exchange), not a second
+    // df.count() scan
+    val executed = profileDf
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") ||
+      executed.contains("ReusedQueryStage") ||
+      executed.contains("TableCacheQueryStage"),
+      s"expected the rollup exchange to be reused, got:\n$executed")
+    // shares are over ALL rows (the rollup total), not just the top-n
+    assert(profile.map(_.getDouble(2)).sum <= 1.0 + 1e-9)
   }
 
   private def scansCube(df: org.apache.spark.sql.DataFrame): Boolean =
