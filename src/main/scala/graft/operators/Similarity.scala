@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -267,6 +267,24 @@ object Similarity {
                    query: Seq[Float], k: Int, centroids: Seq[Seq[Double]],
                    nprobe: Int): DataFrame =
     probeTopK(store, idCol, vecCol, query, k, centroids, nprobe)
+
+  /** [[ivfStoreTopK]] against the store PATH, materialized under the
+    * artifact's swap READ lock: listing, scan and collect all see ONE
+    * directory generation, so a probe racing [[ivfCompact]]'s rename
+    * window returns either the pre- or the post-compaction store (which
+    * are row-identical by the compaction contract) — never a mid-rename
+    * miss or a half-old/half-new listing. This is the serve entry point
+    * for a store under live maintenance; [[ivfStoreTopK]] on an
+    * already-loaded frame stays the plain path.
+    */
+  def ivfStoreProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+                    idCol: String, vecCol: String, query: Seq[Float],
+                    k: Int, centroids: Seq[Seq[Double]],
+                    nprobe: Int): Array[Row] =
+    Artifacts.readLocked(path) {
+      ivfStoreTopK(spark.read.parquet(path), idCol, vecCol, query, k,
+        centroids, nprobe).collect()
+    }
 
   /** Batched k-NN join: for every row of `queries`, its top-k neighbors in
     * `corpus` among candidates sharing an LSH band (random-hyperplane

@@ -409,6 +409,61 @@ class PipelineOpsSpec extends AnyFunSuite {
       "ingested vectors must stay probeable after compaction")
   }
 
+  test("IVF probe racing compaction swaps sees whole generations, never a torn listing") {
+    import graft.operators.Similarity
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val embs = Tables.t(spark, sf, "embeddings")
+    val cents = Similarity.trainKmeansCentroids(embs, "embedding", k = 8, iters = 2)
+    val q = embs.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val path = "/root/repo/target/indexes/ivf_swap_race_spec_v1"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cents, path)
+    val newRow = Seq((999999L, q)).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0)).select("vec_id", "embedding", "label")
+    Similarity.withIvfKmeansBucket(newRow, "embedding", cents)
+      .write.mode("append").partitionBy("g_ivf_bucket").parquet(path)
+    val expected = Similarity.ivfStoreProbe(spark, path, "vec_id",
+      "embedding", q, k = 5, cents, nprobe = 2).map(_.toSeq).toSeq
+    // background maintenance: repeated compaction swaps (each is a
+    // rename-aside + promote window) while the foreground probes
+    val compactErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val swaps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val compactor = new Thread(() => {
+      try {
+        for (_ <- 0 until 4) { Similarity.ivfCompact(spark, path); swaps.incrementAndGet() }
+      } catch { case t: Throwable => compactErr.set(t) }
+    })
+    compactor.start()
+    // every probe under the read lock must return the SAME rows
+    // (compaction is row-identical): a mid-rename miss would throw, a
+    // torn half-old/half-new listing would drop or duplicate rows
+    var probes = 0
+    while (compactor.isAlive && probes < 200) {
+      val got = Similarity.ivfStoreProbe(spark, path, "vec_id",
+        "embedding", q, k = 5, cents, nprobe = 2).map(_.toSeq).toSeq
+      assert(got == expected, s"probe $probes diverged mid-swap:\n$got\n$expected")
+      probes += 1
+    }
+    compactor.join()
+    assert(compactErr.get() == null, s"compactor failed: ${compactErr.get()}")
+    assert(swaps.get() == 4 && probes > 0)
+    // listing-cache invalidation: a FRESH read (no lock needed, swaps
+    // done) sees the compacted generation — one file per bucket
+    val filesPerBucket = new java.io.File(path).listFiles
+      .filter(d => d.isDirectory && d.getName.startsWith("g_ivf_bucket="))
+      .map(d => d.listFiles.count(_.getName.endsWith(".parquet")))
+    assert(filesPerBucket.forall(_ == 1), filesPerBucket.mkString(","))
+    val fresh = Similarity.ivfStoreTopK(spark.read.parquet(path),
+      "vec_id", "embedding", q, k = 5, cents, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(fresh == expected)
+  }
+
   test("native simhashPoly31 + chainFingerprintPoly equal their composed chains") {
     import graft.functions.TextFunctions
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
