@@ -33,11 +33,18 @@ object SparkEntry {
 
   private def engine(s: SparkSession, dir: String): Unit =
     engineReady.getOrElseUpdate((s, dir), {
+      // one-time session warm-up (temp-view schema reads + cube/rollup
+      // ensure): recorded in query history as build:engine-warmup so the
+      // first query's extra wall time is attributable, not an outlier
+      val t0 = System.nanoTime()
       Graft.install(s)
       for (t <- Tables.starTables ++ Seq("documents", "embeddings"))
         Tables.t(s, dir, t).createOrReplaceTempView(t)
       TpchCube.ensure(s, dir)
       graft.cube.RollupCube.ensure(s, dir)
+      graft.plans.QueryHistory.recordBuild("engine-warmup",
+        (System.nanoTime() - t0) / 1000000L,
+        s"temp views + cube/rollup ensure for $dir")
       true
     })
 

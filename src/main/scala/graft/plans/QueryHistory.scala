@@ -63,6 +63,16 @@ object QueryHistory {
     if (ring.size > maxEntries) { ring.removeHead(); () }
   }
 
+  /** Record a one-time BUILD cost (session warm-up, artifact
+    * materialization, first-touch index training) as a first-class
+    * history row — `served = "build:<what>"` — so a session's slow first
+    * query is attributable in `graft_query_history` instead of reading as
+    * an unexplained outlier. `detail` lands in the planHead column.
+    */
+  def recordBuild(what: String, durationMs: Long, detail: String): Unit =
+    record(Entry(nextId.incrementAndGet(), System.currentTimeMillis(),
+      "build", s"build:$what", durationMs, detail))
+
   def snapshot: Seq[Entry] = ring.synchronized(ring.toSeq)
 
   def clear(): Unit = ring.synchronized { ring.clear() }

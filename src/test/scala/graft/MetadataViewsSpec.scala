@@ -127,6 +127,33 @@ class MetadataViewsSpec extends AnyFunSuite {
       viewIo > 0, s"view scan_rows $viewIo")
   }
 
+  test("one-time session warm-up records in history as build:engine-warmup") {
+    init
+    val before = graft.plans.QueryHistory.snapshot.map(_.id).maxOption.getOrElse(0L)
+    // first touch of a NEW sf dir pays the warm-up (temp views +
+    // cube/rollup ensure) exactly once — and the history row explains it
+    graft.SparkEntry.queries("q02_basic_agg")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val fresh = graft.plans.QueryHistory.snapshot.filter(_.id > before)
+    val build = fresh.filter(_.served == "build:engine-warmup")
+    assert(build.size == 1, s"expected one build row, got ${fresh.map(_.served)}")
+    assert(build.head.durationMs >= 0 &&
+      build.head.planHead.contains("sf0.001"))
+    // second query on the same dir pays nothing and records no build row
+    val before2 = graft.plans.QueryHistory.snapshot.map(_.id).max
+    graft.SparkEntry.queries("q02_basic_agg")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(!graft.plans.QueryHistory.snapshot.filter(_.id > before2)
+      .exists(_.served.startsWith("build:")))
+    // the row is queryable through the metadata view like any other
+    Graft.registerMetadataViews(spark)
+    val n = spark.sql(
+      """SELECT count(*) FROM graft_query_history
+        |WHERE served = 'build:engine-warmup'""".stripMargin)
+      .collect().head.getLong(0)
+    assert(n >= 1)
+  }
+
   test("materialized pipeline artifacts classify in history as artifact:<kind>") {
     init
     import org.apache.spark.sql.functions.col
