@@ -2155,6 +2155,42 @@ object SparkEntry {
         graft.operators.Skew.keySkewProfile(
           Tables.t(s, dir, "lineitem"), col("l_suppkey"), n = 10)
       },
+      // salted join: salt only REROUTES rows (large side picks one salt,
+      // small side replicates across all), so the joined row set — and
+      // this aggregate — is bit-identical to the plain equi-join the
+      // oracle states
+      "q_salted_join" -> { (s, dir) =>
+        val supp = Tables.t(s, dir, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        graft.operators.Skew.saltedJoin(
+            Tables.t(s, dir, "lineitem")
+              .select("l_suppkey", "l_extendedprice"),
+            supp, "l_suppkey", salt = 8)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_items"),
+            Tables.dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy("s_nationkey")
+      },
+      // co-bucketed fact-to-fact join: both sides laid out bucketBy(orderkey)
+      // once (content-keyed table names — idempotent per testdata
+      // generation), then the join plans with zero ShuffleExchange; rows
+      // identical to the plain shuffling join the oracle states
+      "q_bucketed_join" -> { (s, dir) =>
+        import graft.operators.Bucketing
+        val tag = s"${new java.io.File(dir).getName.replace(".", "_")}_" +
+          Tables.contentTag(dir)
+        val li = Bucketing.ensureBucketed(s,
+          Tables.t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+          s"g_bkt_li_$tag", "l_orderkey", buckets = 16)
+        val ord = Bucketing.ensureBucketed(s,
+          Tables.t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          s"g_bkt_ord_$tag", "o_orderkey", buckets = 16)
+        Bucketing.cobucketedJoin(li, "l_orderkey", ord, "o_orderkey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            Tables.dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
       // context-window chunking: generator + array slice, zero shuffle
       "q_doc_chunks" -> { (s, dir) =>
         Corpus.chunk(Tables.t(s, dir, "documents")
@@ -2295,6 +2331,18 @@ object SparkEntry {
           |    (SELECT CAST(count(*) AS DOUBLE) FROM lineitem) AS share
           |FROM lineitem GROUP BY 1
           |ORDER BY "rows" DESC, key LIMIT 10""".stripMargin,
+      // salting only reroutes rows; the aggregate equals the plain join's
+      "q_salted_join" ->
+        s"""SELECT s_nationkey, count(*) AS n_items,
+           |  ${Tables.dsumSql("l_extendedprice")} AS revenue
+           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // bucketed layout changes the PLAN (zero-shuffle SMJ), never the rows
+      "q_bucketed_join" ->
+        s"""SELECT o_orderpriority, count(*) AS n_items,
+           |  ${Tables.dsumSql("l_extendedprice")} AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q_text_stats" ->
         """SELECT doc_id,
           |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
