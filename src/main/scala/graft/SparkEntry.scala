@@ -2158,10 +2158,13 @@ object SparkEntry {
       // salted join: salt only REROUTES rows (large side picks one salt,
       // small side replicates across all), so the joined row set — and
       // this aggregate — is bit-identical to the plain equi-join the
-      // oracle states
+      // oracle states. The merge hint forces the shuffling sort-merge
+      // path salting exists for (a broadcast join has no skewed shuffle
+      // to spread — and would make this gate vacuous)
       "q_salted_join" -> { (s, dir) =>
         val supp = Tables.t(s, dir, "supplier")
           .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+          .hint("merge")
         graft.operators.Skew.saltedJoin(
             Tables.t(s, dir, "lineitem")
               .select("l_suppkey", "l_extendedprice"),

@@ -43,6 +43,29 @@ class SkewAndConfSpec extends AnyFunSuite {
     assert(profile.map(_.getDouble(2)).sum <= 1.0 + 1e-9)
   }
 
+  test("merge-hinted salted join shuffles BOTH sides on (key, salt)") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val large = (1 to 5000).map(i => (if (i % 10 == 0) i % 5 else 7, i))
+      .toDF("k", "v")
+    val small = (0 to 9).map(k => (k, s"dim_$k")).toDF("k", "name")
+    // the q_salted_join gate's discipline: hint the small side so the
+    // join takes the shuffling sort-merge path salting exists for — a
+    // broadcast join has no skewed shuffle to spread and the hot key 7
+    // would land on ONE reducer anyway
+    val df = Skew.saltedJoin(large, small.hint("merge"), "k", salt = 8)
+    // treeString, not collect: AQE wraps the plan and collect() does not
+    // descend into AdaptiveSparkPlanExec's inner plan
+    val executed = df
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(executed.contains("SortMergeJoin") &&
+      "SortMergeJoin \\[k#\\d+L?, g_salt#\\d+".r.findFirstIn(executed).isDefined,
+      s"expected a SortMergeJoin keyed on (k, g_salt):\n$executed")
+    assert(!executed.toLowerCase.contains("broadcasthashjoin"),
+      "the hinted salted join must not broadcast")
+  }
+
   private def scansCube(df: org.apache.spark.sql.DataFrame): Boolean =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.optimizedPlan.exists {
