@@ -40,6 +40,13 @@ object Bucketing {
         .mode("overwrite")
         .saveAsTable(table)
     }
+    // layout artifact like the IVF store / pair index: scans of the
+    // bucketed table classify `artifact:bucketed` in query history, not
+    // `raw` (the layout is engine-materialized state, not source data)
+    graft.plans.QueryHistory.registerArtifact("bucketed",
+      new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+        table.toLowerCase).getAbsolutePath)
     spark.table(table)
   }
 

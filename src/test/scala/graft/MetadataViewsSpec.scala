@@ -184,4 +184,19 @@ class MetadataViewsSpec extends AnyFunSuite {
     assert(arts.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0 &&
       r.getLong(3) > 0), arts.mkString("; "))
   }
+
+  test("bucketed layout tables classify in history as artifact:bucketed") {
+    init
+    val bkt = graft.operators.Bucketing.ensureBucketed(spark,
+      Tables.t(spark, sf, "supplier").select("s_suppkey", "s_nationkey"),
+      "g_bkt_history_spec", "s_suppkey", buckets = 4)
+    val before = graft.plans.QueryHistory.snapshot.map(_.id).maxOption.getOrElse(0L)
+    bkt.groupBy("s_nationkey").count().collect()
+    val deadline = System.currentTimeMillis() + 10000
+    def fresh = graft.plans.QueryHistory.snapshot.filter(_.id > before)
+    while (!fresh.exists(_.served == "artifact:bucketed") &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(fresh.exists(_.served == "artifact:bucketed"),
+      s"expected an artifact:bucketed entry, got ${fresh.map(_.served).distinct}")
+  }
 }
