@@ -286,6 +286,62 @@ object Similarity {
         centroids, nprobe).collect()
     }
 
+  /** Per-row probed-bucket array: indices of the `nprobe` nearest
+    * centroids (squared-L2, index tiebreak) — [[probedBuckets]] as a
+    * distributed projection, so a BATCH of queries needs no per-query
+    * driver arithmetic.
+    */
+  def probedBucketsCol(vec: Column, centroids: Seq[Seq[Double]],
+                       nprobe: Int): Column = {
+    require(nprobe >= 1 && centroids.nonEmpty)
+    graft.functions.TextFunctions.let1(
+      transform(typedLit(centroids), c => sqDist(vec, c))) { ds =>
+      slice(transform(array_sort(zip_with(ds,
+        sequence(lit(0), lit(centroids.size - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))),
+        s => s.getField("i")), 1, nprobe)
+    }
+  }
+
+  /** Batched probe of the materialized IVF store: top-k neighbors for
+    * EVERY query row — the serve path a production reader actually runs
+    * (rerank pipelines, dedup candidates, eval sets probe in batches,
+    * not one literal at a time). Mechanics:
+    *
+    *  1. each query row gets its `nprobe` probed buckets as a projected
+    *     array ([[probedBucketsCol]]) and explodes to (qid, qvec, bucket);
+    *  2. the UNION of probed buckets (bounded by `centroids.size`, never
+    *     by |queries|) collects to the driver and statically prunes the
+    *     store's bucket directories — the same `PartitionFilters` route
+    *     as the single-query probe, over the union;
+    *  3. candidates come from a bucket equi-join — a store row lives in
+    *     exactly ONE bucket, so no (query, row) pair can duplicate;
+    *  4. exact cosine + a per-query top-k window (id tiebreak).
+    *
+    * Candidate volume is the true IVF batch cost: sum over buckets of
+    * |queries probing b| × |store rows in b| — never |queries| × |store|.
+    * Output: (q_id, idCol, cosine), top-k rows per query.
+    */
+  def ivfStoreTopKBatch(store: DataFrame, idCol: String, vecCol: String,
+                        queries: DataFrame, qIdCol: String, qVecCol: String,
+                        k: Int, centroids: Seq[Seq[Double]],
+                        nprobe: Int): DataFrame = {
+    val probed = queries.select(col(qIdCol).as("g_qid"),
+      col(qVecCol).as("g_qvec"),
+      explode(probedBucketsCol(col(qVecCol), centroids, nprobe))
+        .as("g_ivf_bucket"))
+    val buckets = probed.select("g_ivf_bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ centroids.size rows, ever
+    store
+      .filter(col("g_ivf_bucket").isin(buckets.map(x => x: Any): _*))
+      .join(probed, "g_ivf_bucket")
+      .select(col("g_qid").as("q_id"), col(idCol),
+        cosine(col(vecCol), col("g_qvec")).as("cosine"))
+      .withColumn("g_rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("g_rn") <= k).drop("g_rn")
+  }
+
   /** Batched k-NN join: for every row of `queries`, its top-k neighbors in
     * `corpus` among candidates sharing an LSH band (random-hyperplane
     * signature banded like MinHash-LSH). Output:

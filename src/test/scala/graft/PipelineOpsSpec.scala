@@ -338,6 +338,39 @@ class PipelineOpsSpec extends AnyFunSuite {
         .contains("g_ivf_bucket"), plan.take(800))
   }
 
+  test("batched IVF store probe equals a per-query loop of single probes") {
+    import graft.operators.Similarity
+    val embs = Tables.t(spark, sf, "embeddings")
+    val cents = Similarity.trainKmeansCentroids(embs, "embedding", k = 8, iters = 2)
+    val store = Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
+      cents, "/root/repo/target/indexes/ivf_spec_k8_v1")
+    val batch = Similarity.ivfStoreTopKBatch(store, "vec_id", "embedding",
+        embs.filter(col("vec_id") < 6), "vec_id", "embedding",
+        k = 4, cents, nprobe = 2)
+      .orderBy("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val looped = (0L until 6L).flatMap { qid =>
+      val q = embs.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.ivfStoreTopK(store, "vec_id", "embedding", q,
+          k = 4, cents, nprobe = 2).collect()
+        .map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.sortBy(t => (t._1, t._2))
+    assert(batch == looped,
+      s"batch/single divergence:\n$batch\nvs\n$looped")
+    // the union of probed buckets reaches the store scan as a PARTITION
+    // filter, exactly like the single-query probe
+    val plan = Similarity.ivfStoreTopKBatch(store, "vec_id", "embedding",
+        embs.filter(col("vec_id") < 6), "vec_id", "embedding",
+        k = 4, cents, nprobe = 2)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    // two scans in this plan (store + query batch) — assert the STORE
+    // scan's PartitionFilters carries the bucket predicate
+    assert("PartitionFilters: \\[[^\\]]*g_ivf_bucket".r
+      .findFirstIn(plan).isDefined, plan.take(2000))
+  }
+
   test("IVF store ingest: appended vectors serve through the same probe") {
     import graft.operators.Similarity
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
