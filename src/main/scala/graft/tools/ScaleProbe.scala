@@ -94,7 +94,7 @@ object ScaleProbe {
     entryTarget("q_decontaminate"), entryTarget("q_dedup_ngram"),
     // ANN
     entryTarget("q_knn_join"), entryTarget("q_ann_store"),
-    annStorePostCompact,
+    entryTarget("q_ann_store_batch"), annStorePostCompact,
     // events
     entryTarget("q_events_funnel"), entryTarget("q_events_retention"),
     // streaming span ingest
