@@ -371,6 +371,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       .findFirstIn(plan).isDefined, plan.take(2000))
   }
 
+  test("probedBucketsCol equals the driver-side probedBuckets, every nprobe") {
+    import graft.operators.Similarity
+    val embs = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 32)
+    val cents = Similarity.trainKmeansCentroids(embs, "embedding", k = 8, iters = 2)
+    for (nprobe <- Seq(1, 3, 8)) {
+      val dist = embs.select(col("vec_id"),
+          Similarity.probedBucketsCol(col("embedding"), cents, nprobe)
+            .as("probed"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      embs.select("vec_id", "embedding").collect().foreach { r =>
+        val want = Similarity.probedBuckets(
+          r.getSeq[Float](1), cents, nprobe)
+        assert(dist(r.getLong(0)) == want,
+          s"vec ${r.getLong(0)} nprobe=$nprobe: ${dist(r.getLong(0))} != $want")
+      }
+    }
+  }
+
   test("IVF store ingest: appended vectors serve through the same probe") {
     import graft.operators.Similarity
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
