@@ -19,9 +19,14 @@ object Artifacts {
   private val swapLocks = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.locks.ReentrantReadWriteLock]()
 
+  // normalize() resolves "." and ".." so two spellings of one directory
+  // share one lock (getAbsolutePath would leave "a/../a" distinct);
+  // symlinked spellings are out of scope — artifacts live under
+  // target/indexes and are addressed by their literal build path
   private def lockFor(destDir: String) =
     swapLocks.computeIfAbsent(
-      new java.io.File(destDir.stripSuffix("/")).getAbsolutePath,
+      java.nio.file.Paths.get(destDir.stripSuffix("/"))
+        .toAbsolutePath.normalize().toString,
       _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
 
   /** Run `f` (listing + read + materialize) against one consistent

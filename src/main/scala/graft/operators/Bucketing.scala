@@ -42,11 +42,13 @@ object Bucketing {
     }
     // layout artifact like the IVF store / pair index: scans of the
     // bucketed table classify `artifact:bucketed` in query history, not
-    // `raw` (the layout is engine-materialized state, not source data)
+    // `raw` (the layout is engine-materialized state, not source data).
+    // Location comes from the CATALOG, which is correct in any database
+    // (<warehouse>/<db>.db/<table>), not just default's flat layout
     graft.plans.QueryHistory.registerArtifact("bucketed",
-      new java.io.File(
-        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
-        table.toLowerCase).getAbsolutePath)
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location.toString)
     spark.table(table)
   }
 

@@ -140,8 +140,15 @@ object Multimodal {
       counts.map(c => if (total == 0) 0f else (c / total).toFloat)
     }
 
+    // STRUCTURAL check, not just the 2-char magic: arbitrary text starting
+    // with "BM" (a sentence about BMWs) must never sniff as BMP — the
+    // reserved words (6..9) are always zero and the DIB header size (14..17)
+    // is 40 in every BITMAPINFOHEADER file, and normal text contains no NUL
+    // runs, so the false-positive path is closed while truncated/corrupt
+    // REAL headers still route here and refuse in parse (never stub).
     private def isBmp(b: Array[Byte]) =
-      b.length >= 54 && b(0) == 'B' && b(1) == 'M'
+      b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
+        u32(b, 6) == 0L && u32(b, 14) == 40L
     private def isWav(b: Array[Byte]) =
       b.length >= 44 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE"
     private def isY4m(b: Array[Byte]) =

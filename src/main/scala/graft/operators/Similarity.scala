@@ -326,10 +326,15 @@ object Similarity {
                         queries: DataFrame, qIdCol: String, qVecCol: String,
                         k: Int, centroids: Seq[Seq[Double]],
                         nprobe: Int): DataFrame = {
+    // persisted so the batch is scanned and centroid-projected ONCE: the
+    // bucket-union collect below materializes the cache and the serving
+    // join reads it back — footprint is |queries|×nprobe rows (bounded by
+    // the batch, never the corpus; LRU-evictable)
     val probed = queries.select(col(qIdCol).as("g_qid"),
       col(qVecCol).as("g_qvec"),
       explode(probedBucketsCol(col(qVecCol), centroids, nprobe))
         .as("g_ivf_bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = probed.select("g_ivf_bucket").distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ centroids.size rows, ever
     store

@@ -60,5 +60,8 @@ object Skew {
       .crossJoin(broadcast(total))
       .withColumn("share", col("rows") / col("g_total"))
       .drop("g_total")
+      // row order is not guaranteed THROUGH a join — re-assert the
+      // heaviest-first contract on the n surviving rows (trivial sort)
+      .orderBy(col("rows").desc, col("key"))
   }
 }

@@ -39,10 +39,8 @@ object ScaleProbe {
   })
 
   private def rmRf(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(path))
+    val f = new java.io.File(path)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
   }
 
   /** IVF store serve after the full maintenance cycle (build → streamed

@@ -91,10 +91,14 @@ class MetadataViewsSpec extends AnyFunSuite {
     // QueryExecutionListener delivery is async on the listener bus — poll
     val deadline = System.currentTimeMillis() + 10000
     def entries = graft.plans.QueryHistory.snapshot
-    while (!entries.exists(_.served != "raw") &&
-      System.currentTimeMillis() < deadline) Thread.sleep(50)
-    assert(entries.exists(e => e.served.startsWith("rollup:") ||
-      e.served.startsWith("cube:")),
+    // poll for the ASSERTED predicate, not any-non-raw: under a different
+    // suite order the ring already holds artifact:* entries from earlier
+    // specs, which would satisfy a weaker poll before this query's async
+    // entry lands
+    def served = entries.exists(e => e.served.startsWith("rollup:") ||
+      e.served.startsWith("cube:"))
+    while (!served && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(served,
       s"no cube/rollup-served entry in ${entries.map(_.served).distinct}")
     assert(entries.forall(_.durationMs >= 0))
     // the snapshot view joins like any relation
