@@ -121,7 +121,7 @@ object RowGroupProbe {
       slice("time_prefix_read",
         df => df.where(col("o_orderdate") <
           lit(dateCut).cast(df.schema("o_orderdate").dataType)),
-        s"$dir/time_sorted"))
+        s"$dir/time_sorted")) :+ engineRouteScenario(spark, sfDir, dir, blockKiB)
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       s"""{"sfDir":"$sfDir","block_kib":$blockKiB,"row_groups_per_file":$groups,"total_rows":$total,
@@ -133,6 +133,83 @@ object RowGroupProbe {
          |""".stripMargin)
     println(s"[rowgroup] $groups row groups/file; wrote $outPath")
     spark.stop()
+  }
+
+  /** The verdict-grade scenario: the ENGINE'S OWN routed Q3 plan over a
+    * multi-row-group cube. The real cube is rebuilt twice at the small
+    * block size — once with TpchCube.ensure's declared clusterDims sort,
+    * once unsorted — each copy is registered as the serving cube, and the
+    * stock TPC-H Q3 SQL runs through the full rewrite stack (star collapse
+    * → cube scan with the `c_mktsegment` residual + time-bucket pruning;
+    * rollup routing disabled so the CUBE leaf layout is what's measured).
+    * recordsRead(unclustered) / recordsRead(clustered) is the row-group
+    * skip the declared clustering buys the production plan itself, not a
+    * hand-written scan. Both routes must return identical rows.
+    */
+  private def engineRouteScenario(spark: SparkSession, sfDir: String,
+                                  dir: String, blockKiB: Int): String = {
+    graft.Graft.install(spark)
+    for (t <- graft.Tables.starTables)
+      graft.Tables.t(spark, sfDir, t).createOrReplaceTempView(t)
+    val cube = graft.cube.TpchCube.ensure(spark, sfDir)
+    spark.conf.set("spark.graft.rollupRouting.enabled", "false")
+
+    def rebuild(dst: String, clustered: Boolean): Unit = {
+      val base = spark.read.parquet(cube.cubePath).repartition(col("g_tbucket"))
+      val laid = if (clustered)
+        base.sortWithinPartitions(
+          ("g_tbucket" +: graft.cube.TpchCube.info.clusterDims).map(col): _*)
+      else
+        // a bare repartition PRESERVES the source cube's sorted runs per
+        // bucket (min/max stats would still discriminate) — scramble by a
+        // hash so every row group really spans every segment
+        base.sortWithinPartitions(col("g_tbucket"), xxhash64(col("l_orderkey")))
+      laid.write.mode("overwrite")
+        .option("parquet.block.size", blockKiB * 1024)
+        .option("parquet.page.size", 8 * 1024)
+        .partitionBy("g_tbucket").parquet(dst)
+    }
+    val cDir = s"$dir/cube_clustered"
+    val uDir = s"$dir/cube_unclustered"
+    rebuild(cDir, clustered = true)
+    rebuild(uDir, clustered = false)
+
+    def routed(path: String): (Long, Seq[String]) = {
+      graft.cube.CubeCatalog.register(
+        cube.copy(cubePath = path, rollups = Nil))
+      graft.cube.CubeCatalog.invalidatePlan(cube.cubePath)
+      graft.cube.CubeCatalog.invalidatePlan(path)
+      org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+      val df = spark.sql(graft.SparkEntry.StarQueries.q03_shipping_priority)
+      // root-path check, not treeString matching: InMemoryFileIndex
+      // truncates long paths when the plan prints
+      val scanned = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+        }.flatten
+      require(scanned.exists(_.endsWith(new java.io.File(path).getName)),
+        s"Q3 did not route to $path, scans: $scanned")
+      val result = df.collect().map(_.toString).toSeq
+      (recordsRead(spark, df), result)
+    }
+    val (cReads, cRows) = routed(cDir)
+    val (uReads, uRows) = routed(uDir)
+    require(cRows == uRows, "routed Q3 rows differ between layouts")
+    // restore the real cube for any later session user
+    graft.cube.CubeCatalog.register(cube)
+    graft.cube.CubeCatalog.invalidatePlan(cDir)
+    graft.cube.CubeCatalog.invalidatePlan(uDir)
+    org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+    spark.conf.unset("spark.graft.rollupRouting.enabled")
+    val ratio = uReads.toDouble / math.max(1L, cReads)
+    println(f"[rowgroup] engine_q3_route          routed Q3 reads $cReads%,d " +
+      f"rows clustered vs $uReads%,d unclustered — skip ${ratio}%.1fx")
+    f""" "engine_q3_route":{"rows_clustered":$cReads,"rows_unclustered":$uReads,"result_rows":${cRows.size},"skip_ratio":$ratio%.1f}"""
   }
 
   private def rowGroups(spark: SparkSession, path: String): Int = {
