@@ -193,8 +193,17 @@ object Bench {
         catch { case _: Throwable => 0L }
       (ioBytes.get(), bytes)
     }
+    // FULL-SUITE per-query scan metrics (one untimed measurement pass):
+    // wall time on this box swings ±12% run-to-run while a query's
+    // recordsRead/column-bytes are deterministic for a fixed plan, so the
+    // committed detail carries scan_rows/scan_bytes for EVERY query — a
+    // tail wall-time delta across rounds is adjudicated by comparing scans
+    // (bit-identical → box noise; changed → a real plan change). This is
+    // the reference's per-query IO metric surface
+    // (DruidQueryExecutionMetric) applied to the whole workload.
+    val allIo = selected.map { case (name, fn) => name -> measureIo(fn) }.toMap
     val engineIo = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map(fn => name -> measureIo(fn))
+      allIo.get(name).map(name -> _)
     }.toMap
     val (raw, rawIo) = Graft.withoutRewrites(spark) {
       val times = headline.flatMap { name =>
@@ -258,7 +267,8 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL_OUT",
       "BENCH_DETAIL_LATEST.json")
     val perQ = results.map { case (k, v, ok, ts) =>
-      s""" "$k":{"min":${fmt(if (ok) v else -v)},"median":${fmt(median(ts))},"reps":[${ts.map(fmt).mkString(",")}]}"""
+      val (sr, sb) = allIo.getOrElse(k, (0L, 0L))
+      s""" "$k":{"min":${fmt(if (ok) v else -v)},"median":${fmt(median(ts))},"scan_rows":$sr,"scan_bytes":$sb,"reps":[${ts.map(fmt).mkString(",")}]}"""
     }.mkString("{\n", ",\n", "\n}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath),

@@ -143,12 +143,16 @@ object Multimodal {
     // STRUCTURAL check, not just the 2-char magic: arbitrary text starting
     // with "BM" (a sentence about BMWs) must never sniff as BMP — the
     // reserved words (6..9) are always zero and the DIB header size (14..17)
-    // is 40 in every BITMAPINFOHEADER file, and normal text contains no NUL
+    // is one of the five published values, and normal text contains no NUL
     // runs, so the false-positive path is closed while truncated/corrupt
     // REAL headers still route here and refuse in parse (never stub).
+    // All five DIB variants (BITMAPINFOHEADER 40, V2 52, V3 56, V4 108,
+    // V5 124) keep width/height/bpp/compression at the same offsets, so
+    // parseBmp reads them identically; only the header LENGTH differs.
+    private val BmpDibSizes = Set(40L, 52L, 56L, 108L, 124L)
     private def isBmp(b: Array[Byte]) =
       b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
-        u32(b, 6) == 0L && u32(b, 14) == 40L
+        u32(b, 6) == 0L && BmpDibSizes.contains(u32(b, 14))
     private def isWav(b: Array[Byte]) =
       b.length >= 44 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE"
     private def isY4m(b: Array[Byte]) =

@@ -310,13 +310,24 @@ object Similarity {
     *
     *  1. each query row gets its `nprobe` probed buckets as a projected
     *     array ([[probedBucketsCol]]) and explodes to (qid, qvec, bucket);
-    *  2. the UNION of probed buckets (bounded by `centroids.size`, never
-    *     by |queries|) collects to the driver and statically prunes the
-    *     store's bucket directories — the same `PartitionFilters` route
-    *     as the single-query probe, over the union;
-    *  3. candidates come from a bucket equi-join — a store row lives in
-    *     exactly ONE bucket, so no (query, row) pair can duplicate;
-    *  4. exact cosine + a per-query top-k window (id tiebreak).
+    *  2. the probed set — |queries| × nprobe rows, bounded by the serve
+    *     BATCH, never the corpus — collects ONCE to the driver and is
+    *     rebuilt as a local relation. The bucket union AND the serving
+    *     join side both come from that one materialized array, so the
+    *     query frame executes exactly once (no two-execution divergence
+    *     for nondeterministic batches) and NOTHING pins in the cache
+    *     manager across calls (r11 ADVICE: the previous `persist` here
+    *     leaked one cache entry per call in a long-lived serving session).
+    *     Caller contract: the batch is a serve batch that fits on the
+    *     driver (its top-k result is usually collected anyway); for
+    *     corpus-scale query sets use [[knnJoin]] or chunk the batch;
+    *  3. the bucket union (≤ `centroids.size` values) statically prunes
+    *     the store's bucket directories — the same `PartitionFilters`
+    *     route as the single-query probe, over the union;
+    *  4. candidates come from a BROADCAST bucket equi-join against the
+    *     local probed relation — a store row lives in exactly ONE bucket,
+    *     so no (query, row) pair can duplicate;
+    *  5. exact cosine + a per-query top-k window (id tiebreak).
     *
     * Candidate volume is the true IVF batch cost: sum over buckets of
     * |queries probing b| × |store rows in b| — never |queries| × |store|.
@@ -326,20 +337,18 @@ object Similarity {
                         queries: DataFrame, qIdCol: String, qVecCol: String,
                         k: Int, centroids: Seq[Seq[Double]],
                         nprobe: Int): DataFrame = {
-    // persisted so the batch is scanned and centroid-projected ONCE: the
-    // bucket-union collect below materializes the cache and the serving
-    // join reads it back — footprint is |queries|×nprobe rows (bounded by
-    // the batch, never the corpus; LRU-evictable)
-    val probed = queries.select(col(qIdCol).as("g_qid"),
+    val spark = store.sparkSession
+    val proj = queries.select(col(qIdCol).as("g_qid"),
       col(qVecCol).as("g_qvec"),
       explode(probedBucketsCol(col(qVecCol), centroids, nprobe))
         .as("g_ivf_bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = probed.select("g_ivf_bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq // ≤ centroids.size rows, ever
+    val rows = proj.collect() // |queries| × nprobe rows — the serve batch
+    val buckets = rows.map(_.getInt(2)).distinct.toSeq // ≤ centroids.size
+    val probed = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), proj.schema)
     store
       .filter(col("g_ivf_bucket").isin(buckets.map(x => x: Any): _*))
-      .join(probed, "g_ivf_bucket")
+      .join(broadcast(probed), "g_ivf_bucket")
       .select(col("g_qid").as("q_id"), col(idCol),
         cosine(col(vecCol), col("g_qvec")).as("cosine"))
       .withColumn("g_rn", row_number().over(

@@ -197,15 +197,22 @@ object RowGroupProbe {
       val result = df.collect().map(_.toString).toSeq
       (recordsRead(spark, df), result)
     }
-    val (cReads, cRows) = routed(cDir)
-    val (uReads, uRows) = routed(uDir)
+    // restore-in-finally: a require failure inside routed() must not leave
+    // the scrambled probe cube registered as the serving cube (or rollup
+    // routing disabled) for the rest of the session
+    val (cReads, cRows, uReads, uRows) =
+      try {
+        val (cr, crows) = routed(cDir)
+        val (ur, urows) = routed(uDir)
+        (cr, crows, ur, urows)
+      } finally {
+        graft.cube.CubeCatalog.register(cube)
+        graft.cube.CubeCatalog.invalidatePlan(cDir)
+        graft.cube.CubeCatalog.invalidatePlan(uDir)
+        org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+        spark.conf.unset("spark.graft.rollupRouting.enabled")
+      }
     require(cRows == uRows, "routed Q3 rows differ between layouts")
-    // restore the real cube for any later session user
-    graft.cube.CubeCatalog.register(cube)
-    graft.cube.CubeCatalog.invalidatePlan(cDir)
-    graft.cube.CubeCatalog.invalidatePlan(uDir)
-    org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
-    spark.conf.unset("spark.graft.rollupRouting.enabled")
     val ratio = uReads.toDouble / math.max(1L, cReads)
     println(f"[rowgroup] engine_q3_route          routed Q3 reads $cReads%,d " +
       f"rows clustered vs $uReads%,d unclustered — skip ${ratio}%.1fx")

@@ -133,16 +133,27 @@ class MetadataViewsSpec extends AnyFunSuite {
 
   test("one-time session warm-up records in history as build:engine-warmup") {
     init
-    val before = graft.plans.QueryHistory.snapshot.map(_.id).maxOption.getOrElse(0L)
+    val snap0 = graft.plans.QueryHistory.snapshot
+    val before = snap0.map(_.id).maxOption.getOrElse(0L)
+    // warm-up is keyed per (session, dir): if an EARLIER test in this
+    // session already touched sf0.001 the build row predates us and this
+    // touch must add none — assert whichever branch applies, so the test
+    // is order-insensitive (ADVICE r11)
+    val alreadyWarm = snap0.exists(e =>
+      e.served == "build:engine-warmup" && e.planHead.contains("sf0.001"))
     // first touch of a NEW sf dir pays the warm-up (temp views +
     // cube/rollup ensure) exactly once — and the history row explains it
     graft.SparkEntry.queries("q02_basic_agg")(spark, "/root/testdata/sf0.001")
       .collect()
     val fresh = graft.plans.QueryHistory.snapshot.filter(_.id > before)
-    val build = fresh.filter(_.served == "build:engine-warmup")
-    assert(build.size == 1, s"expected one build row, got ${fresh.map(_.served)}")
-    assert(build.head.durationMs >= 0 &&
-      build.head.planHead.contains("sf0.001"))
+    val build = fresh.filter(e => e.served == "build:engine-warmup" &&
+      e.planHead.contains("sf0.001"))
+    if (alreadyWarm)
+      assert(build.isEmpty, s"warm dir re-recorded build: ${fresh.map(_.served)}")
+    else {
+      assert(build.size == 1, s"expected one build row, got ${fresh.map(_.served)}")
+      assert(build.head.durationMs >= 0)
+    }
     // second query on the same dir pays nothing and records no build row
     val before2 = graft.plans.QueryHistory.snapshot.map(_.id).max
     graft.SparkEntry.queries("q02_basic_agg")(spark, "/root/testdata/sf0.001")

@@ -277,4 +277,40 @@ class MultimodalSpec extends AnyFunSuite {
       !BuiltinCodec.canSampleFrames(Encode.bmpGray(1, 1, 0)))
     assert(DefaultCodec.isInstanceOf[Multimodal.SniffingCodec])
   }
+
+  test("BMP with a V2/V3/V4/V5 DIB header sniffs as BMP and really decodes") {
+    // ADVICE r11: all five published DIB variants keep width/height/bpp/
+    // compression at the same offsets — a valid 24-bit V4/V5 file must hit
+    // the REAL parser (and a truncated one must refuse), never stub
+    import Multimodal.{BuiltinCodec, Encode, MediaBlob}
+    val std = Encode.bmpGray(5, 3, 64) // DIB 40, dataOff 54
+    def withDib(dibSize: Int): Array[Byte] = {
+      val headerLen = 14 + dibSize
+      val pixels = java.util.Arrays.copyOfRange(std, 54, std.length)
+      val out = java.nio.ByteBuffer.allocate(headerLen + pixels.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(headerLen + pixels.length)
+        .putInt(0).putInt(headerLen).putInt(dibSize)
+      out.put(java.util.Arrays.copyOfRange(std, 18, 54)) // shared field block
+      out.position(headerLen) // extended V4/V5 fields stay zero (unused @24bpp)
+      out.put(pixels)
+      out.array()
+    }
+    val ref = BuiltinCodec.decode(MediaBlob(1, "image", std))
+    for (dib <- Seq(52, 56, 108, 124)) {
+      val b = withDib(dib)
+      assert(BuiltinCodec.canDecode(b), s"DIB $dib must sniff as BMP")
+      val f = BuiltinCodec.decode(MediaBlob(1, "image", b))
+      assert(f.width == 5 && f.height == 3 &&
+        f.embedding.sameElements(ref.embedding), s"DIB $dib decode drift")
+    }
+    // truncated V4 payload claims BMP → routes to the parser and REFUSES
+    intercept[IllegalArgumentException] {
+      BuiltinCodec.decode(MediaBlob(2, "image",
+        java.util.Arrays.copyOfRange(withDib(108), 0, 70)))
+    }
+    // an unpublished DIB size still fails the structural sniff
+    val weird = std.clone(); weird(14) = 41
+    assert(!BuiltinCodec.canDecode(weird))
+  }
 }

@@ -344,6 +344,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     val cents = Similarity.trainKmeansCentroids(embs, "embedding", k = 8, iters = 2)
     val store = Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
       cents, "/root/repo/target/indexes/ivf_spec_k8_v1")
+    // serve-path storage lock (r11 ADVICE): repeated batch serving must not
+    // grow pinned storage — no cache-manager entries, no persistent RDDs
+    // accumulate across calls (the pre-r12 persist leaked one per call)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      Similarity.ivfStoreTopKBatch(store, "vec_id", "embedding",
+        embs.filter(col("vec_id") < 6), "vec_id", "embedding",
+        k = 4, cents, nprobe = 2).collect()
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == pinnedBefore,
+      s"batch serving pinned storage: ${spark.sparkContext.getPersistentRDDs.size - pinnedBefore} new persistent RDDs after 3 serves")
     val batch = Similarity.ivfStoreTopKBatch(store, "vec_id", "embedding",
         embs.filter(col("vec_id") < 6), "vec_id", "embedding",
         k = 4, cents, nprobe = 2)
