@@ -186,12 +186,19 @@ object Bench {
       org.apache.spark.sql.graft.ListenerBusUtil.waitUntilEmpty(spark)
       ioBytes.set(0L)
       val df = fn(spark, sfDir)
-      try exec(df) catch { case _: Throwable => () }
+      val execOk = try { exec(df); true } catch { case _: Throwable => false }
       org.apache.spark.sql.graft.ListenerBusUtil.waitUntilEmpty(spark)
-      val bytes =
-        try org.apache.spark.sql.graft.ScanBytes.of(df)
-        catch { case _: Throwable => 0L }
-      (ioBytes.get(), bytes)
+      // a query that failed mid-scan still accrued SOME recordsRead; that
+      // partial figure is indistinguishable from a real deterministic scan
+      // when adjudicating cross-round deltas, so record the -1 sentinel
+      // instead (ADVICE r12)
+      if (!execOk) (-1L, -1L)
+      else {
+        val bytes =
+          try org.apache.spark.sql.graft.ScanBytes.of(df)
+          catch { case _: Throwable => -1L }
+        (ioBytes.get(), bytes)
+      }
     }
     // FULL-SUITE per-query scan metrics (one untimed measurement pass):
     // wall time on this box swings ±12% run-to-run while a query's

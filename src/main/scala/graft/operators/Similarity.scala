@@ -320,7 +320,12 @@ object Similarity {
     *     leaked one cache entry per call in a long-lived serving session).
     *     Caller contract: the batch is a serve batch that fits on the
     *     driver (its top-k result is usually collected anyway); for
-    *     corpus-scale query sets use [[knnJoin]] or chunk the batch;
+    *     corpus-scale query sets use [[knnJoin]] or chunk the batch.
+    *     The contract is ENFORCED, not just documented: materialization
+    *     streams partition-by-partition and fails fast once
+    *     |queries| × nprobe exceeds `spark.graft.ivf.batchProbeMaxRows`
+    *     (default 1,048,576), so an oversized batch raises a clear error
+    *     instead of OOMing the driver mid-collect;
     *  3. the bucket union (≤ `centroids.size` values) statically prunes
     *     the store's bucket directories — the same `PartitionFilters`
     *     route as the single-query probe, over the union;
@@ -342,8 +347,26 @@ object Similarity {
       col(qVecCol).as("g_qvec"),
       explode(probedBucketsCol(col(qVecCol), centroids, nprobe))
         .as("g_ivf_bucket"))
-    val rows = proj.collect() // |queries| × nprobe rows — the serve batch
-    val buckets = rows.map(_.getInt(2)).distinct.toSeq // ≤ centroids.size
+    // Materialize the serve batch with a hard cap: stream partitions to
+    // the driver (single execution of the query frame — toLocalIterator
+    // runs each partition of the SAME plan once) and fail fast the moment
+    // |queries| × nprobe exceeds the configured bound, BEFORE the driver
+    // accumulates an unbounded array of full float vectors. coalesce(1)
+    // keeps it to one job for the (small) serve-batch common case.
+    val cap = spark.conf
+      .get("spark.graft.ivf.batchProbeMaxRows", "1048576").toInt
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val it = proj.coalesce(1).toLocalIterator()
+    while (it.hasNext) {
+      require(buf.size < cap,
+        s"ivfStoreTopKBatch serve batch exceeds spark.graft.ivf." +
+          s"batchProbeMaxRows=$cap rows (|queries| x nprobe=$nprobe); " +
+          "chunk the query batch or use knnJoin for corpus-scale sets")
+      buf += it.next()
+    }
+    val rows = buf.toArray // |queries| × nprobe rows — the serve batch
+    val bucketIdx = proj.schema.fieldIndex("g_ivf_bucket")
+    val buckets = rows.map(_.getInt(bucketIdx)).distinct.toSeq // ≤ centroids.size
     val probed = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), proj.schema)
     store

@@ -139,15 +139,19 @@ class MetadataViewsSpec extends AnyFunSuite {
     // session already touched sf0.001 the build row predates us and this
     // touch must add none — assert whichever branch applies, so the test
     // is order-insensitive (ADVICE r11)
-    val alreadyWarm = snap0.exists(e =>
-      e.served == "build:engine-warmup" && e.planHead.contains("sf0.001"))
+    // the build row's planHead ends with the exact warmed dir — match it
+    // end-anchored so a hypothetical sibling dir sharing the prefix
+    // (sf0.0011) can't satisfy the assertion (ADVICE r12)
+    val warmDir = "/root/testdata/sf0.001"
+    def isWarm(e: graft.plans.QueryHistory.Entry): Boolean =
+      e.served == "build:engine-warmup" && e.planHead.endsWith(s"for $warmDir")
+    val alreadyWarm = snap0.exists(isWarm)
     // first touch of a NEW sf dir pays the warm-up (temp views +
     // cube/rollup ensure) exactly once — and the history row explains it
-    graft.SparkEntry.queries("q02_basic_agg")(spark, "/root/testdata/sf0.001")
+    graft.SparkEntry.queries("q02_basic_agg")(spark, warmDir)
       .collect()
     val fresh = graft.plans.QueryHistory.snapshot.filter(_.id > before)
-    val build = fresh.filter(e => e.served == "build:engine-warmup" &&
-      e.planHead.contains("sf0.001"))
+    val build = fresh.filter(isWarm)
     if (alreadyWarm)
       assert(build.isEmpty, s"warm dir re-recorded build: ${fresh.map(_.served)}")
     else {

@@ -382,6 +382,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       .findFirstIn(plan).isDefined, plan.take(2000))
   }
 
+  test("oversized IVF serve batch fails fast at the configured cap") {
+    import graft.operators.Similarity
+    val embs = Tables.t(spark, sf, "embeddings")
+    val cents = Similarity.trainKmeansCentroids(embs, "embedding", k = 8, iters = 2)
+    val store = Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
+      cents, "/root/repo/target/indexes/ivf_spec_k8_v1")
+    val key = "spark.graft.ivf.batchProbeMaxRows"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "4")
+    try {
+      // 6 queries × nprobe 2 = 12 probed rows > cap 4 → clear require,
+      // raised during materialization (before unbounded accumulation),
+      // not a driver OOM (ADVICE r12)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfStoreTopKBatch(store, "vec_id", "embedding",
+          embs.filter(col("vec_id") < 6), "vec_id", "embedding",
+          k = 4, cents, nprobe = 2).collect()
+      }
+      assert(e.getMessage.contains("batchProbeMaxRows"), e.getMessage)
+      // under the cap, the same entry point still serves
+      spark.conf.set(key, "12")
+      assert(Similarity.ivfStoreTopKBatch(store, "vec_id", "embedding",
+        embs.filter(col("vec_id") < 6), "vec_id", "embedding",
+        k = 4, cents, nprobe = 2).count() > 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("probedBucketsCol equals the driver-side probedBuckets, every nprobe") {
     import graft.operators.Similarity
     val embs = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 32)
