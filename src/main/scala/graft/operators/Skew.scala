@@ -8,10 +8,32 @@ import org.apache.spark.sql.functions._
   * shuffle partition on one executor).
   *
   * [[saltedJoin]] is the explicit form of what AQE's skew-join split does
-  * at runtime — useful when the skew is KNOWN up front (e.g. joining
-  * events to a user dimension where a handful of bot users dominate), when
-  * the plan must be deterministic, or on engines/paths AQE does not cover
-  * (stream-static joins).
+  * at runtime. Which lever to reach for:
+  *
+  *  - **AQE subsumes salting** for a shuffled sort-merge join when
+  *    `spark.sql.adaptive.enabled` and
+  *    `spark.sql.adaptive.skewJoin.enabled` are on (both default true)
+  *    AND the skewed partition trips both runtime thresholds
+  *    (`skewedPartitionFactor`, default 5× the median partition size, and
+  *    `skewedPartitionThresholdInBytes`, default 256 MB).
+  *    `OptimizeSkewedJoin` then splits the hot partition into sub-reads
+  *    and replicates the matching partition of the other side — same
+  *    mechanism as salting, decided from measured map output sizes, no
+  *    code change. Prefer it when it applies: zero plan clutter, reacts
+  *    to skew you did not predict.
+  *  - **Reach for [[saltedJoin]]** when AQE cannot or will not act:
+  *    (a) the hot partition is below 256 MB but still 100× the others —
+  *    under the byte threshold AQE leaves it alone, yet one straggler
+  *    task can still dominate a small stage; (b) stream-static joins and
+  *    other continuous paths AQE does not re-plan; (c) the skewed join
+  *    feeds an operator AQE will not split through (e.g. it must
+  *    preserve a required child distribution); (d) the plan must be
+  *    deterministic across runs (benchmark comparability, plan-locked
+  *    tests) — AQE's split depends on runtime sizes. Measure first with
+  *    [[keySkewProfile]]; salt ≈ hot-key rows / target partition rows.
+  *
+  * SkewAndConfSpec locks the salted path with AQE's skew-join DISABLED,
+  * so the explicit lever is verified independent of the runtime one.
   */
 object Skew {
 

@@ -66,6 +66,41 @@ class SkewAndConfSpec extends AnyFunSuite {
       "the hinted salted join must not broadcast")
   }
 
+  test("salted path works with AQE skew-join disabled (the lever is independent)") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    // saltedJoin exists precisely for the cases OptimizeSkewedJoin skips
+    // (sub-threshold hot partitions, stream-static, determinism) — verify
+    // the explicit lever end-to-end with the runtime one switched OFF, so
+    // nothing in the salted plan silently depends on AQE's split
+    val key = "spark.sql.adaptive.skewJoin.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val large = (1 to 5000).map(i => (if (i % 10 == 0) i % 5 else 7, i))
+        .toDF("k", "v")
+      val small = (0 to 9).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val plain = large.join(small, "k").select("k", "v", "name")
+        .collect().map(_.toString).sorted.toSeq
+      val df = Skew.saltedJoin(large, small.hint("merge"), "k", salt = 8)
+      assert(df.select("k", "v", "name").collect()
+        .map(_.toString).sorted.toSeq == plain)
+      val executed = df
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+      // the spread comes from the salt in the shuffle key, not from AQE
+      assert("SortMergeJoin \\[k#\\d+L?, g_salt#\\d+".r
+        .findFirstIn(executed).isDefined,
+        s"expected a SortMergeJoin keyed on (k, g_salt):\n$executed")
+      assert(!executed.contains("OptimizeSkewedJoin") &&
+        !executed.contains("isSkew=true"),
+        "AQE skew handling must be inert in this plan")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def scansCube(df: org.apache.spark.sql.DataFrame): Boolean =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.optimizedPlan.exists {
