@@ -331,7 +331,20 @@ object Similarity {
     *     route as the single-query probe, over the union;
     *  4. candidates come from a BROADCAST bucket equi-join against the
     *     local probed relation — a store row lives in exactly ONE bucket,
-    *     so no (query, row) pair can duplicate;
+    *     so no (query, row) pair can duplicate. Fan-out skew guard: every
+    *     query probing bucket b re-processes EVERY store row of b, so a
+    *     batch concentrated on one bucket turns that bucket's scan tasks
+    *     (parallelism = its FILE SPLITS, which bytes-based splitting sizes
+    *     without knowing the join fan-out) into stragglers computing most
+    *     of the candidate volume — measured 3.9× worse per-candidate cost
+    *     at fan-out 512 on a 50%-hot store (SCALE_PROBE r13). When any
+    *     bucket's probe fan-out reaches
+    *     `spark.graft.ivf.batchSpreadFanout` (default 16), the pruned
+    *     store is spread round-robin across the shuffle partitions first:
+    *     the one extra exchange moves each store row once — ≤ 1/fan-out
+    *     of the join work it rebalances — and every task then carries an
+    *     even share of candidates. Small-fan-out batches keep the
+    *     scan-only pipeline (no exchange);
     *  5. exact cosine + a per-query top-k window (id tiebreak).
     *
     * Candidate volume is the true IVF batch cost: sum over buckets of
@@ -369,8 +382,21 @@ object Similarity {
     val buckets = rows.map(_.getInt(bucketIdx)).distinct.toSeq // ≤ centroids.size
     val probed = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), proj.schema)
-    store
+    val pruned = store
       .filter(col("g_ivf_bucket").isin(buckets.map(x => x: Any): _*))
+    // fan-out skew guard (see scaladoc step 4): spread the pruned store
+    // before the broadcast join once any single bucket's probe fan-out
+    // would inflate its scan tasks past the threshold
+    val maxFanout = rows.groupBy(_.getInt(bucketIdx))
+      .valuesIterator.map(_.size).maxOption.getOrElse(0)
+    val spreadAt = spark.conf
+      .get("spark.graft.ivf.batchSpreadFanout", "16").toInt
+    val served =
+      if (maxFanout >= spreadAt)
+        pruned.repartition(
+          spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+      else pruned
+    served
       .join(broadcast(probed), "g_ivf_bucket")
       .select(col("g_qid").as("q_id"), col(idCol),
         cosine(col(vecCol), col("g_qvec")).as("cosine"))

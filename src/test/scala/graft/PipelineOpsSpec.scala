@@ -382,6 +382,49 @@ class PipelineOpsSpec extends AnyFunSuite {
       .findFirstIn(plan).isDefined, plan.take(2000))
   }
 
+  test("concentrated IVF batch spreads the pruned store before the join") {
+    import graft.operators.Similarity
+    val embs = Tables.t(spark, sf, "embeddings")
+    val cents = Similarity.trainKmeansCentroids(embs, "embedding", k = 8, iters = 2)
+    val store = Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
+      cents, "/root/repo/target/indexes/ivf_spec_k8_v1")
+    val q0 = embs.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    // 20 queries sharing ONE vector: every probe lands on the same nprobe
+    // buckets, so the per-bucket fan-out (20) crosses the spread threshold
+    // (16) — the scenario where bytes-sized file splits of the hot bucket
+    // would otherwise compute the whole candidate volume in one task
+    val conc = embs.filter(col("vec_id") < 20)
+      .select(col("vec_id"), typedLit(q0).as("embedding"))
+    def batch = Similarity.ivfStoreTopKBatch(store, "vec_id", "embedding",
+      conc, "vec_id", "embedding", k = 3, cents, nprobe = 2)
+    val plan = batch.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("RoundRobinPartitioning"),
+      s"expected the pruned store spread round-robin:\n${plan.take(2000)}")
+    // the spread must not change answers: all 20 identical queries return
+    // exactly the single-vector probe's top-k
+    val single = Similarity.ivfStoreTopK(store, "vec_id", "embedding", q0,
+        k = 3, cents, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val byQ = batch.collect().groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.map(r => (r.getLong(1), r.getDouble(2)))
+          .sortBy(t => (-t._2, t._1)).toSeq
+      }
+    assert(byQ.size == 20 && byQ.values.forall(_ == single),
+      s"spread batch diverged from single probe: ${byQ.head}")
+    // a small-fan-out batch keeps the scan-only pipeline (no exchange
+    // between the pruned scan and the broadcast join)
+    val smallPlan = Similarity.ivfStoreTopKBatch(store, "vec_id", "embedding",
+        embs.filter(col("vec_id") < 6), "vec_id", "embedding",
+        k = 3, cents, nprobe = 2)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(!smallPlan.contains("RoundRobinPartitioning"),
+      "small-fan-out batch must not pay the spread exchange")
+  }
+
   test("oversized IVF serve batch fails fast at the configured cap") {
     import graft.operators.Similarity
     val embs = Tables.t(spark, sf, "embeddings")
