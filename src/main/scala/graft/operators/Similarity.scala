@@ -322,10 +322,10 @@ object Similarity {
     *     driver (its top-k result is usually collected anyway); for
     *     corpus-scale query sets use [[knnJoin]] or chunk the batch.
     *     The contract is ENFORCED, not just documented: materialization
-    *     streams partition-by-partition and fails fast once
-    *     |queries| × nprobe exceeds `spark.graft.ivf.batchProbeMaxRows`
-    *     (default 1,048,576), so an oversized batch raises a clear error
-    *     instead of OOMing the driver mid-collect;
+    *     collects LIMIT cap+1, so at most cap+1 rows ever transfer to
+    *     the driver, and a batch whose |queries| × nprobe exceeds
+    *     `spark.graft.ivf.batchProbeMaxRows` (default 1,048,576) raises
+    *     a clear error instead of OOMing the driver mid-collect;
     *  3. the bucket union (≤ `centroids.size` values) statically prunes
     *     the store's bucket directories — the same `PartitionFilters`
     *     route as the single-query probe, over the union;
@@ -337,7 +337,7 @@ object Similarity {
     *     (parallelism = its FILE SPLITS, which bytes-based splitting sizes
     *     without knowing the join fan-out) into stragglers computing most
     *     of the candidate volume — measured 3.9× worse per-candidate cost
-    *     at fan-out 512 on a 50%-hot store (SCALE_PROBE r13). When any
+    *     at fan-out 256 on a 50%-hot store (SCALE_PROBE r13). When any
     *     bucket's probe fan-out reaches
     *     `spark.graft.ivf.batchSpreadFanout` (default 16), the pruned
     *     store is spread round-robin across the shuffle partitions first:
@@ -360,26 +360,26 @@ object Similarity {
       col(qVecCol).as("g_qvec"),
       explode(probedBucketsCol(col(qVecCol), centroids, nprobe))
         .as("g_ivf_bucket"))
-    // Materialize the serve batch with a hard cap: stream partitions to
-    // the driver (single execution of the query frame — toLocalIterator
-    // runs each partition of the SAME plan once) and fail fast the moment
-    // |queries| × nprobe exceeds the configured bound, BEFORE the driver
-    // accumulates an unbounded array of full float vectors. coalesce(1)
-    // keeps it to one job for the (small) serve-batch common case.
+    // Materialize the serve batch with a hard cap: collect LIMIT cap+1,
+    // so at most cap+1 encoded rows ever transfer to the driver
+    // (CollectLimitExec ramps jobs up partition-range by partition-range)
+    // and an oversized batch raises the clear error below instead of
+    // OOMing the driver mid-fetch. Still ONE execution of the query
+    // frame: the same collected array feeds the bucket union AND the
+    // serving join side — limit truncation can only be OBSERVED
+    // (length == cap+1, which always fails the require), never served,
+    // so a nondeterministic batch cannot diverge between the two uses.
     val cap = spark.conf
       .get("spark.graft.ivf.batchProbeMaxRows", "1048576").toInt
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-    val it = proj.coalesce(1).toLocalIterator()
-    while (it.hasNext) {
-      require(buf.size < cap,
-        s"ivfStoreTopKBatch serve batch exceeds spark.graft.ivf." +
-          s"batchProbeMaxRows=$cap rows (|queries| x nprobe=$nprobe); " +
-          "chunk the query batch or use knnJoin for corpus-scale sets")
-      buf += it.next()
-    }
-    val rows = buf.toArray // |queries| × nprobe rows — the serve batch
+    val rows = proj.limit(cap + 1).collect() // the serve batch
+    require(rows.length <= cap,
+      s"ivfStoreTopKBatch serve batch exceeds spark.graft.ivf." +
+        s"batchProbeMaxRows=$cap probed rows (> $cap rows at " +
+        s"nprobe=$nprobe); chunk the query batch or use knnJoin for " +
+        "corpus-scale sets")
     val bucketIdx = proj.schema.fieldIndex("g_ivf_bucket")
-    val buckets = rows.map(_.getInt(bucketIdx)).distinct.toSeq // ≤ centroids.size
+    val byBucket = rows.groupBy(_.getInt(bucketIdx)) // ≤ centroids.size keys
+    val buckets = byBucket.keys.toSeq
     val probed = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), proj.schema)
     val pruned = store
@@ -387,8 +387,7 @@ object Similarity {
     // fan-out skew guard (see scaladoc step 4): spread the pruned store
     // before the broadcast join once any single bucket's probe fan-out
     // would inflate its scan tasks past the threshold
-    val maxFanout = rows.groupBy(_.getInt(bucketIdx))
-      .valuesIterator.map(_.size).maxOption.getOrElse(0)
+    val maxFanout = byBucket.valuesIterator.map(_.size).maxOption.getOrElse(0)
     val spreadAt = spark.conf
       .get("spark.graft.ivf.batchSpreadFanout", "16").toInt
     val served =

@@ -173,7 +173,7 @@ object ScaleProbe {
     * batch BROADCASTS, so no shuffled join partition exists for AQE to
     * split — but the hot bucket's scan tasks (parallelism = file splits,
     * sized by bytes with no knowledge of join fan-out) DID straggle:
-    * 3.9× worse per-candidate cost at fan-out 512 before the fix. The
+    * 3.9× worse per-candidate cost at fan-out 256 before the fix. The
     * fix is [[graft.operators.Similarity.ivfStoreTopKBatch]]'s fan-out
     * spread guard (round-robin the pruned store when any bucket's probe
     * fan-out ≥ `spark.graft.ivf.batchSpreadFanout`); this probe is the
@@ -217,9 +217,12 @@ object ScaleProbe {
     val storeRows = storeUni.count()
     val hotShare = storeSkew.filter(col("g_ivf_bucket") === 0).count()
       .toDouble / storeRows
+    // both arms serve the SAME batch size (256 queries), so the
+    // per-candidate comparison amortizes identical fixed job overhead
     val batchSkew = skewed
       .filter(pmod(col("vec_id"), lit(2L)) === 0 && col("vec_id") < 512)
-    val batchUni = embs.filter(col("vec_id") < 512)
+    val batchUni = embs.filter(col("vec_id") < 256)
+    val nSkew = batchSkew.count(); val nUni = batchUni.count()
     val nprobe = 2
     def candidates(store: DataFrame, batch: DataFrame,
                    cents: Seq[Seq[Double]]): Long = {
@@ -262,7 +265,7 @@ object ScaleProbe {
           "partition exists)"
       else "per-candidate cost degraded under skew — revisit (spread " +
         "threshold or in-bucket salting)"
-    f"""{"dir":"$dir","store_rows":$storeRows,"hot_bucket_share":$hotShare%.3f,"batch_queries":256,"nprobe":$nprobe,"uniform":{"t":$tUni%.3f,"candidates":$cUni,"us_per_candidate":$usUni%.4f},"skewed":{"t":$tSkew%.3f,"candidates":$cSkew,"us_per_candidate":$usSkew%.4f},"join":"$joinSkew","verdict":"$verdict"}"""
+    f"""{"dir":"$dir","store_rows":$storeRows,"hot_bucket_share":$hotShare%.3f,"nprobe":$nprobe,"uniform":{"batch_queries":$nUni,"t":$tUni%.3f,"candidates":$cUni,"us_per_candidate":$usUni%.4f},"skewed":{"batch_queries":$nSkew,"t":$tSkew%.3f,"candidates":$cSkew,"us_per_candidate":$usSkew%.4f},"join":"$joinSkew","verdict":"$verdict"}"""
   }
 
   private val targets = Seq(
