@@ -271,8 +271,15 @@ object Bench {
     // within-run spread by re-running the whole bench. The file is
     // committed per round (BENCH_DETAIL_r<N>.json), making tail deltas
     // adjudicable from the repo.
+    // BENCH_DETAIL_LATEST.json is the committed cross-round comparison
+    // baseline and by convention always an sf0.1 run — an exploratory
+    // bench at another sf must not clobber it (it did once: an sf0.01
+    // smoke run overwrote the r12 baseline and slipped into a commit).
+    // Default non-sf0.1 runs to a scratch path; an explicit
+    // SPARK_GRAFT_BENCH_DETAIL_OUT still goes wherever it says.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL_OUT",
-      "BENCH_DETAIL_LATEST.json")
+      if (sfDir.endsWith("sf0.1")) "BENCH_DETAIL_LATEST.json"
+      else "target/bench_detail_scratch.json")
     val perQ = results.map { case (k, v, ok, ts) =>
       val (sr, sb) = allIo.getOrElse(k, (0L, 0L))
       s""" "$k":{"min":${fmt(if (ok) v else -v)},"median":${fmt(median(ts))},"scan_rows":$sr,"scan_bytes":$sb,"reps":[${ts.map(fmt).mkString(",")}]}"""
