@@ -114,11 +114,20 @@ object ScaleProbe {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions._
     val tag = graft.Tables.contentTag(srcDir)
+    val base = new java.io.File(srcDir).getName
     val root = new java.io.File("/root/repo/target")
-    val dst = new java.io.File(root, s"scale_sf1x_$tag")
-    // drop replicas keyed to older testdata generations (disk hygiene)
+    val dst = new java.io.File(root, s"scale_sf1x_${base}_$tag")
+    // drop replicas of THIS source dir keyed to older testdata
+    // generations, plus legacy un-basenamed replicas (disk hygiene) —
+    // never replicas of a different source dir (a spec building the
+    // sf0.001 replica must not wipe the probe's sf0.1 one)
     Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("scale_sf1x_") && f != dst)
+      .filter { f =>
+        val n = f.getName
+        n.startsWith("scale_sf1x_") && n != dst.getName &&
+          (n.startsWith(s"scale_sf1x_${base}_") ||
+            !n.matches("scale_sf1x_sf[0-9.]+_[0-9a-f]+"))
+      }
       .foreach(f => rmRf(f.getPath))
     val marker = new java.io.File(dst, "_REPLICATED_OK")
     if (marker.exists()) return dst.getPath

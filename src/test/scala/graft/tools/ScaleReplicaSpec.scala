@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sf1-equivalent replica builder is the INSTRUMENT behind the
+  * committed second-decade scale evidence (`SCALE_PROBE_r<N>.json`,
+  * `data_factor_100`), so its invariants are locked like any operator:
+  * a broken perturbation would silently turn the probe into a
+  * measurement of replication artifacts (10× exact-duplicate groups,
+  * identical vectors colliding in every LSH bucket) instead of
+  * fresh-data scaling.
+  */
+class ScaleReplicaSpec extends AnyFunSuite {
+  import graft.TestSpark._
+
+  private val src = "/root/testdata/sf0.001"
+  private lazy val dst = ScaleProbe.ensureSf1Equivalent(spark, src)
+  private val Off = 100000000L
+
+  test("replica has exactly 10x rows with unique re-keyed ids") {
+    for ((t, id) <- Seq(("documents", "doc_id"), ("embeddings", "vec_id"),
+        ("events", "event_id"))) {
+      val n0 = spark.read.parquet(s"$src/$t.parquet").count()
+      val r = spark.read.parquet(s"$dst/$t.parquet")
+      assert(r.count() == 10 * n0, s"$t rows")
+      assert(r.select(id).distinct().count() == 10 * n0, s"$t id uniqueness")
+    }
+  }
+
+  test("text perturbation preserves length and within-copy duplicate structure") {
+    val docs = spark.read.parquet(s"$dst/documents.parquet")
+      .withColumn("g_copy", (col("doc_id") / Off).cast("int"))
+    // translate is a per-copy character bijection: distinct-text count and
+    // total text length per copy must equal copy 0's — same duplicate
+    // groups, same shingle volume, different shingle VALUES
+    val perCopy = docs.groupBy("g_copy")
+      .agg(countDistinct(col("text")).as("nd"),
+        sum(length(col("text"))).as("len"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(perCopy.size == 10)
+    assert(perCopy.values.toSet.size == 1,
+      s"copies diverge in duplicate structure or length: $perCopy")
+    // and copies really differ: a Latin-text doc's copy-1 text != copy-0
+    val pair = docs.filter(col("doc_id") === 0 || col("doc_id") === Off)
+      .orderBy("doc_id").select("text").collect()
+    assert(pair.length == 2 && pair(0).getString(0) != pair(1).getString(0))
+  }
+
+  test("vector jitter is bounded by 0.1 per element and nonzero") {
+    val e = spark.read.parquet(s"$dst/embeddings.parquet")
+    val c0 = e.filter(col("vec_id") < Off)
+      .select(col("vec_id").as("g_id"), col("embedding").as("g_e0"))
+    val c1 = e.filter(col("vec_id") >= Off && col("vec_id") < 2 * Off)
+      .select((col("vec_id") - Off).as("g_id"), col("embedding").as("g_e1"))
+    val d = c0.join(c1, "g_id")
+      .select(aggregate(zip_with(col("g_e0"), col("g_e1"),
+          (a, b) => abs(a - b)), lit(0.0f), (acc, x) => greatest(acc, x))
+        .as("g_max"))
+      .agg(max(col("g_max")).as("mx"), min(col("g_max")).as("mn"))
+      .head()
+    assert(d.getFloat(0) <= 0.1001f, s"jitter exceeds bound: ${d.getFloat(0)}")
+    assert(d.getFloat(1) > 0f, "jitter absent — copies are identical vectors")
+  }
+
+  test("event copies are fresh cohorts: disjoint user ids, equal sizes") {
+    val ev = spark.read.parquet(s"$dst/events.parquet")
+      .withColumn("g_copy", (col("event_id") / Off).cast("int"))
+    val users = ev.groupBy("g_copy")
+      .agg(countDistinct(col("user_id")).as("nu"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(users.length == 10 && users.map(_._2).toSet.size == 1 &&
+      users.map(_._3).toSet.size == 1, users.mkString(", "))
+    val total = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(total == users.map(_._2).sum, "user cohorts overlap across copies")
+  }
+
+  test("rebuild is idempotent and keyed to the source dir") {
+    val again = ScaleProbe.ensureSf1Equivalent(spark, src)
+    assert(again == dst)
+    assert(new java.io.File(dst, "_REPLICATED_OK").exists())
+    assert(new java.io.File(dst).getName
+      .startsWith("scale_sf1x_sf0.001_"))
+  }
+}
