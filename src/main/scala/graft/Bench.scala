@@ -278,7 +278,8 @@ object Bench {
     // Default non-sf0.1 runs to a scratch path; an explicit
     // SPARK_GRAFT_BENCH_DETAIL_OUT still goes wherever it says.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL_OUT",
-      if (sfDir.endsWith("sf0.1")) "BENCH_DETAIL_LATEST.json"
+      if (new java.io.File(sfDir).getName == "sf0.1") // slash-safe
+        "BENCH_DETAIL_LATEST.json"
       else "target/bench_detail_scratch.json")
     val perQ = results.map { case (k, v, ok, ts) =>
       val (sr, sb) = allIo.getOrElse(k, (0L, 0L))

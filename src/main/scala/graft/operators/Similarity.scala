@@ -369,8 +369,9 @@ object Similarity {
     // serving join side — limit truncation can only be OBSERVED
     // (length == cap+1, which always fails the require), never served,
     // so a nondeterministic batch cannot diverge between the two uses.
-    val cap = spark.conf
-      .get("spark.graft.ivf.batchProbeMaxRows", "1048576").toInt
+    val cap = math.min(spark.conf
+      .get("spark.graft.ivf.batchProbeMaxRows", "1048576").toLong,
+      Int.MaxValue - 1L).toInt // cap+1 below must not overflow limit()
     val rows = proj.limit(cap + 1).collect() // the serve batch
     require(rows.length <= cap,
       s"ivfStoreTopKBatch serve batch exceeds spark.graft.ivf." +

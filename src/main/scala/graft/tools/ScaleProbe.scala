@@ -105,6 +105,12 @@ object ScaleProbe {
     () => Dedup.spanCountsIngest(docs, "doc_id", "text", k = 8, path)
   })
 
+  /** Re-keying stride between replica copies: copy k's ids live in
+    * `[k*ReplicaOff, (k+1)*ReplicaOff)`. Shared with ScaleReplicaSpec so
+    * the spec derives copies exactly the way the builder keyed them.
+    */
+  private[tools] val ReplicaOff = 100000000L
+
   /** Build (once, content-keyed against the regenerated testdata) the
     * sf1-equivalent dir: probed tables replicated 10× with re-keyed ids
     * and per-copy perturbation; star tables byte-copied. Returns the dir.
@@ -118,15 +124,16 @@ object ScaleProbe {
     val root = new java.io.File("/root/repo/target")
     val dst = new java.io.File(root, s"scale_sf1x_${base}_$tag")
     // drop replicas of THIS source dir keyed to older testdata
-    // generations, plus legacy un-basenamed replicas (disk hygiene) —
-    // never replicas of a different source dir (a spec building the
-    // sf0.001 replica must not wipe the probe's sf0.1 one)
+    // generations, plus legacy replicas named by bare tag (the pre-r13
+    // `scale_sf1x_<8hex>` shape) — never replicas of a DIFFERENT source
+    // dir (a spec building the sf0.001 replica must not wipe the probe's
+    // sf0.1 one, whatever the other source dir is called)
     Option(root.listFiles()).toSeq.flatten
       .filter { f =>
         val n = f.getName
-        n.startsWith("scale_sf1x_") && n != dst.getName &&
+        n != dst.getName &&
           (n.startsWith(s"scale_sf1x_${base}_") ||
-            !n.matches("scale_sf1x_sf[0-9.]+_[0-9a-f]+"))
+            n.matches("scale_sf1x_[0-9a-f]{8}"))
       }
       .foreach(f => rmRf(f.getPath))
     val marker = new java.io.File(dst, "_REPLICATED_OK")
@@ -137,7 +144,7 @@ object ScaleProbe {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(srcDir, t + ".parquet"),
         java.nio.file.Paths.get(dst.getPath, t + ".parquet"))
-    val Off = 100000000L
+    val Off = ReplicaOff
     def tenfold(name: String)(mutate: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$srcDir/$name.parquet")
       (0 until 10).map(k => if (k == 0) base else mutate(base, k))
@@ -261,20 +268,38 @@ object ScaleProbe {
     val cSkew = candidates(storeSkew, batchSkew, centsSkew)
     val (tUni, joinUni) = timeServe(storeUni, batchUni, centsUni)
     val (tSkew, joinSkew) = timeServe(storeSkew, batchSkew, centsSkew)
+    // the CALIBRATED comparison is the skewed arm against ITSELF with the
+    // spread guard disabled — identical store, batch, and candidate
+    // volume, so the ratio isolates exactly what the guard buys (a
+    // cross-arm per-candidate ratio is overhead-skewed at this corpus
+    // size: both arms are sub-second, and the uniform arm amortizes the
+    // same fixed job cost over 4× fewer candidates)
+    val guardKey = "spark.graft.ivf.batchSpreadFanout"
+    val guardPrev = spark.conf.getOption(guardKey)
+    val (tSkewUnguarded, _) =
+      try { spark.conf.set(guardKey, Int.MaxValue.toString)
+            timeServe(storeSkew, batchSkew, centsSkew) }
+      finally guardPrev match {
+        case Some(v) => spark.conf.set(guardKey, v)
+        case None => spark.conf.unset(guardKey)
+      }
     val usUni = tUni * 1e6 / math.max(cUni, 1L)
     val usSkew = tSkew * 1e6 / math.max(cSkew, 1L)
+    val speedup = tSkewUnguarded / tSkew
     println(f"[scale] skewed-bucket batch: hot_share=$hotShare%.2f " +
       f"uniform t=$tUni%.3f s cands=$cUni skew t=$tSkew%.3f s cands=$cSkew " +
-      f"us/cand uniform=$usUni%.3f skew=$usSkew%.3f join=$joinSkew")
+      f"unguarded t=$tSkewUnguarded%.3f s (guard speedup $speedup%.1fx) " +
+      f"join=$joinSkew")
     val verdict =
-      if (joinSkew == "BroadcastHashJoin" && usSkew <= 2.0 * usUni)
-        "fan-out spread guard rebalances: candidate work has no " +
-          "straggler task under a 50%-hot bucket; AQE skew-split is " +
-          "moot (the probed batch broadcasts — no skewed shuffled join " +
-          "partition exists)"
-      else "per-candidate cost degraded under skew — revisit (spread " +
+      if (joinSkew == "BroadcastHashJoin" && tSkew <= 0.6 * tSkewUnguarded)
+        f"fan-out spread guard rebalances: $speedup%.1fx faster than the " +
+          "same skewed serve with the guard disabled (identical " +
+          "candidates — the unguarded hot bucket's scan task straggles); " +
+          "AQE skew-split is moot (the probed batch broadcasts — no " +
+          "skewed shuffled join partition exists)"
+      else "guard buys < 1.67x on the skewed serve — revisit (spread " +
         "threshold or in-bucket salting)"
-    f"""{"dir":"$dir","store_rows":$storeRows,"hot_bucket_share":$hotShare%.3f,"nprobe":$nprobe,"uniform":{"batch_queries":$nUni,"t":$tUni%.3f,"candidates":$cUni,"us_per_candidate":$usUni%.4f},"skewed":{"batch_queries":$nSkew,"t":$tSkew%.3f,"candidates":$cSkew,"us_per_candidate":$usSkew%.4f},"join":"$joinSkew","verdict":"$verdict"}"""
+    f"""{"dir":"$dir","store_rows":$storeRows,"hot_bucket_share":$hotShare%.3f,"nprobe":$nprobe,"uniform":{"batch_queries":$nUni,"t":$tUni%.3f,"candidates":$cUni,"us_per_candidate":$usUni%.4f},"skewed":{"batch_queries":$nSkew,"t":$tSkew%.3f,"candidates":$cSkew,"us_per_candidate":$usSkew%.4f},"skewed_guard_disabled":{"t":$tSkewUnguarded%.3f,"guard_speedup":$speedup%.2f},"join":"$joinSkew","verdict":"$verdict"}"""
   }
 
   private val targets = Seq(

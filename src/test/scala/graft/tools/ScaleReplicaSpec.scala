@@ -16,7 +16,7 @@ class ScaleReplicaSpec extends AnyFunSuite {
 
   private val src = "/root/testdata/sf0.001"
   private lazy val dst = ScaleProbe.ensureSf1Equivalent(spark, src)
-  private val Off = 100000000L
+  private val Off = ScaleProbe.ReplicaOff
 
   test("replica has exactly 10x rows with unique re-keyed ids") {
     for ((t, id) <- Seq(("documents", "doc_id"), ("embeddings", "vec_id"),
@@ -41,26 +41,45 @@ class ScaleReplicaSpec extends AnyFunSuite {
     assert(perCopy.size == 10)
     assert(perCopy.values.toSet.size == 1,
       s"copies diverge in duplicate structure or length: $perCopy")
-    // and copies really differ: a Latin-text doc's copy-1 text != copy-0
-    val pair = docs.filter(col("doc_id") === 0 || col("doc_id") === Off)
-      .orderBy("doc_id").select("text").collect()
-    assert(pair.length == 2 && pair(0).getString(0) != pair(1).getString(0))
+    // and every perturbed copy really differs from copy 0 on a doc whose
+    // text carries rotated characters (pick the first Latin-bearing doc,
+    // not a hardcoded id — the generator owes us no alphabet per doc)
+    val latinId = docs
+      .filter(col("g_copy") === 0 && col("text").rlike("[A-Za-z]"))
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val texts = docs
+      .filter(pmod(col("doc_id"), lit(Off)) === latinId)
+      .select("g_copy", "text").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(texts.size == 10)
+    for (k <- 1 to 9)
+      assert(texts(k) != texts(0), s"copy $k text identical to copy 0")
   }
 
-  test("vector jitter is bounded by 0.1 per element and nonzero") {
+  test("vector jitter is bounded by 0.1 per element and nonzero in every copy") {
     val e = spark.read.parquet(s"$dst/embeddings.parquet")
     val c0 = e.filter(col("vec_id") < Off)
       .select(col("vec_id").as("g_id"), col("embedding").as("g_e0"))
-    val c1 = e.filter(col("vec_id") >= Off && col("vec_id") < 2 * Off)
-      .select((col("vec_id") - Off).as("g_id"), col("embedding").as("g_e1"))
-    val d = c0.join(c1, "g_id")
-      .select(aggregate(zip_with(col("g_e0"), col("g_e1"),
+    // check ALL nine perturbed copies, not just copy 1: a rotation or
+    // hash-seed bug affecting only later copies must fail here
+    val ck = e.filter(col("vec_id") >= Off)
+      .select(pmod(col("vec_id"), lit(Off)).as("g_id"),
+        (col("vec_id") / Off).cast("int").as("g_copy"),
+        col("embedding").as("g_ek"))
+    val d = c0.join(ck, "g_id")
+      .select(col("g_copy"), aggregate(zip_with(col("g_e0"), col("g_ek"),
           (a, b) => abs(a - b)), lit(0.0f), (acc, x) => greatest(acc, x))
         .as("g_max"))
+      .groupBy("g_copy")
       .agg(max(col("g_max")).as("mx"), min(col("g_max")).as("mn"))
-      .head()
-    assert(d.getFloat(0) <= 0.1001f, s"jitter exceeds bound: ${d.getFloat(0)}")
-    assert(d.getFloat(1) > 0f, "jitter absent — copies are identical vectors")
+      .collect()
+    assert(d.length == 9)
+    d.foreach { r =>
+      assert(r.getFloat(1) <= 0.1001f,
+        s"copy ${r.getInt(0)} jitter exceeds bound: ${r.getFloat(1)}")
+      assert(r.getFloat(2) > 0f,
+        s"copy ${r.getInt(0)} jitter absent — identical vectors")
+    }
   }
 
   test("event copies are fresh cohorts: disjoint user ids, equal sizes") {
