@@ -258,6 +258,45 @@ object Similarity {
     spark.read.parquet(path).count()
   }
 
+  /** Re-cluster a DRIFTED IVF store: retrain centroids from the store's
+    * CURRENT contents and rewrite the bucket layout under them, swapping
+    * atomically. Returns the new centroids — the serving contract: probes
+    * must use the centroids that built the layout (stale centroids
+    * against a reclustered store would prune to the wrong directories).
+    *
+    * Why this exists: buckets are only as good as the training snapshot.
+    * Streamed ingest appends through FROZEN centroids, so as the data
+    * distribution drifts, new mass piles into few buckets — the skew
+    * probe's scenario (one bucket = 50% of the store) is exactly a
+    * drifted store's end state. The fan-out spread guard rebalances the
+    * serve JOIN, but the read volume stays hot-bucket-sized; reclustering
+    * is the READ-VOLUME fix — k fresh centroids re-partition the dense
+    * region across many buckets, restoring probe selectivity ~nprobe/k.
+    * The lifecycle is build → ingest ([[materializedIvfIndex]]'s append
+    * path) → [[ivfCompact]] (file count) → recluster (selectivity), each
+    * crash-safe via [[Artifacts.writeThenSwap]]: at no instant is the
+    * only copy mid-delete. Rows keep (id, vector) — only the bucket key
+    * and file layout change, so a FULL probe (`nprobe = k`) is
+    * bit-identical before and after (the driver gate's oracle). Training
+    * reads the whole store here; at 100 TB retrain on a deterministic
+    * hash-sample ([[Sampling.sample]]) exactly like the initial build.
+    * Callers serialize reclustering against ingest, as with every
+    * artifact refresh here.
+    */
+  def ivfRecluster(spark: org.apache.spark.sql.SparkSession, path: String,
+                   vecCol: String, k: Int, iters: Int = 4): Seq[Seq[Double]] = {
+    val fresh = Artifacts.readLocked(path) {
+      trainKmeansCentroids(spark.read.parquet(path), vecCol, k, iters)
+    }
+    Artifacts.writeThenSwap(spark, path) { tmp =>
+      withIvfKmeansBucket(
+          spark.read.parquet(path).drop("g_ivf_bucket"), vecCol, fresh)
+        .repartition(col("g_ivf_bucket"))
+        .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(tmp)
+    }
+    fresh
+  }
+
   /** Top-k against a [[materializedIvfIndex]] store: identical semantics
     * (and bit-identical output) to [[ivfKmeansTopK]] over the base table,
     * but the bucket predicate prunes partitions instead of filtering a

@@ -382,6 +382,57 @@ class PipelineOpsSpec extends AnyFunSuite {
       .findFirstIn(plan).isDefined, plan.take(2000))
   }
 
+  test("IVF recluster: drifted layout re-partitions, preserves rows, serves exactly") {
+    import graft.operators.Similarity
+    val embs = Tables.t(spark, sf, "embeddings")
+    val path = "/root/repo/target/indexes/ivf_spec_recluster_v1"
+    val f = new java.io.File(path)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    // k=2 training is the stand-in for a DRIFTED store: most of the
+    // corpus crammed into two buckets, probe selectivity gone
+    val coarse = Similarity.trainKmeansCentroids(embs, "embedding",
+      k = 2, iters = 2)
+    val store0 = Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
+      coarse, path)
+    val total = store0.count()
+    val maxBefore = store0.groupBy("g_ivf_bucket").count()
+      .agg(max(col("count"))).head().getLong(0)
+    val cents = Similarity.ivfRecluster(spark, path, "embedding",
+      k = 8, iters = 2)
+    assert(cents.size == 8)
+    val store = spark.read.parquet(path)
+    // row multiset preserved: same count, same distinct ids
+    assert(store.count() == total)
+    assert(store.select("vec_id").distinct().count() == total)
+    // selectivity restored: more buckets, dominant bucket strictly smaller
+    val counts = store.groupBy("g_ivf_bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    assert(counts.length > 2, s"expected >2 buckets, got ${counts.toSeq}")
+    assert(counts.map(_._2).max < maxBefore,
+      s"hot bucket did not shrink: ${counts.toSeq} vs max $maxBefore")
+    // the new layout must serve through the NEW centroids as a partition-
+    // pruned scan, and a full probe equals brute force over the base table
+    val q = embs.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    def served = Similarity.ivfStoreTopK(store, "vec_id", "embedding", q,
+      k = 10, cents, nprobe = cents.size)
+    assert(served.collect().toSeq ==
+      Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, k = 10)
+        .collect().toSeq)
+    val pruned = Similarity.ivfStoreTopK(store, "vec_id", "embedding", q,
+        k = 10, cents, nprobe = 2)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters: [") &&
+      pruned.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("g_ivf_bucket"), pruned.take(800))
+    // a second recluster is content-idempotent (deterministic training on
+    // an unchanged row set): same centroids, same serve results
+    val cents2 = Similarity.ivfRecluster(spark, path, "embedding",
+      k = 8, iters = 2)
+    assert(cents2 == cents, "recluster is not deterministic on a stable store")
+  }
+
   test("concentrated IVF batch spreads the pruned store before the join") {
     import graft.operators.Similarity
     val embs = Tables.t(spark, sf, "embeddings")
