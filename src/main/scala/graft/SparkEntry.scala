@@ -673,12 +673,22 @@ object SparkEntry {
         Similarity.trainKmeansCentroids(
           Tables.t(s, dir, "embeddings"), "embedding", k = 16, iters = 3))
 
-    /** Reclustered-store centroids per store path — the q_ann_recluster
-      * maintenance cycle runs once per driver run (idempotent in content:
-      * rows are preserved, training is deterministic on the stable store).
+    /** Reclustered-store centroids per store path. The maintenance cycle
+      * is BUILD-ONCE per content-tagged path like every shared artifact
+      * here (a per-run rewrite would race a concurrent driver JVM on the
+      * same testdata — the swap locks are in-JVM only); the centroids
+      * that built the final layout persist in a sidecar file, so later
+      * runs serve without retraining or rewriting anything.
       */
     private[graft] val reclusterMemo =
       scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+    private def writeCentroids(f: java.io.File,
+                               cs: Seq[Seq[Double]]): Unit =
+      java.nio.file.Files.writeString(f.toPath,
+        cs.map(_.mkString(",")).mkString("\n"))
+    private def readCentroids(f: java.io.File): Seq[Seq[Double]] =
+      java.nio.file.Files.readString(f.toPath).split("\n").toSeq
+        .map(_.split(",").toSeq.map(_.toDouble))
 
     /** DuckDB restatement of `q_ann_kmeans`, buildable only after training
       * ran: the Lloyd iterations are deterministic but seed by xxhash64
@@ -1674,11 +1684,12 @@ object SparkEntry {
       // COARSE centroids (k=2 — the drifted end state the skew probe
       // measures) is reclustered to k=8 and served at FULL probe. The
       // oracle is plain brute-force cosine top-10, so the gate proves the
-      // whole cycle (build → recluster swap → serve) preserves the row
-      // set exactly and the rewritten layout serves correct cosines.
-      // Selectivity/balance/pruning claims are spec-locked
-      // (PipelineOpsSpec); memoized per driver run so bench reps time the
-      // serve, not a repeated rewrite.
+      // cycle (build → recluster swap → serve) preserves the row set
+      // exactly and the rewritten layout serves correct cosines. The
+      // cycle is build-once per content-tagged path (sidecar carries the
+      // layout's centroids; per-run rewrites would race concurrent driver
+      // JVMs); PipelineOpsSpec re-runs the full drift→recluster cycle and
+      // locks selectivity/balance/pruning every test run.
       "q_ann_recluster" -> { (s, dir) =>
         val embs = Tables.t(s, dir, "embeddings")
         val q = embs.filter(col("vec_id") === 0L)
@@ -1687,11 +1698,18 @@ object SparkEntry {
           s"/root/repo/target/indexes/ivf_recluster_" +
             s"${new java.io.File(dir).getName}_${Tables.contentTag(dir)}_v1"
         val cents = reclusterMemo.getOrElseUpdate(path, {
-          val coarse = Similarity.trainKmeansCentroids(embs, "embedding",
-            k = 2, iters = 2)
-          Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
-            coarse, path)
-          Similarity.ivfRecluster(s, path, "embedding", k = 8, iters = 2)
+          val sidecar = new java.io.File(path + ".centroids.txt")
+          if (sidecar.exists()) readCentroids(sidecar)
+          else {
+            val coarse = Similarity.trainKmeansCentroids(embs, "embedding",
+              k = 2, iters = 2)
+            Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
+              coarse, path)
+            val fresh =
+              Similarity.ivfRecluster(s, path, "embedding", k = 8, iters = 2)
+            writeCentroids(sidecar, fresh) // after the swap: crash → rebuild
+            fresh
+          }
         })
         Similarity.ivfStoreTopK(s.read.parquet(path), "vec_id", "embedding",
           q, k = 10, cents, nprobe = cents.size)

@@ -259,10 +259,11 @@ object Similarity {
   }
 
   /** Re-cluster a DRIFTED IVF store: retrain centroids from the store's
-    * CURRENT contents and rewrite the bucket layout under them, swapping
-    * atomically. Returns the new centroids — the serving contract: probes
-    * must use the centroids that built the layout (stale centroids
-    * against a reclustered store would prune to the wrong directories).
+    * CURRENT contents and rewrite the bucket layout under them via the
+    * crash-SAFE (not atomic) [[Artifacts.writeThenSwap]]. Returns the new
+    * centroids — the serving contract: probes must use the centroids that
+    * built the layout (stale centroids against a reclustered store would
+    * prune to the wrong directories).
     *
     * Why this exists: buckets are only as good as the training snapshot.
     * Streamed ingest appends through FROZEN centroids, so as the data
@@ -280,14 +281,15 @@ object Similarity {
     * bit-identical before and after (the driver gate's oracle). Training
     * reads the whole store here; at 100 TB retrain on a deterministic
     * hash-sample ([[Sampling.sample]]) exactly like the initial build.
-    * Callers serialize reclustering against ingest, as with every
-    * artifact refresh here.
+    * Concurrency contract (same as [[ivfCompact]]): callers SERIALIZE
+    * recluster against ingest, compaction and other reclusters — both
+    * reads below are deliberately unlocked under that contract; probes
+    * racing the swap window go through [[ivfStoreProbe]]'s read lock.
     */
   def ivfRecluster(spark: org.apache.spark.sql.SparkSession, path: String,
                    vecCol: String, k: Int, iters: Int = 4): Seq[Seq[Double]] = {
-    val fresh = Artifacts.readLocked(path) {
+    val fresh =
       trainKmeansCentroids(spark.read.parquet(path), vecCol, k, iters)
-    }
     Artifacts.writeThenSwap(spark, path) { tmp =>
       withIvfKmeansBucket(
           spark.read.parquet(path).drop("g_ivf_bucket"), vecCol, fresh)
