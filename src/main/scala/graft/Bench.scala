@@ -285,10 +285,16 @@ object Bench {
       val (sr, sb) = allIo.getOrElse(k, (0L, 0L))
       s""" "$k":{"min":${fmt(if (ok) v else -v)},"median":${fmt(median(ts))},"scan_rows":$sr,"scan_bytes":$sb,"reps":[${ts.map(fmt).mkString(",")}]}"""
     }.mkString("{\n", ",\n", "\n}")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(detailPath),
-      s"""{"sf":"$sfDir","n_queries":${results.size},"total":${fmt(total)},"failed":$failed,\n"raw":$rawJs,\n"scan_rows":$ioJs,\n"scan_bytes":$bytesJs,\n"queries":$perQ}\n""")
-    catch { case e: Throwable =>
+    try {
+      // the scratch default lives under target/, which a clean checkout
+      // or foreign CWD may lack — writeString does not create parents
+      // (r13 ADVICE); toAbsolutePath guarantees a non-null parent for
+      // repo-root-relative paths like BENCH_DETAIL_LATEST.json
+      val out = java.nio.file.Paths.get(detailPath).toAbsolutePath
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out,
+        s"""{"sf":"$sfDir","n_queries":${results.size},"total":${fmt(total)},"failed":$failed,\n"raw":$rawJs,\n"scan_rows":$ioJs,\n"scan_bytes":$bytesJs,\n"queries":$perQ}\n""")
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: $e")
     }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"median":$medJs,"raw":$rawJs,"scan_rows":$ioJs,"scan_bytes":$bytesJs,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")

@@ -682,13 +682,42 @@ object SparkEntry {
       */
     private[graft] val reclusterMemo =
       scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+    // temp-write + ATOMIC_MOVE (r13 ADVICE): a crash mid-write must never
+    // leave a partial sidecar that exists() and parses to fewer than k
+    // centroids — a later run would then serve with nprobe < the layout's
+    // bucket count, silently dropping rows from unprobed buckets
     private def writeCentroids(f: java.io.File,
-                               cs: Seq[Seq[Double]]): Unit =
-      java.nio.file.Files.writeString(f.toPath,
+                               cs: Seq[Seq[Double]]): Unit = {
+      val tmp = new java.io.File(f.getPath + ".tmp").toPath
+      java.nio.file.Files.writeString(tmp,
         cs.map(_.mkString(",")).mkString("\n"))
+      java.nio.file.Files.move(tmp, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     private def readCentroids(f: java.io.File): Seq[Seq[Double]] =
       java.nio.file.Files.readString(f.toPath).split("\n").toSeq
         .map(_.split(",").toSeq.map(_.toDouble))
+    /** Sidecar centroids, validated against the STORE's actual bucket
+      * directories before serving (belt-and-braces under the atomic
+      * write): every `g_ivf_bucket=<b>` partition must be probeable, i.e.
+      * `b < cents.size`, and all centroids must share one dimension.
+      * Returns None for a missing, unparsable, or layout-inconsistent
+      * sidecar — the caller rebuilds the cycle.
+      */
+    private def readValidCentroids(storePath: String)
+        : Option[Seq[Seq[Double]]] = {
+      val f = new java.io.File(storePath + ".centroids.txt")
+      if (!f.exists()) return None
+      scala.util.Try(readCentroids(f)).toOption.filter { cs =>
+        val bucketDirs = Option(new java.io.File(storePath).listFiles())
+          .toSeq.flatten.map(_.getName)
+          .filter(_.startsWith("g_ivf_bucket="))
+          .map(_.stripPrefix("g_ivf_bucket=").toInt)
+        cs.nonEmpty && cs.map(_.size).distinct.size == 1 &&
+          bucketDirs.nonEmpty && bucketDirs.forall(_ < cs.size)
+      }
+    }
 
     /** DuckDB restatement of `q_ann_kmeans`, buildable only after training
       * ran: the Lloyd iterations are deterministic but seed by xxhash64
@@ -1697,20 +1726,66 @@ object SparkEntry {
         val path =
           s"/root/repo/target/indexes/ivf_recluster_" +
             s"${new java.io.File(dir).getName}_${Tables.contentTag(dir)}_v1"
-        val cents = reclusterMemo.getOrElseUpdate(path, {
-          val sidecar = new java.io.File(path + ".centroids.txt")
-          if (sidecar.exists()) readCentroids(sidecar)
-          else {
-            val coarse = Similarity.trainKmeansCentroids(embs, "embedding",
-              k = 2, iters = 2)
-            Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
-              coarse, path)
-            val fresh =
-              Similarity.ivfRecluster(s, path, "embedding", k = 8, iters = 2)
-            writeCentroids(sidecar, fresh) // after the swap: crash → rebuild
-            fresh
-          }
-        })
+        // the whole build-or-read block holds the OS-level build lock
+        // (r13 ADVICE): two driver JVMs racing the FIRST build of this
+        // content-tagged path serialize at the OS — the loser re-checks
+        // the sidecar inside the lock and serves the winner's layout
+        val cents = reclusterMemo.getOrElseUpdate(path,
+          graft.operators.Artifacts.withProcessLock(path + ".build.lock") {
+            readValidCentroids(path).getOrElse {
+              val coarse = Similarity.trainKmeansCentroids(embs, "embedding",
+                k = 2, iters = 2)
+              Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
+                coarse, path)
+              val fresh =
+                Similarity.ivfRecluster(s, path, "embedding", k = 8, iters = 2)
+              writeCentroids(new java.io.File(path + ".centroids.txt"),
+                fresh) // atomic move; crash before it → rebuild
+              fresh
+            }
+          })
+        Similarity.ivfStoreTopK(s.read.parquet(path), "vec_id", "embedding",
+          q, k = 10, cents, nprobe = cents.size)
+      },
+      // IVF INGEST → COMPACT end-to-end under the driver's oracle: a
+      // store built from HALF the corpus absorbs the other half through
+      // the append path (frozen centroids, `Similarity.ivfIngest`), is
+      // compacted back to one file per bucket, and serves at FULL probe.
+      // The oracle is brute-force cosine top-10 over base ∪ appended
+      // (= the whole table), so the gate proves ingest dropped nothing,
+      // compaction preserved the row multiset, and the compacted layout
+      // serves exact cosines — the last leg of the
+      // build → ingest → compact → recluster lifecycle to get a driver
+      // gate (the others: q_ann_store, q_ann_recluster). Build-once per
+      // content-tagged path under the OS build lock; a missing/invalid
+      // sidecar rebuilds from EMPTY (the append step is not idempotent —
+      // a crash between ingest and the sidecar write must not leave a
+      // store that a rerun would append into twice).
+      "q_ann_ingest_compact" -> { (s, dir) =>
+        val embs = Tables.t(s, dir, "embeddings")
+        val q = embs.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0)
+        val path =
+          s"/root/repo/target/indexes/ivf_ingest_" +
+            s"${new java.io.File(dir).getName}_${Tables.contentTag(dir)}_v1"
+        val cents = reclusterMemo.getOrElseUpdate(path,
+          graft.operators.Artifacts.withProcessLock(path + ".build.lock") {
+            readValidCentroids(path).getOrElse {
+              val st = new java.io.File(path)
+              if (st.exists())
+                org.apache.commons.io.FileUtils.deleteDirectory(st)
+              val base = embs.filter(pmod(col("vec_id"), lit(2L)) === 0)
+              val delta = embs.filter(pmod(col("vec_id"), lit(2L)) === 1)
+              val cs = Similarity.trainKmeansCentroids(base, "embedding",
+                k = 8, iters = 2)
+              Similarity.materializedIvfIndex(base, "vec_id", "embedding",
+                cs, path)
+              Similarity.ivfIngest(delta, "embedding", cs, path)
+              Similarity.ivfCompact(s, path)
+              writeCentroids(new java.io.File(path + ".centroids.txt"), cs)
+              cs
+            }
+          })
         Similarity.ivfStoreTopK(s.read.parquet(path), "vec_id", "embedding",
           q, k = 10, cents, nprobe = cents.size)
       },
@@ -2964,6 +3039,14 @@ object SparkEntry {
       // table — the oracle proves the maintenance rewrite preserved every
       // row and serves exact cosines, with no trained artifact to inline
       "q_ann_recluster" ->
+        s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |sc AS (SELECT vec_id, ${cosineSql("embedding", "qvec")} AS cosine
+           |  FROM embeddings, q)
+           |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+      // q_ann_ingest_compact also serves at FULL probe, and base ∪
+      // appended is the whole embeddings table — so the same brute-force
+      // restatement proves the ingest+compact cycle preserved every row
+      "q_ann_ingest_compact" ->
         s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
            |sc AS (SELECT vec_id, ${cosineSql("embedding", "qvec")} AS cosine
            |  FROM embeddings, q)

@@ -213,7 +213,11 @@ object Similarity {
                            centroids: Seq[Seq[Double]],
                            path: String): DataFrame = {
     val spark = df.sparkSession
-    ivfBuildLock.synchronized {
+    // OS-level build lock (r13 ADVICE): two driver JVMs racing the FIRST
+    // build of the same content-tagged path serialize at the OS — the
+    // loser re-checks _SUCCESS inside the lock and reads what the winner
+    // built, instead of interleaving overwrites of a shared artifact
+    Artifacts.withProcessLock(path.stripSuffix("/") + ".build.lock") {
       if (!new java.io.File(path, "_SUCCESS").exists())
         withIvfKmeansBucket(df, vecCol, centroids)
           // shuffle by the bucket BEFORE the partitioned write (the cube
@@ -230,7 +234,24 @@ object Similarity {
     spark.read.parquet(path)
   }
 
-  private val ivfBuildLock = new Object
+  /** Streamed-ingest append to a [[materializedIvfIndex]] store: the batch
+    * is routed through the store's FROZEN centroids (the layout contract —
+    * rows must land in the directory their serving probe will prune to)
+    * and appended one shuffled file per touched bucket, exactly like the
+    * initial build. This is the per-micro-batch body a stream's
+    * `foreachBatch` runs; after B batches [[ivfCompact]] restores file
+    * count = bucket count. Invalidate-after-write keeps the listing and
+    * dir-cost caches honest for readers in this JVM.
+    */
+  def ivfIngest(batch: DataFrame, vecCol: String,
+                centroids: Seq[Seq[Double]], path: String): Unit = {
+    withIvfKmeansBucket(batch, vecCol, centroids)
+      .repartition(col("g_ivf_bucket"))
+      .write.mode("append").partitionBy("g_ivf_bucket").parquet(path)
+    org.apache.spark.sql.graft.FileListingCache
+      .invalidateAll(batch.sparkSession)
+    org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
+  }
 
   /** Compact an appended IVF store: merge each bucket's accumulated
     * ingest files into one file per bucket and swap the directory — the
@@ -278,18 +299,31 @@ object Similarity {
     * crash-safe via [[Artifacts.writeThenSwap]]: at no instant is the
     * only copy mid-delete. Rows keep (id, vector) — only the bucket key
     * and file layout change, so a FULL probe (`nprobe = k`) is
-    * bit-identical before and after (the driver gate's oracle). Training
-    * reads the whole store here; at 100 TB retrain on a deterministic
-    * hash-sample ([[Sampling.sample]]) exactly like the initial build.
+    * bit-identical before and after (the driver gate's oracle).
+    * `sampleFraction` is the 100-TB mode: retrain on a deterministic
+    * hash-sample of the store ([[Sampling.sample]] keyed on the vector's
+    * xxhash64, so membership is content-stable across layouts and runs)
+    * instead of every row — centroid quality needs thousands of points
+    * per centroid, not the whole corpus, and the REWRITE still covers
+    * every row (only the training read shrinks). PipelineOpsSpec pins
+    * that a sampled retrain restores selectivity/balance within a
+    * bounded factor of the full retrain on the same drifted fixture.
     * Concurrency contract (same as [[ivfCompact]]): callers SERIALIZE
     * recluster against ingest, compaction and other reclusters — both
     * reads below are deliberately unlocked under that contract; probes
     * racing the swap window go through [[ivfStoreProbe]]'s read lock.
     */
   def ivfRecluster(spark: org.apache.spark.sql.SparkSession, path: String,
-                   vecCol: String, k: Int, iters: Int = 4): Seq[Seq[Double]] = {
-    val fresh =
-      trainKmeansCentroids(spark.read.parquet(path), vecCol, k, iters)
+                   vecCol: String, k: Int, iters: Int = 4,
+                   sampleFraction: Double = 1.0): Seq[Seq[Double]] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val store = spark.read.parquet(path)
+    val trainSrc =
+      if (sampleFraction >= 1.0) store
+      else Sampling.sample(store,
+        xxhash64(col(vecCol).cast("array<double>")), sampleFraction)
+    val fresh = trainKmeansCentroids(trainSrc, vecCol, k, iters)
     Artifacts.writeThenSwap(spark, path) { tmp =>
       withIvfKmeansBucket(
           spark.read.parquet(path).drop("g_ivf_bucket"), vecCol, fresh)
@@ -364,9 +398,17 @@ object Similarity {
     *     corpus-scale query sets use [[knnJoin]] or chunk the batch.
     *     The contract is ENFORCED, not just documented: materialization
     *     collects LIMIT cap+1, so at most cap+1 rows ever transfer to
-    *     the driver, and a batch whose |queries| × nprobe exceeds
-    *     `spark.graft.ivf.batchProbeMaxRows` (default 1,048,576) raises
-    *     a clear error instead of OOMing the driver mid-collect;
+    *     the driver, and an oversized batch raises a clear error instead
+    *     of OOMing the driver mid-collect. The cap is the SMALLER of
+    *     `spark.graft.ivf.batchProbeMaxRows` (default 1,048,576) and
+    *     `spark.graft.ivf.batchProbeMaxBytes` (default 256 MiB) divided
+    *     by the estimated probed-row width (one query vector's dimension
+    *     is peeked from the batch — dimension is a schema-stable
+    *     property, so the extra tiny job cannot diverge from the serve
+    *     collect even for nondeterministic batches), so a wide-vector
+    *     batch is bounded by BYTES on the driver, not just row count
+    *     (r13 ADVICE: a row cap alone admits multi-GB collects at
+    *     3 KB/row);
     *  3. the bucket union (≤ `centroids.size` values) statically prunes
     *     the store's bucket directories — the same `PartitionFilters`
     *     route as the single-query probe, over the union;
@@ -377,8 +419,10 @@ object Similarity {
     *     batch concentrated on one bucket turns that bucket's scan tasks
     *     (parallelism = its FILE SPLITS, which bytes-based splitting sizes
     *     without knowing the join fan-out) into stragglers computing most
-    *     of the candidate volume — measured 3.9× worse per-candidate cost
-    *     at fan-out 256 on a 50%-hot store (SCALE_PROBE r13). When any
+    *     of the candidate volume — with the guard disabled the same
+    *     serve on identical candidates is 6.9× slower (1.95 vs 0.28 µs
+    *     per candidate) at fan-out 256 on a 50%-hot store
+    *     (SCALE_PROBE_r13.json `skewed_bucket_batch`). When any
     *     bucket's probe fan-out reaches
     *     `spark.graft.ivf.batchSpreadFanout` (default 16), the pruned
     *     store is spread round-robin across the shuffle partitions first:
@@ -410,15 +454,28 @@ object Similarity {
     // serving join side — limit truncation can only be OBSERVED
     // (length == cap+1, which always fails the require), never served,
     // so a nondeterministic batch cannot diverge between the two uses.
-    val cap = math.min(spark.conf
+    // The cap bounds BYTES, not just rows (r13 ADVICE): each probed row
+    // carries the full query vector, so the row cap is divided into the
+    // byte budget via the batch's vector width — peeked from ONE row
+    // (dimension is schema-stable, so the peek cannot diverge from the
+    // serve collect even for nondeterministic batches).
+    val rowCap = math.min(spark.conf
       .get("spark.graft.ivf.batchProbeMaxRows", "1048576").toLong,
-      Int.MaxValue - 1L).toInt // cap+1 below must not overflow limit()
+      Int.MaxValue - 1L) // cap+1 below must not overflow limit()
+    val maxBytes = spark.conf
+      .get("spark.graft.ivf.batchProbeMaxBytes", s"${256L * 1024 * 1024}")
+      .toLong
+    val dim = queries.select(col(qVecCol)).limit(1).collect()
+      .headOption.map(_.getSeq[Float](0).length).getOrElse(0)
+    val rowBytes = 4L * dim + 40L // float vector + id/bucket/row overhead
+    val cap = math.max(1L, math.min(rowCap, maxBytes / rowBytes)).toInt
     val rows = proj.limit(cap + 1).collect() // the serve batch
     require(rows.length <= cap,
-      s"ivfStoreTopKBatch serve batch exceeds spark.graft.ivf." +
-        s"batchProbeMaxRows=$cap probed rows (> $cap rows at " +
-        s"nprobe=$nprobe); chunk the query batch or use knnJoin for " +
-        "corpus-scale sets")
+      s"ivfStoreTopKBatch serve batch exceeds its driver cap of $cap " +
+        s"probed rows (min of spark.graft.ivf.batchProbeMaxRows=$rowCap " +
+        s"and batchProbeMaxBytes=$maxBytes / ~$rowBytes B per row at " +
+        s"dim=$dim; batch probed |queries| x nprobe=$nprobe rows); " +
+        "chunk the query batch or use knnJoin for corpus-scale sets")
     val bucketIdx = proj.schema.fieldIndex("g_ivf_bucket")
     val byBucket = rows.groupBy(_.getInt(bucketIdx)) // ≤ centroids.size keys
     val buckets = byBucket.keys.toSeq

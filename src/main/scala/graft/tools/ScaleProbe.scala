@@ -81,9 +81,8 @@ object ScaleProbe {
         new java.io.File(dir).getName
       rmRf(path)
       Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cents, path)
-      val batch = embs.filter(col("vec_id") < 64)
-      Similarity.withIvfKmeansBucket(batch, "embedding", cents)
-        .write.mode("append").partitionBy("g_ivf_bucket").parquet(path)
+      Similarity.ivfIngest(embs.filter(col("vec_id") < 64), "embedding",
+        cents, path)
       Similarity.ivfCompact(spark, path)
       () => {
         Similarity.ivfStoreProbe(spark, path, "vec_id", "embedding", q,
@@ -189,7 +188,8 @@ object ScaleProbe {
     * batch BROADCASTS, so no shuffled join partition exists for AQE to
     * split — but the hot bucket's scan tasks (parallelism = file splits,
     * sized by bytes with no knowledge of join fan-out) DID straggle:
-    * 3.9× worse per-candidate cost at fan-out 256 before the fix. The
+    * the guard-disabled A/B arm below serves identical candidates 6.9×
+    * slower (1.95 vs 0.28 µs per candidate) at fan-out 256. The
     * fix is [[graft.operators.Similarity.ivfStoreTopKBatch]]'s fan-out
     * spread guard (round-robin the pruned store when any bucket's probe
     * fan-out ≥ `spark.graft.ivf.batchSpreadFanout`); this probe is the

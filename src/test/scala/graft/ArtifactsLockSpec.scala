@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Artifacts
+
+/** [[graft.operators.Artifacts.withProcessLock]] — the OS advisory lock
+  * that turns the build-once-per-content-tagged-path discipline into an
+  * invariant across driver JVMs (r13 verdict item 3). Three layers:
+  * re-entrancy (the recluster cycle nests build locks), same-JVM thread
+  * exclusion (java.nio file locks are per-JVM, so threads must queue
+  * in front of the channel lock), and REAL cross-process exclusion,
+  * verified by spawning a fresh JVM ([[graft.tools.LockProbe]]) that
+  * tryLocks the same path — the only honest test, since a same-JVM
+  * second acquisition throws `OverlappingFileLockException` instead of
+  * blocking and so cannot stand in for another process.
+  */
+class ArtifactsLockSpec extends AnyFunSuite {
+
+  private def lockPath(name: String): String = {
+    val d = new java.io.File("/root/repo/target/lockspec")
+    d.mkdirs()
+    new java.io.File(d, name).getPath
+  }
+
+  test("withProcessLock is re-entrant per thread") {
+    val p = lockPath("reentrant.lock")
+    val got = Artifacts.withProcessLock(p) {
+      Artifacts.withProcessLock(p) { 42 }
+    }
+    assert(got == 42)
+    // fully released: a fresh direct tryLock on the file succeeds
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(p),
+      java.nio.file.StandardOpenOption.WRITE)
+    val l = ch.tryLock()
+    assert(l != null, "lock not released after nested exit")
+    l.release(); ch.close()
+  }
+
+  test("withProcessLock serializes same-JVM threads") {
+    val p = lockPath("threads.lock")
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val threads = (0 until 4).map { _ =>
+      new Thread(() => {
+        try {
+          for (_ <- 0 until 25) Artifacts.withProcessLock(p) {
+            val n = inside.incrementAndGet()
+            maxInside.getAndUpdate(m => math.max(m, n))
+            inside.decrementAndGet()
+          }
+        } catch { case t: Throwable => err.set(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(err.get() == null, s"locking failed: ${err.get()}")
+    assert(maxInside.get() == 1,
+      s"${maxInside.get()} threads inside the critical section at once")
+  }
+
+  test("withProcessLock excludes a second PROCESS while held, frees after") {
+    val p = lockPath("crossproc.lock")
+    def probe(): String = {
+      val javaBin = new java.io.File(
+        new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+      // classpath from the code sources of LockProbe and scala-library
+      // (sbt's layered classloaders make java.class.path useless here);
+      // the probe depends on nothing else
+      def src(c: Class[_]) = new java.io.File(
+        c.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+      val cp = Seq(src(graft.tools.LockProbe.getClass),
+          src(scala.Predef.getClass))
+        .mkString(java.io.File.pathSeparator)
+      val pb = new ProcessBuilder(javaBin, "-cp", cp,
+        "graft.tools.LockProbe", p)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes()).trim
+      val done = proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+      assert(done, "LockProbe JVM did not finish")
+      out.linesIterator.toSeq.lastOption.getOrElse("")
+    }
+    val seen = Artifacts.withProcessLock(p) { probe() }
+    assert(seen == "HELD",
+      s"a second JVM acquired the lock while this one held it: '$seen'")
+    assert(probe() == "FREE", "lock not released after the block exited")
+  }
+
+  test("writeThenSwap holds the swap lock across the rename window") {
+    // observable contract: after any swap, the .swap.lock sibling exists
+    // (the OS lock file is created on first acquisition) — plus the swap
+    // itself still works end-to-end under the added lock
+    val spark = TestSpark.spark
+    val dir = lockPath("swapdemo")
+    val f = new java.io.File(dir)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    spark.range(10).write.mode("overwrite").parquet(dir)
+    Artifacts.writeThenSwap(spark, dir) { tmp =>
+      spark.range(20).write.mode("overwrite").parquet(tmp)
+    }
+    assert(spark.read.parquet(dir).count() == 20)
+    assert(new java.io.File(dir + ".swap.lock").exists(),
+      "swap did not take the OS lock sibling")
+  }
+}

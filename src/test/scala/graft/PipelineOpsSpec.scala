@@ -433,6 +433,89 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cents2 == cents, "recluster is not deterministic on a stable store")
   }
 
+  test("IVF recluster on a 20% hash-sample restores selectivity within a bounded factor of the full retrain") {
+    import graft.operators.Similarity
+    val embs = Tables.t(spark, sf, "embeddings")
+    // two identical drifted fixtures (k=2 coarse layout), then the r14
+    // 100-TB mode: one reclusters training on EVERY row, the other on a
+    // deterministic 20% hash-sample — the sampled retrain must stay a
+    // working recluster (rows preserved, full probe exact) and restore
+    // selectivity/balance within a bounded factor of the full one
+    def drifted(path: String): Unit = {
+      val f = new java.io.File(path)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+      val coarse = Similarity.trainKmeansCentroids(embs, "embedding",
+        k = 2, iters = 2)
+      Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
+        coarse, path)
+    }
+    val pathFull = "/root/repo/target/indexes/ivf_spec_resample_full_v1"
+    val pathSamp = "/root/repo/target/indexes/ivf_spec_resample_samp_v1"
+    drifted(pathFull); drifted(pathSamp)
+    val total = embs.count()
+    val centsFull = Similarity.ivfRecluster(spark, pathFull, "embedding",
+      k = 8, iters = 2)
+    val centsSamp = Similarity.ivfRecluster(spark, pathSamp, "embedding",
+      k = 8, iters = 2, sampleFraction = 0.2)
+    def layout(path: String): Seq[Long] =
+      spark.read.parquet(path).groupBy("g_ivf_bucket").count()
+        .collect().map(_.getLong(1)).toSeq
+    val (lFull, lSamp) = (layout(pathFull), layout(pathSamp))
+    // the rewrite covers every row regardless of the training sample
+    assert(lSamp.sum == total && lFull.sum == total)
+    assert(spark.read.parquet(pathSamp).select("vec_id").distinct()
+      .count() == total)
+    // selectivity restored within a bounded factor: at least half the
+    // full retrain's bucket count, dominant-bucket share within 2x
+    assert(lSamp.size * 2 >= lFull.size,
+      s"sampled retrain produced ${lSamp.size} buckets vs full ${lFull.size}")
+    val (shareFull, shareSamp) =
+      (lFull.max.toDouble / total, lSamp.max.toDouble / total)
+    assert(shareSamp <= 2.0 * shareFull && shareSamp < 0.9,
+      s"sampled hot-bucket share $shareSamp vs full $shareFull")
+    // exactness is layout-independent: full probe == brute force
+    val q = embs.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    assert(Similarity.ivfStoreTopK(spark.read.parquet(pathSamp), "vec_id",
+        "embedding", q, k = 10, centsSamp, nprobe = centsSamp.size)
+        .collect().toSeq ==
+      Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, k = 10)
+        .collect().toSeq)
+    assert(centsFull.size == 8)
+  }
+
+  test("IVF ingest→compact cycle serves exactly: full probe == brute force over base ∪ appended") {
+    import graft.operators.Similarity
+    val embs = Tables.t(spark, sf, "embeddings")
+    val path = "/root/repo/target/indexes/ivf_spec_ingestcompact_v1"
+    val f = new java.io.File(path)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    // the q_ann_ingest_compact gate's cycle, re-run every test run (the
+    // gate itself is build-once): build on half the corpus, ingest the
+    // other half through the frozen centroids, compact, serve exact
+    val base = embs.filter(pmod(col("vec_id"), lit(2L)) === 0)
+    val delta = embs.filter(pmod(col("vec_id"), lit(2L)) === 1)
+    val cs = Similarity.trainKmeansCentroids(base, "embedding",
+      k = 8, iters = 2)
+    Similarity.materializedIvfIndex(base, "vec_id", "embedding", cs, path)
+    Similarity.ivfIngest(delta, "embedding", cs, path)
+    val n = Similarity.ivfCompact(spark, path)
+    assert(n == embs.count(), s"cycle lost rows: $n vs ${embs.count()}")
+    // compaction contract: one file per bucket
+    val perBucket = new java.io.File(path).listFiles
+      .filter(d => d.isDirectory && d.getName.startsWith("g_ivf_bucket="))
+      .map(_.listFiles.count(_.getName.endsWith(".parquet")))
+    assert(perBucket.nonEmpty && perBucket.forall(_ == 1),
+      s"expected one file per bucket, got ${perBucket.toSeq}")
+    val q = embs.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    assert(Similarity.ivfStoreTopK(spark.read.parquet(path), "vec_id",
+        "embedding", q, k = 10, cs, nprobe = cs.size)
+        .collect().toSeq ==
+      Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, k = 10)
+        .collect().toSeq)
+  }
+
   test("concentrated IVF batch spreads the pruned store before the join") {
     import graft.operators.Similarity
     val embs = Tables.t(spark, sf, "embeddings")
