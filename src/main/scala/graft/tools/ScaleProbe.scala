@@ -315,6 +315,137 @@ object ScaleProbe {
     // streaming span ingest
     spanIngestBatch)
 
+  /** The unit each family's cost should be NORMALIZED by when
+    * adjudicating an exponent (r13 verdict): the replica grows documents,
+    * vectors and distinct users each exactly 10× per decade, so a family
+    * whose per-UNIT cost is flat or falling is linear-in-data even when
+    * a fixed scheduler floor makes the raw decade-1 exponent look near
+    * zero and the decade-2 one look like growth. Events normalize by
+    * DISTINCT USERS — the funnel/retention state and join keys are
+    * per-user, so this is the direct answer to "is anything super-linear
+    * in the k−1 join chain": if cost-per-user does not rise with 10×
+    * more users, the growth is the user population itself.
+    */
+  private val unitOf: Map[String, String] = Map(
+    "q_knn_join" -> "vectors", "q_ann_store" -> "vectors",
+    "q_ann_store_batch" -> "vectors",
+    "ann_store_probe_postcompact" -> "vectors",
+    "q_events_funnel" -> "users", "q_events_retention" -> "users"
+  ).withDefaultValue("documents")
+
+  private val unitCache =
+    scala.collection.mutable.Map.empty[(String, String), Long]
+  private def unitsAt(spark: SparkSession, dir: String, unit: String): Long =
+    unitCache.getOrElseUpdate((dir, unit), unit match {
+      case "vectors" => graft.Tables.t(spark, dir, "embeddings").count()
+      case "users" => graft.Tables.events(spark, dir)
+        .select("user_id").distinct().count()
+      case _ => graft.Tables.t(spark, dir, "documents").count()
+    })
+
+  /** Fixed per-action cost of this box's scheduler/sink path (job
+    * submission, 32-task scheduling, noop commit), measured on a
+    * data-free 32-partition range. Decade-1 timings sit just a few
+    * multiples above this floor, which COMPRESSES decade-1 exponents;
+    * subtracting it (when both points clear the floor by ≥ 50 ms) gives
+    * the floor-corrected exponents reported alongside the raw ones.
+    */
+  private def measureFloor(spark: SparkSession, reps: Int): Double = {
+    def run(): Unit = spark.range(32).repartition(32)
+      .write.mode("overwrite").format("noop").save()
+    run()
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  private def flooredExp(tLo: Double, tHi: Double, floor: Double): Option[Double] = {
+    val (a, b) = (tLo - floor, tHi - floor)
+    if (a >= 0.05 && b >= 0.05) Some(math.log10(b / a)) else None
+  }
+
+  /** Streaming funnel/retention twins at the second decade (r13 verdict
+    * item 5): the batch probes above time the BATCH operators on the
+    * replica; this times `funnelStream`/`retentionStream` over the same
+    * events at sf0.1 and the sf1-equivalent, committing state-store rows
+    * and bytes plus throughput at both scales. The replica grows
+    * DISTINCT USERS 10× (fresh cohorts, not longer histories), so the
+    * claim under test — state scales with the user population, per-user
+    * state and per-row cost stay flat — gets a measured point at 10×
+    * users. One micro-batch per run (all files in one trigger): the
+    * retention stream's cross-batch order contract is then vacuous and
+    * both twins equal their batch operators, so the timing is of the
+    * real stateful path, not of a lucky file order.
+    */
+  private def streamingEventsProbe(spark: SparkSession, bigDir: String,
+                                   sf1xDir: String, reps: Int): String = {
+    import graft.streaming.EventPipeline
+    val steps = Seq("view", "click", "purchase")
+    def runAt(dir: String): String = {
+      // the streaming file source monitors a DIRECTORY; the driver
+      // testdata ships events.parquet as a single file (the replica
+      // writes a directory) — expose a file through a symlinked temp dir
+      val srcFile = new java.io.File(s"$dir/events.parquet")
+      val src =
+        if (srcFile.isDirectory) srcFile.getPath
+        else {
+          val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+          java.nio.file.Files.createSymbolicLink(
+            d.resolve("events.parquet"), srcFile.toPath.toAbsolutePath)
+          d.toString
+        }
+      val rows = spark.read.parquet(src).count()
+      val users = unitsAt(spark, dir, "users")
+      def events = {
+        val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        import classic.implicits._
+        spark.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+            "event_type STRING, value DOUBLE, props STRING")
+          .parquet(src)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[EventPipeline.Event]
+      }
+      def timed(mk: => org.apache.spark.sql.DataFrame,
+                mode: String): (Double, Long, Long, Long) = {
+        // min-of-reps, each rep a fresh query over a fresh checkpoint (a
+        // resumed checkpoint would replay nothing and time an empty batch)
+        var best = (Double.MaxValue, 0L, 0L, 0L)
+        for (_ <- 1 to reps) {
+          val ckpt = java.nio.file.Files
+            .createTempDirectory("graft_scaleprobe_ckpt").toString
+          val q = mk.writeStream.format("noop").outputMode(mode)
+            .option("checkpointLocation", ckpt).start()
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val t = (System.nanoTime() - t0) / 1e9
+          val progs = q.recentProgress
+          val in = progs.map(_.numInputRows).sum
+          val st = progs.flatMap(_.stateOperators).lastOption
+          q.stop()
+          org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(ckpt))
+          if (t < best._1)
+            best = (t, in, st.map(_.numRowsTotal).getOrElse(0L),
+              st.map(_.memoryUsedBytes).getOrElse(0L))
+        }
+        best
+      }
+      val (tF, inF, stRowsF, stBytesF) =
+        timed(EventPipeline.funnelStream(events, steps), "update")
+      val (tR, inR, stRowsR, stBytesR) =
+        timed(EventPipeline.retentionStream(events), "append")
+      require(inF == rows && inR == rows,
+        s"stream consumed $inF/$inR of $rows rows at $dir")
+      def arm(t: Double, stRows: Long, stBytes: Long): String =
+        f"""{"t":$t%.3f,"rows_per_sec":${(rows / t).toLong},"state_rows":$stRows,"state_bytes":$stBytes,"state_bytes_per_user":${if (users > 0) stBytes / users else 0}}"""
+      f"""{"rows":$rows,"distinct_users":$users,"funnel":${arm(tF, stRowsF, stBytesF)},"retention":${arm(tR, stRowsR, stBytesR)}}"""
+    }
+    val big = runAt(bigDir)
+    val sf1x = runAt(sf1xDir)
+    s"""{"big":$big,"sf1x":$sf1x}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val outPath = if (args.length > 0) args(0) else "SCALE_PROBE_LATEST.json"
     val small = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
@@ -333,6 +464,10 @@ object ScaleProbe {
       println(s"[scale] sf1-equivalent corpus at ${ensureSf1Equivalent(spark, big)}")
       spark.stop(); return
     }
+    if (outPath == "--stream-smoke") { // exercise the streaming twins fast
+      println(s"[scale] stream smoke: ${streamingEventsProbe(spark, small, small, 1)}")
+      spark.stop(); return
+    }
 
     def timeAt(t: Target, dir: String): Double = {
       val run = t.prepare(spark, dir)
@@ -344,6 +479,9 @@ object ScaleProbe {
       }.min
     }
 
+    val floor = measureFloor(spark, reps)
+    println(f"[scale] scheduler floor (32-task noop action): $floor%.3f s")
+
     val timings = targets.map { t =>
       val tS = timeAt(t, small)
       val tB = timeAt(t, big)
@@ -351,29 +489,44 @@ object ScaleProbe {
       println(f"[scale] ${t.name}%-28s small=$tS%.3f s big=$tB%.3f s exponent=$exp%.2f")
       (t, tS, tB)
     }
+    def optJs(o: Option[Double]): String =
+      o.map(v => f"$v%.2f").getOrElse("null")
     val rows = timings.map { case (t, tS, tB) =>
-      f""" "${t.name}":{"t_small":$tS%.3f,"t_big":$tB%.3f,"exponent":${math.log10(tB / tS)}%.2f}"""
+      f""" "${t.name}":{"t_small":$tS%.3f,"t_big":$tB%.3f,"exponent":${math.log10(tB / tS)}%.2f,"exponent_floored":${optJs(flooredExp(tS, tB, floor))}}"""
     }
     // second decade: sf0.1 → sf1-equivalent (10× replicated, perturbed),
-    // plus the per-decade exponent over the full 100× span — the committed
-    // sub-linearity evidence covers two measured decades, not one
+    // plus the per-decade exponent over the full 100× span. The
+    // CLAIM-BEARING figure per family is exponent_decade2 (decade 1 sits
+    // near the scheduler floor, which compresses its exponent — the
+    // floored variants quantify by how much), and the per-UNIT exponent
+    // adjudicates WHY a decade-2 exponent rose: the replica grows each
+    // family's unit (documents / vectors / distinct users) exactly 10×,
+    // so per_unit_exponent_decade2 = exponent_decade2 − 1; ≤ 0 means
+    // cost per document/vector/user did not rise — linear-in-data with a
+    // falling constant, nothing super-linear hiding in the plan.
     val sf1x = ensureSf1Equivalent(spark, big)
     println(s"[scale] sf1-equivalent corpus at $sf1x")
     val rows2 = timings.map { case (t, tS, tB) =>
       val tX = timeAt(t, sf1x)
       val e2 = math.log10(tX / tB)
       val e100 = math.log10(tX / tS) / 2.0
-      println(f"[scale] ${t.name}%-28s sf1x=$tX%.3f s decade2=$e2%.2f per-decade(100x)=$e100%.2f")
-      f""" "${t.name}":{"t_sf1x":$tX%.3f,"exponent_decade2":$e2%.2f,"exponent_per_decade_100x":$e100%.2f}"""
+      val unit = unitOf(t.name)
+      val (uB, uX) = (unitsAt(spark, big, unit), unitsAt(spark, sf1x, unit))
+      val ePerUnit = math.log10((tX / uX) / (tB / uB))
+      println(f"[scale] ${t.name}%-28s sf1x=$tX%.3f s decade2=$e2%.2f per-decade(100x)=$e100%.2f per-$unit%s=$ePerUnit%.2f")
+      f""" "${t.name}":{"t_sf1x":$tX%.3f,"exponent_decade2":$e2%.2f,"exponent_per_decade_100x":$e100%.2f,"exponent_decade2_floored":${optJs(flooredExp(tB, tX, floor))},"unit":"$unit","units_big":$uB,"units_sf1x":$uX,"per_unit_exponent_decade2":$ePerUnit%.2f}"""
     }
+    val streamJson = streamingEventsProbe(spark, big, sf1x, reps)
+    println(s"[scale] streaming twins: $streamJson")
     val skewJson = skewedBucketProbe(spark, sf1x, reps)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      s"""{"small":"$small","big":"$big","data_factor":10,"reps":$reps,"timing":"noop-sink min-of-$reps after warmup","queries":{
+      s"""{"small":"$small","big":"$big","data_factor":10,"reps":$reps,"timing":"noop-sink min-of-$reps after warmup","scheduler_floor_sec":$floor,"queries":{
          |${rows.mkString(",\n")}
          |},
-         |"data_factor_100":{"dir":"$sf1x","note":"probed tables replicated 10x from sf0.1 with re-keyed ids + per-copy perturbation (alphabet rotation / vector jitter / fresh cohorts); star tables copied unreplicated","queries":{
+         |"data_factor_100":{"dir":"$sf1x","note":"probed tables replicated 10x from sf0.1 with re-keyed ids + per-copy perturbation (alphabet rotation / vector jitter / fresh cohorts); star tables copied unreplicated; exponent_decade2 is the claim-bearing figure (decade 1 sits near the scheduler floor); per_unit_exponent_decade2 <= 0 means cost per document/vector/user fell","queries":{
          |${rows2.mkString(",\n")}
          |}},
+         |"streaming_events_decade2":$streamJson,
          |"skewed_bucket_batch":$skewJson}
          |""".stripMargin)
     println(s"[scale] wrote $outPath")
