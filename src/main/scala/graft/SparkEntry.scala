@@ -709,14 +709,21 @@ object SparkEntry {
         : Option[Seq[Seq[Double]]] = {
       val f = new java.io.File(storePath + ".centroids.txt")
       if (!f.exists()) return None
-      scala.util.Try(readCentroids(f)).toOption.filter { cs =>
+      // the WHOLE validation runs inside the Try: an unparsable sidecar
+      // or a non-numeric bucket partition dir (e.g. the Hive default
+      // partition from a null assignment) must return None → rebuild,
+      // never throw out of the gate
+      scala.util.Try {
+        val cs = readCentroids(f)
         val bucketDirs = Option(new java.io.File(storePath).listFiles())
           .toSeq.flatten.map(_.getName)
           .filter(_.startsWith("g_ivf_bucket="))
           .map(_.stripPrefix("g_ivf_bucket=").toInt)
-        cs.nonEmpty && cs.map(_.size).distinct.size == 1 &&
-          bucketDirs.nonEmpty && bucketDirs.forall(_ < cs.size)
-      }
+        if (cs.nonEmpty && cs.map(_.size).distinct.size == 1 &&
+            bucketDirs.nonEmpty && bucketDirs.forall(_ < cs.size))
+          Some(cs)
+        else None
+      }.toOption.flatten
     }
 
     /** DuckDB restatement of `q_ann_kmeans`, buildable only after training

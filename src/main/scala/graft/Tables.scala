@@ -158,30 +158,41 @@ object Tables {
     eventsCache.getOrElseUpdate((spark, path(sfDir, "events")), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = t(spark, sfDir, "events")
-      import org.apache.spark.sql.types._
-      df.schema("ts").dataType match {
-        case LongType =>
-          val sample = df.select(max(abs(col("ts")))).head()
-          val mag = if (sample.isNullAt(0)) 0L else sample.getLong(0)
-          val toMicros =
-            if (mag > 100000000000000000L) "ts div 1000"  // nanos
-            else if (mag > 100000000000000L) "ts"          // micros
-            else if (mag > 100000000000L) "ts * 1000"      // millis
-            else "ts * 1000000"                            // seconds
-          df.withColumn("ts", expr(s"timestamp_micros($toMicros)"))
-        case TimestampNTZType =>
-          // parquet TIMESTAMP(isAdjustedToUTC=false) infers as NTZ in Spark 4;
-          // the engine's time functions (unix_millis, session_window, interval
-          // pruning) want TIMESTAMP. Session TZ is pinned UTC everywhere, so
-          // the cast keeps the same wall-clock instants DuckDB sees.
-          df.withColumn("ts", col("ts").cast("timestamp"))
-        case StringType =>
-          df.withColumn("ts", to_timestamp(col("ts")))
-        case DateType =>
-          df.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => df
-      }
+      adaptEventsTs(df, df)
     })
+
+  /** The [[events]] ts adaptation applied to an arbitrary frame over the
+    * same files — including a STREAMING frame (ScaleProbe's
+    * funnelStream/retentionStream twins read the events through the file
+    * source): the epoch-unit sniff runs on `batch` (one tiny job — a
+    * stream cannot execute jobs at plan time), the conversion itself is
+    * a stateless projection valid on both.
+    */
+  def adaptEventsTs(df: DataFrame, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        val sample = batch.select(max(abs(col("ts")))).head()
+        val mag = if (sample.isNullAt(0)) 0L else sample.getLong(0)
+        val toMicros =
+          if (mag > 100000000000000000L) "ts div 1000"  // nanos
+          else if (mag > 100000000000000L) "ts"          // micros
+          else if (mag > 100000000000L) "ts * 1000"      // millis
+          else "ts * 1000000"                            // seconds
+        df.withColumn("ts", expr(s"timestamp_micros($toMicros)"))
+      case TimestampNTZType =>
+        // parquet TIMESTAMP(isAdjustedToUTC=false) infers as NTZ in Spark 4;
+        // the engine's time functions (unix_millis, session_window, interval
+        // pruning) want TIMESTAMP. Session TZ is pinned UTC everywhere, so
+        // the cast keeps the same wall-clock instants DuckDB sees.
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case StringType =>
+        df.withColumn("ts", to_timestamp(col("ts")))
+      case DateType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
 
   /** Exact, order-independent sum of a double column: route through a wide
     * decimal so Spark and any ANSI-SQL oracle (DuckDB) produce bit-identical

@@ -14,7 +14,7 @@ object Artifacts {
     * either the whole old directory or the whole new one — never a
     * mid-rename miss or a torn listing. The read/write lock is in-JVM;
     * CROSS-JVM writer–writer exclusion comes from the OS advisory lock
-    * [[writeThenSwap]] additionally holds across the rename window
+    * [[writeThenSwap]] additionally holds across the whole refresh
     * ([[withProcessLock]] on a `.swap.lock` sibling). Cross-JVM
     * reader–writer isolation stays a discipline, not a mechanism: shared
     * artifacts are build-once per content-tagged path, so a second JVM
@@ -55,22 +55,32 @@ object Artifacts {
     val p = java.nio.file.Paths.get(lockPath).toAbsolutePath.normalize()
     val st = procLocks.computeIfAbsent(p.toString, _ => new ProcLock)
     val me = Thread.currentThread()
-    st.synchronized {
+    // claim same-JVM ownership first, then take the OS lock OUTSIDE the
+    // monitor: other threads of this JVM park in st.wait() (interruptible)
+    // instead of blocking uninterruptibly at monitor-enter for as long as
+    // another PROCESS holds the file lock
+    val firstEntry = st.synchronized {
       while (st.holder != null && st.holder != me) st.wait()
-      if (st.holder == me) st.depth += 1
-      else {
+      if (st.holder == me) { st.depth += 1; false }
+      else { st.holder = me; st.depth = 1; true }
+    }
+    if (firstEntry) {
+      def unclaim(): Unit = st.synchronized {
+        st.holder = null; st.depth = 0; st.notifyAll()
+      }
+      try {
         Option(p.getParent)
           .foreach(d => java.nio.file.Files.createDirectories(d))
         val ch = java.nio.channels.FileChannel.open(p,
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.WRITE)
-        // blocks until any OTHER JVM's holder releases; same-JVM waiters
-        // queue on the monitor above, so this never self-overlaps
+        // blocks until any OTHER JVM's holder releases; this JVM's claim
+        // above guarantees no same-JVM overlap (which would throw)
         val l = try ch.lock() catch {
           case t: Throwable => ch.close(); throw t
         }
-        st.holder = me; st.depth = 1; st.channel = ch; st.osLock = l
-      }
+        st.synchronized { st.channel = ch; st.osLock = l }
+      } catch { case t: Throwable => unclaim(); throw t }
     }
     try f finally st.synchronized {
       st.depth -= 1
@@ -117,35 +127,39 @@ object Artifacts {
     * the artifact's WRITE lock, so [[readLocked]] readers see either the
     * old or the new listing, never a missing/torn directory; unlocked
     * readers get the old weaker contract (serialize externally).
-    * The rename window also holds the OS advisory lock on a `.swap.lock`
-    * sibling ([[withProcessLock]]), so two JVMs racing maintenance of the
-    * same directory cannot interleave their rename pairs — the second
-    * swap waits out the first at the OS, whatever order the processes
-    * started in. Callers still serialize maintenance against ingest and
-    * OTHER maintenance, as with every artifact refresh here. Invalidates
-    * the listing and dir-cost caches (inside the lock) so post-swap reads
-    * and prices see the new files.
+    * The ENTIRE refresh — staging write into the shared `.compacting`
+    * sibling AND the rename pair — holds the OS advisory lock on a
+    * `.swap.lock` sibling ([[withProcessLock]]), so two JVMs racing
+    * maintenance of the same directory fully serialize at the OS: the
+    * loser cannot overwrite the winner's staging dir mid-promote, let
+    * alone interleave the renames. Same-JVM readers are NOT blocked by
+    * the long staging write (they take only the read side of the rw
+    * lock, which the swap acquires just for the rename window).
+    * Callers still serialize maintenance against ingest, as with every
+    * artifact refresh here. Invalidates the listing and dir-cost caches
+    * (inside the lock) so post-swap reads and prices see the new files.
     */
   def writeThenSwap(spark: SparkSession, destDir: String)
-                   (write: String => Unit): Unit = {
-    val tmp = destDir.stripSuffix("/") + ".compacting"
-    val old = destDir.stripSuffix("/") + ".precompact"
-    write(tmp)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+                   (write: String => Unit): Unit =
+    withProcessLock(destDir.stripSuffix("/") + ".swap.lock") {
+      val tmp = destDir.stripSuffix("/") + ".compacting"
+      val old = destDir.stripSuffix("/") + ".precompact"
+      write(tmp)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      val l = lockFor(destDir).writeLock()
+      l.lock()
+      try {
+        rm(new java.io.File(old)) // stale recovery copy from a crashed run
+        require(new java.io.File(destDir).renameTo(new java.io.File(old)),
+          s"could not stage $destDir -> $old")
+        require(new java.io.File(tmp).renameTo(new java.io.File(destDir)),
+          s"could not promote $tmp -> $destDir " +
+            s"(previous artifact preserved at $old)")
+        rm(new java.io.File(old))
+        org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+        org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
+      } finally l.unlock()
     }
-    val l = lockFor(destDir).writeLock()
-    l.lock()
-    try withProcessLock(destDir.stripSuffix("/") + ".swap.lock") {
-      rm(new java.io.File(old)) // stale recovery copy from a crashed run
-      require(new java.io.File(destDir).renameTo(new java.io.File(old)),
-        s"could not stage $destDir -> $old")
-      require(new java.io.File(tmp).renameTo(new java.io.File(destDir)),
-        s"could not promote $tmp -> $destDir " +
-          s"(previous artifact preserved at $old)")
-      rm(new java.io.File(old))
-      org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
-      org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
-    } finally l.unlock()
-  }
 }

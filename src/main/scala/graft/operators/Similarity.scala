@@ -466,7 +466,8 @@ object Similarity {
       .get("spark.graft.ivf.batchProbeMaxBytes", s"${256L * 1024 * 1024}")
       .toLong
     val dim = queries.select(col(qVecCol)).limit(1).collect()
-      .headOption.map(_.getSeq[Float](0).length).getOrElse(0)
+      .headOption.flatMap(r => Option(r.getSeq[Float](0))) // null-vec row:
+      .map(_.length).getOrElse(0) // row cap alone (explode drops it anyway)
     val rowBytes = 4L * dim + 40L // float vector + id/bucket/row overhead
     val cap = math.max(1L, math.min(rowCap, maxBytes / rowBytes)).toInt
     val rows = proj.limit(cap + 1).collect() // the serve batch

@@ -394,16 +394,22 @@ object ScaleProbe {
             d.resolve("events.parquet"), srcFile.toPath.toAbsolutePath)
           d.toString
         }
-      val rows = spark.read.parquet(src).count()
+      val batch = spark.read.parquet(src)
+      val rows = batch.count()
       val users = unitsAt(spark, dir, "users")
       def events = {
         val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         import classic.implicits._
-        spark.readStream
-          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
-            "event_type STRING, value DOUBLE, props STRING")
-          .parquet(src)
-          .select("event_id", "ts", "user_id", "event_type", "value")
+        import org.apache.spark.sql.functions.col
+        // stream schema = whatever the files actually carry (driver
+        // generations have shipped ts as nanos/raw int64/NTZ — see
+        // Tables.events), adapted by the shared projection with the
+        // epoch sniff run on the batch frame
+        graft.Tables.adaptEventsTs(
+            spark.readStream.schema(batch.schema).parquet(src), batch)
+          .select(col("event_id").cast("long"), col("ts"),
+            col("user_id").cast("long"), col("event_type"),
+            col("value").cast("double"))
           .as[EventPipeline.Event]
       }
       def timed(mk: => org.apache.spark.sql.DataFrame,
@@ -516,9 +522,20 @@ object ScaleProbe {
       println(f"[scale] ${t.name}%-28s sf1x=$tX%.3f s decade2=$e2%.2f per-decade(100x)=$e100%.2f per-$unit%s=$ePerUnit%.2f")
       f""" "${t.name}":{"t_sf1x":$tX%.3f,"exponent_decade2":$e2%.2f,"exponent_per_decade_100x":$e100%.2f,"exponent_decade2_floored":${optJs(flooredExp(tB, tX, floor))},"unit":"$unit","units_big":$uB,"units_sf1x":$uX,"per_unit_exponent_decade2":$ePerUnit%.2f}"""
     }
-    val streamJson = streamingEventsProbe(spark, big, sf1x, reps)
+    // a failure in a late section must not discard the whole run's
+    // measurements — degrade that section to an error record instead
+    def section(name: String)(f: => String): String =
+      try f catch {
+        case t: Throwable =>
+          println(s"[scale] $name FAILED: $t")
+          s"""{"error":"${t.toString.replace("\\", "\\\\")
+            .replace("\"", "\\\"").take(300)}"}"""
+      }
+    val streamJson = section("streaming twins")(
+      streamingEventsProbe(spark, big, sf1x, reps))
     println(s"[scale] streaming twins: $streamJson")
-    val skewJson = skewedBucketProbe(spark, sf1x, reps)
+    val skewJson = section("skewed-bucket batch")(
+      skewedBucketProbe(spark, sf1x, reps))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       s"""{"small":"$small","big":"$big","data_factor":10,"reps":$reps,"timing":"noop-sink min-of-$reps after warmup","scheduler_floor_sec":$floor,"queries":{
          |${rows.mkString(",\n")}

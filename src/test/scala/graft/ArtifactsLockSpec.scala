@@ -60,48 +60,57 @@ class ArtifactsLockSpec extends AnyFunSuite {
       s"${maxInside.get()} threads inside the critical section at once")
   }
 
-  test("withProcessLock excludes a second PROCESS while held, frees after") {
-    val p = lockPath("crossproc.lock")
-    def probe(): String = {
-      val javaBin = new java.io.File(
-        new java.io.File(sys.props("java.home"), "bin"), "java").getPath
-      // classpath from the code sources of LockProbe and scala-library
-      // (sbt's layered classloaders make java.class.path useless here);
-      // the probe depends on nothing else
-      def src(c: Class[_]) = new java.io.File(
-        c.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
-      val cp = Seq(src(graft.tools.LockProbe.getClass),
-          src(scala.Predef.getClass))
-        .mkString(java.io.File.pathSeparator)
-      val pb = new ProcessBuilder(javaBin, "-cp", cp,
-        "graft.tools.LockProbe", p)
-      pb.redirectErrorStream(true)
-      val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes()).trim
-      val done = proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
-      assert(done, "LockProbe JVM did not finish")
-      out.linesIterator.toSeq.lastOption.getOrElse("")
-    }
-    val seen = Artifacts.withProcessLock(p) { probe() }
-    assert(seen == "HELD",
-      s"a second JVM acquired the lock while this one held it: '$seen'")
-    assert(probe() == "FREE", "lock not released after the block exited")
+  /** tryLock `p` from a freshly spawned JVM ([[graft.tools.LockProbe]]):
+    * "HELD" = some other process owns it, "FREE" = it was acquirable.
+    */
+  private def probe(p: String): String = {
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    // classpath from the code sources of LockProbe and scala-library
+    // (sbt's layered classloaders make java.class.path useless here);
+    // the probe depends on nothing else
+    def src(c: Class[_]) = new java.io.File(
+      c.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+    val cp = Seq(src(graft.tools.LockProbe.getClass),
+        src(scala.Predef.getClass))
+      .mkString(java.io.File.pathSeparator)
+    val pb = new ProcessBuilder(javaBin, "-cp", cp,
+      "graft.tools.LockProbe", p)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes()).trim
+    val done = proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+    assert(done, "LockProbe JVM did not finish")
+    out.linesIterator.toSeq.lastOption.getOrElse("")
   }
 
-  test("writeThenSwap holds the swap lock across the rename window") {
-    // observable contract: after any swap, the .swap.lock sibling exists
-    // (the OS lock file is created on first acquisition) — plus the swap
-    // itself still works end-to-end under the added lock
+  test("withProcessLock excludes a second PROCESS while held, frees after") {
+    val p = lockPath("crossproc.lock")
+    val seen = Artifacts.withProcessLock(p) { probe(p) }
+    assert(seen == "HELD",
+      s"a second JVM acquired the lock while this one held it: '$seen'")
+    assert(probe(p) == "FREE", "lock not released after the block exited")
+  }
+
+  test("writeThenSwap holds the swap lock across the whole refresh") {
+    // probe DURING the staging write: a second process must already be
+    // excluded there (it could otherwise overwrite the shared .compacting
+    // dir mid-promote), and again right before the block returns; after
+    // the swap the lock must be free
     val spark = TestSpark.spark
     val dir = lockPath("swapdemo")
     val f = new java.io.File(dir)
     if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
     spark.range(10).write.mode("overwrite").parquet(dir)
+    var duringWrite = ""
     Artifacts.writeThenSwap(spark, dir) { tmp =>
+      duringWrite = probe(dir + ".swap.lock")
       spark.range(20).write.mode("overwrite").parquet(tmp)
     }
+    assert(duringWrite == "HELD",
+      "a second process could acquire the swap lock during the staging write")
     assert(spark.read.parquet(dir).count() == 20)
-    assert(new java.io.File(dir + ".swap.lock").exists(),
-      "swap did not take the OS lock sibling")
+    assert(probe(dir + ".swap.lock") == "FREE",
+      "swap lock not released after the refresh")
   }
 }
