@@ -13,13 +13,13 @@ object Artifacts {
     * the READ side across listing + scan, so a probe racing a swap sees
     * either the whole old directory or the whole new one — never a
     * mid-rename miss or a torn listing. The read/write lock is in-JVM;
-    * CROSS-JVM writer–writer exclusion comes from the OS advisory lock
-    * [[writeThenSwap]] additionally holds across the whole refresh
-    * ([[withProcessLock]] on a `.swap.lock` sibling). Cross-JVM
-    * reader–writer isolation stays a discipline, not a mechanism: shared
-    * artifacts are build-once per content-tagged path, so a second JVM
-    * only ever reads a settled directory. A multi-driver deployment on an
-    * object store would stage behind a manifest instead.
+    * across JVMs both directions are OS mechanisms: writer–writer via
+    * the exclusive `.swap.lock` [[writeThenSwap]] holds across the whole
+    * refresh, reader–writer via the `.read.lock` gate ([[readLocked]]
+    * readers hold it SHARED, the rename window takes it exclusively).
+    * Build-once per content-tagged path remains the belt-and-braces
+    * discipline on top. A multi-driver deployment on an object store
+    * would stage behind a manifest instead.
     */
   private val swapLocks = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.locks.ReentrantReadWriteLock]()
@@ -104,16 +104,74 @@ object Artifacts {
         .toAbsolutePath.normalize().toString,
       _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
 
+  /** Refcounted SHARED OS lock per lock file (the read side of
+    * [[readLocked]]'s cross-JVM gate): java.nio forbids overlapping
+    * locks within one JVM — even shared ones — so all of this JVM's
+    * concurrent readers ride ONE shared `FileLock`, acquired by the
+    * first in and released by the last out.
+    */
+  private final class SharedLock {
+    var count = 0
+    var channel: java.nio.channels.FileChannel = null
+    var osLock: java.nio.channels.FileLock = null
+  }
+  private val sharedLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, SharedLock]()
+
+  private def acquireShared(lockPath: String): Unit = {
+    val p = java.nio.file.Paths.get(lockPath).toAbsolutePath.normalize()
+    val st = sharedLocks.computeIfAbsent(p.toString, _ => new SharedLock)
+    st.synchronized {
+      if (st.count == 0) {
+        Option(p.getParent)
+          .foreach(d => java.nio.file.Files.createDirectories(d))
+        val ch = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.READ,
+          java.nio.file.StandardOpenOption.WRITE)
+        // shared = true: other processes' readers coexist, another
+        // process's EXCLUSIVE hold (a rename window) blocks us here
+        val l = try ch.lock(0L, Long.MaxValue, true) catch {
+          case t: Throwable => ch.close(); throw t
+        }
+        st.channel = ch; st.osLock = l
+      }
+      st.count += 1
+    }
+  }
+
+  private def releaseShared(lockPath: String): Unit = {
+    val p = java.nio.file.Paths.get(lockPath).toAbsolutePath.normalize()
+    val st = sharedLocks.get(p.toString)
+    st.synchronized {
+      st.count -= 1
+      if (st.count == 0) {
+        try { st.osLock.release(); st.channel.close() }
+        finally { st.osLock = null; st.channel = null }
+      }
+    }
+  }
+
   /** Run `f` (listing + read + materialize) against one consistent
     * generation of the artifact at `destDir`: any concurrent
     * [[writeThenSwap]] rename window waits until `f` finishes, and `f`
-    * waits out any in-flight window. Keep `f` to the serve itself — the
-    * lock serializes against maintenance, not against other readers.
+    * waits out any in-flight window — in THIS JVM via the artifact's
+    * read/write lock, and across JVMs via a SHARED OS lock on the
+    * `.read.lock` sibling that the rename window takes exclusively
+    * (readers in other processes coexist; a swapping process excludes
+    * them only for the rename pair, not the staging write). Lock order
+    * is everywhere rw-lock → read gate, so the two layers cannot
+    * deadlock. Keep `f` to the serve itself — the locks serialize
+    * against maintenance, not against other readers.
     */
   def readLocked[T](destDir: String)(f: => T): T = {
     val l = lockFor(destDir).readLock()
     l.lock()
-    try f finally l.unlock()
+    try {
+      val gate = destDir.stripSuffix("/") + ".read.lock"
+      acquireShared(gate)
+      try f finally releaseShared(gate)
+    } finally l.unlock()
   }
 
   /** Crash-SAFE (not atomic) write-then-swap of an artifact directory:
@@ -150,7 +208,12 @@ object Artifacts {
       }
       val l = lockFor(destDir).writeLock()
       l.lock()
-      try {
+      // the rename pair additionally takes the read gate EXCLUSIVELY:
+      // [[readLocked]] readers in OTHER processes hold it shared, so a
+      // cross-JVM probe racing this window sees a whole generation too —
+      // the reader-writer contract is a mechanism in both directions.
+      // Lock order matches the readers' (rw lock, then gate): no cycle.
+      try withProcessLock(destDir.stripSuffix("/") + ".read.lock") {
         rm(new java.io.File(old)) // stale recovery copy from a crashed run
         require(new java.io.File(destDir).renameTo(new java.io.File(old)),
           s"could not stage $destDir -> $old")

@@ -12,10 +12,14 @@ package graft.tools
 object LockProbe {
   def main(args: Array[String]): Unit = {
     val p = java.nio.file.Paths.get(args(0))
+    val shared = args.length > 1 && args(1) == "shared"
     val ch = java.nio.channels.FileChannel.open(p,
       java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.READ,
       java.nio.file.StandardOpenOption.WRITE)
-    val l = ch.tryLock()
+    // shared mode probes the READ side of an artifact gate: FREE while
+    // other processes hold it shared, HELD only against an exclusive
+    val l = ch.tryLock(0L, Long.MaxValue, shared)
     if (l == null) println("HELD") else { l.release(); println("FREE") }
     ch.close()
   }

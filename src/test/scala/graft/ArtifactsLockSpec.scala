@@ -62,8 +62,10 @@ class ArtifactsLockSpec extends AnyFunSuite {
 
   /** tryLock `p` from a freshly spawned JVM ([[graft.tools.LockProbe]]):
     * "HELD" = some other process owns it, "FREE" = it was acquirable.
+    * `mode = "shared"` tries a SHARED lock (free while other processes
+    * hold it shared; held only against an exclusive owner).
     */
-  private def probe(p: String): String = {
+  private def probe(p: String, mode: String = "exclusive"): String = {
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java").getPath
     // classpath from the code sources of LockProbe and scala-library
@@ -74,8 +76,12 @@ class ArtifactsLockSpec extends AnyFunSuite {
     val cp = Seq(src(graft.tools.LockProbe.getClass),
         src(scala.Predef.getClass))
       .mkString(java.io.File.pathSeparator)
-    val pb = new ProcessBuilder(javaBin, "-cp", cp,
-      "graft.tools.LockProbe", p)
+    val pb =
+      if (mode == "shared")
+        new ProcessBuilder(javaBin, "-cp", cp, "graft.tools.LockProbe",
+          p, "shared")
+      else
+        new ProcessBuilder(javaBin, "-cp", cp, "graft.tools.LockProbe", p)
     pb.redirectErrorStream(true)
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes()).trim
@@ -90,6 +96,25 @@ class ArtifactsLockSpec extends AnyFunSuite {
     assert(seen == "HELD",
       s"a second JVM acquired the lock while this one held it: '$seen'")
     assert(probe(p) == "FREE", "lock not released after the block exited")
+  }
+
+  test("readLocked holds a SHARED gate: excludes cross-process writers, admits readers") {
+    val dir = lockPath("readgate")
+    val gate = dir + ".read.lock"
+    // inside readLocked: an exclusive probe (= another process's rename
+    // window) must be excluded, a shared probe (= another process's
+    // reader) must coexist; concurrent same-JVM readers must share ONE
+    // OS lock (java.nio forbids same-JVM overlap) via the refcount
+    val results = Artifacts.readLocked(dir) {
+      Artifacts.readLocked(dir) { // same-JVM concurrent reader (nested)
+        (probe(gate), probe(gate, "shared"))
+      }
+    }
+    assert(results._1 == "HELD",
+      s"an exclusive lock was acquirable during a locked read: $results")
+    assert(results._2 == "FREE",
+      s"a shared lock was NOT acquirable during a locked read: $results")
+    assert(probe(gate) == "FREE", "read gate not released after the block")
   }
 
   test("writeThenSwap holds the swap lock across the whole refresh") {
