@@ -1796,6 +1796,38 @@ object SparkEntry {
         Similarity.ivfStoreTopK(s.read.parquet(path), "vec_id", "embedding",
           q, k = 10, cents, nprobe = cents.size)
       },
+      // IVF DELETE under the driver's oracle — the opt-out leg of the
+      // lifecycle: a store of the full corpus has every vec_id ≡ 3
+      // (mod 7) removed (`Similarity.ivfDelete`, broadcast anti-join +
+      // crash-safe swap) and serves at FULL probe; the oracle is
+      // brute-force cosine top-10 over the KEPT rows, so the gate proves
+      // the delete removed exactly the requested ids and nothing else.
+      // Build-once per content-tagged path; delete is idempotent, so the
+      // marker-less crash windows just re-run the cycle.
+      "q_ann_delete" -> { (s, dir) =>
+        val embs = Tables.t(s, dir, "embeddings")
+        val cents = kmeansCentroids(s, dir)
+        val q = embs.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0)
+        val path =
+          s"/root/repo/target/indexes/ivf_delete_" +
+            s"${new java.io.File(dir).getName}_${Tables.contentTag(dir)}_v1"
+        reclusterMemo.getOrElseUpdate(path,
+          graft.operators.Artifacts.withProcessLock(path + ".build.lock") {
+            val marker = new java.io.File(path + ".deleted")
+            if (!marker.exists()) {
+              Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
+                cents, path)
+              Similarity.ivfDelete(s, path, "vec_id",
+                embs.filter(pmod(col("vec_id"), lit(7L)) === 3)
+                  .select("vec_id"))
+              java.nio.file.Files.writeString(marker.toPath, "ok")
+            }
+            cents
+          })
+        Similarity.ivfStoreTopK(s.read.parquet(path), "vec_id", "embedding",
+          q, k = 10, cents, nprobe = cents.size)
+      },
       // class prototypes: per-label mean embedding (k-means update step as
       // an operator; decimal-routed per-dim sums), re-exploded to scalar
       // rows for the hash compare
@@ -3057,6 +3089,14 @@ object SparkEntry {
         s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
            |sc AS (SELECT vec_id, ${cosineSql("embedding", "qvec")} AS cosine
            |  FROM embeddings, q)
+           |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+      // q_ann_delete serves the KEPT rows at full probe: brute force over
+      // embeddings minus the deleted residue class proves the anti-join
+      // removed exactly the requested ids and nothing else
+      "q_ann_delete" ->
+        s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |sc AS (SELECT vec_id, ${cosineSql("embedding", "qvec")} AS cosine
+           |  FROM embeddings, q WHERE vec_id % 7 <> 3)
            |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
       // brute-force all-pairs restatement of embeddingDupPairs: confirms the
       // LSH+verify path is exact on this corpus — including that an empty

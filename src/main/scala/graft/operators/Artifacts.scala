@@ -85,7 +85,10 @@ object Artifacts {
     try f finally st.synchronized {
       st.depth -= 1
       if (st.depth == 0) {
-        try { st.osLock.release(); st.channel.close() }
+        // release-then-close as separate guarantees: a throwing release
+        // must not leak the fd (a leaked still-locked channel would make
+        // every later acquisition throw OverlappingFileLockException)
+        try { try st.osLock.release() finally st.channel.close() }
         finally {
           st.holder = null; st.osLock = null; st.channel = null
           st.notifyAll()
@@ -98,46 +101,120 @@ object Artifacts {
   // share one lock (getAbsolutePath would leave "a/../a" distinct);
   // symlinked spellings are out of scope — artifacts live under
   // target/indexes and are addressed by their literal build path
+  private def normKey(destDir: String): String =
+    java.nio.file.Paths.get(destDir.stripSuffix("/"))
+      .toAbsolutePath.normalize().toString
+
   private def lockFor(destDir: String) =
-    swapLocks.computeIfAbsent(
-      java.nio.file.Paths.get(destDir.stripSuffix("/"))
-        .toAbsolutePath.normalize().toString,
+    swapLocks.computeIfAbsent(normKey(destDir),
       _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
+
+  /** Generation stamp each artifact dir last showed THIS JVM's locked
+    * readers (see [[refreshIfSwapped]]).
+    */
+  private val seenGenerations =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Cross-JVM post-swap cache freshness: [[writeThenSwap]] stamps a
+    * `.generation` sibling (atomic move) inside its exclusive window,
+    * and invalidates its OWN Spark listing/dir-cost caches — but it
+    * cannot reach another process's caches, and Spark's file-status
+    * cache would otherwise keep serving the deleted old generation's
+    * listing there. A locked reader that observes a stamp it has not
+    * seen invalidates this JVM's caches before planning. Returns
+    * whether it invalidated.
+    */
+  private[graft] def refreshIfSwapped(spark: SparkSession,
+                                      destDir: String): Boolean = {
+    val genFile = java.nio.file.Paths
+      .get(destDir.stripSuffix("/") + ".generation")
+    val gen =
+      if (java.nio.file.Files.exists(genFile))
+        java.nio.file.Files.readString(genFile)
+      else ""
+    val prev = seenGenerations.put(normKey(destDir), gen)
+    // prev == null with a stamp present means a swap happened before this
+    // JVM ever locked-read the artifact — an earlier UNLOCKED read may
+    // have cached the pre-swap listing, so invalidate once, conservatively
+    val changed = if (prev == null) gen.nonEmpty else prev != gen
+    if (changed) {
+      org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+      org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
+    }
+    changed
+  }
 
   /** Refcounted SHARED OS lock per lock file (the read side of
     * [[readLocked]]'s cross-JVM gate): java.nio forbids overlapping
     * locks within one JVM — even shared ones — so all of this JVM's
     * concurrent readers ride ONE shared `FileLock`, acquired by the
-    * first in and released by the last out.
+    * first in and released by the last out. The channel is opened once
+    * per gate path and kept (entries live for the JVM anyway), so a
+    * sequential probe stream pays one `lock`/`release` pair per cycle,
+    * not an open/close. The OS acquisition itself runs OUTSIDE the
+    * monitor — sibling readers park interruptibly in `wait()` while the
+    * first reader waits out another process's exclusive hold.
+    *
+    * Starvation bound: POSIX locks have no writer preference, and a
+    * back-to-back reader stream piggybacking on the refcount would keep
+    * the gate shared forever while a swap waits. Readers therefore stop
+    * piggybacking once the current hold is older than
+    * [[SharedHoldDrainMs]] and wait for a release/reacquire cycle — a
+    * waiting exclusive gets a window at least that often under ANY read
+    * load.
     */
   private final class SharedLock {
     var count = 0
+    var acquiring = false // a first reader is taking the OS lock
+    var acquiredAt = 0L
     var channel: java.nio.channels.FileChannel = null
     var osLock: java.nio.channels.FileLock = null
   }
   private val sharedLocks =
     new java.util.concurrent.ConcurrentHashMap[String, SharedLock]()
 
+  /** Max age of a continuously-shared hold before new readers drain. */
+  private val SharedHoldDrainMs = 5000L
+
   private def acquireShared(lockPath: String): Unit = {
     val p = java.nio.file.Paths.get(lockPath).toAbsolutePath.normalize()
     val st = sharedLocks.computeIfAbsent(p.toString, _ => new SharedLock)
-    st.synchronized {
-      if (st.count == 0) {
-        Option(p.getParent)
-          .foreach(d => java.nio.file.Files.createDirectories(d))
-        val ch = java.nio.channels.FileChannel.open(p,
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.READ,
-          java.nio.file.StandardOpenOption.WRITE)
-        // shared = true: other processes' readers coexist, another
-        // process's EXCLUSIVE hold (a rename window) blocks us here
-        val l = try ch.lock(0L, Long.MaxValue, true) catch {
-          case t: Throwable => ch.close(); throw t
-        }
-        st.channel = ch; st.osLock = l
+    val reuse = st.synchronized {
+      var claimed = false
+      while (!claimed) {
+        if (st.acquiring ||
+            (st.count > 0 && System.currentTimeMillis() - st.acquiredAt >
+              SharedHoldDrainMs)) st.wait() // drain point / in-flight acquire
+        else if (st.count > 0) { st.count += 1; return }
+        else { st.acquiring = true; claimed = true }
       }
-      st.count += 1
+      st.channel // cached open channel from a previous cycle, or null
     }
+    def unclaim(): Unit = st.synchronized {
+      st.acquiring = false; st.notifyAll()
+    }
+    try {
+      val ch =
+        if (reuse != null) reuse
+        else {
+          Option(p.getParent)
+            .foreach(d => java.nio.file.Files.createDirectories(d))
+          java.nio.channels.FileChannel.open(p,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.READ,
+            java.nio.file.StandardOpenOption.WRITE)
+        }
+      // shared = true: other processes' readers coexist, another
+      // process's EXCLUSIVE hold (a rename window) blocks us here
+      val l = try ch.lock(0L, Long.MaxValue, true) catch {
+        case t: Throwable => if (reuse == null) ch.close(); throw t
+      }
+      st.synchronized {
+        st.channel = ch; st.osLock = l; st.count = 1
+        st.acquiredAt = System.currentTimeMillis()
+        st.acquiring = false; st.notifyAll()
+      }
+    } catch { case t: Throwable => unclaim(); throw t }
   }
 
   private def releaseShared(lockPath: String): Unit = {
@@ -145,10 +222,20 @@ object Artifacts {
     val st = sharedLocks.get(p.toString)
     st.synchronized {
       st.count -= 1
-      if (st.count == 0) {
-        try { st.osLock.release(); st.channel.close() }
-        finally { st.osLock = null; st.channel = null }
-      }
+      try {
+        if (st.count == 0) {
+          val l = st.osLock
+          st.osLock = null
+          try l.release()
+          catch { case t: Throwable =>
+            // a failed release may leave the OS lock on the cached
+            // channel — drop the channel so the next cycle opens fresh
+            // instead of throwing OverlappingFileLockException forever
+            try st.channel.close() finally st.channel = null
+            throw t
+          }
+        }
+      } finally st.notifyAll() // wake drained readers / in-flight waiters
     }
   }
 
@@ -173,6 +260,19 @@ object Artifacts {
       try f finally releaseShared(gate)
     } finally l.unlock()
   }
+
+  /** [[readLocked]] plus cross-JVM cache freshness: before `f` plans
+    * anything, the reader checks the artifact's `.generation` stamp and
+    * invalidates this JVM's listing/dir-cost caches if another process
+    * swapped the directory since the last locked read
+    * ([[refreshIfSwapped]]). The serve entry points over shared stores
+    * ([[graft.operators.Similarity.ivfStoreProbe]]) use this form.
+    */
+  def readLocked[T](spark: SparkSession, destDir: String)(f: => T): T =
+    readLocked(destDir) {
+      refreshIfSwapped(spark, destDir)
+      f
+    }
 
   /** Crash-SAFE (not atomic) write-then-swap of an artifact directory:
     * `write` produces the replacement at a sibling `.compacting` path,
@@ -221,6 +321,18 @@ object Artifacts {
           s"could not promote $tmp -> $destDir " +
             s"(previous artifact preserved at $old)")
         rm(new java.io.File(old))
+        // stamp the new generation (atomic move) so OTHER processes'
+        // locked readers invalidate their own caches on next probe; this
+        // JVM records the stamp as seen (its caches are refreshed below)
+        val gen = java.util.UUID.randomUUID().toString
+        val genTmp = java.nio.file.Paths
+          .get(destDir.stripSuffix("/") + ".generation.tmp")
+        java.nio.file.Files.writeString(genTmp, gen)
+        java.nio.file.Files.move(genTmp,
+          java.nio.file.Paths.get(destDir.stripSuffix("/") + ".generation"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        seenGenerations.put(normKey(destDir), gen)
         org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
         org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
       } finally l.unlock()

@@ -279,6 +279,37 @@ object Similarity {
     spark.read.parquet(path).count()
   }
 
+  /** Delete rows from a materialized IVF store by id — the opt-out /
+    * right-to-be-forgotten leg of the lifecycle (build → ingest →
+    * compact → recluster → DELETE; a training-data vector store must be
+    * able to remove contaminated or opted-out documents). The delete
+    * set applies as a BROADCAST anti-join — work proportional to the
+    * store rewrite, shuffle proportional to nothing (the delete batch
+    * rides the broadcast); bucket assignment of every surviving row is
+    * untouched, so a probe at ANY nprobe returns exactly its pre-delete
+    * answer minus the deleted ids (spec-locked). Crash-safe via
+    * [[Artifacts.writeThenSwap]] and idempotent (re-deleting absent ids
+    * is a no-op), so a crashed delete can simply re-run. Callers
+    * serialize deletes against ingest/compaction/recluster, as with
+    * every maintenance op here. Returns the rows remaining.
+    *
+    * At 100 TB the rewrite touches every bucket partition (in
+    * parallel); for high-RATE deletes accumulate a tombstone set and
+    * fold it into the next [[ivfCompact]] instead — same swap
+    * machinery, one rewrite for many delete batches.
+    */
+  def ivfDelete(spark: org.apache.spark.sql.SparkSession, path: String,
+                idCol: String, deleteIds: DataFrame): Long = {
+    val ids = broadcast(deleteIds.toDF(idCol).distinct())
+    Artifacts.writeThenSwap(spark, path) { tmp =>
+      spark.read.parquet(path)
+        .join(ids, Seq(idCol), "left_anti")
+        .repartition(col("g_ivf_bucket"))
+        .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(tmp)
+    }
+    spark.read.parquet(path).count()
+  }
+
   /** Re-cluster a DRIFTED IVF store: retrain centroids from the store's
     * CURRENT contents and rewrite the bucket layout under them via the
     * crash-SAFE (not atomic) [[Artifacts.writeThenSwap]]. Returns the new
@@ -356,7 +387,8 @@ object Similarity {
                     idCol: String, vecCol: String, query: Seq[Float],
                     k: Int, centroids: Seq[Seq[Double]],
                     nprobe: Int): Array[Row] =
-    Artifacts.readLocked(path) {
+    Artifacts.readLocked(spark, path) { // spark-aware: cross-JVM swap
+      // stamps invalidate this JVM's listing caches before planning
       ivfStoreTopK(spark.read.parquet(path), idCol, vecCol, query, k,
         centroids, nprobe).collect()
     }

@@ -138,4 +138,75 @@ class ArtifactsLockSpec extends AnyFunSuite {
     assert(probe(dir + ".swap.lock") == "FREE",
       "swap lock not released after the refresh")
   }
+
+  test("writeThenSwap's rename window waits out a cross-process shared reader") {
+    val spark = TestSpark.spark
+    val dir = lockPath("swapwait")
+    val f = new java.io.File(dir)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    spark.range(10).write.mode("overwrite").parquet(dir)
+    // a second JVM holds the read gate SHARED for holdMs — the swap's
+    // staging write may proceed but its rename pair must not complete
+    // until the holder releases (otherwise a cross-process reader could
+    // see a mid-rename directory)
+    val holdMs = 6000L
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    def src(c: Class[_]) = new java.io.File(
+      c.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+    val cp = Seq(src(graft.tools.LockProbe.getClass),
+      src(scala.Predef.getClass)).mkString(java.io.File.pathSeparator)
+    val pb = new ProcessBuilder(javaBin, "-cp", cp, "graft.tools.LockProbe",
+      dir + ".read.lock", "hold-shared", holdMs.toString)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    val first = reader.readLine()
+    assert(first == "ACQUIRED", s"holder JVM failed to start: $first")
+    val tHold = System.nanoTime()
+    Artifacts.writeThenSwap(spark, dir) { tmp =>
+      spark.range(20).write.mode("overwrite").parquet(tmp)
+    }
+    val elapsedMs = (System.nanoTime() - tHold) / 1e6
+    proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+    assert(spark.read.parquet(dir).count() == 20)
+    // the swap must have finished only after the holder released. A slow
+    // staging write (> holdMs) would make this vacuously true — that is
+    // fine (the discriminating case is the common fast write)
+    assert(elapsedMs >= holdMs - 500,
+      f"swap completed ${elapsedMs}%.0f ms after the shared hold started " +
+        f"— the rename window did not wait for the $holdMs ms holder")
+  }
+
+  test("generation stamp: a swap invalidates later locked readers' caches once") {
+    val spark = TestSpark.spark
+    val dir = lockPath("gendemo")
+    val f = new java.io.File(dir)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    new java.io.File(dir + ".generation").delete()
+    spark.range(10).write.mode("overwrite").parquet(dir)
+    // no stamp yet: nothing to refresh
+    assert(!Artifacts.refreshIfSwapped(spark, dir))
+    Artifacts.writeThenSwap(spark, dir) { tmp =>
+      spark.range(20).write.mode("overwrite").parquet(tmp)
+    }
+    assert(new java.io.File(dir + ".generation").exists(),
+      "swap did not stamp a generation")
+    // the swapping JVM already recorded the stamp as seen (it refreshed
+    // its own caches in the window) — no double invalidation
+    assert(!Artifacts.refreshIfSwapped(spark, dir))
+    // simulate ANOTHER process's swap: replace the stamp out-of-band
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir + ".generation"), "other-jvm-swap")
+    assert(Artifacts.refreshIfSwapped(spark, dir),
+      "a foreign generation stamp must invalidate this JVM's caches")
+    assert(!Artifacts.refreshIfSwapped(spark, dir),
+      "the same stamp must invalidate only once")
+    // the locked read itself serves the post-swap content
+    val n = Artifacts.readLocked(spark, dir) {
+      spark.read.parquet(dir).count()
+    }
+    assert(n == 20)
+  }
 }

@@ -484,6 +484,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(centsFull.size == 8)
   }
 
+  test("IVF delete: surviving rows' buckets untouched, any-nprobe probe = pre-delete minus deleted") {
+    import graft.operators.Similarity
+    val embs = Tables.t(spark, sf, "embeddings")
+    val path = "/root/repo/target/indexes/ivf_spec_delete_v1"
+    val f = new java.io.File(path)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    val cs = Similarity.trainKmeansCentroids(embs, "embedding",
+      k = 8, iters = 2)
+    Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cs, path)
+    val q = embs.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val delete = embs.filter(pmod(col("vec_id"), lit(5L)) === 2)
+      .select("vec_id")
+    val nDel = delete.count()
+    val remaining = Similarity.ivfDelete(spark, path, "vec_id", delete)
+    assert(remaining == embs.count() - nDel,
+      s"delete removed the wrong row count: $remaining")
+    val store = spark.read.parquet(path)
+    assert(store.filter(pmod(col("vec_id"), lit(5L)) === 2).count() == 0,
+      "a deleted id survived")
+    // surviving rows keep their bucket assignment bit-exactly
+    val kept = Similarity.withIvfKmeansBucket(
+      embs.filter(pmod(col("vec_id"), lit(5L)) =!= 2), "embedding", cs)
+    assert(store.select("vec_id", "g_ivf_bucket")
+      .except(kept.select("vec_id", "g_ivf_bucket")).count() == 0,
+      "delete changed a surviving row's bucket")
+    // a PRUNED probe (not just full) equals the same probe over the kept
+    // frame — the delete is invisible to the index structure
+    for (nprobe <- Seq(2, cs.size)) {
+      val got = Similarity.ivfStoreTopK(store, "vec_id", "embedding", q,
+        k = 10, cs, nprobe).collect().toSeq
+      val want = Similarity.ivfKmeansTopK(
+        embs.filter(pmod(col("vec_id"), lit(5L)) =!= 2), "vec_id",
+        "embedding", q, k = 10, cs, nprobe).collect().toSeq
+      assert(got == want, s"nprobe=$nprobe diverged after delete")
+    }
+    // idempotent: re-deleting the same ids is a no-op
+    assert(Similarity.ivfDelete(spark, path, "vec_id", delete) == remaining)
+  }
+
   test("IVF ingest→compact cycle serves exactly: full probe == brute force over base ∪ appended") {
     import graft.operators.Similarity
     val embs = Tables.t(spark, sf, "embeddings")
