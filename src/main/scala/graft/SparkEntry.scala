@@ -1812,7 +1812,10 @@ object SparkEntry {
         val path =
           s"/root/repo/target/indexes/ivf_delete_" +
             s"${new java.io.File(dir).getName}_${Tables.contentTag(dir)}_v1"
-        reclusterMemo.getOrElseUpdate(path,
+        // serve with the memoized centroids that BUILT the layout (the
+        // recluster legs' contract) — not the independently recomputed
+        // outer value, even though training is deterministic today
+        val layoutCents = reclusterMemo.getOrElseUpdate(path,
           graft.operators.Artifacts.withProcessLock(path + ".build.lock") {
             val marker = new java.io.File(path + ".deleted")
             if (!marker.exists()) {
@@ -1826,7 +1829,40 @@ object SparkEntry {
             cents
           })
         Similarity.ivfStoreTopK(s.read.parquet(path), "vec_id", "embedding",
-          q, k = 10, cents, nprobe = cents.size)
+          q, k = 10, layoutCents, nprobe = layoutCents.size)
+      },
+      // the HIGH-RATE delete path under the driver's oracle: ids are
+      // TOMBSTONED (sidecar append — no store rewrite) and the serve
+      // applies them logically via `tombstoneFiltered`, so the opt-out
+      // is effective before any compaction folds it physically. The
+      // oracle is brute force over the kept rows at full probe — the
+      // same answer the q_ann_delete rewrite produces, reached without
+      // rewriting a byte of the store.
+      "q_ann_tombstone" -> { (s, dir) =>
+        val embs = Tables.t(s, dir, "embeddings")
+        val cents = kmeansCentroids(s, dir)
+        val q = embs.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0)
+        val path =
+          s"/root/repo/target/indexes/ivf_tombstone_" +
+            s"${new java.io.File(dir).getName}_${Tables.contentTag(dir)}_v1"
+        val layoutCents = reclusterMemo.getOrElseUpdate(path,
+          graft.operators.Artifacts.withProcessLock(path + ".build.lock") {
+            val marker = new java.io.File(path + ".tombstoned")
+            if (!marker.exists()) {
+              Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
+                cents, path)
+              Similarity.ivfTombstone(s, path, "vec_id",
+                embs.filter(pmod(col("vec_id"), lit(5L)) === 1)
+                  .select("vec_id"))
+              java.nio.file.Files.writeString(marker.toPath, "ok")
+            }
+            cents
+          })
+        Similarity.ivfStoreTopK(
+          Similarity.tombstoneFiltered(s.read.parquet(path), path),
+          "vec_id", "embedding", q, k = 10, layoutCents,
+          nprobe = layoutCents.size)
       },
       // class prototypes: per-label mean embedding (k-means update step as
       // an operator; decimal-routed per-dim sums), re-exploded to scalar
@@ -3097,6 +3133,13 @@ object SparkEntry {
         s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
            |sc AS (SELECT vec_id, ${cosineSql("embedding", "qvec")} AS cosine
            |  FROM embeddings, q WHERE vec_id % 7 <> 3)
+           |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+      // q_ann_tombstone: same kept-rows brute force, residue class 1
+      // (mod 5) — the logical (pre-fold) serve must already exclude it
+      "q_ann_tombstone" ->
+        s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |sc AS (SELECT vec_id, ${cosineSql("embedding", "qvec")} AS cosine
+           |  FROM embeddings, q WHERE vec_id % 5 <> 1)
            |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
       // brute-force all-pairs restatement of embeddingDupPairs: confirms the
       // LSH+verify path is exact on this corpus — including that an empty

@@ -124,25 +124,36 @@ object Artifacts {
     * seen invalidates this JVM's caches before planning. Returns
     * whether it invalidated.
     */
+  /** Serializes check-invalidate-record in [[refreshIfSwapped]]: a
+    * reader must not record a stamp as seen until the invalidation for
+    * it has COMPLETED, or a concurrent reader could skip its own
+    * invalidation and plan against the stale listing. Swaps are rare;
+    * the global monitor costs nothing on the all-seen fast path.
+    */
+  private val genMonitor = new Object
+
   private[graft] def refreshIfSwapped(spark: SparkSession,
-                                      destDir: String): Boolean = {
-    val genFile = java.nio.file.Paths
-      .get(destDir.stripSuffix("/") + ".generation")
-    val gen =
-      if (java.nio.file.Files.exists(genFile))
-        java.nio.file.Files.readString(genFile)
-      else ""
-    val prev = seenGenerations.put(normKey(destDir), gen)
-    // prev == null with a stamp present means a swap happened before this
-    // JVM ever locked-read the artifact — an earlier UNLOCKED read may
-    // have cached the pre-swap listing, so invalidate once, conservatively
-    val changed = if (prev == null) gen.nonEmpty else prev != gen
-    if (changed) {
-      org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
-      org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
+                                      destDir: String): Boolean =
+    genMonitor.synchronized {
+      val genFile = java.nio.file.Paths
+        .get(destDir.stripSuffix("/") + ".generation")
+      val gen =
+        if (java.nio.file.Files.exists(genFile))
+          java.nio.file.Files.readString(genFile)
+        else ""
+      val prev = seenGenerations.get(normKey(destDir))
+      // prev == null with a stamp present means a swap happened before
+      // this JVM ever locked-read the artifact — an earlier UNLOCKED read
+      // may have cached the pre-swap listing: invalidate once,
+      // conservatively
+      val changed = if (prev == null) gen.nonEmpty else prev != gen
+      if (changed) {
+        org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+        org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
+      }
+      seenGenerations.put(normKey(destDir), gen) // only AFTER invalidating
+      changed
     }
-    changed
-  }
 
   /** Refcounted SHARED OS lock per lock file (the read side of
     * [[readLocked]]'s cross-JVM gate): java.nio forbids overlapping
@@ -166,7 +177,12 @@ object Artifacts {
   private final class SharedLock {
     var count = 0
     var acquiring = false // a first reader is taking the OS lock
-    var acquiredAt = 0L
+    var acquiredAt = 0L // nanoTime of the current hold's first acquisition
+    // per-thread hold depth: a thread already inside (nested readLocked,
+    // or a reader calling back into a locked read) must piggyback
+    // unconditionally — parking it at the drain point would deadlock on
+    // its own hold
+    val holders = new java.util.HashMap[Thread, Integer]()
     var channel: java.nio.channels.FileChannel = null
     var osLock: java.nio.channels.FileLock = null
   }
@@ -174,18 +190,27 @@ object Artifacts {
     new java.util.concurrent.ConcurrentHashMap[String, SharedLock]()
 
   /** Max age of a continuously-shared hold before new readers drain. */
-  private val SharedHoldDrainMs = 5000L
+  private val SharedHoldDrainNanos = 5000L * 1000 * 1000
 
   private def acquireShared(lockPath: String): Unit = {
     val p = java.nio.file.Paths.get(lockPath).toAbsolutePath.normalize()
     val st = sharedLocks.computeIfAbsent(p.toString, _ => new SharedLock)
+    val me = Thread.currentThread()
     val reuse = st.synchronized {
+      val mine: Integer = st.holders.getOrDefault(me, 0)
+      if (mine > 0) { // re-entrant: never drain against yourself
+        st.count += 1; st.holders.put(me, mine + 1); return
+      }
       var claimed = false
       while (!claimed) {
+        // monotonic clock: a wall-clock step must not defeat (or
+        // spuriously trigger) the starvation bound
         if (st.acquiring ||
-            (st.count > 0 && System.currentTimeMillis() - st.acquiredAt >
-              SharedHoldDrainMs)) st.wait() // drain point / in-flight acquire
-        else if (st.count > 0) { st.count += 1; return }
+            (st.count > 0 && System.nanoTime() - st.acquiredAt >
+              SharedHoldDrainNanos)) st.wait() // drain / in-flight acquire
+        else if (st.count > 0) {
+          st.count += 1; st.holders.put(me, 1); return
+        }
         else { st.acquiring = true; claimed = true }
       }
       st.channel // cached open channel from a previous cycle, or null
@@ -207,11 +232,18 @@ object Artifacts {
       // shared = true: other processes' readers coexist, another
       // process's EXCLUSIVE hold (a rename window) blocks us here
       val l = try ch.lock(0L, Long.MaxValue, true) catch {
-        case t: Throwable => if (reuse == null) ch.close(); throw t
+        case t: Throwable =>
+          // a failed/interrupted lock() CLOSES the channel (it is an
+          // InterruptibleChannel) — never leave a dead channel cached,
+          // or every later probe on this artifact throws forever
+          st.synchronized { if (st.channel eq ch) st.channel = null }
+          try ch.close() catch { case _: Throwable => () }
+          throw t
       }
       st.synchronized {
         st.channel = ch; st.osLock = l; st.count = 1
-        st.acquiredAt = System.currentTimeMillis()
+        st.holders.put(me, 1)
+        st.acquiredAt = System.nanoTime()
         st.acquiring = false; st.notifyAll()
       }
     } catch { case t: Throwable => unclaim(); throw t }
@@ -220,8 +252,11 @@ object Artifacts {
   private def releaseShared(lockPath: String): Unit = {
     val p = java.nio.file.Paths.get(lockPath).toAbsolutePath.normalize()
     val st = sharedLocks.get(p.toString)
+    val me = Thread.currentThread()
     st.synchronized {
       st.count -= 1
+      val mine: Integer = st.holders.getOrDefault(me, 0)
+      if (mine <= 1) st.holders.remove(me) else st.holders.put(me, mine - 1)
       try {
         if (st.count == 0) {
           val l = st.osLock
@@ -315,15 +350,12 @@ object Artifacts {
       // Lock order matches the readers' (rw lock, then gate): no cycle.
       try withProcessLock(destDir.stripSuffix("/") + ".read.lock") {
         rm(new java.io.File(old)) // stale recovery copy from a crashed run
-        require(new java.io.File(destDir).renameTo(new java.io.File(old)),
-          s"could not stage $destDir -> $old")
-        require(new java.io.File(tmp).renameTo(new java.io.File(destDir)),
-          s"could not promote $tmp -> $destDir " +
-            s"(previous artifact preserved at $old)")
-        rm(new java.io.File(old))
         // stamp the new generation (atomic move) so OTHER processes'
-        // locked readers invalidate their own caches on next probe; this
-        // JVM records the stamp as seen (its caches are refreshed below)
+        // locked readers invalidate their own caches on next probe —
+        // BEFORE the renames: a crash between a completed promote and a
+        // later stamp would leave foreign caches permanently stale,
+        // while a stamp with no promote only costs readers one harmless
+        // re-list of the unchanged directory
         val gen = java.util.UUID.randomUUID().toString
         val genTmp = java.nio.file.Paths
           .get(destDir.stripSuffix("/") + ".generation.tmp")
@@ -332,6 +364,13 @@ object Artifacts {
           java.nio.file.Paths.get(destDir.stripSuffix("/") + ".generation"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        require(new java.io.File(destDir).renameTo(new java.io.File(old)),
+          s"could not stage $destDir -> $old")
+        require(new java.io.File(tmp).renameTo(new java.io.File(destDir)),
+          s"could not promote $tmp -> $destDir " +
+            s"(previous artifact preserved at $old)")
+        rm(new java.io.File(old))
+        // this JVM records the stamp as seen (its caches refresh below)
         seenGenerations.put(normKey(destDir), gen)
         org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
         org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()

@@ -263,19 +263,37 @@ object Similarity {
     * dwarfs the read. Compaction restores file count = bucket count
     * (probe cost = `nprobe` opens) without touching bucket assignment —
     * rows are reshuffled WITHIN their bucket directory only, so probe
-    * results are bit-identical (spec-locked). Same crash-SAFE
+    * results are bit-identical (spec-locked) — except rows tombstoned
+    * via [[ivfTombstone]], which the compaction FOLDS: pending
+    * tombstones become physical deletes in the rewritten layout, and
+    * exactly the tombstone files that were folded are cleared (a batch
+    * appended mid-fold survives to the next compaction, never silently
+    * dropped). Same crash-SAFE
     * write-then-swap as the span store: at no instant is the only copy
     * mid-delete, and a crash between the renames leaves `.precompact` to
-    * recover from. Callers serialize compaction against ingest and
+    * recover from (a crash after the swap but before the tombstone
+    * clear re-folds the same ids next time — a no-op by idempotence).
+    * Callers serialize compaction against ingest and
     * serve, as with every artifact refresh here. Returns the row count.
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession,
                  path: String): Long = {
+    val folded = tombstoneDataFiles(path)
     Artifacts.writeThenSwap(spark, path) { tmp =>
-      spark.read.parquet(path)
+      val base = spark.read.parquet(path)
+      val kept =
+        if (folded.isEmpty) base
+        else {
+          val tomb = spark.read.parquet(folded.map(_.getPath): _*)
+          val idCol = tomb.columns.head
+          base.join(broadcast(tomb.select(idCol).distinct()),
+            Seq(idCol), "left_anti")
+        }
+      kept
         .repartition(col("g_ivf_bucket"))
         .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(tmp)
     }
+    folded.foreach(_.delete()) // only the files this fold actually read
     spark.read.parquet(path).count()
   }
 
@@ -294,9 +312,8 @@ object Similarity {
     * every maintenance op here. Returns the rows remaining.
     *
     * At 100 TB the rewrite touches every bucket partition (in
-    * parallel); for high-RATE deletes accumulate a tombstone set and
-    * fold it into the next [[ivfCompact]] instead — same swap
-    * machinery, one rewrite for many delete batches.
+    * parallel); for high-RATE deletes use [[ivfTombstone]] instead —
+    * same end state, one rewrite for many delete batches.
     */
   def ivfDelete(spark: org.apache.spark.sql.SparkSession, path: String,
                 idCol: String, deleteIds: DataFrame): Long = {
@@ -308,6 +325,49 @@ object Similarity {
         .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(tmp)
     }
     spark.read.parquet(path).count()
+  }
+
+  /** High-RATE delete path: append the batch's ids to a tombstone
+    * sidecar (`<path>.tombstones/` — a plain parquet append, no store
+    * rewrite), folded into the store physically at the next
+    * [[ivfCompact]] (one rewrite amortizes many delete batches).
+    * Between the tombstone and the fold, serving applies the pending
+    * set LOGICALLY via [[tombstoneFiltered]] — the opt-out is effective
+    * immediately, the rewrite cost is deferred. Idempotent (duplicate
+    * ids collapse at serve/fold). Callers serialize tombstoning against
+    * compaction like every maintenance pair; the fold deletes exactly
+    * the tombstone FILES it read, so a batch appended concurrently with
+    * a fold is never dropped — it survives to the next one.
+    */
+  def ivfTombstone(spark: org.apache.spark.sql.SparkSession, path: String,
+                   idCol: String, ids: DataFrame): Unit = {
+    ids.toDF(idCol).distinct()
+      .write.mode("append").parquet(path.stripSuffix("/") + ".tombstones")
+    org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+  }
+
+  private def tombstoneDataFiles(path: String): Seq[java.io.File] = {
+    val d = new java.io.File(path.stripSuffix("/") + ".tombstones")
+    Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+  }
+
+  /** Pending-tombstone view of a store: anti-join against the sidecar's
+    * accumulated ids (broadcast — the set is bounded by the compaction
+    * cadence), identity when no tombstones are pending. The serve-side
+    * contract of [[ivfTombstone]]; [[ivfCompact]] makes it physical.
+    */
+  def tombstoneFiltered(store: DataFrame, path: String): DataFrame = {
+    val files = tombstoneDataFiles(path)
+    if (files.isEmpty) store
+    else {
+      val tomb = store.sparkSession.read
+        .parquet(files.map(_.getPath): _*)
+      val idCol = tomb.columns.head
+      store.join(broadcast(tomb.select(idCol).distinct()),
+        Seq(idCol), "left_anti")
+    }
   }
 
   /** Re-cluster a DRIFTED IVF store: retrain centroids from the store's

@@ -524,6 +524,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Similarity.ivfDelete(spark, path, "vec_id", delete) == remaining)
   }
 
+  test("IVF tombstones: delete is logical immediately, physical at the next compaction") {
+    import graft.operators.Similarity
+    val embs = Tables.t(spark, sf, "embeddings")
+    val path = "/root/repo/target/indexes/ivf_spec_tombstone_v1"
+    for (suffix <- Seq("", ".tombstones")) {
+      val f = new java.io.File(path + suffix)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
+    val cs = Similarity.trainKmeansCentroids(embs, "embedding",
+      k = 8, iters = 2)
+    Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cs, path)
+    val total = embs.count()
+    val q = embs.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    def kept(mods: Long*) = embs.filter(
+      !pmod(col("vec_id"), lit(5L)).isin(mods.map(x => x: Any): _*))
+    // batch 1 tombstoned: the raw store is untouched (no rewrite), but
+    // the tombstone-filtered serve excludes the ids IMMEDIATELY
+    Similarity.ivfTombstone(spark, path, "vec_id",
+      embs.filter(pmod(col("vec_id"), lit(5L)) === 2).select("vec_id"))
+    assert(spark.read.parquet(path)
+      .filter(pmod(col("vec_id"), lit(5L)) === 2).count() > 0,
+      "tombstoning must not rewrite the store")
+    for (nprobe <- Seq(2, cs.size)) {
+      val got = Similarity.ivfStoreTopK(
+        Similarity.tombstoneFiltered(spark.read.parquet(path), path),
+        "vec_id", "embedding", q, k = 10, cs, nprobe).collect().toSeq
+      val want = Similarity.ivfKmeansTopK(kept(2L), "vec_id", "embedding",
+        q, k = 10, cs, nprobe).collect().toSeq
+      assert(got == want, s"pending tombstones not served at nprobe=$nprobe")
+    }
+    // batch 2, then compaction folds BOTH batches physically and clears
+    // the folded files; the filtered view degenerates to identity
+    Similarity.ivfTombstone(spark, path, "vec_id",
+      embs.filter(pmod(col("vec_id"), lit(5L)) === 4).select("vec_id"))
+    val nDel = embs.filter(pmod(col("vec_id"), lit(5L)).isin(2L, 4L)).count()
+    val remaining = Similarity.ivfCompact(spark, path)
+    assert(remaining == total - nDel,
+      s"fold removed the wrong count: $remaining vs ${total - nDel}")
+    val store = spark.read.parquet(path)
+    assert(store.filter(pmod(col("vec_id"), lit(5L)).isin(2L, 4L))
+      .count() == 0, "a tombstoned id survived the fold")
+    assert(Similarity.tombstoneFiltered(store, path).count() == remaining,
+      "folded tombstone files were not cleared")
+    assert(Similarity.ivfStoreTopK(store, "vec_id", "embedding", q,
+        k = 10, cs, nprobe = 2).collect().toSeq ==
+      Similarity.ivfKmeansTopK(kept(2L, 4L), "vec_id", "embedding",
+        q, k = 10, cs, nprobe = 2).collect().toSeq,
+      "post-fold probe diverged from the kept frame")
+  }
+
   test("IVF ingest→compact cycle serves exactly: full probe == brute force over base ∪ appended") {
     import graft.operators.Similarity
     val embs = Tables.t(spark, sf, "embeddings")
