@@ -124,17 +124,20 @@ object Artifacts {
     * seen invalidates this JVM's caches before planning. Returns
     * whether it invalidated.
     */
-  /** Serializes check-invalidate-record in [[refreshIfSwapped]]: a
-    * reader must not record a stamp as seen until the invalidation for
-    * it has COMPLETED, or a concurrent reader could skip its own
-    * invalidation and plan against the stale listing. Swaps are rare;
-    * the global monitor costs nothing on the all-seen fast path.
+  /** Serializes check-invalidate-record in [[refreshIfSwapped]] PER
+    * ARTIFACT: a reader must not record a stamp as seen until the
+    * invalidation for it has COMPLETED, or a concurrent reader could
+    * skip its own invalidation and plan against the stale listing.
+    * Per-key monitors so probes of unrelated stores never contend on
+    * the stamp's file I/O.
     */
-  private val genMonitor = new Object
+  private val genMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private[graft] def refreshIfSwapped(spark: SparkSession,
                                       destDir: String): Boolean =
-    genMonitor.synchronized {
+    genMonitors.computeIfAbsent(normKey(destDir), _ => new Object)
+      .synchronized {
       val genFile = java.nio.file.Paths
         .get(destDir.stripSuffix("/") + ".generation")
       val gen =
@@ -170,7 +173,7 @@ object Artifacts {
     * back-to-back reader stream piggybacking on the refcount would keep
     * the gate shared forever while a swap waits. Readers therefore stop
     * piggybacking once the current hold is older than
-    * [[SharedHoldDrainMs]] and wait for a release/reacquire cycle — a
+    * [[SharedHoldDrainNanos]] and wait for a release/reacquire cycle — a
     * waiting exclusive gets a window at least that often under ANY read
     * load.
     */
@@ -334,6 +337,19 @@ object Artifacts {
     */
   def writeThenSwap(spark: SparkSession, destDir: String)
                    (write: String => Unit): Unit =
+    writeThenSwapThen(spark, destDir)(write)(())
+
+  /** [[writeThenSwap]] with a post-promote hook: `afterPromote` runs
+    * INSIDE the exclusive read-gate window, after the renames and cache
+    * invalidation — the place for sidecar mutations that must be atomic
+    * with the swap from a locked reader's point of view (e.g.
+    * [[graft.operators.Similarity.ivfCompact]] clearing the tombstone
+    * files its rewrite folded: a reader must see tombstones+old store
+    * or no-tombstones+new store, never a mix).
+    */
+  def writeThenSwapThen(spark: SparkSession, destDir: String)
+                       (write: String => Unit)
+                       (afterPromote: => Unit): Unit =
     withProcessLock(destDir.stripSuffix("/") + ".swap.lock") {
       val tmp = destDir.stripSuffix("/") + ".compacting"
       val old = destDir.stripSuffix("/") + ".precompact"
@@ -374,6 +390,7 @@ object Artifacts {
         seenGenerations.put(normKey(destDir), gen)
         org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
         org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
+        afterPromote
       } finally l.unlock()
     }
 }

@@ -278,23 +278,29 @@ object Similarity {
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession,
                  path: String): Long = {
-    val folded = tombstoneDataFiles(path)
-    Artifacts.writeThenSwap(spark, path) { tmp =>
+    // captured INSIDE the write callback — i.e. under the .swap.lock —
+    // so a racing compaction in another JVM cannot have folded-and-
+    // deleted files this one already listed
+    var folded: Seq[java.io.File] = Nil
+    var schema: org.apache.spark.sql.types.StructType = null
+    Artifacts.writeThenSwapThen(spark, path) { tmp =>
+      folded = tombstoneDataFiles(path)
       val base = spark.read.parquet(path)
-      val kept =
-        if (folded.isEmpty) base
-        else {
-          val tomb = spark.read.parquet(folded.map(_.getPath): _*)
-          val idCol = tomb.columns.head
-          base.join(broadcast(tomb.select(idCol).distinct()),
-            Seq(idCol), "left_anti")
-        }
-      kept
+      schema = base.schema
+      antiJoinTombstones(base, folded)
         .repartition(col("g_ivf_bucket"))
         .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(tmp)
+    } {
+      // clear exactly the folded files INSIDE the exclusive read-gate
+      // window: a locked reader sees tombstones+old store or
+      // no-tombstones+folded store, never a plan over deleted sidecar
+      // files; a batch appended mid-fold has a different filename and
+      // survives to the next compaction
+      folded.foreach(_.delete())
     }
-    folded.foreach(_.delete()) // only the files this fold actually read
-    spark.read.parquet(path).count()
+    // explicit schema: a fully-tombstoned store compacts to an EMPTY
+    // directory, which schema inference would refuse to count
+    spark.read.schema(schema).parquet(path).count()
   }
 
   /** Delete rows from a materialized IVF store by id — the opt-out /
@@ -318,13 +324,17 @@ object Similarity {
   def ivfDelete(spark: org.apache.spark.sql.SparkSession, path: String,
                 idCol: String, deleteIds: DataFrame): Long = {
     val ids = broadcast(deleteIds.toDF(idCol).distinct())
+    var schema: org.apache.spark.sql.types.StructType = null
     Artifacts.writeThenSwap(spark, path) { tmp =>
-      spark.read.parquet(path)
-        .join(ids, Seq(idCol), "left_anti")
+      val base = spark.read.parquet(path)
+      schema = base.schema
+      base.join(ids, Seq(idCol), "left_anti")
         .repartition(col("g_ivf_bucket"))
         .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(tmp)
     }
-    spark.read.parquet(path).count()
+    // explicit schema: deleting EVERY row leaves an empty directory,
+    // which schema inference would refuse to count
+    spark.read.schema(schema).parquet(path).count()
   }
 
   /** High-RATE delete path: append the batch's ids to a tombstone
@@ -353,22 +363,27 @@ object Similarity {
         !f.getName.startsWith("_") && !f.getName.startsWith("."))
   }
 
-  /** Pending-tombstone view of a store: anti-join against the sidecar's
-    * accumulated ids (broadcast — the set is bounded by the compaction
-    * cadence), identity when no tombstones are pending. The serve-side
-    * contract of [[ivfTombstone]]; [[ivfCompact]] makes it physical.
+  /** Anti-join `store` against the given tombstone files' accumulated
+    * ids (broadcast — bounded by the compaction cadence) — the ONE body
+    * behind both the logical serve ([[tombstoneFiltered]]) and the
+    * physical fold ([[ivfCompact]]), so the two can never diverge.
     */
-  def tombstoneFiltered(store: DataFrame, path: String): DataFrame = {
-    val files = tombstoneDataFiles(path)
+  private def antiJoinTombstones(store: DataFrame,
+                                 files: Seq[java.io.File]): DataFrame =
     if (files.isEmpty) store
     else {
-      val tomb = store.sparkSession.read
-        .parquet(files.map(_.getPath): _*)
+      val tomb = store.sparkSession.read.parquet(files.map(_.getPath): _*)
       val idCol = tomb.columns.head
       store.join(broadcast(tomb.select(idCol).distinct()),
         Seq(idCol), "left_anti")
     }
-  }
+
+  /** Pending-tombstone view of a store: identity when no tombstones are
+    * pending. The serve-side contract of [[ivfTombstone]];
+    * [[ivfCompact]] makes it physical.
+    */
+  def tombstoneFiltered(store: DataFrame, path: String): DataFrame =
+    antiJoinTombstones(store, tombstoneDataFiles(path))
 
   /** Re-cluster a DRIFTED IVF store: retrain centroids from the store's
     * CURRENT contents and rewrite the bucket layout under them via the
@@ -437,10 +452,16 @@ object Similarity {
   /** [[ivfStoreTopK]] against the store PATH, materialized under the
     * artifact's swap READ lock: listing, scan and collect all see ONE
     * directory generation, so a probe racing [[ivfCompact]]'s rename
-    * window returns either the pre- or the post-compaction store (which
-    * are row-identical by the compaction contract) — never a mid-rename
-    * miss or a half-old/half-new listing. This is the serve entry point
-    * for a store under live maintenance; [[ivfStoreTopK]] on an
+    * window returns either the pre- or the post-compaction answer —
+    * never a mid-rename miss or a half-old/half-new listing. Pending
+    * [[ivfTombstone]]s are applied ([[tombstoneFiltered]], evaluated
+    * inside the same locked window — the fold clears tombstone files
+    * inside its exclusive window, so the reader sees tombstones+old
+    * store or no-tombstones+folded store, never a mix), which keeps the
+    * two sides ROW-IDENTICAL: a file-compaction doesn't change rows,
+    * and a fold's physical deletes equal the logical exclusion the
+    * pre-fold serve already applied. This is the serve entry point for
+    * a store under live maintenance; [[ivfStoreTopK]] on an
     * already-loaded frame stays the plain path.
     */
   def ivfStoreProbe(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -449,8 +470,8 @@ object Similarity {
                     nprobe: Int): Array[Row] =
     Artifacts.readLocked(spark, path) { // spark-aware: cross-JVM swap
       // stamps invalidate this JVM's listing caches before planning
-      ivfStoreTopK(spark.read.parquet(path), idCol, vecCol, query, k,
-        centroids, nprobe).collect()
+      ivfStoreTopK(tombstoneFiltered(spark.read.parquet(path), path), idCol,
+        vecCol, query, k, centroids, nprobe).collect()
     }
 
   /** Per-row probed-bucket array: indices of the `nprobe` nearest

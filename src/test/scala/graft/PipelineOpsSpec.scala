@@ -555,6 +555,13 @@ class PipelineOpsSpec extends AnyFunSuite {
         q, k = 10, cs, nprobe).collect().toSeq
       assert(got == want, s"pending tombstones not served at nprobe=$nprobe")
     }
+    // the LOCKED serve entry applies pending tombstones too — an
+    // opted-out vector must never be served through ivfStoreProbe
+    assert(Similarity.ivfStoreProbe(spark, path, "vec_id", "embedding",
+        q, k = 10, cs, nprobe = 2).map(_.toSeq).toSeq ==
+      Similarity.ivfKmeansTopK(kept(2L), "vec_id", "embedding",
+        q, k = 10, cs, nprobe = 2).collect().map(_.toSeq).toSeq,
+      "ivfStoreProbe served a tombstoned id")
     // batch 2, then compaction folds BOTH batches physically and clears
     // the folded files; the filtered view degenerates to identity
     Similarity.ivfTombstone(spark, path, "vec_id",
