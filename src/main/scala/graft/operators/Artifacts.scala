@@ -134,6 +134,44 @@ object Artifacts {
   private val genMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Write a fresh generation stamp for `destDir` (unique temp +
+    * `ATOMIC_MOVE`, so a concurrent reader of the stamp file never sees
+    * a torn write) and return it. The caller decides when to record it
+    * as seen by this JVM.
+    */
+  private def writeGenerationStamp(destDir: String): String = {
+    val gen = java.util.UUID.randomUUID().toString
+    val genTmp = java.nio.file.Paths
+      .get(destDir.stripSuffix("/") + s".generation.$gen.tmp")
+    java.nio.file.Files.writeString(genTmp, gen)
+    java.nio.file.Files.move(genTmp,
+      java.nio.file.Paths.get(destDir.stripSuffix("/") + ".generation"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    gen
+  }
+
+  /** Stamp a fresh `.generation` for `destDir` and refresh THIS JVM's
+    * listing/dir-cost caches — the cross-JVM freshness signal for
+    * mutations that change an artifact's FILE SET without a swap (e.g.
+    * [[graft.operators.Similarity.ivfIngest]]'s append): a locked
+    * reader in another process observes the new stamp on its next probe
+    * and invalidates its own caches ([[refreshIfSwapped]]); without it,
+    * a foreign reader's cached pre-append listing would silently miss
+    * the appended rows until the next [[writeThenSwap]]. Runs under the
+    * artifact's generation monitor so a concurrent same-JVM reader
+    * cannot record this stamp as seen before the invalidation lands.
+    */
+  private[graft] def stampGeneration(spark: SparkSession,
+                                     destDir: String): Unit =
+    genMonitors.computeIfAbsent(normKey(destDir), _ => new Object)
+      .synchronized {
+      val gen = writeGenerationStamp(destDir)
+      seenGenerations.put(normKey(destDir), gen)
+      org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+      org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
+    }
+
   private[graft] def refreshIfSwapped(spark: SparkSession,
                                       destDir: String): Boolean =
     genMonitors.computeIfAbsent(normKey(destDir), _ => new Object)
@@ -171,16 +209,23 @@ object Artifacts {
     *
     * Starvation bound: POSIX locks have no writer preference, and a
     * back-to-back reader stream piggybacking on the refcount would keep
-    * the gate shared forever while a swap waits. Readers therefore stop
-    * piggybacking once the current hold is older than
-    * [[SharedHoldDrainNanos]] and wait for a release/reacquire cycle — a
-    * waiting exclusive gets a window at least that often under ANY read
-    * load.
+    * the gate shared forever while a swap waits. New readers therefore
+    * park the moment a writer DECLARES ITSELF — [[writeThenSwapThen]]
+    * holds a `.gate.intent` lock around exactly its gate acquisition +
+    * rename pair, and [[writerPlausible]] probes it (non-blocking,
+    * result cached [[WriterCheckCacheNanos]]) — and keep parking until
+    * the intent clears, so the writer's wait is bounded by the reads
+    * already in flight (plus one cache interval of stragglers), and
+    * writer-free read concurrency never degrades (the r14 pure-age
+    * drain parked readers behind any slow sibling probe even with no
+    * writer anywhere). The window itself is still best-effort — POSIX
+    * grants the freed lock to whichever waiter the kernel picks — but a
+    * reader that raced the grant re-parks on the still-held intent, so
+    * in practice the writer wins every drain.
     */
   private final class SharedLock {
     var count = 0
     var acquiring = false // a first reader is taking the OS lock
-    var acquiredAt = 0L // nanoTime of the current hold's first acquisition
     // per-thread hold depth: a thread already inside (nested readLocked,
     // or a reader calling back into a locked read) must piggyback
     // unconditionally — parking it at the drain point would deadlock on
@@ -188,12 +233,57 @@ object Artifacts {
     val holders = new java.util.HashMap[Thread, Integer]()
     var channel: java.nio.channels.FileChannel = null
     var osLock: java.nio.channels.FileLock = null
+    var lastWriterCheck = 0L // nanoTime of the last intent probe
+    var writerSeen = false // its cached result
   }
   private val sharedLocks =
     new java.util.concurrent.ConcurrentHashMap[String, SharedLock]()
 
-  /** Max age of a continuously-shared hold before new readers drain. */
-  private val SharedHoldDrainNanos = 5000L * 1000 * 1000
+  /** How long one intent-probe result is reused before re-checking. */
+  private val WriterCheckCacheNanos = 250L * 1000 * 1000
+
+  /** True when a swap of this gate's artifact is plausibly at (or
+    * approaching) its rename window: the sibling `.gate.intent` lock is
+    * held — by a thread of this JVM ([[procLocks]] fast path, no I/O)
+    * or by another process (non-blocking `tryLock` probe; our instant
+    * exclusive acquisition on a FREE intent file is released
+    * immediately and only delays a real writer's blocking `lock()` by
+    * microseconds). Probing the intent rather than the `.swap.lock` is
+    * load-bearing: the swap lock is held across the whole STAGING
+    * write, which readers must coexist with — draining on it would
+    * park every reader for the full rewrite. Called under the
+    * [[SharedLock]] monitor (serializes same-file probes, which would
+    * otherwise throw `OverlappingFileLockException` at each other);
+    * the I/O is non-blocking and cached, so siblings are never held up
+    * behind a slow probe.
+    */
+  private def writerPlausible(st: SharedLock, gateKey: String): Boolean = {
+    val now = System.nanoTime()
+    if (now - st.lastWriterCheck < WriterCheckCacheNanos) return st.writerSeen
+    st.lastWriterCheck = now
+    val intent = gateKey.stripSuffix(".read.lock") + ".gate.intent"
+    val local = procLocks.get(intent)
+    st.writerSeen =
+      if (local != null && local.synchronized(local.holder != null)) true
+      else {
+        val ip = java.nio.file.Paths.get(intent)
+        if (!java.nio.file.Files.exists(ip)) false // no writer ever swapped
+        else {
+          val ch = java.nio.channels.FileChannel.open(ip,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val l = try ch.tryLock() catch {
+              // this JVM holds (or is mid-acquiring) the intent on
+              // another channel — a writer, by definition
+              case _: java.nio.channels.OverlappingFileLockException =>
+                null
+            }
+            if (l == null) true else { l.release(); false }
+          } finally ch.close()
+        }
+      }
+    st.writerSeen
+  }
 
   private def acquireShared(lockPath: String): Unit = {
     val p = java.nio.file.Paths.get(lockPath).toAbsolutePath.normalize()
@@ -206,11 +296,12 @@ object Artifacts {
       }
       var claimed = false
       while (!claimed) {
-        // monotonic clock: a wall-clock step must not defeat (or
-        // spuriously trigger) the starvation bound
+        // timed wait: a parked drainer must re-probe the intent even if
+        // no release/acquire event notifies it (the writer may have
+        // crashed, releasing the intent at the OS with nobody to notify)
         if (st.acquiring ||
-            (st.count > 0 && System.nanoTime() - st.acquiredAt >
-              SharedHoldDrainNanos)) st.wait() // drain / in-flight acquire
+            (st.count > 0 && writerPlausible(st, p.toString)))
+          st.wait(1000) // drain for a writer / in-flight acquire
         else if (st.count > 0) {
           st.count += 1; st.holders.put(me, 1); return
         }
@@ -246,7 +337,6 @@ object Artifacts {
       st.synchronized {
         st.channel = ch; st.osLock = l; st.count = 1
         st.holders.put(me, 1)
-        st.acquiredAt = System.nanoTime()
         st.acquiring = false; st.notifyAll()
       }
     } catch { case t: Throwable => unclaim(); throw t }
@@ -364,33 +454,41 @@ object Artifacts {
       // cross-JVM probe racing this window sees a whole generation too —
       // the reader-writer contract is a mechanism in both directions.
       // Lock order matches the readers' (rw lock, then gate): no cycle.
-      try withProcessLock(destDir.stripSuffix("/") + ".read.lock") {
-        rm(new java.io.File(old)) // stale recovery copy from a crashed run
-        // stamp the new generation (atomic move) so OTHER processes'
-        // locked readers invalidate their own caches on next probe —
-        // BEFORE the renames: a crash between a completed promote and a
-        // later stamp would leave foreign caches permanently stale,
-        // while a stamp with no promote only costs readers one harmless
-        // re-list of the unchanged directory
-        val gen = java.util.UUID.randomUUID().toString
-        val genTmp = java.nio.file.Paths
-          .get(destDir.stripSuffix("/") + ".generation.tmp")
-        java.nio.file.Files.writeString(genTmp, gen)
-        java.nio.file.Files.move(genTmp,
-          java.nio.file.Paths.get(destDir.stripSuffix("/") + ".generation"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        require(new java.io.File(destDir).renameTo(new java.io.File(old)),
-          s"could not stage $destDir -> $old")
-        require(new java.io.File(tmp).renameTo(new java.io.File(destDir)),
-          s"could not promote $tmp -> $destDir " +
-            s"(previous artifact preserved at $old)")
-        rm(new java.io.File(old))
-        // this JVM records the stamp as seen (its caches refresh below)
-        seenGenerations.put(normKey(destDir), gen)
-        org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
-        org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
-        afterPromote
+      // The `.gate.intent` wrapper DECLARES the writer to foreign
+      // readers' drain probes (acquireShared's writerPlausible) for
+      // exactly the gate-acquisition + rename span — held any wider
+      // (e.g. riding the swap lock) it would park readers for the whole
+      // staging write they are meant to coexist with. NOTE the accepted
+      // in-JVM cost: this JVM's write lock is held ACROSS the gate
+      // acquisition, so same-JVM readers are excluded not just for the
+      // rename pair but also while foreign in-flight reads drain
+      // (bounded by those reads plus one writerPlausible cache
+      // interval — new foreign readers park on the intent). Taking the
+      // gate BEFORE the write lock would instead deadlock: a same-JVM
+      // reader holding the rw read lock blocks on the gate we hold,
+      // while we block on the rw write lock it holds.
+      try withProcessLock(destDir.stripSuffix("/") + ".gate.intent") {
+        withProcessLock(destDir.stripSuffix("/") + ".read.lock") {
+          rm(new java.io.File(old)) // stale recovery copy of a crashed run
+          // stamp the new generation so OTHER processes' locked readers
+          // invalidate their own caches on next probe — BEFORE the
+          // renames: a crash between a completed promote and a later
+          // stamp would leave foreign caches permanently stale, while a
+          // stamp with no promote only costs readers one harmless
+          // re-list of the unchanged directory
+          val gen = writeGenerationStamp(destDir)
+          require(new java.io.File(destDir).renameTo(new java.io.File(old)),
+            s"could not stage $destDir -> $old")
+          require(new java.io.File(tmp).renameTo(new java.io.File(destDir)),
+            s"could not promote $tmp -> $destDir " +
+              s"(previous artifact preserved at $old)")
+          rm(new java.io.File(old))
+          // this JVM records the stamp as seen (its caches refresh below)
+          seenGenerations.put(normKey(destDir), gen)
+          org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+          org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
+          afterPromote
+        }
       } finally l.unlock()
     }
 }

@@ -228,10 +228,15 @@ object Similarity {
           // maxRecordsPerFile (if set) re-splits giant buckets on write.
           .repartition(col("g_ivf_bucket"))
           .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(path)
+      // schema sidecar from build time (inside the build lock): every
+      // later maintenance/serve read can pass the schema explicitly, so
+      // a store a delete/fold later EMPTIES still plans
+      if (!schemaSidecar(path).exists())
+        writeSchemaSidecar(path, spark.read.parquet(path).schema)
     }
     // make the store visible to query history / ADVISE as artifact:ivf
     graft.plans.QueryHistory.registerArtifact("ivf", path)
-    spark.read.parquet(path)
+    readStore(spark, path)
   }
 
   /** Streamed-ingest append to a [[materializedIvfIndex]] store: the batch
@@ -248,9 +253,48 @@ object Similarity {
     withIvfKmeansBucket(batch, vecCol, centroids)
       .repartition(col("g_ivf_bucket"))
       .write.mode("append").partitionBy("g_ivf_bucket").parquet(path)
-    org.apache.spark.sql.graft.FileListingCache
-      .invalidateAll(batch.sparkSession)
-    org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
+    // the append changed the store's FILE SET without a swap: stamp the
+    // generation (and refresh this JVM's caches) so locked readers in
+    // OTHER processes invalidate their cached pre-ingest listing on the
+    // next probe — without the stamp they would silently miss every
+    // appended row until some writeThenSwap (r14 ADVICE)
+    Artifacts.stampGeneration(batch.sparkSession, path)
+  }
+
+  private def schemaSidecar(path: String): java.io.File =
+    new java.io.File(path.stripSuffix("/") + ".schema.json")
+
+  /** Persist the store schema beside it (unique temp + `ATOMIC_MOVE`) —
+    * written by every maintenance op, so serve and re-compact reads can
+    * pass the schema explicitly: a store whose every row was deleted or
+    * folded away is an EMPTY directory, on which schema inference
+    * throws ("Unable to infer schema").
+    */
+  private def writeSchemaSidecar(
+      path: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    val dst = schemaSidecar(path)
+    val tmp = java.nio.file.Paths
+      .get(dst.getPath + "." + java.util.UUID.randomUUID() + ".tmp")
+    java.nio.file.Files.writeString(tmp, schema.json)
+    java.nio.file.Files.move(tmp, dst.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read an IVF store frame, with its schema sidecar when present (a
+    * fully-emptied store has no files to infer from); a legacy store
+    * without a sidecar infers as before (it cannot be empty — only the
+    * sidecar-writing delete/fold paths produce empty stores).
+    */
+  def readStore(spark: org.apache.spark.sql.SparkSession,
+                path: String): DataFrame = {
+    val sc = schemaSidecar(path)
+    if (sc.exists())
+      spark.read.schema(org.apache.spark.sql.types.DataType
+          .fromJson(java.nio.file.Files.readString(sc.toPath))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .parquet(path)
+    else spark.read.parquet(path)
   }
 
   /** Compact an appended IVF store: merge each bucket's accumulated
@@ -285,8 +329,8 @@ object Similarity {
     var schema: org.apache.spark.sql.types.StructType = null
     Artifacts.writeThenSwapThen(spark, path) { tmp =>
       folded = tombstoneDataFiles(path)
-      val base = spark.read.parquet(path)
-      schema = base.schema
+      val base = readStore(spark, path) // sidecar schema: a re-compact
+      schema = base.schema // of an already-emptied store cannot infer
       antiJoinTombstones(base, folded)
         .repartition(col("g_ivf_bucket"))
         .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(tmp)
@@ -297,6 +341,7 @@ object Similarity {
       // files; a batch appended mid-fold has a different filename and
       // survives to the next compaction
       folded.foreach(_.delete())
+      writeSchemaSidecar(path, schema) // serve survives a full fold
     }
     // explicit schema: a fully-tombstoned store compacts to an EMPTY
     // directory, which schema inference would refuse to count
@@ -325,12 +370,14 @@ object Similarity {
                 idCol: String, deleteIds: DataFrame): Long = {
     val ids = broadcast(deleteIds.toDF(idCol).distinct())
     var schema: org.apache.spark.sql.types.StructType = null
-    Artifacts.writeThenSwap(spark, path) { tmp =>
-      val base = spark.read.parquet(path)
-      schema = base.schema
+    Artifacts.writeThenSwapThen(spark, path) { tmp =>
+      val base = readStore(spark, path) // sidecar schema: a delete from
+      schema = base.schema // an already-emptied store cannot infer
       base.join(ids, Seq(idCol), "left_anti")
         .repartition(col("g_ivf_bucket"))
         .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(tmp)
+    } {
+      writeSchemaSidecar(path, schema) // serve survives a full delete
     }
     // explicit schema: deleting EVERY row leaves an empty directory,
     // which schema inference would refuse to count
@@ -348,9 +395,30 @@ object Similarity {
     * compaction like every maintenance pair; the fold deletes exactly
     * the tombstone FILES it read, so a batch appended concurrently with
     * a fold is never dropped — it survives to the next one.
+    *
+    * The pending set is BOUNDED by a mechanism, not a convention
+    * (r14 verdict): once the sidecar already holds
+    * `spark.graft.ivf.maxPendingTombstones` rows (default 1,048,576 —
+    * a few MB broadcast at serve), further tombstoning throws until an
+    * [[ivfCompact]] folds them. The cap is checked BEFORE this batch
+    * appends (counting the batch too would evaluate a possibly
+    * nondeterministic frame twice), so the sidecar can overshoot by at
+    * most one batch; what it bounds is the broadcast anti-join every
+    * serve pays and the fold's delete set — both must stay
+    * small-dimension-sized for the logical path to be cheap.
     */
   def ivfTombstone(spark: org.apache.spark.sql.SparkSession, path: String,
                    idCol: String, ids: DataFrame): Unit = {
+    val cap = spark.conf
+      .get("spark.graft.ivf.maxPendingTombstones", "1048576").toLong
+    val pendingFiles = tombstoneDataFiles(path)
+    val pending =
+      if (pendingFiles.isEmpty) 0L
+      else spark.read.parquet(pendingFiles.map(_.getPath): _*).count()
+    require(pending < cap,
+      s"$pending tombstones already pending at $path (>= cap $cap from " +
+        "spark.graft.ivf.maxPendingTombstones) — run ivfCompact to fold " +
+        "them before tombstoning more")
     ids.toDF(idCol).distinct()
       .write.mode("append").parquet(path.stripSuffix("/") + ".tombstones")
     org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
@@ -414,27 +482,52 @@ object Similarity {
     * every row (only the training read shrinks). PipelineOpsSpec pins
     * that a sampled retrain restores selectivity/balance within a
     * bounded factor of the full retrain on the same drifted fixture.
+    * Pending [[ivfTombstone]]s are FOLDED, not carried forward (r14
+    * verdict): the rewrite anti-joins them away exactly like
+    * [[ivfCompact]] (the same one body, [[antiJoinTombstones]]), the
+    * retrain never sees a logically-deleted vector (a dense clump of
+    * opted-out rows must not attract a fresh centroid), and the folded
+    * sidecar files are cleared inside the swap's exclusive read-gate
+    * window — the one place a lifecycle op could otherwise silently
+    * carry deleted data forward, on the path whose point is removal.
+    * Tombstone→recluster therefore lands in the same end state as
+    * delete→recluster (spec-locked). A FULLY-tombstoned store cannot
+    * recluster (there is nothing to train on) — fold via [[ivfCompact]].
     * Concurrency contract (same as [[ivfCompact]]): callers SERIALIZE
-    * recluster against ingest, compaction and other reclusters — both
-    * reads below are deliberately unlocked under that contract; probes
-    * racing the swap window go through [[ivfStoreProbe]]'s read lock.
+    * recluster against ingest, compaction and other reclusters — the
+    * training reads below are deliberately unlocked under that
+    * contract; probes racing the swap window go through
+    * [[ivfStoreProbe]]'s read lock.
     */
   def ivfRecluster(spark: org.apache.spark.sql.SparkSession, path: String,
                    vecCol: String, k: Int, iters: Int = 4,
                    sampleFraction: Double = 1.0): Seq[Seq[Double]] = {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1], got $sampleFraction")
-    val store = spark.read.parquet(path)
+    val store = tombstoneFiltered(readStore(spark, path), path)
     val trainSrc =
       if (sampleFraction >= 1.0) store
       else Sampling.sample(store,
         xxhash64(col(vecCol).cast("array<double>")), sampleFraction)
     val fresh = trainKmeansCentroids(trainSrc, vecCol, k, iters)
-    Artifacts.writeThenSwap(spark, path) { tmp =>
+    // the rewrite's tombstone set is captured INSIDE the write callback
+    // (under the .swap.lock), like ivfCompact's: a batch tombstoned
+    // after training but before the lock still folds; one appended
+    // mid-fold has a different filename and survives to the next fold
+    var folded: Seq[java.io.File] = Nil
+    var schema: org.apache.spark.sql.types.StructType = null
+    Artifacts.writeThenSwapThen(spark, path) { tmp =>
+      folded = tombstoneDataFiles(path)
+      val base = readStore(spark, path)
+      schema = base.schema
       withIvfKmeansBucket(
-          spark.read.parquet(path).drop("g_ivf_bucket"), vecCol, fresh)
+          antiJoinTombstones(base, folded).drop("g_ivf_bucket"),
+          vecCol, fresh)
         .repartition(col("g_ivf_bucket"))
         .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(tmp)
+    } {
+      folded.foreach(_.delete())
+      writeSchemaSidecar(path, schema)
     }
     fresh
   }
@@ -469,8 +562,10 @@ object Similarity {
                     k: Int, centroids: Seq[Seq[Double]],
                     nprobe: Int): Array[Row] =
     Artifacts.readLocked(spark, path) { // spark-aware: cross-JVM swap
-      // stamps invalidate this JVM's listing caches before planning
-      ivfStoreTopK(tombstoneFiltered(spark.read.parquet(path), path), idCol,
+      // stamps invalidate this JVM's listing caches before planning;
+      // readStore: a fully-deleted/folded store is an EMPTY dir the
+      // sidecar schema still serves (top-k of nothing = no rows)
+      ivfStoreTopK(tombstoneFiltered(readStore(spark, path), path), idCol,
         vecCol, query, k, centroids, nprobe).collect()
     }
 

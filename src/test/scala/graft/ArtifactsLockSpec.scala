@@ -179,6 +179,41 @@ class ArtifactsLockSpec extends AnyFunSuite {
         f"— the rename window did not wait for the $holdMs ms holder")
   }
 
+  test("readers drain only for a DECLARED writer (gate intent), never against each other") {
+    // r14 ADVICE: the old pure-age drain parked every new reader behind
+    // any >5s sibling hold even with no writer anywhere. Now: with no
+    // writer, a new reader piggybacks instantly on an in-flight hold of
+    // any age; with a writer's .gate.intent held, a new reader parks
+    // until the in-flight reads drain (which is what lets the writer's
+    // exclusive acquisition win promptly).
+    def readerHolding(dir: String, ms: Long): Thread = {
+      val t = new Thread(() => Artifacts.readLocked(dir) { Thread.sleep(ms) })
+      t.start(); Thread.sleep(200); t // let it acquire
+    }
+    // control: no writer — the second reader piggybacks immediately
+    val free = lockPath("drainfree")
+    val tFree = readerHolding(free, 1500)
+    val e0 = System.nanoTime()
+    Artifacts.readLocked(free) { () }
+    val freeMs = (System.nanoTime() - e0) / 1e6
+    tFree.join()
+    assert(freeMs < 500,
+      f"a reader drained with NO writer present ($freeMs%.0f ms)")
+    // writer declared: the second reader must wait out the first hold
+    val busy = lockPath("drainbusy")
+    val writer = new Thread(() =>
+      Artifacts.withProcessLock(busy + ".gate.intent") { Thread.sleep(2500) })
+    writer.start(); Thread.sleep(200) // intent held before any reader
+    val tBusy = readerHolding(busy, 1500)
+    val e1 = System.nanoTime()
+    Artifacts.readLocked(busy) { () }
+    val busyMs = (System.nanoTime() - e1) / 1e6
+    tBusy.join(); writer.join()
+    assert(busyMs >= 800,
+      f"a new reader piggybacked past a declared writer ($busyMs%.0f ms — " +
+        "it must park until the in-flight hold drains)")
+  }
+
   test("generation stamp: a swap invalidates later locked readers' caches once") {
     val spark = TestSpark.spark
     val dir = lockPath("gendemo")

@@ -582,6 +582,151 @@ class PipelineOpsSpec extends AnyFunSuite {
       "post-fold probe diverged from the kept frame")
   }
 
+  test("IVF recluster folds pending tombstones: tombstone→recluster ≡ delete→recluster") {
+    import graft.operators.Similarity
+    val embs = Tables.t(spark, sf, "embeddings")
+    // two identical drifted fixtures: A removes a residue class via the
+    // tombstone sidecar, B via the ivfDelete rewrite; reclustering both
+    // must land in the SAME end state — identical centroids (training is
+    // deterministic and must see only surviving rows: a tombstoned clump
+    // must not attract a centroid), identical row sets, identical serve —
+    // and A's folded sidecar files must be cleared (the one place a
+    // lifecycle op could silently carry logically-deleted data forward)
+    def drifted(path: String): Unit = {
+      for (suffix <- Seq("", ".tombstones")) {
+        val f = new java.io.File(path + suffix)
+        if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+      }
+      val coarse = Similarity.trainKmeansCentroids(embs, "embedding",
+        k = 2, iters = 2)
+      Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
+        coarse, path)
+    }
+    val pathT = "/root/repo/target/indexes/ivf_spec_refold_tomb_v1"
+    val pathD = "/root/repo/target/indexes/ivf_spec_refold_del_v1"
+    drifted(pathT); drifted(pathD)
+    val doomed = embs.filter(pmod(col("vec_id"), lit(5L)) === 3)
+      .select("vec_id")
+    Similarity.ivfTombstone(spark, pathT, "vec_id", doomed)
+    Similarity.ivfDelete(spark, pathD, "vec_id", doomed)
+    val centsT = Similarity.ivfRecluster(spark, pathT, "embedding",
+      k = 8, iters = 2)
+    val centsD = Similarity.ivfRecluster(spark, pathD, "embedding",
+      k = 8, iters = 2)
+    assert(centsT == centsD,
+      "retrain saw tombstoned rows (centroids diverged from the delete arm)")
+    val (storeT, storeD) =
+      (spark.read.parquet(pathT), spark.read.parquet(pathD))
+    assert(storeT.filter(pmod(col("vec_id"), lit(5L)) === 3).count() == 0,
+      "a tombstoned id survived the recluster fold")
+    assert(storeT.select("vec_id", "g_ivf_bucket")
+      .except(storeD.select("vec_id", "g_ivf_bucket")).count() == 0 &&
+      storeT.count() == storeD.count(),
+      "tombstone→recluster and delete→recluster laid out different stores")
+    // folded sidecar files cleared: the filtered view is identity now
+    assert(new java.io.File(pathT + ".tombstones").listFiles() == null ||
+      Similarity.tombstoneFiltered(storeT, pathT).count() == storeT.count(),
+      "recluster did not clear the tombstone files it folded")
+    val q = embs.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    assert(Similarity.ivfStoreTopK(storeT, "vec_id", "embedding", q,
+        k = 10, centsT, nprobe = centsT.size).collect().toSeq ==
+      Similarity.bruteForceTopK(
+          embs.filter(pmod(col("vec_id"), lit(5L)) =!= 3),
+          "vec_id", "embedding", q, k = 10).collect().toSeq,
+      "post-fold recluster serve diverged from brute force over kept rows")
+  }
+
+  test("tombstone sidecar is bounded: past the cap, tombstoning demands a fold first") {
+    import graft.operators.Similarity
+    val embs = Tables.t(spark, sf, "embeddings")
+    val path = "/root/repo/target/indexes/ivf_spec_tombcap_v1"
+    for (suffix <- Seq("", ".tombstones")) {
+      val f = new java.io.File(path + suffix)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
+    val cs = Similarity.trainKmeansCentroids(embs, "embedding",
+      k = 4, iters = 1)
+    Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cs, path)
+    val key = "spark.graft.ivf.maxPendingTombstones"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "4")
+    try {
+      // first batch (5 ids) admits — the cap gates on ALREADY-pending
+      // rows, so one batch may overshoot — but the sidecar is now at 5
+      // >= 4 and the next batch must be refused with a fold instruction
+      Similarity.ivfTombstone(spark, path, "vec_id",
+        embs.filter(col("vec_id") < 5).select("vec_id"))
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfTombstone(spark, path, "vec_id",
+          embs.filter(col("vec_id") === 6L).select("vec_id"))
+      }
+      assert(e.getMessage.contains("ivfCompact"), e.getMessage)
+      // the fold drains the sidecar; tombstoning is admitted again
+      Similarity.ivfCompact(spark, path)
+      Similarity.ivfTombstone(spark, path, "vec_id",
+        embs.filter(col("vec_id") === 6L).select("vec_id"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("a fully-emptied IVF store still serves and re-compacts (sidecar schema)") {
+    import graft.operators.Similarity
+    val embs = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 32)
+    val path = "/root/repo/target/indexes/ivf_spec_emptystore_v1"
+    for (suffix <- Seq("", ".tombstones")) {
+      val f = new java.io.File(path + suffix)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
+    val cs = Similarity.trainKmeansCentroids(embs, "embedding",
+      k = 2, iters = 1)
+    Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cs, path)
+    val q = embs.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    // tombstone EVERY row, fold: the store directory is now empty —
+    // schema inference would throw, the sidecar schema must carry the
+    // serve, a re-compact, and a delete over the empty store (r14 ADVICE)
+    Similarity.ivfTombstone(spark, path, "vec_id", embs.select("vec_id"))
+    assert(Similarity.ivfCompact(spark, path) == 0L)
+    assert(Similarity.ivfStoreProbe(spark, path, "vec_id", "embedding",
+      q, k = 5, cs, nprobe = cs.size).isEmpty,
+      "probe of an emptied store must return no rows, not throw")
+    assert(Similarity.ivfCompact(spark, path) == 0L,
+      "re-compacting an emptied store must be a no-op, not throw")
+    assert(Similarity.ivfDelete(spark, path, "vec_id",
+      embs.limit(1).select("vec_id")) == 0L,
+      "deleting from an emptied store must be a no-op, not throw")
+  }
+
+  test("ivfIngest stamps the generation so foreign readers refresh their listings") {
+    import graft.operators.{Artifacts, Similarity}
+    val embs = Tables.t(spark, sf, "embeddings")
+    val path = "/root/repo/target/indexes/ivf_spec_ingeststamp_v1"
+    val f = new java.io.File(path)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    val cs = Similarity.trainKmeansCentroids(embs, "embedding",
+      k = 4, iters = 1)
+    Similarity.materializedIvfIndex(
+      embs.filter(col("vec_id") < 64), "vec_id", "embedding", cs, path)
+    def stamp(): String = {
+      val p = java.nio.file.Paths.get(path + ".generation")
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readString(p) else ""
+    }
+    val before = stamp()
+    Similarity.ivfIngest(embs.filter(col("vec_id") >= 64 &&
+      col("vec_id") < 96), "embedding", cs, path)
+    assert(stamp().nonEmpty && stamp() != before,
+      "ivfIngest must stamp a fresh generation (cross-JVM ADVICE r14): " +
+        "a foreign reader's cached pre-ingest listing would otherwise " +
+        "silently miss every appended row until the next swap")
+    // the ingesting JVM already recorded its own stamp as seen — a locked
+    // reader here must NOT re-invalidate (same contract as a swap)
+    assert(!Artifacts.refreshIfSwapped(spark, path))
+  }
+
   test("IVF ingest→compact cycle serves exactly: full probe == brute force over base ∪ appended") {
     import graft.operators.Similarity
     val embs = Tables.t(spark, sf, "embeddings")
