@@ -1864,6 +1864,41 @@ object SparkEntry {
           "vec_id", "embedding", q, k = 10, layoutCents,
           nprobe = layoutCents.size)
       },
+      // the tombstone lifecycle's PHYSICAL leg under the driver's oracle
+      // (q_ann_tombstone gates the logical serve): ids are tombstoned,
+      // the next `ivfCompact` FOLDS them — rewrites the store without
+      // them and clears the folded sidecar files — and the serve here is
+      // the PLAIN store read (no tombstoneFiltered), so only the fold's
+      // physical deletes can make it match the kept-rows oracle. Proves
+      // cross-engine that the fold's deletes equal the logical exclusion
+      // the pre-fold serve applied. Build-once per content-tagged path;
+      // every crash window re-runs idempotently (re-tombstoning absent
+      // ids then re-folding removes nothing more).
+      "q_ann_tombstone_fold" -> { (s, dir) =>
+        val embs = Tables.t(s, dir, "embeddings")
+        val cents = kmeansCentroids(s, dir)
+        val q = embs.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0)
+        val path =
+          s"/root/repo/target/indexes/ivf_tombfold_" +
+            s"${new java.io.File(dir).getName}_${Tables.contentTag(dir)}_v1"
+        val layoutCents = reclusterMemo.getOrElseUpdate(path,
+          graft.operators.Artifacts.withProcessLock(path + ".build.lock") {
+            val marker = new java.io.File(path + ".folded")
+            if (!marker.exists()) {
+              Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
+                cents, path)
+              Similarity.ivfTombstone(s, path, "vec_id",
+                embs.filter(pmod(col("vec_id"), lit(7L)) === 2)
+                  .select("vec_id"))
+              Similarity.ivfCompact(s, path)
+              java.nio.file.Files.writeString(marker.toPath, "ok")
+            }
+            cents
+          })
+        Similarity.ivfStoreTopK(Similarity.readStore(s, path), "vec_id",
+          "embedding", q, k = 10, layoutCents, nprobe = layoutCents.size)
+      },
       // class prototypes: per-label mean embedding (k-means update step as
       // an operator; decimal-routed per-dim sums), re-exploded to scalar
       // rows for the hash compare
@@ -3140,6 +3175,14 @@ object SparkEntry {
         s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
            |sc AS (SELECT vec_id, ${cosineSql("embedding", "qvec")} AS cosine
            |  FROM embeddings, q WHERE vec_id % 5 <> 1)
+           |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+      // q_ann_tombstone_fold: kept-rows brute force, residue class 2
+      // (mod 7) — the serve reads the PLAIN post-fold store, so only the
+      // compaction's physical deletes can produce this answer
+      "q_ann_tombstone_fold" ->
+        s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |sc AS (SELECT vec_id, ${cosineSql("embedding", "qvec")} AS cosine
+           |  FROM embeddings, q WHERE vec_id % 7 <> 2)
            |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
       // brute-force all-pairs restatement of embeddingDupPairs: confirms the
       // LSH+verify path is exact on this corpus — including that an empty
