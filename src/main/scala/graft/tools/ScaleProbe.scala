@@ -179,6 +179,81 @@ object ScaleProbe {
     dst.getPath
   }
 
+  /** Deterministic alphabet permutation keyed by `seed` (Fisher-Yates
+    * over an LCG): the decade-3 replica's per-copy text transform.
+    * Rotations alone cannot key a THIRD decade — 100 copies of copies
+    * under composed rotations collide (only 26 rotations exist), and a
+    * collision hands the corpus exact cross-copy duplicates that
+    * quadratic-in-bucket candidate generation would misread as a
+    * scaling pathology fresh data does not have (the decade-2 builder's
+    * argument, one decade up).
+    */
+  private[tools] def alphaPerm(seed: Int): String = {
+    val a = ('a' to 'z').toArray
+    var s = seed.toLong
+    def next(n: Int): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % n).toInt + n) % n
+    }
+    for (i <- a.length - 1 to 1 by -1) {
+      val j = next(i + 1)
+      val t = a(i); a(i) = a(j); a(j) = t
+    }
+    new String(a)
+  }
+
+  /** Build (once, content-keyed) the sf10-EQUIVALENT corpus for the
+    * decade-3 probe of the rising trio (r14 verdict item 2): ONLY the
+    * documents table — the vector/events families measured flat or
+    * falling through two decades — replicated 10× from the
+    * sf1-equivalent (so 100× from sf0.1, 500k documents) with re-keyed
+    * ids and a per-copy keyed SUBSTITUTION of the alphabet
+    * ([[alphaPerm]]; copy 0 unchanged). The 100 composite transforms
+    * (decade-2 rotation ∘ decade-3 permutation) are verified pairwise
+    * distinct at build time, so every copy's shingles differ from every
+    * other copy's — same length, line structure, token counts, and
+    * within-copy duplicate groups as the base, like the decade-2
+    * replica one decade down.
+    */
+  private[tools] def ensureSf10Equivalent(spark: SparkSession,
+                                          srcDir: String,
+                                          sf1xDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val tag = graft.Tables.contentTag(srcDir)
+    val base = new java.io.File(srcDir).getName
+    val root = new java.io.File("/root/repo/target")
+    val dst = new java.io.File(root, s"scale_sf10x_${base}_$tag")
+    // drop decade-3 replicas of THIS source keyed to older testdata
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.getName != dst.getName &&
+        f.getName.startsWith(s"scale_sf10x_${base}_"))
+      .foreach(f => rmRf(f.getPath))
+    val marker = new java.io.File(dst, "_REPLICATED_OK")
+    if (marker.exists()) return dst.getPath
+    rmRf(dst.getPath); dst.mkdirs()
+    val az = "abcdefghijklmnopqrstuvwxyz"
+    val perms = (0 until 10).map(j => if (j == 0) az else alphaPerm(j))
+    val composites = for (k <- 0 until 10; j <- 0 until 10)
+      yield (0 until 26).map(i => perms(j)((i + k) % 26)).mkString
+    require(composites.distinct.size == composites.size,
+      "composite decade-2 x decade-3 text transforms collide — two " +
+        "copies would be exact duplicates and poison the exponent")
+    val Off2 = 10L * ReplicaOff // clears the sf1x replica's id range
+    val src = spark.read.parquet(s"$sf1xDir/documents.parquet")
+    (0 until 10).map { j =>
+      if (j == 0) src
+      else src.withColumn("doc_id", col("doc_id") + lit(j * Off2))
+        .withColumn("text", translate(col("text"),
+          az + az.toUpperCase,
+          perms(j) + perms(j).toUpperCase))
+    }.reduce(_.union(_))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"${dst.getPath}/documents.parquet")
+    java.nio.file.Files.writeString(marker.toPath,
+      s"src=$sf1xDir tag=$tag\n")
+    dst.getPath
+  }
+
   /** Skewed-bucket batch serving (r11 verdict item): one IVF bucket holds
     * ~50% of the store and the whole query batch concentrates on it —
     * the worst case for a bucket equi-join, whose candidate volume is
@@ -466,8 +541,11 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.Graft.install(spark)
 
-    if (outPath == "--replicate-only") { // build the sf1x corpus and exit
-      println(s"[scale] sf1-equivalent corpus at ${ensureSf1Equivalent(spark, big)}")
+    if (outPath == "--replicate-only") { // build the replica corpora and exit
+      val sf1 = ensureSf1Equivalent(spark, big)
+      println(s"[scale] sf1-equivalent corpus at $sf1")
+      println(s"[scale] sf10-equivalent documents corpus at ${
+        ensureSf10Equivalent(spark, big, sf1)}")
       spark.stop(); return
     }
     if (outPath == "--stream-smoke") { // exercise the streaming twins fast
@@ -512,8 +590,10 @@ object ScaleProbe {
     // falling constant, nothing super-linear hiding in the plan.
     val sf1x = ensureSf1Equivalent(spark, big)
     println(s"[scale] sf1-equivalent corpus at $sf1x")
+    val sf1xTimes = scala.collection.mutable.Map.empty[String, Double]
     val rows2 = timings.map { case (t, tS, tB) =>
       val tX = timeAt(t, sf1x)
+      sf1xTimes(t.name) = tX
       val e2 = math.log10(tX / tB)
       val e100 = math.log10(tX / tS) / 2.0
       val unit = unitOf(t.name)
@@ -531,6 +611,32 @@ object ScaleProbe {
           s"""{"error":"${t.toString.replace("\\", "\\\\")
             .replace("\"", "\\\"").take(300)}"}"""
       }
+    // THIRD decade, rising-trio only (r14 verdict item 2): decontaminate,
+    // containment and ngram were the one family whose decade-2 exponent
+    // ROSE (0.41–0.44, still sublinear, per-unit falling); the verdict's
+    // discipline is that the next decade be MEASURED, not extrapolated.
+    // The flat/falling families (vectors, events) are not re-probed.
+    val trio = Seq("q_decontaminate", "q_dedup_containment", "q_dedup_ngram")
+    val decade3Json = section("rising-trio decade 3") {
+      val sf10x = ensureSf10Equivalent(spark, big, sf1x)
+      println(s"[scale] sf10-equivalent documents corpus at $sf10x")
+      val rows3 = trio.map { name =>
+        val tY = timeAt(entryTarget(name), sf10x)
+        val tX = sf1xTimes(name)
+        val tS = timings.find(_._1.name == name).get._2
+        val e3 = math.log10(tY / tX)
+        val e1000 = math.log10(tY / tS) / 3.0
+        val (uX, uY) = (unitsAt(spark, sf1x, "documents"),
+          unitsAt(spark, sf10x, "documents"))
+        val ePerUnit = math.log10((tY / uY) / (tX / uX))
+        println(f"[scale] ${name}%-28s sf10x=$tY%.3f s decade3=$e3%.2f " +
+          f"per-decade(1000x)=$e1000%.2f per-documents=$ePerUnit%.2f")
+        f""" "$name":{"t_sf10x":$tY%.3f,"exponent_decade3":$e3%.2f,"exponent_per_decade_1000x":$e1000%.2f,"exponent_decade3_floored":${optJs(flooredExp(tX, tY, floor))},"unit":"documents","units_sf1x":$uX,"units_sf10x":$uY,"per_unit_exponent_decade3":$ePerUnit%.2f}"""
+      }
+      s"""{"dir":"$sf10x","note":"documents-only 10x replica of the sf1-equivalent (100x sf0.1, 500k documents; per-copy keyed alphabet substitution, 100 composite transforms verified pairwise distinct) for the one family whose decade-2 exponent rose; flat/falling families (vectors, events) are not re-probed","queries":{
+         |${rows3.mkString(",\n")}
+         |}}""".stripMargin
+    }
     val streamJson = section("streaming twins")(
       streamingEventsProbe(spark, big, sf1x, reps))
     println(s"[scale] streaming twins: $streamJson")
@@ -543,6 +649,7 @@ object ScaleProbe {
          |"data_factor_100":{"dir":"$sf1x","note":"probed tables replicated 10x from sf0.1 with re-keyed ids + per-copy perturbation (alphabet rotation / vector jitter / fresh cohorts); star tables copied unreplicated; exponent_decade2 is the claim-bearing figure (decade 1 sits near the scheduler floor); per_unit_exponent_decade2 <= 0 means cost per document/vector/user fell","queries":{
          |${rows2.mkString(",\n")}
          |}},
+         |"data_factor_1000":$decade3Json,
          |"streaming_events_decade2":$streamJson,
          |"skewed_bucket_batch":$skewJson}
          |""".stripMargin)

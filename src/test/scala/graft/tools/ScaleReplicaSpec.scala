@@ -94,6 +94,46 @@ class ScaleReplicaSpec extends AnyFunSuite {
     assert(total == users.map(_._2).sum, "user cohorts overlap across copies")
   }
 
+  test("decade-3 replica: 100 pairwise-distinct per-copy transforms, structure preserved") {
+    // the instrument behind data_factor_1000 (rising-trio third decade):
+    // documents-only, 10x the sf1-equivalent, per-copy keyed alphabet
+    // substitution composed over the decade-2 rotation
+    val dst10 = ScaleProbe.ensureSf10Equivalent(spark, src, dst)
+    val docs = spark.read.parquet(s"$dst10/documents.parquet")
+    val n0 = spark.read.parquet(s"$src/documents.parquet").count()
+    assert(docs.count() == 100 * n0, "rows")
+    assert(docs.select("doc_id").distinct().count() == 100 * n0, "ids")
+    // composite copy index 0..99: doc_id = orig + (k + 10*j) * Off
+    val per = docs
+      .withColumn("g_copy", (col("doc_id") / Off).cast("int"))
+      .groupBy("g_copy")
+      .agg(countDistinct(col("text")).as("nd"),
+        sum(length(col("text"))).as("len"),
+        // decimal: a long sum of 64-bit hashes overflows under ANSI
+        sum(xxhash64(col("text")).cast("decimal(38,0)")).as("fp"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).toString))
+    assert(per.length == 100)
+    // each copy is a character bijection of the base: same distinct-text
+    // count (duplicate groups) and total length (shingle volume)
+    assert(per.map(t => (t._2, t._3)).toSet.size == 1,
+      "a copy diverges in duplicate structure or length")
+    // and no two copies are the SAME bijection: corpus-wide content
+    // fingerprints must be pairwise distinct (a collision would hand the
+    // probe exact cross-copy duplicates — the pathology the composite-
+    // distinctness require in the builder exists to prevent)
+    assert(per.map(_._4).toSet.size == 100,
+      "two copies share a corpus fingerprint — composite transforms collided")
+  }
+
+  test("alphaPerm is a real permutation of the alphabet, distinct per seed") {
+    val az = "abcdefghijklmnopqrstuvwxyz"
+    val perms = (1 to 9).map(ScaleProbe.alphaPerm)
+    perms.foreach(p => assert(p.sorted == az && p != az, p))
+    assert(perms.distinct.size == 9)
+  }
+
   test("rebuild is idempotent and keyed to the source dir") {
     val again = ScaleProbe.ensureSf1Equivalent(spark, src)
     assert(again == dst)
