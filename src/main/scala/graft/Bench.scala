@@ -91,6 +91,14 @@ object Bench {
     // queries that re-measure flat); the min of repeated identical runs
     // measures the query, not the co-tenant noise
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // extra reps for the SUB-SECOND tail (r14 verdict item 5): with 3
+    // reps, one bad scheduling window is the median of a sub-second
+    // query and reads as a 3x regression until adjudicated by scan
+    // metrics (r14's q11). Two more reps make the committed median
+    // robust to a single outlier window at ~1 min of extra wall for the
+    // whole suite; queries at 1 s and above keep the base rep count
+    // (their relative noise is smaller and their reps cost real time).
+    val tailReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_REPS", "2").toInt
     // driver rounds only keep the tail of stdout, so a failed query's
     // exception would be unrecoverable next session — persist every failure
     // (name + first stack frames) to a file that survives the round
@@ -103,7 +111,7 @@ object Bench {
       // runs. A bounded number of explicit GCs keeps it out of the
       // measurements for ~10 s of untimed wall clock.
       if (qIdx % 12 == 0) { System.gc(); Thread.sleep(200) }
-      val times = (1 to reps).map { _ =>
+      def rep(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
           try { exec(fn(spark, sfDir)); true }
@@ -115,6 +123,11 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      val base = (1 to reps).map(_ => rep())
+      val times =
+        if (base.forall(_._2) && base.map(_._1).min < 1.0 && tailReps > 0)
+          base ++ (1 to tailReps).map(_ => rep())
+        else base
       val anyFail = times.exists(!_._2)
       (name, times.filter(_._2).map(_._1), !anyFail)
     }.map { case (name, ts, ok) =>
