@@ -270,9 +270,14 @@ object Artifacts {
         if (!java.nio.file.Files.exists(ip)) false // no writer ever swapped
         else {
           val ch = java.nio.channels.FileChannel.open(ip,
+            java.nio.file.StandardOpenOption.READ,
             java.nio.file.StandardOpenOption.WRITE)
           try {
-            val l = try ch.tryLock() catch {
+            // SHARED probe: concurrent reader JVMs probing the same free
+            // intent must coexist (an exclusive probe would make them
+            // read each other as writers for a cache interval); a real
+            // writer's EXCLUSIVE intent hold still denies it
+            val l = try ch.tryLock(0L, Long.MaxValue, true) catch {
               // this JVM holds (or is mid-acquiring) the intent on
               // another channel — a writer, by definition
               case _: java.nio.channels.OverlappingFileLockException =>
@@ -298,9 +303,13 @@ object Artifacts {
       while (!claimed) {
         // timed wait: a parked drainer must re-probe the intent even if
         // no release/acquire event notifies it (the writer may have
-        // crashed, releasing the intent at the OS with nobody to notify)
-        if (st.acquiring ||
-            (st.count > 0 && writerPlausible(st, p.toString)))
+        // crashed, releasing the intent at the OS with nobody to notify).
+        // FIRST readers (count == 0) drain too: POSIX grants a new
+        // shared lock even past a BLOCKED exclusive waiter, so a
+        // sequential probe stream whose count returns to 0 between
+        // probes would otherwise starve the writer indefinitely — the
+        // intent is what makes the writer's turn a mechanism
+        if (st.acquiring || writerPlausible(st, p.toString))
           st.wait(1000) // drain for a writer / in-flight acquire
         else if (st.count > 0) {
           st.count += 1; st.holders.put(me, 1); return

@@ -788,6 +788,9 @@ object Dedup {
     spanKgrams(spanToks(docs, idCol, textCol), k)
       .groupBy("g_h").agg(count(lit(1)).as("g_cnt"))
       .write.mode("append").parquet(destDir)
+    // no-swap append: stamp the generation so readers' (this JVM's and
+    // foreign JVMs') cached listings refresh — the ivfIngest contract
+    Artifacts.stampGeneration(docs.sparkSession, destDir)
     graft.plans.QueryHistory.registerArtifact("span_store", destDir)
   }
 

@@ -218,7 +218,8 @@ object Similarity {
     // loser re-checks _SUCCESS inside the lock and reads what the winner
     // built, instead of interleaving overwrites of a shared artifact
     Artifacts.withProcessLock(path.stripSuffix("/") + ".build.lock") {
-      if (!new java.io.File(path, "_SUCCESS").exists())
+      val fresh = !new java.io.File(path, "_SUCCESS").exists()
+      if (fresh)
         withIvfKmeansBucket(df, vecCol, centroids)
           // shuffle by the bucket BEFORE the partitioned write (the cube
           // writer's discipline): each output file belongs to one bucket,
@@ -230,8 +231,10 @@ object Similarity {
           .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(path)
       // schema sidecar from build time (inside the build lock): every
       // later maintenance/serve read can pass the schema explicitly, so
-      // a store a delete/fold later EMPTIES still plans
-      if (!schemaSidecar(path).exists())
+      // a store a delete/fold later EMPTIES still plans. A FRESH build
+      // rewrites it unconditionally — a rebuild at the same path with a
+      // different schema must not serve through a stale sidecar
+      if (fresh || !schemaSidecar(path).exists())
         writeSchemaSidecar(path, spark.read.parquet(path).schema)
     }
     // make the store visible to query history / ADVISE as artifact:ivf
@@ -411,17 +414,36 @@ object Similarity {
                    idCol: String, ids: DataFrame): Unit = {
     val cap = spark.conf
       .get("spark.graft.ivf.maxPendingTombstones", "1048576").toLong
-    val pendingFiles = tombstoneDataFiles(path)
-    val pending =
-      if (pendingFiles.isEmpty) 0L
-      else spark.read.parquet(pendingFiles.map(_.getPath): _*).count()
-    require(pending < cap,
-      s"$pending tombstones already pending at $path (>= cap $cap from " +
-        "spark.graft.ivf.maxPendingTombstones) — run ivfCompact to fold " +
-        "them before tombstoning more")
-    ids.toDF(idCol).distinct()
-      .write.mode("append").parquet(path.stripSuffix("/") + ".tombstones")
+    // cap check + append under the store's read lock: a concurrent
+    // fold's file clearing runs inside the exclusive gate window, so the
+    // pending count here can never read files mid-delete (the lockless
+    // variant could throw on a vanished sidecar file)
+    Artifacts.readLocked(spark, path) {
+      val pending = pendingTombstoneRows(spark, path)
+      require(pending < cap,
+        s"$pending tombstones already pending at $path (>= cap $cap from " +
+          "spark.graft.ivf.maxPendingTombstones) — run ivfCompact to fold " +
+          "them before tombstoning more")
+      ids.toDF(idCol).distinct()
+        .write.mode("append").parquet(path.stripSuffix("/") + ".tombstones")
+    }
     org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+  }
+
+  /** Rows pending in the tombstone sidecar, summed from parquet FOOTER
+    * metadata — no Spark job, so the per-batch cap check costs a few
+    * driver-side footer reads (the sidecar holds at most one compaction
+    * cadence of small files), not a scan of up to `cap` rows.
+    */
+  private def pendingTombstoneRows(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    tombstoneDataFiles(path).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   private def tombstoneDataFiles(path: String): Seq[java.io.File] = {

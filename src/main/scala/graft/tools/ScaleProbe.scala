@@ -249,6 +249,20 @@ object ScaleProbe {
     }.reduce(_.union(_))
       .repartition(64)
       .write.mode("overwrite").parquet(s"${dst.getPath}/documents.parquet")
+    // instrument honesty: distinct mappings guarantee distinct copies
+    // only for text that USES the alphabet — text outside [a-zA-Z]
+    // passes every substitution unchanged, and a corpus with such docs
+    // would grow exact cross-copy duplicate groups to size 100 (4950
+    // candidate pairs each where fresh data has none), poisoning the
+    // very exponent this replica exists to measure. Verify, don't hope:
+    // the output must hold exactly 10x the source's distinct texts.
+    val srcDistinct = src.select(countDistinct(col("text"))).head().getLong(0)
+    val dstDistinct = spark.read.parquet(s"${dst.getPath}/documents.parquet")
+      .select(countDistinct(col("text"))).head().getLong(0)
+    require(dstDistinct == 10 * srcDistinct,
+      s"decade-3 copies collide on alphabet-free text ($dstDistinct " +
+        s"distinct texts, expected ${10 * srcDistinct}) — the exponent " +
+        "would measure replication artifacts, not scaling")
     java.nio.file.Files.writeString(marker.toPath,
       s"src=$sf1xDir tag=$tag\n")
     dst.getPath

@@ -199,19 +199,22 @@ class ArtifactsLockSpec extends AnyFunSuite {
     tFree.join()
     assert(freeMs < 500,
       f"a reader drained with NO writer present ($freeMs%.0f ms)")
-    // writer declared: the second reader must wait out the first hold
+    // writer declared: a new reader parks until the intent clears —
+    // including a FIRST reader (count == 0), or a sequential probe
+    // stream whose refcount returns to 0 between probes would re-acquire
+    // the gate ahead of the blocked exclusive forever (POSIX grants new
+    // shared locks past blocked exclusive waiters)
     val busy = lockPath("drainbusy")
     val writer = new Thread(() =>
-      Artifacts.withProcessLock(busy + ".gate.intent") { Thread.sleep(2500) })
+      Artifacts.withProcessLock(busy + ".gate.intent") { Thread.sleep(2200) })
     writer.start(); Thread.sleep(200) // intent held before any reader
-    val tBusy = readerHolding(busy, 1500)
     val e1 = System.nanoTime()
-    Artifacts.readLocked(busy) { () }
+    Artifacts.readLocked(busy) { () } // first reader: no in-flight hold
     val busyMs = (System.nanoTime() - e1) / 1e6
-    tBusy.join(); writer.join()
-    assert(busyMs >= 800,
-      f"a new reader piggybacked past a declared writer ($busyMs%.0f ms — " +
-        "it must park until the in-flight hold drains)")
+    writer.join()
+    assert(busyMs >= 1200,
+      f"a first reader entered past a declared writer ($busyMs%.0f ms — " +
+        "it must park until the intent clears)")
   }
 
   test("generation stamp: a swap invalidates later locked readers' caches once") {
