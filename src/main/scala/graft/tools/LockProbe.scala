@@ -28,6 +28,15 @@ object LockProbe {
         Thread.sleep(holdMs)
         l.release()
         println("RELEASED"); System.out.flush()
+      // hold-exclusive <ms>: the writer-intent shape — lets a spec
+      // verify a FOREIGN process's .gate.intent hold parks readers
+      case "hold-exclusive" =>
+        val holdMs = args(2).toLong
+        val l = ch.lock()
+        println("ACQUIRED"); System.out.flush()
+        Thread.sleep(holdMs)
+        l.release()
+        println("RELEASED"); System.out.flush()
       // shared: probe the READ side of an artifact gate — FREE while
       // other processes hold it shared, HELD only against an exclusive
       case other =>

@@ -217,6 +217,33 @@ class ArtifactsLockSpec extends AnyFunSuite {
         "it must park until the intent clears)")
   }
 
+  test("a FOREIGN process's gate intent parks readers too (cross-JVM writer detection)") {
+    // the same-JVM case above exercises writerPlausible's procLocks fast
+    // path; this one exercises the real cross-JVM mechanism — the
+    // non-blocking SHARED tryLock probe of the intent file against
+    // another process's exclusive hold
+    val dir = lockPath("draincross")
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    def src(c: Class[_]) = new java.io.File(
+      c.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+    val cp = Seq(src(graft.tools.LockProbe.getClass),
+      src(scala.Predef.getClass)).mkString(java.io.File.pathSeparator)
+    val pb = new ProcessBuilder(javaBin, "-cp", cp, "graft.tools.LockProbe",
+      dir + ".gate.intent", "hold-exclusive", "2200")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    assert(reader.readLine() == "ACQUIRED", "intent-holder JVM failed")
+    val t0 = System.nanoTime()
+    Artifacts.readLocked(dir) { () }
+    val ms = (System.nanoTime() - t0) / 1e6
+    proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+    assert(ms >= 1200,
+      f"a reader entered past a FOREIGN process's intent ($ms%.0f ms)")
+  }
+
   test("generation stamp: a swap invalidates later locked readers' caches once") {
     val spark = TestSpark.spark
     val dir = lockPath("gendemo")
