@@ -637,6 +637,44 @@ class PipelineOpsSpec extends AnyFunSuite {
       "post-fold recluster serve diverged from brute force over kept rows")
   }
 
+  test("a SAMPLED retrain never samples a tombstoned row: sampled tombstone→recluster ≡ sampled delete→recluster") {
+    import graft.operators.Similarity
+    val embs = Tables.t(spark, sf, "embeddings")
+    // the 100-TB mode (sampleFraction) combined with pending tombstones:
+    // the hash-sample is taken from the tombstone-FILTERED store, and
+    // membership is content-stable (keyed on the vector), so the delete
+    // arm and the tombstone arm draw the SAME sample and must train the
+    // SAME centroids — a tombstoned row leaking into the sample would
+    // diverge them
+    def drifted(path: String): Unit = {
+      for (suffix <- Seq("", ".tombstones")) {
+        val f = new java.io.File(path + suffix)
+        if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+      }
+      val coarse = Similarity.trainKmeansCentroids(embs, "embedding",
+        k = 2, iters = 1)
+      Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
+        coarse, path)
+    }
+    val pathT = "/root/repo/target/indexes/ivf_spec_refold_samptomb_v1"
+    val pathD = "/root/repo/target/indexes/ivf_spec_refold_sampdel_v1"
+    drifted(pathT); drifted(pathD)
+    val doomed = embs.filter(pmod(col("vec_id"), lit(4L)) === 1)
+      .select("vec_id")
+    Similarity.ivfTombstone(spark, pathT, "vec_id", doomed)
+    Similarity.ivfDelete(spark, pathD, "vec_id", doomed)
+    val centsT = Similarity.ivfRecluster(spark, pathT, "embedding",
+      k = 6, iters = 2, sampleFraction = 0.3)
+    val centsD = Similarity.ivfRecluster(spark, pathD, "embedding",
+      k = 6, iters = 2, sampleFraction = 0.3)
+    assert(centsT == centsD,
+      "sampled retrain drew different points across the two arms — a " +
+        "tombstoned row entered the sample")
+    assert(spark.read.parquet(pathT)
+      .filter(pmod(col("vec_id"), lit(4L)) === 1).count() == 0,
+      "a tombstoned id survived the sampled recluster fold")
+  }
+
   test("tombstone sidecar is bounded: past the cap, tombstoning demands a fold first") {
     import graft.operators.Similarity
     val embs = Tables.t(spark, sf, "embeddings")
