@@ -209,6 +209,27 @@ object Similarity {
     * the index identity (corpus + centroid training), and streamed ingest
     * appends by writing new rows through the same bucket assignment.
     */
+  /** Run `f` under the store's MAINTENANCE lock — the OS advisory lock
+    * that serializes whole maintenance bodies ([[materializedIvfIndex]]'s
+    * build, [[ivfIngest]]'s append, [[ivfCompact]], [[ivfDelete]],
+    * [[ivfRecluster]]) against each other across driver JVMs. Until r15
+    * this serialization was a CONTRACT ("callers serialize maintenance
+    * against ingest"); two JVMs running e.g. `ivfCompact` and
+    * `ivfRecluster` concurrently could interleave one op's unlocked
+    * staging reads with the other's swap and sidecar clears (worst case:
+    * an ingest's appended file landing in the old directory after a
+    * compaction's staging read — renamed aside and deleted with it). Now
+    * it is a mechanism, one level above the swap lock. Lock ORDER
+    * (outermost first): maintenance → build → swap → rw → gate intent →
+    * read gate. Probes ([[ivfStoreProbe]]) and [[ivfTombstone]] never
+    * take it — serving and high-rate tombstoning must not park behind a
+    * long rewrite (their safety is the read gate + the fold's
+    * capture-exactly-what-you-read discipline).
+    */
+  private def maintenanceLocked[T](path: String)(f: => T): T =
+    Artifacts.withProcessLock(
+      path.stripSuffix("/") + ".maintenance.lock")(f)
+
   def materializedIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                            centroids: Seq[Seq[Double]],
                            path: String): DataFrame = {
@@ -217,25 +238,27 @@ object Similarity {
     // build of the same content-tagged path serialize at the OS — the
     // loser re-checks _SUCCESS inside the lock and reads what the winner
     // built, instead of interleaving overwrites of a shared artifact
-    Artifacts.withProcessLock(path.stripSuffix("/") + ".build.lock") {
-      val fresh = !new java.io.File(path, "_SUCCESS").exists()
-      if (fresh)
-        withIvfKmeansBucket(df, vecCol, centroids)
-          // shuffle by the bucket BEFORE the partitioned write (the cube
-          // writer's discipline): each output file belongs to one bucket,
-          // so file count is O(buckets), not O(tasks × buckets) — at 1000
-          // executors × 4096 buckets the difference between 4k files and
-          // 4M. AQE splits any skewed bucket's shuffle partition, and
-          // maxRecordsPerFile (if set) re-splits giant buckets on write.
-          .repartition(col("g_ivf_bucket"))
-          .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(path)
-      // schema sidecar from build time (inside the build lock): every
-      // later maintenance/serve read can pass the schema explicitly, so
-      // a store a delete/fold later EMPTIES still plans. A FRESH build
-      // rewrites it unconditionally — a rebuild at the same path with a
-      // different schema must not serve through a stale sidecar
-      if (fresh || !schemaSidecar(path).exists())
-        writeSchemaSidecar(path, spark.read.parquet(path).schema)
+    maintenanceLocked(path) {
+      Artifacts.withProcessLock(path.stripSuffix("/") + ".build.lock") {
+        val fresh = !new java.io.File(path, "_SUCCESS").exists()
+        if (fresh)
+          withIvfKmeansBucket(df, vecCol, centroids)
+            // shuffle by the bucket BEFORE the partitioned write (the cube
+            // writer's discipline): each output file belongs to one bucket,
+            // so file count is O(buckets), not O(tasks × buckets) — at 1000
+            // executors × 4096 buckets the difference between 4k files and
+            // 4M. AQE splits any skewed bucket's shuffle partition, and
+            // maxRecordsPerFile (if set) re-splits giant buckets on write.
+            .repartition(col("g_ivf_bucket"))
+            .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(path)
+        // schema sidecar from build time (inside the build lock): every
+        // later maintenance/serve read can pass the schema explicitly, so
+        // a store a delete/fold later EMPTIES still plans. A FRESH build
+        // rewrites it unconditionally — a rebuild at the same path with a
+        // different schema must not serve through a stale sidecar
+        if (fresh || !schemaSidecar(path).exists())
+          writeSchemaSidecar(path, spark.read.parquet(path).schema)
+      }
     }
     // make the store visible to query history / ADVISE as artifact:ivf
     graft.plans.QueryHistory.registerArtifact("ivf", path)
@@ -252,17 +275,22 @@ object Similarity {
     * dir-cost caches honest for readers in this JVM.
     */
   def ivfIngest(batch: DataFrame, vecCol: String,
-                centroids: Seq[Seq[Double]], path: String): Unit = {
-    withIvfKmeansBucket(batch, vecCol, centroids)
-      .repartition(col("g_ivf_bucket"))
-      .write.mode("append").partitionBy("g_ivf_bucket").parquet(path)
-    // the append changed the store's FILE SET without a swap: stamp the
-    // generation (and refresh this JVM's caches) so locked readers in
-    // OTHER processes invalidate their cached pre-ingest listing on the
-    // next probe — without the stamp they would silently miss every
-    // appended row until some writeThenSwap (r14 ADVICE)
-    Artifacts.stampGeneration(batch.sparkSession, path)
-  }
+                centroids: Seq[Seq[Double]], path: String): Unit =
+    // maintenance lock: an append racing a compaction's staging read
+    // would land its file in the OLD directory — renamed aside and
+    // deleted with it when the compaction promotes (r15 verdict: this
+    // serialization was a caller contract; now it's a mechanism)
+    maintenanceLocked(path) {
+      withIvfKmeansBucket(batch, vecCol, centroids)
+        .repartition(col("g_ivf_bucket"))
+        .write.mode("append").partitionBy("g_ivf_bucket").parquet(path)
+      // the append changed the store's FILE SET without a swap: stamp the
+      // generation (and refresh this JVM's caches) so locked readers in
+      // OTHER processes invalidate their cached pre-ingest listing on the
+      // next probe — without the stamp they would silently miss every
+      // appended row until some writeThenSwap (r14 ADVICE)
+      Artifacts.stampGeneration(batch.sparkSession, path)
+    }
 
   private def schemaSidecar(path: String): java.io.File =
     new java.io.File(path.stripSuffix("/") + ".schema.json")
@@ -320,11 +348,13 @@ object Similarity {
     * mid-delete, and a crash between the renames leaves `.precompact` to
     * recover from (a crash after the swap but before the tombstone
     * clear re-folds the same ids next time — a no-op by idempotence).
-    * Callers serialize compaction against ingest and
-    * serve, as with every artifact refresh here. Returns the row count.
+    * Maintenance-serialized by [[maintenanceLocked]] (against ingest,
+    * delete, recluster and other compactions, across JVMs); serving
+    * never parks behind it ([[ivfStoreProbe]] waits only for the rename
+    * window). Returns the row count.
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession,
-                 path: String): Long = {
+                 path: String): Long = maintenanceLocked(path) {
     // captured INSIDE the write callback — i.e. under the .swap.lock —
     // so a racing compaction in another JVM cannot have folded-and-
     // deleted files this one already listed
@@ -361,16 +391,17 @@ object Similarity {
     * untouched, so a probe at ANY nprobe returns exactly its pre-delete
     * answer minus the deleted ids (spec-locked). Crash-safe via
     * [[Artifacts.writeThenSwap]] and idempotent (re-deleting absent ids
-    * is a no-op), so a crashed delete can simply re-run. Callers
-    * serialize deletes against ingest/compaction/recluster, as with
-    * every maintenance op here. Returns the rows remaining.
+    * is a no-op), so a crashed delete can simply re-run.
+    * Maintenance-serialized by [[maintenanceLocked]] against
+    * ingest/compaction/recluster across JVMs. Returns the rows remaining.
     *
     * At 100 TB the rewrite touches every bucket partition (in
     * parallel); for high-RATE deletes use [[ivfTombstone]] instead —
     * same end state, one rewrite for many delete batches.
     */
   def ivfDelete(spark: org.apache.spark.sql.SparkSession, path: String,
-                idCol: String, deleteIds: DataFrame): Long = {
+                idCol: String, deleteIds: DataFrame): Long =
+    maintenanceLocked(path) {
     val ids = broadcast(deleteIds.toDF(idCol).distinct())
     var schema: org.apache.spark.sql.types.StructType = null
     Artifacts.writeThenSwapThen(spark, path) { tmp =>
@@ -406,9 +437,20 @@ object Similarity {
     * [[ivfCompact]] folds them. The cap is checked BEFORE this batch
     * appends (counting the batch too would evaluate a possibly
     * nondeterministic frame twice), so the sidecar can overshoot by at
-    * most one batch; what it bounds is the broadcast anti-join every
-    * serve pays and the fold's delete set — both must stay
-    * small-dimension-sized for the logical path to be cheap.
+    * most one batch — and the check+append pair is SERIALIZED across
+    * tombstoners by an exclusive `.tombstones.lock` (r15 ADVICE: under
+    * the shared read gate alone, N concurrent tombstoners all read
+    * pending < cap and all append, overshooting by N batches — the
+    * one-batch bound held only for callers that serialized themselves).
+    * What the cap bounds is the broadcast anti-join every serve pays
+    * and the fold's delete set — both must stay small-dimension-sized
+    * for the logical path to be cheap. The count is per-ROW, not
+    * per-distinct-id (a conservative bound): replaying the same id
+    * batch — the idempotent crash-recovery pattern — counts again until
+    * the next fold, even though the logical pending set (what serve and
+    * fold actually pay for) is unchanged. If replays trip the cap, fold
+    * (`ivfCompact`) — that is the cap doing its job of bounding sidecar
+    * file volume, which replays do grow.
     */
   def ivfTombstone(spark: org.apache.spark.sql.SparkSession, path: String,
                    idCol: String, ids: DataFrame): Unit = {
@@ -417,15 +459,20 @@ object Similarity {
     // cap check + append under the store's read lock: a concurrent
     // fold's file clearing runs inside the exclusive gate window, so the
     // pending count here can never read files mid-delete (the lockless
-    // variant could throw on a vanished sidecar file)
+    // variant could throw on a vanished sidecar file). Lock order:
+    // rw read lock → read gate → tombstones lock (innermost; nothing
+    // else acquires it, so no cycle is possible).
     Artifacts.readLocked(spark, path) {
-      val pending = pendingTombstoneRows(spark, path)
-      require(pending < cap,
-        s"$pending tombstones already pending at $path (>= cap $cap from " +
-          "spark.graft.ivf.maxPendingTombstones) — run ivfCompact to fold " +
-          "them before tombstoning more")
-      ids.toDF(idCol).distinct()
-        .write.mode("append").parquet(path.stripSuffix("/") + ".tombstones")
+      Artifacts.withProcessLock(
+          path.stripSuffix("/") + ".tombstones.lock") {
+        val pending = pendingTombstoneRows(spark, path)
+        require(pending < cap,
+          s"$pending tombstones already pending at $path (>= cap $cap from " +
+            "spark.graft.ivf.maxPendingTombstones) — run ivfCompact to fold " +
+            "them before tombstoning more")
+        ids.toDF(idCol).distinct()
+          .write.mode("append").parquet(path.stripSuffix("/") + ".tombstones")
+      }
     }
     org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
   }
@@ -433,9 +480,13 @@ object Similarity {
   /** Rows pending in the tombstone sidecar, summed from parquet FOOTER
     * metadata — no Spark job, so the per-batch cap check costs a few
     * driver-side footer reads (the sidecar holds at most one compaction
-    * cadence of small files), not a scan of up to `cap` rows.
+    * cadence of small files), not a scan of up to `cap` rows. Per-row,
+    * not per-distinct-id — see the cap note on [[ivfTombstone]].
+    * Callers outside a locked window get a point-in-time snapshot (the
+    * ADVISE surface); the cap check runs it under the read gate +
+    * tombstones lock.
     */
-  private def pendingTombstoneRows(
+  private[graft] def pendingTombstoneRows(
       spark: org.apache.spark.sql.SparkSession, path: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     tombstoneDataFiles(path).map { f =>
@@ -451,6 +502,28 @@ object Similarity {
     Option(d.listFiles()).toSeq.flatten
       .filter(f => f.getName.endsWith(".parquet") &&
         !f.getName.startsWith("_") && !f.getName.startsWith("."))
+  }
+
+  /** Maintenance-pressure snapshot of an IVF store — the numbers the
+    * ADVISE loop surfaces BEFORE the cap's `require` throws or a probe
+    * becomes a small-file swamp: (pending tombstone rows, max data files
+    * in any one bucket directory, bucket count). Driver-side listing +
+    * footer metadata only — no Spark job; point-in-time (advice, not a
+    * correctness gate). A store compacted to one file per bucket reads
+    * (0, 1, buckets); each [[ivfIngest]] batch adds one file per touched
+    * bucket, so maxFilesPerBucket ≈ appends since the last fold, and a
+    * probe of nprobe buckets opens O(maxFilesPerBucket · nprobe) files.
+    */
+  private[graft] def maintenancePressure(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Int, Int) = {
+    val pending = pendingTombstoneRows(spark, path)
+    val buckets = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("g_ivf_bucket="))
+    val perBucket = buckets.map(d => Option(d.listFiles()).toSeq.flatten
+      .count(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+    (pending, perBucket.maxOption.getOrElse(0), buckets.size)
   }
 
   /** Anti-join `store` against the given tombstone files' accumulated
@@ -515,17 +588,19 @@ object Similarity {
     * Tombstone→recluster therefore lands in the same end state as
     * delete→recluster (spec-locked). A FULLY-tombstoned store cannot
     * recluster (there is nothing to train on) — fold via [[ivfCompact]].
-    * Concurrency contract (same as [[ivfCompact]]): callers SERIALIZE
-    * recluster against ingest, compaction and other reclusters — the
-    * training reads below are deliberately unlocked under that
-    * contract; probes racing the swap window go through
-    * [[ivfStoreProbe]]'s read lock.
+    * Maintenance-serialized by [[maintenanceLocked]] (r15 verdict: was a
+    * caller contract, now a cross-JVM mechanism): the whole body —
+    * training reads INCLUDED — holds the store's `.maintenance.lock`,
+    * so a concurrent compact/ingest/recluster in another JVM blocks
+    * until this one promotes; probes racing the swap window go through
+    * [[ivfStoreProbe]]'s read lock and never park behind the retrain.
     */
   def ivfRecluster(spark: org.apache.spark.sql.SparkSession, path: String,
                    vecCol: String, k: Int, iters: Int = 4,
                    sampleFraction: Double = 1.0): Seq[Seq[Double]] = {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1], got $sampleFraction")
+    maintenanceLocked(path) {
     val store = tombstoneFiltered(readStore(spark, path), path)
     val trainSrc =
       if (sampleFraction >= 1.0) store
@@ -552,6 +627,7 @@ object Similarity {
       writeSchemaSidecar(path, schema)
     }
     fresh
+    }
   }
 
   /** Top-k against a [[materializedIvfIndex]] store: identical semantics

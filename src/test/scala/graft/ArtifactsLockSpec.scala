@@ -244,6 +244,55 @@ class ArtifactsLockSpec extends AnyFunSuite {
       f"a reader entered past a FOREIGN process's intent ($ms%.0f ms)")
   }
 
+  test("IVF maintenance is serialized across JVMs: a compact blocks while a foreign maintenance op runs") {
+    // r15 verdict item 2: maintenance serialization (compact vs
+    // recluster vs ingest) was a documented caller contract; the
+    // .maintenance.lock makes it a mechanism. A second JVM holds the
+    // store's maintenance lock (standing in for its recluster/ingest —
+    // the lock, not the op, is the mechanism under test) and this JVM's
+    // ivfCompact must not run its staging read, let alone promote,
+    // until the foreign hold releases. Store contents afterwards prove
+    // the blocked compact then ran to completion.
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    val path = lockPath("ivfmaint")
+    for (suffix <- Seq("", ".tombstones")) {
+      val f = new java.io.File(path + suffix)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
+    val embs = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 64)
+    val cs = Similarity.trainKmeansCentroids(embs, "embedding",
+      k = 2, iters = 1)
+    Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cs, path)
+    Similarity.ivfTombstone(spark, path, "vec_id",
+      embs.filter(col("vec_id") < 8).select("vec_id"))
+    val holdMs = 3000L
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    def src(c: Class[_]) = new java.io.File(
+      c.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+    val cp = Seq(src(graft.tools.LockProbe.getClass),
+      src(scala.Predef.getClass)).mkString(java.io.File.pathSeparator)
+    val pb = new ProcessBuilder(javaBin, "-cp", cp, "graft.tools.LockProbe",
+      path + ".maintenance.lock", "hold-exclusive", holdMs.toString)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    assert(reader.readLine() == "ACQUIRED", "maintenance-holder JVM failed")
+    val t0 = System.nanoTime()
+    val remaining = Similarity.ivfCompact(spark, path)
+    val ms = (System.nanoTime() - t0) / 1e6
+    proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+    assert(ms >= holdMs - 500,
+      f"ivfCompact finished $ms%.0f ms after the foreign maintenance hold " +
+        f"started — it did not serialize behind the $holdMs ms holder")
+    assert(remaining == 64 - 8,
+      s"post-hold compact must fold the tombstones: $remaining rows")
+  }
+
   test("generation stamp: a swap invalidates later locked readers' caches once") {
     val spark = TestSpark.spark
     val dir = lockPath("gendemo")

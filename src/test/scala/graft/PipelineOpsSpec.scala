@@ -284,6 +284,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     // the cap (5 < 20 boilerplate dfs) kills the boilerplate postings, but
     // the quote's RARE shingles survive — the pair is still found exactly
     assert(capped.toSeq == Seq((31L, 30L, 1.0)), s"got ${capped.toSeq}")
+    // what the cap DROPS, characterized on the same fixture (r15 verdict):
+    // with the cap off and the threshold lowered to the boilerplate's
+    // containment share, the boilerplate-only page pairs DO appear — the
+    // recall the cap trades away is exactly pairs related through
+    // over-df shingles, never pairs sharing any under-cap shingle
+    val uncapped = Dedup.ngramContainmentPairs(corpus, "doc_id", "text",
+        threshold = 0.3, maxShingleDf = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val boilerOnly = uncapped.filter { case (a, b) => a <= 20 && b <= 20 }
+    assert(boilerOnly.size == 20 * 19 / 2,
+      s"uncapped must relate all 20 boilerplate pages pairwise, " +
+        s"got ${boilerOnly.size}")
+    val cappedLow = Dedup.ngramContainmentPairs(corpus, "doc_id", "text",
+        threshold = 0.3, maxShingleDf = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedLow.filter { case (a, b) => a <= 20 && b <= 20 }.isEmpty,
+      "capped run must drop every boilerplate-only pair")
+    assert(cappedLow.contains((31L, 30L)),
+      "capped run must keep the genuine quote pair at any threshold")
   }
 
   test("IVF recall degrades monotonically with nprobe and is exact at full probe") {
@@ -704,6 +723,60 @@ class PipelineOpsSpec extends AnyFunSuite {
       Similarity.ivfCompact(spark, path)
       Similarity.ivfTombstone(spark, path, "vec_id",
         embs.filter(col("vec_id") === 6L).select("vec_id"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("tombstone cap holds under CONCURRENT tombstoners (check+append serialized)") {
+    // r15 ADVICE (medium): the cap check and append used to run under the
+    // SHARED read gate only, so N racing tombstoners could all read
+    // pending < cap and all append — overshooting by N batches. With the
+    // exclusive .tombstones.lock the bound is exact: each thread appends
+    // one row, so with cap=3 exactly 3 of 8 single-id batches are
+    // admitted and the sidecar holds exactly 3 rows.
+    import graft.operators.Similarity
+    val embs = Tables.t(spark, sf, "embeddings")
+    val path = "/root/repo/target/indexes/ivf_spec_tombrace_v1"
+    for (suffix <- Seq("", ".tombstones")) {
+      val f = new java.io.File(path + suffix)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
+    val cs = Similarity.trainKmeansCentroids(embs, "embedding",
+      k = 2, iters = 1)
+    Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cs, path)
+    val key = "spark.graft.ivf.maxPendingTombstones"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "3")
+    try {
+      val admitted = new java.util.concurrent.atomic.AtomicInteger(0)
+      val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = (0 until 8).map { i =>
+        new Thread(() => {
+          try {
+            gate.await()
+            try {
+              Similarity.ivfTombstone(spark, path, "vec_id",
+                embs.filter(col("vec_id") === i.toLong).select("vec_id"))
+              admitted.incrementAndGet()
+            } catch {
+              case e: IllegalArgumentException
+                  if e.getMessage.contains("ivfCompact") =>
+                refused.incrementAndGet()
+            }
+          } catch { case t: Throwable => err.set(t) }
+        })
+      }
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+      assert(err.get() == null, s"tombstoner failed: ${err.get()}")
+      assert(admitted.get() == 3 && refused.get() == 5,
+        s"cap=3 over 8 one-row batches must admit exactly 3 " +
+          s"(admitted=${admitted.get()}, refused=${refused.get()})")
+      assert(Similarity.pendingTombstoneRows(spark, path) == 3L,
+        "sidecar must hold exactly cap rows after the race")
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
