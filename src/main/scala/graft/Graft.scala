@@ -176,8 +176,18 @@ object Graft {
       val (files, rows, bytes) =
         org.apache.spark.sql.graft.ScanBytes.dirCost(spark, path,
           footerCap = 64)
-      (kind, path, files, rows, bytes)
-    }.toDF("kind", "path", "stored_files", "stored_rows", "stored_bytes")
+      // maintenance-pressure columns (IVF stores only; -1 elsewhere):
+      // pending tombstone rows and max append files in any one bucket —
+      // the numbers ADVISE GRAFT MAINTENANCE thresholds on, surfaced in
+      // the view so an operator can watch them approach the cap instead
+      // of meeting it as a require-failure (r15 verdict item 3)
+      val (pending, maxFiles, buckets) =
+        if (kind == "ivf")
+          graft.operators.Similarity.maintenancePressure(spark, path)
+        else (-1L, -1, -1)
+      (kind, path, files, rows, bytes, pending, maxFiles, buckets)
+    }.toDF("kind", "path", "stored_files", "stored_rows", "stored_bytes",
+        "pending_tombstones", "max_files_per_bucket", "buckets")
       .createOrReplaceTempView("graft_artifacts")
   }
 

@@ -57,6 +57,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     "(?is)\\s*SHOW\\s+GRAFT\\s+HISTORY\\s*;?\\s*".r
   private val AdviseRe =
     "(?is)\\s*ADVISE\\s+GRAFT\\s+ROLLUP\\s+ON\\s+([\\w.]+)\\s*;?\\s*".r
+  private val AdviseMaintRe =
+    "(?is)\\s*ADVISE\\s+GRAFT\\s+MAINTENANCE\\s*;?\\s*".r
   private val ViewsRe =
     "(?is)\\s*REGISTER\\s+GRAFT\\s+VIEWS\\s*;?\\s*".r
 
@@ -69,6 +71,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case StatsRe()        => ShowGraftStatsCommand()
     case HistoryRe()      => ShowGraftHistoryCommand()
     case AdviseRe(cube)   => AdviseGraftRollupCommand(cube)
+    case AdviseMaintRe()  => AdviseGraftMaintenanceCommand()
     case ViewsRe()        => RegisterGraftViewsCommand()
     case RegisterRe(path) => RegisterGraftCubeCommand(path)
     case MaterializeRe(cube, dims, sketches, partDims, clusDims, path) =>
@@ -219,6 +222,54 @@ case class AdviseGraftRollupCommand(cube: String) extends LeafRunnableCommand {
       Row(r.dims.mkString(","), r.sketchCols.mkString(","),
         r.estRowsPerBucket.toString, r.queriesServed.toString, ddl)
     }
+  }
+}
+
+/** `ADVISE GRAFT MAINTENANCE` — the pipeline-artifact twin of
+  * `ADVISE GRAFT ROLLUP` (r15 verdict item 3): one row per registered
+  * IVF store with its maintenance pressure (pending tombstone rows vs
+  * the serve cap, append files per bucket) and, past a threshold, a
+  * ready-to-run `ivfCompact` recommendation — so an operator folds
+  * BEFORE the tombstone cap's `require` throws or the store becomes a
+  * small-file swamp, instead of learning from the failure. Thresholds:
+  * `spark.graft.ivf.adviseTombstonePct` (default 0.5 — advise once the
+  * sidecar passes half of `spark.graft.ivf.maxPendingTombstones`) and
+  * `spark.graft.ivf.adviseFilesPerBucket` (default 4 — a probe of
+  * nprobe buckets then opens 4×nprobe files where a compacted store
+  * opens nprobe). Reading the pressure is driver-side listing + footer
+  * metadata only, like the views — advice must never cost a Spark job.
+  */
+case class AdviseGraftMaintenanceCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("pending_tombstones", LongType, nullable = false)(),
+    AttributeReference("tombstone_cap", LongType, nullable = false)(),
+    AttributeReference("max_files_per_bucket", LongType, nullable = false)(),
+    AttributeReference("advice", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cap = spark.conf
+      .get("spark.graft.ivf.maxPendingTombstones", "1048576").toLong
+    val tombPct = spark.conf
+      .get("spark.graft.ivf.adviseTombstonePct", "0.5").toDouble
+    val filesAt = spark.conf
+      .get("spark.graft.ivf.adviseFilesPerBucket", "4").toInt
+    QueryHistory.artifactsSnapshot.collect { case ("ivf", path) =>
+      val (pending, maxFiles, _) =
+        graft.operators.Similarity.maintenancePressure(spark, path)
+      val reasons = Seq(
+        if (pending >= (cap * tombPct).toLong && pending > 0)
+          Some(s"$pending pending tombstones >= ${(tombPct * 100).toInt}% " +
+            s"of cap $cap") else None,
+        if (maxFiles >= filesAt)
+          Some(s"$maxFiles append files in one bucket (threshold $filesAt)")
+        else None).flatten
+      val advice =
+        if (reasons.isEmpty) ""
+        else "run graft.operators.Similarity.ivfCompact(spark, \"" + path +
+          "\") — " + reasons.mkString("; ")
+      Row("ivf", path, pending, cap, maxFiles.toLong, advice)
+    }.sortBy(r => r.getString(1))
   }
 }
 

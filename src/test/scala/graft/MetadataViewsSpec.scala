@@ -204,6 +204,66 @@ class MetadataViewsSpec extends AnyFunSuite {
       r.getLong(3) > 0), arts.mkString("; "))
   }
 
+  test("ADVISE GRAFT MAINTENANCE surfaces IVF pressure before the cap throws; a fold clears it") {
+    init
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val embs = Tables.t(spark, sf, "embeddings")
+    val path = "/root/repo/target/indexes/ivf_advise_spec_v1"
+    for (suffix <- Seq("", ".tombstones")) {
+      val f = new java.io.File(path + suffix)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
+    val cents = Similarity.trainKmeansCentroids(embs, "embedding", k = 4, iters = 1)
+    Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cents, path)
+    val capKey = "spark.graft.ivf.maxPendingTombstones"
+    val prevCap = spark.conf.getOption(capKey)
+    spark.conf.set(capKey, "10")
+    try {
+      // pressure: 6 pending tombstones (60% of cap 10 >= the 50% advice
+      // threshold) and 3 ingest appends (1 build file + 3 appends = 4
+      // files in every touched bucket >= the files-per-bucket threshold)
+      Similarity.ivfTombstone(spark, path, "vec_id",
+        embs.filter(col("vec_id") < 6).select("vec_id"))
+      for (_ <- 1 to 3)
+        Similarity.ivfIngest(embs.filter(col("vec_id") < 16), "embedding",
+          cents, path)
+      val parser = new graft.plans.GraftSqlParser(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .sessionState.sqlParser)
+      def advise() = parser.parsePlan("ADVISE GRAFT MAINTENANCE")
+        .asInstanceOf[graft.plans.AdviseGraftMaintenanceCommand].run(spark)
+        .filter(_.getString(1) == graft.cube.CubeCatalog.normalizePath(path))
+      val hot = advise()
+      assert(hot.size == 1, s"expected one row for $path, got $hot")
+      assert(hot.head.getLong(2) == 6L, s"pending: ${hot.head}")
+      assert(hot.head.getLong(4) >= 4L, s"files/bucket: ${hot.head}")
+      val advice = hot.head.getString(5)
+      assert(advice.contains("ivfCompact") && advice.contains(path) &&
+        advice.contains("pending tombstones") &&
+        advice.contains("append files"), advice)
+      // the same pressure columns are queryable in graft_artifacts
+      Graft.registerMetadataViews(spark)
+      val viewRow = spark.sql(
+        s"""SELECT pending_tombstones, max_files_per_bucket, buckets
+           |FROM graft_artifacts WHERE kind = 'ivf'
+           |AND path = '${graft.cube.CubeCatalog.normalizePath(path)}'"""
+          .stripMargin).collect()
+      assert(viewRow.length == 1 && viewRow.head.getLong(0) == 6L &&
+        viewRow.head.getInt(1) >= 4 && viewRow.head.getInt(2) > 0,
+        viewRow.mkString("; "))
+      // running the recommendation clears the advice — the closed loop
+      Similarity.ivfCompact(spark, path)
+      val cold = advise()
+      assert(cold.size == 1 && cold.head.getLong(2) == 0L &&
+        cold.head.getLong(4) == 1L && cold.head.getString(5).isEmpty,
+        s"post-fold advice must clear: $cold")
+    } finally prevCap match {
+      case Some(v) => spark.conf.set(capKey, v)
+      case None => spark.conf.unset(capKey)
+    }
+  }
+
   test("bucketed layout tables classify in history as artifact:bucketed") {
     init
     val bkt = graft.operators.Bucketing.ensureBucketed(spark,
