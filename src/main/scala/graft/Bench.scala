@@ -298,6 +298,13 @@ object Bench {
       val (sr, sb) = allIo.getOrElse(k, (0L, 0L))
       s""" "$k":{"min":${fmt(if (ok) v else -v)},"median":${fmt(median(ts))},"scan_rows":$sr,"scan_bytes":$sb,"reps":[${ts.map(fmt).mkString(",")}]}"""
     }.mkString("{\n", ",\n", "\n}")
+    // both totals, named (r15 verdict): the detail used to carry one
+    // ambiguous "total" (sum of per-query MINS) while README cites the
+    // sum of per-query MEDIANS — a reader reconciling the two had to
+    // re-derive them from the reps
+    val totalMedian = results.collect {
+      case (_, _, true, ts) => median(ts)
+    }.sum
     try {
       // the scratch default lives under target/, which a clean checkout
       // or foreign CWD may lack — writeString does not create parents
@@ -306,7 +313,7 @@ object Bench {
       val out = java.nio.file.Paths.get(detailPath).toAbsolutePath
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out,
-        s"""{"sf":"$sfDir","n_queries":${results.size},"total":${fmt(total)},"failed":$failed,\n"raw":$rawJs,\n"scan_rows":$ioJs,\n"scan_bytes":$bytesJs,\n"queries":$perQ}\n""")
+        s"""{"sf":"$sfDir","n_queries":${results.size},"total_min":${fmt(total)},"total_median":${fmt(totalMedian)},"failed":$failed,\n"raw":$rawJs,\n"scan_rows":$ioJs,\n"scan_bytes":$bytesJs,\n"queries":$perQ}\n""")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: $e")
     }
