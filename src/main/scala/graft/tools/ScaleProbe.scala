@@ -251,18 +251,32 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"${dst.getPath}/documents.parquet")
     // instrument honesty: distinct mappings guarantee distinct copies
     // only for text that USES the alphabet — text outside [a-zA-Z]
-    // passes every substitution unchanged, and a corpus with such docs
-    // would grow exact cross-copy duplicate groups to size 100 (4950
-    // candidate pairs each where fresh data has none), poisoning the
-    // very exponent this replica exists to measure. Verify, don't hope:
-    // the output must hold exactly 10x the source's distinct texts.
+    // passes every substitution unchanged, and a corpus with many such
+    // docs would grow exact cross-copy duplicate groups to size 100
+    // (4950 candidate pairs each where fresh data has none), poisoning
+    // the very exponent this replica exists to measure. Verify, don't
+    // hope — but tolerate the BOUNDED residue the decade-2 builder
+    // already tolerates (r15 ADVICE: the old exact-equality require
+    // hard-failed the whole decade-3 section on a corpus with ANY
+    // alphabet-free text): every distinct ALPHABETIC text must yield 10
+    // distinct copies; alphabet-free texts pass unchanged (a bounded
+    // size-10 duplicate group each, still linear work) and are reported.
     val srcDistinct = src.select(countDistinct(col("text"))).head().getLong(0)
+    val srcAlpha = src.filter(col("text").rlike("[A-Za-z]"))
+      .select(countDistinct(col("text"))).head().getLong(0)
     val dstDistinct = spark.read.parquet(s"${dst.getPath}/documents.parquet")
       .select(countDistinct(col("text"))).head().getLong(0)
-    require(dstDistinct == 10 * srcDistinct,
-      s"decade-3 copies collide on alphabet-free text ($dstDistinct " +
-        s"distinct texts, expected ${10 * srcDistinct}) — the exponent " +
-        "would measure replication artifacts, not scaling")
+    require(dstDistinct >= 10 * srcAlpha,
+      s"decade-3 copies collide on alphabetic text ($dstDistinct distinct " +
+        s"texts < ${10 * srcAlpha} = 10x the source's $srcAlpha distinct " +
+        "alphabetic texts) — the exponent would measure replication " +
+        "artifacts, not scaling")
+    val residue = 10 * srcDistinct - dstDistinct
+    if (residue > 0)
+      println(s"[scale] decade-3 replica: $residue of ${10 * srcDistinct} " +
+        "expected distinct texts collapse (alphabet-free docs replicate " +
+        "verbatim — bounded size-10 duplicate groups, like decade 2's " +
+        "non-Latin residue)")
     java.nio.file.Files.writeString(marker.toPath,
       s"src=$sf1xDir tag=$tag\n")
     dst.getPath
@@ -389,6 +403,104 @@ object ScaleProbe {
       else "guard buys < 1.67x on the skewed serve — revisit (spread " +
         "threshold or in-bucket salting)"
     f"""{"dir":"$dir","store_rows":$storeRows,"hot_bucket_share":$hotShare%.3f,"nprobe":$nprobe,"uniform":{"batch_queries":$nUni,"t":$tUni%.3f,"candidates":$cUni,"us_per_candidate":$usUni%.4f},"skewed":{"batch_queries":$nSkew,"t":$tSkew%.3f,"candidates":$cSkew,"us_per_candidate":$usSkew%.4f},"skewed_guard_disabled":{"t":$tSkewUnguarded%.3f,"guard_speedup":$speedup%.2f},"join":"$joinSkew","verdict":"$verdict"}"""
+  }
+
+  /** Shared-vocabulary `maxShingleDf` A/B (r15 verdict item 1): the one
+    * 100-TB claim that rested on reasoning instead of a committed
+    * artifact. The replica decades measure the engine's slope on data
+    * whose copies share (almost) no shingles, so the cap never engages
+    * there; REAL corpora share vocabulary — boilerplate shingles whose
+    * document frequency grows WITH the corpus, and whose per-shingle
+    * pair expansion is O(df²). The probe builds exactly that stress: a
+    * zipfian common-shingle overlay (a 42-token boilerplate paragraph
+    * appended to a fixed 5% of documents, so its ~40 internal shingles'
+    * df grows 10× per size step while the duplicate structure and the
+    * 95% body of the corpus stay the natural replica data) over three
+    * sizes 10× apart (sf0.01 → sf0.1 → sf1-equivalent), and runs the
+    * containment and ngram-Jaccard candidate machinery with the cap at
+    * the containment default (1000) vs DISABLED. Alongside wall times it
+    * reports the exact analytic candidate volume Σ_{df≥2} df(df−1)/2
+    * from the shingle-df histogram — deterministic, box-noise-free —
+    * in both arms, plus how many shingles the cap dropped. The claim
+    * under test: capped volume/time stay ~linear in documents as shared
+    * df crosses the cap, while the uncapped arm superlinearizes (the
+    * boilerplate's pair volume alone grows 100× per 10× of data). The
+    * uncapped TIMING is guarded by the volume figure (skip past 2e9
+    * candidates — the volume number, which is the claim's substance, is
+    * still reported); what the cap sacrifices for this bound is pinned
+    * by PipelineOpsSpec ("containment shingle-df cap drops
+    * boilerplate-only pairs, keeps quotes").
+    */
+  private def sharedVocabCapProbe(spark: SparkSession, smallDir: String,
+                                  bigDir: String, sf1xDir: String,
+                                  reps: Int): String = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val boiler = (1 to 42).map(i => s"boilerseg$i").mkString(" ")
+    val overlayMod = 20L // 5% of docs carry the boilerplate
+    def overlaid(dir: String): DataFrame =
+      graft.Tables.t(spark, dir, "documents").select(col("doc_id"),
+        when(pmod(xxhash64(col("doc_id")), lit(overlayMod)) === 0,
+          concat(col("text"), lit(" " + boiler)))
+          .otherwise(col("text")).as("text"))
+    val cap = 1000 // the containment path's load-bearing default
+    // exact candidate volume from the shingle-df histogram:
+    // (uncapped pairs, capped pairs, shingles the cap drops)
+    def volumes(df: DataFrame): (Long, Long, Long) = {
+      val r = df.select(explode(org.apache.spark.sql.graft.NativeTextExprs
+          .shingleHashSet(graft.functions.TextFunctions
+            .tokens(col("text")), 3)).as("g_sh"))
+        .groupBy("g_sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+        // SQL `/` is fractional — cast back (df(df−1) is even, exact)
+        .select(col("df"),
+          (col("df") * (col("df") - 1) / 2).cast("long").as("pairs"))
+        .agg(sum(col("pairs")),
+          sum(when(col("df") <= cap, col("pairs")).otherwise(0L)),
+          count(when(col("df") > cap, lit(1)))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def timeArm(df: DataFrame, op: String, capped: Boolean): Double = {
+      def frame = op match {
+        case "containment" => graft.operators.Dedup.ngramContainmentPairs(
+          df, "doc_id", "text", threshold = 0.8,
+          maxShingleDf = if (capped) Some(cap) else None)
+        case _ => graft.operators.Dedup.ngramJaccardDupPairs(
+          df, "doc_id", "text", threshold = 0.8,
+          maxShingleDf = if (capped) Some(cap) else None)
+      }
+      def run(): Unit =
+        frame.write.mode("overwrite").format("noop").save()
+      run() // warmup
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val sizes = Seq("s1" -> smallDir, "s2" -> bigDir, "s3" -> sf1xDir)
+    val rows = sizes.map { case (tag, dir) =>
+      val df = overlaid(dir)
+      val docs = df.count()
+      val overlayDf = df.filter(
+        pmod(xxhash64(col("doc_id")), lit(overlayMod)) === 0).count()
+      val (volUnc, volCap, dropped) = volumes(df)
+      val uncTimeable = volUnc <= 2000000000L
+      val arms = Seq("containment", "ngram").map { op =>
+        val tCap = timeArm(df, op, capped = true)
+        val tUnc = if (uncTimeable) timeArm(df, op, capped = false) else -1.0
+        println(f"[scale] shared-vocab $tag%-3s $op%-12s docs=$docs " +
+          f"boiler_df=$overlayDf cap_t=$tCap%.3f unc_t=$tUnc%.3f " +
+          f"vol_cap=$volCap vol_unc=$volUnc dropped_shingles=$dropped")
+        f""""$op":{"t_capped":$tCap%.3f,"t_uncapped":${if (uncTimeable) f"$tUnc%.3f" else "null"}}"""
+      }
+      (tag, docs, overlayDf, volUnc, volCap, dropped,
+        s"""{"dir":"$dir","docs":$docs,"boilerplate_df":$overlayDf,"candidates_uncapped":$volUnc,"candidates_capped":$volCap,"shingles_over_cap":$dropped,${arms.mkString(",")}}""")
+    }
+    def slope(a: Double, b: Double): String =
+      if (a > 0 && b > 0) f"${math.log10(b / a)}%.2f" else "null"
+    // decade slopes on the deterministic volumes (the claim's substance)
+    val vu = rows.map(_._4.toDouble); val vc = rows.map(_._5.toDouble)
+    val exps = s""""volume_exponents":{"uncapped_d1":${slope(vu(0), vu(1))},"uncapped_d2":${slope(vu(1), vu(2))},"capped_d1":${slope(vc(0), vc(1))},"capped_d2":${slope(vc(1), vc(2))}}"""
+    s"""{"overlay":"42-token boilerplate appended to 5% of documents (zipfian head; its ~40 internal shingles' df grows 10x per step)","cap":$cap,$exps,"sizes":{${rows.map(r => s""""${r._1}":${r._7}""").mkString(",")}}}"""
   }
 
   private val targets = Seq(
@@ -566,6 +678,12 @@ object ScaleProbe {
       println(s"[scale] stream smoke: ${streamingEventsProbe(spark, small, small, 1)}")
       spark.stop(); return
     }
+    if (outPath == "--shared-vocab") { // just the cap A/B, for iteration
+      val sf1 = ensureSf1Equivalent(spark, big)
+      println(s"[scale] shared-vocab cap A/B: ${
+        sharedVocabCapProbe(spark, small, big, sf1, reps)}")
+      spark.stop(); return
+    }
 
     def timeAt(t: Target, dir: String): Double = {
       val run = t.prepare(spark, dir)
@@ -656,6 +774,8 @@ object ScaleProbe {
     println(s"[scale] streaming twins: $streamJson")
     val skewJson = section("skewed-bucket batch")(
       skewedBucketProbe(spark, sf1x, reps))
+    val sharedVocabJson = section("shared-vocab cap A/B")(
+      sharedVocabCapProbe(spark, small, big, sf1x, reps))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       s"""{"small":"$small","big":"$big","data_factor":10,"reps":$reps,"timing":"noop-sink min-of-$reps after warmup","scheduler_floor_sec":$floor,"queries":{
          |${rows.mkString(",\n")}
@@ -665,7 +785,8 @@ object ScaleProbe {
          |}},
          |"data_factor_1000":$decade3Json,
          |"streaming_events_decade2":$streamJson,
-         |"skewed_bucket_batch":$skewJson}
+         |"skewed_bucket_batch":$skewJson,
+         |"shared_vocab_cap":$sharedVocabJson}
          |""".stripMargin)
     println(s"[scale] wrote $outPath")
     spark.stop()
