@@ -1115,6 +1115,34 @@ object SparkEntry {
          |WHERE containment >= 0.9
          |ORDER BY quoteId, containerId""".stripMargin
 
+    /** [[containmentOracle]] with the df CAP replayed (round 16): the
+      * inverted index keeps only shingles whose corpus-wide document
+      * frequency is ≤ 5 — a cap low enough to ENGAGE at oracle scale
+      * (sf0.01 holds 29 shingles above it; sf0.1's natural max df is
+      * 25), unlike the default 1000 which is inert there — while full
+      * set sizes travel uncapped, exactly the engine's packing (only the
+      * common-count of capped pairs shrinks,
+      * `Dedup.coOccurringPairs`). Upgrades the skew guard's exact
+      * semantics from spec-locked to driver-gated.
+      */
+    private val containmentCappedOracle: String =
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct($shingleSql) s FROM toks),
+         |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+         |undercap AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 5),
+         |com AS (SELECT a.doc_id AS idA, b.doc_id AS idB, a.sz AS szA, b.sz AS szB, count(*) AS c
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  JOIN undercap u ON u.g = a.g
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT CASE WHEN szA <= szB THEN idA ELSE idB END AS quoteId,
+         |  CASE WHEN szA <= szB THEN idB ELSE idA END AS containerId,
+         |  containment
+         |FROM (SELECT idA, idB, szA, szB,
+         |    CAST(c AS DOUBLE) / CAST(least(szA, szB) AS DOUBLE) AS containment
+         |  FROM com)
+         |WHERE containment >= 0.9
+         |ORDER BY quoteId, containerId""".stripMargin
+
     /** Duplicate clusters from the exact n-gram pairs: transitive closure by
       * a recursive CTE (min reachable id per node) — the independent
       * restatement of [[graft.operators.Dedup.connectedComponents]].
@@ -1351,6 +1379,15 @@ object SparkEntry {
       "q_dedup_containment" -> { (s, dir) =>
         Dedup.ngramContainmentPairs(Tables.t(s, dir, "documents"),
             "doc_id", "text", threshold = 0.9)
+          .orderBy("quoteId", "containerId")
+      },
+      // the df-cap (skew guard) with its semantics under oracle: cap 5
+      // ENGAGES at both gate scales (the default 1000 is inert there) —
+      // dropped posting lists shrink common counts while set sizes stay
+      // full, and the oracle replays the capped inverted index in SQL
+      "q_dedup_containment_capped" -> { (s, dir) =>
+        Dedup.ngramContainmentPairs(Tables.t(s, dir, "documents"),
+            "doc_id", "text", threshold = 0.9, maxShingleDf = Some(5))
           .orderBy("quoteId", "containerId")
       },
       "q_dedup_minhash" -> { (s, dir) =>
@@ -2746,6 +2783,7 @@ object SparkEntry {
           |JOIN k ON d.doc_id = k.doc_id ORDER BY d.doc_id""".stripMargin,
       "q_dedup_ngram" -> ngramPairsOracle,
       "q_dedup_containment" -> containmentOracle,
+      "q_dedup_containment_capped" -> containmentCappedOracle,
       "q_dedup_minhash" -> ngramPairsOracle,
       "q_dedup_clusters" -> dedupClustersOracle,
       "q_corpus_dedup" -> corpusDedupOracle,

@@ -97,6 +97,20 @@ object Artifacts {
     }
   }
 
+  /** Serialize a WHOLE maintenance body (build / ingest append / compact
+    * / delete / recluster) of the artifact at `destDir` against every
+    * other maintenance body, across driver JVMs — the OS lock one level
+    * above the swap lock (order, outermost first: maintenance → build →
+    * swap → rw → gate intent → read gate). Without it the serialization
+    * is a caller contract, and e.g. an ingest's appended file can land in
+    * the old directory after a compaction's staging read — renamed aside
+    * and deleted with it when the compaction promotes. Serving reads
+    * never take it (they go through [[readLocked]] and wait only for the
+    * rename window), so probes never park behind a long rewrite.
+    */
+  def maintenanceLocked[T](destDir: String)(f: => T): T =
+    withProcessLock(destDir.stripSuffix("/") + ".maintenance.lock")(f)
+
   // normalize() resolves "." and ".." so two spellings of one directory
   // share one lock (getAbsolutePath would leave "a/../a" distinct);
   // symlinked spellings are out of scope — artifacts live under

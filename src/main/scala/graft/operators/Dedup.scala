@@ -785,12 +785,19 @@ object Dedup {
     */
   def spanCountsIngest(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, destDir: String): Unit = {
-    spanKgrams(spanToks(docs, idCol, textCol), k)
-      .groupBy("g_h").agg(count(lit(1)).as("g_cnt"))
-      .write.mode("append").parquet(destDir)
-    // no-swap append: stamp the generation so readers' (this JVM's and
-    // foreign JVMs') cached listings refresh — the ivfIngest contract
-    Artifacts.stampGeneration(docs.sparkSession, destDir)
+    // maintenance lock (shared mechanism, [[Artifacts.maintenanceLocked]]):
+    // an append racing spanCountsCompact's staging read would land its
+    // partials file in the OLD directory — renamed aside and deleted
+    // with it when the compaction promotes, silently losing that batch's
+    // counts (the ivfIngest bug class, r15 verdict)
+    Artifacts.maintenanceLocked(destDir) {
+      spanKgrams(spanToks(docs, idCol, textCol), k)
+        .groupBy("g_h").agg(count(lit(1)).as("g_cnt"))
+        .write.mode("append").parquet(destDir)
+      // no-swap append: stamp the generation so readers' (this JVM's and
+      // foreign JVMs') cached listings refresh — the ivfIngest contract
+      Artifacts.stampGeneration(docs.sparkSession, destDir)
+    }
     graft.plans.QueryHistory.registerArtifact("span_store", destDir)
   }
 
@@ -805,7 +812,7 @@ object Dedup {
     * Returns the number of distinct windows retained.
     */
   def spanCountsCompact(spark: org.apache.spark.sql.SparkSession,
-                        destDir: String): Long = {
+                        destDir: String): Long = Artifacts.maintenanceLocked(destDir) {
     Artifacts.writeThenSwap(spark, destDir) { tmp =>
       spark.read.parquet(destDir)
         .groupBy("g_h").agg(sum(col("g_cnt")).as("g_cnt"))

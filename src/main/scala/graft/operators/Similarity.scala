@@ -224,11 +224,12 @@ object Similarity {
     * read gate. Probes ([[ivfStoreProbe]]) and [[ivfTombstone]] never
     * take it — serving and high-rate tombstoning must not park behind a
     * long rewrite (their safety is the read gate + the fold's
-    * capture-exactly-what-you-read discipline).
+    * capture-exactly-what-you-read discipline). The lock itself is the
+    * shared [[Artifacts.maintenanceLocked]] — the span-count store's
+    * ingest/compact pair uses the same mechanism.
     */
   private def maintenanceLocked[T](path: String)(f: => T): T =
-    Artifacts.withProcessLock(
-      path.stripSuffix("/") + ".maintenance.lock")(f)
+    Artifacts.maintenanceLocked(path)(f)
 
   def materializedIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                            centroids: Seq[Seq[Double]],

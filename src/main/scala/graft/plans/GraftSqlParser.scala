@@ -227,17 +227,23 @@ case class AdviseGraftRollupCommand(cube: String) extends LeafRunnableCommand {
 
 /** `ADVISE GRAFT MAINTENANCE` — the pipeline-artifact twin of
   * `ADVISE GRAFT ROLLUP` (r15 verdict item 3): one row per registered
-  * IVF store with its maintenance pressure (pending tombstone rows vs
-  * the serve cap, append files per bucket) and, past a threshold, a
-  * ready-to-run `ivfCompact` recommendation — so an operator folds
-  * BEFORE the tombstone cap's `require` throws or the store becomes a
-  * small-file swamp, instead of learning from the failure. Thresholds:
-  * `spark.graft.ivf.adviseTombstonePct` (default 0.5 — advise once the
-  * sidecar passes half of `spark.graft.ivf.maxPendingTombstones`) and
+  * IVF store (maintenance pressure = pending tombstone rows vs the
+  * serve cap, plus append files per bucket) and per span-count store
+  * (pressure = accumulated partial files, which every serve re-merges)
+  * with, past a threshold, a ready-to-run compaction recommendation —
+  * so an operator folds BEFORE the tombstone cap's `require` throws or
+  * the store becomes a small-file swamp, instead of learning from the
+  * failure. Thresholds: `spark.graft.ivf.adviseTombstonePct` (default
+  * 0.5 — advise once the sidecar passes half of
+  * `spark.graft.ivf.maxPendingTombstones`),
   * `spark.graft.ivf.adviseFilesPerBucket` (default 4 — a probe of
   * nprobe buckets then opens 4×nprobe files where a compacted store
-  * opens nprobe). Reading the pressure is driver-side listing + footer
-  * metadata only, like the views — advice must never cost a Spark job.
+  * opens nprobe), and `spark.graft.span.adviseFiles` (default 128 —
+  * roughly three shuffle-partition-sized appends on top of a compacted
+  * store). `files_pressure` is max-files-per-bucket for IVF, total
+  * data files for span stores. Reading the pressure is driver-side
+  * listing + footer metadata only, like the views — advice must never
+  * cost a Spark job.
   */
 case class AdviseGraftMaintenanceCommand() extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -245,7 +251,7 @@ case class AdviseGraftMaintenanceCommand() extends LeafRunnableCommand {
     AttributeReference("path", StringType, nullable = false)(),
     AttributeReference("pending_tombstones", LongType, nullable = false)(),
     AttributeReference("tombstone_cap", LongType, nullable = false)(),
-    AttributeReference("max_files_per_bucket", LongType, nullable = false)(),
+    AttributeReference("files_pressure", LongType, nullable = false)(),
     AttributeReference("advice", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val cap = spark.conf
@@ -254,22 +260,35 @@ case class AdviseGraftMaintenanceCommand() extends LeafRunnableCommand {
       .get("spark.graft.ivf.adviseTombstonePct", "0.5").toDouble
     val filesAt = spark.conf
       .get("spark.graft.ivf.adviseFilesPerBucket", "4").toInt
-    QueryHistory.artifactsSnapshot.collect { case ("ivf", path) =>
-      val (pending, maxFiles, _) =
-        graft.operators.Similarity.maintenancePressure(spark, path)
-      val reasons = Seq(
-        if (pending >= (cap * tombPct).toLong && pending > 0)
-          Some(s"$pending pending tombstones >= ${(tombPct * 100).toInt}% " +
-            s"of cap $cap") else None,
-        if (maxFiles >= filesAt)
-          Some(s"$maxFiles append files in one bucket (threshold $filesAt)")
-        else None).flatten
-      val advice =
-        if (reasons.isEmpty) ""
-        else "run graft.operators.Similarity.ivfCompact(spark, \"" + path +
-          "\") — " + reasons.mkString("; ")
-      Row("ivf", path, pending, cap, maxFiles.toLong, advice)
-    }.sortBy(r => r.getString(1))
+    val spanFilesAt = spark.conf
+      .get("spark.graft.span.adviseFiles", "128").toInt
+    QueryHistory.artifactsSnapshot.collect {
+      case ("ivf", path) =>
+        val (pending, maxFiles, _) =
+          graft.operators.Similarity.maintenancePressure(spark, path)
+        val reasons = Seq(
+          if (pending >= (cap * tombPct).toLong && pending > 0)
+            Some(s"$pending pending tombstones >= ${(tombPct * 100).toInt}% " +
+              s"of cap $cap") else None,
+          if (maxFiles >= filesAt)
+            Some(s"$maxFiles append files in one bucket (threshold $filesAt)")
+          else None).flatten
+        val advice =
+          if (reasons.isEmpty) ""
+          else "run graft.operators.Similarity.ivfCompact(spark, \"" + path +
+            "\") — " + reasons.mkString("; ")
+        Row("ivf", path, pending, cap, maxFiles.toLong, advice)
+      case ("span_store", path) =>
+        val files = Option(new java.io.File(path).listFiles()).toSeq.flatten
+          .count(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        val advice =
+          if (files < spanFilesAt) ""
+          else "run graft.operators.Dedup.spanCountsCompact(spark, \"" +
+            path + s"""") — $files partial files (threshold $spanFilesAt; """ +
+            "every serve re-merges all of them)"
+        Row("span_store", path, -1L, -1L, files.toLong, advice)
+    }.sortBy(r => (r.getString(0), r.getString(1)))
   }
 }
 

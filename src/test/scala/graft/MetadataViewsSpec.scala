@@ -264,6 +264,52 @@ class MetadataViewsSpec extends AnyFunSuite {
     }
   }
 
+  test("ADVISE GRAFT MAINTENANCE covers span stores: partial-file pressure, compact clears") {
+    init
+    import graft.operators.Dedup
+    val docs = Tables.t(spark, sf, "documents").limit(64)
+    val path = "/root/repo/target/indexes/span_advise_spec_v1"
+    val f = new java.io.File(path)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    for (_ <- 1 to 3) Dedup.spanCountsIngest(docs, "doc_id", "text", k = 8, path)
+    def dataFiles: Int = Option(f.listFiles()).toSeq.flatten
+      .count(x => x.getName.endsWith(".parquet") &&
+        !x.getName.startsWith("_") && !x.getName.startsWith("."))
+    val key = "spark.graft.span.adviseFiles"
+    val prev = spark.conf.getOption(key)
+    val parser = new graft.plans.GraftSqlParser(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.sqlParser)
+    def advise() = parser.parsePlan("ADVISE GRAFT MAINTENANCE")
+      .asInstanceOf[graft.plans.AdviseGraftMaintenanceCommand].run(spark)
+      .filter(r => r.getString(0) == "span_store" &&
+        r.getString(1) == graft.cube.CubeCatalog.normalizePath(path))
+    try {
+      // thresholds pinned to MEASURED counts (file-per-write counts vary
+      // with AQE coalescing): at T = hot count the advice fires; after
+      // the compact — which must strictly reduce files — T = cold+1 is
+      // quiet again
+      val hot = dataFiles
+      spark.conf.set(key, hot.toString)
+      val hotRows = advise()
+      assert(hotRows.size == 1 && hotRows.head.getLong(4) == hot.toLong,
+        s"expected one span row at pressure $hot: $hotRows")
+      val advice = hotRows.head.getString(5)
+      assert(advice.contains("spanCountsCompact") && advice.contains(path),
+        advice)
+      Dedup.spanCountsCompact(spark, path)
+      val cold = dataFiles
+      assert(cold < hot, s"compaction must reduce files: $hot -> $cold")
+      spark.conf.set(key, (cold + 1).toString)
+      val coldRows = advise()
+      assert(coldRows.size == 1 && coldRows.head.getString(5).isEmpty,
+        s"post-compact advice must clear: $coldRows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("bucketed layout tables classify in history as artifact:bucketed") {
     init
     val bkt = graft.operators.Bucketing.ensureBucketed(spark,
