@@ -662,6 +662,11 @@ object ScaleProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // shuffle/block files under the repo's target dir, not /tmp: a
+      // box-level /tmp sweeper deleted a long run's blockmgr directory
+      // mid-probe (r16: FileNotFoundException on shuffle index files
+      // 16 min in), killing the whole measurement
+      .config("spark.local.dir", "/root/repo/target/spark-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -740,8 +745,11 @@ object ScaleProbe {
       try f catch {
         case t: Throwable =>
           println(s"[scale] $name FAILED: $t")
+          // control characters (Spark exception messages are multi-line)
+          // would make the WHOLE probe artifact unparseable JSON
           s"""{"error":"${t.toString.replace("\\", "\\\\")
-            .replace("\"", "\\\"").take(300)}"}"""
+            .replace("\"", "\\\"").replaceAll("[\\u0000-\\u001f]", " ")
+            .take(300)}"}"""
       }
     // THIRD decade, rising-trio only (r14 verdict item 2): decontaminate,
     // containment and ngram were the one family whose decade-2 exponent
@@ -774,6 +782,12 @@ object ScaleProbe {
     println(s"[scale] streaming twins: $streamJson")
     val skewJson = section("skewed-bucket batch")(
       skewedBucketProbe(spark, sf1x, reps))
+    // the uncapped truth arm holds ~40 posting-list rows of ~3M pair
+    // structs each in flight — drop the full run's accumulated cache and
+    // garbage first, or end-of-run heap debris tips the section into OOM
+    // (r16: it ran green standalone and OOM'd only as the last section)
+    spark.catalog.clearCache()
+    System.gc(); Thread.sleep(300); System.gc()
     val sharedVocabJson = section("shared-vocab cap A/B")(
       sharedVocabCapProbe(spark, small, big, sf1x, reps))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
