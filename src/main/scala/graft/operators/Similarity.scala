@@ -491,10 +491,20 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     tombstoneDataFiles(path).map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.getPath), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      } catch {
+        // UNLOCKED snapshot callers (ADVISE, graft_artifacts) can race a
+        // fold's file clearing: a file that vanished between listing and
+        // footer read was just folded — its rows are no longer pending,
+        // so 0 is the correct contribution, not an exception. Under the
+        // cap check's read gate + tombstones lock files cannot vanish,
+        // so the exact path is unaffected.
+        case _: java.io.FileNotFoundException => 0L
+      }
     }.sum
   }
 
