@@ -116,8 +116,11 @@ object Graft {
     *      ([[graft.plans.QueryHistory]]; the reference's
     *      `DruidQueryHistory` + `DruidQueryExecutionMetric` introspection)
     *   - `graft_artifacts(kind, path, stored_files, stored_rows,
-    *      stored_bytes)` — registered pipeline artifacts (IVF stores,
-    *      pair indexes, span stores) with footer-measured stored size
+    *      stored_bytes, pending_tombstones, max_files_per_bucket,
+    *      buckets)` — registered pipeline artifacts (IVF stores, pair
+    *      indexes, span stores) with footer-measured stored size; the
+    *      last three are IVF maintenance pressure (−1 for other kinds),
+    *      the numbers `ADVISE GRAFT MAINTENANCE` thresholds on
     *
     * Snapshot semantics (as in the reference): re-run after registering
     * new cubes — `REGISTER GRAFT VIEWS` is the SQL surface for that.

@@ -1770,12 +1770,18 @@ object SparkEntry {
         val path =
           s"/root/repo/target/indexes/ivf_recluster_" +
             s"${new java.io.File(dir).getName}_${Tables.contentTag(dir)}_v1"
-        // the whole build-or-read block holds the OS-level build lock
-        // (r13 ADVICE): two driver JVMs racing the FIRST build of this
-        // content-tagged path serialize at the OS — the loser re-checks
-        // the sidecar inside the lock and serves the winner's layout
+        // the whole build-or-read block holds the store's MAINTENANCE
+        // lock (r13 ADVICE lineage; r16: it must be the maintenance
+        // lock, not the bare build lock — the ops called inside take
+        // maintenance themselves, and holding build first would invert
+        // materializedIvfIndex's maintenance → build order into an ABBA
+        // deadlock against a direct operator-API caller): two driver
+        // JVMs racing the FIRST build of this content-tagged path
+        // serialize at the OS — the loser re-checks the sidecar inside
+        // the lock and serves the winner's layout; re-entrancy lets the
+        // nested ops re-take it on this thread
         val cents = reclusterMemo.getOrElseUpdate(path,
-          graft.operators.Artifacts.withProcessLock(path + ".build.lock") {
+          graft.operators.Artifacts.maintenanceLocked(path) {
             readValidCentroids(path).getOrElse {
               val coarse = Similarity.trainKmeansCentroids(embs, "embedding",
                 k = 2, iters = 2)
@@ -1813,7 +1819,7 @@ object SparkEntry {
           s"/root/repo/target/indexes/ivf_ingest_" +
             s"${new java.io.File(dir).getName}_${Tables.contentTag(dir)}_v1"
         val cents = reclusterMemo.getOrElseUpdate(path,
-          graft.operators.Artifacts.withProcessLock(path + ".build.lock") {
+          graft.operators.Artifacts.maintenanceLocked(path) {
             readValidCentroids(path).getOrElse {
               val st = new java.io.File(path)
               if (st.exists())
@@ -1853,7 +1859,7 @@ object SparkEntry {
         // recluster legs' contract) — not the independently recomputed
         // outer value, even though training is deterministic today
         val layoutCents = reclusterMemo.getOrElseUpdate(path,
-          graft.operators.Artifacts.withProcessLock(path + ".build.lock") {
+          graft.operators.Artifacts.maintenanceLocked(path) {
             val marker = new java.io.File(path + ".deleted")
             if (!marker.exists()) {
               Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
@@ -1884,7 +1890,7 @@ object SparkEntry {
           s"/root/repo/target/indexes/ivf_tombstone_" +
             s"${new java.io.File(dir).getName}_${Tables.contentTag(dir)}_v1"
         val layoutCents = reclusterMemo.getOrElseUpdate(path,
-          graft.operators.Artifacts.withProcessLock(path + ".build.lock") {
+          graft.operators.Artifacts.maintenanceLocked(path) {
             val marker = new java.io.File(path + ".tombstoned")
             if (!marker.exists()) {
               Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
@@ -1920,7 +1926,7 @@ object SparkEntry {
           s"/root/repo/target/indexes/ivf_tombfold_" +
             s"${new java.io.File(dir).getName}_${Tables.contentTag(dir)}_v1"
         val layoutCents = reclusterMemo.getOrElseUpdate(path,
-          graft.operators.Artifacts.withProcessLock(path + ".build.lock") {
+          graft.operators.Artifacts.maintenanceLocked(path) {
             val marker = new java.io.File(path + ".folded")
             if (!marker.exists()) {
               Similarity.materializedIvfIndex(embs, "vec_id", "embedding",

@@ -266,11 +266,17 @@ object ScaleProbe {
       .select(countDistinct(col("text"))).head().getLong(0)
     val dstDistinct = spark.read.parquet(s"${dst.getPath}/documents.parquet")
       .select(countDistinct(col("text"))).head().getLong(0)
-    require(dstDistinct >= 10 * srcAlpha,
+    // tight bound: non-alpha texts contribute exactly their own distinct
+    // count (verbatim in every copy), so padding from them cannot mask a
+    // broken transform colliding ALPHABETIC copies (review pass r16 — a
+    // bare 10*srcAlpha bound would let alpha collisions hide behind the
+    // non-alpha residue)
+    require(dstDistinct >= 10 * srcAlpha + (srcDistinct - srcAlpha),
       s"decade-3 copies collide on alphabetic text ($dstDistinct distinct " +
-        s"texts < ${10 * srcAlpha} = 10x the source's $srcAlpha distinct " +
-        "alphabetic texts) — the exponent would measure replication " +
-        "artifacts, not scaling")
+        s"texts < ${10 * srcAlpha + (srcDistinct - srcAlpha)} = 10x the " +
+        s"source's $srcAlpha distinct alphabetic texts + its " +
+        s"${srcDistinct - srcAlpha} alphabet-free ones) — the exponent " +
+        "would measure replication artifacts, not scaling")
     val residue = 10 * srcDistinct - dstDistinct
     if (residue > 0)
       println(s"[scale] decade-3 replica: $residue of ${10 * srcDistinct} " +
@@ -662,11 +668,12 @@ object ScaleProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      // shuffle/block files under the repo's target dir, not /tmp: a
+      // shuffle/block files under the checkout's target dir, not /tmp: a
       // box-level /tmp sweeper deleted a long run's blockmgr directory
       // mid-probe (r16: FileNotFoundException on shuffle index files
       // 16 min in), killing the whole measurement
-      .config("spark.local.dir", "/root/repo/target/spark-local")
+      .config("spark.local.dir",
+        new java.io.File(sys.props("user.dir"), "target/spark-local").getPath)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
