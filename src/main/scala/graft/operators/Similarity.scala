@@ -537,6 +537,43 @@ object Similarity {
     (pending, perBucket.maxOption.getOrElse(0), buckets.size)
   }
 
+  /** Bucket-balance snapshot of an IVF store: the hottest bucket's share
+    * of total rows, from parquet FOOTER record counts (no Spark job) —
+    * the drift signal the ADVISE loop thresholds for [[ivfRecluster]].
+    * Streamed ingest appends through FROZEN centroids, so as the data
+    * distribution drifts, new mass piles into few buckets; a probe of a
+    * hot bucket then reads its share of the store (the read-volume
+    * problem reclustering fixes — [[ivfRecluster]]'s scaladoc). Returns
+    * (hotShare in [0,1], bucket count); (-1.0, n) when the store is
+    * empty or holds more than `footerCap` data files (a snapshot must
+    * stay O(cap) driver reads on a swampy store — and past the cap the
+    * files-per-bucket advice has already fired). Missing files (a
+    * racing fold/compact) count 0 rows, like the tombstone snapshot.
+    */
+  private[graft] def bucketBalance(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      footerCap: Int = 2048): (Double, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val buckets = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("g_ivf_bucket="))
+    val files = buckets.map(d => d -> Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+    if (buckets.isEmpty || files.map(_._2.size).sum > footerCap)
+      return (-1.0, buckets.size)
+    def rowsOf(f: java.io.File): Long =
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      } catch { case _: java.io.FileNotFoundException => 0L }
+    val perBucket = files.map { case (_, fs) => fs.map(rowsOf).sum }
+    val total = perBucket.sum
+    if (total <= 0L) (-1.0, buckets.size)
+    else (perBucket.max.toDouble / total, buckets.size)
+  }
+
   /** Anti-join `store` against the given tombstone files' accumulated
     * ids (broadcast — bounded by the compaction cadence) — the ONE body
     * behind both the logical serve ([[tombstoneFiltered]]) and the

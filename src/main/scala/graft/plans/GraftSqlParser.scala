@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
 
 /** SQL command entry points, as a parser extension — the reference's
   * `SPLParser` (`hive/sparklinedata/SparklineDataParser.scala:42-124`)
@@ -241,9 +241,16 @@ case class AdviseGraftRollupCommand(cube: String) extends LeafRunnableCommand {
   * opens nprobe), and `spark.graft.span.adviseFiles` (default 128 —
   * roughly three shuffle-partition-sized appends on top of a compacted
   * store). `files_pressure` is max-files-per-bucket for IVF, total
-  * data files for span stores. Reading the pressure is driver-side
-  * listing + footer metadata only, like the views — advice must never
-  * cost a Spark job.
+  * data files for span stores. The third IVF leg is DRIFT: ingest
+  * through frozen centroids piles new mass into few buckets, and once
+  * the hottest bucket holds `spark.graft.ivf.adviseHotBucketShare`
+  * (default 0.5) of the rows AND at least 3× its balanced share (so a
+  * small-k store's legitimate shares don't false-alarm), the advice is
+  * `ivfRecluster` — compaction fixes file counts, only a retrain fixes
+  * read volume (`hot_bucket_share` column; −1 = not an IVF store,
+  * empty store, or past the snapshot's footer cap). Reading the
+  * pressure is driver-side listing + footer metadata only, like the
+  * views — advice must never cost a Spark job.
   */
 case class AdviseGraftMaintenanceCommand() extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -252,6 +259,7 @@ case class AdviseGraftMaintenanceCommand() extends LeafRunnableCommand {
     AttributeReference("pending_tombstones", LongType, nullable = false)(),
     AttributeReference("tombstone_cap", LongType, nullable = false)(),
     AttributeReference("files_pressure", LongType, nullable = false)(),
+    AttributeReference("hot_bucket_share", DoubleType, nullable = false)(),
     AttributeReference("advice", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val cap = spark.conf
@@ -262,22 +270,35 @@ case class AdviseGraftMaintenanceCommand() extends LeafRunnableCommand {
       .get("spark.graft.ivf.adviseFilesPerBucket", "4").toInt
     val spanFilesAt = spark.conf
       .get("spark.graft.span.adviseFiles", "128").toInt
+    val hotShareAt = spark.conf
+      .get("spark.graft.ivf.adviseHotBucketShare", "0.5").toDouble
     QueryHistory.artifactsSnapshot.collect {
       case ("ivf", path) =>
         val (pending, maxFiles, _) =
           graft.operators.Similarity.maintenancePressure(spark, path)
-        val reasons = Seq(
+        val (hotShare, buckets) =
+          graft.operators.Similarity.bucketBalance(spark, path)
+        val compactReasons = Seq(
           if (pending >= (cap * tombPct).toLong && pending > 0)
             Some(s"$pending pending tombstones >= ${(tombPct * 100).toInt}% " +
               s"of cap $cap") else None,
           if (maxFiles >= filesAt)
             Some(s"$maxFiles append files in one bucket (threshold $filesAt)")
           else None).flatten
-        val advice =
-          if (reasons.isEmpty) ""
-          else "run graft.operators.Similarity.ivfCompact(spark, \"" + path +
-            "\") — " + reasons.mkString("; ")
-        Row("ivf", path, pending, cap, maxFiles.toLong, advice)
+        val drifted = hotShare >= hotShareAt && buckets > 0 &&
+          hotShare >= 3.0 / buckets
+        val advice = Seq(
+          if (compactReasons.isEmpty) None
+          else Some("run graft.operators.Similarity.ivfCompact(spark, \"" +
+            path + "\") — " + compactReasons.mkString("; ")),
+          if (!drifted) None
+          else Some("run graft.operators.Similarity.ivfRecluster (retrain " +
+            s"+ re-partition) — hottest of $buckets buckets holds " +
+            f"${hotShare * 100}%.0f%% of rows (threshold " +
+            f"${hotShareAt * 100}%.0f%%): probes of it scan that share " +
+            "of the store; compaction cannot fix read volume")
+        ).flatten.mkString(" | ")
+        Row("ivf", path, pending, cap, maxFiles.toLong, hotShare, advice)
       case ("span_store", path) =>
         val files = Option(new java.io.File(path).listFiles()).toSeq.flatten
           .count(f => f.getName.endsWith(".parquet") &&
@@ -287,7 +308,7 @@ case class AdviseGraftMaintenanceCommand() extends LeafRunnableCommand {
           else "run graft.operators.Dedup.spanCountsCompact(spark, \"" +
             path + s"""") — $files partial files (threshold $spanFilesAt; """ +
             "every serve re-merges all of them)"
-        Row("span_store", path, -1L, -1L, files.toLong, advice)
+        Row("span_store", path, -1L, -1L, files.toLong, -1.0, advice)
     }.sortBy(r => (r.getString(0), r.getString(1)))
   }
 }

@@ -238,7 +238,7 @@ class MetadataViewsSpec extends AnyFunSuite {
       assert(hot.size == 1, s"expected one row for $path, got $hot")
       assert(hot.head.getLong(2) == 6L, s"pending: ${hot.head}")
       assert(hot.head.getLong(4) >= 4L, s"files/bucket: ${hot.head}")
-      val advice = hot.head.getString(5)
+      val advice = hot.head.getString(6)
       assert(advice.contains("ivfCompact") && advice.contains(path) &&
         advice.contains("pending tombstones") &&
         advice.contains("append files"), advice)
@@ -253,15 +253,66 @@ class MetadataViewsSpec extends AnyFunSuite {
         viewRow.head.getInt(1) >= 4 && viewRow.head.getInt(2) > 0,
         viewRow.mkString("; "))
       // running the recommendation clears the advice — the closed loop
+      // (contains, not isEmpty: this store may legitimately carry drift
+      // advice too — the compact leg under test is the one that clears)
       Similarity.ivfCompact(spark, path)
       val cold = advise()
       assert(cold.size == 1 && cold.head.getLong(2) == 0L &&
-        cold.head.getLong(4) == 1L && cold.head.getString(5).isEmpty,
-        s"post-fold advice must clear: $cold")
+        cold.head.getLong(4) == 1L &&
+        !cold.head.getString(6).contains("ivfCompact"),
+        s"post-fold compact advice must clear: $cold")
     } finally prevCap match {
       case Some(v) => spark.conf.set(capKey, v)
       case None => spark.conf.unset(capKey)
     }
+  }
+
+  test("ADVISE GRAFT MAINTENANCE flags a drifted IVF store for recluster; the retrain clears it") {
+    init
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    // the drifted-store fixture (scale probe's skewed-bucket shape): 60%
+    // of the corpus collapses into a tight clump whose nearest centroid
+    // is pinned — the end state of streamed ingest under distribution
+    // drift. Everything is hash-deterministic, so the balance numbers
+    // are fixed constants for this data, not flaky.
+    val embs = Tables.t(spark, sf, "embeddings")
+    val seed = embs.orderBy("vec_id").select("embedding")
+      .head().getSeq[Float](0)
+    val dim = seed.size
+    val clump = pmod(col("vec_id"), lit(5L)) < 3
+    val skewed = embs.withColumn("embedding",
+      when(clump, zip_with(typedLit(seed), sequence(lit(0), lit(dim - 1)),
+        (x, i) => x + (pmod(xxhash64(col("vec_id"), i), lit(201L)) -
+          lit(100L)).cast("float") * lit(5e-5f)))
+        .otherwise(col("embedding")))
+    val cents = seed.map(_.toDouble).toSeq +:
+      Similarity.trainKmeansCentroids(embs.filter(!clump), "embedding",
+        k = 15, iters = 1)
+    val path = "/root/repo/target/indexes/ivf_drift_advise_spec_v1"
+    val f = new java.io.File(path)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    Similarity.materializedIvfIndex(skewed, "vec_id", "embedding", cents, path)
+    val parser = new graft.plans.GraftSqlParser(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.sqlParser)
+    def advise() = parser.parsePlan("ADVISE GRAFT MAINTENANCE")
+      .asInstanceOf[graft.plans.AdviseGraftMaintenanceCommand].run(spark)
+      .filter(_.getString(1) == graft.cube.CubeCatalog.normalizePath(path))
+    val hot = advise()
+    assert(hot.size == 1, s"expected one row for $path: $hot")
+    assert(hot.head.getDouble(5) >= 0.5,
+      s"clumped store must read >= 60%-ish hot share: ${hot.head}")
+    assert(hot.head.getString(6).contains("ivfRecluster") &&
+      hot.head.getString(6).contains("read volume"), hot.head.getString(6))
+    // the recommended retrain re-partitions the clump across fresh
+    // centroids — the read-volume fix compaction cannot provide
+    Similarity.ivfRecluster(spark, path, "embedding", k = 16, iters = 2)
+    val cold = advise()
+    assert(cold.size == 1 && cold.head.getDouble(5) < hot.head.getDouble(5),
+      s"recluster must shrink the hot share: ${hot.head} -> ${cold.head}")
+    assert(!cold.head.getString(6).contains("ivfRecluster"),
+      s"post-retrain drift advice must clear: ${cold.head}")
   }
 
   test("ADVISE GRAFT MAINTENANCE covers span stores: partial-file pressure, compact clears") {
@@ -294,7 +345,7 @@ class MetadataViewsSpec extends AnyFunSuite {
       val hotRows = advise()
       assert(hotRows.size == 1 && hotRows.head.getLong(4) == hot.toLong,
         s"expected one span row at pressure $hot: $hotRows")
-      val advice = hotRows.head.getString(5)
+      val advice = hotRows.head.getString(6)
       assert(advice.contains("spanCountsCompact") && advice.contains(path),
         advice)
       Dedup.spanCountsCompact(spark, path)
@@ -302,7 +353,7 @@ class MetadataViewsSpec extends AnyFunSuite {
       assert(cold < hot, s"compaction must reduce files: $hot -> $cold")
       spark.conf.set(key, (cold + 1).toString)
       val coldRows = advise()
-      assert(coldRows.size == 1 && coldRows.head.getString(5).isEmpty,
+      assert(coldRows.size == 1 && coldRows.head.getString(6).isEmpty,
         s"post-compact advice must clear: $coldRows")
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
