@@ -117,10 +117,11 @@ object Graft {
     *      `DruidQueryHistory` + `DruidQueryExecutionMetric` introspection)
     *   - `graft_artifacts(kind, path, stored_files, stored_rows,
     *      stored_bytes, pending_tombstones, max_files_per_bucket,
-    *      buckets)` — registered pipeline artifacts (IVF stores, pair
-    *      indexes, span stores) with footer-measured stored size; the
-    *      last three are IVF maintenance pressure (−1 for other kinds),
-    *      the numbers `ADVISE GRAFT MAINTENANCE` thresholds on
+    *      buckets, hot_bucket_share)` — registered pipeline artifacts
+    *      (IVF stores, pair indexes, span stores) with footer-measured
+    *      stored size; the last four are IVF maintenance pressure (−1
+    *      for other kinds), the numbers `ADVISE GRAFT MAINTENANCE`
+    *      thresholds on
     *
     * Snapshot semantics (as in the reference): re-run after registering
     * new cubes — `REGISTER GRAFT VIEWS` is the SQL surface for that.
@@ -188,9 +189,14 @@ object Graft {
         if (kind == "ivf")
           graft.operators.Similarity.maintenancePressure(spark, path)
         else (-1L, -1, -1)
-      (kind, path, files, rows, bytes, pending, maxFiles, buckets)
+      val hotShare =
+        if (kind == "ivf")
+          graft.operators.Similarity.bucketBalance(spark, path)._1
+        else -1.0
+      (kind, path, files, rows, bytes, pending, maxFiles, buckets, hotShare)
     }.toDF("kind", "path", "stored_files", "stored_rows", "stored_bytes",
-        "pending_tombstones", "max_files_per_bucket", "buckets")
+        "pending_tombstones", "max_files_per_bucket", "buckets",
+        "hot_bucket_share")
       .createOrReplaceTempView("graft_artifacts")
   }
 

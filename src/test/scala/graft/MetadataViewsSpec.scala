@@ -245,12 +245,14 @@ class MetadataViewsSpec extends AnyFunSuite {
       // the same pressure columns are queryable in graft_artifacts
       Graft.registerMetadataViews(spark)
       val viewRow = spark.sql(
-        s"""SELECT pending_tombstones, max_files_per_bucket, buckets
+        s"""SELECT pending_tombstones, max_files_per_bucket, buckets,
+           |  hot_bucket_share
            |FROM graft_artifacts WHERE kind = 'ivf'
            |AND path = '${graft.cube.CubeCatalog.normalizePath(path)}'"""
           .stripMargin).collect()
       assert(viewRow.length == 1 && viewRow.head.getLong(0) == 6L &&
-        viewRow.head.getInt(1) >= 4 && viewRow.head.getInt(2) > 0,
+        viewRow.head.getInt(1) >= 4 && viewRow.head.getInt(2) > 0 &&
+        viewRow.head.getDouble(3) > 0.0 && viewRow.head.getDouble(3) <= 1.0,
         viewRow.mkString("; "))
       // running the recommendation clears the advice — the closed loop
       // (contains, not isEmpty: this store may legitimately carry drift
