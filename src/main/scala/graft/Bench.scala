@@ -24,12 +24,7 @@ object Bench {
       // the workload.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
-      // shuffle/block dirs under the checkout, not /tmp: a box-level
-      // /tmp sweeper deleted a >13-min run's blockmgr tree mid-job
-      // (observed r16 on the scale probe) — the bench must not be
-      // killable the same way
-      .config("spark.local.dir",
-        new java.io.File(sys.props("user.dir"), "target/spark-local").getPath)
+      .config("spark.local.dir", Graft.sparkLocalDir) // not /tmp (sweeper)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

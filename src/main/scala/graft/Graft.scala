@@ -185,14 +185,10 @@ object Graft {
       // the numbers ADVISE GRAFT MAINTENANCE thresholds on, surfaced in
       // the view so an operator can watch them approach the cap instead
       // of meeting it as a require-failure (r15 verdict item 3)
-      val (pending, maxFiles, buckets) =
+      val (pending, maxFiles, buckets, hotShare) =
         if (kind == "ivf")
           graft.operators.Similarity.maintenancePressure(spark, path)
-        else (-1L, -1, -1)
-      val hotShare =
-        if (kind == "ivf")
-          graft.operators.Similarity.bucketBalance(spark, path)._1
-        else -1.0
+        else (-1L, -1, -1, -1.0)
       (kind, path, files, rows, bytes, pending, maxFiles, buckets, hotShare)
     }.toDF("kind", "path", "stored_files", "stored_rows", "stored_bytes",
         "pending_tombstones", "max_files_per_bucket", "buckets",
@@ -272,6 +268,15 @@ object Graft {
     if (!cur.split(",").map(_.trim).contains(rule))
       spark.conf.set(key, if (cur.isEmpty) rule else s"$cur,$rule")
   }
+
+  /** Checkout-local Spark scratch dir (`spark.local.dir`) for
+    * long-running driver mains (Verify, Bench, ScaleProbe): a box-level
+    * /tmp sweeper deleted a >13-minute run's block-manager tree mid-job
+    * (observed r16 — FileNotFoundException on shuffle index files), so
+    * shuffle/block files live under the checkout's target dir instead.
+    */
+  def sparkLocalDir: String =
+    new java.io.File(sys.props("user.dir"), "target/spark-local").getPath
 
   def install(spark: SparkSession): Unit = {
     // engine-written parquet (cube extracts, lattice nodes) must carry

@@ -11,12 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // shuffle/block dirs under the checkout, not /tmp: a box-level
-      // /tmp sweeper deleted a >13-min run's blockmgr tree mid-job
-      // (observed r16 on the scale probe) — a driver-round gate must
-      // not be killable the same way
-      .config("spark.local.dir",
-        new java.io.File(sys.props("user.dir"), "target/spark-local").getPath)
+      .config("spark.local.dir", Graft.sparkLocalDir) // not /tmp (sweeper)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

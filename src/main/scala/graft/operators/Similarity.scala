@@ -490,23 +490,25 @@ object Similarity {
   private[graft] def pendingTombstoneRows(
       spark: org.apache.spark.sql.SparkSession, path: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    tombstoneDataFiles(path).map { f =>
-      try {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getPath), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      } catch {
-        // UNLOCKED snapshot callers (ADVISE, graft_artifacts) can race a
-        // fold's file clearing: a file that vanished between listing and
-        // footer read was just folded — its rows are no longer pending,
-        // so 0 is the correct contribution, not an exception. Under the
-        // cap check's read gate + tombstones lock files cannot vanish,
-        // so the exact path is unaffected.
-        case _: java.io.FileNotFoundException => 0L
-      }
-    }.sum
+    tombstoneDataFiles(path).map(footerRecordCount(_, conf)).sum
   }
+
+  /** Footer row count of one parquet file; 0 when the file has vanished.
+    * UNLOCKED snapshot callers (ADVISE, graft_artifacts) can race a
+    * fold's file clearing: a file that vanished between listing and
+    * footer read was just folded — its rows no longer count, so 0 is
+    * the correct contribution, not an exception. Under the tombstone cap
+    * check's read gate + tombstones lock files cannot vanish, so the
+    * exact path is unaffected.
+    */
+  private def footerRecordCount(f: java.io.File,
+      conf: org.apache.hadoop.conf.Configuration): Long =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    } catch { case _: java.io.FileNotFoundException => 0L }
 
   private def tombstoneDataFiles(path: String): Seq[java.io.File] = {
     val d = new java.io.File(path.stripSuffix("/") + ".tombstones")
@@ -516,62 +518,52 @@ object Similarity {
   }
 
   /** Maintenance-pressure snapshot of an IVF store — the numbers the
-    * ADVISE loop surfaces BEFORE the cap's `require` throws or a probe
-    * becomes a small-file swamp: (pending tombstone rows, max data files
-    * in any one bucket directory, bucket count). Driver-side listing +
-    * footer metadata only — no Spark job; point-in-time (advice, not a
-    * correctness gate). A store compacted to one file per bucket reads
-    * (0, 1, buckets); each [[ivfIngest]] batch adds one file per touched
-    * bucket, so maxFilesPerBucket ≈ appends since the last fold, and a
-    * probe of nprobe buckets opens O(maxFilesPerBucket · nprobe) files.
+    * ADVISE loop surfaces BEFORE the cap's `require` throws, a probe
+    * becomes a small-file swamp, or drift guts selectivity: (pending
+    * tombstone rows, max data files in any one bucket directory, bucket
+    * count, hottest bucket's share of the store). ONE walk of the store
+    * tree serves all four (r16 review: pressure and balance previously
+    * walked the same directories twice and the view a third time).
+    * Driver-side listing + footer metadata only — no Spark job;
+    * point-in-time (advice, not a correctness gate). A store compacted
+    * to one file per bucket reads (0, 1, buckets, balance); each
+    * [[ivfIngest]] batch adds one file per touched bucket, so
+    * maxFilesPerBucket ≈ appends since the last fold, and a probe of
+    * nprobe buckets opens O(maxFilesPerBucket · nprobe) files.
+    *
+    * hotShare — the drift signal [[ivfRecluster]] advice thresholds on
+    * (ingest through FROZEN centroids piles drifting mass into few
+    * buckets; a probe of a hot bucket reads its share of the store) —
+    * comes from footer ROW counts up to `footerCap` data files, and
+    * from file BYTES (already in the listing, zero extra I/O) beyond it,
+    * so a many-file store still gets a drift estimate instead of a
+    * blind spot (bytes are an unbiased row proxy at fixed schema).
+    * Missing files (a racing fold/compact) count 0, like the tombstone
+    * snapshot; -1.0 = empty store. NOTE the share measures PHYSICAL
+    * rows — pending tombstones still count until a fold; advice
+    * callers suppress the recluster recommendation while tombstone
+    * pressure is also firing (fold first, then re-judge drift).
     */
   private[graft] def maintenancePressure(
-      spark: org.apache.spark.sql.SparkSession,
-      path: String): (Long, Int, Int) = {
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      footerCap: Int = 2048): (Long, Int, Int, Double) = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val pending = pendingTombstoneRows(spark, path)
     val buckets = Option(new java.io.File(path).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("g_ivf_bucket="))
-    val perBucket = buckets.map(d => Option(d.listFiles()).toSeq.flatten
-      .count(f => f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith("_") && !f.getName.startsWith(".")))
-    (pending, perBucket.maxOption.getOrElse(0), buckets.size)
-  }
-
-  /** Bucket-balance snapshot of an IVF store: the hottest bucket's share
-    * of total rows, from parquet FOOTER record counts (no Spark job) —
-    * the drift signal the ADVISE loop thresholds for [[ivfRecluster]].
-    * Streamed ingest appends through FROZEN centroids, so as the data
-    * distribution drifts, new mass piles into few buckets; a probe of a
-    * hot bucket then reads its share of the store (the read-volume
-    * problem reclustering fixes — [[ivfRecluster]]'s scaladoc). Returns
-    * (hotShare in [0,1], bucket count); (-1.0, n) when the store is
-    * empty or holds more than `footerCap` data files (a snapshot must
-    * stay O(cap) driver reads on a swampy store — and past the cap the
-    * files-per-bucket advice has already fired). Missing files (a
-    * racing fold/compact) count 0 rows, like the tombstone snapshot.
-    */
-  private[graft] def bucketBalance(
-      spark: org.apache.spark.sql.SparkSession, path: String,
-      footerCap: Int = 2048): (Double, Int) = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val buckets = Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("g_ivf_bucket="))
-    val files = buckets.map(d => d -> Option(d.listFiles()).toSeq.flatten
+    val files = buckets.map(d => Option(d.listFiles()).toSeq.flatten
       .filter(f => f.getName.endsWith(".parquet") &&
         !f.getName.startsWith("_") && !f.getName.startsWith(".")))
-    if (buckets.isEmpty || files.map(_._2.size).sum > footerCap)
-      return (-1.0, buckets.size)
-    def rowsOf(f: java.io.File): Long =
-      try {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getPath), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      } catch { case _: java.io.FileNotFoundException => 0L }
-    val perBucket = files.map { case (_, fs) => fs.map(rowsOf).sum }
+    val maxFiles = files.map(_.size).maxOption.getOrElse(0)
+    val perBucket =
+      if (files.map(_.size).sum > footerCap)
+        files.map(_.map(_.length()).sum) // bytes: zero extra I/O
+      else files.map(_.map(footerRecordCount(_, conf)).sum)
     val total = perBucket.sum
-    if (total <= 0L) (-1.0, buckets.size)
-    else (perBucket.max.toDouble / total, buckets.size)
+    val hotShare =
+      if (buckets.isEmpty || total <= 0L) -1.0
+      else perBucket.max.toDouble / total
+    (pending, maxFiles, buckets.size, hotShare)
   }
 
   /** Anti-join `store` against the given tombstone files' accumulated

@@ -247,8 +247,12 @@ case class AdviseGraftRollupCommand(cube: String) extends LeafRunnableCommand {
   * (default 0.5) of the rows AND at least 3× its balanced share (so a
   * small-k store's legitimate shares don't false-alarm), the advice is
   * `ivfRecluster` — compaction fixes file counts, only a retrain fixes
-  * read volume (`hot_bucket_share` column; −1 = not an IVF store,
-  * empty store, or past the snapshot's footer cap). Reading the
+  * read volume (`hot_bucket_share` column; −1 = not an IVF store or an
+  * empty one; beyond the snapshot's footer cap the share estimates
+  * from file bytes in the listing, so many-file stores keep a drift
+  * signal; while tombstone pressure also fires the retrain is NOT
+  * recommended — the share counts physical rows, and the fold may be
+  * the whole rebalance). Reading the
   * pressure is driver-side listing + footer metadata only, like the
   * views — advice must never cost a Spark job.
   */
@@ -274,23 +278,30 @@ case class AdviseGraftMaintenanceCommand() extends LeafRunnableCommand {
       .get("spark.graft.ivf.adviseHotBucketShare", "0.5").toDouble
     QueryHistory.artifactsSnapshot.collect {
       case ("ivf", path) =>
-        val (pending, maxFiles, _) =
+        val (pending, maxFiles, buckets, hotShare) =
           graft.operators.Similarity.maintenancePressure(spark, path)
-        val (hotShare, buckets) =
-          graft.operators.Similarity.bucketBalance(spark, path)
+        val tombstonePressure = pending >= (cap * tombPct).toLong && pending > 0
         val compactReasons = Seq(
-          if (pending >= (cap * tombPct).toLong && pending > 0)
+          if (tombstonePressure)
             Some(s"$pending pending tombstones >= ${(tombPct * 100).toInt}% " +
               s"of cap $cap") else None,
           if (maxFiles >= filesAt)
             Some(s"$maxFiles append files in one bucket (threshold $filesAt)")
           else None).flatten
-        val drifted = hotShare >= hotShareAt && buckets > 0 &&
-          hotShare >= 3.0 / buckets
+        // drift is judged on PHYSICAL rows, which still include pending
+        // tombstones — while tombstone pressure fires, the fold may be
+        // all the rebalance needed (e.g. a bulk-tombstoned clump), so
+        // the expensive retrain is not recommended until the next ADVISE
+        // re-judges the folded store (r16 review)
+        val drifted = !tombstonePressure && hotShare >= hotShareAt &&
+          buckets > 0 && hotShare >= 3.0 / buckets
         val advice = Seq(
           if (compactReasons.isEmpty) None
           else Some("run graft.operators.Similarity.ivfCompact(spark, \"" +
-            path + "\") — " + compactReasons.mkString("; ")),
+            path + "\") — " + compactReasons.mkString("; ") +
+            (if (tombstonePressure && hotShare >= hotShareAt)
+              "; re-run ADVISE after the fold — the hot-bucket share " +
+                "includes the tombstoned rows" else "")),
           if (!drifted) None
           else Some("run graft.operators.Similarity.ivfRecluster (retrain " +
             s"+ re-partition) — hottest of $buckets buckets holds " +

@@ -668,12 +668,7 @@ object ScaleProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      // shuffle/block files under the checkout's target dir, not /tmp: a
-      // box-level /tmp sweeper deleted a long run's blockmgr directory
-      // mid-probe (r16: FileNotFoundException on shuffle index files
-      // 16 min in), killing the whole measurement
-      .config("spark.local.dir",
-        new java.io.File(sys.props("user.dir"), "target/spark-local").getPath)
+      .config("spark.local.dir", graft.Graft.sparkLocalDir) // not /tmp (sweeper)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
