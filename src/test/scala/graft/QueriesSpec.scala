@@ -10,6 +10,9 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // an 8+ minute suite is exposed to the same box-level /tmp sweeper
+      // that killed a long scale-probe run mid-shuffle (r16)
+      .config("spark.local.dir", Graft.sparkLocalDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     Graft.install(s)
