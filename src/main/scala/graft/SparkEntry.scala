@@ -1860,6 +1860,15 @@ object SparkEntry {
         // outer value, even though training is deterministic today
         val layoutCents = reclusterMemo.getOrElseUpdate(path,
           graft.operators.Artifacts.maintenanceLocked(path) {
+            // GATE-HARNESS sentinel idiom (r15 verdict note — one idiom,
+            // three instances: .deleted / .tombstoned / .folded): a
+            // lifecycle step that is idempotent-but-not-free records its
+            // completion in a `<path>.<step>` sentinel INSIDE the
+            // maintenance lock, so a crashed build re-runs the step
+            // (harmless by idempotence) and a finished one is a pure
+            // read. These are fixture markers for the driver gates, not
+            // engine artifacts — the engine's own conventions stay
+            // `_SUCCESS` + typed sidecars (.schema.json, .generation).
             val marker = new java.io.File(path + ".deleted")
             if (!marker.exists()) {
               Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
