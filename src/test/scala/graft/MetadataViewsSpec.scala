@@ -363,6 +363,42 @@ class MetadataViewsSpec extends AnyFunSuite {
     }
   }
 
+  test("ADVISE GRAFT MAINTENANCE costs ZERO Spark jobs (driver-side metadata only)") {
+    init
+    import graft.operators.Similarity
+    // a real registered store so the snapshot has something to price
+    // (the build itself may run jobs — it happens before counting)
+    val embs = Tables.t(spark, sf, "embeddings").filter(
+      org.apache.spark.sql.functions.col("vec_id") < 64)
+    val cents = Similarity.trainKmeansCentroids(embs, "embedding",
+      k = 2, iters = 1)
+    Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cents,
+      "/root/repo/target/indexes/ivf_advise_zerojob_spec_v1")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.sqlParser)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // drain jobs queued by earlier work, then count across the command
+      org.apache.spark.sql.graft.ListenerBusUtil.waitUntilEmpty(spark)
+      jobs.set(0)
+      val rows = parser.parsePlan("ADVISE GRAFT MAINTENANCE")
+        .asInstanceOf[graft.plans.AdviseGraftMaintenanceCommand].run(spark)
+      org.apache.spark.sql.graft.ListenerBusUtil.waitUntilEmpty(spark)
+      assert(rows.nonEmpty, "expected at least the store built above")
+      assert(jobs.get() == 0,
+        s"ADVISE ran ${jobs.get()} Spark jobs over ${rows.size} artifacts — " +
+          "the advice surface must stay driver-side listing + footer reads")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("bucketed layout tables classify in history as artifact:bucketed") {
     init
     val bkt = graft.operators.Bucketing.ensureBucketed(spark,
