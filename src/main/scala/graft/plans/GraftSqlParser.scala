@@ -244,8 +244,10 @@ case class AdviseGraftRollupCommand(cube: String) extends LeafRunnableCommand {
   * data files for span stores. The third IVF leg is DRIFT: ingest
   * through frozen centroids piles new mass into few buckets, and once
   * the hottest bucket holds `spark.graft.ivf.adviseHotBucketShare`
-  * (default 0.5) of the rows AND at least 3× its balanced share (so a
-  * small-k store's legitimate shares don't false-alarm), the advice is
+  * (default 0.5) of the rows AND at least 3× its balanced share —
+  * clamped to 0.9 so a k≤3 store (whose raw 3/k floor would be ≥ 1.0,
+  * unreachable) still gets drift advice at a 90% hot bucket while
+  * small-k stores' legitimate shares don't false-alarm — the advice is
   * `ivfRecluster` — compaction fixes file counts, only a retrain fixes
   * read volume (`hot_bucket_share` column; −1 = not an IVF store or an
   * empty one; beyond the snapshot's footer cap the share estimates
@@ -293,8 +295,12 @@ case class AdviseGraftMaintenanceCommand() extends LeafRunnableCommand {
         // all the rebalance needed (e.g. a bulk-tombstoned clump), so
         // the expensive retrain is not recommended until the next ADVISE
         // re-judges the folded store (r16 review)
+        // balanced-share floor clamped to 0.9: at small k the raw 3/k
+        // floor reaches or passes 1.0 (k<=3), which would silently
+        // disable the drift leg for stores where a 90% hot bucket is
+        // still unambiguous drift (r16 ADVICE)
         val drifted = !tombstonePressure && hotShare >= hotShareAt &&
-          buckets > 0 && hotShare >= 3.0 / buckets
+          buckets > 0 && hotShare >= math.min(0.9, 3.0 / buckets)
         val advice = Seq(
           if (compactReasons.isEmpty) None
           else Some("run graft.operators.Similarity.ivfCompact(spark, \"" +

@@ -461,8 +461,12 @@ object ScaleProbe {
         // SQL `/` is fractional — cast back (df(df−1) is even, exact)
         .select(col("df"),
           (col("df") * (col("df") - 1) / 2).cast("long").as("pairs"))
-        .agg(sum(col("pairs")),
-          sum(when(col("df") <= cap, col("pairs")).otherwise(0L)),
+        // coalesce: a degenerate corpus where NO shingle reaches df >= 2
+        // leaves the sums NULL — report zero volume, not an NPE (r16
+        // ADVICE)
+        .agg(coalesce(sum(col("pairs")), lit(0L)),
+          coalesce(sum(when(col("df") <= cap, col("pairs")).otherwise(0L)),
+            lit(0L)),
           count(when(col("df") > cap, lit(1)))).head()
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
@@ -748,10 +752,12 @@ object ScaleProbe {
         case t: Throwable =>
           println(s"[scale] $name FAILED: $t")
           // control characters (Spark exception messages are multi-line)
-          // would make the WHOLE probe artifact unparseable JSON
-          s"""{"error":"${t.toString.replace("\\", "\\\\")
-            .replace("\"", "\\\"").replaceAll("[\\u0000-\\u001f]", " ")
-            .take(300)}"}"""
+          // would make the WHOLE probe artifact unparseable JSON; truncate
+          // the RAW message first — taking 300 chars AFTER escaping could
+          // split an escape pair and leave a lone trailing backslash that
+          // escapes the closing quote (r16 ADVICE)
+          s"""{"error":"${t.toString.take(300).replace("\\", "\\\\")
+            .replace("\"", "\\\"").replaceAll("[\\u0000-\\u001f]", " ")}"}"""
       }
     // THIRD decade, rising-trio only (r14 verdict item 2): decontaminate,
     // containment and ngram were the one family whose decade-2 exponent

@@ -8,12 +8,22 @@ import org.apache.spark.sql.SparkSession
   * command surface (`ADVISE GRAFT ...`, `SHOW GRAFT ...`,
   * `EXPLAIN GRAFT ...`) end to end without writing a spec.
   *
-  * Usage: runMain graft.tools.SqlQ "<sql>" [sfDir]
+  * Usage: runMain graft.tools.SqlQ "<sql>" <sfDir>
+  * (sfDir may instead come from SPARK_GRAFT_SF_DIR)
   */
 object SqlQ {
+  private def usage(): Nothing = {
+    System.err.println(
+      """usage: runMain graft.tools.SqlQ "<sql>" <sfDir>
+        |  sfDir: directory of parquet star tables (region, nation, ...);
+        |         may be omitted if SPARK_GRAFT_SF_DIR is set""".stripMargin)
+    sys.exit(2)
+  }
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) usage()
     val sql = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val sfDir = args.lift(1).orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse(usage())
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -317,6 +317,33 @@ class MetadataViewsSpec extends AnyFunSuite {
       s"post-retrain drift advice must clear: ${cold.head}")
   }
 
+  test("drift advice reaches small-k stores: k=2, 100% hot fires ivfRecluster") {
+    init
+    import graft.operators.Similarity
+    // raw 3/k balanced-share floor at k=2 is 1.5 — unreachable, which
+    // silently disabled the drift leg for small-k stores (r16 ADVICE);
+    // the floor is clamped to 0.9, so a fully-collapsed k=2 store
+    // (every row nearer centroid 0 than the sentinel centroid 1) with
+    // hotShare = 1.0 must now receive recluster advice
+    val embs = Tables.t(spark, sf, "embeddings").limit(256)
+    val dim = embs.select("embedding").head().getSeq[Float](0).size
+    val cents = Seq(Seq.fill(dim)(0.0), Seq.fill(dim)(1000.0))
+    val path = "/root/repo/target/indexes/ivf_smallk_drift_spec_v1"
+    val f = new java.io.File(path)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cents, path)
+    val parser = new graft.plans.GraftSqlParser(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.sqlParser)
+    val rows = parser.parsePlan("ADVISE GRAFT MAINTENANCE")
+      .asInstanceOf[graft.plans.AdviseGraftMaintenanceCommand].run(spark)
+      .filter(_.getString(1) == graft.cube.CubeCatalog.normalizePath(path))
+    assert(rows.size == 1, s"expected one row for $path: $rows")
+    assert(rows.head.getDouble(5) == 1.0, s"hot share: ${rows.head}")
+    assert(rows.head.getString(6).contains("ivfRecluster"),
+      s"k=2 fully-hot store must get drift advice: ${rows.head}")
+  }
+
   test("ADVISE GRAFT MAINTENANCE covers span stores: partial-file pressure, compact clears") {
     init
     import graft.operators.Dedup
