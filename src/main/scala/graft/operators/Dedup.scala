@@ -184,12 +184,25 @@ object Dedup {
     * Scale properties: one shuffle on the shingle (the join), one on the id
     * pair (the count). A size-ratio prune inside the join drops pairs that
     * cannot reach the threshold (`J <= min/max`); very frequent shingles
-    * are the skew risk at corpus scale — cap or sample them upstream if a
-    * single shingle's posting list explodes.
+    * are the skew risk at corpus scale, and the ratio prune does NOT bound
+    * them — it drops pair EMISSION, not the O(df²) per-posting expansion.
+    *
+    * `maxShingleDf` therefore defaults ON (1000), matching
+    * [[ngramContainmentPairs]]: the shared-vocabulary A/B
+    * (SCALE_PROBE_r16.json `shared_vocab_cap` — 5% of documents carrying a
+    * 42-token boilerplate across three 10×-apart sizes) measured this
+    * path's uncapped arm at 5.4× wall and a 1.80/decade candidate-volume
+    * exponent vs 0.76 capped, size-ratio prune ON in both arms. Recall
+    * loss is confined to pairs related ONLY through over-cap shingles
+    * (boilerplate); pass `None` explicitly when that recall matters more
+    * than the blowup. At the driver gate scales the corpus-wide max df
+    * sits far below 1000 (sf0.1's natural max df is 25), so the default
+    * is inert there and gate results are bit-identical to the uncapped
+    * build.
     */
   def ngramJaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
                            threshold: Double, shingleK: Int = 3,
-                           maxShingleDf: Option[Int] = None): DataFrame =
+                           maxShingleDf: Option[Int] = Some(1000)): DataFrame =
     coOccurringPairs(df, idCol, textCol, shingleK, maxShingleDf,
         sizeRatioPrune = Some(threshold))
       .select(col("idA"), col("idB"),
@@ -361,11 +374,16 @@ object Dedup {
     * keeps its old pairs in the union while a fresh rebuild would drop
     * them. That is inherent to append-only refresh with a df-dependent
     * guard; rebuild when cap-exact semantics matter.
+    *
+    * The default cap matches [[ngramJaccardDupPairs]]'s (1000): a refresh
+    * whose full build was capped but whose delta is not would emit pairs
+    * the full build deliberately dropped — the two entry points of one
+    * index must share one skew-guard default.
     */
   def ngramJaccardDupPairsDelta(df: DataFrame, idCol: String, textCol: String,
                                 isNew: Column, threshold: Double,
                                 shingleK: Int = 3,
-                                maxShingleDf: Option[Int] = None): DataFrame = {
+                                maxShingleDf: Option[Int] = Some(1000)): DataFrame = {
     val sh = df.select(col(idCol).as("g_id"),
       isNew.cast("boolean").as("g_isnew"),
       org.apache.spark.sql.graft.NativeTextExprs

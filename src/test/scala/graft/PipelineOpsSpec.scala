@@ -263,6 +263,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"df-capped join lost ${full -- capped} / gained ${capped -- full}")
   }
 
+  test("jaccard shingle-df cap drops boilerplate-only pairs, keeps true near-dups") {
+    // what the NOW-DEFAULT jaccard cap trades away, characterized like
+    // containment's (r16 verdict item 3): pairs related ONLY through
+    // over-cap (boilerplate) shingles drop; pairs sharing any under-cap
+    // shingle mass keep their rare-shingle overlap and survive
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val boiler = "subscribe to our newsletter for updates and offers today"
+    val corpus = (
+      // 20 unrelated pages, pairwise related ONLY through the boilerplate
+      (1L to 20L).map(i => (i, s"$boiler unique${i}a unique${i}b " +
+        s"unique${i}c unique${i}d unique${i}e")) :+
+      // one genuine near-dup pair: same text up to one trailing token
+      ((30L, "the five boxing wizards jump quickly over the frozen lake tonight")) :+
+      ((31L, "the five boxing wizards jump quickly over the frozen lake yesterday"))
+    ).toDF("doc_id", "text")
+    // uncapped at a low threshold: boilerplate relates all 20 pages
+    val uncapped = Dedup.ngramJaccardDupPairs(corpus, "doc_id", "text",
+        threshold = 0.3, maxShingleDf = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count { case (a, b) => a <= 20 && b <= 20 } == 20 * 19 / 2,
+      s"uncapped must relate all boilerplate pages pairwise: $uncapped")
+    // capped (5 < the boilerplate's df of 20): every boilerplate-only pair
+    // drops; the near-dup pair's rare shingles survive, and its jaccard is
+    // computed over the SURVIVING common count (sizes stay full)
+    val capped = Dedup.ngramJaccardDupPairs(corpus, "doc_id", "text",
+        threshold = 0.3, maxShingleDf = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.forall { case (a, b) => a > 20 || b > 20 },
+      s"capped run must drop every boilerplate-only pair: $capped")
+    assert(capped.contains((30L, 31L)),
+      "capped run must keep the genuine near-dup pair")
+  }
+
   test("containment shingle-df cap drops boilerplate-only pairs, keeps quotes") {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     import classic.implicits._
