@@ -1951,6 +1951,58 @@ object SparkEntry {
         Similarity.ivfStoreTopK(Similarity.readStore(s, path), "vec_id",
           "embedding", q, k = 10, layoutCents, nprobe = layoutCents.size)
       },
+      // the OBJECT-STORE artifact protocol under the driver's oracle
+      // (r17, ManifestArtifactStore): the same build → ingest →
+      // tombstone → fold lifecycle runs with IMMUTABLE generation /
+      // segment directories published by conditional PUT — no flock, no
+      // rename, no read gate anywhere on the serve path — and the PLAIN
+      // post-fold serve at full probe must equal kept-rows brute force
+      // (residue class 4 mod 5), proving the manifest path's
+      // publication, capture and fold semantics end to end cross-engine.
+      // Fixture serialization across gate JVMs stays the harness-side
+      // POSIX maintenance lock (the ENGINE ops inside exercise the
+      // lease/CAS protocol); a crash before the marker rebuilds from
+      // EMPTY because the ingest step is not idempotent.
+      "q_ann_manifest" -> { (s, dir) =>
+        val embs = Tables.t(s, dir, "embeddings")
+        val cents = kmeansCentroids(s, dir)
+        val q = embs.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0)
+        val path =
+          s"/root/repo/target/indexes/ivf_manifest_" +
+            s"${new java.io.File(dir).getName}_${Tables.contentTag(dir)}_v1"
+        val layoutCents = reclusterMemo.getOrElseUpdate(path,
+          graft.operators.Artifacts.maintenanceLocked(path) {
+            val marker = new java.io.File(path + ".manifest_done")
+            if (!marker.exists()) {
+              val st = new java.io.File(path)
+              if (st.exists())
+                org.apache.commons.io.FileUtils.deleteDirectory(st)
+              val confKey = "spark.graft.artifactStore"
+              val prev = s.conf.getOption(confKey)
+              s.conf.set(confKey, "manifest") // creation-time only:
+              try { // every later op sniffs the store's own layout
+                Similarity.materializedIvfIndex(
+                  embs.filter(pmod(col("vec_id"), lit(2L)) === 0),
+                  "vec_id", "embedding", cents, path)
+              } finally prev match {
+                case Some(v) => s.conf.set(confKey, v)
+                case None    => s.conf.unset(confKey)
+              }
+              Similarity.ivfIngest(
+                embs.filter(pmod(col("vec_id"), lit(2L)) === 1),
+                "embedding", cents, path)
+              Similarity.ivfTombstone(s, path, "vec_id",
+                embs.filter(pmod(col("vec_id"), lit(5L)) === 4)
+                  .select("vec_id"))
+              Similarity.ivfCompact(s, path)
+              java.nio.file.Files.writeString(marker.toPath, "ok")
+            }
+            cents
+          })
+        Similarity.ivfStoreTopK(Similarity.readStore(s, path), "vec_id",
+          "embedding", q, k = 10, layoutCents, nprobe = layoutCents.size)
+      },
       // class prototypes: per-label mean embedding (k-means update step as
       // an operator; decimal-routed per-dim sums), re-exploded to scalar
       // rows for the hash compare
@@ -3236,6 +3288,16 @@ object SparkEntry {
         s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
            |sc AS (SELECT vec_id, ${cosineSql("embedding", "qvec")} AS cosine
            |  FROM embeddings, q WHERE vec_id % 7 <> 2)
+           |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+      // q_ann_manifest: kept-rows brute force, residue class 4 (mod 5) —
+      // the serve reads the plain post-fold MANIFEST store (base ∪
+      // ingested = the whole table, minus the folded tombstones), so the
+      // object-store protocol's publication + capture + fold must all be
+      // right for this to match
+      "q_ann_manifest" ->
+        s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |sc AS (SELECT vec_id, ${cosineSql("embedding", "qvec")} AS cosine
+           |  FROM embeddings, q WHERE vec_id % 5 <> 4)
            |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
       // brute-force all-pairs restatement of embeddingDupPairs: confirms the
       // LSH+verify path is exact on this corpus — including that an empty

@@ -336,16 +336,23 @@ object Dedup {
   def materializedNgramPairs(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double, path: String): DataFrame = {
     val spark = df.sparkSession
-    buildLock.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").exists())
+    // build-once through the [[ArtifactStore]] seam: cross-JVM (the
+    // pre-seam version serialized only same-JVM callers on a monitor)
+    ArtifactStore.forPath(spark, path)
+      .buildOnce(spark, path, "pair_index") { dir =>
         ngramJaccardDupPairs(df, idCol, textCol, threshold)
-          .write.mode("overwrite").parquet(path)
-    }
+          .write.mode("overwrite").parquet(dir)
+      }
     graft.plans.QueryHistory.registerArtifact("pair_index", path)
-    spark.read.parquet(path)
+    readPairIndex(spark, path)
   }
 
-  private val buildLock = new Object
+  /** Read a pair index through the [[ArtifactStore]] seam. */
+  private def readPairIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame = {
+    val store = ArtifactStore.forPath(spark, path)
+    ArtifactStore.readFrame(spark, store.snapshot(spark, path))
+  }
 
   /** Near-duplicate pairs INVOLVING newly-ingested documents only — the
     * incremental counterpart of [[ngramJaccardDupPairs]] (output is its
@@ -445,14 +452,15 @@ object Dedup {
                         isNew: Column, threshold: Double,
                         path: String): DataFrame = {
     val spark = df.sparkSession
-    buildLock.synchronized {
-      require(new java.io.File(path, "_SUCCESS").exists(),
-        s"no pair index at $path — build with materializedNgramPairs first")
+    val store = ArtifactStore.forPath(spark, path)
+    require(store.exists(path),
+      s"no pair index at $path — build with materializedNgramPairs first")
+    store.append(spark, path, "pair_index") { dir =>
       ngramJaccardDupPairsDelta(df, idCol, textCol, isNew, threshold)
-        .write.mode("append").parquet(path)
+        .write.mode("append").parquet(dir)
     }
     graft.plans.QueryHistory.registerArtifact("pair_index", path)
-    spark.read.parquet(path)
+    readPairIndex(spark, path)
   }
 
   /** SimHash near-duplicate pairs: 64-bit SimHash per doc, candidates share
@@ -803,40 +811,55 @@ object Dedup {
     */
   def spanCountsIngest(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, destDir: String): Unit = {
-    // maintenance lock (shared mechanism, [[Artifacts.maintenanceLocked]]):
-    // an append racing spanCountsCompact's staging read would land its
-    // partials file in the OLD directory — renamed aside and deleted
-    // with it when the compaction promotes, silently losing that batch's
-    // counts (the ivfIngest bug class, r15 verdict)
-    Artifacts.maintenanceLocked(destDir) {
-      spanKgrams(spanToks(docs, idCol, textCol), k)
-        .groupBy("g_h").agg(count(lit(1)).as("g_cnt"))
-        .write.mode("append").parquet(destDir)
-      // no-swap append: stamp the generation so readers' (this JVM's and
-      // foreign JVMs') cached listings refresh — the ivfIngest contract
-      Artifacts.stampGeneration(docs.sparkSession, destDir)
-    }
+    val spark = docs.sparkSession
+    // maintenance-serialized inside the [[ArtifactStore]] seam: an append
+    // racing spanCountsCompact's staging read would land its partials
+    // file in the OLD directory — renamed aside and deleted with it when
+    // the compaction promotes, silently losing that batch's counts (the
+    // ivfIngest bug class, r15 verdict). POSIX stamps the generation so
+    // foreign readers' cached listings refresh; manifest publishes a
+    // fresh immutable segment.
+    ArtifactStore.forPath(spark, destDir)
+      .append(spark, destDir, "span_store") { dir =>
+        spanKgrams(spanToks(docs, idCol, textCol), k)
+          .groupBy("g_h").agg(count(lit(1)).as("g_cnt"))
+          .write.mode("append").parquet(dir)
+      }
     graft.plans.QueryHistory.registerArtifact("span_store", destDir)
+  }
+
+  /** Read a span-count store through the [[ArtifactStore]] seam — one
+    * snapshot resolution covering both storage protocols.
+    */
+  private def readSpanStore(spark: org.apache.spark.sql.SparkSession,
+                            countsDir: String): DataFrame = {
+    val store = ArtifactStore.forPath(spark, countsDir)
+    ArtifactStore.readFrame(spark, store.snapshot(spark, countsDir))
   }
 
   /** Compact the span-count store: merge all appended partials into one
     * (hash, total) row each and swap the directory — serve cost stays
     * proportional to distinct windows instead of growing with every
     * ingested batch (the pipeline-layer twin of
-    * [[graft.streaming.EventPipeline.compactPartials]]). Write-then-swap
-    * because the store is unpartitioned (no partition column to
-    * dynamic-overwrite); the crash-safety and serialization contract is
-    * [[Artifacts.writeThenSwap]], shared with [[Similarity.ivfCompact]].
-    * Returns the number of distinct windows retained.
+    * [[graft.streaming.EventPipeline.compactPartials]]). A full
+    * replacement because the store is unpartitioned (no partition column
+    * to dynamic-overwrite); the crash-safety and serialization contract
+    * is [[ArtifactStore.replace]] (POSIX: [[Artifacts.writeThenSwap]];
+    * manifest: publish-by-conditional-PUT), shared with
+    * [[Similarity.ivfCompact]]. Returns the distinct windows retained.
     */
   def spanCountsCompact(spark: org.apache.spark.sql.SparkSession,
-                        destDir: String): Long = Artifacts.maintenanceLocked(destDir) {
-    Artifacts.writeThenSwap(spark, destDir) { tmp =>
-      spark.read.parquet(destDir)
-        .groupBy("g_h").agg(sum(col("g_cnt")).as("g_cnt"))
-        .write.mode("overwrite").parquet(tmp)
+                        destDir: String): Long = {
+    val store = ArtifactStore.forPath(spark, destDir)
+    store.maintenanceLocked(destDir) {
+      store.replace(spark, destDir, foldCaptured = false) { (snap, tmp) =>
+        val base = ArtifactStore.readFrame(spark, snap)
+        base.groupBy("g_h").agg(sum(col("g_cnt")).as("g_cnt"))
+          .write.mode("overwrite").parquet(tmp)
+        base.schema
+      }
+      readSpanStore(spark, destDir).count()
     }
-    spark.read.parquet(destDir).count()
   }
 
   /** [[spanDedup]] against an ingested count store instead of an inline
@@ -853,7 +876,7 @@ object Dedup {
     graft.plans.QueryHistory.registerArtifact("span_store", countsDir)
     val toks = spanToks(docs, idCol, textCol)
     val kgrams = spanKgrams(toks, k)
-    val dup = docs.sparkSession.read.parquet(countsDir)
+    val dup = readSpanStore(docs.sparkSession, countsDir)
       .groupBy("g_h").agg(sum(col("g_cnt")).as("g_cnt"))
       .filter(col("g_cnt") >= minCount)
       .select("g_h")

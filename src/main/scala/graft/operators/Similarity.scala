@@ -209,57 +209,48 @@ object Similarity {
     * the index identity (corpus + centroid training), and streamed ingest
     * appends by writing new rows through the same bucket assignment.
     */
-  /** Run `f` under the store's MAINTENANCE lock — the OS advisory lock
-    * that serializes whole maintenance bodies ([[materializedIvfIndex]]'s
-    * build, [[ivfIngest]]'s append, [[ivfCompact]], [[ivfDelete]],
-    * [[ivfRecluster]]) against each other across driver JVMs. Until r15
-    * this serialization was a CONTRACT ("callers serialize maintenance
-    * against ingest"); two JVMs running e.g. `ivfCompact` and
-    * `ivfRecluster` concurrently could interleave one op's unlocked
-    * staging reads with the other's swap and sidecar clears (worst case:
-    * an ingest's appended file landing in the old directory after a
-    * compaction's staging read — renamed aside and deleted with it). Now
-    * it is a mechanism, one level above the swap lock. Lock ORDER
-    * (outermost first): maintenance → build → swap → rw → gate intent →
-    * read gate. Probes ([[ivfStoreProbe]]) and [[ivfTombstone]] never
-    * take it — serving and high-rate tombstoning must not park behind a
-    * long rewrite (their safety is the read gate + the fold's
-    * capture-exactly-what-you-read discipline). The lock itself is the
-    * shared [[Artifacts.maintenanceLocked]] — the span-count store's
-    * ingest/compact pair uses the same mechanism.
+  /** Run `f` under the store's MAINTENANCE lock — the cross-driver
+    * exclusion that serializes whole maintenance bodies
+    * ([[materializedIvfIndex]]'s build, [[ivfIngest]]'s append,
+    * [[ivfCompact]], [[ivfDelete]], [[ivfRecluster]]) against each
+    * other. Until r15 this serialization was a CONTRACT ("callers
+    * serialize maintenance against ingest"); two JVMs running e.g.
+    * `ivfCompact` and `ivfRecluster` concurrently could interleave one
+    * op's unlocked staging reads with the other's swap and sidecar
+    * clears (worst case: an ingest's appended file landing in the old
+    * directory after a compaction's staging read — renamed aside and
+    * deleted with it). Now it is a mechanism, one level above the swap
+    * lock, behind the [[ArtifactStore]] seam: on the POSIX protocol an
+    * OS advisory lock (order, outermost first: maintenance → build →
+    * swap → rw → gate intent → read gate), on the manifest protocol a
+    * conditional-PUT lease. Probes ([[ivfStoreProbe]]) and
+    * [[ivfTombstone]] never take it — serving and high-rate tombstoning
+    * must not park behind a long rewrite (their safety is the read gate
+    * / snapshot immutability + the fold's capture-exactly-what-you-read
+    * discipline). The span-count store's ingest/compact pair uses the
+    * same mechanism.
     */
-  private def maintenanceLocked[T](path: String)(f: => T): T =
-    Artifacts.maintenanceLocked(path)(f)
+  private def maintenanceLocked[T](spark: org.apache.spark.sql.SparkSession,
+                                   path: String)(f: => T): T =
+    ArtifactStore.forPath(spark, path).maintenanceLocked(path)(f)
 
   def materializedIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                            centroids: Seq[Seq[Double]],
                            path: String): DataFrame = {
     val spark = df.sparkSession
-    // OS-level build lock (r13 ADVICE): two driver JVMs racing the FIRST
-    // build of the same content-tagged path serialize at the OS — the
-    // loser re-checks _SUCCESS inside the lock and reads what the winner
-    // built, instead of interleaving overwrites of a shared artifact
-    maintenanceLocked(path) {
-      Artifacts.withProcessLock(path.stripSuffix("/") + ".build.lock") {
-        val fresh = !new java.io.File(path, "_SUCCESS").exists()
-        if (fresh)
-          withIvfKmeansBucket(df, vecCol, centroids)
-            // shuffle by the bucket BEFORE the partitioned write (the cube
-            // writer's discipline): each output file belongs to one bucket,
-            // so file count is O(buckets), not O(tasks × buckets) — at 1000
-            // executors × 4096 buckets the difference between 4k files and
-            // 4M. AQE splits any skewed bucket's shuffle partition, and
-            // maxRecordsPerFile (if set) re-splits giant buckets on write.
-            .repartition(col("g_ivf_bucket"))
-            .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(path)
-        // schema sidecar from build time (inside the build lock): every
-        // later maintenance/serve read can pass the schema explicitly, so
-        // a store a delete/fold later EMPTIES still plans. A FRESH build
-        // rewrites it unconditionally — a rebuild at the same path with a
-        // different schema must not serve through a stale sidecar
-        if (fresh || !schemaSidecar(path).exists())
-          writeSchemaSidecar(path, spark.read.parquet(path).schema)
-      }
+    // build EXACTLY ONCE per path across racing driver JVMs (r13
+    // ADVICE): the loser of the race reads what the winner built,
+    // instead of interleaving overwrites of a shared artifact
+    ArtifactStore.forPath(spark, path).buildOnce(spark, path, "ivf") { dir =>
+      withIvfKmeansBucket(df, vecCol, centroids)
+        // shuffle by the bucket BEFORE the partitioned write (the cube
+        // writer's discipline): each output file belongs to one bucket,
+        // so file count is O(buckets), not O(tasks × buckets) — at 1000
+        // executors × 4096 buckets the difference between 4k files and
+        // 4M. AQE splits any skewed bucket's shuffle partition, and
+        // maxRecordsPerFile (if set) re-splits giant buckets on write.
+        .repartition(col("g_ivf_bucket"))
+        .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(dir)
     }
     // make the store visible to query history / ADVISE as artifact:ivf
     graft.plans.QueryHistory.registerArtifact("ivf", path)
@@ -276,57 +267,33 @@ object Similarity {
     * dir-cost caches honest for readers in this JVM.
     */
   def ivfIngest(batch: DataFrame, vecCol: String,
-                centroids: Seq[Seq[Double]], path: String): Unit =
-    // maintenance lock: an append racing a compaction's staging read
-    // would land its file in the OLD directory — renamed aside and
-    // deleted with it when the compaction promotes (r15 verdict: this
-    // serialization was a caller contract; now it's a mechanism)
-    maintenanceLocked(path) {
+                centroids: Seq[Seq[Double]], path: String): Unit = {
+    val spark = batch.sparkSession
+    // maintenance-serialized inside the seam: an append racing a
+    // compaction's staging read would land its file in the OLD directory
+    // — renamed aside and deleted with it when the compaction promotes
+    // (r15 verdict: this serialization was a caller contract; now it's a
+    // mechanism). POSIX appends into the root and stamps the generation
+    // so foreign readers refresh their cached listings (r14 ADVICE);
+    // manifest appends publish a fresh immutable segment, which needs no
+    // invalidation protocol at all.
+    ArtifactStore.forPath(spark, path).append(spark, path, "ivf") { dir =>
       withIvfKmeansBucket(batch, vecCol, centroids)
         .repartition(col("g_ivf_bucket"))
-        .write.mode("append").partitionBy("g_ivf_bucket").parquet(path)
-      // the append changed the store's FILE SET without a swap: stamp the
-      // generation (and refresh this JVM's caches) so locked readers in
-      // OTHER processes invalidate their cached pre-ingest listing on the
-      // next probe — without the stamp they would silently miss every
-      // appended row until some writeThenSwap (r14 ADVICE)
-      Artifacts.stampGeneration(batch.sparkSession, path)
+        .write.mode("append").partitionBy("g_ivf_bucket").parquet(dir)
     }
-
-  private def schemaSidecar(path: String): java.io.File =
-    new java.io.File(path.stripSuffix("/") + ".schema.json")
-
-  /** Persist the store schema beside it (unique temp + `ATOMIC_MOVE`) —
-    * written by every maintenance op, so serve and re-compact reads can
-    * pass the schema explicitly: a store whose every row was deleted or
-    * folded away is an EMPTY directory, on which schema inference
-    * throws ("Unable to infer schema").
-    */
-  private def writeSchemaSidecar(
-      path: String, schema: org.apache.spark.sql.types.StructType): Unit = {
-    val dst = schemaSidecar(path)
-    val tmp = java.nio.file.Paths
-      .get(dst.getPath + "." + java.util.UUID.randomUUID() + ".tmp")
-    java.nio.file.Files.writeString(tmp, schema.json)
-    java.nio.file.Files.move(tmp, dst.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Read an IVF store frame, with its schema sidecar when present (a
-    * fully-emptied store has no files to infer from); a legacy store
-    * without a sidecar infers as before (it cannot be empty — only the
-    * sidecar-writing delete/fold paths produce empty stores).
+  /** Read an IVF store frame — one unlocked snapshot resolution through
+    * the [[ArtifactStore]] seam, with the persisted schema when present
+    * (a fully-emptied store has no files to infer from); a legacy POSIX
+    * store without a sidecar infers as before (it cannot be empty — only
+    * the sidecar-writing delete/fold paths produce empty stores).
     */
   def readStore(spark: org.apache.spark.sql.SparkSession,
                 path: String): DataFrame = {
-    val sc = schemaSidecar(path)
-    if (sc.exists())
-      spark.read.schema(org.apache.spark.sql.types.DataType
-          .fromJson(java.nio.file.Files.readString(sc.toPath))
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-        .parquet(path)
-    else spark.read.parquet(path)
+    val store = ArtifactStore.forPath(spark, path)
+    ArtifactStore.readFrame(spark, store.snapshot(spark, path))
   }
 
   /** Compact an appended IVF store: merge each bucket's accumulated
@@ -355,31 +322,23 @@ object Similarity {
     * window). Returns the row count.
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession,
-                 path: String): Long = maintenanceLocked(path) {
-    // captured INSIDE the write callback — i.e. under the .swap.lock —
-    // so a racing compaction in another JVM cannot have folded-and-
-    // deleted files this one already listed
-    var folded: Seq[java.io.File] = Nil
-    var schema: org.apache.spark.sql.types.StructType = null
-    Artifacts.writeThenSwapThen(spark, path) { tmp =>
-      folded = tombstoneDataFiles(path)
-      val base = readStore(spark, path) // sidecar schema: a re-compact
-      schema = base.schema // of an already-emptied store cannot infer
-      antiJoinTombstones(base, folded)
-        .repartition(col("g_ivf_bucket"))
+                 path: String): Long = maintenanceLocked(spark, path) {
+    val store = ArtifactStore.forPath(spark, path)
+    // the tombstone set is CAPTURED by the seam (POSIX: inside the
+    // .swap.lock; manifest: the manifest version the rewrite read), so a
+    // racing maintenance op in another JVM cannot have folded-and-deleted
+    // sidecars this one already listed, and a batch tombstoned mid-fold
+    // survives to the next compaction — never silently dropped
+    store.replace(spark, path, foldCaptured = true) { (snap, tmp) =>
+      val base = ArtifactStore.readFrame(spark, snap) // persisted schema: a
+      antiJoinTombstones(base, snap.tombstonePaths)   // re-compact of an
+        .repartition(col("g_ivf_bucket"))             // emptied store
         .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(tmp)
-    } {
-      // clear exactly the folded files INSIDE the exclusive read-gate
-      // window: a locked reader sees tombstones+old store or
-      // no-tombstones+folded store, never a plan over deleted sidecar
-      // files; a batch appended mid-fold has a different filename and
-      // survives to the next compaction
-      folded.foreach(_.delete())
-      writeSchemaSidecar(path, schema) // serve survives a full fold
+      base.schema // cannot infer
     }
-    // explicit schema: a fully-tombstoned store compacts to an EMPTY
-    // directory, which schema inference would refuse to count
-    spark.read.schema(schema).parquet(path).count()
+    // explicit schema via readStore: a fully-tombstoned store compacts to
+    // an EMPTY layout, which schema inference would refuse to count
+    readStore(spark, path).count()
   }
 
   /** Delete rows from a materialized IVF store by id — the opt-out /
@@ -402,21 +361,21 @@ object Similarity {
     */
   def ivfDelete(spark: org.apache.spark.sql.SparkSession, path: String,
                 idCol: String, deleteIds: DataFrame): Long =
-    maintenanceLocked(path) {
+    maintenanceLocked(spark, path) {
     val ids = broadcast(deleteIds.toDF(idCol).distinct())
-    var schema: org.apache.spark.sql.types.StructType = null
-    Artifacts.writeThenSwapThen(spark, path) { tmp =>
-      val base = readStore(spark, path) // sidecar schema: a delete from
-      schema = base.schema // an already-emptied store cannot infer
-      base.join(ids, Seq(idCol), "left_anti")
-        .repartition(col("g_ivf_bucket"))
+    val store = ArtifactStore.forPath(spark, path)
+    // foldCaptured = false: a delete rewrites the rows minus `ids` but
+    // leaves PENDING tombstones pending — they fold at the next compact
+    store.replace(spark, path, foldCaptured = false) { (snap, tmp) =>
+      val base = ArtifactStore.readFrame(spark, snap) // persisted schema: a
+      base.join(ids, Seq(idCol), "left_anti")         // delete from an
+        .repartition(col("g_ivf_bucket"))             // emptied store
         .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(tmp)
-    } {
-      writeSchemaSidecar(path, schema) // serve survives a full delete
+      base.schema // cannot infer
     }
-    // explicit schema: deleting EVERY row leaves an empty directory,
-    // which schema inference would refuse to count
-    spark.read.schema(schema).parquet(path).count()
+    // explicit schema via readStore: deleting EVERY row leaves an empty
+    // layout, which schema inference would refuse to count
+    readStore(spark, path).count()
   }
 
   /** High-RATE delete path: append the batch's ids to a tombstone
@@ -457,65 +416,38 @@ object Similarity {
                    idCol: String, ids: DataFrame): Unit = {
     val cap = spark.conf
       .get("spark.graft.ivf.maxPendingTombstones", "1048576").toLong
-    // cap check + append under the store's read lock: a concurrent
-    // fold's file clearing runs inside the exclusive gate window, so the
-    // pending count here can never read files mid-delete (the lockless
-    // variant could throw on a vanished sidecar file). Lock order:
-    // rw read lock → read gate → tombstones lock (innermost; nothing
-    // else acquires it, so no cycle is possible).
-    Artifacts.readLocked(spark, path) {
-      Artifacts.withProcessLock(
-          path.stripSuffix("/") + ".tombstones.lock") {
-        val pending = pendingTombstoneRows(spark, path)
-        require(pending < cap,
-          s"$pending tombstones already pending at $path (>= cap $cap from " +
-            "spark.graft.ivf.maxPendingTombstones) — run ivfCompact to fold " +
-            "them before tombstoning more")
-        ids.toDF(idCol).distinct()
-          .write.mode("append").parquet(path.stripSuffix("/") + ".tombstones")
-      }
+    // admission + append through the seam: POSIX serializes the pair
+    // under the store's read gate + an exclusive .tombstones.lock (a
+    // concurrent fold's file clearing runs inside the exclusive gate
+    // window, so the pending count never reads files mid-delete; lock
+    // order: rw read lock → read gate → tombstones lock, innermost);
+    // manifest admits by conditional PUT, re-checking the committed
+    // pending set on every CAS attempt.
+    ArtifactStore.forPath(spark, path).tombstoneAppend(spark, path) { snap =>
+      val pending = ArtifactStore.footerRows(spark, snap.tombstonePaths)
+      require(pending < cap,
+        s"$pending tombstones already pending at $path (>= cap $cap from " +
+          "spark.graft.ivf.maxPendingTombstones) — run ivfCompact to fold " +
+          "them before tombstoning more")
+    } { dir =>
+      ids.toDF(idCol).distinct().write.mode("append").parquet(dir)
     }
-    org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
   }
 
   /** Rows pending in the tombstone sidecar, summed from parquet FOOTER
-    * metadata — no Spark job, so the per-batch cap check costs a few
-    * driver-side footer reads (the sidecar holds at most one compaction
-    * cadence of small files), not a scan of up to `cap` rows. Per-row,
-    * not per-distinct-id — see the cap note on [[ivfTombstone]].
-    * Callers outside a locked window get a point-in-time snapshot (the
-    * ADVISE surface); the cap check runs it under the read gate +
-    * tombstones lock.
+    * metadata ([[ArtifactStore.footerRows]]) — no Spark job, so the
+    * per-batch cap check costs a few driver-side footer reads (the
+    * sidecar holds at most one compaction cadence of small files), not a
+    * scan of up to `cap` rows. Per-row, not per-distinct-id — see the
+    * cap note on [[ivfTombstone]]. Callers outside a locked window get a
+    * point-in-time snapshot (the ADVISE surface; a file that vanished
+    * mid-read was just folded and correctly counts 0); the cap check
+    * runs against the seam's serialized snapshot.
     */
   private[graft] def pendingTombstoneRows(
-      spark: org.apache.spark.sql.SparkSession, path: String): Long = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    tombstoneDataFiles(path).map(footerRecordCount(_, conf)).sum
-  }
-
-  /** Footer row count of one parquet file; 0 when the file has vanished.
-    * UNLOCKED snapshot callers (ADVISE, graft_artifacts) can race a
-    * fold's file clearing: a file that vanished between listing and
-    * footer read was just folded — its rows no longer count, so 0 is
-    * the correct contribution, not an exception. Under the tombstone cap
-    * check's read gate + tombstones lock files cannot vanish, so the
-    * exact path is unaffected.
-    */
-  private def footerRecordCount(f: java.io.File,
-      conf: org.apache.hadoop.conf.Configuration): Long =
-    try {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.getPath), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    } catch { case _: java.io.FileNotFoundException => 0L }
-
-  private def tombstoneDataFiles(path: String): Seq[java.io.File] = {
-    val d = new java.io.File(path.stripSuffix("/") + ".tombstones")
-    Option(d.listFiles()).toSeq.flatten
-      .filter(f => f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith("_") && !f.getName.startsWith("."))
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): Long =
+    ArtifactStore.footerRows(spark,
+      ArtifactStore.forPath(spark, path).snapshot(spark, path).tombstonePaths)
 
   /** Maintenance-pressure snapshot of an IVF store — the numbers the
     * ADVISE loop surfaces BEFORE the cap's `require` throws, a probe
@@ -548,22 +480,35 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       footerCap: Int = 2048): (Long, Int, Int, Double) = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val pending = pendingTombstoneRows(spark, path)
-    val buckets = Option(new java.io.File(path).listFiles()).toSeq.flatten
+    val snap =
+      try ArtifactStore.forPath(spark, path).snapshot(spark, path)
+      catch { // a registered store that vanished mid-advise: no pressure
+        case _: IllegalStateException => return (0L, 0, 0, -1.0)
+      }
+    val pending = ArtifactStore.footerRows(spark, snap.tombstonePaths)
+    // bucket directories aggregated BY BUCKET VALUE across the snapshot's
+    // data paths: a manifest store's appends live in separate segment
+    // dirs, but a probe of bucket b opens b's files across ALL of them —
+    // files-per-bucket and the hot share must count that union
+    val byBucket = snap.dataPaths
+      .flatMap(dp => Option(new java.io.File(dp).listFiles()).toSeq.flatten)
       .filter(f => f.isDirectory && f.getName.startsWith("g_ivf_bucket="))
-    val files = buckets.map(d => Option(d.listFiles()).toSeq.flatten
-      .filter(f => f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+      .groupBy(_.getName)
+    val files = byBucket.values.toSeq.map(_.flatMap(d =>
+      Option(d.listFiles()).toSeq.flatten
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))))
     val maxFiles = files.map(_.size).maxOption.getOrElse(0)
     val perBucket =
       if (files.map(_.size).sum > footerCap)
         files.map(_.map(_.length()).sum) // bytes: zero extra I/O
-      else files.map(_.map(footerRecordCount(_, conf)).sum)
+      else files.map(_.map(
+        ArtifactStore.footerRecordCount(_, conf)).sum)
     val total = perBucket.sum
     val hotShare =
-      if (buckets.isEmpty || total <= 0L) -1.0
+      if (byBucket.isEmpty || total <= 0L) -1.0
       else perBucket.max.toDouble / total
-    (pending, maxFiles, buckets.size, hotShare)
+    (pending, maxFiles, byBucket.size, hotShare)
   }
 
   /** Anti-join `store` against the given tombstone files' accumulated
@@ -572,10 +517,10 @@ object Similarity {
     * physical fold ([[ivfCompact]]), so the two can never diverge.
     */
   private def antiJoinTombstones(store: DataFrame,
-                                 files: Seq[java.io.File]): DataFrame =
-    if (files.isEmpty) store
+                                 paths: Seq[String]): DataFrame =
+    if (paths.isEmpty) store
     else {
-      val tomb = store.sparkSession.read.parquet(files.map(_.getPath): _*)
+      val tomb = store.sparkSession.read.parquet(paths: _*)
       val idCol = tomb.columns.head
       store.join(broadcast(tomb.select(idCol).distinct()),
         Seq(idCol), "left_anti")
@@ -585,8 +530,11 @@ object Similarity {
     * pending. The serve-side contract of [[ivfTombstone]];
     * [[ivfCompact]] makes it physical.
     */
-  def tombstoneFiltered(store: DataFrame, path: String): DataFrame =
-    antiJoinTombstones(store, tombstoneDataFiles(path))
+  def tombstoneFiltered(store: DataFrame, path: String): DataFrame = {
+    val spark = store.sparkSession
+    antiJoinTombstones(store,
+      ArtifactStore.forPath(spark, path).snapshot(spark, path).tombstonePaths)
+  }
 
   /** Re-cluster a DRIFTED IVF store: retrain centroids from the store's
     * CURRENT contents and rewrite the bucket layout under them via the
@@ -640,32 +588,27 @@ object Similarity {
                    sampleFraction: Double = 1.0): Seq[Seq[Double]] = {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1], got $sampleFraction")
-    maintenanceLocked(path) {
+    maintenanceLocked(spark, path) {
     val store = tombstoneFiltered(readStore(spark, path), path)
     val trainSrc =
       if (sampleFraction >= 1.0) store
       else Sampling.sample(store,
         xxhash64(col(vecCol).cast("array<double>")), sampleFraction)
     val fresh = trainKmeansCentroids(trainSrc, vecCol, k, iters)
-    // the rewrite's tombstone set is captured INSIDE the write callback
-    // (under the .swap.lock), like ivfCompact's: a batch tombstoned
-    // after training but before the lock still folds; one appended
-    // mid-fold has a different filename and survives to the next fold
-    var folded: Seq[java.io.File] = Nil
-    var schema: org.apache.spark.sql.types.StructType = null
-    Artifacts.writeThenSwapThen(spark, path) { tmp =>
-      folded = tombstoneDataFiles(path)
-      val base = readStore(spark, path)
-      schema = base.schema
-      withIvfKmeansBucket(
-          antiJoinTombstones(base, folded).drop("g_ivf_bucket"),
-          vecCol, fresh)
-        .repartition(col("g_ivf_bucket"))
-        .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(tmp)
-    } {
-      folded.foreach(_.delete())
-      writeSchemaSidecar(path, schema)
-    }
+    // the rewrite's tombstone set is CAPTURED by the seam, like
+    // ivfCompact's: a batch tombstoned after training but before the
+    // capture still folds; one appended mid-fold survives to the next
+    ArtifactStore.forPath(spark, path)
+      .replace(spark, path, foldCaptured = true) { (snap, tmp) =>
+        val base = ArtifactStore.readFrame(spark, snap)
+        withIvfKmeansBucket(
+            antiJoinTombstones(base, snap.tombstonePaths)
+              .drop("g_ivf_bucket"),
+            vecCol, fresh)
+          .repartition(col("g_ivf_bucket"))
+          .write.mode("overwrite").partitionBy("g_ivf_bucket").parquet(tmp)
+        base.schema
+      }
     fresh
     }
   }
@@ -699,12 +642,16 @@ object Similarity {
                     idCol: String, vecCol: String, query: Seq[Float],
                     k: Int, centroids: Seq[Seq[Double]],
                     nprobe: Int): Array[Row] =
-    Artifacts.readLocked(spark, path) { // spark-aware: cross-JVM swap
-      // stamps invalidate this JVM's listing caches before planning;
-      // readStore: a fully-deleted/folded store is an EMPTY dir the
-      // sidecar schema still serves (top-k of nothing = no rows)
-      ivfStoreTopK(tombstoneFiltered(readStore(spark, path), path), idCol,
-        vecCol, query, k, centroids, nprobe).collect()
+    ArtifactStore.forPath(spark, path).readLocked(spark, path) { snap =>
+      // POSIX: the read gate + cross-JVM swap stamps (which invalidate
+      // this JVM's listing caches before planning); manifest: one
+      // immutable snapshot resolution. A fully-deleted/folded store is
+      // an EMPTY layout the persisted schema still serves (top-k of
+      // nothing = no rows).
+      ivfStoreTopK(
+        antiJoinTombstones(ArtifactStore.readFrame(spark, snap),
+          snap.tombstonePaths),
+        idCol, vecCol, query, k, centroids, nprobe).collect()
     }
 
   /** Per-row probed-bucket array: indices of the `nprobe` nearest

@@ -21,6 +21,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
   *   - `CLEAR GRAFT CACHE`            — drop registrations + plan cache
   *   - `REGISTER GRAFT CUBE FROM '<path>'` — attach a materialized cube
   *     from its descriptor sidecar ([[graft.cube.CubeMeta]])
+  *   - `REGISTER GRAFT ARTIFACT FROM '<path>'` — attach an existing
+  *     pipeline artifact (IVF/span/pair store) from its durable kind
+  *     metadata, so a fresh session's `graft_artifacts` / ADVISE loop
+  *     covers stores built by earlier sessions
   *   - `REGISTER GRAFT VIEWS`         — snapshot the catalog into the
   *     joinable `graft_cubes`/`graft_columns`/`graft_rollups`/
   *     `graft_query_history` views
@@ -43,6 +47,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     "(?is)\\s*CLEAR\\s+GRAFT\\s+CACHE\\s*;?\\s*".r
   private val RegisterRe =
     "(?is)\\s*REGISTER\\s+GRAFT\\s+CUBE\\s+FROM\\s+'([^']+)'\\s*;?\\s*".r
+  private val RegisterArtifactRe =
+    "(?is)\\s*REGISTER\\s+GRAFT\\s+ARTIFACT\\s+FROM\\s+'([^']+)'\\s*;?\\s*".r
   private val MaterializeRe =
     ("(?is)\\s*MATERIALIZE\\s+GRAFT\\s+ROLLUP\\s+ON\\s+([\\w.]+)\\s+" +
       "DIMENSIONS\\s*\\(([^)]*)\\)\\s*(?:SKETCH\\s*\\(([^)]*)\\)\\s*)?" +
@@ -74,6 +80,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case AdviseMaintRe()  => AdviseGraftMaintenanceCommand()
     case ViewsRe()        => RegisterGraftViewsCommand()
     case RegisterRe(path) => RegisterGraftCubeCommand(path)
+    case RegisterArtifactRe(path) => RegisterGraftArtifactCommand(path)
     case MaterializeRe(cube, dims, sketches, partDims, clusDims, path) =>
       def split(s: String): Seq[String] =
         Option(s).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
@@ -359,6 +366,35 @@ case class RegisterGraftCubeCommand(path: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val cube = graft.cube.CubeMeta.attach(spark, path)
     Seq(Row(cube.info.name, cube.rollups.size.toString))
+  }
+}
+
+/** `REGISTER GRAFT ARTIFACT FROM '<path>'` — attach an existing pipeline
+  * artifact (IVF store / span-count store / pair index) to this session's
+  * registry from its own durable kind metadata (the POSIX
+  * `.artifact.json` sidecar or the manifest's `kind` field), the
+  * artifact twin of `REGISTER GRAFT CUBE FROM` (r16 verdict item 2: the
+  * registry was session-local — a fresh monitoring session running
+  * `ADVISE GRAFT MAINTENANCE` over existing on-disk stores saw an empty
+  * `graft_artifacts`, so the advice loop only closed for the JVM that
+  * built the artifacts). Driver-side file reads only — registration must
+  * never cost a Spark job.
+  */
+case class RegisterGraftArtifactCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("path", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = graft.operators.ArtifactStore.forPath(spark, path)
+    val kind = store.kindOf(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no artifact kind metadata at $path — stores record their kind " +
+          "when built or appended through the engine (POSIX: an " +
+          ".artifact.json sidecar; manifest: the kind field); an ingest " +
+          "append stamps a store built before the metadata existed"))
+    QueryHistory.registerArtifact(kind, path)
+    Seq(Row(kind, graft.cube.CubeCatalog.normalizePath(path)))
   }
 }
 

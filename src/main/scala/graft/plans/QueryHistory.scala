@@ -92,6 +92,14 @@ object QueryHistory {
     ()
   }
 
+  /** Drop every artifact registration — the fresh-session state. The
+    * in-memory map is only the SESSION half of the registry; the durable
+    * half is each store's own kind metadata (`.artifact.json` sidecar /
+    * manifest `kind` field), re-attachable with
+    * `REGISTER GRAFT ARTIFACT FROM '<path>'`.
+    */
+  private[graft] def clearArtifacts(): Unit = artifacts.clear()
+
   /** (kind, normalized path) of every registered artifact — the
     * `graft_artifacts` metadata view's source.
     */

@@ -1,0 +1,268 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ArtifactStore, ManifestArtifactStore, Similarity}
+
+/** The object-store artifact protocol
+  * ([[graft.operators.ManifestArtifactStore]]) — the [[ArtifactStore]]
+  * seam's manifest impl, exercised by the SAME lifecycle code the POSIX
+  * stores run: every step of the IVF lifecycle (build → ingest →
+  * tombstone → compact/fold → delete → recluster) must serve
+  * bit-identical answers from both protocols, the lease must exclude a
+  * REAL second process, conditional-PUT admission must be exact under
+  * racing tombstoners, and the one-generation snapshot grace must hold
+  * and then expire as documented.
+  */
+class ManifestStoreSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshDir(name: String): String = {
+    val d = new java.io.File("/root/repo/target/indexes", name)
+    if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    for (suffix <- Seq(".tombstones", ".schema.json", ".artifact.json"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(d.getPath + suffix))
+    d.getPath
+  }
+
+  /** Run `f` with `spark.graft.artifactStore = manifest` (restored after)
+    * — only store CREATION consults the conf; every later op sniffs the
+    * store's own layout.
+    */
+  private def underManifestConf[T](f: => T): T = {
+    val key = "spark.graft.artifactStore"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "manifest")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  private def topDirs(root: String, prefix: String): Seq[String] =
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .map(_.getName)
+
+  test("IVF lifecycle serves identically through the manifest and POSIX protocols") {
+    val embs = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 96)
+    val base = embs.filter(pmod(col("vec_id"), lit(2L)) === 0)
+    val delta = embs.filter(pmod(col("vec_id"), lit(2L)) === 1)
+    val cs = Similarity.trainKmeansCentroids(base, "embedding", k = 4,
+      iters = 1)
+    val q = embs.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0)
+    val pPosix = freshDir("ivf_seam_posix_v1")
+    val pMani = freshDir("ivf_seam_manifest_v1")
+
+    def probe(path: String, cents: Seq[Seq[Double]]): Seq[(Long, Double)] =
+      Similarity.ivfStoreProbe(spark, path, "vec_id", "embedding", q,
+          k = 10, cents, nprobe = cents.size)
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9) / 1e9))
+        .toSeq
+    def sameServe(cents: Seq[Seq[Double]], step: String): Unit = {
+      val (a, b) = (probe(pPosix, cents), probe(pMani, cents))
+      assert(a == b, s"$step: posix $a != manifest $b")
+      assert(a.nonEmpty, s"$step returned no rows")
+    }
+
+    // BUILD — conf picks the protocol only here
+    Similarity.materializedIvfIndex(base, "vec_id", "embedding", cs, pPosix)
+    underManifestConf {
+      Similarity.materializedIvfIndex(base, "vec_id", "embedding", cs, pMani)
+    }
+    assert(ManifestArtifactStore.isManifestStore(pMani))
+    assert(!ManifestArtifactStore.isManifestStore(pPosix))
+    assert(topDirs(pMani, "gen-").size == 1, "build = one generation dir")
+    assert(ManifestArtifactStore.kindOf(pMani).contains("ivf"))
+    sameServe(cs, "build")
+
+    // INGEST — sniffed, conf untouched: a new immutable segment
+    Similarity.ivfIngest(delta, "embedding", cs, pPosix)
+    Similarity.ivfIngest(delta, "embedding", cs, pMani)
+    assert(topDirs(pMani, "seg-").size == 1, "ingest = one segment dir")
+    sameServe(cs, "ingest")
+
+    // TOMBSTONE — logical delete, served immediately on both
+    val tombIds = embs.filter(pmod(col("vec_id"), lit(5L)) === 1)
+      .select("vec_id")
+    Similarity.ivfTombstone(spark, pPosix, "vec_id", tombIds)
+    Similarity.ivfTombstone(spark, pMani, "vec_id", tombIds)
+    assert(Similarity.pendingTombstoneRows(spark, pMani) ==
+      Similarity.pendingTombstoneRows(spark, pPosix))
+    assert(Similarity.pendingTombstoneRows(spark, pMani) > 0)
+    sameServe(cs, "tombstone (logical serve)")
+
+    // COMPACT — folds the tombstones physically on both protocols
+    val nPosix = Similarity.ivfCompact(spark, pPosix)
+    val nMani = Similarity.ivfCompact(spark, pMani)
+    assert(nPosix == nMani, s"fold row counts: $nPosix vs $nMani")
+    assert(Similarity.pendingTombstoneRows(spark, pMani) == 0L,
+      "fold must clear the captured tombstone segments from the manifest")
+    sameServe(cs, "compact/fold")
+
+    // DELETE — the broadcast anti-join rewrite
+    val delIds = embs.filter(pmod(col("vec_id"), lit(7L)) === 3)
+      .select("vec_id")
+    assert(Similarity.ivfDelete(spark, pPosix, "vec_id", delIds) ==
+      Similarity.ivfDelete(spark, pMani, "vec_id", delIds))
+    sameServe(cs, "delete")
+
+    // RECLUSTER — deterministic retrain must land both stores in the
+    // same layout; a FULL probe then equals brute force over kept rows
+    val freshPosix = Similarity.ivfRecluster(spark, pPosix, "embedding",
+      k = 3, iters = 1)
+    val freshMani = Similarity.ivfRecluster(spark, pMani, "embedding",
+      k = 3, iters = 1)
+    assert(freshPosix == freshMani, "retrain must be deterministic")
+    sameServe(freshMani, "recluster")
+    val kept = embs
+      .join(tombIds.withColumnRenamed("vec_id", "vec_id"), Seq("vec_id"),
+        "left_anti")
+      .join(delIds, Seq("vec_id"), "left_anti")
+    val brute = Similarity.bruteForceTopK(kept, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0),
+        math.round(r.getDouble(1) * 1e9) / 1e9)).toSeq
+    assert(probe(pMani, freshMani) == brute,
+      "full-probe manifest serve must equal brute force over kept rows")
+  }
+
+  test("manifest lease excludes a second PROCESS: compact blocks behind a foreign holder") {
+    val embs = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 48)
+    val cs = Similarity.trainKmeansCentroids(embs, "embedding", k = 2,
+      iters = 1)
+    val path = freshDir("ivf_seam_lease_v1")
+    underManifestConf {
+      Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cs, path)
+    }
+    Similarity.ivfTombstone(spark, path, "vec_id",
+      embs.filter(col("vec_id") < 8).select("vec_id"))
+    val holdMs = 3000L
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    def src(c: Class[_]) = new java.io.File(
+      c.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+    // the probe runs the REAL acquisition path, so it needs the engine
+    // classes + scala-library; spark jars resolve the (exception-caught)
+    // conf lookup inside leaseMs
+    val cp = Seq(src(graft.tools.LeaseProbe.getClass),
+      src(scala.Predef.getClass), "/opt/spark/jars/*")
+      .mkString(java.io.File.pathSeparator)
+    val pb = new ProcessBuilder(javaBin, "-cp", cp,
+      "graft.tools.LeaseProbe", path, holdMs.toString)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    assert(reader.readLine() == "ACQUIRED", "lease-holder JVM failed")
+    val t0 = System.nanoTime()
+    val remaining = Similarity.ivfCompact(spark, path)
+    val ms = (System.nanoTime() - t0) / 1e6
+    proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+    assert(ms >= holdMs - 500,
+      f"ivfCompact finished $ms%.0f ms after the foreign lease hold " +
+        f"started — it did not serialize behind the $holdMs ms holder")
+    assert(remaining == 48 - 8,
+      s"post-hold compact must fold the tombstones: $remaining rows")
+  }
+
+  test("racing tombstoners admit EXACTLY to the cap (conditional-PUT admission)") {
+    val embs = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 32)
+    val cs = Similarity.trainKmeansCentroids(embs, "embedding", k = 2,
+      iters = 1)
+    val path = freshDir("ivf_seam_capcas_v1")
+    underManifestConf {
+      Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cs, path)
+    }
+    val capKey = "spark.graft.ivf.maxPendingTombstones"
+    val prev = spark.conf.getOption(capKey)
+    spark.conf.set(capKey, "3")
+    try {
+      val admitted = new java.util.concurrent.atomic.AtomicInteger(0)
+      val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val threads = (0 until 6).map { i =>
+        new Thread(() => {
+          try {
+            Similarity.ivfTombstone(spark, path, "vec_id",
+              embs.filter(col("vec_id") === i.toLong).select("vec_id"))
+            admitted.incrementAndGet(); ()
+          } catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("tombstones already pending") =>
+              refused.incrementAndGet(); ()
+            case t: Throwable => err.set(t)
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(err.get() == null, s"unexpected failure: ${err.get()}")
+      // admission re-checks the COMMITTED manifest per CAS attempt, so
+      // with 1-row batches against cap 3 exactly 3 commit (pending
+      // 0, 1, 2) and the rest refuse — no overshoot, unlike a lock-free
+      // check-then-append
+      assert(admitted.get() == 3 && refused.get() == 3,
+        s"admitted ${admitted.get()}, refused ${refused.get()}")
+      assert(Similarity.pendingTombstoneRows(spark, path) == 3L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(capKey, v)
+      case None    => spark.conf.unset(capKey)
+    }
+  }
+
+  test("snapshot grace: a resolved snapshot survives one replace, expires after two") {
+    import graft.operators.Dedup
+    val docs = Tables.t(spark, sf, "documents").limit(64)
+    val path = freshDir("span_seam_grace_v1")
+    underManifestConf {
+      Dedup.spanCountsIngest(docs, "doc_id", "text", k = 8, path)
+      Dedup.spanCountsIngest(docs, "doc_id", "text", k = 8, path)
+    }
+    val store = ArtifactStore.forPath(spark, path)
+    val snap1 = store.snapshot(spark, path)
+    val n1 = ArtifactStore.readFrame(spark, snap1).count()
+    assert(n1 > 0)
+    val graceKey = "spark.graft.artifact.gcGraceMs"
+    val prevGrace = spark.conf.getOption(graceKey)
+    spark.conf.set(graceKey, "0") // age grace off: test the REF grace alone
+    try {
+      // replace #1: snap1's segments are referenced by the PREVIOUS
+      // manifest — the one-generation grace — so the old snapshot still
+      // reads (this is what lets a lock-free reader finish mid-compact)
+      Dedup.spanCountsCompact(spark, path)
+      assert(ArtifactStore.readFrame(spark, snap1).count() == n1,
+        "snapshot must survive one replace (grace window)")
+      // replace #2: snap1 now referenced by NEITHER kept manifest — its
+      // directories are collected, exactly the documented expiry
+      Dedup.spanCountsCompact(spark, path)
+      assert(snap1.dataPaths.forall(p => !new java.io.File(p).exists()),
+        "two replaces past a snapshot must collect its directories")
+    } finally prevGrace match {
+      case Some(v) => spark.conf.set(graceKey, v)
+      case None    => spark.conf.unset(graceKey)
+    }
+  }
+
+  test("span-count store serves identically through both protocols") {
+    import graft.operators.Dedup
+    val docs = Tables.t(spark, sf, "documents").limit(128)
+    val pPosix = freshDir("span_seam_posix_v1")
+    val pMani = freshDir("span_seam_manifest_v1")
+    for (_ <- 1 to 3) Dedup.spanCountsIngest(docs, "doc_id", "text", 8, pPosix)
+    underManifestConf {
+      for (_ <- 1 to 3) Dedup.spanCountsIngest(docs, "doc_id", "text", 8, pMani)
+    }
+    assert(topDirs(pMani, "seg-").size == 3, "one segment per ingest batch")
+    def serve(path: String): Seq[(Long, String, Long, Long)] =
+      Dedup.spanDedupServe(docs, "doc_id", "text", path, k = 8, minCount = 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq.sortBy(_._1)
+    assert(serve(pPosix) == serve(pMani), "pre-compact serves must match")
+    assert(Dedup.spanCountsCompact(spark, pPosix) ==
+      Dedup.spanCountsCompact(spark, pMani))
+    assert(serve(pPosix) == serve(pMani), "post-compact serves must match")
+    assert(ManifestArtifactStore.kindOf(pMani).contains("span_store"))
+  }
+}

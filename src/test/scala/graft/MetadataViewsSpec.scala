@@ -194,11 +194,17 @@ class MetadataViewsSpec extends AnyFunSuite {
       System.currentTimeMillis() < deadline) Thread.sleep(50)
     assert(fresh.exists(_.served == "artifact:ivf"),
       s"expected an artifact:ivf-served entry, got ${fresh.map(_.served).distinct}")
-    // ... and the artifact registry is queryable with measured sizes
+    // ... and the artifact registry is queryable with measured sizes —
+    // scoped to THIS test's store: suites run in parallel, and another
+    // suite's legitimately-emptied store (a full fold) correctly reports
+    // zero sizes
     Graft.registerMetadataViews(spark)
     val arts = spark.sql(
-      """SELECT kind, stored_files, stored_rows, stored_bytes
-        |FROM graft_artifacts WHERE kind = 'ivf'""".stripMargin).collect()
+      s"""SELECT kind, stored_files, stored_rows, stored_bytes
+         |FROM graft_artifacts WHERE kind = 'ivf' AND path = '${
+        graft.cube.CubeCatalog.normalizePath(
+          "/root/repo/target/indexes/ivf_history_spec_v1")}'"""
+        .stripMargin).collect()
     assert(arts.nonEmpty, "expected the ivf store in graft_artifacts")
     assert(arts.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0 &&
       r.getLong(3) > 0), arts.mkString("; "))
@@ -424,6 +430,84 @@ class MetadataViewsSpec extends AnyFunSuite {
         s"ADVISE ran ${jobs.get()} Spark jobs over ${rows.size} artifacts — " +
           "the advice surface must stay driver-side listing + footer reads")
     } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("REGISTER GRAFT ARTIFACT re-attaches on-disk stores to a fresh session's registry with zero Spark jobs") {
+    init
+    import graft.operators.Similarity
+    // two real stores, one per protocol, built by "an earlier session"
+    val embs = Tables.t(spark, sf, "embeddings").filter(
+      org.apache.spark.sql.functions.col("vec_id") < 64)
+    val cents = Similarity.trainKmeansCentroids(embs, "embedding",
+      k = 2, iters = 1)
+    val pPosix = "/root/repo/target/indexes/ivf_register_posix_spec_v1"
+    val pMani = "/root/repo/target/indexes/ivf_register_manifest_spec_v1"
+    Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cents, pPosix)
+    val confKey = "spark.graft.artifactStore"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "manifest")
+    try Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cents,
+      pMani)
+    finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None    => spark.conf.unset(confKey)
+    }
+    val parser = new graft.plans.GraftSqlParser(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.sqlParser)
+    // simulate the fresh monitoring session: the in-memory registry is
+    // empty, the stores exist only on disk. Snapshot and restore the
+    // registrations of parallel-running suites around the clear.
+    val before = graft.plans.QueryHistory.artifactsSnapshot
+    try {
+      graft.plans.QueryHistory.clearArtifacts()
+      def advisePaths() = parser.parsePlan("ADVISE GRAFT MAINTENANCE")
+        .asInstanceOf[graft.plans.AdviseGraftMaintenanceCommand].run(spark)
+        .map(_.getString(1)).toSet
+      // target-path absence, not full emptiness: a parallel suite may
+      // legitimately register its own store between the clear and here
+      val cleared = advisePaths()
+      for (p <- Seq(pPosix, pMani))
+        assert(!cleared.contains(graft.cube.CubeCatalog.normalizePath(p)),
+          s"fresh session must not see unregistered $p")
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        org.apache.spark.sql.graft.ListenerBusUtil.waitUntilEmpty(spark)
+        jobs.set(0)
+        // registration reads ONLY the stores' own kind metadata — the
+        // POSIX .artifact.json sidecar and the manifest's kind field
+        val r1 = parser.parsePlan(s"REGISTER GRAFT ARTIFACT FROM '$pPosix'")
+          .asInstanceOf[graft.plans.RegisterGraftArtifactCommand].run(spark)
+        val r2 = parser.parsePlan(s"REGISTER GRAFT ARTIFACT FROM '$pMani'")
+          .asInstanceOf[graft.plans.RegisterGraftArtifactCommand].run(spark)
+        // ... and the re-attached stores price in ADVISE, still jobless
+        val advised = advisePaths()
+        org.apache.spark.sql.graft.ListenerBusUtil.waitUntilEmpty(spark)
+        assert(r1.head.getString(0) == "ivf" && r2.head.getString(0) == "ivf",
+          s"kinds: $r1 / $r2")
+        for (p <- Seq(pPosix, pMani))
+          assert(advised.contains(graft.cube.CubeCatalog.normalizePath(p)),
+            s"ADVISE must price re-attached $p: $advised")
+        assert(jobs.get() == 0,
+          s"register + advise ran ${jobs.get()} Spark jobs — the " +
+            "registration loop must stay driver-side file reads")
+      } finally spark.sparkContext.removeSparkListener(l)
+      // an unregistered path with no kind metadata fails with guidance
+      val err = intercept[IllegalArgumentException] {
+        parser.parsePlan("REGISTER GRAFT ARTIFACT FROM '/root/repo/target'")
+          .asInstanceOf[graft.plans.RegisterGraftArtifactCommand].run(spark)
+      }
+      assert(err.getMessage.contains("no artifact kind metadata"))
+    } finally before.foreach { case (k, p) =>
+      graft.plans.QueryHistory.registerArtifact(k, p)
+    }
   }
 
   test("bucketed layout tables classify in history as artifact:bucketed") {
