@@ -179,6 +179,127 @@ object ScaleProbe {
     dst.getPath
   }
 
+  /** 10× STAR-TABLE replica of `srcDir` — the cube route's second
+    * measured decade (r16 verdict item 4: the pipeline families have
+    * three measured decades; the cube headlines' engine-vs-raw scan
+    * ratios were measured only at sf0.1). `lineitem` and `orders` are
+    * replicated 10× with re-keyed order ids (`+ k·ReplicaOff`, so every
+    * copy's lineitems join their own orders copy and nothing collides);
+    * dimension tables copy verbatim — dimensions do not grow 10× per
+    * fact decade in a warehouse, and the headline joins stay exactly as
+    * broadcastable as they would at scale. Dates, dimension keys and
+    * measures are untouched, so every headline predicate keeps its
+    * selectivity and the routed result is the sf0.1 answer with 10×
+    * counts. Content-tagged like every replica (the cube layer builds a
+    * fresh lattice for the replica's own tag).
+    */
+  private[tools] def ensureSf1EquivalentStar(spark: SparkSession,
+                                             srcDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val tag = graft.Tables.contentTag(srcDir)
+    val base = new java.io.File(srcDir).getName
+    val root = new java.io.File("/root/repo/target")
+    val dst = new java.io.File(root, s"scale_sf1x_star_${base}_$tag")
+    Option(root.listFiles()).toSeq.flatten
+      .filter { f =>
+        val n = f.getName
+        n != dst.getName && n.startsWith(s"scale_sf1x_star_${base}_")
+      }
+      .foreach(f => rmRf(f.getPath))
+    val marker = new java.io.File(dst, "_REPLICATED_OK")
+    if (marker.exists()) return dst.getPath
+    rmRf(dst.getPath); dst.mkdirs()
+    // dims verbatim; the pipeline tables too — the query harness
+    // registers every table, and this replica scales only the fact side
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "documents", "embeddings", "events"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(srcDir, t + ".parquet"),
+        java.nio.file.Paths.get(dst.getPath, t + ".parquet"))
+    for ((t, key) <- Seq("orders" -> "o_orderkey",
+        "lineitem" -> "l_orderkey")) {
+      val b = spark.read.parquet(s"$srcDir/$t.parquet")
+      (0 until 10).map { k =>
+        if (k == 0) b
+        else b.withColumn(key, col(key) + lit(k * ReplicaOff))
+      }.reduce(_.union(_))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"${dst.getPath}/$t.parquet")
+    }
+    java.nio.file.Files.writeString(marker.toPath, s"src=$srcDir tag=$tag\n")
+    dst.getPath
+  }
+
+  /** The cube route one decade up (r16 verdict item 4): engine-vs-raw
+    * scan rows / footer column bytes and noop-sink wall for the eight
+    * BASELINE.md headline queries, at sf0.1 AND at the 10× star replica
+    * — turning the headline scan ratios into two-point lines like every
+    * pipeline family. Rows come from the task-metrics recordsRead of one
+    * untimed pass (deterministic for a fixed plan); bytes from the
+    * footer-measured, pruning-aware [[org.apache.spark.sql.graft.ScanBytes]];
+    * the raw arm re-runs the same queries under
+    * [[graft.Graft.withoutRewrites]].
+    */
+  private def cubeDecadeProbe(spark: SparkSession, bigDir: String,
+                              reps: Int): String = {
+    val headline = Seq("q02_basic_agg", "q_ship_date_range",
+      "q_subqry_filters_range", "q01_pricing_summary",
+      "q03_shipping_priority", "q05_local_supplier",
+      "q07_nation_volume", "q08_market_share")
+    val starX = ensureSf1EquivalentStar(spark, bigDir)
+    println(s"[scale] sf1-equivalent star corpus at $starX")
+    val ioRows = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          ioRows.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
+        }
+    }
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // (wall min-of-reps, recordsRead, footer column bytes) of one query
+      def measure(name: String, dir: String): (Double, Long, Long) = {
+        def df = graft.SparkEntry.queries(name)(spark, dir)
+        exec(df) // warmup: cube/lattice build, file index, codegen
+        val t = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          exec(df)
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        org.apache.spark.sql.graft.ListenerBusUtil.waitUntilEmpty(spark)
+        ioRows.set(0L)
+        val frame = df
+        exec(frame)
+        org.apache.spark.sql.graft.ListenerBusUtil.waitUntilEmpty(spark)
+        val bytes =
+          try org.apache.spark.sql.graft.ScanBytes.of(frame)
+          catch { case _: Exception => -1L }
+        (t, ioRows.get(), bytes)
+      }
+      val arms = Seq("big" -> bigDir, "sf1x" -> starX).map {
+        case (label, dir) =>
+          val qs = headline.map { n =>
+            val (te, re, be) = measure(n, dir)
+            val (tr, rr, br) = graft.Graft.withoutRewrites(spark) {
+              measure(n, dir)
+            }
+            val ratio = if (re > 0) rr.toDouble / re else -1.0
+            println(f"[scale] cube $label%-5s $n%-24s engine=$te%.3f s " +
+              f"raw=$tr%.3f s rows=$re/$rr (${ratio}%.0fx) bytes=$be/$br")
+            f""" "$n":{"t_engine":$te%.3f,"t_raw":$tr%.3f,"scan_rows":[$re,$rr],"scan_bytes":[$be,$br]}"""
+          }
+          s""""$label":{"dir":"$dir","queries":{
+             |${qs.mkString(",\n")}
+             |}}""".stripMargin
+      }
+      s"""{"note":"cube-route headlines one decade up: 10x star replica (lineitem+orders re-keyed, dims verbatim); scan_rows/scan_bytes are [engine, raw] of one untimed pass; t is noop-sink min-of-$reps",
+         |${arms.mkString(",\n")}}""".stripMargin
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   /** Deterministic alphabet permutation keyed by `seed` (Fisher-Yates
     * over an LCG): the decade-3 replica's per-copy text transform.
     * Rotations alone cannot key a THIRD decade — 100 copies of copies
@@ -695,6 +816,10 @@ object ScaleProbe {
         sharedVocabCapProbe(spark, small, big, sf1, reps)}")
       spark.stop(); return
     }
+    if (outPath == "--cube-decade") { // just the cube-route decade probe
+      println(s"[scale] cube decade 2: ${cubeDecadeProbe(spark, big, reps)}")
+      spark.stop(); return
+    }
 
     def timeAt(t: Target, dir: String): Double = {
       val run = t.prepare(spark, dir)
@@ -798,6 +923,8 @@ object ScaleProbe {
     System.gc(); Thread.sleep(300); System.gc()
     val sharedVocabJson = section("shared-vocab cap A/B")(
       sharedVocabCapProbe(spark, small, big, sf1x, reps))
+    val cubeDecadeJson = section("cube decade 2")(
+      cubeDecadeProbe(spark, big, reps))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       s"""{"small":"$small","big":"$big","data_factor":10,"reps":$reps,"timing":"noop-sink min-of-$reps after warmup","scheduler_floor_sec":$floor,"queries":{
          |${rows.mkString(",\n")}
@@ -808,7 +935,8 @@ object ScaleProbe {
          |"data_factor_1000":$decade3Json,
          |"streaming_events_decade2":$streamJson,
          |"skewed_bucket_batch":$skewJson,
-         |"shared_vocab_cap":$sharedVocabJson}
+         |"shared_vocab_cap":$sharedVocabJson,
+         |"cube_decade2":$cubeDecadeJson}
          |""".stripMargin)
     println(s"[scale] wrote $outPath")
     spark.stop()
