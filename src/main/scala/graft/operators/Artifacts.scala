@@ -18,8 +18,12 @@ object Artifacts {
     * refresh, reader–writer via the `.read.lock` gate ([[readLocked]]
     * readers hold it SHARED, the rename window takes it exclusively).
     * Build-once per content-tagged path remains the belt-and-braces
-    * discipline on top. A multi-driver deployment on an object store
-    * would stage behind a manifest instead.
+    * discipline on top. These mechanics are the POSIX protocol of the
+    * [[ArtifactStore]] seam; a multi-driver deployment on an object
+    * store (no flock, no atomic rename) selects the manifest protocol
+    * instead ([[ManifestArtifactStore]]: immutable generations published
+    * by conditional PUT), where none of the locks below exist because
+    * in-place mutation — the problem they solve — is designed out.
     */
   private val swapLocks = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.locks.ReentrantReadWriteLock]()
