@@ -176,10 +176,22 @@ object Graft {
     // half's counterpart of graft_rollups' stored_* columns
     graft.plans.QueryHistory.artifactsSnapshot.map { case (kind, path) =>
       // capped like the rollup rows above: a 100k-file pair index must
-      // not cost 100k driver footer opens to appear in a view
-      val (files, rows, bytes) =
-        org.apache.spark.sql.graft.ScanBytes.dirCost(spark, path,
-          footerCap = 64)
+      // not cost 100k driver footer opens to appear in a view. Sizes are
+      // measured over the seam snapshot's DATA paths — a manifest
+      // store's raw root also holds the grace generation and pending
+      // tombstone segments, which are not stored data (r17 review); the
+      // per-segment dirCost cache stays valid because published segments
+      // are immutable
+      val dataPaths =
+        try graft.operators.ArtifactStore.forPath(spark, path)
+          .snapshot(spark, path).dataPaths
+        catch { case _: IllegalStateException => Seq(path) }
+      val (files, rows, bytes) = dataPaths
+        .map(dp => org.apache.spark.sql.graft.ScanBytes.dirCost(spark, dp,
+          footerCap = 64))
+        .foldLeft((0L, 0L, 0L)) { case ((f, r, b), (f2, r2, b2)) =>
+          (f + f2, r + r2, b + b2)
+        }
       // maintenance-pressure columns (IVF stores only; -1 elsewhere):
       // pending tombstone rows and max append files in any one bucket —
       // the numbers ADVISE GRAFT MAINTENANCE thresholds on, surfaced in

@@ -412,7 +412,7 @@ object ManifestArtifactStore extends ArtifactStore {
   import org.json4s._
   import org.json4s.jackson.JsonMethods
 
-  final case class Manifest(version: Int, kind: String,
+  final case class Manifest(version: Long, kind: String,
                             schemaJson: Option[String],
                             segments: Seq[String], tombstones: Seq[String])
 
@@ -422,8 +422,20 @@ object ManifestArtifactStore extends ArtifactStore {
   def isManifestStore(root: String): Boolean =
     java.nio.file.Files.isDirectory(manifestDir(root))
 
-  private def versionFile(root: String, v: Int): java.nio.file.Path =
+  private def versionFile(root: String, v: Long): java.nio.file.Path =
     manifestDir(root).resolve(f"v$v%08d.json")
+
+  /** Numeric version of a manifest log file name; None for non-version
+    * files (the lease, tmp staging). `\d{8,}`, parsed NUMERICALLY — the
+    * zero-padded name widens to 9+ digits past version 10⁸ (a
+    * high-rate-tombstone store reaches that), where NAME ordering would
+    * pick the wrong maximum and a fixed-width match would wedge the CAS
+    * loop against an unmatchable existing version.
+    */
+  private def versionOf(name: String): Option[Long] =
+    if (name.matches("v\\d{8,}\\.json"))
+      Some(name.stripPrefix("v").stripSuffix(".json").toLong)
+    else None
 
   private def render(m: Manifest): String = {
     val json = JObject(
@@ -441,25 +453,41 @@ object ManifestArtifactStore extends ArtifactStore {
       case _          => Nil
     }
     Manifest(
-      (j \ "version").asInstanceOf[JInt].num.toInt,
+      (j \ "version").asInstanceOf[JInt].num.toLong,
       j \ "kind" match { case JString(k) => k; case _ => "" },
       j \ "schema" match { case JString(s) => Some(s); case _ => None },
       strs("segments"), strs("tombstones"))
   }
 
   /** Highest committed manifest, by listing the manifest log (small,
-    * immutable files — the one listing the protocol performs).
+    * immutable files, pruned to the last [[KeepManifests]] on every
+    * publish — the one listing the protocol performs stays O(16)).
     */
   private def current(root: String): Option[Manifest] = {
     val d = manifestDir(root)
     if (!java.nio.file.Files.isDirectory(d)) return None
     val vs = Option(d.toFile.listFiles()).toSeq.flatten
-      .filter(f => f.getName.matches("v\\d{8}\\.json"))
+      .flatMap(f => versionOf(f.getName).map(_ -> f))
     if (vs.isEmpty) None
     else {
-      val top = vs.maxBy(_.getName)
+      val top = vs.maxBy(_._1)._2
       Some(parse(java.nio.file.Files.readString(top.toPath)))
     }
+  }
+
+  /** Manifest log versions retained after a publish. The top 2 carry the
+    * GC reference grace; the rest are audit tail. Bounding the log is
+    * what keeps every snapshot resolution's listing O(16) tiny files
+    * regardless of publish count (a high-rate tombstone store publishes
+    * per batch).
+    */
+  private val KeepManifests = 16
+
+  private def pruneManifestLog(root: String): Unit = {
+    val d = manifestDir(root)
+    val vs = Option(d.toFile.listFiles()).toSeq.flatten
+      .flatMap(f => versionOf(f.getName).map(_ -> f)).sortBy(_._1)
+    vs.dropRight(KeepManifests).foreach { case (_, f) => f.delete() }
   }
 
   /** Conditional PUT of manifest version `m.version`: true iff this
@@ -475,6 +503,7 @@ object ManifestArtifactStore extends ArtifactStore {
     java.nio.file.Files.writeString(tmp, render(m))
     try {
       java.nio.file.Files.createLink(versionFile(root, m.version), tmp)
+      pruneManifestLog(root)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
@@ -583,11 +612,7 @@ object ManifestArtifactStore extends ArtifactStore {
 
   override def snapshot(spark: SparkSession,
                         root: String): ArtifactSnapshot =
-    current(root) match {
-      case Some(m) => snapshotOf(root, m)
-      case None => throw new IllegalStateException(
-        s"no manifest store at $root — build it first")
-    }
+    snapshotOf(root, requireStore(root))
 
   override def readLocked[T](spark: SparkSession, root: String)
                             (f: ArtifactSnapshot => T): T =
@@ -661,8 +686,7 @@ object ManifestArtifactStore extends ArtifactStore {
                        foldCaptured: Boolean)
                       (write: (ArtifactSnapshot, String) => StructType): Unit =
     maintenanceLocked(root) {
-      val captured = current(root).getOrElse(throw new IllegalStateException(
-        s"no manifest store at $root — build it first"))
+      val captured = requireStore(root)
       val gen = newDir(root, "gen")
       val schema = write(snapshotOf(root, captured), gen.getPath)
       commit(root) { curOpt =>
@@ -698,8 +722,8 @@ object ManifestArtifactStore extends ArtifactStore {
       catch { case _: Exception => 600000L }
     val d = manifestDir(root)
     val vs = Option(d.toFile.listFiles()).toSeq.flatten
-      .filter(_.getName.matches("v\\d{8}\\.json")).sortBy(_.getName)
-    val keepManifests = vs.takeRight(2)
+      .flatMap(f => versionOf(f.getName).map(_ -> f)).sortBy(_._1)
+    val keepManifests = vs.takeRight(2).map(_._2)
     val referenced = keepManifests.flatMap { f =>
       val m = parse(java.nio.file.Files.readString(f.toPath))
       m.segments ++ m.tombstones
@@ -711,18 +735,31 @@ object ManifestArtifactStore extends ArtifactStore {
       .foreach(rmTree)
   }
 
+  /** Fail a mutation of a store that was never built — WITHOUT creating
+    * anything at the path first: a failed call that left an empty root
+    * directory would flip [[ArtifactStore.forPath]]'s layout sniff to
+    * POSIX for every later op on that path.
+    */
+  private def requireStore(root: String): Manifest =
+    current(root).getOrElse(throw new IllegalStateException(
+      s"no manifest store at $root — build it first"))
+
   override def tombstoneAppend(spark: SparkSession, root: String)
                               (check: ArtifactSnapshot => Unit)
                               (write: String => Unit): Unit = {
-    // the batch is written ONCE (CAS retries must not re-evaluate a
-    // possibly nondeterministic frame); admission re-checks against the
-    // committed manifest on every attempt, so racing tombstoners admit
-    // exactly to the cap
+    // existence is vetted BEFORE any directory is created: a failed
+    // tombstone of a never-built store must not leave an empty root that
+    // flips forPath's layout sniff to POSIX (r17 review). The batch is
+    // then written ONCE (CAS retries must not re-evaluate a possibly
+    // nondeterministic frame); admission re-checks against the committed
+    // manifest on every attempt, so racing tombstoners admit exactly to
+    // the cap
+    requireStore(root)
     val ts = newDir(root, "ts")
     var written = false
     try commit(root) {
       case None => throw new IllegalStateException(
-        s"no manifest store at $root — build it first")
+        s"no manifest store at $root — build it first") // raced a wipe
       case Some(cur) =>
         check(snapshotOf(root, cur)) // throws to refuse
         if (!written) { write(ts.getPath); written = true }

@@ -193,9 +193,15 @@ object Dedup {
     * 42-token boilerplate across three 10×-apart sizes) measured this
     * path's uncapped arm at 5.4× wall and a 1.80/decade candidate-volume
     * exponent vs 0.76 capped, size-ratio prune ON in both arms. Recall
-    * loss is confined to pairs related ONLY through over-cap shingles
-    * (boilerplate); pass `None` explicitly when that recall matters more
-    * than the blowup. At the driver gate scales the corpus-wide max df
+    * under the cap, precisely: pairs related ONLY through over-cap
+    * shingles always drop, and because dropped postings shrink the
+    * common count while SET SIZES stay full, the score degrades to the
+    * Jaccard of the under-cap overlap alone — a true near-dup whose
+    * shared shingles are MOSTLY over-cap boilerplate can fall below the
+    * threshold too. On boilerplate-dominated corpora, strip the
+    * boilerplate first ([[spanDedup]]) or pass `None` explicitly when
+    * that recall matters more than the measured blowup. At the driver
+    * gate scales the corpus-wide max df
     * sits far below 1000 (sf0.1's natural max df is 25), so the default
     * is inert there and gate results are bit-identical to the uncapped
     * build.
@@ -229,10 +235,12 @@ object Dedup {
     * Skew guard for corpus scale (`maxShingleDf`): drop ultra-common
     * shingles whose posting lists would explode (one shingle shared by 1M
     * docs is 10^12 candidate pairs — and an unbounded in-memory list).
-    * Near-duplicates share MANY shingles including rare ones, so recall
-    * loss is confined to pairs related only through boilerplate; surviving
-    * pairs keep their full set sizes, so only the common-count of capped
-    * pairs shrinks.
+    * Surviving pairs keep their full set sizes while only their
+    * common-count shrinks, so a capped score is the similarity of the
+    * UNDER-CAP overlap alone: pairs related only through boilerplate
+    * always drop, and a pair whose overlap is boilerplate-DOMINATED can
+    * fall below a threshold its true score clears (the documented trade
+    * on [[ngramJaccardDupPairs]]).
     *
     * `sizeRatioPrune = Some(t)` drops pairs that cannot reach Jaccard `t`
     * (`J <= min/max`) INSIDE the expansion, on the packed sizes, so they

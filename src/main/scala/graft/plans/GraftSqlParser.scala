@@ -254,7 +254,10 @@ case class AdviseGraftRollupCommand(cube: String) extends LeafRunnableCommand {
   * (default 0.5) of the rows AND at least 3× its balanced share —
   * clamped to 0.9 so a k≤3 store (whose raw 3/k floor would be ≥ 1.0,
   * unreachable) still gets drift advice at a 90% hot bucket while
-  * small-k stores' legitimate shares don't false-alarm — the advice is
+  * small-k stores' legitimate shares don't false-alarm; a store with a
+  * single PHYSICAL bucket directory is exempt (hotShare = 1.0 is
+  * definitional there, not drift, and the advice could never clear) —
+  * the advice is
   * `ivfRecluster` — compaction fixes file counts, only a retrain fixes
   * read volume (`hot_bucket_share` column; −1 = not an IVF store or an
   * empty one; beyond the snapshot's footer cap the share estimates
@@ -305,9 +308,12 @@ case class AdviseGraftMaintenanceCommand() extends LeafRunnableCommand {
         // balanced-share floor clamped to 0.9: at small k the raw 3/k
         // floor reaches or passes 1.0 (k<=3), which would silently
         // disable the drift leg for stores where a 90% hot bucket is
-        // still unambiguous drift (r16 ADVICE)
+        // still unambiguous drift (r16 ADVICE). buckets > 1: a
+        // one-bucket store has hotShare = 1.0 by definition — no
+        // imbalance signal exists, and recommending the retrain forever
+        // would never clear (r17 review)
         val drifted = !tombstonePressure && hotShare >= hotShareAt &&
-          buckets > 0 && hotShare >= math.min(0.9, 3.0 / buckets)
+          buckets > 1 && hotShare >= math.min(0.9, 3.0 / buckets)
         val advice = Seq(
           if (compactReasons.isEmpty) None
           else Some("run graft.operators.Similarity.ivfCompact(spark, \"" +
@@ -324,9 +330,13 @@ case class AdviseGraftMaintenanceCommand() extends LeafRunnableCommand {
         ).flatten.mkString(" | ")
         Row("ivf", path, pending, cap, maxFiles.toLong, hotShare, advice)
       case ("span_store", path) =>
-        val files = Option(new java.io.File(path).listFiles()).toSeq.flatten
-          .count(f => f.getName.endsWith(".parquet") &&
-            !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        // through the seam: a manifest span store's partials live inside
+        // segment dirs — a top-level-only count would read 0 forever and
+        // the compact advice would never fire (r17 review)
+        val files = (try graft.operators.ArtifactStore
+            .forPath(spark, path).snapshot(spark, path).dataPaths
+          catch { case _: IllegalStateException => Seq.empty[String] })
+          .flatMap(graft.operators.ArtifactStore.parquetFilesUnder).size
         val advice =
           if (files < spanFilesAt) ""
           else "run graft.operators.Dedup.spanCountsCompact(spark, \"" +
