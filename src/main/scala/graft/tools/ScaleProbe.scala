@@ -919,12 +919,19 @@ object ScaleProbe {
     // structs each in flight — drop the full run's accumulated cache and
     // garbage first, or end-of-run heap debris tips the section into OOM
     // (r16: it ran green standalone and OOM'd only as the last section)
+    val cubeDecadeJson = section("cube decade 2")(
+      cubeDecadeProbe(spark, big, reps))
+    // the shared-vocab uncapped truth arm runs LAST: it holds ~40
+    // posting-list rows of ~3M pair structs each in flight, and an
+    // executor OOM there kills the whole local[32] context — ordered
+    // last (r17: it took cube_decade2 down with it), a blowup degrades
+    // only its own section to an error record. Drop the run's
+    // accumulated cache and garbage first (r16: it ran green standalone
+    // and OOM'd only at end-of-run heap pressure).
     spark.catalog.clearCache()
     System.gc(); Thread.sleep(300); System.gc()
     val sharedVocabJson = section("shared-vocab cap A/B")(
       sharedVocabCapProbe(spark, small, big, sf1x, reps))
-    val cubeDecadeJson = section("cube decade 2")(
-      cubeDecadeProbe(spark, big, reps))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       s"""{"small":"$small","big":"$big","data_factor":10,"reps":$reps,"timing":"noop-sink min-of-$reps after warmup","scheduler_floor_sec":$floor,"queries":{
          |${rows.mkString(",\n")}
