@@ -277,7 +277,11 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"unique${i}c unique${i}d unique${i}e")) :+
       // one genuine near-dup pair: same text up to one trailing token
       ((30L, "the five boxing wizards jump quickly over the frozen lake tonight")) :+
-      ((31L, "the five boxing wizards jump quickly over the frozen lake yesterday"))
+      ((31L, "the five boxing wizards jump quickly over the frozen lake yesterday")) :+
+      // one boilerplate-DOMINATED exact duplicate: almost all of its
+      // shingle overlap is the over-cap boilerplate
+      ((40L, s"$boiler zebra")) :+
+      ((41L, s"$boiler zebra"))
     ).toDF("doc_id", "text")
     // uncapped at a low threshold: boilerplate relates all 20 pages
     val uncapped = Dedup.ngramJaccardDupPairs(corpus, "doc_id", "text",
@@ -295,6 +299,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"capped run must drop every boilerplate-only pair: $capped")
     assert(capped.contains((30L, 31L)),
       "capped run must keep the genuine near-dup pair")
+    // the documented trade, locked: (40, 41) is a TRUE duplicate
+    // (J = 1.0) whose overlap is boilerplate-dominated — the capped
+    // score is the Jaccard of its under-cap overlap alone (the couple
+    // of shingles crossing into "zebra"), which sits below the
+    // threshold, so the pair drops. Uncapped finds it.
+    assert(uncapped.contains((40L, 41L)),
+      "uncapped run must find the boilerplate-dominated duplicate")
+    assert(!capped.contains((40L, 41L)),
+      "capped run drops a boilerplate-DOMINATED true duplicate — the " +
+        "exact recall trade the scaladoc states")
   }
 
   test("containment shingle-df cap drops boilerplate-only pairs, keeps quotes") {
