@@ -182,11 +182,11 @@ object Graft {
       // tombstone segments, which are not stored data (r17 review); the
       // per-segment dirCost cache stays valid because published segments
       // are immutable
-      val dataPaths =
-        try graft.operators.ArtifactStore.forPath(spark, path)
-          .snapshot(spark, path).dataPaths
-        catch { case _: IllegalStateException => Seq(path) }
-      val (files, rows, bytes) = dataPaths
+      val snap =
+        try Some(graft.operators.ArtifactStore.forPath(spark, path)
+          .snapshot(spark, path))
+        catch { case _: IllegalStateException => None }
+      val (files, rows, bytes) = snap.map(_.dataPaths).getOrElse(Seq(path))
         .map(dp => org.apache.spark.sql.graft.ScanBytes.dirCost(spark, dp,
           footerCap = 64))
         .foldLeft((0L, 0L, 0L)) { case ((f, r, b), (f2, r2, b2)) =>
@@ -199,7 +199,8 @@ object Graft {
       // of meeting it as a require-failure (r15 verdict item 3)
       val (pending, maxFiles, buckets, hotShare) =
         if (kind == "ivf")
-          graft.operators.Similarity.maintenancePressure(spark, path)
+          graft.operators.Similarity.maintenancePressure(spark, path,
+            resolved = snap)
         else (-1L, -1, -1, -1.0)
       (kind, path, files, rows, bytes, pending, maxFiles, buckets, hotShare)
     }.toDF("kind", "path", "stored_files", "stored_rows", "stored_bytes",

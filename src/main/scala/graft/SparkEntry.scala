@@ -1978,17 +1978,17 @@ object SparkEntry {
               val st = new java.io.File(path)
               if (st.exists())
                 org.apache.commons.io.FileUtils.deleteDirectory(st)
-              val confKey = "spark.graft.artifactStore"
-              val prev = s.conf.getOption(confKey)
-              s.conf.set(confKey, "manifest") // creation-time only:
-              try { // every later op sniffs the store's own layout
-                Similarity.materializedIvfIndex(
-                  embs.filter(pmod(col("vec_id"), lit(2L)) === 0),
-                  "vec_id", "embedding", cents, path)
-              } finally prev match {
-                case Some(v) => s.conf.set(confKey, v)
-                case None    => s.conf.unset(confKey)
-              }
+              // creation-time protocol choice on a CHILD session (conf
+              // isolation: in the parallel test harness a shared-session
+              // conf window would flip a concurrent fixture's store to
+              // the wrong protocol); every later op sniffs the store's
+              // own layout, so the shared-session frames below are fine
+              val sM = s.newSession()
+              sM.conf.set("spark.graft.artifactStore", "manifest")
+              Similarity.materializedIvfIndex(
+                Tables.t(sM, dir, "embeddings")
+                  .filter(pmod(col("vec_id"), lit(2L)) === 0),
+                "vec_id", "embedding", cents, path)
               Similarity.ivfIngest(
                 embs.filter(pmod(col("vec_id"), lit(2L)) === 1),
                 "embedding", cents, path)

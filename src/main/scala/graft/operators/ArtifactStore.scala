@@ -544,8 +544,16 @@ object ManifestArtifactStore extends ArtifactStore {
     catch { case _: Exception => 600000L }
 
   /** Claim the lease by conditional PUT; steal only a demonstrably
-    * expired one (delete + re-claim — two stealers race harmlessly: both
-    * delete, one wins the re-claim).
+    * expired one, by CONDITIONAL DELETE — delete-if-content-unchanged.
+    * An unconditional delete would let a slow stealer delete another
+    * stealer's freshly re-claimed lease (both observed the old one
+    * expired; one re-claims; the other's late delete kills the valid
+    * claim — two concurrent maintenance bodies, the exact lost-batch
+    * class the lease exists to prevent, r17 review). S3/GCS provide the
+    * conditional delete natively (`If-Match` / `ifGenerationMatch`); the
+    * local emulation serializes the compare+delete pair under a flock
+    * sibling — emulation machinery like [[publish]]'s hard link, not
+    * part of the protocol.
     */
   private def acquireLease(root: String): String = {
     val lf = leaseFile(root)
@@ -560,27 +568,39 @@ object ManifestArtifactStore extends ArtifactStore {
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
         finally java.nio.file.Files.deleteIfExists(tmp)
       if (won) return mine
-      val expired =
-        try {
-          val parts = java.nio.file.Files.readString(lf).split(" ")
-          parts.length == 2 && System.currentTimeMillis() > parts(1).toLong
-        } catch { case _: java.io.IOException => false } // vanished: retry
-      if (expired) { java.nio.file.Files.deleteIfExists(lf); () }
+      val observed =
+        try Some(java.nio.file.Files.readString(lf))
+        catch { case _: java.io.IOException => None } // vanished: retry
+      val expired = observed.exists { c =>
+        val parts = c.split(" ")
+        parts.length == 2 && System.currentTimeMillis() > parts(1).toLong
+      }
+      if (expired) conditionalDeleteLease(lf, observed.get)
       else Thread.sleep(25)
     }
     throw new IllegalStateException("unreachable")
   }
 
+  /** Local emulation of DELETE-if-content-matches on the lease object. */
+  private def conditionalDeleteLease(lf: java.nio.file.Path,
+                                     observed: String): Unit =
+    Artifacts.withProcessLock(lf.toString + ".steal.lock") {
+      val still =
+        try java.nio.file.Files.readString(lf) == observed
+        catch { case _: java.io.IOException => false } // already gone
+      if (still) { java.nio.file.Files.deleteIfExists(lf); () }
+    }
+
   private def releaseLease(root: String, id: String): Unit = {
     val lf = leaseFile(root)
-    try {
-      // release only OUR lease — a stolen-and-reissued lease must not be
-      // deleted by the stale previous holder (check-then-delete: the
-      // residual race is the lease caveat documented on the class)
-      if (java.nio.file.Files.readString(lf).startsWith(id + " "))
-        java.nio.file.Files.deleteIfExists(lf)
-      ()
-    } catch { case _: java.io.IOException => () }
+    // release only OUR lease, conditionally like the steal: an expired
+    // holder's late release must not delete a stealer's fresh claim
+    Artifacts.withProcessLock(lf.toString + ".steal.lock") {
+      val mine =
+        try java.nio.file.Files.readString(lf).startsWith(id + " ")
+        catch { case _: java.io.IOException => false }
+      if (mine) { java.nio.file.Files.deleteIfExists(lf); () }
+    }
   }
 
   override def maintenanceLocked[T](root: String)(f: => T): T = {
@@ -699,7 +719,7 @@ object ManifestArtifactStore extends ArtifactStore {
           if (foldCaptured) cur.tombstones.diff(captured.tombstones)
           else cur.tombstones))
       }
-      gc(root)
+      gc(spark, root)
     }
 
   /** Delete data/tombstone dirs referenced by NEITHER the current nor the
@@ -715,11 +735,12 @@ object ManifestArtifactStore extends ArtifactStore {
     * out). Writer-side listing of the root is fine — only READERS must
     * avoid listing mutable directories on an object store.
     */
-  private def gc(root: String): Unit = {
-    val grace =
-      try org.apache.spark.sql.SparkSession.active.conf
-        .get("spark.graft.artifact.gcGraceMs", "600000").toLong
-      catch { case _: Exception => 600000L }
+  private def gc(spark: SparkSession, root: String): Unit = {
+    // conf from the CALLER's session, not SparkSession.active — the
+    // active session is thread-dependent and a conf-isolated child
+    // session's setting must govern its own maintenance ops
+    val grace = spark.conf.get("spark.graft.artifact.gcGraceMs", "600000")
+      .toLong
     val d = manifestDir(root)
     val vs = Option(d.toFile.listFiles()).toSeq.flatten
       .flatMap(f => versionOf(f.getName).map(_ -> f)).sortBy(_._1)

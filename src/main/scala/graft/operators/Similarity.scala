@@ -478,13 +478,18 @@ object Similarity {
     */
   private[graft] def maintenancePressure(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      footerCap: Int = 2048): (Long, Int, Int, Double) = {
+      footerCap: Int = 2048,
+      resolved: Option[ArtifactSnapshot] = None): (Long, Int, Int, Double) = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val snap =
+    // `resolved`: callers that already resolved the snapshot (the
+    // graft_artifacts view measures sizes from it) pass it in — one
+    // manifest-log listing per row, and sizes + pressure agree on one
+    // generation instead of racing a mutation between two resolutions
+    val snap = resolved.getOrElse(
       try ArtifactStore.forPath(spark, path).snapshot(spark, path)
       catch { // a registered store that vanished mid-advise: no pressure
         case _: IllegalStateException => return (0L, 0, 0, -1.0)
-      }
+      })
     val pending = ArtifactStore.footerRows(spark, snap.tombstonePaths)
     // bucket directories aggregated BY BUCKET VALUE across the snapshot's
     // data paths: a manifest store's appends live in separate segment

@@ -915,10 +915,6 @@ object ScaleProbe {
     println(s"[scale] streaming twins: $streamJson")
     val skewJson = section("skewed-bucket batch")(
       skewedBucketProbe(spark, sf1x, reps))
-    // the uncapped truth arm holds ~40 posting-list rows of ~3M pair
-    // structs each in flight — drop the full run's accumulated cache and
-    // garbage first, or end-of-run heap debris tips the section into OOM
-    // (r16: it ran green standalone and OOM'd only as the last section)
     val cubeDecadeJson = section("cube decade 2")(
       cubeDecadeProbe(spark, big, reps))
     // the shared-vocab uncapped truth arm runs LAST: it holds ~40

@@ -27,18 +27,19 @@ class ManifestStoreSpec extends AnyFunSuite {
     d.getPath
   }
 
-  /** Run `f` with `spark.graft.artifactStore = manifest` (restored after)
-    * — only store CREATION consults the conf; every later op sniffs the
-    * store's own layout.
+  /** A CHILD session (shared context, isolated SQLConf) with
+    * `spark.graft.artifactStore = manifest` — suites run in parallel on
+    * one SparkContext, so mutating the SHARED session's conf for a
+    * multi-second build window would flip a concurrent suite's store
+    * creation to the wrong protocol (r17 review). Only store CREATION
+    * consults the conf; every later op sniffs the store's own layout.
+    * Frames passed to the lifecycle ops must come from this session —
+    * the ops read conf from `df.sparkSession`.
     */
-  private def underManifestConf[T](f: => T): T = {
-    val key = "spark.graft.artifactStore"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "manifest")
-    try f finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+  private def manifestSession(): org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.graft.artifactStore", "manifest")
+    s
   }
 
   private def topDirs(root: String, prefix: String): Seq[String] =
@@ -68,11 +69,12 @@ class ManifestStoreSpec extends AnyFunSuite {
       assert(a.nonEmpty, s"$step returned no rows")
     }
 
-    // BUILD — conf picks the protocol only here
+    // BUILD — conf picks the protocol only here (child-session frame)
     Similarity.materializedIvfIndex(base, "vec_id", "embedding", cs, pPosix)
-    underManifestConf {
-      Similarity.materializedIvfIndex(base, "vec_id", "embedding", cs, pMani)
-    }
+    val sM = manifestSession()
+    val baseM = Tables.t(sM, sf, "embeddings")
+      .filter(col("vec_id") < 96 && pmod(col("vec_id"), lit(2L)) === 0)
+    Similarity.materializedIvfIndex(baseM, "vec_id", "embedding", cs, pMani)
     assert(ManifestArtifactStore.isManifestStore(pMani))
     assert(!ManifestArtifactStore.isManifestStore(pPosix))
     assert(topDirs(pMani, "gen-").size == 1, "build = one generation dir")
@@ -134,9 +136,10 @@ class ManifestStoreSpec extends AnyFunSuite {
     val cs = Similarity.trainKmeansCentroids(embs, "embedding", k = 2,
       iters = 1)
     val path = freshDir("ivf_seam_lease_v1")
-    underManifestConf {
-      Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cs, path)
-    }
+    val sM = manifestSession()
+    Similarity.materializedIvfIndex(
+      Tables.t(sM, sf, "embeddings").filter(col("vec_id") < 48),
+      "vec_id", "embedding", cs, path)
     Similarity.ivfTombstone(spark, path, "vec_id",
       embs.filter(col("vec_id") < 8).select("vec_id"))
     val holdMs = 3000L
@@ -173,76 +176,71 @@ class ManifestStoreSpec extends AnyFunSuite {
     val cs = Similarity.trainKmeansCentroids(embs, "embedding", k = 2,
       iters = 1)
     val path = freshDir("ivf_seam_capcas_v1")
-    underManifestConf {
-      Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cs, path)
+    val sM = manifestSession()
+    Similarity.materializedIvfIndex(
+      Tables.t(sM, sf, "embeddings").filter(col("vec_id") < 32),
+      "vec_id", "embedding", cs, path)
+    // the tightened cap lives on a CHILD session too — mutating the
+    // shared session's cap would make a parallel suite's ivfTombstone
+    // spuriously refuse (r17 review)
+    val sCap = spark.newSession()
+    sCap.conf.set("spark.graft.ivf.maxPendingTombstones", "3")
+    val embsCap = Tables.t(sCap, sf, "embeddings").filter(col("vec_id") < 32)
+    val admitted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val threads = (0 until 6).map { i =>
+      new Thread(() => {
+        try {
+          Similarity.ivfTombstone(sCap, path, "vec_id",
+            embsCap.filter(col("vec_id") === i.toLong).select("vec_id"))
+          admitted.incrementAndGet(); ()
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("tombstones already pending") =>
+            refused.incrementAndGet(); ()
+          case t: Throwable => err.set(t)
+        }
+      })
     }
-    val capKey = "spark.graft.ivf.maxPendingTombstones"
-    val prev = spark.conf.getOption(capKey)
-    spark.conf.set(capKey, "3")
-    try {
-      val admitted = new java.util.concurrent.atomic.AtomicInteger(0)
-      val refused = new java.util.concurrent.atomic.AtomicInteger(0)
-      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-      val threads = (0 until 6).map { i =>
-        new Thread(() => {
-          try {
-            Similarity.ivfTombstone(spark, path, "vec_id",
-              embs.filter(col("vec_id") === i.toLong).select("vec_id"))
-            admitted.incrementAndGet(); ()
-          } catch {
-            case e: IllegalArgumentException
-                if e.getMessage.contains("tombstones already pending") =>
-              refused.incrementAndGet(); ()
-            case t: Throwable => err.set(t)
-          }
-        })
-      }
-      threads.foreach(_.start()); threads.foreach(_.join())
-      assert(err.get() == null, s"unexpected failure: ${err.get()}")
-      // admission re-checks the COMMITTED manifest per CAS attempt, so
-      // with 1-row batches against cap 3 exactly 3 commit (pending
-      // 0, 1, 2) and the rest refuse — no overshoot, unlike a lock-free
-      // check-then-append
-      assert(admitted.get() == 3 && refused.get() == 3,
-        s"admitted ${admitted.get()}, refused ${refused.get()}")
-      assert(Similarity.pendingTombstoneRows(spark, path) == 3L)
-    } finally prev match {
-      case Some(v) => spark.conf.set(capKey, v)
-      case None    => spark.conf.unset(capKey)
-    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(err.get() == null, s"unexpected failure: ${err.get()}")
+    // admission re-checks the COMMITTED manifest per CAS attempt, so
+    // with 1-row batches against cap 3 exactly 3 commit (pending
+    // 0, 1, 2) and the rest refuse — no overshoot, unlike a lock-free
+    // check-then-append
+    assert(admitted.get() == 3 && refused.get() == 3,
+      s"admitted ${admitted.get()}, refused ${refused.get()}")
+    assert(Similarity.pendingTombstoneRows(spark, path) == 3L)
   }
 
   test("snapshot grace: a resolved snapshot survives one replace, expires after two") {
     import graft.operators.Dedup
     val docs = Tables.t(spark, sf, "documents").limit(64)
     val path = freshDir("span_seam_grace_v1")
-    underManifestConf {
-      Dedup.spanCountsIngest(docs, "doc_id", "text", k = 8, path)
-      Dedup.spanCountsIngest(docs, "doc_id", "text", k = 8, path)
-    }
+    val sM = manifestSession()
+    val docsM = Tables.t(sM, sf, "documents").limit(64)
+    Dedup.spanCountsIngest(docsM, "doc_id", "text", k = 8, path)
+    Dedup.spanCountsIngest(docsM, "doc_id", "text", k = 8, path)
     val store = ArtifactStore.forPath(spark, path)
     val snap1 = store.snapshot(spark, path)
     val n1 = ArtifactStore.readFrame(spark, snap1).count()
     assert(n1 > 0)
-    val graceKey = "spark.graft.artifact.gcGraceMs"
-    val prevGrace = spark.conf.getOption(graceKey)
-    spark.conf.set(graceKey, "0") // age grace off: test the REF grace alone
-    try {
-      // replace #1: snap1's segments are referenced by the PREVIOUS
-      // manifest — the one-generation grace — so the old snapshot still
-      // reads (this is what lets a lock-free reader finish mid-compact)
-      Dedup.spanCountsCompact(spark, path)
-      assert(ArtifactStore.readFrame(spark, snap1).count() == n1,
-        "snapshot must survive one replace (grace window)")
-      // replace #2: snap1 now referenced by NEITHER kept manifest — its
-      // directories are collected, exactly the documented expiry
-      Dedup.spanCountsCompact(spark, path)
-      assert(snap1.dataPaths.forall(p => !new java.io.File(p).exists()),
-        "two replaces past a snapshot must collect its directories")
-    } finally prevGrace match {
-      case Some(v) => spark.conf.set(graceKey, v)
-      case None    => spark.conf.unset(graceKey)
-    }
+    // age grace off on a CHILD session (gc reads the caller's conf):
+    // test the REFERENCE grace alone, without mutating the shared conf
+    val sG = spark.newSession()
+    sG.conf.set("spark.graft.artifact.gcGraceMs", "0")
+    // replace #1: snap1's segments are referenced by the PREVIOUS
+    // manifest — the one-generation grace — so the old snapshot still
+    // reads (this is what lets a lock-free reader finish mid-compact)
+    Dedup.spanCountsCompact(sG, path)
+    assert(ArtifactStore.readFrame(spark, snap1).count() == n1,
+      "snapshot must survive one replace (grace window)")
+    // replace #2: snap1 now referenced by NEITHER kept manifest — its
+    // directories are collected, exactly the documented expiry
+    Dedup.spanCountsCompact(sG, path)
+    assert(snap1.dataPaths.forall(p => !new java.io.File(p).exists()),
+      "two replaces past a snapshot must collect its directories")
   }
 
   test("span-count store serves identically through both protocols") {
@@ -251,9 +249,9 @@ class ManifestStoreSpec extends AnyFunSuite {
     val pPosix = freshDir("span_seam_posix_v1")
     val pMani = freshDir("span_seam_manifest_v1")
     for (_ <- 1 to 3) Dedup.spanCountsIngest(docs, "doc_id", "text", 8, pPosix)
-    underManifestConf {
-      for (_ <- 1 to 3) Dedup.spanCountsIngest(docs, "doc_id", "text", 8, pMani)
-    }
+    val sM = manifestSession()
+    val docsM = Tables.t(sM, sf, "documents").limit(128)
+    for (_ <- 1 to 3) Dedup.spanCountsIngest(docsM, "doc_id", "text", 8, pMani)
     assert(topDirs(pMani, "seg-").size == 3, "one segment per ingest batch")
     def serve(path: String): Seq[(Long, String, Long, Long)] =
       Dedup.spanDedupServe(docs, "doc_id", "text", path, k = 8, minCount = 3)

@@ -460,15 +460,15 @@ class MetadataViewsSpec extends AnyFunSuite {
     val pPosix = "/root/repo/target/indexes/ivf_register_posix_spec_v1"
     val pMani = "/root/repo/target/indexes/ivf_register_manifest_spec_v1"
     Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cents, pPosix)
-    val confKey = "spark.graft.artifactStore"
-    val prev = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "manifest")
-    try Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cents,
-      pMani)
-    finally prev match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None    => spark.conf.unset(confKey)
-    }
+    // manifest protocol on a CHILD session (conf isolation — parallel
+    // suites share the SparkContext; the ops read conf from the frame's
+    // session)
+    val sM = spark.newSession()
+    sM.conf.set("spark.graft.artifactStore", "manifest")
+    Similarity.materializedIvfIndex(
+      Tables.t(sM, sf, "embeddings").filter(
+        org.apache.spark.sql.functions.col("vec_id") < 64),
+      "vec_id", "embedding", cents, pMani)
     val parser = new graft.plans.GraftSqlParser(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.sqlParser)
