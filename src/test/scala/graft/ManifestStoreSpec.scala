@@ -214,6 +214,45 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(Similarity.pendingTombstoneRows(spark, path) == 3L)
   }
 
+  test("conditional PUT excludes across REAL processes: one winner per version, full content") {
+    // the manifest protocol's whole safety story reduces to one
+    // primitive — PUT-if-absent with atomic full content. Same-JVM
+    // threads cannot prove the OS-level claim (like flock for
+    // LockProbe), so four FRESH JVMs race the same version file with
+    // distinct contents: exactly one must win, and the visible file
+    // must carry the winner's content byte-for-byte (a torn or merged
+    // write would corrupt every reader's snapshot resolution)
+    val dir = new java.io.File("/root/repo/target/indexes/cas_probe_spec_v1")
+    if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    val target = new java.io.File(dir, "_manifest/v00000002.json").getPath
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    def src(c: Class[_]) = new java.io.File(
+      c.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+    val cp = Seq(src(graft.tools.CasProbe.getClass),
+      src(scala.Predef.getClass)).mkString(java.io.File.pathSeparator)
+    val contents = (0 until 4).map(i => s"""{"writer":$i,"pad":"${"x" * 4096}"}""")
+    val procs = contents.map { c =>
+      val pb = new ProcessBuilder(javaBin, "-cp", cp,
+        "graft.tools.CasProbe", target, c)
+      pb.redirectErrorStream(true)
+      pb.start()
+    }
+    val results = procs.map { p =>
+      assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS),
+        "CasProbe JVM did not finish")
+      new String(p.getInputStream.readAllBytes()).trim.linesIterator
+        .toSeq.last
+    }
+    assert(results.count(_ == "WON") == 1 &&
+      results.count(_ == "LOST") == 3, s"results: $results")
+    val winner = contents(results.indexOf("WON"))
+    val visible = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(target))
+    assert(visible == winner,
+      "the visible version file must be the winner's FULL content")
+  }
+
   test("snapshot grace: a resolved snapshot survives one replace, expires after two") {
     import graft.operators.Dedup
     val docs = Tables.t(spark, sf, "documents").limit(64)
