@@ -131,6 +131,37 @@ class ManifestStoreSpec extends AnyFunSuite {
       "full-probe manifest serve must equal brute force over kept rows")
   }
 
+  test("layout sniff beats session conf in BOTH directions") {
+    // the conf chooses the protocol only for CREATION; an existing
+    // store's own layout governs every later op, whatever the session
+    // says — one session must serve mixed-protocol estates
+    import graft.operators.Dedup
+    val docs = Tables.t(spark, sf, "documents").limit(32)
+    val pPosix = freshDir("span_sniff_posix_v1")
+    Dedup.spanCountsIngest(docs, "doc_id", "text", k = 8, pPosix) // posix
+    val sM = manifestSession()
+    val pMani = freshDir("span_sniff_manifest_v1")
+    Dedup.spanCountsIngest(Tables.t(sM, sf, "documents").limit(32),
+      "doc_id", "text", k = 8, pMani) // manifest
+    // read the POSIX store from the manifest-conf session: sniff → posix
+    assert(ArtifactStore.forPath(sM, pPosix) eq
+      graft.operators.PosixArtifactStore)
+    assert(ArtifactStore.readFrame(sM,
+      ArtifactStore.forPath(sM, pPosix).snapshot(sM, pPosix)).count() > 0)
+    // read the manifest store from the default-conf session: sniff wins
+    assert(ArtifactStore.forPath(spark, pMani) eq
+      graft.operators.ManifestArtifactStore)
+    // and a MAINTENANCE op from the "wrong" session keeps the protocol:
+    // a manifest-conf compact of the posix store must not leave a
+    // _manifest dir, and vice versa
+    Dedup.spanCountsCompact(sM, pPosix)
+    assert(!ManifestArtifactStore.isManifestStore(pPosix),
+      "compacting a POSIX store from a manifest-conf session must not " +
+        "convert it")
+    Dedup.spanCountsCompact(spark, pMani)
+    assert(ManifestArtifactStore.isManifestStore(pMani))
+  }
+
   test("manifest lease excludes a second PROCESS: compact blocks behind a foreign holder") {
     val embs = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 48)
     val cs = Similarity.trainKmeansCentroids(embs, "embedding", k = 2,
