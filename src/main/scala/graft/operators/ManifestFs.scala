@@ -1,0 +1,324 @@
+package graft.operators
+
+/** One listing entry of a store directory — the narrow view every
+  * [[ManifestArtifactStore]] primitive needs (GC wants mtime, the
+  * pressure probes want size).
+  */
+private[graft] final case class FsEntry(
+    name: String, isDir: Boolean, mtimeMs: Long, sizeBytes: Long)
+
+/** The storage primitives of the manifest (object-store) artifact
+  * protocol, as a binding seam (r17 verdict item 1): everything
+  * [[ManifestArtifactStore]] touches on disk goes through exactly these
+  * eleven operations, so the protocol runs unchanged on
+  *
+  *   - [[LocalManifestFs]] — plain local paths via `java.nio`, with the
+  *     conditional PUT emulated by ATOMIC hard-link creation and the
+  *     conditional DELETE / conditional REPLACE serialized under a flock
+  *     sibling (the mechanics proven cross-process by `CasProbe` /
+  *     `LeaseProbe`);
+  *   - [[HadoopManifestFs]] — `scheme://` URIs via
+  *     `org.apache.hadoop.fs.FileSystem` resolved from the path. For the
+  *     `file:` scheme the three CAS primitives delegate to the SAME local
+  *     hard-link/flock emulation (resolved to the local path), because
+  *     Hadoop's `RawLocalFileSystem.rename` overwrites an existing
+  *     destination — it cannot carry the claim. For `hdfs:`-class schemes
+  *     the conditional PUT is create-no-overwrite at the NameNode,
+  *     carried as stage-then-`rename` so the CONTENT becomes visible
+  *     atomically with the claim (a bare `create(p, overwrite = false)` +
+  *     write would expose a zero-length manifest to a concurrent reader
+  *     between create and close; `FileSystem.rename` fails when the
+  *     destination exists — the same atomic claim — and lands the full
+  *     staged file). S3/GCS caveat, stated where the deployment decides:
+  *     plain S3A `rename` is a non-atomic copy, so an S3 deployment needs
+  *     S3 conditional writes (`If-None-Match`, exposed by recent S3A) or
+  *     an external commit coordinator; GCS has `ifGenerationMatch=0`
+  *     natively. The conditional DELETE / REPLACE used by the maintenance
+  *     lease are read-compare-then-act on non-`file:` schemes (HDFS has
+  *     no compare-and-delete) — emulation-grade, acceptable because lease
+  *     RENEWAL keeps a live holder's lease unexpired, so steals only
+  *     target dead holders and the compare race needs two stealers inside
+  *     one read-act window of each other; S3/GCS deployments should bind
+  *     these two to the store's native conditional mutations.
+  *
+  * Resolution is by path shape ([[ManifestFs.forPath]]): a URI scheme
+  * selects the Hadoop binding, a bare path the local one. The POSIX
+  * artifact protocol never routes through this seam — flock and atomic
+  * in-place rename don't exist through an FS URI, which is exactly why
+  * URI-rooted stores are manifest-protocol only
+  * ([[ArtifactStore.forPath]]).
+  */
+private[graft] trait ManifestFs {
+  def child(base: String, name: String): String
+  def isDir(path: String): Boolean
+  def isFile(path: String): Boolean
+  def mkdirs(path: String): Unit
+
+  /** Entries of `dir`; Nil when `dir` does not exist. */
+  def list(dir: String): Seq[FsEntry]
+
+  /** Full content; throws a `java.io.IOException` subclass when missing
+    * (`NoSuchFileException` locally, `FileNotFoundException` on Hadoop).
+    */
+  def readString(path: String): String
+
+  /** Delete one file; missing is not an error. */
+  def delete(path: String): Unit
+
+  /** Recursive delete; missing is not an error. */
+  def rmTree(path: String): Unit
+
+  /** The conditional PUT: publish `content` at `path` iff nothing exists
+    * there, atomically and with full content — true iff this caller won.
+    */
+  def putIfAbsent(path: String, content: String): Boolean
+
+  /** The conditional DELETE: remove `path` iff its content still equals
+    * `expected` (lease steal / release — never removes a fresh re-claim).
+    */
+  def deleteIfContent(path: String, expected: String): Unit
+
+  /** The conditional REPLACE: swap `path`'s content to `next` iff it
+    * still equals `expected` (lease renewal) — true iff swapped.
+    */
+  def replaceIfContent(path: String, expected: String,
+                       next: String): Boolean
+}
+
+private[graft] object ManifestFs {
+
+  /** `scheme://...` (or `scheme:/...`) paths route to the Hadoop
+    * binding; bare paths to the local one.
+    */
+  def hasScheme(path: String): Boolean =
+    path.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")
+
+  def forPath(path: String): ManifestFs =
+    if (hasScheme(path)) HadoopManifestFs else LocalManifestFs
+}
+
+/** Local-path binding: `java.nio` + the hard-link / flock emulation of
+  * the three conditional primitives (see [[ManifestFs]]).
+  */
+private[graft] object LocalManifestFs extends ManifestFs {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  override def child(base: String, name: String): String =
+    new java.io.File(base, name).getPath
+
+  override def isDir(path: String): Boolean =
+    new java.io.File(path).isDirectory
+
+  override def isFile(path: String): Boolean =
+    new java.io.File(path).isFile
+
+  override def mkdirs(path: String): Unit = {
+    Files.createDirectories(Paths.get(path)); ()
+  }
+
+  override def list(dir: String): Seq[FsEntry] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .map(f => FsEntry(f.getName, f.isDirectory, f.lastModified(),
+        f.length()))
+
+  override def readString(path: String): String =
+    Files.readString(Paths.get(path))
+
+  override def delete(path: String): Unit = {
+    Files.deleteIfExists(Paths.get(path)); ()
+  }
+
+  override def rmTree(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+    }
+    rec(new java.io.File(path))
+  }
+
+  /** Write the full content to a sibling temp file, then ATOMICALLY
+    * claim the target name with a hard link (`Files.createLink` fails
+    * with `FileAlreadyExists` when the target exists, and links the FULL
+    * content in one atomic step — a plain CREATE_NEW write would expose
+    * partially-written manifests to readers).
+    */
+  override def putIfAbsent(path: String, content: String): Boolean = {
+    val target = Paths.get(path)
+    Files.createDirectories(target.getParent)
+    val tmp = target.getParent
+      .resolve(s"tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, content)
+    try { Files.createLink(target, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** Compare+delete serialized under a flock sibling — emulation
+    * machinery, not part of the protocol (S3/GCS provide the conditional
+    * delete natively; see [[ManifestFs]]).
+    */
+  override def deleteIfContent(path: String, expected: String): Unit =
+    Artifacts.withProcessLock(path + ".steal.lock") {
+      val still =
+        try readString(path) == expected
+        catch { case _: java.io.IOException => false } // already gone
+      if (still) delete(path)
+    }
+
+  /** Compare+atomic-move under the SAME flock as the conditional delete,
+    * so a renewal and a steal of one lease serialize locally.
+    */
+  override def replaceIfContent(path: String, expected: String,
+                                next: String): Boolean =
+    Artifacts.withProcessLock(path + ".steal.lock") {
+      val still =
+        try readString(path) == expected
+        catch { case _: java.io.IOException => false }
+      if (still) {
+        val target = Paths.get(path)
+        val tmp = target.getParent
+          .resolve(s"tmp-${java.util.UUID.randomUUID()}")
+        Files.writeString(tmp, next)
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+      still
+    }
+}
+
+/** `org.apache.hadoop.fs.FileSystem` binding for URI-rooted stores
+  * (r17 verdict item 1). Scheme-by-scheme CAS safety is documented on
+  * [[ManifestFs]]; the README knob table repeats it where operators
+  * look.
+  */
+private[graft] object HadoopManifestFs extends ManifestFs {
+  import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
+  private def conf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsOf(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(conf), p)
+  }
+
+  private def isLocalScheme(path: String): Boolean =
+    new Path(path).toUri.getScheme == "file"
+
+  private def localPath(path: String): String =
+    new Path(path).toUri.getPath
+
+  override def child(base: String, name: String): String =
+    new Path(base, name).toString
+
+  override def isDir(path: String): Boolean = {
+    val (fs, p) = fsOf(path)
+    try fs.getFileStatus(p).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  override def isFile(path: String): Boolean = {
+    val (fs, p) = fsOf(path)
+    try fs.getFileStatus(p).isFile
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  override def mkdirs(path: String): Unit = {
+    val (fs, p) = fsOf(path); fs.mkdirs(p); ()
+  }
+
+  override def list(dir: String): Seq[FsEntry] = {
+    val (fs, p) = fsOf(dir)
+    try fs.listStatus(p).toSeq.map(st =>
+      FsEntry(st.getPath.getName, st.isDirectory, st.getModificationTime,
+        st.getLen))
+    catch { case _: java.io.FileNotFoundException => Nil }
+  }
+
+  override def readString(path: String): String = {
+    val (fs, p) = fsOf(path)
+    val in = fs.open(p) // FileNotFoundException when missing
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  override def delete(path: String): Unit = {
+    val (fs, p) = fsOf(path); fs.delete(p, false); ()
+  }
+
+  override def rmTree(path: String): Unit = {
+    val (fs, p) = fsOf(path); fs.delete(p, true); ()
+  }
+
+  /** `file:` → the local hard-link emulation (RawLocalFileSystem.rename
+    * overwrites, so it cannot carry the claim). Other schemes: stage the
+    * full content, then claim by `FileSystem.rename` — on HDFS the
+    * rename is the NameNode's create-no-overwrite (fails when the
+    * destination exists) AND makes the content visible atomically with
+    * the claim, closing the torn-read window a bare
+    * `create(p, overwrite=false)` + write would leave.
+    */
+  override def putIfAbsent(path: String, content: String): Boolean =
+    if (isLocalScheme(path))
+      LocalManifestFs.putIfAbsent(localPath(path), content)
+    else {
+      val (fs, p) = fsOf(path)
+      fs.mkdirs(p.getParent)
+      if (fs.exists(p)) false // cheap pre-check; the rename decides
+      else {
+        val tmp = new Path(p.getParent,
+          s"tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, false)
+        try out.write(content.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        try {
+          if (fs.rename(tmp, p)) true
+          else if (fs.exists(p)) false // lost the claim
+          else throw new java.io.IOException(
+            s"rename to $p failed without a competing object — " +
+              "cannot distinguish a lost CAS from an FS fault")
+        } finally { if (fs.exists(tmp)) { fs.delete(tmp, false); () } }
+      }
+    }
+
+  override def deleteIfContent(path: String, expected: String): Unit =
+    if (isLocalScheme(path))
+      LocalManifestFs.deleteIfContent(localPath(path), expected)
+    else {
+      // read-compare-then-delete: emulation-grade on HDFS (no native
+      // compare-and-delete); safe in practice because lease renewal
+      // keeps live holders unexpired — see [[ManifestFs]]
+      val still =
+        try readString(path) == expected
+        catch { case _: java.io.IOException => false }
+      if (still) { val (fs, p) = fsOf(path); fs.delete(p, false); () }
+    }
+
+  override def replaceIfContent(path: String, expected: String,
+                                next: String): Boolean =
+    if (isLocalScheme(path))
+      LocalManifestFs.replaceIfContent(localPath(path), expected, next)
+    else {
+      val still =
+        try readString(path) == expected
+        catch { case _: java.io.IOException => false }
+      if (still) {
+        val (fs, p) = fsOf(path)
+        val tmp = new Path(p.getParent,
+          s"tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, false)
+        try out.write(next.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        // FileContext.rename OVERWRITE: atomic on HDFS
+        FileContext.getFileContext(p.toUri, conf)
+          .rename(tmp, p, Options.Rename.OVERWRITE)
+      }
+      still
+    }
+}

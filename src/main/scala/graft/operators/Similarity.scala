@@ -232,7 +232,7 @@ object Similarity {
     */
   private def maintenanceLocked[T](spark: org.apache.spark.sql.SparkSession,
                                    path: String)(f: => T): T =
-    ArtifactStore.forPath(spark, path).maintenanceLocked(path)(f)
+    ArtifactStore.forPath(spark, path).maintenanceLocked(spark, path)(f)
 
   def materializedIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                            centroids: Seq[Seq[Double]],
@@ -494,21 +494,29 @@ object Similarity {
     // bucket directories aggregated BY BUCKET VALUE across the snapshot's
     // data paths: a manifest store's appends live in separate segment
     // dirs, but a probe of bucket b opens b's files across ALL of them —
-    // files-per-bucket and the hot share must count that union
+    // files-per-bucket and the hot share must count that union. Listing
+    // through ManifestFs so URI-rooted stores (file:///, hdfs://) report
+    // pressure exactly like local ones.
     val byBucket = snap.dataPaths
-      .flatMap(dp => Option(new java.io.File(dp).listFiles()).toSeq.flatten)
-      .filter(f => f.isDirectory && f.getName.startsWith("g_ivf_bucket="))
-      .groupBy(_.getName)
-    val files = byBucket.values.toSeq.map(_.flatMap(d =>
-      Option(d.listFiles()).toSeq.flatten
-        .filter(f => f.getName.endsWith(".parquet") &&
-          !f.getName.startsWith("_") && !f.getName.startsWith("."))))
+      .flatMap { dp =>
+        val mfs = ManifestFs.forPath(dp)
+        mfs.list(dp).filter(e => e.isDir &&
+            e.name.startsWith("g_ivf_bucket="))
+          .map(e => (e.name, mfs.child(dp, e.name), mfs))
+      }
+      .groupBy(_._1)
+    val files = byBucket.values.toSeq.map(_.flatMap { case (_, bp, mfs) =>
+      mfs.list(bp)
+        .filter(e => !e.isDir && e.name.endsWith(".parquet") &&
+          !e.name.startsWith("_") && !e.name.startsWith("."))
+        .map(e => (mfs.child(bp, e.name), e.sizeBytes))
+    })
     val maxFiles = files.map(_.size).maxOption.getOrElse(0)
     val perBucket =
       if (files.map(_.size).sum > footerCap)
-        files.map(_.map(_.length()).sum) // bytes: zero extra I/O
-      else files.map(_.map(
-        ArtifactStore.footerRecordCount(_, conf)).sum)
+        files.map(_.map(_._2).sum) // bytes: zero extra I/O
+      else files.map(_.map(f =>
+        ArtifactStore.footerRecordCount(f._1, conf)).sum)
     val total = perBucket.sum
     val hotShare =
       if (byBucket.isEmpty || total <= 0L) -1.0
