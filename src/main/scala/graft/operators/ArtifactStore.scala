@@ -658,11 +658,17 @@ object ManifestArtifactStore extends ArtifactStore {
   private def acquireLease(root: String, leaseMs: Long): String = {
     val f = fs(root)
     val lf = leasePath(root)
-    f.mkdirs(manifestDir(root))
     val mine = java.util.UUID.randomUUID().toString
     while (true) {
       val content = s"$mine ${System.currentTimeMillis() + leaseMs}"
-      if (f.putIfAbsent(lf, content)) return mine
+      // putIfAbsent creates the parent dirs itself; a concurrent failed
+      // op's leave-no-trace cleanup (releaseLease) can remove the empty
+      // _manifest dir mid-claim — surfaces as a missing-path fault here,
+      // and the claim simply retries (r18 review pass 1)
+      val won =
+        try f.putIfAbsent(lf, content)
+        catch { case t if isMissing(t) => false }
+      if (won) return mine
       val observed =
         try Some(f.readString(lf))
         catch { case t if isMissing(t) => None } // vanished: retry
@@ -680,12 +686,35 @@ object ManifestArtifactStore extends ArtifactStore {
     val f = fs(root)
     val lf = leasePath(root)
     // release only OUR lease, conditionally like the steal: an expired
-    // holder's late release must not delete a stealer's fresh claim
+    // holder's late release must not delete a stealer's fresh claim.
+    // The heartbeat is JOINED before this runs, so no renewal can land
+    // between the read and the conditional delete (r18 review pass 1 —
+    // an interleaved renewal would orphan a freshly-extended lease and
+    // block all maintenance for up to leaseMs)
     val observed =
       try Some(f.readString(lf))
       catch { case t if isMissing(t) => None }
     observed.filter(_.startsWith(id + " "))
       .foreach(c => f.deleteIfContent(lf, c))
+    // leave no trace on a never-built path (r18 review pass 1): a
+    // failed op whose body never published (requireStore threw) must
+    // not leave a _manifest/ holding only lock residue — it would
+    // durably flip forPath's layout sniff for every later op on the
+    // path. Version files, pins or a fresh foreign lease make the
+    // listing non-empty and skip this; flock files are residue (the OS
+    // releases a crashed holder's lock, the FILE is never cleaned —
+    // Artifacts.withProcessLock), safe to remove because every
+    // conditional delete/replace compares FULL content incl. a fresh
+    // UUID, so a lock split across inodes cannot admit a stale compare.
+    try {
+      val d = manifestDir(root)
+      val entries = f.list(d)
+      if (entries.forall(_.name.endsWith(".steal.lock"))) {
+        entries.foreach(e => f.delete(f.child(d, e.name)))
+        f.delete(d)
+        if (f.list(root).isEmpty) f.delete(root)
+      }
+    } catch { case _: java.io.IOException => () } // raced a claim: keep
   }
 
   /** Renew the held lease every `leaseMs / 3` so a LIVE holder is never
@@ -714,7 +743,13 @@ object ManifestArtifactStore extends ArtifactStore {
               f.replaceIfContent(lf, c,
                 s"$id ${System.currentTimeMillis() + leaseMs}")
               ()
-            case _ => st.stolen = true; live = false
+            case _ =>
+              // mark stolen only while OUR id is still the held one: a
+              // stale heartbeat outliving its hold (it is also joined at
+              // release — belt and braces) must never flag the NEXT
+              // holder's fresh claim as stolen (r18 review pass 1)
+              st.synchronized { if (st.id == id) st.stolen = true }
+              live = false
           }
         } catch {
           // a transient FS fault must not kill the heartbeat — the next
@@ -783,13 +818,26 @@ object ManifestArtifactStore extends ArtifactStore {
         throw t
       }
     }
-    try f finally st.synchronized {
-      st.depth -= 1
-      if (st.depth == 0) {
+    try f finally {
+      val lastExit = st.synchronized { st.depth -= 1; st.depth == 0 }
+      if (lastExit) {
+        val (hb, id) = st.synchronized { (st.heartbeat, st.id) }
         try {
-          if (st.heartbeat != null) st.heartbeat.interrupt()
-          releaseLease(root, st.id)
-        } finally {
+          if (hb != null) {
+            // interrupt AND JOIN before releasing: a renewal landing
+            // between releaseLease's read and its conditional delete
+            // would orphan a freshly-extended lease — blocking all
+            // maintenance on the store for up to leaseMs — and a stale
+            // heartbeat could outlive this hold into the next one (r18
+            // review pass 1). The renewal body is bounded (one tiny
+            // read + conditional replace) so the join is too; it runs
+            // OUTSIDE st's monitor, which the heartbeat's stolen-guard
+            // takes.
+            hb.interrupt()
+            hb.join(30000)
+          }
+          releaseLease(root, id)
+        } finally st.synchronized {
           st.holder = null; st.id = null; st.heartbeat = null
           st.stolen = false; st.notifyAll()
         }

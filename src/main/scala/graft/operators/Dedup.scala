@@ -174,6 +174,31 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
+  // release-note-style warning for the r17 default flip of maxShingleDf
+  // from None (uncapped) to Some(1000) — a silent result-set change for
+  // callers relying on the old default; pairs related ONLY through
+  // over-cap boilerplate shingles now drop (r18 ADVICE: keep the
+  // measured default, surface it loudly). Once per JVM PER ENTRY POINT,
+  // so a pipeline touching only the delta path post-warmup still sees
+  // its notice. (An EXPLICIT Some(1000) is indistinguishable from the
+  // default at runtime — the message states the semantics, which hold
+  // either way.)
+  private val warnedShingleCap =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def warnShingleCapDefault(entryPoint: String): Unit =
+    if (warnedShingleCap.add(entryPoint))
+      org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup").warn(
+        s"$entryPoint runs with maxShingleDf = Some(1000) — the default " +
+          "since r17 (previously uncapped): document pairs related only " +
+          "through shingles shared by >1000 documents are dropped, and " +
+          "a near-duplicate whose overlap is mostly such boilerplate " +
+          "can fall below the threshold. Pass maxShingleDf = None to " +
+          "restore the uncapped build (measured 5.4x wall and a " +
+          "1.80/decade candidate-volume exponent on a shared-vocabulary " +
+          "corpus), or strip boilerplate first (Dedup.spanDedup). " +
+          "See MIGRATION.md.")
+
   /** Exact n-gram Jaccard near-duplicate pairs WITHOUT LSH: an inverted-
     * index equi-join on the shingle yields one row per *shared* shingle, so
     * `|A ∩ B|` is just the pair's row count and
@@ -206,28 +231,6 @@ object Dedup {
     * is inert there and gate results are bit-identical to the uncapped
     * build.
     */
-  /** Once-per-JVM release-note-style warning for the r17 default flip of
-    * `maxShingleDf` from None (uncapped) to Some(1000): a silent
-    * result-set change for callers relying on the old default — pairs
-    * related ONLY through over-cap boilerplate shingles now drop (r18
-    * ADVICE: keep the measured default, surface it loudly).
-    */
-  private val warnedShingleCapDefault =
-    new java.util.concurrent.atomic.AtomicBoolean(false)
-
-  private def warnShingleCapDefault(entryPoint: String): Unit =
-    if (warnedShingleCapDefault.compareAndSet(false, true))
-      org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup").warn(
-        s"$entryPoint runs with maxShingleDf = Some(1000) — the DEFAULT " +
-          "CHANGED (previously uncapped): document pairs related only " +
-          "through shingles shared by >1000 documents are dropped, and " +
-          "a near-duplicate whose overlap is mostly such boilerplate " +
-          "can fall below the threshold. Pass maxShingleDf = None to " +
-          "restore the uncapped build (measured 5.4x wall and a " +
-          "1.80/decade candidate-volume exponent on a shared-vocabulary " +
-          "corpus), or strip boilerplate first (Dedup.spanDedup). " +
-          "See MIGRATION.md.")
-
   def ngramJaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
                            threshold: Double, shingleK: Int = 3,
                            maxShingleDf: Option[Int] = Some(1000)): DataFrame = {

@@ -487,8 +487,9 @@ object Similarity {
     // generation instead of racing a mutation between two resolutions
     val snap = resolved.getOrElse(
       try ArtifactStore.forPath(spark, path).snapshot(spark, path)
-      catch { // a registered store that vanished mid-advise: no pressure
-        case _: IllegalStateException => return (0L, 0, 0, -1.0)
+      catch { // a vanished store OR a URI store's transient FS fault:
+        // no pressure for this row, never an aborted ADVISE (r18 review)
+        case scala.util.control.NonFatal(_) => return (0L, 0, 0, -1.0)
       })
     val pending = ArtifactStore.footerRows(spark, snap.tombstonePaths)
     // bucket directories aggregated BY BUCKET VALUE across the snapshot's

@@ -335,7 +335,11 @@ case class AdviseGraftMaintenanceCommand() extends LeafRunnableCommand {
         // the compact advice would never fire (r17 review)
         val files = (try graft.operators.ArtifactStore
             .forPath(spark, path).snapshot(spark, path).dataPaths
-          catch { case _: IllegalStateException => Seq.empty[String] })
+          // NonFatal, not just vanished-store ISE: a URI-rooted store's
+          // transient FS fault must degrade THIS row, never abort the
+          // whole ADVISE statement (r18 review pass 1 — same contract
+          // as the graft_artifacts view)
+          catch { case scala.util.control.NonFatal(_) => Seq.empty[String] })
           .flatMap(graft.operators.ArtifactStore.parquetFilesUnder).size
         val advice =
           if (files < spanFilesAt) ""

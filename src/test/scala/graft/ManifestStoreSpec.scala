@@ -542,6 +542,26 @@ class ManifestStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("a failed op on a never-built path leaves no trace — the sniff cannot flip") {
+    // r18 review pass 1: acquiring the lease materializes _manifest/
+    // before the body can vet store existence, so a failed compact of a
+    // never-built path used to leave an empty _manifest (sniff flips to
+    // manifest for every later op) or at least a root dir (a fresh
+    // posix-conf creation would sniff-flip to posix). The release now
+    // cleans lock residue off a never-published store.
+    val path = freshDir("never_built_noop_v1")
+    val sM = manifestSession()
+    intercept[IllegalStateException] {
+      Similarity.ivfCompact(sM, path) // requireStore throws inside
+    }
+    assert(!new java.io.File(path).exists(),
+      "a failed op must not leave a root dir behind")
+    // creation at that path afterwards still follows the session conf
+    assert(ArtifactStore.forPath(spark, path) eq
+      graft.operators.PosixArtifactStore)
+    assert(ArtifactStore.forPath(sM, path) eq ManifestArtifactStore)
+  }
+
   test("leaseMs reads the CALLER session's conf, not SparkSession.active") {
     // r18 ADVICE: a conf-isolated child session's leaseMs must govern
     // its own maintenance ops, exactly like gcGraceMs — the lease file's
