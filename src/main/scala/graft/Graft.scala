@@ -189,7 +189,9 @@ object Graft {
         // the whole metadata-view registration (r18 ADVICE)
         try Some(graft.operators.ArtifactStore.forPath(spark, path)
           .snapshot(spark, path))
-        catch { case scala.util.control.NonFatal(_) => None }
+        catch { case scala.util.control.NonFatal(t) =>
+          graft.operators.ArtifactStore.warnDegraded(path, t); None
+        }
       val (files, rows, bytes) = snap.map(_.dataPaths).getOrElse(Seq(path))
         .map(dp => org.apache.spark.sql.graft.ScanBytes.dirCost(spark, dp,
           footerCap = 64))

@@ -236,6 +236,21 @@ object ArtifactStore {
     val conf = spark.sparkContext.hadoopConfiguration
     paths.flatMap(parquetFilesUnder).map(footerRecordCount(_, conf)).sum
   }
+
+  /** Once-per-path notice when a metadata surface (graft_artifacts /
+    * ADVISE pressure rows) degrades a store's row on a NonFatal fault —
+    * degrading per-row is the contract, but a PERSISTENTLY broken store
+    * (corrupt manifest, wrong permissions, misconfigured URI) must be
+    * distinguishable from a vanished one in the logs (r18 review pass 2).
+    */
+  private val degradeWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def warnDegraded(path: String, t: Throwable): Unit =
+    if (degradeWarned.add(path))
+      org.slf4j.LoggerFactory.getLogger("graft.operators.ArtifactStore")
+        .warn(s"artifact store at $path failed to snapshot — its " +
+          "metadata row degrades (raw-path sizes / no pressure / no " +
+          s"advice) until the fault clears; once-per-path notice: $t")
 }
 
 /** The default protocol: [[Artifacts]]' flock + atomic-rename mechanics
@@ -619,18 +634,35 @@ object ManifestArtifactStore extends ArtifactStore {
     var id: String = null
     var heartbeat: Thread = null
     @volatile var stolen = false
+    // set before the release when the heartbeat could not be joined (a
+    // wedged FS call): the heartbeat checks it before every renewal so
+    // an un-wedged late beat cannot resurrect a released lease
+    @volatile var released = false
   }
+
+  private val log =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.ManifestArtifactStore")
   private val leases =
     new java.util.concurrent.ConcurrentHashMap[String, LeaseState]()
 
-  /** In-JVM monitor key. Two spellings of one local store (`/x` vs
-    * `file:///x`) normalize to DIFFERENT keys — they queue on different
-    * monitors but still exclude correctly at the lease CAS itself; the
-    * monitor is a same-JVM fast path, not the safety.
+  /** In-JVM monitor + re-entrancy key. `file:///x` normalizes to the
+    * SAME key as `/x` (r18 review pass 2): the two spellings share one
+    * on-disk lease file (the file-scheme CAS routes to the local path),
+    * so if they took different keys a nested call addressed by the other
+    * spelling would miss the re-entrancy check and spin forever against
+    * its own heartbeat-renewed lease. Distinct non-file URIs of one
+    * store (hdfs with/without an explicit port) remain distinct keys —
+    * they still exclude correctly at the lease CAS, just without the
+    * same-JVM fast path, and a self-nested call across such spellings is
+    * a caller error the lease cannot detect.
     */
   private def normKey(root: String): String =
-    if (ManifestFs.hasScheme(root))
-      new org.apache.hadoop.fs.Path(root).toString
+    if (ManifestFs.hasScheme(root)) {
+      val u = new org.apache.hadoop.fs.Path(root).toUri
+      if (u.getScheme == "file")
+        java.nio.file.Paths.get(u.getPath).toAbsolutePath.normalize().toString
+      else new org.apache.hadoop.fs.Path(root).toString
+    }
     else java.nio.file.Paths.get(root).toAbsolutePath.normalize().toString
 
   private def leasePath(root: String): String =
@@ -706,10 +738,15 @@ object ManifestArtifactStore extends ArtifactStore {
     // Artifacts.withProcessLock), safe to remove because every
     // conditional delete/replace compares FULL content incl. a fresh
     // UUID, so a lock split across inodes cannot admit a stale compare.
+    // GUARD (r18 review pass 2): only when the ROOT holds nothing but
+    // _manifest — a failed FIRST build leaves its gen- staging dir, and
+    // removing _manifest then would flip the retry to the POSIX
+    // protocol over a root still holding manifest staging.
     try {
       val d = manifestDir(root)
       val entries = f.list(d)
-      if (entries.forall(_.name.endsWith(".steal.lock"))) {
+      if (entries.forall(_.name.endsWith(".steal.lock")) &&
+          f.list(root).forall(_.name == "_manifest")) {
         entries.foreach(e => f.delete(f.child(d, e.name)))
         f.delete(d)
         if (f.list(root).isEmpty) f.delete(root)
@@ -734,6 +771,7 @@ object ManifestArtifactStore extends ArtifactStore {
       while (live) {
         try Thread.sleep(math.max(50L, leaseMs / 3))
         catch { case _: InterruptedException => live = false }
+        if (st.released) live = false // late beat must not resurrect
         if (live) try {
           val observed =
             try Some(f.readString(lf))
@@ -752,9 +790,13 @@ object ManifestArtifactStore extends ArtifactStore {
               live = false
           }
         } catch {
-          // a transient FS fault must not kill the heartbeat — the next
-          // beat retries; the lease survives leaseMs of such faults
-          case _: java.io.IOException => ()
+          // NO fault may kill the heartbeat silently (r18 review pass
+          // 2: a URI binding can surface RuntimeExceptions, and a dead
+          // renewal thread means the lease expires mid-body with
+          // nothing in the logs) — log and let the next beat retry; the
+          // lease survives leaseMs of consecutive faults
+          case scala.util.control.NonFatal(t) =>
+            log.warn(s"lease renewal for $root failed (will retry): $t")
         }
       }
     })
@@ -811,7 +853,7 @@ object ManifestArtifactStore extends ArtifactStore {
     if (firstEntry) {
       try {
         val id = acquireLease(root, leaseMs)
-        st.synchronized { st.id = id; st.stolen = false }
+        st.synchronized { st.id = id; st.stolen = false; st.released = false }
         st.heartbeat = startHeartbeat(root, st, id, leaseMs)
       } catch { case t: Throwable =>
         st.synchronized { st.holder = null; st.depth = 0; st.notifyAll() }
@@ -832,14 +874,23 @@ object ManifestArtifactStore extends ArtifactStore {
             // review pass 1). The renewal body is bounded (one tiny
             // read + conditional replace) so the join is too; it runs
             // OUTSIDE st's monitor, which the heartbeat's stolen-guard
-            // takes.
+            // takes. If the heartbeat is wedged in a hung FS call past
+            // the join bound, the released flag stops any un-wedged
+            // late beat from renewing, and the worst case is one
+            // orphaned lease that expires after leaseMs — logged, so
+            // the bounded outage is diagnosable (r18 review pass 2).
+            st.released = true
             hb.interrupt()
             hb.join(30000)
+            if (hb.isAlive)
+              log.warn(s"lease heartbeat for $root did not stop within " +
+                "30 s (wedged FS call?) — releasing anyway; a late " +
+                "renewal may orphan the lease until leaseMs expiry")
           }
           releaseLease(root, id)
         } finally st.synchronized {
           st.holder = null; st.id = null; st.heartbeat = null
-          st.stolen = false; st.notifyAll()
+          st.stolen = false; st.released = false; st.notifyAll()
         }
       }
     }
@@ -1021,30 +1072,36 @@ object ManifestArtifactStore extends ArtifactStore {
       .toLong
     val f = fs(root)
     val d = manifestDir(root)
-    // referenced-by-manifest set, re-listed if a top file vanishes
-    // between listing and read (same bounded retry as current())
+    val now = System.currentTimeMillis()
+    // ONE listing serves both the manifest-reference set and the pin
+    // pass (r18 review pass 2: two listStatus round-trips per GC on a
+    // remote store, reading versions and pins at two instants), re-taken
+    // if a top file vanishes between listing and read (same bounded
+    // retry as current()). Pin deletion is idempotent across retries.
     var attempt = 0
     var referenced: Set[String] = null
     while (referenced == null) {
-      try referenced = f.list(d).flatMap(e => versionOf(e.name)).sorted
-        .takeRight(2)
-        .flatMap { v =>
-          val m = parse(f.readString(f.child(d, versionName(v))))
-          m.segments ++ m.tombstones
-        }.toSet
-      catch { case t if isMissing(t) && attempt < 5 => attempt += 1 }
-    }
-    val now = System.currentTimeMillis()
-    f.list(d).filter(_.name.matches(PinName)).foreach { e =>
-      val p = f.child(d, e.name)
-      val content =
-        try Some(f.readString(p))
-        catch { case t if isMissing(t) => None } // unpinned mid-gc
-      content.foreach { c =>
-        val (expiresAt, refs) = parsePin(c)
-        if (expiresAt < now) f.delete(p) // expired with its protection
-        else referenced ++= refs
-      }
+      try {
+        val entries = f.list(d)
+        val fromManifests = entries.flatMap(e => versionOf(e.name)).sorted
+          .takeRight(2)
+          .flatMap { v =>
+            val m = parse(f.readString(f.child(d, versionName(v))))
+            m.segments ++ m.tombstones
+          }
+        val fromPins = entries.filter(_.name.matches(PinName)).flatMap { e =>
+          val p = f.child(d, e.name)
+          val content =
+            try Some(f.readString(p))
+            catch { case t if isMissing(t) => None } // unpinned mid-gc
+          content.toSeq.flatMap { c =>
+            val (expiresAt, refs) = parsePin(c)
+            if (expiresAt < now) { f.delete(p); Nil } // expired + collected
+            else refs
+          }
+        }
+        referenced = (fromManifests ++ fromPins).toSet
+      } catch { case t if isMissing(t) && attempt < 5 => attempt += 1 }
     }
     val cutoff = now - grace
     f.list(root)

@@ -489,7 +489,9 @@ object Similarity {
       try ArtifactStore.forPath(spark, path).snapshot(spark, path)
       catch { // a vanished store OR a URI store's transient FS fault:
         // no pressure for this row, never an aborted ADVISE (r18 review)
-        case scala.util.control.NonFatal(_) => return (0L, 0, 0, -1.0)
+        case scala.util.control.NonFatal(t) =>
+          ArtifactStore.warnDegraded(path, t)
+          return (0L, 0, 0, -1.0)
       })
     val pending = ArtifactStore.footerRows(spark, snap.tombstonePaths)
     // bucket directories aggregated BY BUCKET VALUE across the snapshot's

@@ -339,7 +339,10 @@ case class AdviseGraftMaintenanceCommand() extends LeafRunnableCommand {
           // transient FS fault must degrade THIS row, never abort the
           // whole ADVISE statement (r18 review pass 1 — same contract
           // as the graft_artifacts view)
-          catch { case scala.util.control.NonFatal(_) => Seq.empty[String] })
+          catch { case scala.util.control.NonFatal(t) =>
+            graft.operators.ArtifactStore.warnDegraded(path, t)
+            Seq.empty[String]
+          })
           .flatMap(graft.operators.ArtifactStore.parquetFilesUnder).size
         val advice =
           if (files < spanFilesAt) ""
