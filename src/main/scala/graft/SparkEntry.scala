@@ -682,6 +682,10 @@ object SparkEntry {
       */
     private[graft] val reclusterMemo =
       scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+    // q_ann_pinned's pin id per store (marker-backed; the pin itself is a
+    // durable file a fresh JVM re-resolves by id)
+    private[graft] val pinMemo =
+      scala.collection.concurrent.TrieMap.empty[String, String]
     // temp-write + ATOMIC_MOVE (r13 ADVICE): a crash mid-write must never
     // leave a partial sidecar that exists() and parses to fewer than k
     // centroids — a later run would then serve with nprobe < the layout's
@@ -2003,6 +2007,58 @@ object SparkEntry {
         Similarity.ivfStoreTopK(Similarity.readStore(s, path), "vec_id",
           "embedding", q, k = 10, layoutCents, nprobe = layoutCents.size)
       },
+      // SNAPSHOT PINNING through the Hadoop-FS binding (r18): the store
+      // root is a file:/// URI (manifest protocol by path shape — no
+      // conf flip; the Hadoop binding does the listing/IO, the file://
+      // CAS routes to the hard-link emulation), the snapshot is PINNED
+      // right after the build, then a delete and a recluster — two
+      // replaces under gcGraceMs=0, exactly the sequence the grace spec
+      // proves collects an unpinned generation — rewrite the live store.
+      // The serve re-resolves the DURABLE pin by id (a fresh gate JVM
+      // crosses process boundaries here) and must equal brute force over
+      // ALL rows: the world as of pin time, not the post-delete store.
+      "q_ann_pinned" -> { (s, dir) =>
+        val embs = Tables.t(s, dir, "embeddings")
+        val cents = kmeansCentroids(s, dir)
+        val q = embs.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0)
+        val local =
+          s"/root/repo/target/indexes/ivf_pinned_" +
+            s"${new java.io.File(dir).getName}_${Tables.contentTag(dir)}_v1"
+        val uri = "file://" + local
+        val pinId = pinMemo.getOrElseUpdate(local,
+          graft.operators.Artifacts.maintenanceLocked(local) {
+            val marker = new java.io.File(local + ".pinned_done")
+            if (!marker.exists()) {
+              val st = new java.io.File(local)
+              if (st.exists())
+                org.apache.commons.io.FileUtils.deleteDirectory(st)
+              Similarity.materializedIvfIndex(embs, "vec_id", "embedding",
+                cents, uri)
+              // pin BEFORE the rewrites; 7-day bound so re-runs against
+              // unchanged testdata keep resolving the same pin
+              val sPin = s.newSession()
+              sPin.conf.set("spark.graft.artifact.pinMaxAgeMs",
+                (7L * 24 * 3600 * 1000).toString)
+              val (pid, _) = graft.operators.ArtifactStore
+                .forPath(sPin, uri).pinSnapshot(sPin, uri)
+              val sG = s.newSession()
+              sG.conf.set("spark.graft.artifact.gcGraceMs", "0")
+              Similarity.ivfDelete(sG, uri, "vec_id",
+                embs.filter(pmod(col("vec_id"), lit(7L)) === 3)
+                  .select("vec_id"))
+              Similarity.ivfRecluster(sG, uri, "embedding", k = 3,
+                iters = 1)
+              java.nio.file.Files.writeString(marker.toPath, pid)
+            }
+            java.nio.file.Files.readString(marker.toPath)
+          })
+        val pinned = graft.operators.ManifestArtifactStore
+          .resolvePin(s, uri, pinId)
+        Similarity.ivfStoreTopK(
+          graft.operators.ArtifactStore.readFrame(s, pinned),
+          "vec_id", "embedding", q, k = 10, cents, nprobe = cents.size)
+      },
       // class prototypes: per-label mean embedding (k-means update step as
       // an operator; decimal-routed per-dim sums), re-exploded to scalar
       // rows for the hash compare
@@ -3298,6 +3354,15 @@ object SparkEntry {
         s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
            |sc AS (SELECT vec_id, ${cosineSql("embedding", "qvec")} AS cosine
            |  FROM embeddings, q WHERE vec_id % 5 <> 4)
+           |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+      // q_ann_pinned: the pinned snapshot is the world AS OF PIN TIME —
+      // full-probe serve over it equals brute force over ALL rows,
+      // despite the delete + recluster that rewrote the live store after
+      // the pin (residue class 3 mod 7 is gone from the LIVE store only)
+      "q_ann_pinned" ->
+        s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |sc AS (SELECT vec_id, ${cosineSql("embedding", "qvec")} AS cosine
+           |  FROM embeddings, q)
            |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
       // brute-force all-pairs restatement of embeddingDupPairs: confirms the
       // LSH+verify path is exact on this corpus — including that an empty

@@ -913,6 +913,7 @@ object ManifestArtifactStore extends ArtifactStore {
   private def renderPin(expiresAt: Long, m: Manifest): String =
     JsonMethods.compact(JsonMethods.render(JObject(
       "expiresAt" -> JInt(expiresAt), "version" -> JInt(m.version),
+      "schema" -> m.schemaJson.map(JString(_)).getOrElse(JNothing),
       "segments" -> JArray(m.segments.map(JString(_)).toList),
       "tombstones" -> JArray(m.tombstones.map(JString(_)).toList))))
 
@@ -965,6 +966,45 @@ object ManifestArtifactStore extends ArtifactStore {
 
   override def unpin(root: String, pinId: String): Unit =
     fs(root).delete(fs(root).child(manifestDir(root), s"pin-$pinId.json"))
+
+  /** Re-resolve a DURABLE pin into its snapshot — pins are files, so a
+    * DIFFERENT process (or a later session of the same one) can serve
+    * the exact generation a coordinator pinned, by id alone. Throws when
+    * the pin was unpinned / GC-collected, or when it has expired (an
+    * expired pin's directories may already be collected — serving
+    * through it would be a silent torn read).
+    */
+  def resolvePin(spark: SparkSession, root: String,
+                 pinId: String): ArtifactSnapshot = {
+    val f = fs(root)
+    val p = f.child(manifestDir(root), s"pin-$pinId.json")
+    val content =
+      try f.readString(p)
+      catch { case t if isMissing(t) =>
+        throw new IllegalStateException(
+          s"no pin $pinId at $root — unpinned, or expired and collected")
+      }
+    val j = JsonMethods.parse(content)
+    val expiresAt = j \ "expiresAt" match {
+      case JInt(n) => n.toLong
+      case _       => 0L
+    }
+    if (expiresAt < System.currentTimeMillis())
+      throw new IllegalStateException(
+        s"pin $pinId at $root expired at $expiresAt — its directories " +
+          "may be collected; re-pin a fresh snapshot")
+    def strs(field: String): Seq[String] = j \ field match {
+      case JArray(xs) => xs.collect { case JString(x) => x }
+      case _          => Nil
+    }
+    ArtifactSnapshot(
+      strs("segments").map(f.child(root, _)),
+      j \ "schema" match {
+        case JString(sc) => Some(DataType.fromJson(sc).asInstanceOf[StructType])
+        case _           => None
+      },
+      strs("tombstones").map(f.child(root, _)))
+  }
 
   // ---- mutations ----------------------------------------------------------
 
