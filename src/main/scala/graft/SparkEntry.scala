@@ -2059,6 +2059,67 @@ object SparkEntry {
           graft.operators.ArtifactStore.readFrame(s, pinned),
           "vec_id", "embedding", q, k = 10, cents, nprobe = cents.size)
       },
+      // CROSS-PROTOCOL MIGRATION (r18): a POSIX store — build from the
+      // even residue, INGEST the odd (so the migrated file set spans
+      // base + appended files), tombstone residue 5 (mod 8) and leave it
+      // PENDING — migrates to a file:/// URI root (manifest protocol
+      // through the Hadoop-FS binding) via the MIGRATE GRAFT ARTIFACT
+      // SQL verb. The serve reads the DESTINATION with its carried
+      // pending tombstones at full probe and must equal kept-rows brute
+      // force: the distributed rewrite's layout re-application, the
+      // destination's durable kind/schema metadata, and the tombstone
+      // carry must all be right for this to match cross-engine.
+      "q_ann_migrated" -> { (s, dir) =>
+        val embs = Tables.t(s, dir, "embeddings")
+        val cents = kmeansCentroids(s, dir)
+        val q = embs.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0)
+        val src =
+          s"/root/repo/target/indexes/ivf_migr_src_" +
+            s"${new java.io.File(dir).getName}_${Tables.contentTag(dir)}_v1"
+        val dstLocal = src.replace("_migr_src_", "_migr_dst_")
+        val dst = "file://" + dstLocal
+        val layoutCents = reclusterMemo.getOrElseUpdate(src,
+          graft.operators.Artifacts.maintenanceLocked(src) {
+            val marker = new java.io.File(src + ".migrated")
+            if (!marker.exists()) {
+              // crash-window rebuild starts from EMPTY on BOTH sides
+              // (migrate refuses an existing destination) — including
+              // the POSIX source's out-of-root tombstone sidecar dir,
+              // or a re-run would carry a second copy of the batch
+              for (p <- Seq(src, src + ".tombstones", dstLocal)) {
+                val f = new java.io.File(p)
+                if (f.exists())
+                  org.apache.commons.io.FileUtils.deleteDirectory(f)
+              }
+              Similarity.materializedIvfIndex(
+                embs.filter(pmod(col("vec_id"), lit(2L)) === 0),
+                "vec_id", "embedding", cents, src)
+              Similarity.ivfIngest(
+                embs.filter(pmod(col("vec_id"), lit(2L)) === 1),
+                "embedding", cents, src)
+              Similarity.ivfTombstone(s, src, "vec_id",
+                embs.filter(pmod(col("vec_id"), lit(8L)) === 5)
+                  .select("vec_id"))
+              // the SQL verb, through the command route (a literal
+              // spark.sql() can't carry extension syntax on this Spark:
+              // parameter substitution pre-parses with the BUILT-IN
+              // grammar and rejects it before the session parser runs)
+              new graft.plans.GraftSqlParser(s
+                  .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+                  .sessionState.sqlParser)
+                .parsePlan(s"MIGRATE GRAFT ARTIFACT FROM '$src' TO '$dst'")
+                .asInstanceOf[graft.plans.MigrateGraftArtifactCommand]
+                .run(s)
+              java.nio.file.Files.writeString(marker.toPath, "ok")
+            }
+            cents
+          })
+        Similarity.ivfStoreTopK(
+          Similarity.tombstoneFiltered(Similarity.readStore(s, dst), dst),
+          "vec_id", "embedding", q, k = 10, layoutCents,
+          nprobe = layoutCents.size)
+      },
       // class prototypes: per-label mean embedding (k-means update step as
       // an operator; decimal-routed per-dim sums), re-exploded to scalar
       // rows for the hash compare
@@ -3363,6 +3424,16 @@ object SparkEntry {
         s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
            |sc AS (SELECT vec_id, ${cosineSql("embedding", "qvec")} AS cosine
            |  FROM embeddings, q)
+           |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+      // q_ann_migrated: kept-rows brute force, residue class 5 (mod 8)
+      // — the serve reads the MIGRATED destination (manifest protocol
+      // over the Hadoop binding) with the migration's CARRIED pending
+      // tombstones, so the faithful-clone semantics (data + layout +
+      // pending deletes) must all survive the protocol move to match
+      "q_ann_migrated" ->
+        s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |sc AS (SELECT vec_id, ${cosineSql("embedding", "qvec")} AS cosine
+           |  FROM embeddings, q WHERE vec_id % 8 <> 5)
            |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
       // brute-force all-pairs restatement of embeddingDupPairs: confirms the
       // LSH+verify path is exact on this corpus — including that an empty

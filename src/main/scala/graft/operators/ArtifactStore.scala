@@ -195,6 +195,125 @@ object ArtifactStore {
     snap.dataPaths.map(one).reduce(_.unionAll(_))
   }
 
+  /** Hive-partition column names of a store's data layout, sniffed from
+    * the directory tree (`name=value` path segments, outermost first) —
+    * the layout is the serving contract ([[graft.operators.Similarity]]'s
+    * probes prune IVF stores to `g_ivf_bucket=` directories at planning
+    * time), so a migration must re-apply it on write. Listing goes
+    * through [[ManifestFs]]; the first data path that shows a partition
+    * layer decides (a manifest store's segments are sibling dirs all
+    * carrying the same layout).
+    */
+  private[graft] def hivePartitionCols(dataPaths: Seq[String]): Seq[String] = {
+    def colsUnder(root: String): Seq[String] = {
+      val fs = ManifestFs.forPath(root)
+      if (fs.isFile(root)) Nil
+      else {
+        def rec(dir: String, acc: Seq[String]): Seq[String] =
+          fs.list(dir).find(e => e.isDir && e.name.contains("=") &&
+            !e.name.startsWith("_") && !e.name.startsWith(".")) match {
+            case Some(d) =>
+              rec(fs.child(dir, d.name), acc :+ d.name.takeWhile(_ != '='))
+            case None => acc
+          }
+        rec(root, Nil)
+      }
+    }
+    dataPaths.iterator.map(colsUnder).find(_.nonEmpty).getOrElse(Nil)
+  }
+
+  private def normRoot(p: String): String =
+    p.stripPrefix("file://").stripSuffix("/")
+
+  /** Migrate an artifact between storage protocols — the deployment move
+    * the dual-protocol seam exists for: a store built and proven on local
+    * disk under the POSIX protocol relocates to an object-store root
+    * (manifest protocol over [[ManifestFs]]'s Hadoop binding) without the
+    * owning pipeline changing a line, and back. Semantics: a FAITHFUL
+    * logical clone —
+    *
+    *   - data is re-written by a DISTRIBUTED Spark job (never a
+    *     driver-side byte copy — at 100 TB the rewrite is the cluster's
+    *     job), re-applying the source's Hive-partition layout
+    *     ([[hivePartitionCols]]) shuffled one file per partition value,
+    *     exactly like the stores' own builders, so the destination's
+    *     probe pruning and file count match a native build;
+    *   - PENDING tombstones are carried, not folded: a serve against the
+    *     destination is bit-identical to one against the source,
+    *     including deletes not yet compacted (fold remains
+    *     `ivfCompact`'s job, under whichever protocol now owns the
+    *     store);
+    *   - the source is read under its read lock (one consistent
+    *     data+tombstone view, racing maintenance excluded) and left
+    *     UNTOUCHED — migration is copy-then-switch, the caller retires
+    *     the source when its readers have moved;
+    *   - the destination must not already exist (a migration never
+    *     overwrites), is built through the destination protocol's own
+    *     `buildOnce`/`tombstoneAppend` verbs (so it carries durable kind
+    *     + schema metadata and serves to a FRESH session via
+    *     `REGISTER GRAFT ARTIFACT FROM`), and is registered with this
+    *     session's [[graft.plans.QueryHistory]].
+    *
+    * Destination protocol: `protocol` when given (`posix` | `manifest`;
+    * `posix` refuses URI roots — flock/rename can't bind through an FS
+    * URI), else [[forPath]]'s creation rule (URI → manifest, bare local
+    * path → `spark.graft.artifactStore`). SQL surface:
+    * `MIGRATE GRAFT ARTIFACT FROM '<src>' TO '<dst>' [PROTOCOL <p>]`.
+    * Returns the migrated kind.
+    */
+  def migrate(spark: SparkSession, src: String, dst: String,
+              protocol: Option[String] = None): String = {
+    require(normRoot(src) != normRoot(dst),
+      s"migration source and destination are the same store root ($src)")
+    val srcStore = forPath(spark, src)
+    require(srcStore.exists(src), s"no artifact at $src to migrate")
+    val dstStore = protocol match {
+      case Some("manifest") => ManifestArtifactStore
+      case Some("posix") =>
+        require(!ManifestFs.hasScheme(dst),
+          s"PROTOCOL posix cannot bind through an FS URI ($dst) — the " +
+            "POSIX mechanics (flock, atomic in-place rename) need a bare " +
+            "local path; use PROTOCOL manifest for URI roots")
+        PosixArtifactStore
+      case Some(other) => throw new IllegalArgumentException(
+        s"migration protocol must be posix or manifest, got $other")
+      case None => forPath(spark, dst)
+    }
+    require(!dstStore.exists(dst),
+      s"destination $dst already holds a ${dstStore.name} artifact — " +
+        "migration never overwrites; choose a fresh root")
+    val kind = srcStore.kindOf(src).getOrElse(
+      throw new IllegalArgumentException(
+        s"no artifact kind metadata at $src — stores record their kind " +
+          "when built or appended through the engine; an ingest append " +
+          "stamps a store built before the metadata existed"))
+    srcStore.readLocked(spark, src) { snap =>
+      val partCols = hivePartitionCols(snap.dataPaths)
+      val df = readFrame(spark, snap)
+      dstStore.buildOnce(spark, dst, kind) { dir =>
+        if (partCols.nonEmpty)
+          df.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+            .write.mode("overwrite").partitionBy(partCols: _*).parquet(dir)
+        else if (snap.dataPaths.exists(p => parquetFilesUnder(p).nonEmpty))
+          df.write.mode("overwrite").parquet(dir)
+        else
+          // fully-emptied store: no files to copy, but the destination
+          // must still plan — one empty part file carries the persisted
+          // schema through the destination's own schema capture
+          df.repartition(1).write.mode("overwrite").parquet(dir)
+      }
+      if (footerRows(spark, snap.tombstonePaths) > 0) {
+        val tomb = snap.tombstonePaths
+          .map(spark.read.parquet(_)).reduce(_ unionAll _)
+        dstStore.tombstoneAppend(spark, dst)(_ => ()) { dir =>
+          tomb.write.mode("append").parquet(dir)
+        }
+      }
+    }
+    graft.plans.QueryHistory.registerArtifact(kind, dst)
+    kind
+  }
+
   /** Parquet data files under `path` (recursing into partition
     * subdirectories), or `path` itself when it IS a file — tombstone
     * snapshots carry files (POSIX) or segment dirs (manifest) and the

@@ -25,6 +25,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
   *     pipeline artifact (IVF/span/pair store) from its durable kind
   *     metadata, so a fresh session's `graft_artifacts` / ADVISE loop
   *     covers stores built by earlier sessions
+  *   - `MIGRATE GRAFT ARTIFACT FROM '<src>' TO '<dst>' [PROTOCOL <p>]` —
+  *     faithful cross-protocol clone (POSIX ↔ manifest/object-store) of a
+  *     pipeline artifact: distributed rewrite, layout preserved, pending
+  *     tombstones carried, source untouched
   *   - `REGISTER GRAFT VIEWS`         — snapshot the catalog into the
   *     joinable `graft_cubes`/`graft_columns`/`graft_rollups`/
   *     `graft_query_history` views
@@ -49,6 +53,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     "(?is)\\s*REGISTER\\s+GRAFT\\s+CUBE\\s+FROM\\s+'([^']+)'\\s*;?\\s*".r
   private val RegisterArtifactRe =
     "(?is)\\s*REGISTER\\s+GRAFT\\s+ARTIFACT\\s+FROM\\s+'([^']+)'\\s*;?\\s*".r
+  private val MigrateArtifactRe =
+    ("(?is)\\s*MIGRATE\\s+GRAFT\\s+ARTIFACT\\s+FROM\\s+'([^']+)'\\s+TO\\s+" +
+      "'([^']+)'\\s*(?:PROTOCOL\\s+(\\w+)\\s*)?;?\\s*").r
   private val MaterializeRe =
     ("(?is)\\s*MATERIALIZE\\s+GRAFT\\s+ROLLUP\\s+ON\\s+([\\w.]+)\\s+" +
       "DIMENSIONS\\s*\\(([^)]*)\\)\\s*(?:SKETCH\\s*\\(([^)]*)\\)\\s*)?" +
@@ -81,6 +88,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ViewsRe()        => RegisterGraftViewsCommand()
     case RegisterRe(path) => RegisterGraftCubeCommand(path)
     case RegisterArtifactRe(path) => RegisterGraftArtifactCommand(path)
+    case MigrateArtifactRe(src, dst, proto) =>
+      MigrateGraftArtifactCommand(src, dst,
+        Option(proto).map(_.toLowerCase(java.util.Locale.ROOT)))
     case MaterializeRe(cube, dims, sketches, partDims, clusDims, path) =>
       def split(s: String): Seq[String] =
         Option(s).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
@@ -412,6 +422,31 @@ case class RegisterGraftArtifactCommand(path: String)
           "append stamps a store built before the metadata existed"))
     QueryHistory.registerArtifact(kind, path)
     Seq(Row(kind, graft.cube.CubeCatalog.normalizePath(path)))
+  }
+}
+
+/** `MIGRATE GRAFT ARTIFACT FROM '<src>' TO '<dst>' [PROTOCOL <p>]` — the
+  * SQL surface of [[graft.operators.ArtifactStore.migrate]]: faithful
+  * cross-protocol clone of a pipeline artifact (distributed data rewrite
+  * preserving the Hive-partition serving layout; pending tombstones
+  * carried; source read-locked and left untouched; destination refused if
+  * it already exists). The deployment move the dual-protocol seam exists
+  * for — a POSIX store proven on local disk relocates to an object-store
+  * root (`file:///…`/`hdfs://…`, manifest protocol over the Hadoop-FS
+  * binding) and back, and the destination registers in this session's
+  * `graft_artifacts`/ADVISE loop.
+  */
+case class MigrateGraftArtifactCommand(src: String, dst: String,
+    protocol: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("src", StringType, nullable = false)(),
+    AttributeReference("dst", StringType, nullable = false)(),
+    AttributeReference("dst_protocol", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val kind = graft.operators.ArtifactStore.migrate(spark, src, dst, protocol)
+    Seq(Row(kind, src, dst,
+      graft.operators.ArtifactStore.forPath(spark, dst).name))
   }
 }
 

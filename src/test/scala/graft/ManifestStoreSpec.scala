@@ -612,4 +612,99 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(serve(pPosix) == serve(pMani), "post-compact serves must match")
     assert(ManifestArtifactStore.kindOf(pMani).contains("span_store"))
   }
+
+  test("MIGRATE clones a store faithfully across protocols, both directions") {
+    val embs = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 96)
+    val cs = Similarity.trainKmeansCentroids(embs, "embedding", k = 4,
+      iters = 1)
+    val q = embs.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0)
+    val src = freshDir("ivf_migrate_src_v1")
+    val dstLocal = freshDir("ivf_migrate_dst_v1")
+    val dst = "file://" + dstLocal
+    val back = freshDir("ivf_migrate_back_v1")
+
+    def probe(path: String, cents: Seq[Seq[Double]]): Seq[(Long, Double)] =
+      Similarity.ivfStoreProbe(spark, path, "vec_id", "embedding", q,
+          k = 10, cents, nprobe = cents.size)
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9) / 1e9))
+        .toSeq
+
+    // POSIX source: base + appended segment + PENDING tombstones
+    Similarity.materializedIvfIndex(
+      embs.filter(pmod(col("vec_id"), lit(2L)) === 0),
+      "vec_id", "embedding", cs, src)
+    Similarity.ivfIngest(embs.filter(pmod(col("vec_id"), lit(2L)) === 1),
+      "embedding", cs, src)
+    Similarity.ivfTombstone(spark, src, "vec_id",
+      embs.filter(pmod(col("vec_id"), lit(5L)) === 1).select("vec_id"))
+    val srcServe = probe(src, cs)
+    assert(srcServe.nonEmpty)
+
+    // posix → manifest over the file:/// Hadoop binding, via the SQL verb
+    val parser = new graft.plans.GraftSqlParser(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.sqlParser)
+    val row = parser
+      .parsePlan(s"MIGRATE GRAFT ARTIFACT FROM '$src' TO '$dst'")
+      .asInstanceOf[graft.plans.MigrateGraftArtifactCommand].run(spark).head
+    assert(row.getString(0) == "ivf" && row.getString(3) == "manifest")
+    assert(ManifestArtifactStore.isManifestStore(dstLocal))
+    assert(ArtifactStore.forPath(spark, dst).kindOf(dst).contains("ivf"))
+    // faithful clone: serve equality INCLUDING the carried pending
+    // tombstones; the serving partition layout is re-applied
+    assert(probe(dst, cs) == srcServe, "migrated serve must match source")
+    assert(Similarity.pendingTombstoneRows(spark, dst) ==
+      Similarity.pendingTombstoneRows(spark, src))
+    assert(Similarity.pendingTombstoneRows(spark, dst) > 0)
+    val gen = topDirs(dstLocal, "gen-").head
+    assert(topDirs(new java.io.File(dstLocal, gen).getPath,
+      "g_ivf_bucket=").nonEmpty, "Hive partition layout must be re-applied")
+    // the SQL verb registers the destination for graft_artifacts/ADVISE
+    assert(graft.plans.QueryHistory.artifactsSnapshot
+      .exists { case (k, p) =>
+        k == "ivf" && p == graft.cube.CubeCatalog.normalizePath(dst) })
+    // source untouched and still serving
+    assert(!ManifestArtifactStore.isManifestStore(src))
+    assert(probe(src, cs) == srcServe)
+
+    // manifest → posix brings it back; the clone keeps cloning
+    ArtifactStore.migrate(spark, dst, back, Some("posix"))
+    assert(!ManifestArtifactStore.isManifestStore(back))
+    assert(ArtifactStore.forPath(spark, back).kindOf(back).contains("ivf"))
+    assert(probe(back, cs) == srcServe, "round trip must serve identically")
+    // maintenance on the migrated store works under its NEW protocol:
+    // the fold clears the carried tombstones and the serve is unchanged
+    Similarity.ivfCompact(spark, back)
+    assert(Similarity.pendingTombstoneRows(spark, back) == 0L)
+    assert(probe(back, cs) == srcServe)
+
+    // refusals: same root, existing destination, posix through a URI
+    intercept[IllegalArgumentException] {
+      ArtifactStore.migrate(spark, src, src + "/")
+    }
+    intercept[IllegalArgumentException] {
+      ArtifactStore.migrate(spark, src, dst)
+    }
+    intercept[IllegalArgumentException] {
+      ArtifactStore.migrate(spark, src, "file:///tmp/never_built_x",
+        Some("posix"))
+    }
+  }
+
+  test("MIGRATE carries a fully-emptied store's schema (empty clone plans)") {
+    val embs = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 32)
+    val cs = Similarity.trainKmeansCentroids(embs, "embedding", k = 2,
+      iters = 1)
+    val src = freshDir("ivf_migrate_empty_src_v1")
+    val dstLocal = freshDir("ivf_migrate_empty_dst_v1")
+    Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cs, src)
+    Similarity.ivfDelete(spark, src, "vec_id", embs.select("vec_id"))
+    assert(Similarity.readStore(spark, src).count() == 0L)
+    ArtifactStore.migrate(spark, src, "file://" + dstLocal)
+    val served = Similarity.readStore(spark, "file://" + dstLocal)
+    assert(served.count() == 0L, "empty clone must plan and serve 0 rows")
+    assert(served.columns.contains("vec_id"),
+      "the persisted schema must survive the migration")
+  }
 }
