@@ -81,6 +81,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(Dedup.spanDedupServe(all, "doc_id", "text", counts, k = 8)) == batch)
   }
 
+  test("streamed IVF ingest builds the object-store index equal to the batch build") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    import graft.operators.{ArtifactStore, ManifestArtifactStore, Similarity}
+    // ivfIngest IS the documented foreachBatch body — prove it through a
+    // REAL stream onto a file:/// manifest root: each micro-batch lands
+    // as one immutable published segment (the 100-TB streaming-ingest
+    // deployment shape: no flock, no rename, readers never blocked)
+    val embs = Tables.t(spark, sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 96)
+    val cs = Similarity.trainKmeansCentroids(embs, "embedding", k = 4,
+      iters = 1)
+    val rows = embs.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val batches = rows.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stream")
+    val uri = "file://" + dir.resolve("store")
+    val ckpt = dir.resolve("ckpt").toString
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = stream.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Similarity.ivfIngest(batch, "embedding", cs, uri)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      for (b <- batches) { stream.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // one immutable segment per micro-batch, ingest-created kind metadata
+    assert(ManifestArtifactStore.isManifestStore(uri.stripPrefix("file://")))
+    assert(ArtifactStore.forPath(spark, uri).kindOf(uri).contains("ivf"))
+    assert(ArtifactStore.forPath(spark, uri).snapshot(spark, uri)
+      .dataPaths.size == batches.size, "one published segment per batch")
+    val probeQ = rows.find(_._1 == 0L).get._2.toSeq
+    def probe(path: String): Seq[(Long, Double)] =
+      Similarity.ivfStoreProbe(spark, path, "vec_id", "embedding", probeQ,
+          k = 10, cs, nprobe = cs.size)
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9) / 1e9))
+        .toSeq
+    val streamed = probe(uri)
+    // batch-built twin over the same rows serves identically
+    val pBatch = new java.io.File("/root/repo/target/indexes",
+      "ivf_stream_twin_v1").getPath
+    if (new java.io.File(pBatch).exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pBatch))
+    Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cs, pBatch)
+    assert(streamed == probe(pBatch),
+      "streamed store must serve exactly like the batch build")
+    // post-stream maintenance under the same protocol: compaction folds
+    // the per-batch segments back to one generation, serve unchanged
+    Similarity.ivfCompact(spark, uri)
+    assert(ArtifactStore.forPath(spark, uri).snapshot(spark, uri)
+      .dataPaths.size == 1, "compaction must merge the segments")
+    assert(probe(uri) == streamed)
+  }
+
   test("funnel: strictly-after step ordering, hand-computed") {
     import spark.implicits._
     val ev = Seq(
