@@ -784,6 +784,55 @@ object ScaleProbe {
     s"""{"big":$big,"sf1x":$sf1x}"""
   }
 
+  /** Migration decade probe (r18): `ArtifactStore.migrate` is ONE
+    * distributed rewrite of the store through the destination protocol's
+    * own verbs (posix source → file:/// manifest destination here, the
+    * Hadoop-binding deployment move) — its cost must be LINEAR in store
+    * rows with flat per-row cost across decades, or a 100-TB relocation
+    * would be the estate's bottleneck. Measures wall per decade over a
+    * freshly built posix IVF store at each dir; the destination is
+    * discarded between reps (a migration never overwrites).
+    */
+  private def migrateDecadesProbe(spark: SparkSession, dirs: Seq[(String, String)],
+                                  reps: Int): String = {
+    import graft.operators.{ArtifactStore, Dedup}
+    val arms = dirs.map { case (label, dir) =>
+      // span-count store over documents: the largest artifact family by
+      // row count (one row per distinct k-gram span), so the decades
+      // measure the REWRITE, not the per-migration fixed floor the tiny
+      // embeddings store sits on
+      val docs = graft.Tables.t(spark, dir, "documents")
+      val tag = graft.Tables.contentTag(dir)
+      val src = s"/root/repo/target/indexes/migrate_probe_src_${label}_$tag"
+      for (sfx <- Seq("", ".tombstones", ".schema.json", ".artifact.json"))
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(src + sfx))
+      Dedup.spanCountsIngest(docs, "doc_id", "text", 8, src)
+      val rows = spark.read.parquet(src).count()
+      val t = (1 to reps).map { i =>
+        val dst = src.replace("_src_", s"_dst${i}_")
+        rmRf(dst)
+        val t0 = System.nanoTime()
+        ArtifactStore.migrate(spark, src, "file://" + dst)
+        val dt = (System.nanoTime() - t0) / 1e9
+        rmRf(dst)
+        dt
+      }.min
+      println(f"[scale] migrate $label%-10s rows=$rows%8d t=$t%.3f s")
+      (label, rows, t)
+    }
+    val pairs = arms.zip(arms.tail).map { case ((_, r0, t0), (l1, r1, t1)) =>
+      val e = math.log10(t1 / t0)
+      val perRow = math.log10((t1 / r1) / (t0 / r0))
+      println(f"[scale] migrate decade to $l1%-8s exponent=$e%.2f per-row=$perRow%.2f")
+      f""""to_$l1":{"exponent":$e%.2f,"per_row_exponent":$perRow%.2f}"""
+    }
+    val armJs = arms.map { case (l, r, t) =>
+      f""""$l":{"rows":$r,"t_migrate":$t%.3f}"""
+    }
+    (armJs ++ pairs).mkString("{", ",", "}")
+  }
+
   def main(args: Array[String]): Unit = {
     val outPath = if (args.length > 0) args(0) else "SCALE_PROBE_LATEST.json"
     val small = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
@@ -818,6 +867,12 @@ object ScaleProbe {
     }
     if (outPath == "--cube-decade") { // just the cube-route decade probe
       println(s"[scale] cube decade 2: ${cubeDecadeProbe(spark, big, reps)}")
+      spark.stop(); return
+    }
+    if (outPath == "--migrate") { // just the migration decade probe
+      val sf1x = ensureSf1Equivalent(spark, big)
+      println(s"[scale] migrate decades: ${migrateDecadesProbe(spark,
+        Seq("small" -> small, "big" -> big, "sf1x" -> sf1x), reps)}")
       spark.stop(); return
     }
 
@@ -917,6 +972,9 @@ object ScaleProbe {
       skewedBucketProbe(spark, sf1x, reps))
     val cubeDecadeJson = section("cube decade 2")(
       cubeDecadeProbe(spark, big, reps))
+    val migrateJson = section("migrate decades")(
+      migrateDecadesProbe(spark,
+        Seq("small" -> small, "big" -> big, "sf1x" -> sf1x), reps))
     // the shared-vocab uncapped truth arm runs LAST: it holds ~40
     // posting-list rows of ~3M pair structs each in flight, and an
     // executor OOM there kills the whole local[32] context — ordered
@@ -939,7 +997,8 @@ object ScaleProbe {
          |"streaming_events_decade2":$streamJson,
          |"skewed_bucket_batch":$skewJson,
          |"shared_vocab_cap":$sharedVocabJson,
-         |"cube_decade2":$cubeDecadeJson}
+         |"cube_decade2":$cubeDecadeJson,
+         |"migrate_decades":$migrateJson}
          |""".stripMargin)
     println(s"[scale] wrote $outPath")
     spark.stop()
