@@ -260,6 +260,14 @@ object ArtifactStore {
     * path → `spark.graft.artifactStore`). SQL surface:
     * `MIGRATE GRAFT ARTIFACT FROM '<src>' TO '<dst>' [PROTOCOL <p>]`.
     * Returns the migrated kind.
+    *
+    * Two migrations racing to the SAME fresh destination serialize on
+    * the destination's own verbs: one build wins, the loser's `buildOnce`
+    * is a no-op and its tombstone batch may land twice — identical ids,
+    * so serves are unchanged (the anti-join is over distinct ids); only
+    * the pending-ROW accounting toward the tombstone cap inflates until
+    * the next fold. Same-store maintenance racing the migration is
+    * excluded by the source's read lock.
     */
   def migrate(spark: SparkSession, src: String, dst: String,
               protocol: Option[String] = None): String = {
@@ -303,8 +311,12 @@ object ArtifactStore {
           df.repartition(1).write.mode("overwrite").parquet(dir)
       }
       if (footerRows(spark, snap.tombstonePaths) > 0) {
+        // distinct: the serve-side anti-join is over distinct ids, so
+        // dropping duplicate rows (appended across batches at the
+        // source) changes nothing logically and starts the destination's
+        // pending-row count at its floor
         val tomb = snap.tombstonePaths
-          .map(spark.read.parquet(_)).reduce(_ unionAll _)
+          .map(spark.read.parquet(_)).reduce(_ unionAll _).distinct()
         dstStore.tombstoneAppend(spark, dst)(_ => ()) { dir =>
           tomb.write.mode("append").parquet(dir)
         }

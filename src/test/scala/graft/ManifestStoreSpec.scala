@@ -654,6 +654,8 @@ class ManifestStoreSpec extends AnyFunSuite {
     // faithful clone: serve equality INCLUDING the carried pending
     // tombstones; the serving partition layout is re-applied
     assert(probe(dst, cs) == srcServe, "migrated serve must match source")
+    // carried distinct: equal here (the source batch held distinct ids);
+    // a duplicated source batch would carry FEWER rows, same logic
     assert(Similarity.pendingTombstoneRows(spark, dst) ==
       Similarity.pendingTombstoneRows(spark, src))
     assert(Similarity.pendingTombstoneRows(spark, dst) > 0)
