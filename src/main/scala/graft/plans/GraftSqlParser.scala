@@ -29,6 +29,9 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
   *     faithful cross-protocol clone (POSIX ↔ manifest/object-store) of a
   *     pipeline artifact: distributed rewrite, layout preserved, pending
   *     tombstones carried, source untouched
+  *   - `PIN GRAFT ARTIFACT '<path>'` / `UNPIN GRAFT ARTIFACT '<path>'
+  *     ID '<pin_id>'` — durable manifest-snapshot pin for pure-SQL
+  *     readers spanning maintenance cycles
   *   - `REGISTER GRAFT VIEWS`         — snapshot the catalog into the
   *     joinable `graft_cubes`/`graft_columns`/`graft_rollups`/
   *     `graft_query_history` views
@@ -56,6 +59,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val MigrateArtifactRe =
     ("(?is)\\s*MIGRATE\\s+GRAFT\\s+ARTIFACT\\s+FROM\\s+'([^']+)'\\s+TO\\s+" +
       "'([^']+)'\\s*(?:PROTOCOL\\s+(\\w+)\\s*)?;?\\s*").r
+  private val PinArtifactRe =
+    "(?is)\\s*PIN\\s+GRAFT\\s+ARTIFACT\\s+'([^']+)'\\s*;?\\s*".r
+  private val UnpinArtifactRe =
+    "(?is)\\s*UNPIN\\s+GRAFT\\s+ARTIFACT\\s+'([^']+)'\\s+ID\\s+'([^']+)'\\s*;?\\s*".r
   private val MaterializeRe =
     ("(?is)\\s*MATERIALIZE\\s+GRAFT\\s+ROLLUP\\s+ON\\s+([\\w.]+)\\s+" +
       "DIMENSIONS\\s*\\(([^)]*)\\)\\s*(?:SKETCH\\s*\\(([^)]*)\\)\\s*)?" +
@@ -91,6 +98,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case MigrateArtifactRe(src, dst, proto) =>
       MigrateGraftArtifactCommand(src, dst,
         Option(proto).map(_.toLowerCase(java.util.Locale.ROOT)))
+    case PinArtifactRe(path)        => PinGraftArtifactCommand(path)
+    case UnpinArtifactRe(path, id)  => UnpinGraftArtifactCommand(path, id)
     case MaterializeRe(cube, dims, sketches, partDims, clusDims, path) =>
       def split(s: String): Seq[String] =
         Option(s).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
@@ -447,6 +456,45 @@ case class MigrateGraftArtifactCommand(src: String, dst: String,
     val kind = graft.operators.ArtifactStore.migrate(spark, src, dst, protocol)
     Seq(Row(kind, src, dst,
       graft.operators.ArtifactStore.forPath(spark, dst).name))
+  }
+}
+
+/** `PIN GRAFT ARTIFACT '<path>'` — the SQL twin of
+  * [[graft.operators.ArtifactStore.pinSnapshot]]: durably pin the
+  * manifest-protocol store's CURRENT snapshot so its directories survive
+  * any number of replaces until `UNPIN ... ID '<pin_id>'` or the
+  * `spark.graft.artifact.pinMaxAgeMs` age bound. Lets a pure-SQL reader
+  * (a monitoring session, a long report) hold a consistent world across
+  * maintenance cycles without touching the Scala API; the returned
+  * `pin_id` re-resolves from any process
+  * ([[graft.operators.ManifestArtifactStore.resolvePin]]). POSIX stores
+  * refuse (in-place mutation cannot preserve history).
+  */
+case class PinGraftArtifactCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("pin_id", StringType, nullable = false)(),
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("data_paths", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (id, snap) = graft.operators.ArtifactStore.forPath(spark, path)
+      .pinSnapshot(spark, path)
+    Seq(Row(id, path, snap.dataPaths.size.toString))
+  }
+}
+
+/** `UNPIN GRAFT ARTIFACT '<path>' ID '<pin_id>'` — release a pin taken by
+  * `PIN GRAFT ARTIFACT`; the pinned directories become ordinary GC
+  * candidates at the next maintenance cycle.
+  */
+case class UnpinGraftArtifactCommand(path: String, pinId: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("unpinned", StringType, nullable = false)(),
+    AttributeReference("path", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.operators.ArtifactStore.forPath(spark, path).unpin(path, pinId)
+    Seq(Row(pinId, path))
   }
 }
 

@@ -694,6 +694,37 @@ class ManifestStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("PIN/UNPIN SQL twins pin and release a manifest snapshot") {
+    val embs = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 32)
+    val cs = Similarity.trainKmeansCentroids(embs, "embedding", k = 2,
+      iters = 1)
+    val root = freshDir("ivf_pin_sql_v1")
+    val sM = manifestSession()
+    val embsM = Tables.t(sM, sf, "embeddings").filter(col("vec_id") < 32)
+    Similarity.materializedIvfIndex(embsM, "vec_id", "embedding", cs, root)
+    val parser = new graft.plans.GraftSqlParser(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.sqlParser)
+    val pin = parser.parsePlan(s"PIN GRAFT ARTIFACT '$root'")
+      .asInstanceOf[graft.plans.PinGraftArtifactCommand].run(spark).head
+    val pinId = pin.getString(0)
+    // the pin resolves from id alone (durable, cross-process by design)
+    val snap = ManifestArtifactStore.resolvePin(spark, root, pinId)
+    assert(snap.dataPaths.nonEmpty)
+    parser.parsePlan(s"UNPIN GRAFT ARTIFACT '$root' ID '$pinId'")
+      .asInstanceOf[graft.plans.UnpinGraftArtifactCommand].run(spark)
+    intercept[IllegalStateException] {
+      ManifestArtifactStore.resolvePin(spark, root, pinId)
+    }
+    // POSIX stores refuse the pin with the documented message
+    val pPosix = freshDir("ivf_pin_sql_posix_v1")
+    Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cs, pPosix)
+    intercept[UnsupportedOperationException] {
+      parser.parsePlan(s"PIN GRAFT ARTIFACT '$pPosix'")
+        .asInstanceOf[graft.plans.PinGraftArtifactCommand].run(spark)
+    }
+  }
+
   test("MIGRATE carries a fully-emptied store's schema (empty clone plans)") {
     val embs = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 32)
     val cs = Similarity.trainKmeansCentroids(embs, "embedding", k = 2,
