@@ -243,10 +243,15 @@ object ArtifactStore {
     *     including deletes not yet compacted (fold remains
     *     `ivfCompact`'s job, under whichever protocol now owns the
     *     store);
-    *   - the source is read under its read lock (one consistent
-    *     data+tombstone view, racing maintenance excluded) and left
-    *     UNTOUCHED — migration is copy-then-switch, the caller retires
-    *     the source when its readers have moved;
+    *   - the source is read from ONE consistent view and left UNTOUCHED
+    *     — migration is copy-then-switch, the caller retires the source
+    *     when its readers have moved. A POSIX source is read under its
+    *     read lock (racing maintenance blocks); a MANIFEST source is
+    *     PINNED for the duration (readers never block maintenance there,
+    *     and the GC grace only covers ONE cycle — a 100-TB copy can
+    *     straddle several replaces), the pin released in a finally.
+    *     A migration expected to outlast `pinMaxAgeMs` (default 1 h)
+    *     needs that conf raised for the session;
     *   - the destination must not already exist (a migration never
     *     overwrites), is built through the destination protocol's own
     *     `buildOnce`/`tombstoneAppend` verbs (so it carries durable kind
@@ -295,7 +300,7 @@ object ArtifactStore {
         s"no artifact kind metadata at $src — stores record their kind " +
           "when built or appended through the engine; an ingest append " +
           "stamps a store built before the metadata existed"))
-    srcStore.readLocked(spark, src) { snap =>
+    def copyAll(snap: ArtifactSnapshot): Unit = {
       val partCols = hivePartitionCols(snap.dataPaths)
       val df = readFrame(spark, snap)
       dstStore.buildOnce(spark, dst, kind) { dir =>
@@ -321,6 +326,19 @@ object ArtifactStore {
           tomb.write.mode("append").parquet(dir)
         }
       }
+    }
+    srcStore match {
+      case ManifestArtifactStore =>
+        // pin, not readLocked: manifest readers never block maintenance,
+        // and the GC grace covers only ONE generation — a copy long
+        // enough to straddle two source replaces would lose its segment
+        // dirs mid-scan. The pin holds the copied world stable however
+        // long the rewrite runs (up to pinMaxAgeMs), then releases.
+        val (pinId, snap) = ManifestArtifactStore.pinSnapshot(spark, src)
+        try copyAll(snap)
+        finally ManifestArtifactStore.unpin(src, pinId)
+      case _ =>
+        srcStore.readLocked(spark, src)(copyAll)
     }
     graft.plans.QueryHistory.registerArtifact(kind, dst)
     kind

@@ -670,8 +670,13 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(!ManifestArtifactStore.isManifestStore(src))
     assert(probe(src, cs) == srcServe)
 
-    // manifest → posix brings it back; the clone keeps cloning
+    // manifest → posix brings it back; the clone keeps cloning. The
+    // manifest SOURCE is pinned for the copy (readers never block
+    // maintenance there) and the pin must be released afterwards
     ArtifactStore.migrate(spark, dst, back, Some("posix"))
+    assert(Option(new java.io.File(dstLocal, "_manifest").listFiles())
+      .toSeq.flatten.forall(f => !f.getName.startsWith("pin-")),
+      "the migration's source pin must be released in its finally")
     assert(!ManifestArtifactStore.isManifestStore(back))
     assert(ArtifactStore.forPath(spark, back).kindOf(back).contains("ivf"))
     assert(probe(back, cs) == srcServe, "round trip must serve identically")
