@@ -2084,14 +2084,17 @@ object SparkEntry {
             val marker = new java.io.File(src + ".migrated")
             if (!marker.exists()) {
               // crash-window rebuild starts from EMPTY on BOTH sides
-              // (migrate refuses an existing destination) — including
-              // the POSIX source's out-of-root tombstone sidecar dir,
-              // or a re-run would carry a second copy of the batch
+              // (migrate refuses an unmarked existing destination) —
+              // including the POSIX source's out-of-root tombstone
+              // sidecar dir (or a re-run would carry a second copy of
+              // the batch) and the completion marker
               for (p <- Seq(src, src + ".tombstones", dstLocal)) {
                 val f = new java.io.File(p)
                 if (f.exists())
                   org.apache.commons.io.FileUtils.deleteDirectory(f)
               }
+              org.apache.commons.io.FileUtils.deleteQuietly(
+                new java.io.File(dstLocal + ".migration_ok"))
               Similarity.materializedIvfIndex(
                 embs.filter(pmod(col("vec_id"), lit(2L)) === 0),
                 "vec_id", "embedding", cents, src)

@@ -257,7 +257,13 @@ object ArtifactStore {
     *     `buildOnce`/`tombstoneAppend` verbs (so it carries durable kind
     *     + schema metadata and serves to a FRESH session via
     *     `REGISTER GRAFT ARTIFACT FROM`), and is registered with this
-    *     session's [[graft.plans.QueryHistory]].
+    *     session's [[graft.plans.QueryHistory]]. A completion marker
+    *     (`<dst>.migration_ok`, recording the source, written LAST)
+    *     makes re-runs safe: a COMPLETED migration re-runs as a no-op,
+    *     while a destination that exists without the marker — a foreign
+    *     store, or a migration that crashed between the data publish and
+    *     the tombstone carry (whose pending deletes may be missing) —
+    *     refuses with the diagnosis.
     *
     * Destination protocol: `protocol` when given (`posix` | `manifest`;
     * `posix` refuses URI roots — flock/rename can't bind through an FS
@@ -292,14 +298,38 @@ object ArtifactStore {
         s"migration protocol must be posix or manifest, got $other")
       case None => forPath(spark, dst)
     }
-    require(!dstStore.exists(dst),
-      s"destination $dst already holds a ${dstStore.name} artifact — " +
-        "migration never overwrites; choose a fresh root")
     val kind = srcStore.kindOf(src).getOrElse(
       throw new IllegalArgumentException(
         s"no artifact kind metadata at $src — stores record their kind " +
           "when built or appended through the engine; an ingest append " +
           "stamps a store built before the metadata existed"))
+    // completion marker: the copy is data-then-tombstones (a manifest
+    // destination cannot admit tombstones before its first publish), so
+    // a crash between the two leaves a destination that EXISTS but is
+    // missing pending deletes. The marker (written LAST, recording the
+    // source) makes the crash window diagnosable: a completed migration
+    // re-runs as a no-op, an incomplete or foreign destination refuses
+    // with the reason instead of a bare "exists".
+    val markerPath = dst.stripSuffix("/") + ".migration_ok"
+    val markerFs = ManifestFs.forPath(markerPath)
+    if (dstStore.exists(dst)) {
+      val marker = try Some(markerFs.readString(markerPath))
+        catch { case scala.util.control.NonFatal(_) => None }
+      marker match {
+        case Some(m) if m.trim == s"src=${normRoot(src)}" =>
+          return kind // completed earlier — idempotent re-run
+        case Some(m) => throw new IllegalArgumentException(
+          s"destination $dst was migrated from a DIFFERENT source " +
+            s"(${m.trim}, this call: src=${normRoot(src)}) — choose a " +
+            "fresh root")
+        case None => throw new IllegalArgumentException(
+          s"destination $dst already holds a ${dstStore.name} artifact " +
+            "with no migration-completion marker — either a foreign " +
+            "store (choose a fresh root) or a CRASHED migration whose " +
+            "pending-tombstone carry may be missing (delete the " +
+            "destination and re-run)")
+      }
+    }
     def copyAll(snap: ArtifactSnapshot): Unit = {
       val partCols = hivePartitionCols(snap.dataPaths)
       val df = readFrame(spark, snap)
@@ -340,6 +370,7 @@ object ArtifactStore {
       case _ =>
         srcStore.readLocked(spark, src)(copyAll)
     }
+    markerFs.putIfAbsent(markerPath, s"src=${normRoot(src)}")
     graft.plans.QueryHistory.registerArtifact(kind, dst)
     kind
   }

@@ -623,6 +623,9 @@ class ManifestStoreSpec extends AnyFunSuite {
     val dstLocal = freshDir("ivf_migrate_dst_v1")
     val dst = "file://" + dstLocal
     val back = freshDir("ivf_migrate_back_v1")
+    for (p <- Seq(src, dstLocal, back))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(p + ".migration_ok"))
 
     def probe(path: String, cents: Seq[Seq[Double]]): Seq[(Long, Double)] =
       Similarity.ivfStoreProbe(spark, path, "vec_id", "embedding", q,
@@ -686,13 +689,27 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(Similarity.pendingTombstoneRows(spark, back) == 0L)
     assert(probe(back, cs) == srcServe)
 
-    // refusals: same root, existing destination, posix through a URI
+    // re-running a COMPLETED migration is an idempotent no-op (the
+    // completion marker records the source)
+    assert(ArtifactStore.migrate(spark, src, dst) == "ivf")
+    assert(probe(dst, cs) == srcServe)
+
+    // refusals: same root; a different source into a migrated
+    // destination; a destination with data but NO completion marker
+    // (the crashed-mid-carry window — pending deletes may be missing);
+    // posix through a URI
     intercept[IllegalArgumentException] {
       ArtifactStore.migrate(spark, src, src + "/")
     }
     intercept[IllegalArgumentException] {
-      ArtifactStore.migrate(spark, src, dst)
+      ArtifactStore.migrate(spark, back, dst)
     }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(back + ".migration_ok"))
+    val noMarker = intercept[IllegalArgumentException] {
+      ArtifactStore.migrate(spark, dst, back, Some("posix"))
+    }
+    assert(noMarker.getMessage.contains("no migration-completion marker"))
     intercept[IllegalArgumentException] {
       ArtifactStore.migrate(spark, src, "file:///tmp/never_built_x",
         Some("posix"))
@@ -736,6 +753,8 @@ class ManifestStoreSpec extends AnyFunSuite {
       iters = 1)
     val src = freshDir("ivf_migrate_empty_src_v1")
     val dstLocal = freshDir("ivf_migrate_empty_dst_v1")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dstLocal + ".migration_ok"))
     Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cs, src)
     Similarity.ivfDelete(spark, src, "vec_id", embs.select("vec_id"))
     assert(Similarity.readStore(spark, src).count() == 0L)
