@@ -2087,14 +2087,14 @@ object SparkEntry {
               // (migrate refuses an unmarked existing destination) —
               // including the POSIX source's out-of-root tombstone
               // sidecar dir (or a re-run would carry a second copy of
-              // the batch) and the completion marker
+              // the batch); a stale completion marker needs no hand
+              // cleanup — migrate clears it when the destination is
+              // absent
               for (p <- Seq(src, src + ".tombstones", dstLocal)) {
                 val f = new java.io.File(p)
                 if (f.exists())
                   org.apache.commons.io.FileUtils.deleteDirectory(f)
               }
-              org.apache.commons.io.FileUtils.deleteQuietly(
-                new java.io.File(dstLocal + ".migration_ok"))
               Similarity.materializedIvfIndex(
                 embs.filter(pmod(col("vec_id"), lit(2L)) === 0),
                 "vec_id", "embedding", cents, src)

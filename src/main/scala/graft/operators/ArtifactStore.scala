@@ -222,8 +222,25 @@ object ArtifactStore {
     dataPaths.iterator.map(colsUnder).find(_.nonEmpty).getOrElse(Nil)
   }
 
-  private def normRoot(p: String): String =
-    p.stripPrefix("file://").stripSuffix("/")
+  /** Canonical root for same/nested-root comparison: every spelling of a
+    * local file URI (`file:/x`, `file://x`, `file:///x`, Hadoop's
+    * canonical single-slash form) reduces to the bare path; other schemes
+    * keep scheme+authority+path. A missed equivalence here would let a
+    * migration build a manifest store INSIDE its own live POSIX source
+    * root (review pass: `file:/data/x` vs `/data/x`).
+    */
+  private[operators] def normRoot(p: String): String = {
+    val noSlash = p.stripSuffix("/")
+    if (!ManifestFs.hasScheme(noSlash)) noSlash
+    else try {
+      val u = new java.net.URI(noSlash)
+      if (u.getScheme == "file" &&
+          (u.getAuthority == null || u.getAuthority.isEmpty ||
+            u.getAuthority == "localhost"))
+        u.getPath.stripSuffix("/")
+      else noSlash
+    } catch { case _: java.net.URISyntaxException => noSlash }
+  }
 
   /** Migrate an artifact between storage protocols — the deployment move
     * the dual-protocol seam exists for: a store built and proven on local
@@ -257,13 +274,16 @@ object ArtifactStore {
     *     `buildOnce`/`tombstoneAppend` verbs (so it carries durable kind
     *     + schema metadata and serves to a FRESH session via
     *     `REGISTER GRAFT ARTIFACT FROM`), and is registered with this
-    *     session's [[graft.plans.QueryHistory]]. A completion marker
-    *     (`<dst>.migration_ok`, recording the source, written LAST)
-    *     makes re-runs safe: a COMPLETED migration re-runs as a no-op,
-    *     while a destination that exists without the marker — a foreign
-    *     store, or a migration that crashed between the data publish and
-    *     the tombstone carry (whose pending deletes may be missing) —
-    *     refuses with the diagnosis.
+    *     session's [[graft.plans.QueryHistory]]. A marker
+    *     (`<dst>.migration_ok`, recording the source) is CLAIMED by
+    *     conditional PUT before the copy (`state=copying` — racing
+    *     migrations to one destination serialize on it) and rewritten to
+    *     the completion form after the tombstone carry: a COMPLETED
+    *     migration re-runs as a no-op, while a `copying` or absent
+    *     marker on an existing destination — an in-flight migration, a
+    *     crash between the data publish and the tombstone carry (whose
+    *     pending deletes may be missing), or a foreign store — refuses
+    *     with the diagnosis.
     *
     * Destination protocol: `protocol` when given (`posix` | `manifest`;
     * `posix` refuses URI roots — flock/rename can't bind through an FS
@@ -282,8 +302,13 @@ object ArtifactStore {
     */
   def migrate(spark: SparkSession, src: String, dst: String,
               protocol: Option[String] = None): String = {
-    require(normRoot(src) != normRoot(dst),
+    val (nSrc, nDst) = (normRoot(src), normRoot(dst))
+    require(nSrc != nDst,
       s"migration source and destination are the same store root ($src)")
+    require(!nDst.startsWith(nSrc + "/") && !nSrc.startsWith(nDst + "/"),
+      s"migration source and destination are nested ($src vs $dst) — a " +
+        "destination inside the source root would corrupt the source's " +
+        "own layout (and vice versa); choose disjoint roots")
     val srcStore = forPath(spark, src)
     require(srcStore.exists(src), s"no artifact at $src to migrate")
     val dstStore = protocol match {
@@ -303,33 +328,67 @@ object ArtifactStore {
         s"no artifact kind metadata at $src — stores record their kind " +
           "when built or appended through the engine; an ingest append " +
           "stamps a store built before the metadata existed"))
-    // completion marker: the copy is data-then-tombstones (a manifest
-    // destination cannot admit tombstones before its first publish), so
-    // a crash between the two leaves a destination that EXISTS but is
-    // missing pending deletes. The marker (written LAST, recording the
-    // source) makes the crash window diagnosable: a completed migration
-    // re-runs as a no-op, an incomplete or foreign destination refuses
-    // with the reason instead of a bare "exists".
+    // marker = in-flight CLAIM + completion record. The copy is
+    // data-then-tombstones (a manifest destination cannot admit
+    // tombstones before its first publish), so a crash between the two
+    // leaves a destination that EXISTS but is missing pending deletes;
+    // and two migrations from DIFFERENT sources racing one fresh
+    // destination would interleave the winner's data with the loser's
+    // tombstones (review pass). The marker closes both: claimed by
+    // conditional PUT (`state=copying`) BEFORE the copy — the same
+    // primitive the manifest protocol publishes with, so exactly one
+    // racer proceeds — and rewritten to the completion form after the
+    // tombstone carry. A completed migration re-runs as a no-op; a
+    // `copying` or absent marker on an existing destination refuses with
+    // the in-flight/crashed/foreign diagnosis.
     val markerPath = dst.stripSuffix("/") + ".migration_ok"
     val markerFs = ManifestFs.forPath(markerPath)
+    val doneContent = s"src=$nSrc"
+    val copyingContent = s"src=$nSrc state=copying"
+    def readMarker(): Option[String] =
+      try Some(markerFs.readString(markerPath).trim)
+      catch {
+        // ONLY a missing marker maps to None — a transient read fault
+        // must propagate, or the error below would tell the operator to
+        // delete a perfectly good destination (review pass)
+        case t if ManifestArtifactStore.isMissing(t) => None
+      }
+    def dropMarker(): Unit =
+      try markerFs.delete(markerPath)
+      catch { case t if ManifestArtifactStore.isMissing(t) => () }
     if (dstStore.exists(dst)) {
-      val marker = try Some(markerFs.readString(markerPath))
-        catch { case scala.util.control.NonFatal(_) => None }
-      marker match {
-        case Some(m) if m.trim == s"src=${normRoot(src)}" =>
-          return kind // completed earlier — idempotent re-run
+      readMarker() match {
+        case Some(m) if m == doneContent =>
+          // completed earlier — idempotent re-run; a FRESH session still
+          // gets its registration (review pass)
+          graft.plans.QueryHistory.registerArtifact(kind, dst)
+          return kind
+        case Some(m) if m == copyingContent =>
+          throw new IllegalArgumentException(
+            s"destination $dst holds an UNFINISHED migration from this " +
+              "source — in flight in another driver, or crashed before " +
+              "the pending-tombstone carry; if nothing is running, " +
+              "delete the destination and its .migration_ok marker, " +
+              "then re-run")
         case Some(m) => throw new IllegalArgumentException(
           s"destination $dst was migrated from a DIFFERENT source " +
-            s"(${m.trim}, this call: src=${normRoot(src)}) — choose a " +
-            "fresh root")
+            s"('$m', this call: src=$nSrc) — choose a fresh root")
         case None => throw new IllegalArgumentException(
           s"destination $dst already holds a ${dstStore.name} artifact " +
-            "with no migration-completion marker — either a foreign " +
-            "store (choose a fresh root) or a CRASHED migration whose " +
+            "with no migration marker — either a foreign store (choose " +
+            "a fresh root) or a CRASHED migration whose " +
             "pending-tombstone carry may be missing (delete the " +
             "destination and re-run)")
       }
     }
+    // destination absent: clear any STALE marker (a retired
+    // destination's leftover would otherwise permanently record the
+    // wrong source — review pass), then claim
+    if (readMarker().isDefined) dropMarker()
+    if (!markerFs.putIfAbsent(markerPath, copyingContent))
+      throw new IllegalStateException(
+        s"another migration just claimed $dst — migrations to one " +
+          "destination serialize on the marker's conditional PUT")
     def copyAll(snap: ArtifactSnapshot): Unit = {
       val partCols = hivePartitionCols(snap.dataPaths)
       val df = readFrame(spark, snap)
@@ -370,7 +429,11 @@ object ArtifactStore {
       case _ =>
         srcStore.readLocked(spark, src)(copyAll)
     }
-    markerFs.putIfAbsent(markerPath, s"src=${normRoot(src)}")
+    // claim → completion: the brief marker-absent window between the two
+    // writes is safe (an observer sees dst-exists + no marker and
+    // refuses; nothing can corrupt)
+    dropMarker()
+    markerFs.putIfAbsent(markerPath, doneContent)
     graft.plans.QueryHistory.registerArtifact(kind, dst)
     kind
   }
@@ -724,7 +787,7 @@ object ManifestArtifactStore extends ArtifactStore {
     * exceptions are `IOException` subclasses, but a bare IOException is
     * a FAULT and must propagate.
     */
-  private def isMissing(t: Throwable): Boolean = t match {
+  private[operators] def isMissing(t: Throwable): Boolean = t match {
     case _: java.nio.file.NoSuchFileException => true
     case _: java.io.FileNotFoundException     => true
     case _                                    => false

@@ -475,7 +475,7 @@ case class PinGraftArtifactCommand(path: String)
   override val output: Seq[Attribute] = Seq(
     AttributeReference("pin_id", StringType, nullable = false)(),
     AttributeReference("path", StringType, nullable = false)(),
-    AttributeReference("data_paths", StringType, nullable = false)())
+    AttributeReference("data_path_count", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (id, snap) = graft.operators.ArtifactStore.forPath(spark, path)
       .pinSnapshot(spark, path)

@@ -623,9 +623,9 @@ class ManifestStoreSpec extends AnyFunSuite {
     val dstLocal = freshDir("ivf_migrate_dst_v1")
     val dst = "file://" + dstLocal
     val back = freshDir("ivf_migrate_back_v1")
-    for (p <- Seq(src, dstLocal, back))
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(p + ".migration_ok"))
+    // stale .migration_ok markers from earlier JVM runs are deliberately
+    // NOT hand-deleted: migrate clears a stale marker itself when the
+    // destination is absent (review pass)
 
     def probe(path: String, cents: Seq[Seq[Double]]): Seq[(Long, Double)] =
       Similarity.ivfStoreProbe(spark, path, "vec_id", "embedding", q,
@@ -709,10 +709,32 @@ class ManifestStoreSpec extends AnyFunSuite {
     val noMarker = intercept[IllegalArgumentException] {
       ArtifactStore.migrate(spark, dst, back, Some("posix"))
     }
-    assert(noMarker.getMessage.contains("no migration-completion marker"))
+    assert(noMarker.getMessage.contains("no migration marker"))
     intercept[IllegalArgumentException] {
       ArtifactStore.migrate(spark, src, "file:///tmp/never_built_x",
         Some("posix"))
+    }
+    // URI spellings of the SAME root and nested roots refuse — a
+    // manifest store built inside a live POSIX source would destroy it
+    intercept[IllegalArgumentException] {
+      ArtifactStore.migrate(spark, src, "file:" + src)
+    }
+    intercept[IllegalArgumentException] {
+      ArtifactStore.migrate(spark, src, src + "/sub")
+    }
+
+    // a RETIRED destination's stale marker must not poison the root:
+    // delete the store but leave the marker; migrating a DIFFERENT
+    // source there clears the leftover and proceeds (review pass)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dstLocal))
+    assert(ArtifactStore.migrate(spark, back, dst) == "ivf")
+    assert(probe(dst, cs) == srcServe)
+    // the marker now records the NEW source: its re-run is the no-op,
+    // the old source refuses
+    assert(ArtifactStore.migrate(spark, back, dst) == "ivf")
+    intercept[IllegalArgumentException] {
+      ArtifactStore.migrate(spark, src, dst)
     }
   }
 
@@ -753,8 +775,6 @@ class ManifestStoreSpec extends AnyFunSuite {
       iters = 1)
     val src = freshDir("ivf_migrate_empty_src_v1")
     val dstLocal = freshDir("ivf_migrate_empty_dst_v1")
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(dstLocal + ".migration_ok"))
     Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cs, src)
     Similarity.ivfDelete(spark, src, "vec_id", embs.select("vec_id"))
     assert(Similarity.readStore(spark, src).count() == 0L)
