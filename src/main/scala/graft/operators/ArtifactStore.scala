@@ -234,11 +234,20 @@ object ArtifactStore {
     if (!ManifestFs.hasScheme(noSlash)) noSlash
     else try {
       val u = new java.net.URI(noSlash)
-      if (u.getScheme == "file" &&
-          (u.getAuthority == null || u.getAuthority.isEmpty ||
-            u.getAuthority == "localhost"))
+      // scheme and authority are case-INsensitive (RFC 3986 §6.2.2.1):
+      // a destination spelled FILE:///data/x must not escape the
+      // same-root/nested-root refusal against a POSIX source /data/x
+      // (r19 ADVICE)
+      val scheme = Option(u.getScheme)
+        .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
+      val auth = Option(u.getAuthority)
+        .map(_.toLowerCase(java.util.Locale.ROOT))
+      if (scheme == "file" &&
+          auth.forall(a => a.isEmpty || a == "localhost"))
         u.getPath.stripSuffix("/")
-      else noSlash
+      else
+        scheme + "://" + auth.getOrElse("") +
+          Option(u.getPath).getOrElse("").stripSuffix("/")
     } catch { case _: java.net.URISyntaxException => noSlash }
   }
 
@@ -337,10 +346,25 @@ object ArtifactStore {
     // tombstones (review pass). The marker closes both: claimed by
     // conditional PUT (`state=copying`) BEFORE the copy — the same
     // primitive the manifest protocol publishes with, so exactly one
-    // racer proceeds — and rewritten to the completion form after the
-    // tombstone carry. A completed migration re-runs as a no-op; a
+    // racer proceeds — and CAS-REPLACED to the completion form after
+    // the tombstone carry. A completed migration re-runs as a no-op; a
     // `copying` or absent marker on an existing destination refuses with
     // the in-flight/crashed/foreign diagnosis.
+    //
+    // The marker is a SIBLING of the destination, so a destination at a
+    // filesystem/bucket root has nowhere to put it — `hdfs://nn/` would
+    // derive `hdfs://nn.migration_ok`, an invalid or wrong-authority
+    // path (r19 ADVICE): refuse root destinations outright.
+    val dstPathPart =
+      if (ManifestFs.hasScheme(dst))
+        try Option(new java.net.URI(dst).getPath).getOrElse("")
+        catch { case _: java.net.URISyntaxException => "" }
+      else dst
+    require(dstPathPart.stripSuffix("/").nonEmpty,
+      s"migration destination $dst is a filesystem/bucket root — the " +
+        ".migration_ok marker lives beside the destination, which a " +
+        "root has no parent for; choose a destination at least one " +
+        "path level down")
     val markerPath = dst.stripSuffix("/") + ".migration_ok"
     val markerFs = ManifestFs.forPath(markerPath)
     val doneContent = s"src=$nSrc"
@@ -353,9 +377,6 @@ object ArtifactStore {
         // delete a perfectly good destination (review pass)
         case t if ManifestArtifactStore.isMissing(t) => None
       }
-    def dropMarker(): Unit =
-      try markerFs.delete(markerPath)
-      catch { case t if ManifestArtifactStore.isMissing(t) => () }
     if (dstStore.exists(dst)) {
       readMarker() match {
         case Some(m) if m == doneContent =>
@@ -363,10 +384,10 @@ object ArtifactStore {
           // gets its registration (review pass)
           graft.plans.QueryHistory.registerArtifact(kind, dst)
           return kind
-        case Some(m) if m == copyingContent =>
+        case Some(m) if m.endsWith(" state=copying") =>
           throw new IllegalArgumentException(
-            s"destination $dst holds an UNFINISHED migration from this " +
-              "source — in flight in another driver, or crashed before " +
+            s"destination $dst holds an UNFINISHED migration ('$m') — " +
+              "in flight in another driver, or crashed before " +
               "the pending-tombstone carry; if nothing is running, " +
               "delete the destination and its .migration_ok marker, " +
               "then re-run")
@@ -381,14 +402,56 @@ object ArtifactStore {
             "destination and re-run)")
       }
     }
-    // destination absent: clear any STALE marker (a retired
-    // destination's leftover would otherwise permanently record the
-    // wrong source — review pass), then claim
-    if (readMarker().isDefined) dropMarker()
-    if (!markerFs.putIfAbsent(markerPath, copyingContent))
+    // destination absent. A marker here is either a retired
+    // destination's COMPLETED-migration leftover (stale: nothing can be
+    // running — a completed migration's destination existed when its
+    // marker was written) or a live/crashed `state=copying` CLAIM. A
+    // manifest destination does not exist until buildOnce's final
+    // publish, so the whole potentially hours-long copy runs with
+    // dst-absent + copying-marker — unconditionally clearing it here
+    // would let a second migrate interleave with the first (r19 ADVICE).
+    // So: refuse ANY copying-form marker; take over a completion-form
+    // leftover by CAS REPLACE (atomic — can never land on a racer's
+    // fresh claim, unlike delete-then-put); claim a bare root by
+    // conditional PUT.
+    val priorMarker = readMarker()
+    val won = priorMarker match {
+      case None => markerFs.putIfAbsent(markerPath, copyingContent)
+      case Some(m) if m.endsWith(" state=copying") =>
+        throw new IllegalArgumentException(
+          s"a migration into $dst is in flight in another driver (or " +
+            s"crashed before its first publish) — marker '$m' holds " +
+            s"the claim; if nothing is running, delete $markerPath " +
+            "and any partial destination, then re-run")
+      case Some(stale) =>
+        markerFs.replaceIfContent(markerPath, stale, copyingContent)
+    }
+    if (!won)
       throw new IllegalStateException(
         s"another migration just claimed $dst — migrations to one " +
           "destination serialize on the marker's conditional PUT")
+    // re-check destination absence AFTER winning the claim (r19 ADVICE):
+    // a racer can have COMPLETED between our absence check and the
+    // claim — its done-form marker is exactly what the takeover above
+    // consumed. Restore the pre-claim marker and dispatch on the
+    // destination's real state instead of writing into it.
+    if (dstStore.exists(dst)) {
+      priorMarker match {
+        case Some(stale) =>
+          markerFs.replaceIfContent(markerPath, copyingContent, stale); ()
+        case None => markerFs.deleteIfContent(markerPath, copyingContent)
+      }
+      if (priorMarker.contains(doneContent)) {
+        // completed migration from THIS source — idempotent no-op
+        graft.plans.QueryHistory.registerArtifact(kind, dst)
+        return kind
+      }
+      throw new IllegalArgumentException(
+        s"destination $dst gained a ${dstStore.name} artifact while " +
+          "this migration was claiming it (a racing migration " +
+          "completed, or a foreign writer landed) — nothing was " +
+          "written; re-run to dispatch on the destination's state")
+    }
     def copyAll(snap: ArtifactSnapshot): Unit = {
       val partCols = hivePartitionCols(snap.dataPaths)
       val df = readFrame(spark, snap)
@@ -429,11 +492,20 @@ object ArtifactStore {
       case _ =>
         srcStore.readLocked(spark, src)(copyAll)
     }
-    // claim → completion: the brief marker-absent window between the two
-    // writes is safe (an observer sees dst-exists + no marker and
-    // refuses; nothing can corrupt)
-    dropMarker()
-    markerFs.putIfAbsent(markerPath, doneContent)
+    // claim → completion by CAS REPLACE (r19 ADVICE): the old drop→put
+    // pair both opened a marker-absent window a racer could re-claim
+    // AND ignored the final put's result — a lost race there left a
+    // fully-published destination permanently marked unfinished. A
+    // false return means our claim vanished mid-copy; the data IS
+    // published, so fail loudly with the repair instruction rather
+    // than report success over a wrong marker.
+    if (!markerFs.replaceIfContent(markerPath, copyingContent, doneContent))
+      throw new IllegalStateException(
+        s"migration to $dst finished its copy, but the .migration_ok " +
+          "claim was no longer this migration's at completion — the " +
+          "destination data is fully published; verify nothing else " +
+          s"wrote to $dst, then restore the marker by writing " +
+          s"'$doneContent' to $markerPath")
     graft.plans.QueryHistory.registerArtifact(kind, dst)
     kind
   }
@@ -902,7 +974,7 @@ object ManifestArtifactStore extends ArtifactStore {
   private def normKey(root: String): String =
     if (ManifestFs.hasScheme(root)) {
       val u = new org.apache.hadoop.fs.Path(root).toUri
-      if (u.getScheme == "file")
+      if ("file".equalsIgnoreCase(u.getScheme))
         java.nio.file.Paths.get(u.getPath).toAbsolutePath.normalize().toString
       else new org.apache.hadoop.fs.Path(root).toString
     }

@@ -206,7 +206,11 @@ private[graft] object HadoopManifestFs extends ManifestFs {
   }
 
   private def isLocalScheme(path: String): Boolean =
-    new Path(path).toUri.getScheme == "file"
+    // scheme comparison is case-insensitive (RFC 3986): FILE:///x must
+    // route to the hard-link CAS exactly like file:///x (r19 ADVICE
+    // class — a cased spelling escaping the file-scheme routing would
+    // run the overwriting RawLocalFileSystem.rename as a "CAS")
+    "file".equalsIgnoreCase(new Path(path).toUri.getScheme)
 
   private def localPath(path: String): String =
     new Path(path).toUri.getPath

@@ -769,6 +769,52 @@ class ManifestStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("migration marker protocol: in-flight claims refuse, completion is CAS'd, roots and cased schemes refuse") {
+    // r19 ADVICE: (1) a dst-absent migrate must NOT clear a live
+    // `state=copying` claim — a manifest destination does not exist
+    // until the final publish, so the whole copy runs dst-absent and a
+    // second migrate clearing the claim would interleave two
+    // migrations' data/tombstones; (2) completion must be a CAS replace
+    // of the claim, never an ignored put; (3) URI schemes compare
+    // case-insensitively in the same/nested-root refusal; (4) root
+    // destinations refuse (the sibling marker has no parent there).
+    val embs = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 32)
+    val cs = Similarity.trainKmeansCentroids(embs, "embedding", k = 2,
+      iters = 1)
+    val src = freshDir("ivf_migrate_claims_src_v1")
+    Similarity.materializedIvfIndex(embs, "vec_id", "embedding", cs, src)
+    val dstLocal = freshDir("ivf_migrate_claims_dst_v1")
+    val marker = new java.io.File(dstLocal + ".migration_ok")
+    org.apache.commons.io.FileUtils.deleteQuietly(marker)
+    // (1) destination ABSENT + a copying claim (from ANY source)
+    val claim = "src=/somewhere/else state=copying"
+    java.nio.file.Files.writeString(marker.toPath, claim)
+    val inFlight = intercept[IllegalArgumentException] {
+      ArtifactStore.migrate(spark, src, dstLocal)
+    }
+    assert(inFlight.getMessage.contains("in flight"), inFlight.getMessage)
+    assert(java.nio.file.Files.readString(marker.toPath) == claim,
+      "the refusal must leave the in-flight claim untouched")
+    org.apache.commons.io.FileUtils.deleteQuietly(marker)
+    // (3) a CASED scheme spelling of the same/nested root still refuses
+    intercept[IllegalArgumentException] {
+      ArtifactStore.migrate(spark, src, "FILE:" + src)
+    }
+    intercept[IllegalArgumentException] {
+      ArtifactStore.migrate(spark, src, "FILE://" + src + "/sub")
+    }
+    // (4) filesystem/bucket-root destinations refuse before any I/O
+    val rootRefusal = intercept[IllegalArgumentException] {
+      ArtifactStore.migrate(spark, src, "hdfs://namenode/")
+    }
+    assert(rootRefusal.getMessage.contains("root"), rootRefusal.getMessage)
+    // (2) a successful migrate ends with the claim CAS-replaced by the
+    // completion form — same file, no marker-absent window in between
+    ArtifactStore.migrate(spark, src, dstLocal)
+    assert(java.nio.file.Files.readString(marker.toPath).trim == s"src=$src",
+      "completion must rewrite the claim to the done form in place")
+  }
+
   test("MIGRATE carries a fully-emptied store's schema (empty clone plans)") {
     val embs = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 32)
     val cs = Similarity.trainKmeansCentroids(embs, "embedding", k = 2,
