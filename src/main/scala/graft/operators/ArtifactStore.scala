@@ -991,16 +991,22 @@ object ManifestArtifactStore extends ArtifactStore {
   private def leaseMsOf(spark: SparkSession): Long =
     spark.conf.get("spark.graft.artifact.leaseMs", "600000").toLong
 
-  /** Claim the lease by conditional PUT; steal only a demonstrably
-    * expired one, by CONDITIONAL DELETE — delete-if-content-unchanged.
-    * An unconditional delete would let a slow stealer delete another
-    * stealer's freshly re-claimed lease (both observed the old one
-    * expired; one re-claims; the other's late delete kills the valid
-    * claim — two concurrent maintenance bodies, the exact lost-batch
-    * class the lease exists to prevent, r17 review). The conditional
-    * delete is a [[ManifestFs]] primitive: S3/GCS provide it natively
-    * (`If-Match` / `ifGenerationMatch`), the local binding serializes
-    * the compare+delete pair under a flock sibling.
+  /** Claim the lease by conditional PUT; STEAL only a demonstrably
+    * expired one, by CLAIM-BY-REPLACE (r18 verdict item 3): one
+    * conditional REPLACE swaps the dead holder's expired content for
+    * our fresh claim. The earlier two-step steal (conditional DELETE of
+    * the expired content, then loop back to the conditional PUT) left a
+    * stealer-vs-stealer window on bindings whose conditional delete is
+    * read-compare-then-act (HDFS has no native compare-and-delete): two
+    * stealers both read the expired content, one deletes+re-claims, the
+    * other's late delete lands on the winner's FRESH claim — two
+    * concurrent maintenance bodies. With claim-by-replace a loser never
+    * issues a delete at all: its replace compares against the expired
+    * content, which the winner's claim already overwrote, and fails.
+    * The conditional replace is a [[ManifestFs]] primitive: S3/GCS
+    * provide it natively (`If-Match` / `ifGenerationMatch`), the local
+    * binding (and the `file:` Hadoop route) serializes compare+swap
+    * under the same flock sibling as the heartbeat's renewal.
     */
   private def acquireLease(root: String, leaseMs: Long): String = {
     val f = fs(root)
@@ -1023,7 +1029,11 @@ object ManifestArtifactStore extends ArtifactStore {
         val parts = c.split(" ")
         parts.length == 2 && System.currentTimeMillis() > parts(1).toLong
       }
-      if (expired) f.deleteIfContent(lf, observed.get)
+      if (expired) {
+        if (f.replaceIfContent(lf, observed.get, content)) return mine
+        // lost the steal to another stealer (or the holder revived):
+        // loop — the fresh claim will read as unexpired
+      }
       else Thread.sleep(25)
     }
     throw new IllegalStateException("unreachable")

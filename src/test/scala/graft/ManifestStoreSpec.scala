@@ -459,6 +459,72 @@ class ManifestStoreSpec extends AnyFunSuite {
     info(f"waiter acquired $ms%.0f ms after probe launch (hold $holdMs ms)")
   }
 
+  test("claim-by-replace steal: two stealer JVMs racing a dead holder's expired lease never overlap") {
+    // r18 verdict item 3: the steal is ONE conditional replace of the
+    // expired content, so a losing stealer never issues a delete that
+    // could land on the winner's fresh claim. Three-JVM shape: the dead
+    // holder is an expired lease file written directly (a crashed JVM's
+    // leftover — renewal only stops while the holder lives), and two
+    // REAL stealer JVMs run the production acquisition loop. Mutual
+    // exclusion is proven ON DISK, not by timing: each holder claims a
+    // create-new token while it holds; a pre-existing token = two
+    // concurrent maintenance bodies = exactly the corruption the old
+    // delete-then-put steal admitted.
+    import graft.operators.Dedup
+    val path = freshDir("span_steal_race_v1")
+    val sM = manifestSession()
+    Dedup.spanCountsIngest(Tables.t(sM, sf, "documents").limit(16),
+      "doc_id", "text", k = 8, path)
+    val lf = java.nio.file.Paths.get(path, "_manifest", "lease")
+    java.nio.file.Files.writeString(lf,
+      s"deadbeef-crashed ${System.currentTimeMillis() - 60000}")
+    val token = new java.io.File(path + ".steal_token")
+    org.apache.commons.io.FileUtils.deleteQuietly(token)
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    def src(c: Class[_]) = new java.io.File(
+      c.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+    val cp = Seq(src(graft.tools.StealProbe.getClass),
+      src(scala.Predef.getClass), "/opt/spark/jars/*")
+      .mkString(java.io.File.pathSeparator)
+    val procs = (1 to 2).map { _ =>
+      val pb = new ProcessBuilder(javaBin, "-cp", cp,
+        "graft.tools.StealProbe", path, "1500", token.getPath)
+      pb.redirectErrorStream(true)
+      pb.start()
+    }
+    val outputs = procs.map { p =>
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "StealProbe JVM did not finish")
+      new String(p.getInputStream.readAllBytes()).trim
+        .linesIterator.toSeq
+    }
+    assert(outputs.forall(_.contains("HELD")) &&
+      outputs.forall(_.contains("DONE")) &&
+      !outputs.exists(_.contains("VIOLATION")),
+      s"steal race violated mutual exclusion: $outputs")
+    assert(!java.nio.file.Files.exists(lf),
+      "both stealers released cleanly — no orphaned claim")
+    assert(!token.exists())
+    // the primitive itself, deterministically: N same-JVM threads race
+    // ONE replace of the same expired content — exactly one may win
+    java.nio.file.Files.writeString(lf,
+      s"deadbeef-crashed2 ${System.currentTimeMillis() - 60000}")
+    val expiredContent = java.nio.file.Files.readString(lf)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        if (graft.operators.LocalManifestFs.replaceIfContent(
+            lf.toString, expiredContent, s"claim-$i fresh"))
+          { wins.incrementAndGet(); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get() == 1,
+      s"claim-by-replace must admit exactly one winner, got ${wins.get()}")
+    java.nio.file.Files.delete(lf)
+  }
+
   test("publish fencing: a holder stalled past a stolen lease aborts without publishing") {
     // r17 verdict item 2 (fencing half): renewal cannot cover a holder
     // whose WHOLE JVM stalls past leaseMs (heartbeat included). Simulate
