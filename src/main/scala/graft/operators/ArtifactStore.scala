@@ -178,6 +178,17 @@ object ArtifactStore {
         s"spark.graft.artifactStore must be posix or manifest, got $other")
     }
 
+  /** Session-bound twins of the trait's session-free reads: bind the
+    * CALLER session's Hadoop conf so stores on session-registered FS
+    * schemes resolve (r18 verdict item 4). The trait forms stay for
+    * callers without a session (probes) and context-level schemes.
+    */
+  def exists(spark: SparkSession, root: String): Boolean =
+    ManifestFs.withSessionConf(spark)(forPath(spark, root).exists(root))
+
+  def kindOf(spark: SparkSession, root: String): Option[String] =
+    ManifestFs.withSessionConf(spark)(forPath(spark, root).kindOf(root))
+
   /** Read one snapshot as a DataFrame, with its persisted schema when
     * present (a fully-emptied store has no files to infer from). Each
     * data path is its own scan, unioned: a manifest snapshot's segments
@@ -310,7 +321,14 @@ object ArtifactStore {
     * excluded by the source's read lock.
     */
   def migrate(spark: SparkSession, src: String, dst: String,
-              protocol: Option[String] = None): String = {
+              protocol: Option[String] = None): String =
+    // the CALLER session's Hadoop conf governs every ManifestFs
+    // primitive of the migration (marker CAS, listings, staging) —
+    // session-level FS bindings included (r18 verdict item 4)
+    ManifestFs.withSessionConf(spark)(migrateImpl(spark, src, dst, protocol))
+
+  private def migrateImpl(spark: SparkSession, src: String, dst: String,
+                          protocol: Option[String]): String = {
     val (nSrc, nDst) = (normRoot(src), normRoot(dst))
     require(nSrc != nDst,
       s"migration source and destination are the same store root ($src)")
@@ -545,11 +563,17 @@ object ArtifactStore {
       try r.getRecordCount finally r.close()
     } catch { case _: java.io.FileNotFoundException => 0L }
 
-  /** Footer-metadata row total over the given paths — no Spark job. */
+  /** Footer-metadata row total over the given paths — no Spark job.
+    * Bound to the caller SESSION's Hadoop conf (listing AND footer
+    * reads), so session-level FS bindings serve their own stores'
+    * tombstone math (r18 verdict item 4).
+    */
   private[graft] def footerRows(spark: SparkSession,
                                 paths: Seq[String]): Long = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    paths.flatMap(parquetFilesUnder).map(footerRecordCount(_, conf)).sum
+    val conf = ManifestFs.sessionHadoopConf(spark)
+    ManifestFs.withHadoopConf(conf) {
+      paths.flatMap(parquetFilesUnder).map(footerRecordCount(_, conf)).sum
+    }
   }
 
   /** Once-per-path notice when a metadata surface (graft_artifacts /
@@ -1089,7 +1113,23 @@ object ManifestArtifactStore extends ArtifactStore {
     */
   private def startHeartbeat(root: String, st: LeaseState, id: String,
                              leaseMs: Long): Thread = {
-    val t = new Thread(() => {
+    // capture the acquiring thread's bound session conf: the heartbeat
+    // runs on its OWN thread, outside the entry point's thread-local
+    // binding — without the capture a session-level FS binding's lease
+    // would fail every renewal (r18 verdict item 4)
+    val hbConf = ManifestFs.boundConf
+    val t = new Thread(() => hbConf match {
+      case Some(c) => ManifestFs.withHadoopConf(c)(heartbeatLoop(root, st, id, leaseMs))
+      case None    => heartbeatLoop(root, st, id, leaseMs)
+    })
+    t.setDaemon(true)
+    t.setName(s"graft-lease-heartbeat-${normKey(root).hashCode}")
+    t.start()
+    t
+  }
+
+  private def heartbeatLoop(root: String, st: LeaseState, id: String,
+                            leaseMs: Long): Unit = {
       val f = fs(root)
       val lf = leasePath(root)
       var live = true
@@ -1124,11 +1164,6 @@ object ManifestArtifactStore extends ArtifactStore {
             log.warn(s"lease renewal for $root failed (will retry): $t")
         }
       }
-    })
-    t.setDaemon(true)
-    t.setName(s"graft-lease-heartbeat-${normKey(root).hashCode}")
-    t.start()
-    t
   }
 
   /** Abort a publish whose maintenance lease was stolen: re-read the
@@ -1159,7 +1194,11 @@ object ManifestArtifactStore extends ArtifactStore {
 
   override def maintenanceLocked[T](spark: SparkSession, root: String)
                                    (f: => T): T =
-    maintenanceLockedMs(root, leaseMsOf(spark))(f)
+    // bind the CALLER session's Hadoop conf for the lease protocol AND
+    // the body's primitives on this thread (r18 verdict item 4)
+    ManifestFs.withSessionConf(spark) {
+      maintenanceLockedMs(root, leaseMsOf(spark))(f)
+    }
 
   /** Explicit-expiry form for callers without a session
     * ([[graft.tools.LeaseProbe]]). Everything else goes through
@@ -1225,7 +1264,9 @@ object ManifestArtifactStore extends ArtifactStore {
 
   override def snapshot(spark: SparkSession,
                         root: String): ArtifactSnapshot =
-    snapshotOf(root, requireStore(root))
+    ManifestFs.withSessionConf(spark) {
+      snapshotOf(root, requireStore(root))
+    }
 
   override def readLocked[T](spark: SparkSession, root: String)
                             (f: ArtifactSnapshot => T): T =
@@ -1265,7 +1306,11 @@ object ManifestArtifactStore extends ArtifactStore {
     * landing and re-taken against the fresh manifest if not (bounded).
     */
   override def pinSnapshot(spark: SparkSession,
-                           root: String): (String, ArtifactSnapshot) = {
+                           root: String): (String, ArtifactSnapshot) =
+    ManifestFs.withSessionConf(spark)(pinSnapshotImpl(spark, root))
+
+  private def pinSnapshotImpl(spark: SparkSession,
+                              root: String): (String, ArtifactSnapshot) = {
     val maxAge =
       spark.conf.get("spark.graft.artifact.pinMaxAgeMs", "3600000").toLong
     val f = fs(root)
@@ -1300,7 +1345,8 @@ object ManifestArtifactStore extends ArtifactStore {
     * through it would be a silent torn read).
     */
   def resolvePin(spark: SparkSession, root: String,
-                 pinId: String): ArtifactSnapshot = {
+                 pinId: String): ArtifactSnapshot =
+    ManifestFs.withSessionConf(spark) {
     val f = fs(root)
     val p = f.child(manifestDir(root), s"pin-$pinId.json")
     val content =
@@ -1329,7 +1375,7 @@ object ManifestArtifactStore extends ArtifactStore {
         case _           => None
       },
       strs("tombstones").map(f.child(root, _)))
-  }
+    }
 
   // ---- mutations ----------------------------------------------------------
 
@@ -1360,21 +1406,21 @@ object ManifestArtifactStore extends ArtifactStore {
   }
 
   override def buildOnce(spark: SparkSession, root: String, kind: String)
-                        (write: String => Unit): Unit = {
-    if (exists(root)) return
-    maintenanceLocked(spark, root) {
-      if (!exists(root)) {
-        val (genName, genPath) = staged(root, "gen")
-        write(genPath)
-        val schema = spark.read.parquet(genPath).schema
-        val won = publish(root, Manifest(1, kind, Some(schema.json),
-          Seq(genName), Nil))
-        // under the lease v1 cannot be contended; belt-and-braces: a
-        // lost race means another build won — drop our staging
-        if (!won) fs(root).rmTree(genPath)
+                        (write: String => Unit): Unit =
+    ManifestFs.withSessionConf(spark) {
+      if (!exists(root)) maintenanceLocked(spark, root) {
+        if (!exists(root)) {
+          val (genName, genPath) = staged(root, "gen")
+          write(genPath)
+          val schema = spark.read.parquet(genPath).schema
+          val won = publish(root, Manifest(1, kind, Some(schema.json),
+            Seq(genName), Nil))
+          // under the lease v1 cannot be contended; belt-and-braces: a
+          // lost race means another build won — drop our staging
+          if (!won) fs(root).rmTree(genPath)
+        }
       }
     }
-  }
 
   override def append(spark: SparkSession, root: String, kind: String)
                      (write: String => Unit): Unit =
@@ -1494,6 +1540,7 @@ object ManifestArtifactStore extends ArtifactStore {
     // possibly nondeterministic frame); admission re-checks against the
     // committed manifest on every attempt, so racing tombstoners admit
     // exactly to the cap
+    ManifestFs.withSessionConf(spark) {
     requireStore(root)
     val f = fs(root)
     var (tsName, tsPath) = staged(root, "ts")
@@ -1516,5 +1563,6 @@ object ManifestArtifactStore extends ArtifactStore {
         Some(Manifest(cur.version + 1, cur.kind, cur.schemaJson,
           cur.segments, cur.tombstones :+ tsName))
     } catch { case t: Throwable => f.rmTree(tsPath); throw t }
+    }
   }
 }

@@ -491,7 +491,7 @@ object Dedup {
                         path: String): DataFrame = {
     val spark = df.sparkSession
     val store = ArtifactStore.forPath(spark, path)
-    require(store.exists(path),
+    require(ArtifactStore.exists(spark, path),
       s"no pair index at $path — build with materializedNgramPairs first")
     store.append(spark, path, "pair_index") { dir =>
       ngramJaccardDupPairsDelta(df, idCol, textCol, isNew, threshold)

@@ -95,6 +95,50 @@ private[graft] object ManifestFs {
 
   def forPath(path: String): ManifestFs =
     if (hasScheme(path)) HadoopManifestFs else LocalManifestFs
+
+  /** The CALLER session's Hadoop conf, bound per thread for the span of
+    * an [[ArtifactStore]] entry point (r18 verdict item 4): a
+    * conf-isolated child session's FS settings (`fs.<scheme>.impl`,
+    * `fs.graft.cas.<scheme>`, credentials) must govern ITS OWN
+    * maintenance ops exactly like `leaseMs`/`gcGraceMs` do — the
+    * previously-used `sparkContext.hadoopConfiguration` is SHARED
+    * across every session of the context and sees none of them.
+    */
+  private val boundHadoopConf =
+    new ThreadLocal[org.apache.hadoop.conf.Configuration]()
+
+  /** Session-level Hadoop conf: `sessionState.newHadoopConf()` layers
+    * the session's own conf entries over the shared context conf, which
+    * is what makes per-session FS bindings reach the protocol.
+    */
+  private[graft] def sessionHadoopConf(
+      spark: org.apache.spark.sql.SparkSession)
+      : org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.newHadoopConf()
+
+  private[graft] def withSessionConf[T](
+      spark: org.apache.spark.sql.SparkSession)(f: => T): T =
+    withHadoopConf(sessionHadoopConf(spark))(f)
+
+  private[graft] def withHadoopConf[T](
+      c: org.apache.hadoop.conf.Configuration)(f: => T): T = {
+    val prev = boundHadoopConf.get()
+    boundHadoopConf.set(c)
+    try f
+    finally {
+      if (prev == null) boundHadoopConf.remove()
+      else boundHadoopConf.set(prev)
+    }
+  }
+
+  /** The conf bound on this thread, if any — [[HadoopManifestFs]] reads
+    * it per primitive; the lease heartbeat captures it at start (the
+    * heartbeat thread outlives the entry point's binding).
+    */
+  private[graft] def boundConf
+      : Option[org.apache.hadoop.conf.Configuration] =
+    Option(boundHadoopConf.get())
 }
 
 /** Local-path binding: `java.nio` + the hard-link / flock emulation of
@@ -195,10 +239,15 @@ private[graft] object HadoopManifestFs extends ManifestFs {
   import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 
   private def conf: org.apache.hadoop.conf.Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    // the CALLER session's conf when an ArtifactStore entry point bound
+    // it on this thread (r18 verdict item 4); otherwise the shared
+    // context conf — cheap (a reference, not a copy) and correct for
+    // callers without session-level FS settings
+    ManifestFs.boundConf.getOrElse(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
 
   private def fsOf(path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -258,18 +307,100 @@ private[graft] object HadoopManifestFs extends ManifestFs {
     val (fs, p) = fsOf(path); fs.delete(p, true); ()
   }
 
+  /** Schemes whose `FileSystem.rename` is ATOMIC and FAILS on an
+    * existing destination (the NameNode-class contract) — the `rename`
+    * CAS mechanism is safe there without attestation.
+    */
+  private val RenameCasSchemes =
+    Set("hdfs", "viewfs", "webhdfs", "swebhdfs", "o3fs", "ofs")
+
+  /** The conditional-PUT mechanism for a non-`file:` scheme — REFUSES
+    * LOUDLY rather than bind blindly (r18 verdict item 2: plain
+    * object-store rename is a non-atomic copy that silently overwrites,
+    * so running the `rename` CAS on e.g. bare s3a would corrupt the
+    * store with no error anywhere). NameNode-class schemes default to
+    * `rename`; everything else must be attested in the session's Hadoop
+    * conf: `fs.graft.cas.<scheme>=rename` (the store's rename is atomic
+    * and fails on an existing destination) or `=create` (the store
+    * honors conditional create — the object lands atomically with full
+    * content at close, or close fails: S3 `If-None-Match` via
+    * `fs.s3a.create.conditional.enabled=true` on Hadoop 3.4.1+, GCS
+    * `ifGenerationMatch=0`).
+    */
+  private def casMechanism(path: String): String = {
+    val scheme = Option(new Path(path).toUri.getScheme)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
+    val m = Option(conf.get(s"fs.graft.cas.$scheme")).getOrElse(
+      if (RenameCasSchemes.contains(scheme)) "rename" else "none")
+    m match {
+      case "rename" | "create" => m
+      case other =>
+        throw new IllegalStateException(
+          s"no attested conditional-PUT mechanism for scheme " +
+            s"'$scheme' (fs.graft.cas.$scheme=$other) — the manifest " +
+            "protocol publishes by atomic PUT-if-absent, and plain " +
+            "object-store rename is a non-atomic copy that silently " +
+            "overwrites; set fs.graft.cas." + scheme + "=rename (the " +
+            "store's rename is atomic and fails on an existing " +
+            "destination, like HDFS) or =create (the store honors " +
+            "conditional create: S3 If-None-Match with " +
+            "fs.s3a.create.conditional.enabled=true, GCS " +
+            "ifGenerationMatch=0) in the session's Hadoop conf")
+    }
+  }
+
   /** `file:` → the local hard-link emulation (RawLocalFileSystem.rename
-    * overwrites, so it cannot carry the claim). Other schemes: stage the
-    * full content, then claim by `FileSystem.rename` — on HDFS the
-    * rename is the NameNode's create-no-overwrite (fails when the
-    * destination exists) AND makes the content visible atomically with
-    * the claim, closing the torn-read window a bare
-    * `create(p, overwrite=false)` + write would leave.
+    * overwrites, so it cannot carry the claim). Other schemes dispatch
+    * on [[casMechanism]]:
+    *
+    *   - `rename` (HDFS-class): stage the full content, then claim by
+    *     `FileSystem.rename` — the NameNode's create-no-overwrite
+    *     (fails when the destination exists) AND makes the content
+    *     visible atomically with the claim, closing the torn-read
+    *     window a bare `create(p, overwrite=false)` + write would
+    *     leave.
+    *   - `create` (conditional-write object stores): ONE
+    *     `create(p, overwrite = false)` + write + close — on these
+    *     stores the object materializes atomically with full content at
+    *     close (the PUT carries the precondition), so there is no torn
+    *     window and no rename at all; a `FileAlreadyExistsException`
+    *     from create OR close is the lost claim.
     */
   override def putIfAbsent(path: String, content: String): Boolean =
     if (isLocalScheme(path))
       LocalManifestFs.putIfAbsent(localPath(path), content)
-    else {
+    else if (casMechanism(path) == "create") {
+      val (fs, p) = fsOf(path)
+      fs.mkdirs(p.getParent)
+      if (fs.exists(p)) false // cheap pre-check; the close decides
+      else {
+        val out =
+          try fs.create(p, false)
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              null
+          }
+        if (out == null) false
+        else {
+          var closed = false
+          try {
+            out.write(content.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            closed = true
+            out.close() // the conditional PUT lands (or fails) HERE
+            true
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              false // lost the claim at the precondition check
+            case t: Throwable =>
+              if (!closed)
+                try out.close()
+                catch { case _: java.io.IOException => () }
+              throw t
+          }
+        }
+      }
+    } else {
       val (fs, p) = fsOf(path)
       fs.mkdirs(p.getParent)
       if (fs.exists(p)) false // cheap pre-check; the rename decides
@@ -307,7 +438,22 @@ private[graft] object HadoopManifestFs extends ManifestFs {
                                 next: String): Boolean =
     if (isLocalScheme(path))
       LocalManifestFs.replaceIfContent(localPath(path), expected, next)
-    else {
+    else if (casMechanism(path) == "create") {
+      // compare, then ONE overwrite PUT: on conditional-write object
+      // stores a PUT replaces the whole object atomically (readers see
+      // old or new full content, never torn) — no rename exists to use
+      val still =
+        try readString(path) == expected
+        catch { case _: java.io.IOException => false }
+      if (still) {
+        val (fs, p) = fsOf(path)
+        val out = fs.create(p, true)
+        try out.write(next.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      still
+    } else {
       val still =
         try readString(path) == expected
         catch { case _: java.io.IOException => false }

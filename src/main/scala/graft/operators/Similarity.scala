@@ -480,7 +480,10 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       footerCap: Int = 2048,
       resolved: Option[ArtifactSnapshot] = None): (Long, Int, Int, Double) = {
-    val conf = spark.sparkContext.hadoopConfiguration
+    // the caller SESSION's Hadoop conf, for footer reads AND the bucket
+    // listing below — session-level FS bindings report pressure for
+    // their own stores (r18 verdict item 4)
+    val conf = ManifestFs.sessionHadoopConf(spark)
     // `resolved`: callers that already resolved the snapshot (the
     // graft_artifacts view measures sizes from it) pass it in — one
     // manifest-log listing per row, and sizes + pressure agree on one
@@ -493,6 +496,7 @@ object Similarity {
           ArtifactStore.warnDegraded(path, t)
           return (0L, 0, 0, -1.0)
       })
+    ManifestFs.withHadoopConf(conf) {
     val pending = ArtifactStore.footerRows(spark, snap.tombstonePaths)
     // bucket directories aggregated BY BUCKET VALUE across the snapshot's
     // data paths: a manifest store's appends live in separate segment
@@ -525,6 +529,7 @@ object Similarity {
       if (byBucket.isEmpty || total <= 0L) -1.0
       else perBucket.max.toDouble / total
     (pending, maxFiles, byBucket.size, hotShare)
+    }
   }
 
   /** Anti-join `store` against the given tombstone files' accumulated

@@ -422,8 +422,9 @@ case class RegisterGraftArtifactCommand(path: String)
     AttributeReference("kind", StringType, nullable = false)(),
     AttributeReference("path", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val store = graft.operators.ArtifactStore.forPath(spark, path)
-    val kind = store.kindOf(path).getOrElse(
+    // session-bound form: a store on a session-registered FS scheme
+    // must register from ITS session's conf (r18 verdict item 4)
+    val kind = graft.operators.ArtifactStore.kindOf(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"no artifact kind metadata at $path — stores record their kind " +
           "when built or appended through the engine (POSIX: an " +
