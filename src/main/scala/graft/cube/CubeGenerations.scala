@@ -1,0 +1,203 @@
+package graft.cube
+
+/** Generation-versioned serving directories for the fact cube and the
+  * rollup lattice nodes — the cube's half of the artifact consistency
+  * contract (r18 verdict item 1). The reference's coordinator serves
+  * datasources as VERSIONED segment sets (readers never observe a torn
+  * datasource — `DruidMetadataCache.scala:214-293` consumes the
+  * coordinator's swap); this engine owns its cube, so it owns the same
+  * contract:
+  *
+  *   - the ORIGINAL build path `<root>` is generation 1;
+  *   - a refresh stages a FULL new generation at the sibling
+  *     `<root>.gen-<n>` — clean time buckets carried by HARD LINK (copy
+  *     fallback), dirty buckets rewritten — so refresh I/O stays
+  *     proportional to the new data while every generation directory is
+  *     complete and immutable once published;
+  *   - publication is one atomic pointer swap (`<root>.generation.current`,
+  *     unique temp + ATOMIC_MOVE) plus the in-session catalog
+  *     re-registration; queries resolve the CURRENT generation at PLAN
+  *     time (the registration carries the resolved directory), so an
+  *     in-flight query keeps scanning exactly the whole generation it
+  *     planned — no read lock exists anywhere on the serve path;
+  *   - old generations survive until they are neither current nor
+  *     previous AND older than `spark.graft.artifact.gcGraceMs` (the
+  *     same keep-2 + age grace the manifest artifact protocol gives its
+  *     segment dirs), so a reader's planned file set cannot be deleted
+  *     out from under it;
+  *   - a crash mid-staging leaves an unpublished sibling (collected by a
+  *     later refresh's GC once aged) and NO visible state change — the
+  *     pointer still names the old complete generation.
+  *
+  * Cross-JVM maintenance exclusion is the POSIX artifact mechanism:
+  * [[graft.operators.Artifacts.maintenanceLocked]] on the cube ROOT
+  * around the whole refresh (fact cube + every node — one maintenance
+  * unit), so two driver JVMs refreshing one cube serialize at the OS.
+  *
+  * Cross-SESSION visibility: the descriptor sidecar (`_graft_cube.json`)
+  * is written INTO each generation before its pointer flips, and it
+  * names that generation's node paths — a foreign session attaching
+  * through [[CubeMeta.attach]] resolves the pointer first and therefore
+  * always sees one internally-consistent (cube, nodes) set, old or new.
+  */
+object CubeGenerations {
+
+  private val PointerSuffix = ".generation.current"
+  private val GenPattern = "\\.gen-\\d{8}$"
+
+  /** Stable root identity of a (possibly generation-suffixed) path. */
+  def rootOf(path: String): String =
+    path.stripSuffix("/").replaceAll(GenPattern, "")
+
+  /** Generation number of a resolved directory (the bare root is 1). */
+  def genNumberOf(path: String): Int = {
+    val p = path.stripSuffix("/")
+    if (p.matches(".*" + GenPattern))
+      p.substring(p.lastIndexOf("gen-") + 4).toInt
+    else 1
+  }
+
+  def genDir(root: String, n: Int): String = f"$root.gen-$n%08d"
+
+  private def pointerFile(root: String): java.io.File =
+    new java.io.File(root + PointerSuffix)
+
+  /** The CURRENT serving directory for `path`'s root: the pointer's
+    * target when present (and still on disk — a vanished target falls
+    * back to the root so a wiped cache rebuilds instead of failing), the
+    * bare root otherwise (legacy/initial layout).
+    */
+  def currentDir(path: String): String = {
+    val root = rootOf(path)
+    val p = pointerFile(root)
+    if (!p.exists()) root
+    else {
+      val target = java.nio.file.Files.readString(p.toPath).trim
+      if (new java.io.File(target).isDirectory) target else root
+    }
+  }
+
+  /** Next staging directory for the root (current generation + 1). */
+  def nextDir(path: String): String = {
+    val root = rootOf(path)
+    genDir(root, genNumberOf(currentDir(root)) + 1)
+  }
+
+  /** Atomically repoint the root's current-generation pointer. The
+    * generation dir gets its `_SUCCESS` marker here first (Spark's
+    * dynamic-partition commit leaves the marker in its discarded
+    * staging dir, not the output root) — the pointer never names a
+    * generation without one, so every marker-gated ensure()/build path
+    * sees published generations as complete.
+    */
+  def publish(path: String, gen: String): Unit = {
+    val marker = new java.io.File(gen, "_SUCCESS")
+    if (!marker.exists()) { marker.createNewFile(); () }
+    val root = rootOf(path)
+    val tmp = java.nio.file.Paths.get(
+      root + PointerSuffix + "." + java.util.UUID.randomUUID() + ".tmp")
+    java.nio.file.Files.writeString(tmp, gen)
+    java.nio.file.Files.move(tmp, pointerFile(root).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Carry the entries of the current generation whose TOP-LEVEL name
+    * passes `carry` into the fresh staging dir by hard link (file copy
+    * fallback for filesystems without links) — the clean-partition
+    * carry that keeps refresh I/O proportional to the dirty buckets.
+    */
+  def stageCarry(currentDirPath: String, nextDirPath: String)
+                (carry: String => Boolean): Unit = {
+    val dst = new java.io.File(nextDirPath)
+    // a leftover of a CRASHED earlier staging at the same number is
+    // incomplete by definition — replace it wholesale
+    if (dst.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dst)
+    }
+    dst.mkdirs()
+    def linkTree(src: java.io.File, to: java.io.File): Unit =
+      if (src.isDirectory) {
+        to.mkdirs()
+        Option(src.listFiles()).foreach(_.foreach(c =>
+          linkTree(c, new java.io.File(to, c.getName))))
+      } else {
+        try { java.nio.file.Files.createLink(to.toPath, src.toPath); () }
+        catch {
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            java.nio.file.Files.copy(src.toPath, to.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            ()
+        }
+      }
+    Option(new java.io.File(currentDirPath).listFiles()).foreach(
+      _.filter(f => carry(f.getName)).foreach(f =>
+        linkTree(f, new java.io.File(dst, f.getName))))
+  }
+
+  /** Collect generations that are neither CURRENT nor PREVIOUS and are
+    * older than `spark.graft.artifact.gcGraceMs` (caller session's conf
+    * — the artifact protocol's grace knob, same semantics): keep-2 gives
+    * every in-flight reader one full refresh cycle, the age grace covers
+    * readers that span more. The bare root counts as generation 1 — when
+    * collectible, its DATA is removed but the directory (and the
+    * descriptor history inside sibling generations) stays, since the
+    * root path is the cube's stable identity.
+    */
+  def gc(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val root = rootOf(path)
+    val cur = currentDir(root)
+    val curN = genNumberOf(cur)
+    val parent = new java.io.File(root).getParentFile
+    val base = new java.io.File(root).getName
+    val grace = spark.conf.get("spark.graft.artifact.gcGraceMs", "600000")
+      .toLong
+    val cutoff = System.currentTimeMillis() - grace
+    def rmContents(d: java.io.File): Unit = {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      Option(d.listFiles()).foreach(_.foreach(rm))
+    }
+    val gens: Seq[(Int, java.io.File)] =
+      (1 -> new java.io.File(root)) +:
+        Option(parent.listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory &&
+            f.getName.matches(java.util.regex.Pattern.quote(base) +
+              GenPattern.stripSuffix("$") + "$"))
+          .map(f => genNumberOf(f.getPath) -> f).toSeq
+    val keep = gens.map(_._1).filter(_ <= curN).sorted.takeRight(2).toSet
+    gens.foreach { case (n, dir) =>
+      // staged-ahead dirs (n > curN) are an IN-FLIGHT or crashed refresh:
+      // age-graced like everything else, collected only when stale
+      if (!keep.contains(n) && dir.exists() &&
+          dir.lastModified() < cutoff) {
+        if (n == 1) rmContents(dir)
+        else { rmContents(dir); dir.delete(); () }
+      }
+    }
+  }
+
+  /** Test/maintenance helper: remove every generation, the pointer and
+    * the root data — the fresh-disk state.
+    */
+  private[graft] def wipeAll(path: String): Unit = {
+    val root = rootOf(path)
+    val parent = new java.io.File(root).getParentFile
+    val base = new java.io.File(root).getName
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    pointerFile(root).delete()
+    Option(parent.listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith(base + ".gen-")) rm(f)
+    })
+    ()
+  }
+}

@@ -225,9 +225,15 @@ object CubeMeta {
     ()
   }
 
-  /** Read a descriptor from a materialized cube directory, if present. */
+  /** Read a descriptor from a materialized cube directory, if present.
+    * The path is resolved to its CURRENT generation first
+    * ([[CubeGenerations]]): the descriptor inside each generation names
+    * THAT generation's cube + node paths, so a loader following the
+    * pointer always gets one internally-consistent set — never a fresh
+    * cube with stale nodes, whatever instant a refresh publishes at.
+    */
   def load(cubePath: String): Option[RegisteredCube] = {
-    val f = new java.io.File(cubePath, SidecarName)
+    val f = new java.io.File(CubeGenerations.currentDir(cubePath), SidecarName)
     if (!f.exists()) None
     else Some(fromJson(new String(
       java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))

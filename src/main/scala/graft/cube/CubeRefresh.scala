@@ -87,10 +87,39 @@ object CubeRefresh {
     * produce the SAME flattening the cube was materialized with (its column
     * set is aligned to the existing cube schema by name before writing).
     * Returns the updated registration.
+    *
+    * Consistency contract (r18 verdict item 1 — the reference's
+    * coordinator swap, [[CubeGenerations]]): the refresh NEVER mutates a
+    * serving directory. It stages a complete NEW generation of the fact
+    * cube and of every lattice node (clean buckets hard-linked, dirty
+    * buckets rewritten — I/O stays proportional to the new data),
+    * publishes by atomic pointer + catalog re-registration, and GCs
+    * generations past keep-2 + the age grace. A query racing the refresh
+    * serves exactly the whole generation it planned; a crash mid-stage
+    * leaves no visible change. The WHOLE refresh (cube + all nodes, one
+    * maintenance unit) holds the cube root's cross-JVM maintenance lock
+    * ([[graft.operators.Artifacts.maintenanceLocked]]), so a foreign
+    * driver's refresh serializes behind this one.
     */
   def refresh(spark: SparkSession, cube: RegisteredCube,
               flatFn: => DataFrame,
-              explicitDirty: Option[Seq[Int]] = None): Result = {
+              explicitDirty: Option[Seq[Int]] = None): Result =
+    graft.operators.Artifacts.maintenanceLocked(
+        CubeGenerations.rootOf(cube.cubePath)) {
+      // re-resolve every path to the CURRENT generation under the lock: a
+      // caller holding a registration from before a foreign refresh must
+      // diff against (and carry from) the real current state, not its
+      // stale snapshot
+      val resolved = cube.copy(
+        cubePath = CubeGenerations.currentDir(cube.cubePath),
+        rollups = cube.rollups.map(ru =>
+          ru.copy(path = CubeGenerations.currentDir(ru.path))))
+      refreshImpl(spark, resolved, flatFn, explicitDirty)
+    }
+
+  private def refreshImpl(spark: SparkSession, cube: RegisteredCube,
+                          flatFn: => DataFrame,
+                          explicitDirty: Option[Seq[Int]]): Result = {
     val info = cube.info
     val bkt = info.timeBucketColumn
 
@@ -104,10 +133,15 @@ object CubeRefresh {
         .filter(b => inFact.getOrElse(b, 0L) != inCube.getOrElse(b, 0L))
     }
     if (dirty.isEmpty) return Result(Nil, 0L, cube)
+    val dirtyDirs = dirty.map(b => s"$bkt=$b").toSet
 
-    // 2. rewrite dirty cube partitions; the bucket predicate references only
-    // the fact table's time column, so Catalyst pushes it below the joins to
-    // the fact scan
+    // 2. stage the new cube generation: clean buckets carried by hard
+    // link, dirty buckets written fresh. The bucket predicate references
+    // only the fact table's time column, so Catalyst pushes it below the
+    // joins to the fact scan.
+    val nextCube = CubeGenerations.nextDir(cube.cubePath)
+    CubeGenerations.stageCarry(cube.cubePath, nextCube)(name =>
+      name.startsWith(bkt + "=") && !dirtyDirs.contains(name))
     val cubeSchema = spark.read.parquet(cube.cubePath).schema.fieldNames
     val slice = flatFn
       .withColumn(bkt, TpchCube.bucketExpr(info.timeColumn))
@@ -126,27 +160,23 @@ object CubeRefresh {
         else repart.sortWithinPartitions((bkt +: info.clusterDims).map(col): _*)
       clusteredSlice
         .write.mode("overwrite")
+        // dynamic: replace only the dirty partitions being written,
+        // keeping the hard-linked clean buckets in the staging dir
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(bkt)
-        .parquet(cube.cubePath)
+        .parquet(nextCube)
     }
-    // three layers can still list the replaced files: cached query plans,
-    // the session-shared file-status cache, and the engine's own analyzed-
-    // scan cache used by the rewrite rules — invalidate all of them
-    spark.catalog.refreshByPath(cube.cubePath)
-    org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
-    org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
-    CubeCatalog.invalidatePlan(cube.cubePath)
     val written = graft.Graft.withoutRewrites(spark) {
-      spark.read.parquet(cube.cubePath)
+      spark.read.parquet(nextCube)
         .filter(col(bkt).isin(dirty: _*)).count()
     }
 
-    // 3. rebuild each rollup node's dirty partitions from the refreshed
-    // cube slice (partition-pruned: only dirty buckets are read)
-    val freshSlice = spark.read.parquet(cube.cubePath)
+    // 3. stage each rollup node's new generation from the refreshed cube
+    // slice (partition-pruned: only dirty buckets are read)
+    val freshSlice = spark.read.parquet(nextCube)
       .filter(col(bkt).isin(dirty: _*))
-    cube.rollups.foreach { ru =>
+    val stagedNodes: Seq[(RollupMeta, String)] = cube.rollups.map { ru =>
+      val nextNode = CubeGenerations.nextDir(ru.path)
       val nodeSchema = spark.read.parquet(ru.path).schema.fieldNames
       // aggregated WITHOUT rewrites: the node rebuild must scan the fresh
       // cube slice, never be served from the stale node being rebuilt.
@@ -162,36 +192,47 @@ object CubeRefresh {
         if (isSecondary(info, ru)) {
           // a primary-bucket dirty slice straddles SECONDARY buckets
           // partially (one order-month receives rows from many ship-
-          // months), so an in-place partition overwrite from the slice
-          // would drop the clean ship-months' contributions — rebuild the
-          // whole node (it is |dims|×buckets small) from the full cube
-          clustered(buildNode(spark.read.parquet(cube.cubePath), info, ru)
+          // months), so a partition-level carry would drop the clean
+          // ship-months' contributions — rebuild the whole node (it is
+          // |dims|×buckets small) from the full new cube generation
+          clustered(buildNode(spark.read.parquet(nextCube), info, ru)
             .select(nodeSchema.map(col): _*)
             .repartition(col(ru.timeBucketColumn)), ru.timeBucketColumn)
             .write.mode("overwrite")
             .partitionBy(ru.timeBucketColumn +: ru.partitionDims: _*)
-            .parquet(ru.path)
-        } else clustered(buildNode(freshSlice, info, ru)
-          .select(nodeSchema.map(col): _*)
-          .repartition(col(bkt)), bkt)
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          // dim partition columns nest UNDER the bucket, so overwriting a
-          // dirty bucket's leaf dirs replaces exactly that bucket's cells
-          .partitionBy(bkt +: ru.partitionDims: _*)
-          .parquet(ru.path)
+            .parquet(nextNode)
+          // the proof sidecar rides the generation (rewritten below) —
+          // copied AFTER the write: plain overwrite truncates the target
+          val sc = new java.io.File(ru.path, "_measured_ndv.json")
+          if (sc.exists()) {
+            java.nio.file.Files.copy(sc.toPath,
+              new java.io.File(nextNode, "_measured_ndv.json").toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            ()
+          }
+        } else {
+          CubeGenerations.stageCarry(ru.path, nextNode)(name =>
+            name == "_measured_ndv.json" ||
+              (name.startsWith(bkt + "=") && !dirtyDirs.contains(name)))
+          clustered(buildNode(freshSlice, info, ru)
+            .select(nodeSchema.map(col): _*)
+            .repartition(col(bkt)), bkt)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            // dim partition columns nest UNDER the bucket, so writing a
+            // dirty bucket's leaf dirs replaces exactly that bucket's
+            // cells in the staging generation
+            .partitionBy(bkt +: ru.partitionDims: _*)
+            .parquet(nextNode)
+        }
       }
-      spark.catalog.refreshByPath(ru.path)
-      org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
-      org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
-      CubeCatalog.invalidatePlan(ru.path)
+      ru -> nextNode
     }
 
     // 4. metadata: recompute the stats sidecar (time interval, NDVs,
-    // quantization) and the exact-NDV proofs; these are single-agg column
-    // passes, far below rebuild cost
-    new java.io.File(cube.cubePath, "_graft_stats.json").delete()
-    val stats = CubeStats.ensure(spark, info, cube.cubePath)
+    // quantization) and the exact-NDV proofs against the STAGED cube;
+    // these are single-agg column passes, far below rebuild cost
+    val stats = CubeStats.ensure(spark, info, nextCube)
     val sketched = cube.rollups
       .flatMap(ru => ru.kmvSketches.keys ++ ru.freqSketches.keys ++
         ru.freqWeighted.flatMap(t => Seq(t._1, t._2))).distinct.sorted
@@ -201,7 +242,7 @@ object CubeRefresh {
     val NullPrefix = "__nulls__:"
     val (exactNdv, nullCounts, totalRows): (Map[String, Long], Map[String, Long], Long) =
       graft.Graft.withoutRewrites(spark) {
-        val row = spark.read.parquet(cube.cubePath)
+        val row = spark.read.parquet(nextCube)
           .select((sketched.map(c => countDistinct(col(c)).as(c))
             ++ sketched.map(c => count(when(col(c).isNull, 1)).as(NullPrefix + c))
             :+ count(lit(1)).as("__total_rows__")): _*).head()
@@ -214,8 +255,8 @@ object CubeRefresh {
     // wherever a node keeps one, or a later ensure() would re-register the
     // stale pre-refresh values (and a stale totalRows could vouch for a
     // sketch that now saturates)
-    cube.rollups.foreach { ru =>
-      val sidecar = new java.io.File(ru.path, "_measured_ndv.json")
+    stagedNodes.foreach { case (_, nextNode) =>
+      val sidecar = new java.io.File(nextNode, "_measured_ndv.json")
       if (sidecar.exists()) {
         val m = exactNdv ++
           nullCounts.map { case (k, v) => (NullPrefix + k) -> v } +
@@ -228,12 +269,36 @@ object CubeRefresh {
     }
     val refreshed = cube.copy(
       info = CubeStats.withStats(info, stats),
-      rollups = cube.rollups.map(ru => ru.copy(
+      cubePath = nextCube,
+      rollups = stagedNodes.map { case (ru, nextNode) => ru.copy(
+        path = nextNode,
         totalRows = Some(totalRows),
         kmvExactNdv = ru.kmvExactNdv ++ exactNdv,
-        exactNullCount = ru.exactNullCount ++ nullCounts)))
-    CubeCatalog.register(refreshed)
+        exactNullCount = ru.exactNullCount ++ nullCounts)})
+    // 5. publish: descriptor INTO the new generation first (a foreign
+    // session resolving the new pointer must find a descriptor naming
+    // the new node paths — one internally-consistent set), then the node
+    // pointers, then the cube pointer, then this session's catalog. Only
+    // AFTER publication do the caches drop the old listing and the GC
+    // collect generations past keep-2 + the age grace.
     CubeMeta.save(refreshed)
+    stagedNodes.foreach { case (_, nextNode) =>
+      CubeGenerations.publish(nextNode, nextNode)
+    }
+    CubeGenerations.publish(nextCube, nextCube)
+    CubeCatalog.register(refreshed)
+    (Seq(cube.cubePath, nextCube) ++
+      stagedNodes.flatMap { case (ru, next) => Seq(ru.path, next) })
+      .foreach { p =>
+        spark.catalog.refreshByPath(p)
+        CubeCatalog.invalidatePlan(p)
+      }
+    org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+    org.apache.spark.sql.graft.ScanBytes.invalidateDirCosts()
+    CubeGenerations.gc(spark, nextCube)
+    stagedNodes.foreach { case (_, nextNode) =>
+      CubeGenerations.gc(spark, nextNode)
+    }
     Result(dirty, written, refreshed)
   }
 

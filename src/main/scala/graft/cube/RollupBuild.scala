@@ -32,21 +32,24 @@ object RollupBuild {
     // route through the sketches it is meant to vouch for
     graft.Graft.withoutRewrites(spark) {
       val flat = spark.read.parquet(cube.cubePath)
-      if (!new java.io.File(ru0.path, "_SUCCESS").exists()) {
-        val node = CubeRefresh.buildNode(flat, cube.info, ru0)
-          .repartition(col(ru0.timeBucketColumn))
+      // attach the node's CURRENT generation (CubeGenerations) — after a
+      // refresh the serving dir is a `.gen-N` sibling of the build root
+      val ru0r = ru0.copy(path = CubeGenerations.currentDir(ru0.path))
+      if (!new java.io.File(ru0r.path, "_SUCCESS").exists()) {
+        val node = CubeRefresh.buildNode(flat, cube.info, ru0r)
+          .repartition(col(ru0r.timeBucketColumn))
         // sort prefix = the write's partition columns, or the dynamic-
         // partition writer re-sorts (unstably) and drops the clustering
         val clustered =
-          if (ru0.clusterDims.isEmpty) node
+          if (ru0r.clusterDims.isEmpty) node
           else node.sortWithinPartitions(
-            ((ru0.timeBucketColumn +: ru0.partitionDims) ++ ru0.clusterDims)
+            ((ru0r.timeBucketColumn +: ru0r.partitionDims) ++ ru0r.clusterDims)
               .map(col): _*)
         clustered.write.mode("overwrite")
-          .partitionBy(ru0.timeBucketColumn +: ru0.partitionDims: _*)
-          .parquet(ru0.path)
+          .partitionBy(ru0r.timeBucketColumn +: ru0r.partitionDims: _*)
+          .parquet(ru0r.path)
       }
-      val ru = withProofs(flat, ru0)
+      val ru = withProofs(flat, ru0r)
       val attached = cube.copy(rollups =
         (cube.rollups.filterNot(_.path == ru.path) :+ ru)
           .sortBy(_.dims.size))

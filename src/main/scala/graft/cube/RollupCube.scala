@@ -294,7 +294,9 @@ object RollupCube {
     * can serve matching aggregates from it automatically.
     */
   def ensure(spark: SparkSession, sfDir: String): String = lock.synchronized {
-    val path = rollupPath(sfDir)
+    // resolve the fine node's CURRENT generation (CubeGenerations): after
+    // a refresh the serving dir is a `.gen-N` sibling of the build root
+    val path = CubeGenerations.currentDir(rollupPath(sfDir))
     val cube = TpchCube.ensure(spark, sfDir)
     // builds and proof measurements run with the engine's rewrites OFF:
     // an aggregate over the cube must never be served from a rollup node
@@ -331,7 +333,8 @@ object RollupCube {
     // Q1 lattice node (day × returnflag × linestatus) is NOT a dim-subset
     // of the fine rollup, so it too is built from the facts — a second pass
     // whose output is |days| × 6 rows
-    if (!new java.io.File(q1Path(sfDir), "_SUCCESS").exists())
+    if (!new java.io.File(CubeGenerations.currentDir(q1Path(sfDir)),
+        "_SUCCESS").exists())
       buildFromFlat(
         spark.read.parquet(cube.cubePath)
           .withColumn("g_dbucket", TpchCube.dayBucketExpr("l_shipdate")),
@@ -340,7 +343,8 @@ object RollupCube {
         freq = false)
     // order-key projection node (the Q3 shape): day grain, lean metrics,
     // mktsegment leaf partitions under each ship-month dir
-    if (!new java.io.File(q3Path(sfDir), "_SUCCESS").exists())
+    if (!new java.io.File(CubeGenerations.currentDir(q3Path(sfDir)),
+        "_SUCCESS").exists())
       buildFromFlat(
         spark.read.parquet(cube.cubePath)
           .withColumn("g_dbucket", TpchCube.dayBucketExpr("l_shipdate")),
@@ -356,7 +360,8 @@ object RollupCube {
     // over the facts, then pennies per extra lattice node.
     def cascade(nodeDims: Seq[String], outPath: String,
                 partitionDims: Seq[String] = Nil): Unit =
-      if (!new java.io.File(outPath, "_SUCCESS").exists()) {
+      if (!new java.io.File(CubeGenerations.currentDir(outPath),
+          "_SUCCESS").exists()) {
         val fine = spark.read.parquet(path)
         val sumAgg = (sumMetrics.values ++ derivedSums.values).toSeq.sorted
           .map(c => sum(col(c)).as(c))
@@ -386,7 +391,8 @@ object RollupCube {
     def ordersNode(nodeDims: Seq[String], outPath: String,
                    partitionDims: Seq[String],
                    clusterDims: Seq[String] = Nil): Unit =
-      if (!new java.io.File(outPath, "_SUCCESS").exists())
+      if (!new java.io.File(CubeGenerations.currentDir(outPath),
+          "_SUCCESS").exists())
         buildFromFlat(
           spark.read.parquet(cube.cubePath)
             .withColumn("g_obucket", TpchCube.bucketExpr("o_orderdate")),
@@ -449,7 +455,10 @@ object RollupCube {
       Seq(coarseMeta(sfDir), sliceMeta(sfDir), q1Meta(sfDir),
           nationsMeta(sfDir), marketMeta(sfDir), ordersNationsMeta(sfDir),
           meta(sfDir), q3Meta(sfDir))
-        .map(_.copy(kmvExactNdv = exactNdv, exactNullCount = nullCounts,
+        .map(ru => ru.copy(
+          // registrations carry the node's CURRENT generation dir
+          path = CubeGenerations.currentDir(ru.path),
+          kmvExactNdv = exactNdv, exactNullCount = nullCounts,
           totalRows = totalRows)))
     CubeCatalog.register(registered)
     CubeMeta.save(registered)

@@ -174,7 +174,11 @@ object TpchCube {
     // bucketExpr is UTC-fixed, so the build is correct under any session
     // time zone — no session override needed (or wanted: flipping the
     // user's TZ as a side effect would change their query semantics).
-    val path = cubePath(sfDir)
+    // The SERVING directory is the root's CURRENT generation
+    // (CubeGenerations): the bare root for a fresh/legacy build, the
+    // pointer's target after any refresh — registrations always carry
+    // the resolved generation, never the mutable root identity.
+    val path = CubeGenerations.currentDir(cubePath(sfDir))
     val marker = new java.io.File(path, "_SUCCESS")
     if (!marker.exists()) {
       // rows within each time bucket are CLUSTERED by the declared

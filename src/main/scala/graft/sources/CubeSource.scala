@@ -126,8 +126,13 @@ object CubeSource {
     * register it for plan rewriting. Idempotent per destination path.
     */
   def materialize(spark: SparkSession, info: CubeInfo,
-                  tablePaths: Map[String, String], destPath: String,
+                  tablePaths: Map[String, String], destPath0: String,
                   schemas: Map[String, StructType] = Map.empty): RegisteredCube = {
+    // serve/register the CURRENT generation (graft.cube.CubeGenerations):
+    // a refreshed cube's serving dir is a `.gen-N` sibling of the build
+    // root, and a re-materialize call must attach THAT, not the retained
+    // previous generation at the bare root
+    val destPath = graft.cube.CubeGenerations.currentDir(destPath0)
     if (!new java.io.File(destPath, "_SUCCESS").exists()) {
       val bucketed = flatten(spark, info, tablePaths, schemas)
         .withColumn(info.timeBucketColumn,

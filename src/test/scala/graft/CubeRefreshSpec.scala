@@ -25,10 +25,15 @@ class CubeRefreshSpec extends AnyFunSuite {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
     rm(dir)
-    rm(new java.io.File(TpchCube.cubePath(workDir)))
-    rm(new java.io.File(RollupCube.rollupPath(workDir)))
-    rm(new java.io.File(RollupCube.coarsePath(workDir)))
-    rm(new java.io.File(RollupCube.q1Path(workDir)))
+    // wipe every GENERATION (pointer + .gen-N siblings + root data) of
+    // the cube and all lattice nodes — a refresh now publishes new
+    // generation dirs beside the build roots (CubeGenerations)
+    Seq(TpchCube.cubePath(workDir), RollupCube.rollupPath(workDir),
+      RollupCube.coarsePath(workDir), RollupCube.slicePath(workDir),
+      RollupCube.q1Path(workDir), RollupCube.q3Path(workDir),
+      RollupCube.nationsPath(workDir), RollupCube.marketPath(workDir),
+      RollupCube.ordersNationsPath(workDir))
+      .foreach(graft.cube.CubeGenerations.wipeAll)
     dir.mkdirs()
     for (t <- Tables.starTables) {
       val df = spark.read.parquet(Tables.path(srcSf, t))

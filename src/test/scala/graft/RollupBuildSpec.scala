@@ -124,9 +124,14 @@ class RollupBuildSpec extends AnyFunSuite {
         CubeSource.flatten(spark, info, Map("events" -> src)))
       assert(result.dirtyBuckets.nonEmpty)
 
-      // the custom node now reproduces a full-fact aggregate exactly
+      // the custom node now reproduces a full-fact aggregate exactly —
+      // read through the REFRESHED registration: a refresh publishes a
+      // new generation dir, never mutates the old one (CubeGenerations)
+      val nodePath = result.refreshed.rollups
+        .find(r => graft.cube.CubeGenerations.rootOf(r.path) == node.path)
+        .map(_.path).getOrElse(node.path)
       val served = Graft.withoutRewrites(spark) {
-        spark.read.parquet(node.path)
+        spark.read.parquet(nodePath)
           .groupBy("event_type")
           .agg(sum("cnt").as("cnt"),
             sum("sum_value").cast("double").as("sum_value"))
