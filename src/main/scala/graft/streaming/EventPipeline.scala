@@ -195,16 +195,27 @@ object EventPipeline {
       .withWatermark("ts", "2 hours")
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch
-          .withColumn("g_tbucket",
-            (year(col("ts")) - 1970) * 12 + month(col("ts")) - 1)
-          .groupBy(col("g_tbucket"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"),
-            sum(col("value").cast("decimal(28,6)")).as("sum_value"),
-            KmvSketch.kmvSketch(col("user_id")).as("user_kmv"),
-            QuantileSketch.qskSketch(col("value")).as("value_qsk"),
-            FreqSketch.freqSketch(col("user_id")).as("user_freq"))
-          .write.mode("append").partitionBy("g_tbucket").parquet(destDir)
+        // each micro-batch appends into the CURRENT generation, under the
+        // store root's maintenance lock (r19, CubeGenerations): without
+        // it, a batch landing after a racing compactPartials' staging
+        // read — in-place OR generational — is silently superseded by
+        // the compaction's publish and its counts lost. The lock is a
+        // local flock (µs per batch); the compaction holds it across
+        // read+stage+publish, so late batches land in the new generation.
+        graft.operators.Artifacts.maintenanceLocked(
+            graft.cube.CubeGenerations.rootOf(destDir)) {
+          batch
+            .withColumn("g_tbucket",
+              (year(col("ts")) - 1970) * 12 + month(col("ts")) - 1)
+            .groupBy(col("g_tbucket"), col("event_type"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("value").cast("decimal(28,6)")).as("sum_value"),
+              KmvSketch.kmvSketch(col("user_id")).as("user_kmv"),
+              QuantileSketch.qskSketch(col("value")).as("value_qsk"),
+              FreqSketch.freqSketch(col("user_id")).as("user_freq"))
+            .write.mode("append").partitionBy("g_tbucket")
+            .parquet(graft.cube.CubeGenerations.currentDir(destDir))
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -223,7 +234,7 @@ object EventPipeline {
     // serve AFTER further ingested micro-batches could silently miss the
     // newly appended partial files
     org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
-    spark.read.parquet(destDir)
+    spark.read.parquet(graft.cube.CubeGenerations.currentDir(destDir))
       .groupBy("event_type")
       .agg(sum(col("cnt")).as("cnt"),
         sum(col("sum_value")).cast("double").as("sum_value"),
@@ -234,27 +245,42 @@ object EventPipeline {
         slice(FreqSketch.freqMergeItems(col("user_freq")), 1, 3).as("top_users"))
   }
 
-  /** Compact an incrementally-maintained rollup in place: collapse each
-    * bucket's accumulated micro-batch partials to ONE final row per group
-    * (the mergeable metrics make this safe at any time — see
-    * [[rollupIngest]]). Only buckets holding more than one partial per
-    * group are rewritten (dynamic partition overwrite); quiet history stays
-    * untouched. At 100 TB this is the steady-state maintenance loop: hot
-    * buckets accrue a partial per micro-batch per shuffle partition, and a
-    * periodic compaction keeps serve-time merge fan-in (and file counts)
-    * bounded without ever blocking ingest correctness.
+  /** Compact an incrementally-maintained rollup: collapse each bucket's
+    * accumulated micro-batch partials to ONE final row per group (the
+    * mergeable metrics make this safe at any time — see [[rollupIngest]]).
+    * From r19 the rewrite is a GENERATION SWAP on the cube consistency
+    * seam ([[graft.cube.CubeGenerations]]): quiet buckets are hard-linked
+    * into a fresh `.gen-N` sibling, dirty buckets written merged, and the
+    * store repoints atomically — a serve racing the compaction reads one
+    * whole generation, an ingest batch racing it waits on the store's
+    * maintenance lock and lands in whichever generation is current when
+    * it commits (never superseded silently), and a crash mid-stage leaves
+    * no visible change. Old generations collect past keep-2 + the
+    * `spark.graft.artifact.gcGraceMs` age grace. At 100 TB this is the
+    * steady-state maintenance loop: hot buckets accrue a partial per
+    * micro-batch per shuffle partition, and a periodic compaction keeps
+    * serve-time merge fan-in (and file counts) bounded without ever
+    * blocking ingest correctness.
     * Returns the set of compacted buckets.
     */
   def compactPartials(spark: SparkSession, destDir: String): Seq[Int] = {
     import org.apache.spark.sql.graft.{FreqSketch, KmvSketch, QuantileSketch}
+    import graft.cube.CubeGenerations
+    graft.operators.Artifacts.maintenanceLocked(
+        CubeGenerations.rootOf(destDir)) {
     org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
-    val partials = spark.read.parquet(destDir)
+    val cur = CubeGenerations.currentDir(destDir)
+    val partials = spark.read.parquet(cur)
     val dirty = partials
       .groupBy("g_tbucket", "event_type").count()
       .filter(col("count") > 1)
       .select("g_tbucket").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (dirty.nonEmpty) {
+      val next = CubeGenerations.nextDir(destDir)
+      val dirtyDirs = dirty.map(b => s"g_tbucket=$b").toSet
+      CubeGenerations.stageCarry(cur, next)(name =>
+        name.startsWith("g_tbucket=") && !dirtyDirs.contains(name))
       partials
         .filter(col("g_tbucket").isin(dirty: _*))
         .groupBy("g_tbucket", "event_type")
@@ -267,10 +293,13 @@ object EventPipeline {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("g_tbucket")
-        .parquet(destDir)
+        .parquet(next)
+      CubeGenerations.publish(destDir, next)
       org.apache.spark.sql.graft.FileListingCache.invalidateAll(spark)
+      CubeGenerations.gc(spark, destDir)
     }
     dirty
+    }
   }
 
   /** Continuous ingest of event files into a time-bucketed cube layout:

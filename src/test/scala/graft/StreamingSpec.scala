@@ -677,13 +677,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(topUsers == Seq(("1", 2L), ("2", 1L), ("3", 1L)))
 
     // compaction collapses the multi-batch partials to one row per group,
-    // and serving afterwards returns the identical answer
-    val partialsBefore = spark.read.parquet(s"$dir/data").count()
+    // and serving afterwards returns the identical answer. From r19 the
+    // compaction is a GENERATION SWAP (CubeGenerations): the physical
+    // reads below follow the CURRENT generation pointer — the pre-compact
+    // generation is retained intact (keep-2) for in-flight readers
+    import graft.cube.CubeGenerations
+    val partialsBefore = spark.read.parquet(
+      CubeGenerations.currentDir(s"$dir/data")).count()
     val compacted = EventPipeline.compactPartials(spark, s"$dir/data")
     assert(compacted.nonEmpty)
-    val partialsAfter = spark.read.parquet(s"$dir/data").count()
+    val curGen = CubeGenerations.currentDir(s"$dir/data")
+    assert(curGen != s"$dir/data",
+      "compaction must publish a NEW generation, never rewrite in place")
+    assert(spark.read.parquet(s"$dir/data").count() == partialsBefore,
+      "the previous generation must be left whole for in-flight readers")
+    val partialsAfter = spark.read.parquet(curGen).count()
     assert(partialsAfter < partialsBefore)
-    val perGroup = spark.read.parquet(s"$dir/data")
+    val perGroup = spark.read.parquet(curGen)
       .groupBy("g_tbucket", "event_type").count()
       .collect().map(_.getLong(2))
     assert(perGroup.forall(_ == 1L))
