@@ -39,6 +39,16 @@ package graft.cube
   * names that generation's node paths — a foreign session attaching
   * through [[CubeMeta.attach]] resolves the pointer first and therefore
   * always sees one internally-consistent (cube, nodes) set, old or new.
+  *
+  * Deployment scope, stated honestly: this is the POSIX arm of the cube
+  * consistency seam. The clean-bucket carry is metadata-only where hard
+  * links exist (local disk, NFS); the copy fallback makes it CORRECT on
+  * any filesystem but linear in history there — an object-store cube at
+  * 100 TB should carry clean buckets by REFERENCE instead (a manifest
+  * naming immutable bucket dirs, exactly [[graft.operators.ManifestArtifactStore]]'s
+  * segment pattern), which this layout is one step from: generations are
+  * already immutable and pointer-published, only the carry mechanism
+  * changes behind this object.
   */
 object CubeGenerations {
 

@@ -382,21 +382,18 @@ private[graft] object HadoopManifestFs extends ManifestFs {
           }
         if (out == null) false
         else {
-          var closed = false
           try {
             out.write(content.getBytes(
               java.nio.charset.StandardCharsets.UTF_8))
-            closed = true
             out.close() // the conditional PUT lands (or fails) HERE
             true
           } catch {
             case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
               false // lost the claim at the precondition check
-            case t: Throwable =>
-              if (!closed)
-                try out.close()
-                catch { case _: java.io.IOException => () }
-              throw t
+            // a failed WRITE must not be followed by close(): on these
+            // stores close IS the upload, and closing a half-written
+            // buffer would publish a torn object under a winning claim —
+            // abandoning the stream leaves no visible state instead
           }
         }
       }
@@ -448,9 +445,13 @@ private[graft] object HadoopManifestFs extends ManifestFs {
       if (still) {
         val (fs, p) = fsOf(path)
         val out = fs.create(p, true)
-        try out.write(next.getBytes(
+        // close only after a SUCCESSFUL write: close IS the upload on
+        // these stores, and closing a half-written buffer would replace
+        // the lease with a torn object; an abandoned stream publishes
+        // nothing and the caller sees the write's own exception
+        out.write(next.getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        out.close()
       }
       still
     } else {
