@@ -145,8 +145,47 @@ object CubeCatalog {
       case c :: Nil => Some(c)
       case _        => None
     }
+  }.map(refreshedIfStale)
+  def all: Seq[RegisteredCube] = cubes.values.toSeq.map(refreshedIfStale)
+
+  /** Foreign-refresh staleness guard (r19, [[CubeGenerations]]): a cube
+    * refreshed by ANOTHER JVM publishes a new generation and repoints
+    * the on-disk pointer, but cannot reach this JVM's in-memory
+    * registration — without this check a long-lived session would keep
+    * serving the previous generation and, two foreign refreshes plus
+    * the GC grace later, a collected one. Every catalog read re-checks
+    * the cube's pointer (one file read, rate-limited per cube to
+    * [[StaleCheckMs]]) and re-attaches from the CURRENT generation's
+    * descriptor when it moved — the role the reference's
+    * `DruidMetadataCache` periodic segment refresh plays. A cube whose
+    * pointer or descriptor cannot be read keeps serving its registered
+    * generation (grace-protected for one foreign refresh cycle).
+    */
+  private val StaleCheckMs = 5000L
+  private val lastStaleCheck = TrieMap.empty[String, Long]
+
+  /** Test hook: make the next catalog read re-check pointers NOW. */
+  private[graft] def forceStaleCheck(): Unit = lastStaleCheck.clear()
+
+  private def refreshedIfStale(cube: RegisteredCube): RegisteredCube = {
+    val now = System.currentTimeMillis()
+    if (now - lastStaleCheck.getOrElse(cube.info.name, 0L) < StaleCheckMs)
+      cube
+    else {
+      lastStaleCheck.put(cube.info.name, now)
+      val cur =
+        try CubeGenerations.currentDir(cube.cubePath)
+        catch { case _: java.io.IOException => cube.cubePath }
+      if (cur == cube.cubePath) cube
+      else
+        try CubeMeta.load(cube.cubePath) match { // load resolves current
+          case Some(fresh) if fresh.info.name == cube.info.name =>
+            cubes.put(cube.info.name, fresh)
+            fresh
+          case _ => cube
+        } catch { case scala.util.control.NonFatal(_) => cube }
+    }
   }
-  def all: Seq[RegisteredCube] = cubes.values.toSeq
   def isEmpty: Boolean = cubes.isEmpty
 
   /** Normalize a Hadoop path/URI to a bare filesystem path for matching. */

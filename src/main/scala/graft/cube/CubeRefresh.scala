@@ -231,7 +231,15 @@ object CubeRefresh {
 
     // 4. metadata: recompute the stats sidecar (time interval, NDVs,
     // quantization) and the exact-NDV proofs against the STAGED cube;
-    // these are single-agg column passes, far below rebuild cost
+    // these are single-agg column passes, far below rebuild cost.
+    // Honest scale note: the exact-NDV proof is BY DEFINITION a pass
+    // over the full (column-pruned) cube — it is what makes the
+    // lossless sketch-serving rewrites sound, and "exact" cannot be
+    // incrementally merged. The refresh-decade probe measures the
+    // whole refresh (this pass included) at exponent ~0 across a 10x
+    // cube (SCALE_PROBE refresh_generations); a deployment where this
+    // pass dominates can skip it and lose only the LOSSLESS serving
+    // proofs (sketch serves then gate off), never correctness.
     val stats = CubeStats.ensure(spark, info, nextCube)
     val sketched = cube.rollups
       .flatMap(ru => ru.kmvSketches.keys ++ ru.freqSketches.keys ++

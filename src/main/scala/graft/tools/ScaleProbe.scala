@@ -793,6 +793,88 @@ object ScaleProbe {
     * freshly built posix IVF store at each dir; the destination is
     * discarded between reps (a migration never overwrites).
     */
+  /** The generation-swap refresh at two scales a decade apart (r19): a
+    * scratch cube per scale, then ONE dirty bucket refreshed through
+    * [[graft.cube.CubeRefresh]]. Claims measured, per arm:
+    *   - refresh wall << full-build wall (refresh pays for the dirty
+    *     slice + lattice upkeep, not history);
+    *   - rewritten bytes (dirty bucket dirs of the new generation) are
+    *     ~1/buckets of the cube, carried bytes land by HARD LINK — every
+    *     carried file's nlink >= 2, zero bytes copied — so the carry is
+    *     metadata-only however big history grows.
+    */
+  private def refreshGenerationsProbe(spark: SparkSession,
+                                      dirs: Seq[(String, String)],
+                                      reps: Int): String = {
+    import graft.cube.{CubeCatalog, CubeGenerations, CubeRefresh}
+    val arms = dirs.map { case (label, dir) =>
+      val tag = graft.Tables.contentTag(dir)
+      val root = s"/root/repo/target/cubes/refresh_probe_${label}_$tag"
+      CubeGenerations.wipeAll(root)
+      val info = graft.cube.TpchCube.info.copy(name = s"refresh_probe_$label")
+      val tablePaths = graft.cube.TpchCube.roleOfTable.keys.map(t =>
+        t -> CubeCatalog.normalizePath(graft.Tables.path(dir, t))).toMap
+      val tBuild0 = System.nanoTime()
+      val cube = graft.sources.CubeSource.materialize(spark, info,
+        tablePaths, root)
+      val tBuild = (System.nanoTime() - tBuild0) / 1e9
+      val buckets = spark.read.parquet(cube.cubePath)
+        .select(info.timeBucketColumn).distinct().count()
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).toSeq.flatten.map(du).sum
+      val totalBytes = du(new java.io.File(cube.cubePath))
+      val dirtyBucket = spark.read.parquet(cube.cubePath)
+        .groupBy(org.apache.spark.sql.functions.col(info.timeBucketColumn))
+        .count().orderBy(org.apache.spark.sql.functions
+          .desc("count")).head().getInt(0)
+      val flatFn = graft.sources.CubeSource.flatten(spark, info, tablePaths)
+      val tRefresh = (1 to math.min(reps, 2)).map { _ =>
+        val c = CubeCatalog.get(info.name).get
+        val t0 = System.nanoTime()
+        CubeRefresh.refresh(spark, c, flatFn,
+          explicitDirty = Some(Seq(dirtyBucket)))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val gen = CubeCatalog.get(info.name).get.cubePath
+      val dirtyDir = new java.io.File(gen,
+        s"${info.timeBucketColumn}=$dirtyBucket")
+      val rewrittenBytes = du(dirtyDir)
+      var carriedFiles = 0L
+      var carriedBytes = 0L
+      var linkedFiles = 0L
+      Option(new java.io.File(gen).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory &&
+          f.getName.startsWith(info.timeBucketColumn + "=") &&
+          f.getName != dirtyDir.getName)
+        .foreach { d =>
+          Option(d.listFiles()).toSeq.flatten.filter(_.isFile).foreach { f =>
+            carriedFiles += 1
+            carriedBytes += f.length()
+            val n = java.nio.file.Files
+              .getAttribute(f.toPath, "unix:nlink")
+              .asInstanceOf[Number].intValue()
+            if (n >= 2) linkedFiles += 1
+          }
+        }
+      println(f"[scale] refresh $label%-6s build=$tBuild%.2f s " +
+        f"refresh(1 bucket)=$tRefresh%.2f s buckets=$buckets " +
+        f"rewritten=${rewrittenBytes / 1024}%d KiB carried=" +
+        f"${carriedBytes / 1024}%d KiB linked=$linkedFiles/$carriedFiles")
+      CubeCatalog.unregister(info.name)
+      (label, tBuild, tRefresh, buckets, totalBytes, rewrittenBytes,
+        carriedFiles, carriedBytes, linkedFiles)
+    }
+    val armJs = arms.map { case (l, b, r, k, tb, rb, cf, cb, lf) =>
+      f""""$l":{"t_build":$b%.3f,"t_refresh_1bucket":$r%.3f,"buckets":$k,"total_bytes":$tb,"rewritten_bytes":$rb,"carried_files":$cf,"carried_bytes":$cb,"carried_hardlinked":$lf}"""
+    }
+    val pairs = arms.zip(arms.tail).map {
+      case ((_, _, r0, _, _, _, _, _, _), (l1, _, r1, _, _, _, _, _, _)) =>
+        f""""refresh_exponent_to_$l1":${math.log10(r1 / r0)}%.2f"""
+    }
+    (armJs ++ pairs).mkString("{", ",", "}")
+  }
+
   private def migrateDecadesProbe(spark: SparkSession, dirs: Seq[(String, String)],
                                   reps: Int): String = {
     import graft.operators.{ArtifactStore, Dedup}
@@ -867,6 +949,11 @@ object ScaleProbe {
     }
     if (outPath == "--cube-decade") { // just the cube-route decade probe
       println(s"[scale] cube decade 2: ${cubeDecadeProbe(spark, big, reps)}")
+      spark.stop(); return
+    }
+    if (outPath == "--refresh") { // just the generation-swap refresh probe
+      println(s"[scale] refresh generations: ${refreshGenerationsProbe(spark,
+        Seq("small" -> small, "big" -> big), reps)}")
       spark.stop(); return
     }
     if (outPath == "--migrate") { // just the migration decade probe
@@ -975,6 +1062,9 @@ object ScaleProbe {
     val migrateJson = section("migrate decades")(
       migrateDecadesProbe(spark,
         Seq("small" -> small, "big" -> big, "sf1x" -> sf1x), reps))
+    val refreshJson = section("refresh generations")(
+      refreshGenerationsProbe(spark,
+        Seq("small" -> small, "big" -> big), reps))
     // the shared-vocab uncapped truth arm runs LAST: it holds ~40
     // posting-list rows of ~3M pair structs each in flight, and an
     // executor OOM there kills the whole local[32] context — ordered
@@ -998,7 +1088,8 @@ object ScaleProbe {
          |"skewed_bucket_batch":$skewJson,
          |"shared_vocab_cap":$sharedVocabJson,
          |"cube_decade2":$cubeDecadeJson,
-         |"migrate_decades":$migrateJson}
+         |"migrate_decades":$migrateJson,
+         |"refresh_generations":$refreshJson}
          |""".stripMargin)
     println(s"[scale] wrote $outPath")
     spark.stop()

@@ -181,5 +181,19 @@ class CubeGenerationSpec extends AnyFunSuite {
       "generation 2 is PREVIOUS — retained for in-flight readers")
     assert(Graft.withoutRewrites(spark) { measure() } == afterMap)
     assert(measure() == afterMap, "serve unchanged across the forced swap")
+
+    // 5. FOREIGN-refresh staleness guard: simulate another JVM's stale
+    // registration (the pre-forced-refresh generation) — the catalog's
+    // pointer re-check must re-attach the CURRENT generation's
+    // descriptor instead of serving gen-2 forever (and, two foreign
+    // refreshes later, a collected generation)
+    CubeCatalog.register(after) // stale: points at gen-2
+    CubeCatalog.forceStaleCheck()
+    val reattached = CubeCatalog.get(name).get
+    assert(reattached.cubePath == CubeGenerations.genDir(cubeRoot, 3),
+      s"stale registration must re-attach the current generation, " +
+        s"got ${reattached.cubePath}")
+    assert(reattached.rollups.forall(_.path.endsWith(".gen-00000003")))
+    assert(measure() == afterMap)
   }
 }
