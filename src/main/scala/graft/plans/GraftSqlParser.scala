@@ -32,6 +32,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
   *   - `PIN GRAFT ARTIFACT '<path>'` / `UNPIN GRAFT ARTIFACT '<path>'
   *     ID '<pin_id>'` — durable manifest-snapshot pin for pure-SQL
   *     readers spanning maintenance cycles
+  *   - `REFRESH GRAFT CUBE <name> [BUCKETS (b, ...)]` — incremental
+  *     cube maintenance from the registered descriptor alone: dirty
+  *     buckets detected (or pinned), generation-swap refresh, lattice +
+  *     stats upkeep ([[graft.cube.CubeRefresh]])
   *   - `REGISTER GRAFT VIEWS`         — snapshot the catalog into the
   *     joinable `graft_cubes`/`graft_columns`/`graft_rollups`/
   *     `graft_query_history` views
@@ -81,6 +85,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     "(?is)\\s*ADVISE\\s+GRAFT\\s+MAINTENANCE\\s*;?\\s*".r
   private val ViewsRe =
     "(?is)\\s*REGISTER\\s+GRAFT\\s+VIEWS\\s*;?\\s*".r
+  private val RefreshCubeRe =
+    ("(?is)\\s*REFRESH\\s+GRAFT\\s+CUBE\\s+([\\w.]+)\\s*" +
+      "(?:BUCKETS\\s*\\(([^)]*)\\)\\s*)?;?\\s*").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case ExplainRe(inner) => ExplainGraftRewriteCommand(inner.trim.stripSuffix(";"))
@@ -94,6 +101,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case AdviseMaintRe()  => AdviseGraftMaintenanceCommand()
     case ViewsRe()        => RegisterGraftViewsCommand()
     case RegisterRe(path) => RegisterGraftCubeCommand(path)
+    case RefreshCubeRe(name, buckets) =>
+      RefreshGraftCubeCommand(name,
+        Option(buckets).map(_.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.toInt).toSeq))
     case RegisterArtifactRe(path) => RegisterGraftArtifactCommand(path)
     case MigrateArtifactRe(src, dst, proto) =>
       MigrateGraftArtifactCommand(src, dst,
@@ -395,6 +406,40 @@ case class ShowGraftHistoryCommand() extends LeafRunnableCommand {
   * descriptor sidecar — the durable-catalog counterpart of the reference's
   * per-session `CREATE TEMPORARY TABLE ... USING` datasource declaration.
   */
+/** `REFRESH GRAFT CUBE <name> [BUCKETS (b, ...)]` — incremental cube
+  * maintenance as a SQL verb, the operational twin of the reference's
+  * external re-indexing loop (`HadoopDruidIndexer` rebuilds segments per
+  * interval; here the engine owns the rebuild): the registered
+  * descriptor carries the star schema and base-table paths, so the
+  * flattening frame is rebuilt from metadata alone
+  * ([[graft.sources.CubeSource.flatten]]) and
+  * [[graft.cube.CubeRefresh]] runs the generation-swap refresh —
+  * dirty-bucket detection against the CURRENT fact tables unless
+  * BUCKETS pins the set. Returns the dirty set, rows written and the
+  * published generation number.
+  */
+case class RefreshGraftCubeCommand(name: String, buckets: Option[Seq[Int]])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cube", StringType, nullable = false)(),
+    AttributeReference("dirty_buckets", StringType, nullable = false)(),
+    AttributeReference("rows_written", StringType, nullable = false)(),
+    AttributeReference("generation", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cube = graft.cube.CubeCatalog.get(name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no registered cube named $name — materialize it or " +
+          "REGISTER GRAFT CUBE FROM its path first"))
+    val flat = graft.sources.CubeSource.flatten(spark, cube.info,
+      cube.tablePaths)
+    val res = graft.cube.CubeRefresh.refresh(spark, cube, flat, buckets)
+    Seq(Row(cube.info.name, res.dirtyBuckets.mkString(","),
+      res.cubeRowsWritten.toString,
+      graft.cube.CubeGenerations.genNumberOf(
+        res.refreshed.cubePath).toString))
+  }
+}
+
 case class RegisterGraftCubeCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("cube", StringType, nullable = false)(),

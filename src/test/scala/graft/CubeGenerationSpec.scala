@@ -168,13 +168,24 @@ class CubeGenerationSpec extends AnyFunSuite {
     // 3. GC: a forced third generation under gcGraceMs=0 (child session,
     // shared conf untouched) collects generation 1 (neither current nor
     // previous) — including the crashed gen-3 leftover, which the forced
-    // refresh replaced wholesale and then superseded
+    // refresh replaced wholesale and then superseded. The forced refresh
+    // runs through the SQL verb: `REFRESH GRAFT CUBE ... BUCKETS (b)`
+    // rebuilds the flattening from the registered descriptor alone
+    // (CubeSource.flatten), so the serve-equality assertions below ALSO
+    // prove that metadata-derived flattening matches the build's own
     val sG = spark.newSession()
     sG.conf.set("spark.graft.artifact.gcGraceMs", "0")
-    val forced = CubeRefresh.refresh(sG, after,
-      Tables.flat(sG, workDir),
-      explicitDirty = Some(Seq(result.dirtyBuckets.head)))
-    assert(forced.refreshed.cubePath == CubeGenerations.genDir(cubeRoot, 3))
+    val parser = new graft.plans.GraftSqlParser(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.sqlParser)
+    val sqlRow = parser.parsePlan(
+      s"REFRESH GRAFT CUBE $name BUCKETS (${result.dirtyBuckets.head})")
+      .asInstanceOf[graft.plans.RefreshGraftCubeCommand].run(sG).head
+    assert(sqlRow.getString(0) == name &&
+      sqlRow.getString(1) == result.dirtyBuckets.head.toString &&
+      sqlRow.getString(3) == "3", sqlRow.toString)
+    val forcedCube = CubeCatalog.get(name).get
+    assert(forcedCube.cubePath == CubeGenerations.genDir(cubeRoot, 3))
     assert(!new java.io.File(cubeRoot, "_SUCCESS").exists(),
       "generation 1 (the bare root's data) must be collected past keep-2")
     assert(new java.io.File(after.cubePath, "_SUCCESS").exists(),

@@ -143,6 +143,26 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(graft.cube.CubeCatalog.all.nonEmpty)
   }
 
+  test("REFRESH GRAFT CUBE parses, with and without a pinned bucket set") {
+    val bare = parser.parsePlan("REFRESH GRAFT CUBE tpch_flat_sf0001")
+      .asInstanceOf[graft.plans.RefreshGraftCubeCommand]
+    assert(bare.name == "tpch_flat_sf0001" && bare.buckets.isEmpty)
+    val pinned = parser.parsePlan(
+      "REFRESH GRAFT CUBE db.some_cube BUCKETS (317, 318)")
+      .asInstanceOf[graft.plans.RefreshGraftCubeCommand]
+    assert(pinned.name == "db.some_cube" &&
+      pinned.buckets.contains(Seq(317, 318)))
+    // an unregistered cube refuses with the registration hint
+    val ex = intercept[IllegalArgumentException] {
+      parser.parsePlan("REFRESH GRAFT CUBE no_such_cube")
+        .asInstanceOf[graft.plans.RefreshGraftCubeCommand].run(spark)
+    }
+    assert(ex.getMessage.contains("REGISTER GRAFT CUBE"))
+    // the end-to-end refresh through this verb (descriptor-derived
+    // flattening, generation publish, serve equality) is gated by
+    // CubeGenerationSpec
+  }
+
   test("MATERIALIZE GRAFT ROLLUP parses PARTITION BY and CLUSTER BY layout clauses") {
     val cmd = parser.parsePlan(
       """MATERIALIZE GRAFT ROLLUP ON some_cube
