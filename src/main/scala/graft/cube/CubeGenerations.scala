@@ -48,7 +48,18 @@ package graft.cube
   * naming immutable bucket dirs, exactly [[graft.operators.ManifestArtifactStore]]'s
   * segment pattern), which this layout is one step from: generations are
   * already immutable and pointer-published, only the carry mechanism
-  * changes behind this object.
+  * changes behind this object. Serving mechanics for that step, MEASURED
+  * by [[graft.tools.MultiGenScanProbe]] on a real two-generation layout:
+  * a single multi-path parquet relation over bucket dirs from several
+  * generations does NOT plan (`basePath` across generation roots throws
+  * CONFLICTING_DIRECTORY_STRUCTURES; without it the partition column is
+  * lost), but a per-bucket union with the bucket as a LITERAL column is
+  * row-correct AND plan-time pruned (Catalyst constant-folds
+  * `lit(b)=v` per child, collapsing non-matching children before any
+  * scan) — and since every cube serve is constructed by the rewrite
+  * rules ([[CubeCatalog.cubePlan]]), which already know the query's
+  * bucket span from interval pruning, the union width is the QUERY's
+  * buckets, never history's.
   */
 object CubeGenerations {
 
