@@ -361,9 +361,20 @@ object Bench {
       if (new java.io.File(sfDir).getName == "sf0.1") // slash-safe
         "BENCH_DETAIL_LATEST.json"
       else "target/bench_detail_scratch.json")
+    // pre-requeue figures for re-measured queries (r19 ADVICE): the
+    // committed min/median are recomputed over the ENLARGED rep set, so
+    // a reader judging what the end-of-suite re-measure changed gets the
+    // original-window min/median directly instead of re-deriving them
+    // from the reps array (the originals are its prefix)
+    val preRequeue: Map[String, (Double, Double)] = results.collect {
+      case (k, v, true, ts) if requeued.contains(k) => k -> ((v, median(ts)))
+    }.toMap
     val perQ = settled.map { case (k, v, ok, ts) =>
       val (sr, sb) = allIo.getOrElse(k, (0L, 0L))
-      s""" "$k":{"min":${fmt(if (ok) v else -v)},"median":${fmt(median(ts))},"scan_rows":$sr,"scan_bytes":$sb,"reps":[${ts.map(fmt).mkString(",")}]}"""
+      val pre = preRequeue.get(k).map { case (pm, pmed) =>
+        s""""pre_requeue_min":${fmt(pm)},"pre_requeue_median":${fmt(pmed)},"""
+      }.getOrElse("")
+      s""" "$k":{"min":${fmt(if (ok) v else -v)},"median":${fmt(median(ts))},$pre"scan_rows":$sr,"scan_bytes":$sb,"reps":[${ts.map(fmt).mkString(",")}]}"""
     }.mkString("{\n", ",\n", "\n}")
     // both totals, named (r15 verdict): the detail used to carry one
     // ambiguous "total" (sum of per-query MINS) while README cites the

@@ -180,8 +180,25 @@ object CubeCatalog {
       else
         try CubeMeta.load(cube.cubePath) match { // load resolves current
           case Some(fresh) if fresh.info.name == cube.info.name =>
-            cubes.put(cube.info.name, fresh)
-            fresh
+            // the descriptor-load → put pair is not atomic against a
+            // concurrent LOCAL CubeRefresh registering a NEWER generation
+            // in between: only replace a registration this load actually
+            // supersedes, never regress the catalog onto the generation
+            // the refresh just left (r19 ADVICE). TrieMap.replace keys
+            // the swap on the exact registration we read.
+            val loadedGen = CubeGenerations.genNumberOf(fresh.cubePath)
+            val registered = cubes.get(cube.info.name)
+            registered match {
+              case Some(reg)
+                  if CubeGenerations.genNumberOf(reg.cubePath) >= loadedGen =>
+                reg
+              case Some(reg) =>
+                if (cubes.replace(cube.info.name, reg, fresh)) fresh
+                else cubes.getOrElse(cube.info.name, fresh)
+              case None =>
+                cubes.put(cube.info.name, fresh)
+                fresh
+            }
           case _ => cube
         } catch { case scala.util.control.NonFatal(_) => cube }
     }

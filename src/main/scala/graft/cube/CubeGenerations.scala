@@ -84,9 +84,15 @@ object CubeGenerations {
     new java.io.File(root + PointerSuffix)
 
   /** The CURRENT serving directory for `path`'s root: the pointer's
-    * target when present (and still on disk — a vanished target falls
-    * back to the root so a wiped cache rebuilds instead of failing), the
-    * bare root otherwise (legacy/initial layout).
+    * target when present, the bare root otherwise (legacy/initial
+    * layout). A pointer naming a VANISHED target distinguishes two
+    * states (r19 verdict observation): with no `.gen-*` siblings on
+    * disk it is a wiped cache — fall back to the root so a rebuild
+    * proceeds instead of failing; with surviving siblings it is a TORN
+    * store (someone deleted the current generation by hand while stale
+    * ones remain) — serving the bare root would silently answer from
+    * generation-1 data, so refuse loudly with a repair instruction.
+    * GC can never produce the torn state: keep-2 excludes current.
     */
   def currentDir(path: String): String = {
     val root = rootOf(path)
@@ -94,7 +100,22 @@ object CubeGenerations {
     if (!p.exists()) root
     else {
       val target = java.nio.file.Files.readString(p.toPath).trim
-      if (new java.io.File(target).isDirectory) target else root
+      if (new java.io.File(target).isDirectory) target
+      else {
+        val parent = new java.io.File(root).getParentFile
+        val base = new java.io.File(root).getName
+        val siblings = Option(parent.listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith(base + ".gen-"))
+        if (siblings.isEmpty) root // fresh/wiped disk: rebuild path
+        else throw new IllegalStateException(
+          s"torn generation store for cube root $root: the current " +
+            s"pointer names $target, which no longer exists, while " +
+            s"stale generations survive (${siblings.map(_.getName).sorted
+              .mkString(", ")}) — serving the bare root would silently " +
+            "answer from old data. Repair: restore the named generation, " +
+            "or delete the pointer AND all .gen-* siblings and rebuild " +
+            "the cube")
+      }
     }
   }
 

@@ -102,9 +102,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ViewsRe()        => RegisterGraftViewsCommand()
     case RegisterRe(path) => RegisterGraftCubeCommand(path)
     case RefreshCubeRe(name, buckets) =>
+      // a non-integer bucket token must fail as a PARSE error naming the
+      // statement and the offending token, not escape as a raw
+      // NumberFormatException with no context (r19 ADVICE)
       RefreshGraftCubeCommand(name,
         Option(buckets).map(_.split(",").map(_.trim).filter(_.nonEmpty)
-          .map(_.toInt).toSeq))
+          .map(tok =>
+            try tok.toInt
+            catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"REFRESH GRAFT CUBE $name: BUCKETS expects an " +
+                    s"integer list, got '$tok' — e.g. BUCKETS (312, 313)")
+            }).toSeq))
     case RegisterArtifactRe(path) => RegisterGraftArtifactCommand(path)
     case MigrateArtifactRe(src, dst, proto) =>
       MigrateGraftArtifactCommand(src, dst,

@@ -53,6 +53,30 @@ class CubeGenerationSpec extends AnyFunSuite {
     Tables.invalidateCache()
   }
 
+  test("torn generation store refuses loudly; wiped cache falls back") {
+    val root = "/tmp/graft_gen_torn/cube"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File("/tmp/graft_gen_torn"))
+    new java.io.File(root).mkdirs()
+    val pointer = new java.io.File(root + ".generation.current")
+    // pointer names a VANISHED generation, no siblings: wiped cache —
+    // fall back to the bare root so a rebuild proceeds
+    java.nio.file.Files.writeString(pointer.toPath,
+      CubeGenerations.genDir(root, 2))
+    assert(CubeGenerations.currentDir(root) == root)
+    // same pointer, but a STALE sibling survives: a torn store — serving
+    // the bare root would silently answer from generation-1 data
+    new java.io.File(CubeGenerations.genDir(root, 3)).mkdirs()
+    val e = intercept[IllegalStateException] {
+      CubeGenerations.currentDir(root)
+    }
+    assert(e.getMessage.contains("torn generation store"), e.getMessage)
+    assert(e.getMessage.contains(".gen-00000003"), e.getMessage)
+    rm(new java.io.File("/tmp/graft_gen_torn"))
+  }
+
   test("refresh is a generation swap: racing queries whole, foreign JVM excluded, keep-2 GC") {
     seedWorkDir()
     TpchCube.ensure(spark, workDir)
