@@ -387,14 +387,15 @@ object ArtifactStore {
     val markerFs = ManifestFs.forPath(markerPath)
     val doneContent = s"src=$nSrc"
     val copyingContent = s"src=$nSrc state=copying"
-    def readMarker(): Option[String] =
-      try Some(markerFs.readString(markerPath).trim)
-      catch {
-        // ONLY a missing marker maps to None — a transient read fault
-        // must propagate, or the error below would tell the operator to
-        // delete a perfectly good destination (review pass)
-        case t if ManifestArtifactStore.isMissing(t) => None
-      }
+    // every marker read/transition goes through the CAS CELL API (r20,
+    // r19 ADVICE medium): a single flock-serialized file locally, a
+    // putIfAbsent-sequenced version dir on remote schemes — so the
+    // takeover/completion swaps below are REAL compare-and-swaps on
+    // every binding, never a read-compare-then-overwrite two racers can
+    // both pass. A transient read FAULT still propagates (cellRead maps
+    // only the missing state to None), so the error below never tells
+    // the operator to delete a good destination.
+    def readMarker(): Option[String] = markerFs.cellRead(markerPath).map(_.trim)
     if (dstStore.exists(dst)) {
       readMarker() match {
         case Some(m) if m == doneContent =>
@@ -434,7 +435,7 @@ object ArtifactStore {
     // conditional PUT.
     val priorMarker = readMarker()
     val won = priorMarker match {
-      case None => markerFs.putIfAbsent(markerPath, copyingContent)
+      case None => markerFs.cellPutIfAbsent(markerPath, copyingContent)
       case Some(m) if m.endsWith(" state=copying") =>
         throw new IllegalArgumentException(
           s"a migration into $dst is in flight in another driver (or " +
@@ -442,7 +443,7 @@ object ArtifactStore {
             s"the claim; if nothing is running, delete $markerPath " +
             "and any partial destination, then re-run")
       case Some(stale) =>
-        markerFs.replaceIfContent(markerPath, stale, copyingContent)
+        markerFs.cellReplaceIf(markerPath, stale, copyingContent)
     }
     if (!won)
       throw new IllegalStateException(
@@ -456,8 +457,8 @@ object ArtifactStore {
     if (dstStore.exists(dst)) {
       priorMarker match {
         case Some(stale) =>
-          markerFs.replaceIfContent(markerPath, copyingContent, stale); ()
-        case None => markerFs.deleteIfContent(markerPath, copyingContent)
+          markerFs.cellReplaceIf(markerPath, copyingContent, stale); ()
+        case None => markerFs.cellDeleteIf(markerPath, copyingContent)
       }
       if (priorMarker.contains(doneContent)) {
         // completed migration from THIS source — idempotent no-op
@@ -517,7 +518,7 @@ object ArtifactStore {
     // false return means our claim vanished mid-copy; the data IS
     // published, so fail loudly with the repair instruction rather
     // than report success over a wrong marker.
-    if (!markerFs.replaceIfContent(markerPath, copyingContent, doneContent))
+    if (!markerFs.cellReplaceIf(markerPath, copyingContent, doneContent))
       throw new IllegalStateException(
         s"migration to $dst finished its copy, but the .migration_ok " +
           "claim was no longer this migration's at completion — the " +
@@ -1027,10 +1028,16 @@ object ManifestArtifactStore extends ArtifactStore {
     * concurrent maintenance bodies. With claim-by-replace a loser never
     * issues a delete at all: its replace compares against the expired
     * content, which the winner's claim already overwrote, and fails.
-    * The conditional replace is a [[ManifestFs]] primitive: S3/GCS
-    * provide it natively (`If-Match` / `ifGenerationMatch`), the local
-    * binding (and the `file:` Hadoop route) serializes compare+swap
-    * under the same flock sibling as the heartbeat's renewal.
+    * Every transition runs through the [[ManifestFs]] CAS CELL API
+    * (r20, r19 ADVICE medium): locally the cell is the lease file with
+    * compare+swap serialized under the same flock sibling as the
+    * heartbeat's renewal; on remote schemes it is a
+    * putIfAbsent-sequenced version directory, so the steal's swap is
+    * ONE atomic conditional PUT of the next version — two stealers
+    * racing one expired lease on hdfs/s3a/gcs admit exactly one winner
+    * at the store, with no compare window at all (proven against the
+    * adversarial object-store fake by ManifestStoreSpec's remote
+    * two-stealer race).
     */
   private def acquireLease(root: String, leaseMs: Long): String = {
     val f = fs(root)
@@ -1043,18 +1050,16 @@ object ManifestArtifactStore extends ArtifactStore {
       // _manifest dir mid-claim — surfaces as a missing-path fault here,
       // and the claim simply retries (r18 review pass 1)
       val won =
-        try f.putIfAbsent(lf, content)
+        try f.cellPutIfAbsent(lf, content)
         catch { case t if isMissing(t) => false }
       if (won) return mine
-      val observed =
-        try Some(f.readString(lf))
-        catch { case t if isMissing(t) => None } // vanished: retry
+      val observed = f.cellRead(lf) // vanished: retry
       val expired = observed.exists { c =>
         val parts = c.split(" ")
         parts.length == 2 && System.currentTimeMillis() > parts(1).toLong
       }
       if (expired) {
-        if (f.replaceIfContent(lf, observed.get, content)) return mine
+        if (f.cellReplaceIf(lf, observed.get, content)) return mine
         // lost the steal to another stealer (or the holder revived):
         // loop — the fresh claim will read as unexpired
       }
@@ -1072,11 +1077,9 @@ object ManifestArtifactStore extends ArtifactStore {
     // between the read and the conditional delete (r18 review pass 1 —
     // an interleaved renewal would orphan a freshly-extended lease and
     // block all maintenance for up to leaseMs)
-    val observed =
-      try Some(f.readString(lf))
-      catch { case t if isMissing(t) => None }
+    val observed = f.cellRead(lf)
     observed.filter(_.startsWith(id + " "))
-      .foreach(c => f.deleteIfContent(lf, c))
+      .foreach(c => f.cellDeleteIf(lf, c))
     // leave no trace on a never-built path (r18 review pass 1): a
     // failed op whose body never published (requireStore threw) must
     // not leave a _manifest/ holding only lock residue — it would
@@ -1138,12 +1141,10 @@ object ManifestArtifactStore extends ArtifactStore {
         catch { case _: InterruptedException => live = false }
         if (st.released) live = false // late beat must not resurrect
         if (live) try {
-          val observed =
-            try Some(f.readString(lf))
-            catch { case t if isMissing(t) => None }
+          val observed = f.cellRead(lf)
           observed match {
             case Some(c) if c.startsWith(id + " ") =>
-              f.replaceIfContent(lf, c,
+              f.cellReplaceIf(lf, c,
                 s"$id ${System.currentTimeMillis() + leaseMs}")
               ()
             case _ =>
@@ -1186,9 +1187,7 @@ object ManifestArtifactStore extends ArtifactStore {
           "visible, rerun the maintenance op")
     }
     if (st.stolen) stolen()
-    val observed =
-      try Some(fs(root).readString(leasePath(root)))
-      catch { case t if isMissing(t) => None }
+    val observed = fs(root).cellRead(leasePath(root))
     if (!observed.exists(_.startsWith(id + " "))) stolen()
   }
 

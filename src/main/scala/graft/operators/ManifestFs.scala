@@ -33,13 +33,16 @@ private[graft] final case class FsEntry(
   *     plain S3A `rename` is a non-atomic copy, so an S3 deployment needs
   *     S3 conditional writes (`If-None-Match`, exposed by recent S3A) or
   *     an external commit coordinator; GCS has `ifGenerationMatch=0`
-  *     natively. The conditional DELETE / REPLACE used by the maintenance
-  *     lease are read-compare-then-act on non-`file:` schemes (HDFS has
-  *     no compare-and-delete) — emulation-grade, acceptable because lease
-  *     RENEWAL keeps a live holder's lease unexpired, so steals only
-  *     target dead holders and the compare race needs two stealers inside
-  *     one read-act window of each other; S3/GCS deployments should bind
-  *     these two to the store's native conditional mutations.
+  *     natively. The bare conditional DELETE / REPLACE primitives are
+  *     read-compare-then-act on non-`file:` schemes (HDFS has no
+  *     compare-and-delete) — which is why the LEASE and the migration
+  *     MARKER no longer use them directly: every lease/marker transition
+  *     goes through the CAS CELL API (r20, r19 ADVICE medium), where a
+  *     remote cell is a putIfAbsent-sequenced version directory and
+  *     every swap is one atomic conditional PUT — two racing stealers or
+  *     migrators admit exactly one winner on every attested scheme. The
+  *     bare primitives remain for single-writer paths (manifest-log
+  *     pruning, staging cleanup) where no CAS is claimed.
   *
   * Resolution is by path shape ([[ManifestFs.forPath]]): a URI scheme
   * selects the Hadoop binding, a bare path the local one. The POSIX
@@ -83,6 +86,41 @@ private[graft] trait ManifestFs {
     */
   def replaceIfContent(path: String, expected: String,
                        next: String): Boolean
+
+  // ---- atomic CAS cell (r20: the lease/marker consistency seam) ----------
+  //
+  // A "cell" is a small mutable value (the maintenance lease, a migration
+  // marker) whose EVERY transition must be a real compare-and-swap. The
+  // plain replaceIfContent/deleteIfContent are genuinely atomic only on
+  // the local binding (flock serializes compare+act); on hdfs/s3a/gcs they
+  // are read-compare-then-write, so two racing STEALERS (or migrators)
+  // could both pass the compare and both win (r19 ADVICE, medium). The
+  // cell API closes that without any new store primitive: on remote
+  // schemes a cell is a DIRECTORY of putIfAbsent-sequenced version files
+  // (`c<10-digit>`), current value = content of the highest version, and
+  // every transition — claim, replace, delete — is ONE conditional PUT of
+  // the next version number. putIfAbsent is atomic on every binding
+  // (hard link locally, NameNode create-no-overwrite, attested
+  // conditional create on object stores), and two racers targeting the
+  // same next version admit exactly one winner — the manifest-log
+  // pattern the protocol already publishes with. The local binding keeps
+  // the single-file layout (flock already serializes it, and specs/
+  // operators address the file directly).
+
+  /** Current cell value; None when absent (never existed, or deleted). */
+  def cellRead(path: String): Option[String]
+
+  /** Create the cell iff absent — true iff this caller won. */
+  def cellPutIfAbsent(path: String, content: String): Boolean
+
+  /** Swap the cell to `next` iff its value is still `expected` — true
+    * iff this caller's swap is the one that landed (a lost race is
+    * false, never a silent double-win).
+    */
+  def cellReplaceIf(path: String, expected: String, next: String): Boolean
+
+  /** Delete the cell iff its value is still `expected`. */
+  def cellDeleteIf(path: String, expected: String): Unit
 }
 
 private[graft] object ManifestFs {
@@ -228,6 +266,21 @@ private[graft] object LocalManifestFs extends ManifestFs {
       }
       still
     }
+
+  // cell = the single file itself: flock already serializes every
+  // compare+act locally, so the file primitives ARE atomic here and the
+  // on-disk layout stays what operators and specs address directly
+  override def cellRead(path: String): Option[String] =
+    try Some(readString(path))
+    catch { case _: java.nio.file.NoSuchFileException |
+                 _: java.io.FileNotFoundException => None }
+  override def cellPutIfAbsent(path: String, content: String): Boolean =
+    putIfAbsent(path, content)
+  override def cellReplaceIf(path: String, expected: String,
+                             next: String): Boolean =
+    replaceIfContent(path, expected, next)
+  override def cellDeleteIf(path: String, expected: String): Unit =
+    deleteIfContent(path, expected)
 }
 
 /** `org.apache.hadoop.fs.FileSystem` binding for URI-rooted stores
@@ -471,5 +524,118 @@ private[graft] object HadoopManifestFs extends ManifestFs {
           .rename(tmp, p, Options.Rename.OVERWRITE)
       }
       still
+    }
+
+  // ---- sequenced CAS cell (non-file schemes) -----------------------------
+  //
+  // The cell is a directory of version files `c<10-digit>`; the current
+  // value is the highest version's content, a DELETED cell is a version
+  // holding the tombstone sentinel, and every transition is ONE
+  // putIfAbsent of version v+1 — atomic on every attested scheme, so two
+  // racing stealers/migrators admit exactly one winner (r19 ADVICE,
+  // medium: the single-file replaceIfContent compare+overwrite both
+  // could win). The winner prunes versions <= v-16; a competitor acting
+  // on a view 16 versions stale (>= 5 lease renewals of listing lag)
+  // could putIfAbsent into a pruned slot and wrongly believe it won —
+  // stated residual, far beyond the listing lag any real store exhibits
+  // (S3/GCS list-after-write are strongly consistent; the adversarial
+  // fake's lag is bounded by its conf).
+
+  private val CellDeleted = "__graft_cell_deleted__"
+  private val CellKeep = 16
+
+  private def cellVersionOf(name: String): Option[Long] =
+    if (name.matches("c\\d{10,}")) Some(name.stripPrefix("c").toLong)
+    else None
+
+  private def cellVersionName(v: Long): String = f"c$v%010d"
+
+  /** Highest committed (version, content). Listings can LAG on
+    * eventually-consistent stores (hide a just-PUT version — the
+    * holder's own fresh claim included, which would make the fence read
+    * itself as stolen), but reads are BY KEY and read-after-write
+    * consistent, and versions are DENSE (every transition is exactly
+    * +1): so after the listing's maximum, probe FORWARD by key until
+    * the first missing version — the true top, whatever the listing
+    * hides. Bounded retry when a probed file vanishes mid-read (a
+    * racing winner's prune of old versions — lock-free readers must
+    * not fail on it).
+    */
+  private def cellTop(path: String): Option[(Long, String)] = {
+    var attempt = 0
+    while (attempt < 8) {
+      val listed = list(path).flatMap(e => cellVersionOf(e.name))
+      var v = listed.maxOption.getOrElse(0L)
+      var content: Option[String] =
+        if (v == 0L) None
+        else try Some(readString(child(path, cellVersionName(v))))
+        catch {
+          case t: java.io.IOException
+              if ManifestArtifactStore.isMissing(t) => null // pruned: re-list
+        }
+      if (content != null) {
+        var advancing = true
+        var steps = 0
+        while (advancing && steps < 100000) {
+          try {
+            val c = readString(child(path, cellVersionName(v + 1)))
+            v += 1; content = Some(c); steps += 1
+          } catch {
+            case t: java.io.IOException
+                if ManifestArtifactStore.isMissing(t) => advancing = false
+          }
+        }
+        return content.map(v -> _)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"cell $path: top version kept vanishing across 8 re-listings — " +
+        "store listing/read faults, not a CAS race")
+  }
+
+  private def cellPrune(path: String, won: Long): Unit =
+    try list(path).flatMap(e => cellVersionOf(e.name))
+      .filter(_ <= won - CellKeep)
+      .foreach(v => delete(child(path, cellVersionName(v))))
+    catch { case _: java.io.IOException => () } // cosmetic; next win retries
+
+  private def cellAdvance(path: String, from: Option[Long],
+                          content: String): Boolean = {
+    val next = from.getOrElse(0L) + 1
+    val won = putIfAbsent(child(path, cellVersionName(next)), content)
+    if (won) cellPrune(path, next)
+    won
+  }
+
+  override def cellRead(path: String): Option[String] =
+    if (isLocalScheme(path)) LocalManifestFs.cellRead(localPath(path))
+    else cellTop(path).map(_._2).filter(_ != CellDeleted)
+
+  override def cellPutIfAbsent(path: String, content: String): Boolean =
+    if (isLocalScheme(path))
+      LocalManifestFs.cellPutIfAbsent(localPath(path), content)
+    else cellTop(path) match {
+      case Some((v, c)) if c == CellDeleted => cellAdvance(path, Some(v), content)
+      case Some(_)                          => false
+      case None                             => cellAdvance(path, None, content)
+    }
+
+  override def cellReplaceIf(path: String, expected: String,
+                             next: String): Boolean =
+    if (isLocalScheme(path))
+      LocalManifestFs.cellReplaceIf(localPath(path), expected, next)
+    else cellTop(path) match {
+      case Some((v, c)) if c == expected => cellAdvance(path, Some(v), next)
+      case _                             => false
+    }
+
+  override def cellDeleteIf(path: String, expected: String): Unit =
+    if (isLocalScheme(path))
+      LocalManifestFs.cellDeleteIf(localPath(path), expected)
+    else cellTop(path) match {
+      case Some((v, c)) if c == expected =>
+        cellAdvance(path, Some(v), CellDeleted); ()
+      case _ => ()
     }
 }

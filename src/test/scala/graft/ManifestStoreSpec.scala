@@ -896,4 +896,98 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(served.columns.contains("vec_id"),
       "the persisted schema must survive the migration")
   }
+
+  test("remote two-stealer race: the sequenced cell admits exactly one winner where no flock exists") {
+    // r19 ADVICE (medium) / r19 verdict item 2: on the local binding the
+    // flock sibling serializes the steal's compare+swap, so the original
+    // two-stealer race never exercised the remote path — where
+    // replaceIfContent was read-compare-then-overwrite and two stealers
+    // could BOTH win. The lease now runs on the putIfAbsent-sequenced
+    // CAS cell, so the same three-JVM shape through the ADVERSARIAL
+    // object store (no flock, rename overwrites silently, objects land
+    // at close) must show zero overlap, proven on-disk by the
+    // create-new token exactly like the local test.
+    val scheme = "stealfs"
+    val backing = "/root/repo/target/indexes/steal_backing"
+    val store = "steal_race_remote_v1"
+    val bucketDir = new java.io.File(backing, "bucket")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(bucketDir, store))
+    val root = s"$scheme://bucket/$store"
+    val confPairs = Seq(
+      s"fs.$scheme.impl=graft.tools.ObjectStoreFs",
+      s"fs.$scheme.impl.disable.cache=true",
+      s"fs.$scheme.graft.fake.root=$backing",
+      s"fs.$scheme.graft.fake.mode=conditional",
+      s"fs.graft.cas.$scheme=create")
+    // the dead holder: an EXPIRED claim seeded as cell version 1,
+    // written through the backing dir exactly like a crashed JVM's
+    // leftover object
+    val cellDir = new java.io.File(bucketDir, s"$store/_manifest/lease")
+    cellDir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(cellDir, "c0000000001").toPath,
+      s"deadbeef-crashed ${System.currentTimeMillis() - 60000}")
+    val token = new java.io.File(backing + ".steal_token")
+    org.apache.commons.io.FileUtils.deleteQuietly(token)
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    def src(c: Class[_]) = new java.io.File(
+      c.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+    val cp = Seq(src(graft.tools.StealProbe.getClass),
+      src(scala.Predef.getClass), "/opt/spark/jars/*")
+      .mkString(java.io.File.pathSeparator)
+    val procs = (1 to 2).map { _ =>
+      val pb = new ProcessBuilder(
+        (Seq(javaBin, "-cp", cp, "graft.tools.StealProbe", root, "1500",
+          token.getPath) ++ confPairs): _*)
+      pb.redirectErrorStream(true)
+      pb.start()
+    }
+    val outputs = procs.map { p =>
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "StealProbe JVM did not finish")
+      new String(p.getInputStream.readAllBytes()).trim
+        .linesIterator.toSeq
+    }
+    assert(outputs.forall(_.contains("HELD")) &&
+      outputs.forall(_.contains("DONE")) &&
+      !outputs.exists(_.contains("VIOLATION")),
+      s"remote steal race violated mutual exclusion: $outputs")
+    assert(!token.exists())
+    // clean release: the cell's top version is the tombstone sentinel
+    // (remote cells delete by advancing, never by removing files a
+    // racing claim could be landing next to)
+    val versions = Option(cellDir.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.matches("c\\d{10,}")).sorted
+    assert(versions.size >= 4, s"expected seeded+2 claims+releases, got $versions")
+    assert(java.nio.file.Files.readString(
+        new java.io.File(cellDir, versions.last).toPath)
+      == "__graft_cell_deleted__",
+      "both stealers released cleanly — the cell top must be the tombstone")
+
+    // the primitive itself, deterministically: 8 same-JVM threads race
+    // ONE cellReplaceIf of the same expired content through the Hadoop
+    // binding (no flock anywhere on this path) — exactly one may win
+    val c = new org.apache.hadoop.conf.Configuration()
+    confPairs.foreach { kv =>
+      val i = kv.indexOf('='); c.set(kv.substring(0, i), kv.substring(i + 1))
+    }
+    val cell2 = s"$scheme://bucket/$store/_manifest/primitive_race"
+    val expired = s"deadbeef-crashed2 ${System.currentTimeMillis() - 60000}"
+    graft.operators.ManifestFs.withHadoopConf(c) {
+      assert(graft.operators.HadoopManifestFs.cellPutIfAbsent(cell2, expired))
+    }
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 8).map { i =>
+      new Thread(() => graft.operators.ManifestFs.withHadoopConf(c) {
+        if (graft.operators.HadoopManifestFs.cellReplaceIf(
+            cell2, expired, s"claim-$i fresh"))
+          { wins.incrementAndGet(); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get() == 1,
+      s"sequenced-cell replace must admit exactly one winner, got ${wins.get()}")
+  }
 }
