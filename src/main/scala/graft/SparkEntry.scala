@@ -2708,10 +2708,18 @@ object SparkEntry {
             chunkTokens = 64, overlap = 16)
           .orderBy("doc_id", "chunk_id")
       },
-      // striped sequence packing: distributed two-phase prefix sum
+      // striped sequence packing: distributed two-phase prefix sum.
+      // Counts are projected down to (doc_id, n_tokens) BEFORE the pack:
+      // packByCount materializes its input and range-shuffles it, and
+      // carrying the document body through that exchange/checkpoint only
+      // to drop it in the final select would move the corpus for nothing
+      // (same counts as packSequences over the full frame — the count is
+      // the identical expression, evaluated one projection earlier)
       "q_seq_pack" -> { (s, dir) =>
-        Corpus.packSequences(Tables.t(s, dir, "documents"),
-            "doc_id", "text", capacity = 2048)
+        Corpus.packByCount(Tables.t(s, dir, "documents")
+            .select(col("doc_id"),
+              size(Corpus.terms(col("text"))).cast("long").as("n_tokens")),
+            "doc_id", col("n_tokens"), capacity = 2048)
           .select("doc_id", "n_tokens", "bin_id")
           .orderBy("doc_id")
       },

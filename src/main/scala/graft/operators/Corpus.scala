@@ -140,17 +140,26 @@ object Corpus {
   def packByCount(docs: DataFrame, orderCol: String, countExpr: Column,
                   capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    val spark = docs.sparkSession
     // the range repartition below is this operator's own shuffle — a
     // round-robin rebalance directly upstream (Tables.rebalanced's scan
-    // parallelism guard) would be a second, pure-overhead exchange. Drop
-    // it and evaluate the count AFTER the range exchange, so per-row
-    // compute still runs on the full range-partition parallelism.
+    // parallelism guard) would be a second, pure-overhead exchange
     val base = graft.Tables.unrebalanced(docs)
-    val ranged = base
+    // Materialize the counted input ONCE (eager localCheckpoint): the
+    // operator issues three downstream actions — the range partitioner's
+    // sampling pass, the per-partition totals aggregate, and the final
+    // assignment — and each would otherwise re-evaluate the full upstream
+    // subtree (for the BPE-counted pack query that subtree is the
+    // word-table encode join: measured 24 jobs / 2.6 s per run before,
+    // upstream evaluated 3x per action set). Callers pass narrow
+    // (orderCol, count-source) frames, so the checkpoint holds ~16 B/row
+    // of per-document metadata — the guide-§8 "decide on a lightweight
+    // proxy" table, never the corpus body.
+    val counted = base
+      .withColumn("n_tokens", countExpr.cast("long"))
+      .localCheckpoint(true)
+    val ranged = counted
       .repartitionByRange(col(orderCol))
       .sortWithinPartitions(col(orderCol))
-      .withColumn("n_tokens", countExpr.cast("long"))
     // per-partition exclusive running sum as an order-preserving fold: a
     // Window.partitionBy(spark_partition_id) would re-SHUFFLE every row by
     // the very key they are already partitioned on — mapPartitions keeps
@@ -162,6 +171,15 @@ object Corpus {
         org.apache.spark.sql.types.StructField("g_local",
           org.apache.spark.sql.types.LongType, nullable = false))
     val nIdx = ranged.schema.fieldIndex("n_tokens")
+    // per-partition totals ride OUT of the fold on an accumulator: the
+    // eager checkpoint below is already an action over every partition, so
+    // the totals cost zero extra jobs, exchanges or passes (previously a
+    // separate aggregate action re-ran the range exchange). A retried or
+    // speculative task re-adds the SAME (pid, total) pair — the map build
+    // below keys by pid, so duplicates are harmless.
+    val spark = docs.sparkSession
+    val totalsAcc = spark.sparkContext
+      .collectionAccumulator[(Int, Long)]("g_pack_totals")
     val local = ranged
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .mapPartitions { it =>
@@ -171,17 +189,23 @@ object Corpus {
           val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ acc)
           acc += r.getLong(nIdx)
           out
-        }
+        } ++ { totalsAcc.add((pid, acc)); Iterator.empty }
       }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF()
-    // per-partition totals: #partitions rows; exclusive scan on the driver
-    val totals = local.groupBy("g_pid").agg(sum("n_tokens").as("g_total"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = totals.map(_._1)
-      .zip(totals.map(_._2).scanLeft(0L)(_ + _))
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    import classic.implicits._
-    val offDf = offsets.toSeq.toDF("g_pid", "g_offset")
+      // second (and last) materialization: the final assignment consumes
+      // the range-shuffled running sums and must not re-run the exchange +
+      // fold (SQL plans do not reuse shuffles across separate actions;
+      // measured +0.3-0.4 s per pack query without this checkpoint) — and
+      // its completion is what makes the totals accumulator final
+      .localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    val offsets = totalsAcc.value.asScala.toMap.toSeq.sortBy(_._1)
+    val offDf = {
+      val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      offsets.map(_._1).zip(offsets.map(_._2).scanLeft(0L)(_ + _))
+        .toDF("g_pid", "g_offset")
+    }
     local.join(broadcast(offDf), Seq("g_pid"))
       .withColumn("bin_id",
         floor((col("g_local") + col("g_offset")) / capacity))
