@@ -421,6 +421,107 @@ object NativeTextExprs {
       copy(child = newChild)
   }
 
+  /** Gopher word-n-gram repetition statistics
+    * ([[graft.operators.Quality.ngramRepetitionCols]]) in ONE pass: the
+    * composed column-algebra form walked the gram array through five
+    * interpreted higher-order folds (sort fold, best-run fold, dup-collect
+    * fold, then an O(m·n·|dups|) coverage scan with per-step expression-tree
+    * evaluation); this expression computes the identical statistics with
+    * primitive loops — same gram construction (space-joined token slices),
+    * same binary-order sort (UTF8String.compareTo == array_sort), same
+    * strictly-greater best-run update (ties keep the lexicographically
+    * smallest gram), same position-coverage union, same double arithmetic
+    * — so results are bit-identical.
+    */
+  case class NgramRepetitionExpr(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("top_ngram_char_frac",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("dup_ngram_char_frac",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    override def prettyName: String = "ngram_repetition"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val toks = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+      var total = 0L
+      var i = 0
+      while (i < m) {
+        val s = arr.getUTF8String(i)
+        toks(i) = s
+        if (s != null) total += s.numChars()
+        i += 1
+      }
+      val g = if (m >= n) m - (n - 1) else 0
+      val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+      val ngs = new Array[org.apache.spark.unsafe.types.UTF8String](g)
+      i = 0
+      while (i < g) {
+        ngs(i) = org.apache.spark.unsafe.types.UTF8String
+          .concatWs(sep, java.util.Arrays.copyOfRange(toks, i, i + n): _*)
+        i += 1
+      }
+      val sorted = ngs.clone()
+      // UTF8String.compareTo is binary order — identical to array_sort
+      java.util.Arrays.sort(sorted.asInstanceOf[Array[Object]])
+      var bestCnt = 0L
+      var bestNg: org.apache.spark.unsafe.types.UTF8String = null
+      var dups: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = null
+      var run = 0L
+      var prev: org.apache.spark.unsafe.types.UTF8String = null
+      i = 0
+      while (i < g) {
+        val x = sorted(i)
+        run = if (prev != null && x.equals(prev)) run + 1 else 1L
+        if (run > bestCnt) { bestCnt = run; bestNg = x }
+        if (run == 2L) {
+          if (dups == null)
+            dups = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+          dups.add(x)
+        }
+        prev = x
+        i += 1
+      }
+      var cov = 0L
+      if (total > 0 && dups != null) {
+        val isDup = new Array[Boolean](g)
+        i = 0
+        while (i < g) { isDup(i) = dups.contains(ngs(i)); i += 1 }
+        var p = 0 // 0-based token position; covered iff a duplicated gram
+        var q0 = 0 //   starts in [p-n+1, p] clamped to valid starts
+        while (p < m) {
+          q0 = math.max(0, p - (n - 1))
+          val qHi = math.min(p, g - 1)
+          var hit = false
+          var q = q0
+          while (!hit && q <= qHi) { hit = isDup(q); q += 1 }
+          if (hit && toks(p) != null) cov += toks(p).numChars()
+          p += 1
+        }
+      }
+      val top =
+        if (total > 0 && bestCnt > 0)
+          math.min(1.0,
+            (bestCnt * (bestNg.numChars() - (n - 1)).toLong).toDouble /
+              total.toDouble)
+        else 0.0
+      val dup = if (total > 0) cov.toDouble / total.toDouble else 0.0
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](top, dup))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def ngramRepetition(tokenArray: Column, n: Int): Column =
+    ExpressionUtils.column(
+      NgramRepetitionExpr(ExpressionUtils.expression(tokenArray), n))
+
   def langIdNative(text: Column, markers: Seq[(String, Seq[String])]): Column =
     ExpressionUtils.column(LangIdExpr(ExpressionUtils.expression(text), markers))
 

@@ -60,6 +60,16 @@ class QualitySpec extends AnyFunSuite {
     assert(got(3L) == ((0.0, 0.0)))
   }
 
+  test("ngramRepetition: tied counts keep the lexicographically smallest gram") {
+    // 'z q' ×2 (4-1=3 covered chars each) vs 'aaa b' ×2 (5-1=4 each): tied
+    // at count 2, the sorted-run fold must keep 'aaa b' (first in binary
+    // order), so top = 2*4 / 12 — a strictly-greater update that kept the
+    // LAST run would report 2*3/12 instead
+    val df = docsDF(1L -> "z q z q aaa b aaa b")
+    val Array(r) = Quality.ngramRepetition(df, "doc_id", "text", n = 2).collect()
+    assert(r.getDouble(1) == 8.0 / 12.0)
+  }
+
   test("ngramRepetition: overlap clamps top fraction at 1.0") {
     // 'a a a a': bigram 'a a' ×3, chars 3*2=6 > total 4 → clamp to 1.0;
     // dup coverage is every position → 1.0
