@@ -92,13 +92,8 @@ object Dedup {
         col(idCol).as("g_id"),
         minhashSignature(col(textCol), shingleK, numHashes).as("g_sig"))
       .select(col("g_id"), col("g_sig"),
-        explode(let1(col("g_sig")) { s =>
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(concat_ws(",",
-              transform(slice(s, b * rowsPerBand + 1, lit(rowsPerBand)),
-                x => x.cast("string")), b.cast("string"))))
-        }).as("g_bucket"))
+        explode(org.apache.spark.sql.graft.NativeTextExprs
+          .bandBuckets(col("g_sig"), bands, rowsPerBand)).as("g_bucket"))
     banded.groupBy("g_bucket")
       .agg(collect_list(struct(col("g_id"), col("g_sig"))).as("g_docs"))
       .filter(size(col("g_docs")) >= 2)
@@ -128,11 +123,9 @@ object Dedup {
     bucketed.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col(idCol)).as("g_ids"))
       .filter(size(col("g_ids")) >= 2)
-      .select(explode(let1(col("g_ids")) { ids =>
-        flatten(transform(ids, (a, i) =>
-          transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
-            b => struct(least(a, b).as("idA"), greatest(a, b).as("idB")))))
-      }).as("g_p"))
+      .select(explode(org.apache.spark.sql.graft.NativeTextExprs.pairExpand(
+        col("g_ids"), "idA", "idB",
+        org.apache.spark.sql.graft.NativeTextExprs.AllPairs)).as("g_p"))
       .select("g_p.*").distinct()
 
   /** MinHash-LSH near-duplicate pairs, verified with the *exact* shingle
@@ -149,13 +142,8 @@ object Dedup {
         col(idCol).as("g_id"),
         minhashSignature(col(textCol), shingleK, numHashes).as("g_sig"))
       .select(col("g_id"),
-        explode(let1(col("g_sig")) { s =>
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(concat_ws(",",
-              transform(slice(s, b * rowsPerBand + 1, lit(rowsPerBand)),
-                x => x.cast("string")), b.cast("string"))))
-        }).as("g_bucket"))
+        explode(org.apache.spark.sql.graft.NativeTextExprs
+          .bandBuckets(col("g_sig"), bands, rowsPerBand)).as("g_bucket"))
     val cands = bucketPairs(banded, Seq("g_bucket"), "g_id")
     val sh = df.select(col(idCol).as("g_id"),
       org.apache.spark.sql.graft.NativeTextExprs
@@ -299,20 +287,19 @@ object Dedup {
     }
     def unpackId(x: Column) = call_function("shiftright", x, lit(SzBits))
     def unpackSz(x: Column) = x.bitwiseAND((1L << SzBits) - 1)
-    def ratioOk(a: Column, b: Column): Column = sizeRatioPrune match {
-      case Some(t) => least(unpackSz(a), unpackSz(b)).cast("double") >=
-        greatest(unpackSz(a), unpackSz(b)) * t
-      case None => lit(true)
+    // in-list expansion + ratio prune as ONE native single-pass expression
+    // (the composed nested transform/filter lambdas run interpreted and
+    // dominated this family's wall time — same emitted pairs, same
+    // double-compare prune arithmetic)
+    import org.apache.spark.sql.graft.NativeTextExprs
+    val pred = sizeRatioPrune match {
+      case Some(t) => NativeTextExprs.SizeRatio(t, SzBits)
+      case None    => NativeTextExprs.AllPairs
     }
     val pairs = capped
       .filter(size(col("g_docs")) >= 2)
-      .select(explode(let1(col("g_docs")) { docs =>
-        flatten(transform(docs, (a, i) =>
-          transform(
-            filter(slice(docs, i + 2, greatest(size(docs) - i - 1, lit(0))),
-              b => ratioOk(a, b)),
-            b => struct(least(a, b).as("pA"), greatest(a, b).as("pB")))))
-      }).as("g_p"))
+      .select(explode(
+        NativeTextExprs.pairExpand(col("g_docs"), "pA", "pB", pred)).as("g_p"))
       .select(
         unpackId(col("g_p.pA")).as("idA"), unpackId(col("g_p.pB")).as("idB"),
         unpackSz(col("g_p.pA")).as("g_szA"), unpackSz(col("g_p.pB")).as("g_szB"))
@@ -451,20 +438,15 @@ object Dedup {
       case Some(cap) => postings.filter(size(col("g_docs")) <= cap)
     }
     def unpackId(x: Column) = call_function("shiftright", x, lit(SzBits + 1))
-    def unpackNew(x: Column) =
-      call_function("shiftright", x, lit(SzBits)).bitwiseAND(1L)
     def unpackSz(x: Column) = x.bitwiseAND((1L << SzBits) - 1)
+    // native single-pass expansion: at-least-one-new plus the size-ratio
+    // prune, identical emitted pairs to the composed lambda chain
     val pairs = capped
       .filter(size(col("g_docs")) >= 2)
-      .select(explode(let1(col("g_docs")) { docs =>
-        flatten(transform(docs, (a, i) =>
-          transform(
-            filter(slice(docs, i + 2, greatest(size(docs) - i - 1, lit(0))),
-              b => (unpackNew(a) + unpackNew(b) >= 1) &&
-                least(unpackSz(a), unpackSz(b)).cast("double") >=
-                  greatest(unpackSz(a), unpackSz(b)) * threshold),
-            b => struct(least(a, b).as("pA"), greatest(a, b).as("pB")))))
-      }).as("g_p"))
+      .select(explode(org.apache.spark.sql.graft.NativeTextExprs.pairExpand(
+        col("g_docs"), "pA", "pB",
+        org.apache.spark.sql.graft.NativeTextExprs.DeltaSizeRatio(
+          threshold, SzBits))).as("g_p"))
       .select(
         unpackId(col("g_p.pA")).as("idA"), unpackId(col("g_p.pB")).as("idB"),
         unpackSz(col("g_p.pA")).as("g_szA"), unpackSz(col("g_p.pB")).as("g_szB"))
@@ -544,14 +526,8 @@ object Dedup {
     blocked.groupBy("g_block", "g_bits")
       .agg(collect_list(struct(col("g_id"), col("g_sim"))).as("g_docs"))
       .filter(size(col("g_docs")) >= 2)
-      .select(explode(let1(col("g_docs")) { docs =>
-        flatten(transform(docs, (a, i) =>
-          transform(slice(docs, i + 2, greatest(size(docs) - i - 1, lit(0))),
-            b => struct(
-              least(a("g_id"), b("g_id")).as("idA"),
-              greatest(a("g_id"), b("g_id")).as("idB"),
-              hammingDistance(a("g_sim"), b("g_sim")).as("hamming")))))
-      }).as("g_p"))
+      .select(explode(org.apache.spark.sql.graft.NativeTextExprs
+        .simhashPairExpand(col("g_docs"))).as("g_p"))
       .select("g_p.*")
       .filter(col("hamming") <= maxHamming)
       .groupBy("idA", "idB").agg(first("hamming").as("hamming"))
@@ -711,12 +687,8 @@ object Dedup {
     val sig = vecs.withColumn("g_bits",
       Vectors.rhpSignature(col("g_vec"), nBits, seed))
     val banded = sig.select(col("g_id"),
-      explode(let1(col("g_bits")) { bits =>
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            transform(slice(bits, b * rowsPerBand + 1, lit(rowsPerBand)),
-              x => x.cast("string")), b.cast("string"))))
-      }).as("g_bucket"))
+      explode(org.apache.spark.sql.graft.NativeTextExprs
+        .bandBuckets(col("g_bits"), bands, rowsPerBand)).as("g_bucket"))
     // distinct id pairs from in-bucket expansion (signatures computed once,
     // dropped before the shuffle); vectors re-attached only to survivors
     val cands = bucketPairs(banded, Seq("g_bucket"), "g_id")
@@ -804,15 +776,14 @@ object Dedup {
     */
   private def spanKgrams(toks: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"window must be at least 1 token, got $k")
+    // single-pass native window hashing (each token hashed once, each
+    // window a fold of k longs — byte-identical to the composed
+    // transform/slice form, without its interpreted per-window lambda)
     toks
       .filter(size(col("g_toks")) >= k)
       .select(col("g_id"),
-        posexplode(graft.functions.TextFunctions.let1(
-            transform(col("g_toks"), t => xxhash64(t))) { th =>
-          transform(
-            sequence(lit(1), size(th) - lit(k - 1)),
-            i => xxhash64(slice(th, i, lit(k))))
-        }).as(Seq("g_pos", "g_h")))
+        posexplode(org.apache.spark.sql.graft.NativeTextExprs
+          .spanWindowHashes(col("g_toks"), k)).as(Seq("g_pos", "g_h")))
   }
 
   /** Delete the positions covered by `dup`-keyed windows and rebuild. */
