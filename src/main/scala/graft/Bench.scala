@@ -23,6 +23,8 @@ object Bench {
       // in a fresh session vs 2.6 s after a full warm pass). Size it to
       // the workload.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        graft.Graft.shuffleWriterThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", Graft.sparkLocalDir) // not /tmp (sweeper)
       .config("spark.ui.enabled", "false")

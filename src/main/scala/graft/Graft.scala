@@ -288,14 +288,40 @@ object Graft {
       spark.conf.set(key, if (cur.isEmpty) rule else s"$cur,$rule")
   }
 
-  /** Checkout-local Spark scratch dir (`spark.local.dir`) for
-    * long-running driver mains (Verify, Bench, ScaleProbe): a box-level
-    * /tmp sweeper deleted a >13-minute run's block-manager tree mid-job
-    * (observed r16 — FileNotFoundException on shuffle index files), so
-    * shuffle/block files live under the checkout's target dir instead.
+  /** Spark scratch dir (`spark.local.dir`) for long-running driver mains
+    * (Verify, Bench, ScaleProbe). NOT /tmp: a box-level /tmp sweeper
+    * deleted a >13-minute run's block-manager tree mid-job (observed r16 —
+    * FileNotFoundException on shuffle index files). Default is RAM-backed
+    * scratch (`/dev/shm`) when present: at bench scale the live shuffle
+    * footprint is MBs while the per-exchange cost is dominated by scratch-
+    * file create/fsync latency (measured: a 32x32 exchange of 215k longs
+    * 0.47 s on ext4 vs 0.25 s on tmpfs, r20). Deployments whose shuffle
+    * spill exceeds RAM must point `SPARK_GRAFT_LOCAL_DIR` at fast disk —
+    * the standard `spark.local.dir` sizing call, parameterised, not a
+    * local-mode constant (guide §2.1: local disk bandwidth for shuffle
+    * files can be the tighter limit).
     */
   def sparkLocalDir: String =
-    new java.io.File(sys.props("user.dir"), "target/spark-local").getPath
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite)
+        new java.io.File(shm, "graft-spark-local").getPath
+      else new java.io.File(sys.props("user.dir"), "target/spark-local").getPath
+    }
+
+  /** Shuffle-writer selection knob for the driver mains
+    * (`spark.shuffle.sort.bypassMergeThreshold`), measured both ways on
+    * the full 153-query suite at sf0.1 (r20): forcing the sort-based
+    * writer (threshold 0) wins ~0.1-0.2 s on every tiny-shuffle query
+    * (1024 bypass scratch files per 32x32 exchange become 32) but loses
+    * 0.3-0.9 s on large-record / bulk-row shuffles (sketch partials,
+    * sort-merge inputs: the sorter's extra copy), netting 45.9 s vs
+    * 42.3 s for the default — so the DEFAULT stays Spark's 200, and the
+    * measurement lives here with the env override for deployments whose
+    * shuffle mix differs.
+    */
+  def shuffleWriterThreshold: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD", "200")
 
   def install(spark: SparkSession): Unit = {
     // engine-written parquet (cube extracts, lattice nodes) must carry

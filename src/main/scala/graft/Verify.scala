@@ -10,6 +10,8 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        graft.Graft.shuffleWriterThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", Graft.sparkLocalDir) // not /tmp (sweeper)
       .config("spark.ui.enabled", "false")

@@ -15,6 +15,8 @@ object DedupProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        graft.Graft.shuffleWriterThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", graft.Graft.sparkLocalDir)
       .config("spark.ui.enabled", "false")

@@ -14,6 +14,8 @@ object OneVerify {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        graft.Graft.shuffleWriterThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -16,6 +16,8 @@ object PhaseProbe {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        graft.Graft.shuffleWriterThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

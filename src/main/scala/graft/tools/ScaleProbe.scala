@@ -923,6 +923,8 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        graft.Graft.shuffleWriterThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", graft.Graft.sparkLocalDir) // not /tmp (sweeper)
       .config("spark.ui.enabled", "false")

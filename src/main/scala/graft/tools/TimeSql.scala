@@ -18,8 +18,10 @@ object TimeSql {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("PROBE_BYPASS", graft.Graft.shuffleWriterThreshold))
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.local.dir", graft.Graft.sparkLocalDir)
+      .config("spark.local.dir", sys.env.getOrElse("PROBE_LOCAL_DIR", graft.Graft.sparkLocalDir))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
