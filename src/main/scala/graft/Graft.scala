@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.plans.{RollupRouting, StarJoinElimination, SumOfLiteralRewrite, TimeBucketPruning}
+import graft.plans.{PercentileRewrite, RollupRouting, StarJoinElimination, SumOfLiteralRewrite, TimeBucketPruning}
 
 /** Engine installation: inject the cube-rewrite rules into a session.
   *
@@ -338,7 +338,7 @@ object Graft {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val existing = classic.experimental.extraOptimizations
     val mine = Seq(StarJoinElimination(spark), TimeBucketPruning(spark),
-        SumOfLiteralRewrite, RollupRouting(spark))
+        SumOfLiteralRewrite, RollupRouting(spark), PercentileRewrite)
       .filterNot(r => existing.exists(_.getClass == r.getClass))
     classic.experimental.extraOptimizations = existing ++ mine
   }
@@ -358,6 +358,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => TimeBucketPruning(s))
     e.injectOptimizerRule(_ => SumOfLiteralRewrite)
     e.injectOptimizerRule(s => RollupRouting(s))
+    // AFTER RollupRouting in the rule list: the sketch-served percentile
+    // route must see the original Percentile node first
+    e.injectOptimizerRule(_ => PercentileRewrite)
     e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }
