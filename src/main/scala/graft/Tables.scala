@@ -115,6 +115,14 @@ object Tables {
     val cores = spark.sparkContext.defaultParallelism
     // physical planning only (no job) — resolved once per cached table
     val scanParts = df.rdd.getNumPartitions
+    // Width stays a flat `cores`, and that is a MEASUREMENT, not an
+    // oversight (r20): a data-derived width (64 KB/task -> 10-way at
+    // sf0.1) was built and benched — pure projections gained (gopher
+    // 0.55 -> 0.29 s) but every inverted-index pipeline lost MORE
+    // (containment 0.75 -> 1.1 s, ngram/minhash/pack +0.1-0.15 s): their
+    // pre-shuffle shingle/hash stages carry ~1.5-3 s of real CPU at
+    // sf0.1, and narrowing the spread serializes it. Per-task dispatch
+    // overhead is the smaller term; compute density wins.
     if (scanParts * 2 <= cores) df.repartition(cores) else df
   }
 
