@@ -146,10 +146,11 @@ object Similarity {
     * partition/cluster key written at ingest.
     */
   def assignCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
-    graft.functions.TextFunctions.let1(
-      transform(typedLit(centroids), c => sqDist(vec, c))) { ds =>
-      (array_position(ds, array_min(ds)) - 1).cast("int")
-    }
+    // native single-pass nearest-centroid (identical arithmetic and
+    // first-index tie rule to the composed transform/sqDist/array_position
+    // form, which evaluated k x dim interpreted lambda steps per row —
+    // differential-tested in PipelineOpsSpec)
+    org.apache.spark.sql.graft.VectorExprs.assignCentroid(vec, centroids)
 
   /** Materialize the IVF-k-means bucket column. */
   def withIvfKmeansBucket(df: DataFrame, vecCol: String,

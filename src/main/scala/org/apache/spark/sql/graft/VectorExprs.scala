@@ -128,4 +128,67 @@ object VectorExprs {
   def cosine(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** 0-based index of the squared-L2-nearest centroid — the composed form
+    * (`transform(typedLit(centroids), c => sqDist(vec, c))` then
+    * `array_position(ds, array_min(ds)) - 1`) evaluated k x dim interpreted
+    * lambda steps PER ROW; this is one primitive pass with the identical
+    * arithmetic: per-centroid distance is the index-order double fold of
+    * `(v_i - c_i)^2` from 0.0, ties keep the first centroid reaching the
+    * minimum (array_position-of-min semantics), a length-mismatched
+    * centroid contributes no distance (null in the composed form), and an
+    * all-mismatched row yields null.
+    */
+  case class AssignCentroidExpr(child: Expression, centroids: Seq[Seq[Double]])
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(
+      TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "assign_centroid"
+
+    @transient private lazy val elemIsFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    @transient private lazy val cents: Array[Array[Double]] =
+      centroids.map(_.toArray).toArray
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      val vec = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        vec(i) = if (elemIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        i += 1
+      }
+      var best = -1
+      var bestD = 0.0
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        if (cent.length == n) {
+          var d = 0.0
+          var j = 0
+          while (j < n) { val e = vec(j) - cent(j); d += e * e; j += 1 }
+          // strict < keeps the FIRST index achieving the minimum — the
+          // array_position(ds, array_min(ds)) tie rule
+          if (best < 0 || java.lang.Double.compare(d, bestD) < 0) {
+            best = c; bestD = d
+          }
+        }
+        c += 1
+      }
+      if (best < 0) null else Integer.valueOf(best)
+    }
+
+    override protected def withNewChildInternal(c: Expression): AssignCentroidExpr =
+      copy(child = c)
+  }
+
+  def assignCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    ExpressionUtils.column(
+      AssignCentroidExpr(ExpressionUtils.expression(vec), centroids))
 }

@@ -1309,4 +1309,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(scores(1L) > scores(2L), "repetitive text should score lower")
     assert(scores(1L) > scores(3L), "punctuation soup should score lower")
   }
+
+  test("native assignCentroid equals the composed sqDist/array_position form") {
+    // the composed column algebra the native expression replaced (r20):
+    // per-centroid squared-L2 fold, first index of the minimum
+    def composed(vec: org.apache.spark.sql.Column,
+                 cents: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+      TextFunctions.let1(
+        transform(typedLit(cents), c => Vectors.sqDist(vec, c))) { ds =>
+        (array_position(ds, array_min(ds)) - 1).cast("int")
+      }
+    val rnd = new scala.util.Random(7)
+    val cents = Seq.fill(5)(Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    // include exact-duplicate centroids so the first-index tie rule is hit
+    val centsWithTie = cents :+ cents(2)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val vecs = (1 to 300).map(i =>
+      i.toLong -> Seq.fill(8)(rnd.nextFloat())).toDF("id", "v")
+    val both = vecs.select(col("id"),
+        Similarity.assignCentroid(col("v"), centsWithTie).as("nat"),
+        composed(col("v"), centsWithTie).as("comp"))
+      .collect()
+    both.foreach(r => assert(r.getInt(1) == r.getInt(2), r.toString))
+  }
 }
