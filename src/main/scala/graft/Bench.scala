@@ -267,8 +267,16 @@ object Bench {
       // drain listener events from earlier queries, then isolate this one's
       org.apache.spark.sql.graft.ListenerBusUtil.waitUntilEmpty(spark)
       ioBytes.set(0L)
+      // collect checkpointed-subtree scan bytes during this (untimed) pass:
+      // the pack queries' eager checkpoints hide their upstream scans from
+      // the final plan, which zeroed their scan_bytes adjudication signal
+      // in r20 (verdict item 3) — ScanBytes.of + aux restores a non-zero,
+      // plan-derived figure. Timed reps never pay this (flag off there).
+      org.apache.spark.sql.graft.ScanBytes.auxBytes.set(0L)
+      org.apache.spark.sql.graft.ScanBytes.auxEnabled = true
       val df = fn(spark, sfDir)
       val execOk = try { exec(df); true } catch { case _: Throwable => false }
+      org.apache.spark.sql.graft.ScanBytes.auxEnabled = false
       org.apache.spark.sql.graft.ListenerBusUtil.waitUntilEmpty(spark)
       // a query that failed mid-scan still accrued SOME recordsRead; that
       // partial figure is indistinguishable from a real deterministic scan
@@ -277,7 +285,8 @@ object Bench {
       if (!execOk) (-1L, -1L)
       else {
         val bytes =
-          try org.apache.spark.sql.graft.ScanBytes.of(df)
+          try org.apache.spark.sql.graft.ScanBytes.of(df) +
+            org.apache.spark.sql.graft.ScanBytes.auxBytes.get()
           catch { case _: Throwable => -1L }
         (ioBytes.get(), bytes)
       }

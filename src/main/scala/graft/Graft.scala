@@ -303,11 +303,44 @@ object Graft {
     */
   def sparkLocalDir: String =
     sys.env.get("SPARK_GRAFT_LOCAL_DIR").getOrElse {
+      val diskDefault =
+        new java.io.File(sys.props("user.dir"), "target/spark-local").getPath
       val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite)
-        new java.io.File(shm, "graft-spark-local").getPath
-      else new java.io.File(sys.props("user.dir"), "target/spark-local").getPath
+      if (!shm.isDirectory || !shm.canWrite) diskDefault
+      else {
+        val root = new java.io.File(shm, "graft-spark-local")
+        // crashed runs leave blockmgr-*/spark-* trees in tmpfs that no OS
+        // sweeper reclaims (r20 ADVICE): reap subtrees untouched for 12h+
+        // (a LIVE session's block dirs see ongoing entry churn; 12h of
+        // stillness on this box means a dead run)
+        sweepStale(root, maxAgeMs = 12L * 3600 * 1000)
+        // larger-than-RAM spill must degrade to disk, not OOM the box:
+        // keep tmpfs only while it has headroom
+        val minFree = sys.env.getOrElse("SPARK_GRAFT_SHM_MIN_FREE_GB", "8")
+          .toLong * (1L << 30)
+        if (shm.getUsableSpace >= minFree) root.getPath else diskDefault
+      }
     }
+
+  /** Best-effort removal of `root` subtrees whose every entry is older
+    * than `maxAgeMs` (stale scratch from crashed runs). Never throws.
+    */
+  private[graft] def sweepStale(root: java.io.File, maxAgeMs: Long): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - maxAgeMs
+      def newestMtime(f: java.io.File): Long = {
+        val self = f.lastModified()
+        val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        kids.foldLeft(self)((m, k) => math.max(m, newestMtime(k)))
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(d => newestMtime(d) < cutoff)
+        .foreach(rm)
+    } catch { case _: Throwable => () }
 
   /** Shuffle-writer selection knob for the driver mains
     * (`spark.shuffle.sort.bypassMergeThreshold`), measured both ways on

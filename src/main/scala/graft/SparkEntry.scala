@@ -2200,23 +2200,26 @@ object SparkEntry {
             simhashPoly(col("text")).as("sh"))
           .orderBy("doc_id")
       },
-      // sessionization: batch window-function form (the streaming stateful
-      // twin is differentially tested in StreamingSpec)
+      // sessionization: batch form (the streaming stateful twin is
+      // differentially tested in StreamingSpec). Session assignment is the
+      // single-pass session_spans aggregate — identical boundaries to the
+      // former lag + strictly-greater-gap + running-sum window pair
+      // (SessionSpansExpr's scaladoc pins the correspondence), without the
+      // partition-wide sort + two WindowExec buffering passes; the
+      // per-session aggregates (min/max/count/dsum) stay declarative so
+      // the decimal-sum arithmetic is bit-identical
       "q_events_sessionize" -> { (s, dir) =>
-        import org.apache.spark.sql.expressions.Window
-        val byUser = Window.partitionBy("user_id").orderBy("ts")
+        import org.apache.spark.sql.graft.PrimitiveCollects
         Tables.events(s, dir)
-          .withColumn("g_prev", lag(col("ts"), 1).over(byUser))
-          .withColumn("g_new",
-            (col("g_prev").isNull ||
-              unix_millis(col("ts")) - unix_millis(col("g_prev")) > 1800000L).cast("int"))
-          .withColumn("g_sess", sum(col("g_new")).over(
-            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy("user_id", "g_sess")
-          .agg(unix_millis(min(col("ts"))).as("start_ms"),
-            unix_millis(max(col("ts"))).as("end_ms"),
+          .groupBy("user_id")
+          .agg(PrimitiveCollects.sessionSpans(
+            unix_millis(col("ts")), col("value"), 1800000L).as("g_spans"))
+          .select(col("user_id"), explode(col("g_spans")).as("g_e"))
+          .groupBy(col("user_id"), col("g_e.sess").as("g_sess"))
+          .agg(min(col("g_e.ts_ms")).as("start_ms"),
+            max(col("g_e.ts_ms")).as("end_ms"),
             count(lit(1)).as("n_events"),
-            dsum(col("value")).as("total_value"))
+            dsum(col("g_e.value")).as("total_value"))
           .drop("g_sess")
           .orderBy("user_id", "start_ms")
       },
@@ -3521,23 +3524,34 @@ object SparkEntry {
         // two distinct aggregates over one grouping would plan as an Expand
         // (2x the fact rows through the shuffle); aggregating per
         // (order, supplier) first then per order moves the same information
-        // in 1x rows — the distinct-heavy shape's scalable form
+        // in 1x rows — the distinct-heavy shape's scalable form.
+        //
+        // The per-order aggregate carries the R-row COUNT and the (single)
+        // R supplier's key out of the same pass: under n_r_supp = 1 every R
+        // row of a qualifying order belongs to that one supplier, so
+        // numwait = sum of per-order R-row counts — the former second
+        // lineitem scan + fact-sized join back onto the R rows computed
+        // nothing the first aggregate didn't already know (one scan and
+        // one fact shuffle instead of two of each)
         val stats = li
           .groupBy(col("l_orderkey").as("g_ok"), col("l_suppkey").as("g_sk"))
-          .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("g_has_r"))
+          .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("g_r_cnt"))
           .groupBy("g_ok")
-          .agg(count(lit(1)).as("n_supp"), sum("g_has_r").as("n_r_supp"))
+          .agg(count(lit(1)).as("n_supp"),
+            sum(when(col("g_r_cnt") > 0, 1).otherwise(0)).as("n_r_supp"),
+            sum(col("g_r_cnt")).as("g_r_rows"),
+            max(when(col("g_r_cnt") > 0, col("g_sk"))).as("g_r_sk"))
           .filter(col("n_supp") >= 2 && col("n_r_supp") === 1)
-        li.filter(col("l_returnflag") === "R")
-          .join(stats, col("l_orderkey") === col("g_ok"))
+        stats
           .join(Tables.t(s, dir, "orders")
               .filter(col("o_orderstatus") === "F").select("o_orderkey"),
-            col("l_orderkey") === col("o_orderkey"))
+            col("g_ok") === col("o_orderkey"))
           .join(broadcast(Tables.t(s, dir, "supplier")
             .select("s_suppkey", "s_name")),
-            col("l_suppkey") === col("s_suppkey"))
+            col("g_r_sk") === col("s_suppkey"))
           .groupBy("s_name")
-          .agg(count(lit(1)).as("numwait"))
+          .agg(sum(col("g_r_rows")).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))
           .limit(10)
       },

@@ -154,9 +154,26 @@ object Corpus {
     // (orderCol, count-source) frames, so the checkpoint holds ~16 B/row
     // of per-document metadata — the guide-§8 "decide on a lightweight
     // proxy" table, never the corpus body.
-    val counted = base
+    // Checkpoint mode (r20 verdict item 1): `localCheckpoint` blocks are
+    // NOT recomputable — on a real cluster one executor loss during or
+    // after the checkpoint kills the query (lineage is truncated). The
+    // frames checkpointed here are narrow (~16 B/row of per-document
+    // metadata), but a deployment that cannot absorb that blast radius
+    // sets `spark.graft.pack.checkpoint=reliable` (with
+    // `sparkContext.setCheckpointDir` pointing at replicated storage) and
+    // pays a write+read of the narrow frame for executor-loss survival.
+    val spark = docs.sparkSession
+    val reliableCkpt =
+      spark.conf.get("spark.graft.pack.checkpoint", "local") == "reliable"
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCkpt) df.checkpoint(true) else df.localCheckpoint(true)
+    val counted0 = base
       .withColumn("n_tokens", countExpr.cast("long"))
-      .localCheckpoint(true)
+    // the checkpoint hides the upstream scans from the final plan; report
+    // them for the bench's scan-drift adjudication (no-op outside the
+    // bench's IO pass)
+    org.apache.spark.sql.graft.ScanBytes.recordAux(counted0)
+    val counted = ckpt(counted0)
     val ranged = counted
       .repartitionByRange(col(orderCol))
       .sortWithinPartitions(col(orderCol))
@@ -177,7 +194,6 @@ object Corpus {
     // separate aggregate action re-ran the range exchange). A retried or
     // speculative task re-adds the SAME (pid, total) pair — the map build
     // below keys by pid, so duplicates are harmless.
-    val spark = docs.sparkSession
     val totalsAcc = spark.sparkContext
       .collectionAccumulator[(Int, Long)]("g_pack_totals")
     val local = ranged
@@ -192,13 +208,29 @@ object Corpus {
         } ++ { totalsAcc.add((pid, acc)); Iterator.empty }
       }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF()
-      // second (and last) materialization: the final assignment consumes
-      // the range-shuffled running sums and must not re-run the exchange +
-      // fold (SQL plans do not reuse shuffles across separate actions;
-      // measured +0.3-0.4 s per pack query without this checkpoint) — and
-      // its completion is what makes the totals accumulator final
-      .localCheckpoint(true)
+    // second (and last) materialization: the final assignment consumes
+    // the range-shuffled running sums and must not re-run the exchange +
+    // fold (SQL plans do not reuse shuffles across separate actions;
+    // measured +0.3-0.4 s per pack query without this checkpoint) — and
+    // its completion is what makes the totals accumulator final
+    val localCk = ckpt(local)
     import scala.jdk.CollectionConverters._
+    // The totals' finality is load-bearing and only holds because the
+    // eager checkpoint above drained every partition (r20 ADVICE): assert
+    // it instead of silently mis-binning — every pid of the ranged layout
+    // must have reported, and a duplicate (retried/speculative task) must
+    // have reported the SAME total.
+    val rawTotals = totalsAcc.value.asScala.toSeq
+    val byPid = rawTotals.groupBy(_._1)
+    require(byPid.forall { case (_, vs) => vs.map(_._2).distinct.size == 1 },
+      s"packByCount: conflicting per-partition totals " +
+        s"${byPid.filter(_._2.map(_._2).distinct.size > 1).keys.toSeq.sorted} " +
+        "— non-deterministic recomputation of the counted input?")
+    val nParts = localCk.rdd.getNumPartitions
+    require(byPid.keySet == (0 until nParts).toSet,
+      s"packByCount: totals cover pids ${byPid.keySet.toSeq.sorted} but the " +
+        s"ranged layout has $nParts partitions — the checkpoint did not " +
+        "drain every partition")
     val offsets = totalsAcc.value.asScala.toMap.toSeq.sortBy(_._1)
     val offDf = {
       val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -206,7 +238,7 @@ object Corpus {
       offsets.map(_._1).zip(offsets.map(_._2).scanLeft(0L)(_ + _))
         .toDF("g_pid", "g_offset")
     }
-    local.join(broadcast(offDf), Seq("g_pid"))
+    localCk.join(broadcast(offDf), Seq("g_pid"))
       .withColumn("bin_id",
         floor((col("g_local") + col("g_offset")) / capacity))
       .drop("g_pid", "g_local", "g_offset")

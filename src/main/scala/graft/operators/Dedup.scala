@@ -119,14 +119,22 @@ object Dedup {
     * filtered upstream).
     */
   private def bucketPairs(bucketed: DataFrame, keyCols: Seq[String],
-                          idCol: String): DataFrame =
+                          idCol: String): DataFrame = {
+    require(bucketed.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"bucketPairs expects a bigint id, got ${bucketed.schema(idCol).dataType}")
     bucketed.groupBy(keyCols.map(col): _*)
-      .agg(collect_list(col(idCol)).as("g_ids"))
+      // primitive-buffer collect (no per-element boxing / row-walk
+      // serialization in the reduce stage); order-insensitive downstream
+      // (pairExpand canonicalizes with min/max, then distinct)
+      .agg(org.apache.spark.sql.graft.PrimitiveCollects
+        .collectLongList(col(idCol)).as("g_ids"))
       .filter(size(col("g_ids")) >= 2)
       .select(explode(org.apache.spark.sql.graft.NativeTextExprs.pairExpand(
         col("g_ids"), "idA", "idB",
         org.apache.spark.sql.graft.NativeTextExprs.AllPairs)).as("g_p"))
       .select("g_p.*").distinct()
+  }
 
   /** MinHash-LSH near-duplicate pairs, verified with the *exact* shingle
     * Jaccard (computed distributively from the candidate pairs only).
@@ -279,8 +287,12 @@ object Dedup {
     val SzBits = 20
     val packed = inv.select(col("g_shingle"),
       (col("g_id") * (1L << SzBits) + col("g_sz")).as("g_doc"))
+    // primitive-buffer posting collect: the packed (id, size) longs land in
+    // a growable long[] instead of a boxed ArrayBuffer — the reduce stage's
+    // dominant cost at ~230k single-long groups per gate query
     val postings = packed.groupBy("g_shingle")
-      .agg(collect_list(col("g_doc")).as("g_docs"))
+      .agg(org.apache.spark.sql.graft.PrimitiveCollects
+        .collectLongList(col("g_doc")).as("g_docs"))
     val capped = maxShingleDf match {
       case None      => postings
       case Some(cap) => postings.filter(size(col("g_docs")) <= cap)
@@ -299,7 +311,8 @@ object Dedup {
     val pairs = capped
       .filter(size(col("g_docs")) >= 2)
       .select(explode(
-        NativeTextExprs.pairExpand(col("g_docs"), "pA", "pB", pred)).as("g_p"))
+        NativeTextExprs.pairExpand(col("g_docs"), "pA", "pB", pred,
+          maxInputLen = maxShingleDf)).as("g_p"))
       .select(
         unpackId(col("g_p.pA")).as("idA"), unpackId(col("g_p.pB")).as("idB"),
         unpackSz(col("g_p.pA")).as("g_szA"), unpackSz(col("g_p.pB")).as("g_szB"))
@@ -432,7 +445,8 @@ object Dedup {
       (col("g_id") * (1L << (SzBits + 1)) +
         col("g_isnew").cast("long") * (1L << SzBits) + col("g_sz")).as("g_doc"))
     val postings = packed.groupBy("g_shingle")
-      .agg(collect_list(col("g_doc")).as("g_docs"))
+      .agg(org.apache.spark.sql.graft.PrimitiveCollects
+        .collectLongList(col("g_doc")).as("g_docs"))
     val capped = maxShingleDf match {
       case None      => postings
       case Some(cap) => postings.filter(size(col("g_docs")) <= cap)
@@ -446,7 +460,7 @@ object Dedup {
       .select(explode(org.apache.spark.sql.graft.NativeTextExprs.pairExpand(
         col("g_docs"), "pA", "pB",
         org.apache.spark.sql.graft.NativeTextExprs.DeltaSizeRatio(
-          threshold, SzBits))).as("g_p"))
+          threshold, SzBits), maxInputLen = maxShingleDf)).as("g_p"))
       .select(
         unpackId(col("g_p.pA")).as("idA"), unpackId(col("g_p.pB")).as("idB"),
         unpackSz(col("g_p.pA")).as("g_szA"), unpackSz(col("g_p.pB")).as("g_szB"))
@@ -524,10 +538,14 @@ object Dedup {
             b => call_function("shiftright", s, b * blockBits).bitwiseAND(mask))
         }).as(Seq("g_block", "g_bits")))
     blocked.groupBy("g_block", "g_bits")
-      .agg(collect_list(struct(col("g_id"), col("g_sim"))).as("g_docs"))
-      .filter(size(col("g_docs")) >= 2)
+      // (id, sig) pairs interleaved in ONE primitive long buffer (the
+      // struct collect boxed and row-serialized every element); >= 2 docs
+      // == >= 4 flat elements
+      .agg(org.apache.spark.sql.graft.PrimitiveCollects
+        .collectLongPairs(col("g_id"), col("g_sim")).as("g_docs"))
+      .filter(size(col("g_docs")) >= 4)
       .select(explode(org.apache.spark.sql.graft.NativeTextExprs
-        .simhashPairExpand(col("g_docs"))).as("g_p"))
+        .simhashPairExpandFlat(col("g_docs"))).as("g_p"))
       .select("g_p.*")
       .filter(col("hamming") <= maxHamming)
       .groupBy("idA", "idB").agg(first("hamming").as("hamming"))
@@ -789,11 +807,14 @@ object Dedup {
   /** Delete the positions covered by `dup`-keyed windows and rebuild. */
   private def spanApply(toks: DataFrame, kgrams: DataFrame, dup: DataFrame,
                         k: Int, idCol: String): DataFrame = {
+    // covered positions straight from window STARTS: one row per duplicated
+    // window through the shuffle (not k), and the sorted distinct coverage
+    // union comes out of a primitive aggregate instead of
+    // array_sort(collect_set(explode(sequence(...)))) — identical output
     val covered = kgrams.join(dup, "g_h")
-      .select(col("g_id"),
-        explode(sequence(col("g_pos"), col("g_pos") + lit(k - 1))).as("g_cpos"))
       .groupBy("g_id")
-      .agg(array_sort(collect_set(col("g_cpos"))).as("g_cov"))
+      .agg(org.apache.spark.sql.graft.PrimitiveCollects
+        .coveredPositions(col("g_pos"), k).as("g_cov"))
     // rebuild via kept POSITIONS (array_except, hash-based O(n + m)), not
     // a per-token array_contains filter (O(n·m), and higher-order lambdas
     // run interpreted — measured 4x slower on the rebuild stage)
@@ -896,9 +917,12 @@ object Dedup {
                     bench: DataFrame, benchTextCol: String,
                     n: Int = 8): DataFrame = {
     val docNg = contaminatedNgrams(docs, idCol, textCol, bench, benchTextCol, n)
+    // hashes are DISTINCT per document by construction (shingle hash SET),
+    // so the distinct-hit count is a plain count — count_distinct would
+    // re-deduplicate through a second exchange + two extra aggregates
     docNg
       .groupBy("g_id")
-      .agg(count_distinct(col("g_h")).as("n_hits"))
+      .agg(count(lit(1)).as("n_hits"))
       .select(col("g_id").as(idCol), col("n_hits"))
   }
 
@@ -920,16 +944,25 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
       .select(col("g_id").as(idCol), col("n_hits"))
 
-  /** Shared core: one row per (document, benchmark-shingle-hash hit). */
+  /** Shared core: one row per (document, DISTINCT benchmark-shingle-hash
+    * hit) — the doc side explodes its shingle hash SET, so a document
+    * never emits one hash twice. Shingle keys are the single-pass native
+    * token-hash folds ([[graft.functions.TextFunctions]]' shingleHashSet,
+    * the same keys the dedup inverted index shuffles) instead of
+    * `xxhash64(<rendered n-gram string>)`: zero string materialization per
+    * window, identical hits barring a 64-bit collision between two
+    * distinct n-grams of one (document, benchmark) pair — the same
+    * negligible trade the whole hashed-shingle family documents.
+    */
   private def contaminatedNgrams(docs: DataFrame, idCol: String,
                                  textCol: String, bench: DataFrame,
                                  benchTextCol: String, n: Int): DataFrame = {
     val docNg = docs.select(col(idCol).as("g_id"),
-        explode(shingles(col(textCol), n)).as("g_ng"))
-      .select(col("g_id"), xxhash64(col("g_ng")).as("g_h"))
+      explode(org.apache.spark.sql.graft.NativeTextExprs
+        .shingleHashSet(tokens(col(textCol)), n)).as("g_h"))
     val benchNg = bench
-      .select(explode(shingles(col(benchTextCol), n)).as("g_ng"))
-      .select(xxhash64(col("g_ng")).as("g_h"))
+      .select(explode(org.apache.spark.sql.graft.NativeTextExprs
+        .shingleHashSet(tokens(col(benchTextCol)), n)).as("g_h"))
       .distinct()
     docNg.join(benchNg, "g_h")
   }

@@ -444,6 +444,19 @@ object NativeTextExprs {
         org.apache.spark.sql.types.DoubleType, nullable = false)))
     override def prettyName: String = "ngram_repetition"
 
+    // NON-null-propagating (r20 ADVICE): the composed column algebra this
+    // replaced fell through its when/otherwise branches to struct(0.0, 0.0)
+    // for a null token array, so a null-text document scores zero and
+    // PASSES a <=-threshold gopher filter instead of being silently dropped
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](0.0, 0.0))
+      else nullSafeEval(v)
+    }
+
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val m = arr.numElements()
@@ -548,8 +561,14 @@ object NativeTextExprs {
     * `struct(<aName> = least(a,b), <bName> = greatest(a,b))` exactly like
     * the composed form, so downstream unpack/count logic is unchanged.
     */
+  // `maxInputLen` (when set) is the caller's posting-list cap, re-asserted
+  // here: the expansion materializes all n(n-1)/2 surviving pairs of one
+  // list in a single eval, so an unpruned bucket that slipped past the
+  // upstream `size(...) <= cap` filter would be an O(n²) allocation inside
+  // one expression call — fail fast with the list length instead.
   case class PairExpandExpr(child: Expression, aName: String, bName: String,
-                            pred: PairPredicate)
+                            pred: PairPredicate,
+                            maxInputLen: Option[Int] = None)
       extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
@@ -563,6 +582,9 @@ object NativeTextExprs {
     override protected def nullSafeEval(input: Any): Any = {
       val docs = input.asInstanceOf[ArrayData].toLongArray()
       val n = docs.length
+      maxInputLen.foreach(cap => require(n <= cap,
+        s"pair_expand: posting list of $n entries exceeds the declared cap " +
+          s"$cap — the upstream df-cap filter must run before expansion"))
       val out = new scala.collection.mutable.ArrayBuffer[Any]()
       var i = 0
       while (i < n) {
@@ -649,6 +671,54 @@ object NativeTextExprs {
       copy(child = newChild)
   }
 
+  /** [[SimhashPairExpandExpr]] over a FLAT interleaved `[id0, sig0, id1,
+    * sig1, ...]` long array (the [[CollectLongPairsExpr]] buffer layout):
+    * same emitted `(idA, idB, hamming)` rows, without the per-element
+    * struct access on the way in.
+    */
+  case class SimhashPairExpandFlatExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("idA", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("idB", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("hamming", IntegerType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "simhash_pair_expand_flat"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val flat = input.asInstanceOf[ArrayData].toLongArray()
+      val n = flat.length / 2
+      val out = new Array[Any](n * (n - 1) / 2)
+      var k = 0
+      var i = 0
+      while (i < n) {
+        val idI = flat(2 * i)
+        val sigI = flat(2 * i + 1)
+        var j = i + 1
+        while (j < n) {
+          val idJ = flat(2 * j)
+          out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](math.min(idI, idJ), math.max(idI, idJ),
+              java.lang.Long.bitCount(sigI ^ flat(2 * j + 1))))
+          k += 1
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def simhashPairExpandFlat(flatArray: Column): Column =
+    ExpressionUtils.column(
+      SimhashPairExpandFlatExpr(ExpressionUtils.expression(flatArray)))
+
   /** LSH band buckets of a long signature in one pass: band `b`'s bucket is
     * `xxhash64(concat_ws(",", <band components as strings>, b))` — byte-
     * identical to the composed `xxhash64(concat_ws(",", transform(slice(sig,
@@ -676,6 +746,9 @@ object NativeTextExprs {
       // string, so one long-path covers both signature element types
       val sig = if (elemIsInt) arr.toIntArray().map(_.toLong)
                 else arr.toLongArray()
+      require(sig.length >= bands * rowsPerBand,
+        s"band_buckets: signature of ${sig.length} elements is shorter than " +
+          s"bands*rowsPerBand = ${bands * rowsPerBand}")
       val out = new Array[Long](bands)
       val sb = new java.lang.StringBuilder(rowsPerBand * 21 + 4)
       var b = 0
@@ -747,9 +820,11 @@ object NativeTextExprs {
       SpanWindowHashesExpr(ExpressionUtils.expression(tokenArray), k))
 
   def pairExpand(packedArray: Column, aName: String, bName: String,
-                 pred: PairPredicate): Column =
+                 pred: PairPredicate,
+                 maxInputLen: Option[Int] = None): Column =
     ExpressionUtils.column(
-      PairExpandExpr(ExpressionUtils.expression(packedArray), aName, bName, pred))
+      PairExpandExpr(ExpressionUtils.expression(packedArray), aName, bName,
+        pred, maxInputLen))
 
   def simhashPairExpand(docsArray: Column): Column =
     ExpressionUtils.column(

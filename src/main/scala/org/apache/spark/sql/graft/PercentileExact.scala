@@ -28,9 +28,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *   else higherKey = key at first cumulative >= higher + 1
   *        if (higherKey == lowerKey) lowerKey
   *        else (higher - position) * lowerKey + (position - lower) * higherKey
-  * with keys sorted by double ordering (java.lang.Double.compare — same as
-  * PhysicalDoubleType's ordering: -0.0 < 0.0, NaN greatest) and key
-  * identity = doubleToLongBits (same as boxed Double equality).
+  * with keys sorted by java.lang.Double.compare (-0.0 < 0.0 strictly, NaN
+  * greatest) and key identity = doubleToLongBits (same as boxed Double
+  * equality). Known, unmatchable corner (r20 ADVICE): Spark 4.1.2 sorts
+  * with SQLOrderingUtil.compareDoubles, which returns 0 for -0.0 vs 0.0 —
+  * when BOTH zeros are present as keys their relative order in Spark's
+  * sort is hash-map-iteration-order dependent, so if a percentile lands
+  * exactly on one of those ranks Spark's own answer is nondeterministic
+  * and no deterministic sort can always match it bitwise (the two answers
+  * differ only in the sign bit of a zero). Everywhere else the orderings
+  * agree.
   * PercentileExactSpec asserts bitwise equality against Spark's aggregate
   * over randomized multisets and percentages.
   */

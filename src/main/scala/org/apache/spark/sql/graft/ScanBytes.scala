@@ -33,6 +33,24 @@ object ScanBytes {
     */
   val footerReads = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Scan bytes of eagerly-checkpointed SUBTREES (r20 verdict item 3):
+    * an operator that `localCheckpoint`s its input mid-construction (the
+    * pack family) leaves a final plan with NO file scan, so [[of]] reads 0
+    * and the committed detail loses its plan-drift adjudication signal for
+    * those queries. Such operators report the pre-checkpoint frame's scan
+    * bytes here; the bench enables collection around its (untimed) IO
+    * measurement pass and adds the figure to [[of]]'s. Disabled by default
+    * so the timed path never pays the extra plan derivation.
+    */
+  @volatile var auxEnabled: Boolean = false
+  val auxBytes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Record a checkpointed subtree's scan bytes (no-op unless enabled). */
+  def recordAux(df: DataFrame): Unit =
+    if (auxEnabled)
+      try auxBytes.addAndGet(of(df))
+      catch { case scala.util.control.NonFatal(_) => () }
+
   /** (file path, mtime) -> per-top-level-column compressed bytes. */
   private val footerCache =
     TrieMap.empty[(String, Long), Map[String, Long]]

@@ -201,6 +201,26 @@ class SamplingCorpusProfileSpec extends AnyFunSuite {
       assert(rows.map(_._2).sum >= 1000 - maxDoc, s"bin $bin under-filled")
   }
 
+  test("packByCount under spark.graft.pack.checkpoint=reliable matches local") {
+    val docs = Tables.t(spark, sf, "documents")
+    def pack() =
+      Corpus.packSequences(docs, "doc_id", "text", capacity = 1000)
+        .select("doc_id", "n_tokens", "bin_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val local = pack()
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-pack-reliable").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set("spark.graft.pack.checkpoint", "reliable")
+    try {
+      val reliable = pack()
+      assert(local.sameElements(reliable),
+        "reliable-checkpoint packing must bin identically")
+    } finally {
+      spark.conf.unset("spark.graft.pack.checkpoint")
+    }
+  }
+
   test("profile reports exact per-column stats in one pass") {
     val tiny = spark.createDataFrame(Seq(
       (1, Some(2.0)), (2, None), (3, Some(4.5)), (3, Some(4.5))))
