@@ -282,15 +282,17 @@ object Corpus {
     // Every document has >= 1 line row (split yields at least one
     // element), so all-boilerplate documents still appear, empty.
     val marked = lines.join(boiler.withColumn("g_b", lit(1)), Seq("g_h"), "left_outer")
+    // one primitive reassembly aggregate (KeptLinesExpr) instead of
+    // sort_array(collect_list(struct)) + two interpreted HOFs: same joined
+    // text, same counts, no per-line struct boxing in the reduce stage
     marked.groupBy("g_id")
       .agg(
-        sort_array(collect_list(when(col("g_b").isNull,
-          struct(col("g_pos"), col("g_line"))))).as("g_ls"),
+        org.apache.spark.sql.graft.PrimitiveCollects.keptLines(
+          col("g_pos"), when(col("g_b").isNull, col("g_line"))).as("g_k"),
         count(lit(1)).as("g_total"))
       .select(col("g_id").as(idCol),
-        array_join(transform(col("g_ls"), x => x("g_line")), "\n")
-          .as("text_clean"),
-        size(col("g_ls")).cast("long").as("n_kept"),
-        (col("g_total") - size(col("g_ls"))).as("n_dropped"))
+        col("g_k.text_clean").as("text_clean"),
+        col("g_k.n_kept").cast("long").as("n_kept"),
+        (col("g_total") - col("g_k.n_kept")).as("n_dropped"))
   }
 }

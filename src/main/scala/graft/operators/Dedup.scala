@@ -152,6 +152,17 @@ object Dedup {
       .select(col("g_id"),
         explode(org.apache.spark.sql.graft.NativeTextExprs
           .bandBuckets(col("g_sig"), bands, rowsPerBand)).as("g_bucket"))
+    // MEASURED AND REJECTED (r21): a candidate-sliced verify — checkpoint
+    // the tiny pair set, semi-join the corpus to candidate-involved ids,
+    // shingle only that slice once — removes the double whole-corpus
+    // tokenize+shingle below (the sh subtree is duplicated under each pair
+    // join; no exchange to reuse) and is the right 100 TB shape (guide
+    // §8), but benched 0.71 → 0.86 s at sf0.1 (embedding twin 0.48 →
+    // 0.70): the two extra eager-checkpoint actions plus the semi-join
+    // pass cost more wall here than two slice-shingle passes save. At
+    // corpus scale the trade flips (two full-corpus passes vs a
+    // duplicate-bounded slice); re-introduce it behind a conf if that
+    // deployment materializes.
     val cands = bucketPairs(banded, Seq("g_bucket"), "g_id")
     val sh = df.select(col(idCol).as("g_id"),
       org.apache.spark.sql.graft.NativeTextExprs
@@ -708,7 +719,9 @@ object Dedup {
       explode(org.apache.spark.sql.graft.NativeTextExprs
         .bandBuckets(col("g_bits"), bands, rowsPerBand)).as("g_bucket"))
     // distinct id pairs from in-bucket expansion (signatures computed once,
-    // dropped before the shuffle); vectors re-attached only to survivors
+    // dropped before the shuffle); vectors re-attached only to survivors.
+    // (A checkpoint + semi-join candidate-sliced re-attach was measured
+    // and rejected at sf0.1 — see minhashDupPairs' verify note.)
     val cands = bucketPairs(banded, Seq("g_bucket"), "g_id")
     cands
       .join(vecs.select(col("g_id").as("idA"), col("g_vec").as("g_vecA")), "idA")
@@ -772,8 +785,17 @@ object Dedup {
     // hash explode over the whole corpus — the operator's dominant CPU.
     // The checkpoint stores only (id, pos, hash) triples (~24 B/window,
     // never text), trading bounded local storage for a full corpus-scan
-    // of recompute; measured 1.7 -> 1.3 s at sf0.1.
-    val kgrams = spanKgrams(toks, k).localCheckpoint(true)
+    // of recompute; measured 1.7 -> 1.3 s at sf0.1. DISK_ONLY, not the
+    // default deserialized MEMORY_AND_DISK: one window row deserialized
+    // on-heap costs ~4x its serialized bytes, and at 500k documents
+    // (~150M windows) the retained blocks thrashed storage memory across
+    // repeated runs (78 s outlier reps in CORE_SCALING_r21's span probe);
+    // serialized scratch-disk blocks have zero heap footprint and the
+    // re-read cost is one deserialize of a narrow row.
+    val kgrams = spanKgrams(toks, k).asInstanceOf[
+        org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .asInstanceOf[DataFrame]
     val dup = kgrams.groupBy("g_h")
       .agg(count(lit(1)).as("g_cnt"))
       .filter(col("g_cnt") >= minCount)
@@ -815,14 +837,12 @@ object Dedup {
       .groupBy("g_id")
       .agg(org.apache.spark.sql.graft.PrimitiveCollects
         .coveredPositions(col("g_pos"), k).as("g_cov"))
-    // rebuild via kept POSITIONS (array_except, hash-based O(n + m)), not
-    // a per-token array_contains filter (O(n·m), and higher-order lambdas
-    // run interpreted — measured 4x slower on the rebuild stage)
-    val keptText = when(size(col("g_toks")) === 0, lit("")).otherwise(
-      concat_ws(" ", transform(
-        array_except(sequence(lit(0), size(col("g_toks")) - 1),
-          coalesce(col("g_cov"), array().cast("array<int>"))),
-        p => element_at(col("g_toks"), p + 1))))
+    // rebuild in one native pass (kept_text): the composed
+    // sequence/array_except/transform chain ran interpreted and its
+    // allocation rate made this stage anti-scale 32-vs-8 cores at 500k
+    // documents (CORE_SCALING_r21) — same emitted text by construction
+    val keptText = org.apache.spark.sql.graft.NativeTextExprs
+      .keptText(col("g_toks"), col("g_cov"))
     toks.join(covered, Seq("g_id"), "left")
       .select(col("g_id").as(idCol),
         keptText.as("text_kept"),

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -814,6 +814,72 @@ object NativeTextExprs {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
+
+  /** Rebuild a document's uncovered text in ONE pass:
+    * `concat_ws(" ", <tokens whose 0-based position is NOT in cov>)` —
+    * exactly the composed
+    * `when(size(toks) = 0, "") otherwise concat_ws(" ",
+    * transform(array_except(sequence(0, size-1), coalesce(cov, [])),
+    * p -> element_at(toks, p+1)))`, without allocating the position
+    * sequence, the except result, and the transformed array per document
+    * (the interpreted chain's allocation rate made the span rebuild
+    * anti-scale 32-vs-8 cores at 500k documents). Null/empty token array
+    * → "" (concat_ws over a null array yields "" in the composed form);
+    * null cov (no covered window joined) → full text; null tokens are
+    * skipped exactly like concat_ws does.
+    */
+  case class KeptTextExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = false
+    override def prettyName: String = "kept_text"
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val toksV = left.eval(input)
+      if (toksV == null)
+        return org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+      val toks = toksV.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      if (n == 0)
+        return org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+      val covered = new Array[Boolean](n)
+      val covV = right.eval(input)
+      if (covV != null) {
+        val cov = covV.asInstanceOf[ArrayData]
+        var i = 0
+        val m = cov.numElements()
+        while (i < m) {
+          val c = cov.getInt(i)
+          if (c >= 0 && c < n) covered(c) = true
+          i += 1
+        }
+      }
+      val kept =
+        new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var i = 0
+      var k = 0
+      while (i < n) {
+        if (!covered(i)) {
+          val s = toks.getUTF8String(i)
+          if (s != null) { kept(k) = s; k += 1 }
+        }
+        i += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.concatWs(
+        org.apache.spark.unsafe.types.UTF8String.fromString(" "),
+        java.util.Arrays.copyOf(kept, k): _*)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def keptText(tokenArray: Column, coveredPositions: Column): Column =
+    ExpressionUtils.column(
+      KeptTextExpr(ExpressionUtils.expression(tokenArray),
+        ExpressionUtils.expression(coveredPositions)))
 
   def spanWindowHashes(tokenArray: Column, k: Int): Column =
     ExpressionUtils.column(

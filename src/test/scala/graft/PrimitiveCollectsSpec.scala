@@ -184,6 +184,32 @@ class PrimitiveCollectsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("keptText == sequence/array_except/transform rebuild") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 300).map { i =>
+      val n = rnd.nextInt(12)
+      val toks = (0 until n).map(j => s"t$j").toArray
+      val cov: Array[Int] =
+        if (i % 7 == 0) null
+        else (0 until n).filter(_ => rnd.nextBoolean()).toArray
+      (i.toLong, toks, cov)
+    }
+    val df = rows.toDF("id", "toks", "cov")
+    val got = df.select(col("id"),
+        NativeTextExprs.keptText(col("toks"), col("cov")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = df.select(col("id"),
+        when(size(col("toks")) === 0, lit("")).otherwise(
+          concat_ws(" ", transform(
+            array_except(sequence(lit(0), size(col("toks")) - 1),
+              coalesce(col("cov"), array().cast("array<int>"))),
+            p => element_at(col("toks"), p + 1)))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want)
+  }
+
   test("bandBuckets rejects a too-short signature with a clear message") {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     import classic.implicits._
