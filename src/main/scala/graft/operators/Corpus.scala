@@ -194,18 +194,23 @@ object Corpus {
     // separate aggregate action re-ran the range exchange). A retried or
     // speculative task re-adds the SAME (pid, total) pair — the map build
     // below keys by pid, so duplicates are harmless.
+    // each task reports (pid, total, numPartitions): the partition count
+    // rides the same accumulator so the coverage assert below needs no
+    // extra .rdd plan derivation on the driver (a getNumPartitions probe
+    // here measured ~0.1 s per pack query inside the timed path)
     val totalsAcc = spark.sparkContext
-      .collectionAccumulator[(Int, Long)]("g_pack_totals")
+      .collectionAccumulator[(Int, Long, Int)]("g_pack_totals")
     val local = ranged
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         var acc = 0L
         it.map { r =>
           val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ acc)
           acc += r.getLong(nIdx)
           out
-        } ++ { totalsAcc.add((pid, acc)); Iterator.empty }
+        } ++ { totalsAcc.add((pid, acc, tc.numPartitions())); Iterator.empty }
       }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF()
     // second (and last) materialization: the final assignment consumes
@@ -226,12 +231,12 @@ object Corpus {
       s"packByCount: conflicting per-partition totals " +
         s"${byPid.filter(_._2.map(_._2).distinct.size > 1).keys.toSeq.sorted} " +
         "— non-deterministic recomputation of the counted input?")
-    val nParts = localCk.rdd.getNumPartitions
+    val nParts = if (rawTotals.isEmpty) 0 else rawTotals.map(_._3).max
     require(byPid.keySet == (0 until nParts).toSet,
       s"packByCount: totals cover pids ${byPid.keySet.toSeq.sorted} but the " +
         s"ranged layout has $nParts partitions — the checkpoint did not " +
         "drain every partition")
-    val offsets = totalsAcc.value.asScala.toMap.toSeq.sortBy(_._1)
+    val offsets = byPid.view.mapValues(_.head._2).toSeq.sortBy(_._1)
     val offDf = {
       val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       import classic.implicits._
